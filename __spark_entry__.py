@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All queries live in the package registry
+(``flink_kafka_consumer_cassandra_output_spark/plans/``); this module is a
+thin adapter.  Every oracle-checked entry follows the cross-engine
+determinism conventions in ``functions/numeric.py`` (decimal-exact float
+aggregation) and ``functions/vectors.py`` (sequential-fold vector math), and
+is verified by the local mirror of this gate in ``tests/test_oracle_parity.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_kafka_consumer_cassandra_output_spark.plans import all_specs  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's end-to-end message pipeline (O5-O13)
+    -- events->messages mapping, month date_partition, AES-encrypted stanza,
+    null-drop, per-(user, jid, month) summary with message counts."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import crypto, datetime_fns
+    from flink_kafka_consumer_cassandra_output_spark.operators import message_pipeline as mp
+
+    msgs = mp.messages_from_events(spark, SMOKE_SF_DIR)
+    dp = datetime_fns.date_partition_from_epoch_ms(F.col("sent_time_ms"))
+    enc = crypto.aes_encrypt_b64(F.col("stanza"))
+    return (
+        msgs.withColumn("date_partition", dp)
+        .withColumn("stanza_enc", enc)
+        .filter(F.col("stanza_enc").isNotNull())
+        .groupBy("username", "jid", "date_partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.min("sent_ts").alias("first_seen"),
+            F.max("sent_ts").alias("last_seen"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md section 2."""
+    return {name: spec.builder for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for every SQL-expressible query."""
+    return {name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None}

@@ -1,0 +1,36 @@
+"""Runtime configuration loading (reference operator O19).
+
+The reference reads a ``.properties`` file and passes keys prefixed
+``kafka.message.backup.`` -- prefix stripped -- verbatim to the Kafka client
+(/root/reference/src/main/java/com/cansever/consumer/BackupMessageConsumer.java:25-31,66-87;
+example keys at conf/message-consumer.properties:1-12).  Same pattern here:
+a flat dict loader plus prefix-filtered namespacing, used by the Kafka
+source builder to forward ``kafka.*`` options.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+KAFKA_PREFIX = "kafka.message.backup."
+
+
+def read_properties(path: str | Path) -> dict[str, str]:
+    """Minimal Java-properties reader: ``key=value`` lines, ``#``/``!``
+    comments, blank lines ignored (mirrors ``readProperties``,
+    BackupMessageConsumer.java:66-75)."""
+    props: dict[str, str] = {}
+    for raw in Path(path).read_text().splitlines():
+        line = raw.strip()
+        if not line or line.startswith(("#", "!")):
+            continue
+        if "=" in line:
+            k, _, v = line.partition("=")
+            props[k.strip()] = v.strip()
+    return props
+
+
+def filter_kafka_properties(props: dict[str, str], prefix: str = KAFKA_PREFIX) -> dict[str, str]:
+    """Strip the namespace prefix and return only the Kafka client keys
+    (mirrors ``filterKafkaProperties``, BackupMessageConsumer.java:77-87)."""
+    return {k[len(prefix):]: v for k, v in props.items() if k.startswith(prefix)}

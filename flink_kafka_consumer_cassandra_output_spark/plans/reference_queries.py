@@ -1,0 +1,223 @@
+"""Oracle-checked queries covering the reference's literal operator surface.
+
+Each query exercises one or more of SURVEY.md section 2's O-numbered
+operators over the ``events`` fixture (the batch stand-in for the Kafka
+stream), with the events->messages mapping shared between the Spark builder
+and the DuckDB oracle (``operators/message_pipeline.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import crypto, datetime_fns, taxonomy, xml_fns
+from ..operators import message_pipeline as mp
+from ..sources import tables
+from .registry import register
+
+_M = mp.messages_oracle_cte()
+
+
+def _msgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mp.messages_from_events(spark, sf_dir)
+
+
+@register(
+    "msg_detail",
+    oracle=f"""
+WITH {_M}
+SELECT
+  msg_id AS message_id,
+  username,
+  jid,
+  strftime(sent_ts, '%Y%m') || 'M' AS date_partition,
+  -- the reference carries epoch *milliseconds* (Message.avsc:8), so the
+  -- engine's sent_time is ms-precision; truncate the oracle identically
+  make_timestamp(sent_time_ms * 1000) AS sent_time
+FROM messages
+""",
+    doc="O5+O6+O10: detail-row projection without the (non-SQL) cipher column "
+        "(CassandraOutputFormat.java:101-132)",
+)
+def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mp.detail_table(_msgs(spark, sf_dir), encrypt=False).drop("stanza")
+
+
+@register(
+    "msg_detail_encrypted",
+    oracle=None,  # AES not expressible in DuckDB; driver records rows-only.
+    doc="O7+O9+O12: full detail rows incl. AES-CBC ciphertext (Encryptor.java:15-28)",
+)
+def msg_detail_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mp.detail_table(_msgs(spark, sf_dir), encrypt=True)
+
+
+@register(
+    "msg_crypto_roundtrip",
+    oracle=f"""
+WITH {_M}
+SELECT msg_id AS message_id, true AS roundtrip_ok
+FROM messages
+""",
+    doc="O7/O8 known-answer: decrypt(encrypt(stanza)) == stanza for every row; "
+        "the oracle asserts all-true, so any cipher divergence hash-mismatches",
+)
+def msg_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _msgs(spark, sf_dir)
+    enc = crypto.aes_encrypt_b64(F.col("stanza"))
+    dec = crypto.aes_decrypt_b64(enc)
+    return msgs.select(
+        F.col("msg_id").alias("message_id"),
+        (dec == F.col("stanza")).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "msg_summary_distinct",
+    oracle=f"""
+WITH {_M}
+SELECT DISTINCT username, jid, strftime(sent_ts, '%Y%m') || 'M' AS date_partition
+FROM messages
+""",
+    doc="O11 distinct-set semantics of the Cassandra summary upsert "
+        "(CassandraOutputFormat.java:95-108)",
+)
+def msg_summary_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mp.summary_distinct(_msgs(spark, sf_dir))
+
+
+@register(
+    "msg_summary_first",
+    oracle=f"""
+WITH {_M}
+SELECT username, jid,
+       min(strftime(sent_ts, '%Y%m') || 'M') AS first_date_partition
+FROM messages
+GROUP BY username, jid
+""",
+    doc="O11 'first month' variant implied by the column name "
+        "first_date_partition (CassandraOutputFormat.java:95)",
+)
+def msg_summary_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mp.summary_first(_msgs(spark, sf_dir))
+
+
+@register(
+    "msg_type_taxonomy",
+    oracle=f"""
+WITH {_M}
+SELECT regexp_extract(stanza, 'type="([^"]*)"', 1) AS type_code,
+       count(*) AS n
+FROM messages
+GROUP BY 1
+""",
+    doc="O22: the 18-code MessageType taxonomy applied and re-extracted from "
+        "the stanza (MessageType.java:7-24)",
+)
+def msg_type_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _msgs(spark, sf_dir)
+    return (
+        msgs.select(xml_fns.stanza_type(F.col("stanza")).alias("type_code"))
+        .groupBy("type_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "msg_stanza_xpath",
+    oracle=f"""
+WITH {_M}
+SELECT msg_id AS message_id,
+       regexp_extract(stanza, '<body>(.*)</body>', 1) AS body,
+       regexp_extract(stanza, 'type="([^"]*)"', 1) AS type_code
+FROM messages
+""",
+    doc="O21: stanza XML parse via builtin xpath_string (replaces the "
+        "vendored 900-LoC pull parser, XmppPacketReader.java:308-435)",
+)
+def msg_stanza_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _msgs(spark, sf_dir)
+    return msgs.select(
+        F.col("msg_id").alias("message_id"),
+        xml_fns.stanza_body(F.col("stanza")).alias("body"),
+        xml_fns.stanza_type(F.col("stanza")).alias("type_code"),
+    )
+
+
+@register(
+    "msg_retention",
+    oracle=f"""
+WITH {_M}
+SELECT msg_id AS message_id, sent_ts AS sent_time
+FROM messages
+WHERE sent_ts >= TIMESTAMP '2024-01-15 00:00:00'
+""",
+    doc="O18: TTL/retention as an event-time predicate "
+        "(BackupMessageConsumer.java:46-51); prunes month partitions at scan",
+)
+def msg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _msgs(spark, sf_dir)
+    keep = datetime_fns.retention_predicate(F.col("sent_ts"), "2024-01-15 00:00:00")
+    return msgs.filter(keep).select(
+        F.col("msg_id").alias("message_id"), F.col("sent_ts").alias("sent_time")
+    )
+
+
+@register(
+    "msg_dual_sink_consistency",
+    oracle=f"""
+WITH {_M},
+detail AS (
+  SELECT username, jid, strftime(sent_ts, '%Y%m') || 'M' AS date_partition
+  FROM messages
+),
+summary AS (SELECT DISTINCT username, jid, date_partition FROM detail)
+SELECT
+  (SELECT count(*) FROM detail d LEFT JOIN summary s
+     USING (username, jid, date_partition) WHERE s.username IS NULL) AS detail_orphans,
+  (SELECT count(*) FROM summary s LEFT JOIN detail d
+     USING (username, jid, date_partition) WHERE d.username IS NULL) AS summary_orphans
+""",
+    doc="O12/O13 dual-sink invariant: every detail row has a summary row and "
+        "vice versa (SURVEY.md section 5 case 5); both counts must be 0",
+)
+def msg_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _msgs(spark, sf_dir)
+    dp = datetime_fns.date_partition_from_epoch_ms(F.col("sent_time_ms"))
+    detail = msgs.select("username", "jid", dp.alias("date_partition"))
+    summary = mp.summary_distinct(msgs)
+    d_orphans = detail.join(summary, ["username", "jid", "date_partition"], "left_anti").count()
+    s_orphans = summary.join(detail, ["username", "jid", "date_partition"], "left_anti").count()
+    return spark.createDataFrame(
+        [(d_orphans, s_orphans)], "detail_orphans long, summary_orphans long"
+    )
+
+
+@register(
+    "msg_taxonomy_lookup_join",
+    oracle=f"""
+WITH {_M},
+typed AS (
+  SELECT regexp_extract(stanza, 'type="([^"]*)"', 1) AS type_code FROM messages
+),
+taxonomy AS ({taxonomy.MESSAGE_TYPE_CODES and " UNION ALL ".join(
+    f"SELECT '{name}' AS type_name, '{code}' AS type_code"
+    for name, code in taxonomy.MESSAGE_TYPE_CODES.items()
+)})
+SELECT t.type_name, count(*) AS n
+FROM typed y JOIN taxonomy t USING (type_code)
+GROUP BY t.type_name
+""",
+    doc="O22 as a broadcast dimension join (the lookup-DataFrame form of the "
+        "taxonomy; BHJ, no shuffle of the fact side)",
+)
+def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _msgs(spark, sf_dir)
+    typed = msgs.select(xml_fns.stanza_type(F.col("stanza")).alias("type_code"))
+    dim = taxonomy.lookup_df(spark)
+    return (
+        typed.join(F.broadcast(dim), "type_code")
+        .groupBy("type_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

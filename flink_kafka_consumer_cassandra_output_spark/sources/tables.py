@@ -1,0 +1,56 @@
+"""Parquet fixture catalog.
+
+The driver-generated tables (TESTDATA.md / FIXTURES.md part A) are the batch
+stand-ins for the reference's single Kafka stream
+(/root/reference/src/main/java/com/cansever/consumer/BackupMessageConsumer.java:36-39).
+``spark.read.parquet`` gives the vectorized reader with predicate pushdown and
+column pruning -- the scan posture every query in ``plans/`` relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet reader
+#: rejects natively; read it as a long and truncate to microseconds (exactly
+#: what DuckDB does when it casts the same column to its us timestamp).
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set(_NANOS_CONF, "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer ns -> us division (no double round-trip: ns epochs
+            # exceed double's 2^53 integer range)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
