@@ -1,0 +1,90 @@
+"""Benchmark harness: every registered query timed at one scale factor.
+
+Prints exactly ONE JSON line on stdout:
+
+    {"metric": "total_query_seconds", "value": <sum>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>, "cpus": <n>, "rows": {...}}
+
+Configuration (env):
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[...] core count (default: os.cpu_count())
+    SPARK_GRAFT_BENCH_QUERIES  comma-separated subset (default: all)
+
+Timing methodology: each query's DataFrame is fully materialized via the
+``noop`` sink (forces every column expression to execute, unlike ``count()``
+which lets Catalyst prune projections), after one untimed warm-up of the
+whole session (JVM/codegen warm-up on the smallest query).  All Spark logs
+go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_kafka_consumer_cassandra_output_spark.plans import all_specs  # noqa: E402
+from flink_kafka_consumer_cassandra_output_spark.session import local_session  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> int:
+    """Force full execution of every column; return the row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    spark = local_session(cores=cpus)
+    specs = all_specs()
+    names = sorted(specs)
+    if only:
+        names = [n for n in names if n in set(only.split(","))]
+
+    # Warm-up: run the full smallest-footprint path once so JIT/codegen and
+    # the parquet footer cache don't bill the first measured query.
+    try:
+        materialize(specs[names[0]].builder(spark, sf_dir))
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            materialize(specs[name].builder(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record, keep benching the rest
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

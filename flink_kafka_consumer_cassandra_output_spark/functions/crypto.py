@@ -48,7 +48,12 @@ def aes_encrypt_b64(col: Column, key: str = REFERENCE_KEY, iv: str = REFERENCE_I
     """
     full = F.aes_encrypt(col.cast("binary"), _lit_bin(key), F.lit("CBC"), F.lit("PKCS"), _lit_bin(iv))
     # Drop the 16 IV bytes Spark prepends -> byte-identical to Encryptor.java.
-    return F.base64(F.substring(full, 17, _MAX_LEN))
+    b64 = F.base64(F.substring(full, 17, _MAX_LEN))
+    # Spark's base64 emits MIME-chunked output (\r\n every 76 chars) once the
+    # ciphertext exceeds 57 bytes; commons-codec Base64.encodeBase64String
+    # (Encryptor.java:22) is unchunked.  Strip the line breaks for parity
+    # (golden known-answer test: tests/test_crypto_golden.py).
+    return F.regexp_replace(b64, "[\\r\\n]", "")
 
 
 def aes_decrypt_b64(col: Column, key: str = REFERENCE_KEY, iv: str = REFERENCE_IV) -> Column:

@@ -36,6 +36,7 @@ SELECT
   -- engine's sent_time is ms-precision; truncate the oracle identically
   make_timestamp(sent_time_ms * 1000) AS sent_time
 FROM messages
+WHERE stanza IS NOT NULL
 """,
     doc="O5+O6+O10: detail-row projection without the (non-SQL) cipher column "
         "(CassandraOutputFormat.java:101-132)",
@@ -57,11 +58,12 @@ def msg_detail_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "msg_crypto_roundtrip",
     oracle=f"""
 WITH {_M}
-SELECT msg_id AS message_id, true AS roundtrip_ok
+SELECT msg_id AS message_id, stanza IS NOT NULL AS roundtrip_ok
 FROM messages
 """,
     doc="O7/O8 known-answer: decrypt(encrypt(stanza)) == stanza for every row; "
-        "the oracle asserts all-true, so any cipher divergence hash-mismatches",
+        "the oracle asserts true exactly where a stanza exists (NULL-aware "
+        "equality on the Spark side), so any cipher divergence hash-mismatches",
 )
 def msg_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -69,7 +71,9 @@ def msg_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = crypto.aes_decrypt_b64(enc)
     return msgs.select(
         F.col("msg_id").alias("message_id"),
-        (dec == F.col("stanza")).alias("roundtrip_ok"),
+        # NULL stanza -> NULL cipher -> NULL decrypt; <=> yields true only for
+        # real round-trips, false is impossible unless the cipher diverges.
+        (dec.eqNullSafe(F.col("stanza")) & F.col("stanza").isNotNull()).alias("roundtrip_ok"),
     )
 
 
@@ -113,12 +117,12 @@ FROM messages
 GROUP BY 1
 """,
     doc="O22: the 18-code MessageType taxonomy applied and re-extracted from "
-        "the stanza (MessageType.java:7-24)",
+        "the stanza (MessageType.java:7-24); regexp hot path (stanza_type_fast)",
 )
 def msg_type_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
     return (
-        msgs.select(xml_fns.stanza_type(F.col("stanza")).alias("type_code"))
+        msgs.select(xml_fns.stanza_type_fast(F.col("stanza")).alias("type_code"))
         .groupBy("type_code")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -214,7 +218,7 @@ GROUP BY t.type_name
 )
 def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
-    typed = msgs.select(xml_fns.stanza_type(F.col("stanza")).alias("type_code"))
+    typed = msgs.select(xml_fns.stanza_type_fast(F.col("stanza")).alias("type_code"))
     dim = taxonomy.lookup_df(spark)
     return (
         typed.join(F.broadcast(dim), "type_code")

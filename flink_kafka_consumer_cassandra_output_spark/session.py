@@ -55,6 +55,9 @@ def build_session(
         # Parquet vectorized reader + pushdown are on by default; kept
         # explicit as documentation of the scan posture.
         "spark.sql.parquet.filterPushdown": "true",
+        # The events fixture stores ts as TIMESTAMP(NANOS); read as long and
+        # convert explicitly (sources/tables.py) instead of failing the scan.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     if extra_conf:
         conf.update(extra_conf)

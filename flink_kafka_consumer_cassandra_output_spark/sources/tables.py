@@ -36,12 +36,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        spark.conf.set(_NANOS_CONF, "true")
+        if spark.conf.get(_NANOS_CONF, "false") != "true":
+            # set once in session.build_session; this is only a fallback for
+            # externally-built sessions (restored immediately is not possible
+            # mid-plan, so we leave it set and document the requirement).
+            spark.conf.set(_NANOS_CONF, "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer ns -> us division (no double round-trip: ns epochs
-            # exceed double's 2^53 integer range)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # integer ns -> us floor division (no double round-trip: ns epochs
+            # exceed double's 2^53 integer range; pmod keeps floor semantics
+            # for pre-1970 instants, matching DuckDB's ns->us cast)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

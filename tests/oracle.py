@@ -73,7 +73,7 @@ def run_and_compare(spark, name: str, sf_dir: str) -> None:
     spec = all_specs()[name]
     sdf = spec.builder(spark, sf_dir).toPandas()
     if spec.oracle is None:
-        assert len(sdf) >= 0  # rows-only smoke, same as the driver's weak check
+        assert len(sdf) > 0, f"{name}: no-oracle query returned zero rows"
         return
     con = duck_connection(sf_dir)
     try:
