@@ -1,0 +1,182 @@
+"""Near-duplicate detection and similarity search, scale-first (north star).
+
+Not in the reference (its pipeline is pure ETL; SURVEY.md section 2
+north-star extensions); required by the project brief: MinHash-LSH near-dup
+over text shingles, and bucketed approximate-nearest-neighbor over
+embeddings, with brute-force cosine as the correctness baseline.
+
+Design rules:
+
+- **Never all-pairs.**  Candidate generation is a band-hash equi-join
+  (MinHash-LSH) or a bucket equi-join (IVF coarse quantizer / label
+  partition).  The only cross product anywhere is query-set x corpus with a
+  broadcast query set (bounded rows, narrow map-side op, no corpus shuffle).
+- **Cross-engine-deterministic hashing.**  MinHash uses the lexicographic
+  MIN over per-seed ``md5(seed || shingle)`` hex strings: md5 exists
+  verbatim in DuckDB and hex strings order identically in both engines, so
+  every signature, band and candidate pair is oracle-replicable -- unlike
+  xxhash64/murmur, which DuckDB lacks.
+- **Exact verify after approximate candidates.**  LSH only proposes; the
+  emitted pairs are filtered by exact Jaccard over distinct shingle sets, so
+  false positives never ship.  (False negatives are inherent to LSH; the
+  recall test in tests/test_similarity.py pins them against brute force.)
+
+100 TB shuffle shape: signatures are per-row narrow work; the band explode
+multiplies rows by ``bands`` (small constant); the candidate join shuffles
+on (band_id, band_value) whose cardinality is ~corpus x bands / avg bucket
+size -- uniform by construction of md5.  Exact verify touches only
+candidate pairs.  IVF assignment is a broadcast join against the centroid
+codebook; search shuffles only the probed buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+
+#: Defaults shared by the Spark builders and the DuckDB oracle generators.
+NUM_HASHES = 8
+BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature: per seed, the min md5 hex digest over shingles.
+
+    ``shingles`` must be a deduplicated array<string> column.  Returns
+    array<string> of length ``num_hashes``.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_value(sig: Column, band_id: int, rows_per_band: int) -> Column:
+    """One LSH band: the concatenation of ``rows_per_band`` signature rows."""
+    parts = [
+        sig[band_id * rows_per_band + j] for j in range(rows_per_band)
+    ]
+    return F.concat_ws("#", *parts)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) agreeing on >= 1 LSH band.
+
+    Input: one row per document with an ``array<string>`` signature.
+    The band explode + self-equi-join on (band_id, band_value) is the
+    LSH bucketing; no similarity is computed here.
+    """
+    r = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[band_value(F.col(sig_col), b, r) for b in range(bands)])
+        ).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over two deduplicated array<string> columns; the int/int
+    double division is bit-identical across engines."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = (F.size(sh_a) + F.size(sh_b)).cast("double") - inter
+    return inter / union
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity
+# --------------------------------------------------------------------------
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus.
+
+    ``queries``: (query_id, query_emb); ``corpus``: (vec_id, embedding).
+    Scale posture: the corpus is never shuffled or replicated -- each
+    partition scans once against the broadcast queries; the only wide op is
+    the per-query top-k (shuffle on query_id, bounded by |queries| * k).
+    """
+    j = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+    cos = vectors.cosine(F.col("query_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid by
+    cosine (ties -> smallest cent_id).  Broadcast join against the codebook;
+    the argmax is a per-vector window over |centroids| rows."""
+    j = corpus.crossJoin(F.broadcast(centroids))
+    cos = vectors.cosine(F.col("embedding"), F.col("cent_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    return (
+        j.select("vec_id", "embedding", "cent_id", cos.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: rank centroids per query, probe the top ``nprobe``
+    buckets, exact cosine re-rank within the probed candidates.
+
+    Approximate: recall vs brute force depends on nprobe/codebook quality
+    (pinned by tests/test_similarity.py); the plan never touches vectors
+    outside the probed buckets, which is the entire point at 100 TB.
+    """
+    jq = queries.crossJoin(F.broadcast(centroids))
+    qcos = vectors.cosine(F.col("query_emb"), F.col("cent_emb"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    probes = (
+        jq.select("query_id", "query_emb", "cent_id", qcos.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "query_emb", F.col("cent_id").alias("bucket"))
+    )
+    cands = probes.join(assigned, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = vectors.cosine(F.col("query_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

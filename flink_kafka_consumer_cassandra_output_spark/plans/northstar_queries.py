@@ -1,3 +1,417 @@
-"""North-star LLM-data-pipeline operators (BASELINE.json ``north_star``):
-dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search,
-text analysis, multimodal plumbing."""
+"""North-star queries: dedup, text analysis, similarity search (LLM-data ops).
+
+Not present in the reference (pure ETL; SURVEY.md section 2 "north-star
+extensions"); required by the project brief as first-class operators over the
+``documents`` and ``embeddings`` fixtures.  Every query is oracle-checked:
+the DuckDB SQL is *generated from the same constants* (stopword list, lang
+markers, token regex, hash seeds) as the Spark builders, so the two sides
+cannot drift.
+
+Determinism choices that make exact parity possible:
+- hashing is md5 (hex string), present verbatim in both engines;
+- MinHash = lexicographic MIN over salted md5 hex strings (identical string
+  ordering both sides);
+- every ratio is one double division of exact integers;
+- cosine is the sequential left-fold of ``functions/vectors.py`` mirrored by
+  DuckDB ``list_reduce`` (bitwise-identical, verified empirically);
+- every top-k has a unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as V
+from ..operators import similarity as SIM
+from ..sources import tables
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (generated from the same constants as the Spark side)
+# --------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_STOP_LIST = "[" + ",".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+_N_STOP = f"len(list_filter({_TOKS}, t -> list_contains({_STOP_LIST}, t)))"
+_N_PUNCT = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))"
+_FINGERPRINT = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+#: 3-word shingles, deduplicated — mirrors text.word_shingles(col, 3) with
+#: its <3-token fallback (the whole text as one shingle).
+_SHINGLES = f"""CASE WHEN len({_TOKS}) >= 3 THEN
+  list_distinct(list_transform(range(len({_TOKS}) - 2),
+    i -> {_TOKS}[i+1] || ' ' || {_TOKS}[i+2] || ' ' || {_TOKS}[i+3]))
+ELSE [text] END"""
+
+
+def _lang_count_sql(markers: tuple[str, ...]) -> str:
+    lst = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(string_split(lower(text), ' '), t -> list_contains({lst}, t)))"
+
+
+def _lang_pred_sql() -> str:
+    langs = sorted(TX.LANG_MARKERS)
+    cols = ", ".join(f"s_{l}" for l in langs)
+    whens = "\n       ".join(f"WHEN s_{l} = greatest({cols}) THEN '{l}'" for l in langs)
+    return f"CASE WHEN greatest({cols}) = 0 THEN 'und'\n       {whens}\n  END"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{TX.TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+       CAST({_N_STOP} AS BIGINT) AS n_stopwords,
+       CAST({_N_PUNCT} AS BIGINT) AS n_punct,
+       CAST((CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+           + CASE WHEN {_N_STOP} * 100 >= len({_TOKS}) * 5 THEN 30 ELSE 0 END
+           + CASE WHEN {_N_PUNCT} * 100 <= length(text) * 10 THEN 30 ELSE 0 END)
+         AS DOUBLE) / 100.0 AS quality
+FROM documents
+""",
+    doc="north-star text analysis: whitespace + BPE-ish token counts, "
+        "distinct tokens, stopword/punct counts, composite quality score -- "
+        "all pure Column expressions (functions/text.py), zero Python UDFs",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        TX.distinct_token_count(t).alias("n_distinct_tokens"),
+        TX.stopword_count(t).alias("n_stopwords"),
+        TX.punct_count(t).alias("n_punct"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "doc_lang_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {", ".join(f"{_lang_count_sql(TX.LANG_MARKERS[l])} AS s_{l}" for l in sorted(TX.LANG_MARKERS))}
+  FROM documents
+)
+SELECT lang, {_lang_pred_sql()} AS lang_pred, COUNT(*) AS n
+FROM scored
+GROUP BY lang, lang_pred
+""",
+    doc="north-star language-ID: marker-lexicon argmax (deterministic "
+        "tiebreak) cross-tabulated against the declared lang column",
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_simhash",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform({_TOKS}, t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST({" + ".join(
+           f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+           for j in range(16)
+       )} AS BIGINT) AS simhash16
+FROM h
+""",
+    doc="north-star SimHash (16-bit) document sketch: per-bit majority vote "
+        "over 16-bit md5 token hashes; per-row fold, no shuffle, and the "
+        "integer bit-sums are order-insensitive so parity is exact",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    d = d.withColumn("hs", hs)
+
+    def bit_sum(j: int):
+        pm = lambda h: F.when(  # noqa: E731
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+        return F.aggregate(F.col("hs"), F.lit(0), lambda a, x: a + pm(x))
+
+    simhash = reduce(
+        lambda a, b: a + b,
+        [F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)],
+    )
+    return d.select("doc_id", simhash.cast("long").alias("simhash16"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_exact_dedup",
+    oracle=f"""
+WITH snapshots AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM documents
+)
+SELECT {_FINGERPRINT} AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM snapshots
+GROUP BY fingerprint
+""",
+    doc="north-star exact dedup: md5 fingerprint of normalized text over a "
+        "double-ingested corpus (the union simulates re-crawling the same "
+        "snapshot); converges to one representative (min doc_id) per "
+        "fingerprint with n_copies=2. Scale: one shuffle on the digest",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    snapshots = d.unionByName(d)
+    return (
+        snapshots.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_sig_sql() -> str:
+    return ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') AS h{i}"
+        for i in range(SIM.NUM_HASHES)
+    )
+
+
+def _band_union_sql() -> str:
+    r = SIM.NUM_HASHES // SIM.BANDS
+    selects = []
+    for b in range(SIM.BANDS):
+        parts = " || '#' || ".join(f"h{b * r + j}" for j in range(r))
+        selects.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_val FROM sigs")
+    return "\n  UNION ALL\n  ".join(selects)
+
+
+_JACCARD_SQL = (
+    "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+    " / (CAST(len(x.sh) + len(y.sh) AS DOUBLE)"
+    " - CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE))"
+)
+
+
+@register(
+    "doc_near_dup_minhash_lsh",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc_id, sh,
+         {_minhash_sig_sql()}
+  FROM docs
+),
+banded AS (
+  {_band_union_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT c.id_a AS doc_a, c.id_b AS doc_b, {_JACCARD_SQL} AS jaccard
+  FROM cand c
+  JOIN docs x ON x.doc_id = c.id_a
+  JOIN docs y ON y.doc_id = c.id_b
+)
+WHERE jaccard >= 0.5
+""",
+    doc="north-star near-dup: MinHash(8 hashes) -> LSH(4 bands of 2) "
+        "candidate pairs -> exact Jaccard >= 0.5 verify over distinct "
+        "3-word shingles.  Never all-pairs: candidates come from the "
+        "(band_id, band_value) equi-join; exact Jaccard touches candidates "
+        "only.  Recall vs brute force pinned in tests/test_similarity.py",
+)
+def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    docs = d.select(
+        "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    sigs = docs.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+    cand = SIM.lsh_candidate_pairs(sigs)
+    x = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            SIM.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_COS = V.cosine_sql  # (a_sql, b_sql) -> DuckDB fold expression
+
+
+@register(
+    "emb_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb
+  FROM embeddings WHERE vec_id < 10
+)
+SELECT * FROM (
+  SELECT q.query_id,
+         e.vec_id AS neighbor_id,
+         {_COS('q.query_emb', 'e.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS('q.query_emb', 'e.embedding')} DESC, e.vec_id
+         ) AS rank
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+WHERE rank <= 5
+""",
+    doc="north-star similarity search, exact baseline: brute-force cosine "
+        "top-5 for a 10-query set.  Scale: queries broadcast, corpus scanned "
+        "once with no shuffle; the only wide op is the per-query top-k",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    return SIM.brute_force_topk(q, e, k=5)
+
+
+@register(
+    "emb_ann_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id < 16
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS bucket FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS('e.embedding', 'c.cent_emb')} DESC, c.cent_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb
+  FROM embeddings WHERE vec_id < 10
+),
+probes AS (
+  SELECT query_id, query_emb, cent_id AS bucket FROM (
+    SELECT q.query_id, q.query_emb, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS('q.query_emb', 'c.cent_emb')} DESC, c.cent_id
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+)
+SELECT * FROM (
+  SELECT p.query_id,
+         a.vec_id AS neighbor_id,
+         {_COS('p.query_emb', 'a.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_COS('p.query_emb', 'a.embedding')} DESC, a.vec_id
+         ) AS rank
+  FROM probes p
+  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id != p.query_id
+)
+WHERE rank <= 5
+""",
+    doc="north-star ANN, scale path: IVF coarse quantizer (16-centroid "
+        "codebook = vec_id<16), nprobe=2, exact cosine re-rank inside probed "
+        "buckets only.  The oracle replicates the SAME algorithm, so parity "
+        "is exact; recall vs brute force is pinned separately in "
+        "tests/test_similarity.py.  100 TB shape: assignment is a broadcast "
+        "join vs the codebook; search touches ~nprobe/C of the corpus",
+)
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    assigned = SIM.ivf_assign(e.select("vec_id", "embedding"), cent)
+    return SIM.ivf_topk(q, assigned, cent, k=5, nprobe=2)
+
+
+@register(
+    "emb_top_similar_pairs",
+    oracle=f"""
+SELECT a.vec_id AS anchor_id, b.vec_id AS other_id, a.label,
+       {_COS('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+WHERE a.vec_id % 50 = 0
+ORDER BY cosine DESC, anchor_id, other_id
+LIMIT 100
+""",
+    doc="north-star embedding near-dup, bucketed: for a 2% anchor sample, "
+        "the most-similar same-label vectors (top-100 global).  The label "
+        "equi-join is the IVF-style bucketing -- pairs never cross buckets, "
+        "so the join co-partitions on label instead of a corpus cross join",
+)
+def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    a = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("other_id"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("anchor_id") != F.col("other_id")))
+        .select(
+            "anchor_id", "other_id", "label",
+            V.cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "anchor_id", "other_id")
+        .limit(100)
+    )
