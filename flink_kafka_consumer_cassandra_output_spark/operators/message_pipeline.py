@@ -55,7 +55,14 @@ EVENT_TYPE_TO_MESSAGE_TYPE = {
 def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the reference's input record stream (FIXTURES.md B.1) from
     the ``events`` fixture, deterministically and SQL-replicably."""
-    ev = tables.load(spark, sf_dir, "events")
+    return messages_from_events_df(tables.load(spark, sf_dir, "events"))
+
+
+def messages_from_events_df(ev: DataFrame) -> DataFrame:
+    """The events->messages mapping as a pure DataFrame transform: runs
+    unchanged on a batch read or a Structured Streaming source
+    (streaming/pipeline.py), which is the whole point of the
+    DataFrame-first design (SURVEY.md section 1.5)."""
     type_name = _event_type_name_col()
     code = taxonomy.classify(type_name)
     stanza = F.concat(

@@ -1,0 +1,153 @@
+"""File-source Structured Streaming run of the reference message pipeline.
+
+Reference topology (/root/reference/src/main/java/com/cansever/consumer/
+BackupMessageConsumer.java:33-63): checkpointed env -> Kafka source -> Avro
+decode -> dual Cassandra sink.  Here: checkpointed stream -> file source
+(the Kafka twin; ``sources/kafka.py`` builds the broker-backed variant of
+the same reader) -> the IDENTICAL ``messages_from_events_df`` transform ->
+two file sinks:
+
+- **detail** (O12): every message row, partitioned by ``date_partition``;
+- **summary** (O11): the distinct ``(username, jid, date_partition)`` set
+  via *stateful streaming* ``dropDuplicates`` -- the exact translation of
+  the reference's Cassandra upsert convergence: each triple is emitted
+  exactly once across all micro-batches.  State is bounded by key
+  cardinality (month granularity keeps it sane -- SURVEY.md section 7 risk
+  register); ``dropDuplicatesWithinWatermark`` is the alternative when
+  event-time bounds are acceptable.
+
+Exactly-once: each query writes through Spark's file-sink commit log under
+its own ``checkpointLocation``.  On kill/restart the WAL replays unfinished
+batches and the sink log ignores already-committed files -- no loss, no
+dupes (SURVEY.md section 5 case 6; verified by tests/test_streaming.py).
+
+Scale: the transform is narrow (one codegen stage, mirroring the
+reference's shuffle-free chain); the summary dropDuplicates is the single
+stateful shuffle on the summary key -- the same shape as the batch plan,
+so batch benches are an honest cost model for the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import message_pipeline as mp
+
+#: Schema of the file-source stream (the events fixture shape with a proper
+#: timestamp column; streaming file sources require a declared schema).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """The file-source twin of the reference's Kafka source (O1): new parquet
+    files appearing under ``input_dir`` are the unbounded record stream."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    # Only pick up parquet files: a stray foreign file in the watched dir
+    # must not poison the stream (found by fault-injection during verify).
+    reader = reader.option("pathGlobFilter", "*.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def run_detail_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """O12 detail sink as a streaming query: full message rows, partitioned
+    by month (the Cassandra partition-key design, CassandraOutputFormat.java:106)."""
+    ev = stream_events(spark, input_dir)
+    detail = mp.detail_table(mp.messages_from_events_df(ev), encrypt=True)
+    writer = (
+        detail.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date_partition")
+        .outputMode("append")
+        .queryName("message_history_detail")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_summary_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """O11 summary sink as a *stateful* streaming query: streaming
+    dropDuplicates emits each distinct (username, jid, month) exactly once
+    across batches -- the upsert-convergence semantics of the reference's
+    summary table, delivered append-only."""
+    ev = stream_events(spark, input_dir)
+    msgs = mp.messages_from_events_df(ev)
+    summary = mp.summary_distinct(msgs)
+    writer = (
+        summary.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("message_history_summary")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(ev: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event counts with a watermark: the streaming half of
+    the batch ``ev_tumbling_hourly`` query.  In append mode a window is
+    emitted once the watermark passes its end -- late rows beyond
+    ``watermark`` are dropped, which is the documented late-data policy."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Windowed aggregate stream in append mode: one input file per
+    micro-batch so the watermark advances between batches and closed
+    windows flush to the file sink."""
+    ev = stream_events(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+    agg = windowed_event_counts(ev)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("windowed_event_counts")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,122 @@
+"""Streaming twin tests: checkpointed restart with no loss and no dupes
+(SURVEY.md section 5 case 6 -- the O17 upgrade over the reference's
+at-most-once delivery), and watermarked windowed aggregation.
+
+The input stream is simulated by dropping parquet files into a watched
+directory in event-time order, which is exactly how the file source models
+the reference's Kafka topic (new files = new offsets)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flink_kafka_consumer_cassandra_output_spark.operators import message_pipeline as mp
+from flink_kafka_consumer_cassandra_output_spark.sources import tables
+from flink_kafka_consumer_cassandra_output_spark.streaming import pipeline as sp
+
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def event_chunks(sf_dir):
+    """The events fixture as N_CHUNKS event-time-ordered arrow tables
+    (DuckDB reads the ns parquet and exports us timestamps, matching the
+    engine's own ns->us policy)."""
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    n = tbl.num_rows
+    step = (n + N_CHUNKS - 1) // N_CHUNKS
+    return [tbl.slice(i * step, step) for i in range(N_CHUNKS)]
+
+
+def _drop(chunks, input_dir, lo, hi):
+    for i in range(lo, hi):
+        pq.write_table(chunks[i], f"{input_dir}/chunk{i}.parquet")
+
+
+def _run(query):
+    query.awaitTermination()
+
+
+def test_detail_stream_restart_no_loss_no_dupes(spark, sf_dir, event_chunks, tmp_path):
+    input_dir = tmp_path / "in"
+    out = tmp_path / "detail"
+    cp = tmp_path / "cp_detail"
+    input_dir.mkdir()
+    total = sum(c.num_rows for c in event_chunks)
+
+    # phase 1: first half of the stream
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_detail_stream(spark, str(input_dir), str(out), str(cp)))
+    got1 = spark.read.parquet(str(out))
+    n1 = got1.count()
+    assert n1 == sum(c.num_rows for c in event_chunks[:2])
+    assert got1.select("message_id").distinct().count() == n1
+
+    # phase 2: restart with NO new data -> nothing reprocessed
+    _run(sp.run_detail_stream(spark, str(input_dir), str(out), str(cp)))
+    assert spark.read.parquet(str(out)).count() == n1
+
+    # phase 3: rest of the stream arrives; restart from checkpoint
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_detail_stream(spark, str(input_dir), str(out), str(cp)))
+    got = spark.read.parquet(str(out))
+    assert got.count() == total  # no loss
+    assert got.select("message_id").distinct().count() == total  # no dupes
+
+    # batch-vs-stream equivalence: same rows the batch pipeline derives
+    batch = mp.detail_table(mp.messages_from_events(spark, sf_dir), encrypt=True)
+    stream_ids = {r.message_id for r in got.select("message_id").collect()}
+    batch_ids = {r.message_id for r in batch.select("message_id").collect()}
+    assert stream_ids == batch_ids
+
+
+def test_summary_stream_distinct_across_batches(spark, sf_dir, event_chunks, tmp_path):
+    input_dir = tmp_path / "in"
+    out = tmp_path / "summary"
+    cp = tmp_path / "cp_summary"
+    input_dir.mkdir()
+
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_summary_stream(spark, str(input_dir), str(out), str(cp)))
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_summary_stream(spark, str(input_dir), str(out), str(cp)))
+
+    got = spark.read.parquet(str(out))
+    rows = {(r.username, r.jid, r.date_partition) for r in got.collect()}
+    # append-only distinct: exactly once per triple across all batches
+    assert got.count() == len(rows)
+    batch = mp.summary_distinct(mp.messages_from_events(spark, sf_dir))
+    expect = {(r.username, r.jid, r.date_partition) for r in batch.collect()}
+    assert rows == expect  # the upsert-convergence set, no loss, no dupes
+
+
+def test_windowed_stream_with_watermark(spark, sf_dir, event_chunks, tmp_path):
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    out = tmp_path / "win"
+    cp = tmp_path / "cp_win"
+    input_dir.mkdir()
+    _drop(event_chunks, input_dir, 0, N_CHUNKS)
+
+    _run(sp.run_windowed_stream(spark, str(input_dir), str(out), str(cp)))
+    got = spark.read.parquet(str(out)).collect()
+    assert got, "watermark should have closed at least one window"
+    emitted = {(r.window_start, r.event_type): r.n_events for r in got}
+    # each (window, type) emitted at most once (append mode finality)
+    assert len(emitted) == len(got)
+
+    # every emitted window matches the batch tumbling aggregate exactly
+    batch = all_specs()["ev_tumbling_hourly"].builder(spark, sf_dir).collect()
+    batch_counts = {(r.window_start, r.event_type): r.n_events for r in batch}
+    for key, n in emitted.items():
+        assert batch_counts[key] == n, f"window {key}: stream {n} != batch {batch_counts[key]}"
