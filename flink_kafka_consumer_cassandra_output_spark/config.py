@@ -18,7 +18,13 @@ KAFKA_PREFIX = "kafka.message.backup."
 def read_properties(path: str | Path) -> dict[str, str]:
     """Minimal Java-properties reader: ``key=value`` lines, ``#``/``!``
     comments, blank lines ignored (mirrors ``readProperties``,
-    BackupMessageConsumer.java:66-75)."""
+    BackupMessageConsumer.java:66-75).
+
+    Supported subset, documented deliberately: ``java.util.Properties.load``
+    additionally accepts ``:`` separators, backslash escapes and line
+    continuations; the shipped reference config
+    (conf/message-consumer.properties) uses plain ``k=v`` only, which is
+    what this parser guarantees."""
     props: dict[str, str] = {}
     for raw in Path(path).read_text().splitlines():
         line = raw.strip()

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
+from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..sources import tables
 from .registry import register
@@ -278,6 +279,31 @@ def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+@register(
+    "mm_media_features",
+    oracle="""
+SELECT doc_id,
+       'application/x-fake-' || source AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_height
+FROM documents
+""",
+    doc="north-star multimodal: opaque binary media column processed by "
+        "Arrow-batched mapInPandas (the engine's one deliberate Python "
+        "path); the real codec decode is stubbed (operators/multimodal.py), "
+        "but the batch plumbing is oracle-checked via header-level features",
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.extract_media_features(media)
 
 
 # --------------------------------------------------------------------------

@@ -225,3 +225,38 @@ def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_name")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_ALL_TYPE_NAMES = list(taxonomy.MESSAGE_TYPE_CODES) + ["UNKNOWN_TYPE"]
+
+
+@register(
+    "msg_taxonomy_all_codes",
+    oracle=f"""
+WITH names(type_name) AS (
+  VALUES {", ".join(f"('{n}')" for n in _ALL_TYPE_NAMES)}
+),
+dim AS ({" UNION ALL ".join(
+    f"SELECT '{name}' AS type_name, '{code}' AS type_code"
+    for name, code in taxonomy.MESSAGE_TYPE_CODES.items()
+)})
+SELECT n.type_name,
+       {taxonomy.classify_case_sql("n.type_name")} AS code_case,
+       d.type_code AS code_join
+FROM names n LEFT JOIN dim d USING (type_name)
+""",
+    doc="O22 pinned over ALL 18 enum codes plus an unknown name, via a "
+        "literal input that is NOT derived from the synthesized stanza "
+        "(closing the round-1 circularity): the CASE-chain and the "
+        "lookup-join forms must agree code-for-code, including the "
+        "PHOTO/IMAGE->P and CAPS_MEME/CAPS->M aliases (MessageType.java:7-24) "
+        "and NULL for unknown names",
+)
+def msg_taxonomy_all_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = spark.createDataFrame([(n,) for n in _ALL_TYPE_NAMES], "type_name string")
+    dim = taxonomy.lookup_df(spark).withColumnRenamed("type_code", "code_join")
+    return (
+        names.withColumn("code_case", taxonomy.classify(F.col("type_name")))
+        .join(F.broadcast(dim), "type_name", "left")
+        .select("type_name", "code_case", "code_join")
+    )
