@@ -53,9 +53,13 @@ def classify(type_name: Column) -> Column:
 
 
 def lookup_df(spark: SparkSession) -> DataFrame:
-    """The taxonomy as an 18-row dimension table (broadcast-join friendly)."""
-    rows = [(k, v) for k, v in MESSAGE_TYPE_CODES.items()]
-    return spark.createDataFrame(rows, "type_name string, type_code string")
+    """The taxonomy as an 18-row dimension table (broadcast-join friendly).
+
+    Built from a SQL VALUES literal, not ``createDataFrame``: the literal
+    stays JVM-side (no Python->Arrow->JVM hop, which costs seconds of
+    first-use warm-up in a fresh session)."""
+    vals = ", ".join(f"('{k}', '{v}')" for k, v in MESSAGE_TYPE_CODES.items())
+    return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t(type_name, type_code)")
 
 
 def classify_case_sql(col_sql: str) -> str:

@@ -51,3 +51,19 @@ def stanza_body_fast(col: Column) -> Column:
 def stanza_is_message(col: Column) -> Column:
     """True when the fragment's root element is ``message``."""
     return F.xpath_boolean(col, F.lit("boolean(/message)"))
+
+
+#: Schema for the one-parse stanza struct: the message element's ``type``
+#: attribute (attributePrefix default "_") and its body text.
+STANZA_XML_SCHEMA = "STRUCT<_type: STRING, body: STRING>"
+
+
+def stanza_struct(col: Column) -> Column:
+    """Parse the stanza ONCE into a typed struct via Spark 4's ``from_xml``.
+
+    Preferred O21 form at scale: a single XML parse yields every field,
+    where chained ``xpath_string`` calls re-parse the document per field
+    (measured 20x slower for two fields at sf0.1).  The xpath functions
+    above remain for ad-hoc path queries.
+    """
+    return F.from_xml(col, F.lit(STANZA_XML_SCHEMA))

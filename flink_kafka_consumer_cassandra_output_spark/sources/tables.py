@@ -31,6 +31,24 @@ TABLES = (
     "embeddings",
 )
 
+#: Tables whose queries do heavy per-row compute (AES, md5 minhash, vector
+#: folds, Arrow batches).  At the test scales each is ONE parquet file ->
+#: one scan partition -> the whole operator runs on one core; spreading them
+#: across the default parallelism is a cheap shuffle of a small table that
+#: unlocks every downstream narrow stage.  On a real cluster the same tables
+#: arrive as many files/row-groups, the partition count already exceeds
+#: defaultParallelism, and the spread is skipped -- so this is a no-op at
+#: 100 TB, not a hidden scalability crutch.  Dimension tables are excluded:
+#: they feed broadcasts, and a shuffle before a broadcast is pure waste.
+_SPREAD_TABLES = frozenset({"events", "documents", "embeddings"})
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -47,8 +65,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exceed double's 2^53 integer range; pmod keeps floor semantics
             # for pre-1970 instants, matching DuckDB's ns->us cast)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _spread(spark, df)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPREAD_TABLES:
+        df = _spread(spark, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
