@@ -141,6 +141,23 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketch values are engine-specific; rows-only gate.
+    doc="approx_count_distinct (HyperLogLog++) per return flag -- the "
+        "sketch-based path for cardinalities too large for exact distinct "
+        "at 100 TB; relative error vs exact pinned <10% by "
+        "tests/test_approx.py (DuckDB has no bit-compatible HLL, so this "
+        "entry is rows-only by design)",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "distinct_agg_lineitem",
     oracle="""
 SELECT l_returnflag,
