@@ -386,6 +386,87 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_functions_extended",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       DENSE_RANK() OVER w AS price_rank,
+       NTILE(4) OVER w AS price_quartile,
+       LEAD(o_orderdate) OVER w AS next_order_date,
+       FIRST_VALUE(o_totalprice) OVER w AS cheapest_price,
+       PERCENT_RANK() OVER w AS price_pct_rank,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS trailing3_avg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="extended window-function coverage: dense_rank, ntile, lead, "
+        "first_value, percent_rank, and a sliding ROWS-frame decimal-exact "
+        "average -- all over ONE window spec, so Catalyst plans a single "
+        "shuffle + sort on o_custkey for every function",
+)
+def window_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("price_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+        F.first("o_totalprice").over(w).alias("cheapest_price"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        (F.sum(N.dec2("o_totalprice")).over(w3).cast("double") / F.count(F.lit(1)).over(w3))
+        .alias("trailing3_avg_price"),
+    )
+
+
+@register(
+    "asof_last_order_before_event",
+    oracle="""
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+         ) AS rn
+  FROM (SELECT * FROM events WHERE event_id % 100 = 0) e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+""",
+    doc="AS-OF join (point-in-time lookup): for each sampled event, the "
+        "user's most recent order at-or-before the event time; LEFT "
+        "semantics keep events with no matching order.  Spark form: "
+        "equi-join on the user key + range predicate, then per-event argmax "
+        "-- the range never becomes a cross product because the equi-key "
+        "partitions the join. 100 TB shape: shuffle both sides on the user "
+        "key once; the window touches only each event's own matches",
+)
+def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    o = _t(spark, sf_dir, "orders")
+    j = ev.join(
+        o,
+        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits / set ops
 # --------------------------------------------------------------------------

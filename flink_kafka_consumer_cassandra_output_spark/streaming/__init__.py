@@ -13,6 +13,7 @@ semantics, stronger guarantee (SURVEY.md section 3.3).
 from .pipeline import (  # noqa: F401
     run_detail_stream,
     run_summary_stream,
+    run_summary_stream_watermarked,
     stream_events,
     windowed_event_counts,
 )

@@ -112,6 +112,41 @@ def run_summary_stream(
     return writer.start()
 
 
+def run_summary_stream_watermarked(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "45 days",
+) -> StreamingQuery:
+    """O11 with BOUNDED state: ``dropDuplicatesWithinWatermark`` evicts a
+    key's dedup state once the watermark passes it.  With a watermark that
+    covers the month span this equals the exact distinct set; with a shorter
+    one, a key recurring after eviction is re-emitted -- the documented
+    trade of state size vs exactness at 100 TB (the unbounded variant in
+    :func:`run_summary_stream` relies on month-granularity keys staying
+    small instead)."""
+    ev = stream_events(spark, input_dir)
+    msgs = mp.messages_from_events_df(ev)
+    summary = (
+        msgs.withWatermark("sent_ts", watermark)
+        .select("username", "jid",
+                F.concat(F.date_format("sent_ts", "yyyyMM"), F.lit("M")).alias("date_partition"),
+                "sent_ts")
+        .dropDuplicatesWithinWatermark(["username", "jid", "date_partition"])
+        .drop("sent_ts")
+    )
+    return (
+        summary.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("message_history_summary_watermarked")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(ev: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour event counts with a watermark: the streaming half of
     the batch ``ev_tumbling_hourly`` query.  In append mode a window is

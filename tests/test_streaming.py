@@ -99,6 +99,25 @@ def test_summary_stream_distinct_across_batches(spark, sf_dir, event_chunks, tmp
     assert rows == expect  # the upsert-convergence set, no loss, no dupes
 
 
+def test_summary_stream_watermarked_dedup(spark, sf_dir, event_chunks, tmp_path):
+    """dropDuplicatesWithinWatermark with a watermark covering the fixture's
+    whole time span must equal the exact distinct set (bounded-state O11)."""
+    input_dir = tmp_path / "in"
+    out = tmp_path / "summary_wm"
+    cp = tmp_path / "cp_wm"
+    input_dir.mkdir()
+    _drop(event_chunks, input_dir, 0, N_CHUNKS)
+    _run(sp.run_summary_stream_watermarked(spark, str(input_dir), str(out), str(cp)))
+    got = spark.read.parquet(str(out))
+    rows = {(r.username, r.jid, r.date_partition) for r in got.collect()}
+    assert got.count() == len(rows)
+    expect = {
+        (r.username, r.jid, r.date_partition)
+        for r in mp.summary_distinct(mp.messages_from_events(spark, sf_dir)).collect()
+    }
+    assert rows == expect
+
+
 def test_windowed_stream_with_watermark(spark, sf_dir, event_chunks, tmp_path):
     from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
 
