@@ -26,7 +26,10 @@ multiplies rows by ``bands`` (small constant); the candidate join shuffles
 on (band_id, band_value) whose cardinality is ~corpus x bands / avg bucket
 size -- uniform by construction of md5.  Exact verify touches only
 candidate pairs.  IVF assignment is a broadcast join against the centroid
-codebook; search shuffles only the probed buckets.
+codebook; search shuffles only the probed buckets -- the same
+partition-then-prune posture as distributed top-k similarity systems
+(e.g. REPOSE, ICDE 2021: local reference-point partitioning so each
+worker searches only its pruned shard; see /root/repo/PAPERS.md).
 """
 
 from __future__ import annotations
