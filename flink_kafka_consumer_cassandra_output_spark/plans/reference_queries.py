@@ -238,6 +238,35 @@ def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "msg_monthly_rollup",
+    oracle=f"""
+WITH {_M}
+SELECT strftime(sent_ts, '%Y%m') || 'M' AS date_partition,
+       username,
+       COUNT(*) AS n_messages,
+       COUNT(DISTINCT jid) AS n_peers
+FROM messages
+GROUP BY ROLLUP (date_partition, username)
+""",
+    doc="hypertable-style rollup of the message stream: per (month, user) "
+        "-> per month -> grand total in ONE pass (Expand + single hash "
+        "aggregate) -- the continuous-aggregate view a reader of the "
+        "detail table (CassandraOutputFormat.java:87-89) would maintain",
+)
+def msg_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = _msgs(spark, sf_dir)
+    dp = datetime_fns.date_partition_from_epoch_ms(F.col("sent_time_ms"))
+    return (
+        msgs.select(dp.alias("date_partition"), "username", "jid")
+        .rollup("date_partition", "username")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.countDistinct("jid").alias("n_peers"),
+        )
+    )
+
+
 _ALL_TYPE_NAMES = list(taxonomy.MESSAGE_TYPE_CODES) + ["UNKNOWN_TYPE"]
 
 

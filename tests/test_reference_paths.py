@@ -84,6 +84,25 @@ def test_read_properties_and_kafka_prefix(tmp_path):
     assert "job.name" not in kafka
 
 
+def test_detail_sink_partition_pruning(spark, sf_dir, tmp_path):
+    """The month-partitioned detail table must prune at the directory level:
+    a date_partition predicate reaches the scan as a partition filter, and
+    the plan reads one partition, not the table (the design goal of the
+    reference's partition key, CassandraOutputFormat.java:106)."""
+    msgs = mp.messages_from_events(spark, sf_dir)
+    mp.write_dual_sink(msgs, str(tmp_path))
+    month = spark.read.parquet(f"{tmp_path}/message_history").select(
+        "date_partition"
+    ).first().date_partition
+
+    q = spark.read.parquet(f"{tmp_path}/message_history").filter(
+        F.col("date_partition") == month
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date_partition" in plan, plan[:500]
+    assert q.count() > 0
+
+
 def test_multimodal_decode_is_stubbed():
     """The codec decode must refuse loudly, not fake pixels."""
     with pytest.raises(NotImplementedError, match="codec"):
