@@ -109,6 +109,38 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+#: Rolling-hash parameters: multiplier 31 (Rabin-Karp classic), modulus 2^31
+#: so ``acc*31 + token`` never exceeds 2^36 — exact in int64 on both engines.
+ROLLING_MOD = 2_147_483_648
+ROLLING_MULT = 31
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial (Rabin-Karp style) rolling hash over the token stream.
+
+    Token values are 28-bit ints from md5 prefixes (shared with DuckDB);
+    the left-fold ``acc*31 + tok (mod 2^31)`` is order-SENSITIVE — unlike
+    the md5 :func:`fingerprint`, reordering tokens changes the hash, which
+    is the property a rolling fingerprint exists to provide."""
+    toks = tokens(col)
+    tok_int = lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_MULT + tok_int(t)) % F.lit(ROLLING_MOD),
+    )
+
+
+def rolling_hash_sql(text_sql: str = "text") -> str:
+    """DuckDB twin of :func:`rolling_hash` (list_reduce starts at the first
+    element, which equals the 0-init fold because ``0*31 + x1 = x1``)."""
+    return (
+        f"list_reduce(list_transform(string_split({text_sql}, ' '), "
+        f"t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT)), "
+        f"(a, x) -> (a * {ROLLING_MULT} + x) % {ROLLING_MOD})"
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (basis for MinHash/Jaccard).
 

@@ -170,6 +170,22 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash.cast("long").alias("simhash16"))
 
 
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+SELECT doc_id,
+       CAST({TX.rolling_hash_sql()} AS BIGINT) AS rolling_hash31
+FROM documents
+""",
+    doc="north-star rolling-hash document fingerprint (Rabin-Karp fold over "
+        "the token stream, order-sensitive — complements the md5 "
+        "fingerprint); per-row fold, no shuffle, exact int64 parity",
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.rolling_hash(F.col("text")).alias("rolling_hash31"))
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
