@@ -135,6 +135,27 @@ def brute_force_topk(
     )
 
 
+def lsh_sign_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SimHash) bucket code: bit j = sign(<v, plane_j>).
+
+    ``planes`` are plain float lists (deterministic pseudo-planes — e.g.
+    corpus vectors at fixed ids — so the oracle can inline them); the code
+    is an int in [0, 2^len(planes)).
+    """
+    code = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        code = code + F.when(vectors.dot(emb, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_multiprobe_codes(code: Column, n_planes: int) -> Column:
+    """The probe set for a query: its own bucket plus every 1-bit flip
+    (classic multi-probe LSH — recovers neighbors that fell just across one
+    hyperplane without touching the rest of the corpus)."""
+    return F.array(code, *[code.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid by
     cosine (ties -> smallest cent_id).  Broadcast join against the codebook;

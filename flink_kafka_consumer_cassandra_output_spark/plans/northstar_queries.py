@@ -423,6 +423,88 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(q, assigned, cent, k=5, nprobe=2)
 
 
+def _lsh_probe_union_sql() -> str:
+    rows = ["SELECT query_id, query_emb, bucket FROM q"]
+    rows += [
+        f"SELECT query_id, query_emb, xor(bucket, {1 << j}) FROM q" for j in range(4)
+    ]
+    return "\n  UNION ALL ".join(rows)
+
+
+_LSH_BITVAL = "CASE p.j WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 END"
+
+
+@register(
+    "emb_ann_lsh",
+    oracle=f"""
+WITH planes AS (
+  SELECT vec_id - 16 AS j, embedding AS plane
+  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20
+),
+coded AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(SUM(CASE WHEN {V.dot_sql('e.embedding', 'p.plane')} > 0
+                  THEN {_LSH_BITVAL} ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb, bucket
+  FROM coded WHERE vec_id < 10
+),
+probes AS (
+  {_lsh_probe_union_sql()}
+)
+SELECT * FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_COS('p.query_emb', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_COS('p.query_emb', 'c.embedding')} DESC, c.vec_id
+         ) AS rank
+  FROM probes p JOIN coded c ON c.bucket = p.bucket AND c.vec_id != p.query_id
+) WHERE rank <= 5
+""",
+    doc="north-star ANN, LSH-bucketed variant: 4 sign-hyperplane bits "
+        "(planes = corpus vectors 16..19, deterministic and data-derived) "
+        "-> 16 buckets; queries multi-probe their bucket plus every 1-bit "
+        "flip.  Same-algorithm oracle; recall pinned vs brute force in "
+        "tests/test_similarity.py.  100 TB shape: coding is a broadcast of "
+        "4 planes, candidates come from a bucket equi-join of ~5/16 of the "
+        "corpus per query",
+)
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    plane_rows = (
+        e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 20))
+        .orderBy("vec_id")
+        .collect()
+    )
+    planes = [[float(x) for x in r.embedding] for r in plane_rows]
+    coded = e.select(
+        "vec_id", "embedding", SIM.lsh_sign_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    q = coded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        SIM.lsh_multiprobe_codes(F.col("bucket"), len(planes)).alias("probe_codes"),
+    )
+    probes = q.select(
+        "query_id", "query_emb", F.explode("probe_codes").alias("bucket")
+    )
+    cands = probes.join(coded, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("query_emb"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 @register(
     "emb_top_similar_pairs",
     oracle=f"""

@@ -49,6 +49,20 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
 
 
+def test_lsh_ann_recall_at_5(spark, sf_dir):
+    specs = all_specs()
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["emb_cosine_topk"].builder(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["emb_ann_lsh"].builder(spark, sf_dir).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.3, f"LSH-ANN recall@5 {recall:.3f} < 0.3"
+
+
 def test_ivf_recall_at_5(spark, sf_dir):
     specs = all_specs()
     bf = {
