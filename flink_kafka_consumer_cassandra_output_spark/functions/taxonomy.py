@@ -36,8 +36,8 @@ MESSAGE_TYPE_CODES: dict[str, str] = {
     "CAPS": "M",  # alias, MessageType.java:17
     "REGISTER": "R",
     "MUCROOM_JOIN": "J",
-    "NO_PREVIEW": "NP",
-    "SECRET": "E",
+    "MESSAGE_WITHOUT_PREVIEW": "NP",  # MessageType.java:21
+    "SECRET_MESSAGE": "E",  # MessageType.java:22
     "INCOMING_CALL": "IC",
     "MISSED_CALL": "MC",
 }

@@ -178,17 +178,19 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "ev_pivot_user_type_counts",
     oracle="""
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
 FROM events
 GROUP BY user_id
 """,
     doc="pivot (wide aggregation) with pinned value list -- no extra pass to "
         "discover pivot values, single shuffle on user_id; missing combos are "
-        "NULL on both engines (SUM over empty CASE)",
+        "NULL on both engines (SUM over empty CASE).  Oracle SUMs are cast to "
+        "BIGINT: DuckDB SUM yields HUGEINT, and the driver's value hash is "
+        "type-sensitive even when values are identical",
 )
 def ev_pivot_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)

@@ -318,7 +318,26 @@ def msg_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ALL_TYPE_NAMES = list(taxonomy.MESSAGE_TYPE_CODES) + ["UNKNOWN_TYPE"]
+#: Literal transcription of the enum constants in MessageType.java:7-24, in
+#: declaration order -- deliberately NOT derived from
+#: taxonomy.MESSAGE_TYPE_CODES, so a dict-key typo cannot produce a
+#: self-consistent-but-unfaithful gate (the round-2 failure mode: the dict
+#: had NO_PREVIEW/SECRET where the Java says
+#: MESSAGE_WITHOUT_PREVIEW/SECRET_MESSAGE, and the oracle generated from the
+#: same dict agreed with the wrong names).
+_JAVA_ENUM_NAMES = [
+    "TEXT", "BUZZ", "PHOTO", "IMAGE", "VIDEO", "AUDIO", "LOCATION",
+    "CONTACT", "STICKER", "GIF", "CAPS_MEME", "CAPS", "REGISTER",
+    "MUCROOM_JOIN", "MESSAGE_WITHOUT_PREVIEW", "SECRET_MESSAGE",
+    "INCOMING_CALL", "MISSED_CALL",
+]
+if set(_JAVA_ENUM_NAMES) != set(taxonomy.MESSAGE_TYPE_CODES):
+    raise AssertionError(
+        "taxonomy.MESSAGE_TYPE_CODES keys diverge from MessageType.java enum "
+        f"names: {set(_JAVA_ENUM_NAMES) ^ set(taxonomy.MESSAGE_TYPE_CODES)}"
+    )
+
+_ALL_TYPE_NAMES = _JAVA_ENUM_NAMES + ["UNKNOWN_TYPE"]
 
 
 @register(

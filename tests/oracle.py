@@ -48,7 +48,25 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+        s_float = np.issubdtype(sv.dtype, np.floating)
+        o_float = np.issubdtype(ov.dtype, np.floating)
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        o_int = np.issubdtype(ov.dtype, np.integer)
+        if (s_int and o_float) or (s_float and o_int):
+            # The driver's value hash is type-sensitive; an int-vs-float
+            # drift that round-trips to equal float64 values here would
+            # still fail the driver (round-2 lesson: ev_pivot oracle's
+            # DuckDB HUGEINT).  Report whether the values would have
+            # matched, but fail on the dtype mismatch itself.
+            fv = ov.astype("float64") if o_float else sv.astype("float64")
+            integral = bool(np.all(np.isnan(fv) | (fv == np.floor(fv))))
+            raise AssertionError(
+                f"{name}: column {c!r} dtype mismatch: spark={sv.dtype} "
+                f"oracle={ov.dtype} (float side {'is' if integral else 'is NOT'} "
+                "integral). The driver's hash is type-sensitive -- CAST the "
+                "oracle column (usually AS BIGINT) or fix the Spark type."
+            )
+        if s_float or o_float:
             sv64 = sv.astype("float64")
             ov64 = ov.astype("float64")
             both_nan = pd.isna(sv64) & pd.isna(ov64)
@@ -77,7 +95,30 @@ def run_and_compare(spark, name: str, sf_dir: str) -> None:
         return
     con = duck_connection(sf_dir)
     try:
-        odf = con.execute(spec.oracle).fetchdf()
+        rel = con.sql(spec.oracle)
+        check_oracle_types(rel, name)
+        odf = rel.fetchdf()
     finally:
         con.close()
     compare_frames(sdf, odf, name)
+
+
+#: DuckDB result types with no Spark equivalent.  Pandas can mask these
+#: (HUGEINT with NULLs and Spark's nullable bigint BOTH surface as float64,
+#: which is exactly how ev_pivot passed 78/78 locally in round 2 and then
+#: failed the driver's type-sensitive hash), so the check runs on the DuckDB
+#: relation types BEFORE the pandas conversion.
+_FORBIDDEN_ORACLE_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def check_oracle_types(rel, name: str) -> None:
+    bad = [
+        (col, str(t))
+        for col, t in zip(rel.columns, rel.types)
+        if str(t).upper() in _FORBIDDEN_ORACLE_TYPES
+    ]
+    assert not bad, (
+        f"{name}: oracle produces DuckDB-only types with no Spark match "
+        f"{bad}; wrap in CAST(... AS BIGINT) (DuckDB SUM over integers "
+        "yields HUGEINT, and the driver's value hash is type-sensitive)"
+    )
