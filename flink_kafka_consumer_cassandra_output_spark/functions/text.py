@@ -141,6 +141,63 @@ def rolling_hash_sql(text_sql: str = "text") -> str:
     )
 
 
+#: SimHash sketch width.  16 bits is sized to the tiny fixture vocabulary
+#: (31 words); at real corpus scale the same construction widens to 64 bits
+#: (md5 prefix of 16 hex chars) with proportionally more bands -- the code
+#: below is the parameterization point.
+SIMHASH_BITS = 16
+
+
+def token_hashes16(col: Column) -> Column:
+    """16-bit token hashes (md5 hex prefix), the SimHash vote inputs."""
+    return F.transform(
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash sketch: per-bit majority vote over the token hashes.
+
+    Per-row fold (no shuffle); the integer bit-sums are order-insensitive,
+    so cross-engine parity is exact (DuckDB twin: :func:`simhash16_sql`)."""
+    from functools import reduce
+
+    hs = token_hashes16(col)
+
+    def bit_sum(j: int) -> Column:
+        pm = lambda h: F.when(  # noqa: E731
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+        return F.aggregate(hs, F.lit(0), lambda a, x: a + pm(x))
+
+    return reduce(
+        lambda a, b: a + b,
+        [
+            F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ],
+    ).cast("long")
+
+
+def token_hashes16_sql(text_sql: str = "text") -> str:
+    """DuckDB twin of :func:`token_hashes16` (a list<int> expression)."""
+    return (
+        f"list_transform(string_split({text_sql}, ' '), "
+        "t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER))"
+    )
+
+
+def simhash16_sql(hs_sql: str = "hs") -> str:
+    """DuckDB twin of :func:`simhash16`, over a list<int> column/expression
+    (pass :func:`token_hashes16_sql` through a CTE so it is computed once)."""
+    return "CAST(" + " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hs_sql}, "
+        f"h -> CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    ) + " AS BIGINT)"
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (basis for MinHash/Jaccard).
 

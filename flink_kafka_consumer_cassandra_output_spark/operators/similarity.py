@@ -101,6 +101,61 @@ def lsh_candidate_pairs(
     )
 
 
+#: SimHash banding layout: 4 bands of 4 bits over the 16-bit sketch.  By
+#: pigeonhole, any pair within hamming distance <= SIMHASH_RADIUS (= bands-1)
+#: shares at least one intact band, so the band equi-join is a LOSSLESS
+#: prefilter for that radius -- the only approximation in the pipeline is
+#: the sketch itself.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 4
+SIMHASH_RADIUS = SIMHASH_BANDS - 1
+
+
+def simhash_band_pairs(
+    sketches: DataFrame,
+    id_col: str = "doc_id",
+    sketch_col: str = "s16",
+    bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 simhash band.
+
+    Same shuffle shape as :func:`lsh_candidate_pairs`: explode to
+    ``bands`` rows per doc, equi-join on (band_id, band_value) -- never
+    all-pairs.  At 100 TB the sketch widens to 64 bits and ``bands``
+    grows with the target radius (bands = radius + 1 keeps the pigeonhole
+    guarantee)."""
+    mask = (1 << band_bits) - 1
+    banded = sketches.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(sketch_col), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer bit-sketches."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
     """Exact Jaccard over two deduplicated array<string> columns; the int/int
     double division is bit-identical across engines."""
@@ -169,6 +224,55 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
     )
+
+
+#: Lloyd iteration count for the trained codebook (fixed for determinism and
+#: oracle replication; each iteration is one assign + one re-centroid pass).
+IVF_TRAIN_ITERS = 2
+
+
+def ivf_train(corpus: DataFrame, k: int = 16, iters: int = IVF_TRAIN_ITERS) -> DataFrame:
+    """Deterministic Lloyd (k-means) training of the IVF codebook.
+
+    Init = the vectors at ``vec_id < k`` (the round-2 seed codebook); each
+    iteration assigns every vector to its nearest centroid by cosine
+    (broadcast join, ties -> smallest cent_id) and re-centroids as the
+    elementwise mean.  Everything is chosen for cross-engine determinism:
+    elements are cast to double up front, and the per-bucket sum is a
+    SEQUENTIAL fold in vec_id order (``array_sort(collect_list(struct))``
+    then ``aggregate``), mirrored exactly by DuckDB
+    ``list(embedding ORDER BY vec_id)`` + ``list_reduce`` -- a parallel
+    floating-point sum would be order-nondeterministic and break the oracle.
+
+    Empty buckets drop out of the codebook (deterministically on both
+    engines).  Scale posture: the codebook is k x dim floats -- at real
+    scale you collect it to the driver between iterations and re-broadcast
+    (same bounded-small-side pattern as the LSH planes); the per-iteration
+    data pass is one broadcast join + one shuffle on bucket id.
+    """
+    c = corpus.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("embedding"),
+    )
+    cent = c.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(c, cent)
+        g = assigned.groupBy("bucket").agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))).alias("vs")
+        )
+        n = F.size(F.col("vs"))
+        summed = F.aggregate(
+            F.slice(F.col("vs"), 2, n - 1),
+            F.element_at(F.col("vs"), 1)["embedding"],
+            lambda acc, s: F.zip_with(acc, s["embedding"], lambda a, b: a + b),
+        )
+        cent = g.select(
+            F.col("bucket").alias("cent_id"),
+            F.transform(summed, lambda x: x / n.cast("double")).alias("cent_emb"),
+        )
+    return cent
 
 
 def ivf_topk(

@@ -49,6 +49,22 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
 
 
+def test_simhash_recall_vs_brute_force(spark, sf_dir):
+    """The bit-sketch near-dup route: simhash banding + hamming<=3 + exact
+    verify.  Lower recall floor than MinHash-LSH (a 16-bit sketch over a
+    31-word vocab is coarse; measured 0.96 at sf0.001, 1.0 at sf0.01)."""
+    truth = _truth_pairs(sf_dir)
+    assert truth
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in all_specs()["doc_near_dup_simhash"].builder(spark, sf_dir).collect()
+    }
+    # exact-Jaccard verify means no false positives possible:
+    assert found <= truth
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"simhash recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
+
+
 def test_lsh_ann_recall_at_5(spark, sf_dir):
     specs = all_specs()
     bf = {
@@ -61,6 +77,56 @@ def test_lsh_ann_recall_at_5(spark, sf_dir):
     }
     recall = len(bf & lsh) / len(bf)
     assert recall >= 0.3, f"LSH-ANN recall@5 {recall:.3f} < 0.3"
+
+
+def _quantization_and_balance(spark, sf_dir, iters):
+    """(mean cosine to assigned centroid, max/min bucket-size ratio)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import vectors as V
+    from flink_kafka_consumer_cassandra_output_spark.operators import similarity as S
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = S.ivf_train(e, k=16, iters=iters)
+    assigned = S.ivf_assign(e, cent)
+    j = assigned.join(cent, assigned.bucket == cent.cent_id)
+    q = j.agg(
+        F.avg(V.cosine(F.col("embedding"), F.col("cent_emb"))).alias("mq")
+    ).collect()[0].mq
+    sizes = [r.n for r in assigned.groupBy("bucket").agg(F.count("*").alias("n")).collect()]
+    return q, max(sizes) / min(sizes), len(sizes)
+
+
+def test_ivf_training_improves_quantization_and_balance(spark, sf_dir):
+    """What Lloyd provably optimizes must improve: mean cosine-to-centroid
+    (quantization quality) goes up, bucket sizes get no worse than the seed
+    codebook's skew.  Measured at sf0.001: mean cos 0.245 -> 0.324, max/min
+    ratio 2.10 -> 1.68, all 16 buckets survive.  Neighbor recall does NOT
+    improve on this fixture (isotropic embeddings, nothing to learn) --
+    that honest negative result is exactly why recall is pinned separately
+    with a floor rather than a trained>seed comparison."""
+    q0, ratio0, k0 = _quantization_and_balance(spark, sf_dir, iters=0)
+    q2, ratio2, k2 = _quantization_and_balance(spark, sf_dir, iters=2)
+    assert q2 > q0 + 0.01, f"quantization did not improve: {q0:.4f} -> {q2:.4f}"
+    assert ratio2 <= ratio0 * 1.1, f"bucket balance regressed: {ratio0:.2f} -> {ratio2:.2f}"
+    assert k2 == k0 == 16, f"codebook collapsed: {k0} -> {k2} buckets"
+
+
+def test_ivf_trained_recall_at_5(spark, sf_dir):
+    """Trained codebook at nprobe=1 (touching ~1/16 of the corpus) still
+    clears the same recall floor as the seed codebook at nprobe=2."""
+    specs = all_specs()
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["emb_cosine_topk"].builder(spark, sf_dir).collect()
+    }
+    tr = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["emb_ann_ivf_trained"].builder(spark, sf_dir).collect()
+    }
+    recall = len(bf & tr) / len(bf)
+    assert recall >= 0.6, f"trained-IVF recall@5 {recall:.3f} < 0.6"
 
 
 def test_ivf_recall_at_5(spark, sf_dir):
