@@ -228,6 +228,53 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_name").agg(N.drevenue("revenue"))
 
 
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {N.REVENUE_SQL}
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       {N.drevenue_expr()} AS total_revenue,
+       (CAST(100 AS DOUBLE)
+        * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {N.REVENUE_SQL}
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE))
+       / {N.drevenue_expr()} AS promo_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+GROUP BY ship_month
+""",
+    doc="TPC-H Q14 promo revenue, per ship month: lineitem |x| part with a "
+        "conditional decimal-exact aggregate (promo share of revenue).  "
+        "Join-strategy note: part is the MIDSIZE dimension (200k rows/SF in "
+        "TPC-H -- ~26B rows at 100 TB, NOT broadcastable unlike "
+        "region/nation), so the build side is pruned to (p_partkey, p_type) "
+        "and the strategy is left to Catalyst/AQE: BHJ under the broadcast "
+        "threshold at small sf, sort-merge on l_partkey beyond it -- where "
+        "co-bucketing lineitem and part by partkey removes the shuffle "
+        "(tests/test_bucketing.py demonstrates the mechanism).  promo_pct "
+        "is one double multiply + one divide of exact decimal sums, so "
+        "cross-engine parity is exact",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = N.revenue_col()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast(N.DEC)
+    )
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    agg = j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        ((F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")).alias("promo_pct"),
+    )
+
+
 _Q3_SQL = f"""
 SELECT o_orderkey,
        {N.drevenue_expr()} AS revenue,
