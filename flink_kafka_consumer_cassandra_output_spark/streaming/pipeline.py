@@ -165,6 +165,48 @@ def windowed_event_counts(ev: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def session_event_counts(ev: DataFrame, gap: str = "6 hours", watermark: str = "12 hours") -> DataFrame:
+    """Session windows (6-hour inactivity gap) with a watermark: the
+    streaming half of the batch ``ev_session_windows`` query.  Unlike
+    tumbling windows, session state MERGES across micro-batches -- an
+    open session absorbs later events (and adjacent sessions) until the
+    watermark passes ``last event + gap``, and only then is the closed
+    session emitted, exactly once, in append mode."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Session-window aggregate stream in append mode: one input file per
+    micro-batch so the watermark advances and closed sessions flush."""
+    ev = stream_events(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+    agg = session_event_counts(ev)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("session_event_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     input_dir: str,

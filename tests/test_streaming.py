@@ -118,6 +118,40 @@ def test_summary_stream_watermarked_dedup(spark, sf_dir, event_chunks, tmp_path)
     assert rows == expect
 
 
+def test_session_window_stream_with_watermark(spark, sf_dir, event_chunks, tmp_path):
+    """Streaming session windows: state must MERGE across micro-batches (a
+    session spanning a chunk boundary is one session, not two) and closed
+    sessions must match the batch gaps-and-islands query exactly."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    out = tmp_path / "sess"
+    cp = tmp_path / "cp_sess"
+    input_dir.mkdir()
+    _drop(event_chunks, input_dir, 0, N_CHUNKS)
+
+    _run(sp.run_session_window_stream(spark, str(input_dir), str(out), str(cp)))
+    got = spark.read.parquet(str(out)).collect()
+    assert got, "watermark should have closed at least one session"
+    emitted = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events) for r in got
+    }
+    # append-mode finality: each closed session emitted exactly once
+    assert len(emitted) == len(got)
+
+    batch = all_specs()["ev_session_windows"].builder(spark, sf_dir).collect()
+    batch_rows = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events) for r in batch
+    }
+    # every emitted session is final: identical end AND count to the batch
+    # result -- a session split across chunks that failed to merge would
+    # show a shorter end or a smaller count here
+    for key, val in emitted.items():
+        assert batch_rows[key] == val, f"session {key}: stream {val} != batch {batch_rows[key]}"
+    # with a 12h watermark over a month of data, the bulk of sessions close
+    assert len(emitted) >= len(batch_rows) // 2
+
+
 def test_windowed_stream_with_watermark(spark, sf_dir, event_chunks, tmp_path):
     from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
 
