@@ -79,11 +79,19 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,
         "n_queries": len(timings),
+        "n_registered": len(names),
     }
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
     spark.stop()
+    # A query that throws must not read as a speedup: the headline sum only
+    # covers successes, so a failing run exits nonzero (consumers that only
+    # parse the JSON still see n_queries < n_registered).
+    if failures:
+        print(f"bench: {len(failures)}/{len(names)} queries FAILED: "
+              f"{sorted(failures)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -141,28 +141,36 @@ def rolling_hash_sql(text_sql: str = "text") -> str:
     )
 
 
-#: SimHash sketch width.  16 bits is sized to the tiny fixture vocabulary
-#: (31 words); at real corpus scale the same construction widens to 64 bits
-#: (md5 prefix of 16 hex chars) with proportionally more bands -- the code
-#: below is the parameterization point.
+#: SimHash sketch widths.  The width is the precision/cost knob and must be
+#: sized to the corpus: the 16-bit sketch is the minimal demo (doc_simhash);
+#: the near-dup candidate pipeline uses 32 bits because at 5k docs over a
+#: 31-word vocabulary 16-bit sketches leave ~12% of ALL pairs within
+#: hamming 3 (measured) -- candidate verification would approach all-pairs
+#: -- while 32 bits cuts that to <2%.  At real corpus scale the same
+#: construction widens further (md5 gives up to 128 bits).
 SIMHASH_BITS = 16
 
 
-def token_hashes16(col: Column) -> Column:
-    """16-bit token hashes (md5 hex prefix), the SimHash vote inputs."""
+def token_hashes(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """``bits``-wide token hashes (md5 hex prefix), the SimHash vote inputs.
+
+    ``bits`` must be a multiple of 4 and <= 60 (the '0x'-literal cast stays
+    inside a signed int64 on both engines)."""
+    assert bits % 4 == 0 and bits <= 60
     return F.transform(
-        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast("long"),
     )
 
 
-def simhash16(col: Column) -> Column:
-    """16-bit SimHash sketch: per-bit majority vote over the token hashes.
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash sketch: per-bit majority vote over the token hashes.
 
     Per-row fold (no shuffle); the integer bit-sums are order-insensitive,
-    so cross-engine parity is exact (DuckDB twin: :func:`simhash16_sql`)."""
+    so cross-engine parity is exact (DuckDB twin: :func:`simhash_sql`)."""
     from functools import reduce
 
-    hs = token_hashes16(col)
+    hs = token_hashes(col, bits)
 
     def bit_sum(j: int) -> Column:
         pm = lambda h: F.when(  # noqa: E731
@@ -174,28 +182,97 @@ def simhash16(col: Column) -> Column:
         lambda a, b: a + b,
         [
             F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ],
     ).cast("long")
 
 
-def token_hashes16_sql(text_sql: str = "text") -> str:
-    """DuckDB twin of :func:`token_hashes16` (a list<int> expression)."""
+def simhash16(col: Column) -> Column:
+    """The 16-bit sketch (doc_simhash's published shape)."""
+    return simhash(col, 16)
+
+
+def with_simhash(df, text_col: str, out_col: str, bits: int = SIMHASH_BITS):
+    """Append a SimHash sketch column -- the FAST path, same values as
+    :func:`simhash`.
+
+    Higher-order-function folds are interpreted (not codegen'd), so the
+    naive formulation's ``bits`` separate per-bit passes over the token
+    array dominate sketch cost.  Here all per-bit vote counters are packed
+    into ceil(bits/4) longs (4 x 16-bit counters each) and accumulated in
+    ONE fold pass with a struct accumulator; a second projection unpacks
+    counters into sketch bits (a vote sum > 0 <=> 2 * ones > n_tokens).
+    The two-step ``withColumn`` is deliberate: the optimizer keeps the
+    expensive fold in its own projection, computed once, instead of
+    inlining it into every per-bit reference (verified in the plan).
+
+    Limits: 16-bit counters cap documents at 65535 tokens (fixture max 99;
+    chunk longer documents).  Equality with the naive spec is pinned by
+    tests; the DuckDB oracles keep the naive per-bit ``list_sum`` form --
+    the values are identical integers either way.
+    """
+    from functools import reduce
+
+    assert bits % 4 == 0 and bits <= 60
+    n_longs = (bits + 3) // 4
+    hs = token_hashes(F.col(text_col), bits)
+
+    def spread(h: Column, k: int) -> Column:
+        terms = [
+            F.shiftleft(F.shiftright(h, 4 * k + b).bitwiseAND(F.lit(1)), 16 * b)
+            for b in range(min(4, bits - 4 * k))
+        ]
+        return reduce(lambda a, b2: a + b2, terms)
+
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"c{k}") for k in range(n_longs)])
+    packed = F.aggregate(
+        hs,
+        zero,
+        lambda acc, h: F.struct(
+            *[(acc[f"c{k}"] + spread(h, k)).alias(f"c{k}") for k in range(n_longs)]
+        ),
+    )
+    tmp_packed, tmp_n = f"__{out_col}_packed", f"__{out_col}_n"
+    df = df.withColumn(tmp_packed, packed).withColumn(
+        tmp_n, F.size(tokens(F.col(text_col))).cast("long")
+    )
+    terms = []
+    for j in range(bits):
+        k, b = divmod(j, 4)
+        cnt = F.shiftright(F.col(tmp_packed)[f"c{k}"], 16 * b).bitwiseAND(F.lit(0xFFFF))
+        terms.append(
+            F.when(cnt * 2 > F.col(tmp_n), F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    sketch = reduce(lambda a, b2: a + b2, terms).cast("long")
+    return df.withColumn(out_col, sketch).drop(tmp_packed, tmp_n)
+
+
+def token_hashes_sql(text_sql: str = "text", bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of :func:`token_hashes` (a list<bigint> expression)."""
     return (
         f"list_transform(string_split({text_sql}, ' '), "
-        "t -> CAST('0x' || substr(md5(t), 1, 4) AS INTEGER))"
+        f"t -> CAST('0x' || substr(md5(t), 1, {bits // 4}) AS BIGINT))"
     )
 
 
-def simhash16_sql(hs_sql: str = "hs") -> str:
-    """DuckDB twin of :func:`simhash16`, over a list<int> column/expression
-    (pass :func:`token_hashes16_sql` through a CTE so it is computed once)."""
+def simhash_sql(hs_sql: str = "hs", bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of :func:`simhash`, over a list column/expression (pass
+    :func:`token_hashes_sql` through a CTE so it is computed once)."""
     return "CAST(" + " + ".join(
         f"(CASE WHEN list_sum(list_transform({hs_sql}, "
         f"h -> CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ) + " AS BIGINT)"
+
+
+# Backwards-compatible 16-bit twins (doc_simhash oracle).
+def token_hashes16_sql(text_sql: str = "text") -> str:
+    return token_hashes_sql(text_sql, 16)
+
+
+def simhash16_sql(hs_sql: str = "hs") -> str:
+    return simhash_sql(hs_sql, 16)
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:

@@ -152,15 +152,18 @@ FROM h
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", TX.simhash16(F.col("text")).alias("simhash16"))
+    # fast packed-counter path; the oracle's naive per-bit form pins equality
+    return TX.with_simhash(d.select("doc_id", "text"), "text", "simhash16", 16).select(
+        "doc_id", "simhash16"
+    )
 
 
 def _simhash_band_union_sql() -> str:
-    mask = (1 << SIM.SIMHASH_BAND_BITS) - 1
+    offsets = SIM.simhash_band_offsets()
     return "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band_id, "
-        f"(s16 // {1 << (b * SIM.SIMHASH_BAND_BITS)}) % {mask + 1} AS band_val FROM sk"
-        for b in range(SIM.SIMHASH_BANDS)
+        f"(sketch // {1 << off}) % {1 << w} AS band_val FROM sk"
+        for b, (off, w) in enumerate(zip(offsets, SIM.SIMHASH_BAND_WIDTHS))
     )
 
 
@@ -171,10 +174,10 @@ WITH docs AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
 h AS (
-  SELECT doc_id, {TX.token_hashes16_sql()} AS hs FROM documents
+  SELECT doc_id, {TX.token_hashes_sql(bits=SIM.SIMHASH_NEARDUP_BITS)} AS hs FROM documents
 ),
 sk AS (
-  SELECT doc_id, {TX.simhash16_sql()} AS s16 FROM h
+  SELECT doc_id, {TX.simhash_sql(bits=SIM.SIMHASH_NEARDUP_BITS)} AS sketch FROM h
 ),
 banded AS (
   {_simhash_band_union_sql()}
@@ -187,7 +190,7 @@ cand AS (
 )
 SELECT * FROM (
   SELECT c.id_a AS doc_a, c.id_b AS doc_b,
-         CAST(bit_count(xor(sa.s16, sb.s16)) AS BIGINT) AS hamming,
+         CAST(bit_count(xor(sa.sketch, sb.sketch)) AS BIGINT) AS hamming,
          {_JACCARD_SQL} AS jaccard
   FROM cand c
   JOIN sk sa ON sa.doc_id = c.id_a
@@ -197,40 +200,54 @@ SELECT * FROM (
 )
 WHERE hamming <= {SIM.SIMHASH_RADIUS} AND jaccard >= 0.5
 """,
-    doc="north-star near-dup via the bit-sketch family, end-to-end: SimHash "
-        "sketch -> 4x4-bit band equi-join (by pigeonhole a LOSSLESS "
-        "prefilter for hamming <= 3: 3 flipped bits cannot touch all 4 "
-        "bands) -> hamming <= 3 on the full sketch -> exact-Jaccard >= 0.5 "
-        "verify, so false positives never ship and the only approximation "
-        "is the sketch itself.  Complements doc_near_dup_minhash_lsh (set "
-        "sketch vs bit sketch); recall vs the Jaccard truth set pinned in "
-        "tests/test_similarity.py.  Scale: same never-all-pairs shape -- "
-        "band equi-join candidates, verify touches candidates only",
+    doc="north-star near-dup via the bit-sketch family, end-to-end: 32-bit "
+        "SimHash -> 5-band equi-join (7+7+6+6+6 bits; by pigeonhole a "
+        "LOSSLESS prefilter for hamming <= 4: 4 flipped bits cannot touch "
+        "all 5 bands) -> hamming <= 4 on the full sketch -> exact-Jaccard "
+        ">= 0.5 verify, so false positives never ship and the only "
+        "approximation is the sketch itself.  The sketch is 32-bit (not "
+        "doc_simhash's 16) because width controls candidate volume: at 16 "
+        "bits ~12% of ALL fixture pairs sit within hamming 3 and verify "
+        "approaches all-pairs; at 32 bits the hamming<=4 fraction is <2% "
+        "(measured).  Complements doc_near_dup_minhash_lsh (set sketch vs "
+        "bit sketch); recall pinned in tests/test_similarity.py.  Scale: "
+        "never-all-pairs -- band equi-join candidates, verify touches "
+        "candidates only",
 )
 def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    base = d.select(
+    base = TX.with_simhash(
+        d.select("doc_id", "text"), "text", "sketch", SIM.SIMHASH_NEARDUP_BITS
+    ).select(
         "doc_id",
         F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
-        TX.simhash16(F.col("text")).alias("s16"),
+        "sketch",
     )
-    cand = SIM.simhash_band_pairs(base.select("doc_id", "s16"))
-    a = base.select(
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("s16").alias("s16_a")
+    cand = SIM.simhash_band_pairs(base.select("doc_id", "sketch"))
+    # staged verify: the cheap hamming filter runs on candidates joined to
+    # SKETCHES ONLY; the expensive exact-Jaccard (array intersect over
+    # ~60-shingle sets) touches hamming survivors, not every band candidate
+    sk_a = base.select(F.col("doc_id").alias("id_a"), F.col("sketch").alias("sk_a"))
+    sk_b = base.select(F.col("doc_id").alias("id_b"), F.col("sketch").alias("sk_b"))
+    survivors = (
+        cand.join(sk_a, "id_a")
+        .join(sk_b, "id_b")
+        .withColumn("hamming", SIM.hamming(F.col("sk_a"), F.col("sk_b")))
+        .filter(F.col("hamming") <= SIM.SIMHASH_RADIUS)
+        .select("id_a", "id_b", "hamming")
     )
-    b = base.select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("s16").alias("s16_b")
-    )
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        survivors.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
-            SIM.hamming16(F.col("s16_a"), F.col("s16_b")).alias("hamming"),
+            "hamming",
             SIM.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
-        .filter((F.col("hamming") <= SIM.SIMHASH_RADIUS) & (F.col("jaccard") >= 0.5))
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 

@@ -1,0 +1,101 @@
+"""Per-query bench trend gate: flag regressions between two bench runs.
+
+Usage:
+    python tools/bench_trend.py BASELINE.json CURRENT.json [--write-report]
+
+Each input is a ``bench.py`` output line (the driver's ``BENCH_r{N}.json``
+stores the same object under a ``parsed`` key; both shapes are accepted).
+Exits nonzero when any query regressed more than ``THRESHOLD`` x, so perf
+cannot silently rot between rounds.  ``--write-report`` also writes
+``BENCH_TREND.md`` at the repo root.
+
+Noise policy: queries faster than ``MIN_SECONDS`` in BOTH runs are exempt
+from the ratio gate (at sub-300ms, scheduler jitter dominates); they are
+still listed in the report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+THRESHOLD = 1.5
+MIN_SECONDS = 0.3
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        obj = json.load(f)
+    if "parsed" in obj and isinstance(obj["parsed"], dict):
+        obj = obj["parsed"]
+    if "queries" not in obj:
+        raise SystemExit(f"{path}: no 'queries' key (unparsed bench round?)")
+    return dict(obj["queries"])
+
+
+def compare(base: dict[str, float], cur: dict[str, float]) -> dict:
+    """Classify every query: regressed / improved / steady / added / removed."""
+    out = {"regressed": {}, "improved": {}, "steady": {}, "added": [], "removed": []}
+    for name, t in sorted(cur.items()):
+        if name not in base:
+            out["added"].append(name)
+            continue
+        b = base[name]
+        ratio = t / b if b > 0 else float("inf")
+        entry = {"base": b, "cur": t, "ratio": round(ratio, 2)}
+        if ratio > THRESHOLD and max(b, t) >= MIN_SECONDS:
+            out["regressed"][name] = entry
+        elif ratio < 1 / THRESHOLD and max(b, t) >= MIN_SECONDS:
+            out["improved"][name] = entry
+        else:
+            out["steady"][name] = entry
+    out["removed"] = sorted(set(base) - set(cur))
+    return out
+
+
+def report_md(base_path: str, cur_path: str, cmp: dict) -> str:
+    lines = [
+        "# BENCH_TREND — per-query regression gate",
+        "",
+        f"`{os.path.basename(base_path)}` -> `{os.path.basename(cur_path)}`; "
+        f"gate: ratio > {THRESHOLD}x on queries >= {MIN_SECONDS}s.",
+        "",
+    ]
+    for title, key in [("Regressions (GATE)", "regressed"), ("Improvements", "improved")]:
+        lines.append(f"## {title}\n")
+        if not cmp[key]:
+            lines.append("none\n")
+        else:
+            lines.append("| query | base s | current s | ratio |")
+            lines.append("|---|---|---|---|")
+            for n, e in sorted(cmp[key].items(), key=lambda kv: -kv[1]["ratio"]):
+                lines.append(f"| {n} | {e['base']} | {e['cur']} | {e['ratio']}x |")
+            lines.append("")
+    if cmp["added"]:
+        lines.append(f"## New queries\n\n{', '.join(cmp['added'])}\n")
+    if cmp["removed"]:
+        lines.append(f"## REMOVED queries (investigate)\n\n{', '.join(cmp['removed'])}\n")
+    n_steady = len(cmp["steady"])
+    lines.append(f"Steady (within {THRESHOLD}x or under noise floor): {n_steady} queries.")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    base_path, cur_path = args
+    cmp = compare(load_queries(base_path), load_queries(cur_path))
+    md = report_md(base_path, cur_path, cmp)
+    if "--write-report" in sys.argv:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "BENCH_TREND.md"), "w") as f:
+            f.write(md)
+    print(md)
+    if cmp["regressed"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
