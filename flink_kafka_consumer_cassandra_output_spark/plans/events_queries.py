@@ -199,3 +199,26 @@ def ev_pivot_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.count(F.lit(1)))
     )
+
+
+@register(
+    "ev_unpivot_roundtrip",
+    oracle="""
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+""",
+    doc="UNPIVOT (wide -> long): melting the pivoted per-user count matrix "
+        "back to (user_id, event_type, n) rows must reproduce the plain "
+        "GROUP BY exactly -- the oracle IS that group-by, so the gate checks "
+        "the pivot/unpivot round-trip, not just the melt mechanics.  NULL "
+        "cells (user never produced the type) are dropped on both sides",
+)
+def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = ev_pivot_user_type_counts(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).filter(F.col("n").isNotNull())

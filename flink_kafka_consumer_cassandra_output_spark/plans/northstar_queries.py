@@ -371,6 +371,98 @@ def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT * FROM (
+  SELECT t.doc_id, t.term, t.tf,
+         CAST(t.tf AS DOUBLE)
+           * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf AS DOUBLE)
+             * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) DESC,
+             t.term
+         ) AS rank
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+WHERE rank <= 3
+""",
+    doc="north-star keyword extraction: top-3 terms per document by TF-IDF. "
+        "Log-free idf variant (n+1)/(df+1) so the score is one exact int "
+        "division + one multiply (ln() is libm-dependent and would break "
+        "cross-engine bit parity); ties broken by term.  Scale: explode "
+        "shuffles on (doc, term) with map-side combine; the document "
+        "frequency table is a term-level aggregate joined back -- at 100 TB "
+        "the term dimension is orders of magnitude smaller than the corpus "
+        "and the n_docs scalar rides along as a broadcast, never a "
+        "driver-side collect",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "doc_stratified_sample",
+    oracle="""
+SELECT * FROM (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+              % 100 AS BIGINT) AS hash_bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+WHERE rank <= 10
+""",
+    doc="north-star reproducible sampling: 10 documents per language, "
+        "selected by md5(doc_id) order.  Training-data splits must be "
+        "DETERMINISTIC (rand()/TABLESAMPLE differ run-to-run and engine-to-"
+        "engine, and resampling on re-ingest poisons eval sets); a content-"
+        "stable hash of the key gives the same sample on every engine, every "
+        "run, every cluster size.  The stratification quota is a per-lang "
+        "row_number -- one shuffle on lang; at 100 TB the same pattern "
+        "hash-filters WITHOUT the window (bucket < k) when exact quotas "
+        "aren't required",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100).cast("long")
+    w = Window.partitionBy("lang").orderBy(h, F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", bucket.alias("hash_bucket"), F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------

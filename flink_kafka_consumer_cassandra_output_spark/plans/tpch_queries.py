@@ -158,6 +158,63 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_quantiles_price",
+    oracle=None,  # quantile-sketch values are engine-specific; rows-only gate.
+    doc="approx_percentile (quantile sketch) of order prices per status -- "
+        "the sketch path for percentiles at cardinalities where an exact "
+        "sort is wasteful; rank error vs DuckDB's exact quantile_cont is "
+        "pinned by tests/test_approx.py (no bit-compatible sketch exists in "
+        "DuckDB, so this entry is rows-only by design, like the HLL entry)",
+)
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.9], 10000
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "str_functions_nation",
+    oracle="""
+SELECT n_name,
+       lower(n_name) AS name_lower,
+       substr(n_name, 1, 3) AS name_prefix,
+       replace(n_name, 'A', '@') AS name_replaced,
+       reverse(n_name) AS name_reversed,
+       lpad(n_name, 20, '.') AS name_padded,
+       CAST(levenshtein(n_name, 'FRANCE') AS BIGINT) AS edit_dist_france,
+       concat_ws('-', n_name, CAST(n_regionkey AS VARCHAR)) AS name_region,
+       CAST(length(n_name) AS BIGINT) AS name_len
+FROM nation
+""",
+    doc="string scalar-function family in one projection (lower/substr/"
+        "replace/reverse/lpad/levenshtein/concat_ws/length), all JVM "
+        "built-ins inside whole-stage codegen; levenshtein doubles as the "
+        "edit-distance primitive of the near-dup toolbox (exact verify for "
+        "SHORT strings -- titles, names -- where shingle Jaccard is too "
+        "coarse; O(len^2) per pair, so at scale it only ever runs on "
+        "candidate pairs, never all-pairs)",
+)
+def str_functions_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = F.col("n_name")
+    return n.select(
+        "n_name",
+        F.lower(c).alias("name_lower"),
+        F.substring(c, 1, 3).alias("name_prefix"),
+        F.regexp_replace(c, "A", "@").alias("name_replaced"),
+        F.reverse(c).alias("name_reversed"),
+        F.lpad(c, 20, ".").alias("name_padded"),
+        F.levenshtein(c, F.lit("FRANCE")).cast("long").alias("edit_dist_france"),
+        F.concat_ws("-", c, F.col("n_regionkey").cast("string")).alias("name_region"),
+        F.length(c).cast("long").alias("name_len"),
+    )
+
+
+@register(
     "distinct_agg_lineitem",
     oracle="""
 SELECT l_returnflag,
