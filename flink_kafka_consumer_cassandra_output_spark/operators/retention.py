@@ -107,3 +107,54 @@ def drop_expired_partitions(table_dir: str | Path, keep_from: str) -> list[str]:
             dropped.append(key)
     _purge_metadata_log(Path(table_dir), dropped)
     return dropped
+
+
+def compact_partitions(
+    spark,
+    table_dir: str | Path,
+    target_files: int = 1,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Rewrite each month partition's many small files into ``target_files``.
+
+    The small-file problem is the operational twin of retention: every
+    streaming micro-batch and every append lands new files, and at 100 TB a
+    month partition accumulates thousands of them, each costing a task, a
+    footer read, and an open per scan.  Compaction is a per-partition
+    rewrite -- read the partition, ``repartition(target_files)``, write,
+    atomic directory swap -- so it parallelizes per partition, touches no
+    other partition, and a crash mid-partition leaves either the old or the
+    new directory, never a mix.
+
+    Partitions already at or below ``min_files`` files are skipped (the
+    rewrite would be pure cost).  Returns {month_key: files_before} for the
+    partitions compacted.
+
+    Batch tables only: a streaming file sink's ``_spark_metadata`` log pins
+    the ORIGINAL file names, and rewriting data files would orphan the log
+    (readers trust it -- same failure mode drop_expired_partitions handles
+    for deletes), so compacting a streaming-sink table raises instead of
+    corrupting it silently.
+    """
+    root = Path(table_dir)
+    if (root / _METADATA_DIR).is_dir():
+        raise ValueError(
+            f"{table_dir} is a streaming file-sink table (_spark_metadata "
+            "present); compaction would orphan the commit log. Stop the "
+            "stream and remove the log first, or compact downstream copies."
+        )
+    compacted: dict[str, int] = {}
+    for key in list_month_partitions(root):
+        pdir = root / f"{_PREFIX}{key}"
+        files = [p for p in pdir.iterdir() if p.suffix == ".parquet"]
+        if len(files) <= min_files:
+            continue
+        df = spark.read.parquet(str(pdir))
+        tmp = root / f".{_PREFIX}{key}.compacting"
+        df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
+        old = root / f".{_PREFIX}{key}.old"
+        pdir.rename(old)
+        tmp.rename(pdir)
+        shutil.rmtree(old)
+        compacted[key] = len(files)
+    return compacted

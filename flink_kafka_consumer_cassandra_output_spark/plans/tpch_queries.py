@@ -491,6 +491,45 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_trailing_90d_revenue",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_90d_revenue,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_90d_orders
+FROM orders
+""",
+    doc="event-time RANGE window frame: per order, the customer's revenue "
+        "and order count over the trailing 90 days (7776000 s) -- a VALUE-"
+        "based frame, not a row count, so same-timestamp peers are always "
+        "in-frame together on both engines (what makes the result "
+        "deterministic without a unique-key tiebreak).  Ordering key is "
+        "epoch seconds because Spark's rangeBetween takes numeric offsets.  "
+        "Scale: one shuffle + sort per customer partition, frame evaluated "
+        "by a sliding accumulator, decimal-exact sums",
+)
+def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(N.dec2("o_totalprice")).over(w).cast("double").alias("trailing_90d_revenue"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_90d_orders"),
+    )
+
+
+@register(
     "window_functions_extended",
     oracle="""
 SELECT o_orderkey, o_custkey,

@@ -72,6 +72,44 @@ def _events_chunk(path, ms_list, start_id):
     pq.write_table(tbl, path)
 
 
+def test_compact_partitions(spark, tmp_path):
+    """Small-file compaction: per-partition rewrite halves... collapses the
+    file count, preserves every row exactly, and skips partitions already
+    compact."""
+    msgs = _multi_month_msgs(spark).repartition(4)  # force multiple files
+    mp.write_dual_sink(msgs, str(tmp_path))
+    table = tmp_path / "message_history"
+
+    def files_in(key):
+        return [p for p in (table / f"date_partition={key}").iterdir() if p.suffix == ".parquet"]
+
+    before_rows = sorted(
+        (r.message_id, r.date_partition) for r in spark.read.parquet(str(table)).collect()
+    )
+    assert len(files_in("202401M")) > 1  # the problem exists
+
+    compacted = retention.compact_partitions(spark, table, target_files=1)
+    assert "202401M" in compacted
+    assert len(files_in("202401M")) == 1
+    after_rows = sorted(
+        (r.message_id, r.date_partition) for r in spark.read.parquet(str(table)).collect()
+    )
+    assert after_rows == before_rows  # no loss, no dupes, values intact
+
+    # second pass: everything already compact -> no-op
+    assert retention.compact_partitions(spark, table, target_files=1) == {}
+
+
+def test_compact_refuses_streaming_sink_table(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    out = tmp_path / "detail"
+    input_dir.mkdir()
+    _events_chunk(input_dir / "a.parquet", [1705000000000] * 4, 0)
+    sp.run_detail_stream(spark, str(input_dir), str(out), str(tmp_path / "cp")).awaitTermination()
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        retention.compact_partitions(spark, out)
+
+
 def test_drop_expired_partitions_streaming_sink(spark, tmp_path):
     """Retention on a STREAMING file-sink table: readers trust the
     _spark_metadata commit log, so the drop must purge it too."""
