@@ -157,6 +157,119 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SX = "SUM(CAST(l_quantity AS DECIMAL(18,2)))"
+_SY = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
+_SXX = "SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))"
+_SYY = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))"
+_SXY = "SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))"
+
+
+@register(
+    "agg_stats_moments",
+    oracle=f"""
+WITH s AS (
+  -- decimal -> VARCHAR -> DOUBLE, not a direct cast: DuckDB's wide-DECIMAL
+  -- to DOUBLE cast rounds twice (int128 -> double, then / 10^scale) and can
+  -- land 1 ulp off Java's correctly-rounded BigDecimal.doubleValue once the
+  -- scaled integer exceeds 2^53; the string parse is correctly rounded.
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(CAST({_SX} AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST({_SY} AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST({_SXX} AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST({_SYY} AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST({_SXY} AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / n AS mean_qty,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+FROM s
+""",
+    doc="statistical aggregates (mean/variance/stddev/correlation) from "
+        "decimal-exact power sums.  The builtin stddev/corr accumulate "
+        "doubles in partition order -- nondeterministic across runs and "
+        "engines -- so the moments are gathered as DECIMAL sums (exact, "
+        "order-insensitive, the same trick as the money aggregates) and "
+        "combined in ONE identical double-expression shape on both sides; "
+        "every double op is correctly rounded, so parity is bitwise (the "
+        "oracle's decimal->double hop goes through VARCHAR -- see the SQL "
+        "comment -- because DuckDB's direct wide-decimal cast double-rounds). "
+        "Scale: "
+        "this is also the 100 TB-correct formulation -- one pass, map-side "
+        "partial sums, no second pass for the mean",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qx, px = N.dec2("l_quantity"), N.dec2("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).cast("double").alias("sx"),
+        F.sum(px).cast("double").alias("sy"),
+        F.sum(qx * qx).cast("double").alias("sxx"),
+        F.sum(px * px).cast("double").alias("syy"),
+        F.sum(qx * px).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_q = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "date_functions_orders",
+    oracle="""
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(extract(dow FROM o_orderdate) AS BIGINT) AS order_dow,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+         AS days_to_y2k
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    doc="date/time scalar-function family: date_trunc, extract "
+        "(year/quarter/day-of-week), last_day, add_months, datediff -- all "
+        "JVM built-ins; Spark dayofweek is 1=Sunday vs DuckDB dow 0=Sunday, "
+        "reconciled explicitly (dayofweek - 1), the kind of off-by-one "
+        "convention divergence the oracle gate exists to pin",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("order_month"),
+        F.year(d).cast("long").alias("order_year"),
+        F.quarter(d).cast("long").alias("order_quarter"),
+        (F.dayofweek(d) - 1).cast("long").alias("order_dow"),
+        # DATE-typed results surface as Python date objects vs pandas
+        # Timestamps across engines; both sides emit TIMESTAMP instead
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3m"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    )
+
+
 @register(
     "approx_quantiles_price",
     oracle=None,  # quantile-sketch values are engine-specific; rows-only gate.
