@@ -199,6 +199,64 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    queries: list[tuple[int, list[float]]],
+    corpus: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via the Arrow-vectorized Python path.
+
+    Same semantics as :func:`brute_force_topk`, different execution: each
+    corpus partition streams to Python as Arrow batches, numpy does one
+    (batch x dim) @ (dim x n_queries) matmul, and only the per-partition
+    top-k survives -- a combiner -- before a final global top-k window.
+    This is the documented escape hatch for when the JVM expression path is
+    the bottleneck: higher-order-function folds are interpreted per
+    element, while the matmul is BLAS over the whole batch.
+
+    ``queries`` is a bounded in-memory list (id, vector) shipped in the
+    task closure -- the same bounded-small-side pattern as the LSH planes;
+    the corpus is never shuffled before the combiner.
+
+    Caveat, and why the oracle gate for this operator is rows-only: BLAS
+    accumulates dot products in SIMD-blocked order, so cosine values can
+    differ from the sequential fold in the last ulp.  The NEIGHBOR SETS are
+    pinned equal to the fold-based baseline in tests/test_similarity.py;
+    the cosine column is for consumers, not for hashing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = [int(q[0]) for q in queries]
+    Q = np.array([q[1] for q in queries], dtype="float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            V = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T  # (batch, n_queries)
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for j, qid in enumerate(qids):
+                col = S[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self
+                order = np.lexsort((ids, -col))[:k]  # ties -> smaller id
+                keep = order[np.isfinite(col[order])]
+                out["query_id"].extend([qid] * len(keep))
+                out["neighbor_id"].extend(int(i) for i in ids[keep])
+                out["cosine"].extend(float(c) for c in col[keep])
+            yield pd.DataFrame(out)
+
+    cand = corpus.mapInPandas(part, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+
+
 def lsh_sign_bucket(emb: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane (SimHash) bucket code: bit j = sign(<v, plane_j>).
 

@@ -130,6 +130,22 @@ def test_ivf_trained_recall_at_5(spark, sf_dir):
     assert recall >= 0.6, f"trained-IVF recall@5 {recall:.3f} < 0.6"
 
 
+def test_arrow_topk_matches_fold_topk(spark, sf_dir):
+    """The BLAS/Arrow brute-force path must return the SAME neighbor sets
+    as the fold-based exact baseline (values may differ in the last ulp --
+    which is why its oracle entry is rows-only and this test is the gate)."""
+    specs = all_specs()
+    fold = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["emb_cosine_topk"].builder(spark, sf_dir).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id)
+        for r in specs["emb_cosine_topk_arrow"].builder(spark, sf_dir).collect()
+    }
+    assert arrow == fold
+
+
 def test_ivf_recall_at_5(spark, sf_dir):
     specs = all_specs()
     bf = {
