@@ -165,6 +165,68 @@ def windowed_event_counts(ev: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def run_dual_sink_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """The reference's fan-out, faithfully: ONE stream, TWO sinks, one
+    checkpoint (CassandraOutputFormat.java:108-132 writes summary then
+    detail per record from the same stream).
+
+    ``foreachBatch`` persists each micro-batch once and issues both writes
+    from it.  Versus the two-independent-queries layout
+    (run_detail_stream + run_summary_stream), this reads and decodes the
+    input ONCE and cannot let the two sinks drift to different offsets --
+    the atomicity upgrade SURVEY.md section 3.3 commits to.  Restart
+    safety: each write lands in a ``_batch_id`` partition with dynamic
+    partition overwrite, so a REPLAYED batch replaces its own partition
+    instead of appending dupes -- idempotence by deterministic batch id.
+
+    Summary semantics match the reference at the storage model each side
+    has: Cassandra dedupes re-inserts at storage (upsert); parquet cannot,
+    so the summary table here is the upsert LOG (per-batch distinct) and
+    the converged set is its ``SELECT DISTINCT`` read view -- exactly the
+    O11 convergence statement.  When consumers need the distinct set
+    materialized append-only instead, that is what the stateful
+    :func:`run_summary_stream` variant provides.
+    """
+    ev = stream_events(spark, input_dir)
+    msgs = mp.messages_from_events_df(ev)
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            detail = mp.detail_table(batch_df, encrypt=True)
+            (
+                detail.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{out_root}/message_history")
+            )
+            summary = mp.summary_distinct(batch_df)
+            (
+                summary.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{out_root}/message_history_summary")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        msgs.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("dual_sink_fanout")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_event_counts(ev: DataFrame, gap: str = "6 hours", watermark: str = "12 hours") -> DataFrame:
     """Session windows (6-hour inactivity gap) with a watermark: the
     streaming half of the batch ``ev_session_windows`` query.  Unlike

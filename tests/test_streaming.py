@@ -118,6 +118,40 @@ def test_summary_stream_watermarked_dedup(spark, sf_dir, event_chunks, tmp_path)
     assert rows == expect
 
 
+def test_dual_sink_stream_one_pass_two_sinks(spark, sf_dir, event_chunks, tmp_path):
+    """The reference's fan-out shape: ONE stream feeding BOTH sinks from the
+    same micro-batch (foreachBatch), idempotent by batch_id partition
+    overwrite.  Restart with no new data changes nothing; the summary's
+    distinct read-view equals the batch truth."""
+    input_dir = tmp_path / "in"
+    out = tmp_path / "out"
+    cp = tmp_path / "cp_dual"
+    input_dir.mkdir()
+    total = sum(c.num_rows for c in event_chunks)
+
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_dual_sink_stream(spark, str(input_dir), str(out), str(cp)))
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_dual_sink_stream(spark, str(input_dir), str(out), str(cp)))
+    # restart with NO new data: no new batches, nothing rewritten
+    _run(sp.run_dual_sink_stream(spark, str(input_dir), str(out), str(cp)))
+
+    detail = spark.read.parquet(str(out / "message_history"))
+    assert detail.count() == total  # no loss
+    assert detail.select("message_id").distinct().count() == total  # no dupes
+
+    summary = spark.read.parquet(str(out / "message_history_summary"))
+    view = {
+        (r.username, r.jid, r.date_partition)
+        for r in summary.select("username", "jid", "date_partition").distinct().collect()
+    }
+    truth = {
+        (r.username, r.jid, r.date_partition)
+        for r in mp.summary_distinct(mp.messages_from_events(spark, sf_dir)).collect()
+    }
+    assert view == truth  # the upsert log's distinct view IS the converged set
+
+
 def test_session_window_stream_with_watermark(spark, sf_dir, event_chunks, tmp_path):
     """Streaming session windows: state must MERGE across micro-batches (a
     session spanning a chunk boundary is one session, not two) and closed
