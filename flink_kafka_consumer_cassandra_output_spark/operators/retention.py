@@ -68,12 +68,14 @@ def _purge_metadata_log(table_dir: Path, dropped_keys: list[str]) -> int:
         if removed:
             tmp = log_file.with_name(log_file.name + ".tmp")
             tmp.write_text("\n".join(kept) + "\n")
-            tmp.replace(log_file)
-            # the Hadoop local-FS checksum sidecar is now stale; a reader
-            # would fail checksum verification, so it must go with the edit
+            # unlink the Hadoop checksum sidecar BEFORE installing the new
+            # content: a missing .crc is tolerated, but a stale one (crash
+            # after replace, before unlink) fails checksum verification on
+            # every subsequent open of the commit log
             crc = log_file.with_name(f".{log_file.name}.crc")
             if crc.exists():
                 crc.unlink()
+            tmp.replace(log_file)
             purged += removed
     return purged
 
@@ -99,13 +101,22 @@ def drop_expired_partitions(table_dir: str | Path, keep_from: str) -> list[str]:
     Works on both batch-written tables and streaming file-sink tables:
     when a ``_spark_metadata`` commit log is present, the dropped files are
     purged from it so subsequent reads stay consistent (see module doc).
+    For a streaming table the owning stream must be STOPPED first: a
+    concurrently running sink compacts its log from in-memory state and
+    would resurrect the purged entries (the same stop-the-stream
+    requirement :func:`compact_partitions` enforces).
+
+    Crash-safe ordering: the commit log is purged BEFORE any directory is
+    deleted.  A crash after the purge merely leaks data files that a
+    re-run removes (the directories still exist, so the keys are
+    recomputed); the reverse order would leave a log referencing deleted
+    files with no way for a re-run to discover which keys to repair.
     """
-    dropped = []
-    for key in list_month_partitions(table_dir):
-        if key < keep_from:
-            shutil.rmtree(Path(table_dir) / f"{_PREFIX}{key}")
-            dropped.append(key)
-    _purge_metadata_log(Path(table_dir), dropped)
+    root = Path(table_dir)
+    dropped = [k for k in list_month_partitions(root) if k < keep_from]
+    _purge_metadata_log(root, dropped)
+    for key in dropped:
+        shutil.rmtree(root / f"{_PREFIX}{key}")
     return dropped
 
 
@@ -121,10 +132,18 @@ def compact_partitions(
     streaming micro-batch and every append lands new files, and at 100 TB a
     month partition accumulates thousands of them, each costing a task, a
     footer read, and an open per scan.  Compaction is a per-partition
-    rewrite -- read the partition, ``repartition(target_files)``, write,
-    atomic directory swap -- so it parallelizes per partition, touches no
-    other partition, and a crash mid-partition leaves either the old or the
-    new directory, never a mix.
+    rewrite -- read the partition, ``repartition(target_files)``, write to
+    a hidden staging dir, swap -- so it parallelizes per partition and
+    touches no other partition.
+
+    Crash recovery, honestly stated: POSIX cannot atomically replace a
+    non-empty directory, so the swap is two renames with a window where
+    the partition is momentarily absent.  Instead of pretending otherwise,
+    every run begins by REPAIRING interrupted swaps from the hidden
+    staging/backup dirs (old backup present + partition missing -> restore
+    the backup; stale staging -> discard), so a crash at any point is
+    healed by re-running -- never silent data loss, at worst a leaked
+    hidden directory until the next run.
 
     Partitions already at or below ``min_files`` files are skipped (the
     rewrite would be pure cost).  Returns {month_key: files_before} for the
@@ -143,6 +162,7 @@ def compact_partitions(
             "present); compaction would orphan the commit log. Stop the "
             "stream and remove the log first, or compact downstream copies."
         )
+    _repair_interrupted_compactions(root)
     compacted: dict[str, int] = {}
     for key in list_month_partitions(root):
         pdir = root / f"{_PREFIX}{key}"
@@ -153,8 +173,20 @@ def compact_partitions(
         tmp = root / f".{_PREFIX}{key}.compacting"
         df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
         old = root / f".{_PREFIX}{key}.old"
-        pdir.rename(old)
-        tmp.rename(pdir)
+        pdir.rename(old)   # crash here: repaired by restoring `old`
+        tmp.rename(pdir)   # crash here: `old` backup still exists, removed below
         shutil.rmtree(old)
         compacted[key] = len(files)
     return compacted
+
+
+def _repair_interrupted_compactions(root: Path) -> None:
+    """Heal the table after a crash mid-swap (see compact_partitions doc)."""
+    for old in root.glob(f".{_PREFIX}*.old"):
+        pdir = root / old.name[1:-len(".old")]
+        if pdir.exists():
+            shutil.rmtree(old)   # swap completed; backup is redundant
+        else:
+            old.rename(pdir)     # swap died between the renames; restore
+    for tmp in root.glob(f".{_PREFIX}*.compacting"):
+        shutil.rmtree(tmp)       # staging from an unfinished attempt

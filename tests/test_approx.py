@@ -4,11 +4,12 @@ rows-only oracle entries cannot provide."""
 
 from __future__ import annotations
 
-import duckdb
 from pyspark.sql import functions as F
 
 from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
 from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+from .oracle import duck_connection
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
@@ -39,11 +40,8 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         for r in all_specs()["approx_quantiles_price"].builder(spark, sf_dir).collect()
     }
     ps = [0.25, 0.5, 0.75, 0.9]
-    con = duckdb.connect()
+    con = duck_connection(sf_dir)
     try:
-        con.execute(
-            f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
-        )
         rows = con.execute(f"""
             SELECT o_orderstatus,
                    {", ".join(

@@ -100,6 +100,26 @@ def test_compact_partitions(spark, tmp_path):
     assert retention.compact_partitions(spark, table, target_files=1) == {}
 
 
+def test_compact_repairs_interrupted_swap(spark, tmp_path):
+    """Simulate a crash between the two swap renames (partition dir absent,
+    hidden .old backup + stale .compacting staging present): the next run
+    must restore the data before compacting."""
+    msgs = _multi_month_msgs(spark).repartition(4)
+    mp.write_dual_sink(msgs, str(tmp_path))
+    table = tmp_path / "message_history"
+    before = sorted(r.message_id for r in spark.read.parquet(str(table)).collect())
+
+    pdir = table / "date_partition=202401M"
+    pdir.rename(table / ".date_partition=202401M.old")  # crash mid-swap
+    (table / ".date_partition=202401M.compacting").mkdir()
+
+    compacted = retention.compact_partitions(spark, table, target_files=1)
+    assert "202401M" in compacted  # repaired, then compacted
+    after = sorted(r.message_id for r in spark.read.parquet(str(table)).collect())
+    assert after == before
+    assert not list(table.glob(".date_partition=*"))  # no hidden leftovers
+
+
 def test_compact_refuses_streaming_sink_table(spark, tmp_path):
     input_dir = tmp_path / "in"
     out = tmp_path / "detail"

@@ -130,6 +130,23 @@ def test_ivf_trained_recall_at_5(spark, sf_dir):
     assert recall >= 0.6, f"trained-IVF recall@5 {recall:.3f} < 0.6"
 
 
+def test_with_simhash_equals_naive_spec(spark, sf_dir):
+    """The packed-counter fast path must equal the naive per-bit-fold spec
+    form bit-for-bit, at both widths -- the Spark-side twin of the parity
+    gate (whose oracle is the naive form in SQL)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import text as TX
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    for bits in (16, 32):
+        fast = TX.with_simhash(d, "text", "fast", bits)
+        both = fast.withColumn("naive", TX.simhash(F.col("text"), bits))
+        n_diff = both.filter(F.col("fast") != F.col("naive")).count()
+        assert n_diff == 0, f"bits={bits}: {n_diff} docs diverge from spec"
+
+
 def test_arrow_topk_matches_fold_topk(spark, sf_dir):
     """The BLAS/Arrow brute-force path must return the SAME neighbor sets
     as the fold-based exact baseline (values may differ in the last ulp --
