@@ -463,6 +463,115 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_curation_funnel",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text,
+         CAST((CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+             + CASE WHEN len(list_filter(tk, t -> list_contains({_STOP_LIST}, t))) * 100
+                    >= len(tk) * 5 THEN 30 ELSE 0 END
+             + CASE WHEN {_N_PUNCT} * 100 <= length(text) * 10 THEN 30 ELSE 0 END)
+           AS DOUBLE) / 100.0 AS quality
+  FROM toks
+),
+quality_pass AS (SELECT * FROM scored WHERE quality >= 1.0),
+exact_kept AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM quality_pass
+  GROUP BY {_FINGERPRINT}
+),
+docs AS (
+  SELECT d.doc_id, {_SHINGLES} AS sh
+  FROM documents d JOIN exact_kept k USING (doc_id)
+),
+sigs AS (
+  SELECT doc_id, sh,
+         {_minhash_sig_sql()}
+  FROM docs
+),
+banded AS (
+  {_band_union_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+near_dropped AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN docs x ON x.doc_id = c.id_a
+  JOIN docs y ON y.doc_id = c.id_b
+  WHERE {_JACCARD_SQL} >= 0.5
+),
+near_kept AS (
+  SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+)
+SELECT 'stage0_raw' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT 'stage1_quality', COUNT(*) FROM quality_pass
+UNION ALL SELECT 'stage2_exact_dedup', COUNT(*) FROM exact_kept
+UNION ALL SELECT 'stage3_near_dedup', COUNT(*) FROM near_kept
+""",
+    doc="north-star curation funnel, end-to-end: the operators composed the "
+        "way a training-data pipeline actually chains them -- quality "
+        "filter (>= 0.7) -> exact dedup (min doc_id per md5 fingerprint) -> "
+        "near-dup removal (drop the higher id of every Jaccard >= 0.5 pair "
+        "among survivors) -- with the per-stage document counts as the "
+        "output.  The 1.0 quality bar requires all three score components "
+        "(length band, stopword presence, punctuation ratio) and drops ~38% "
+        "of the fixture; exact dedup is a no-op on a single-ingest corpus by "
+        "construction (the operator is load-bearing in doc_exact_dedup's "
+        "double-ingest gate).  Stage 3 reuses the MinHash-LSH candidate "
+        "machinery (never "
+        "all-pairs, same as doc_near_dup_minhash_lsh), and the oracle "
+        "recomposes ALL stages from the same SQL fragments, so the gate "
+        "checks the COMPOSITION, not just each operator alone.  Scale: each "
+        "stage is one aggregate/join over the previous stage's shrinking "
+        "survivor set",
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scored = d.select("doc_id", "text", TX.quality_score(F.col("text")).alias("quality"))
+    quality_pass = scored.filter(F.col("quality") >= 1.0)
+    exact_kept = (
+        quality_pass.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    shingled = d.join(exact_kept, "doc_id").select(
+        "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    sigs = shingled.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+    cand = SIM.lsh_candidate_pairs(sigs)
+    x = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    y = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    near_dropped = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(SIM.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    near_kept = shingled.join(near_dropped, "doc_id", "left_anti")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("stage0_raw", d)
+        .unionByName(stage("stage1_quality", quality_pass))
+        .unionByName(stage("stage2_exact_dedup", exact_kept))
+        .unionByName(stage("stage3_near_dedup", near_kept))
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------

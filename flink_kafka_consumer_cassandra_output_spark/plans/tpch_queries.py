@@ -157,6 +157,80 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "null_semantics_orders",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(status_or_null) AS n_nonnull,
+       CAST(SUM(CASE WHEN status_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT status_or_null) AS n_distinct_nonnull,
+       CAST(SUM(CASE WHEN status_or_null IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null,
+       COUNT(*) FILTER (WHERE coalesce(status_or_null, 'P') = 'P') AS n_coalesced_p
+FROM o
+""",
+    doc="NULL-semantics pinned in one aggregate: COUNT(*) vs COUNT(col) "
+        "(NULLs excluded), COUNT(DISTINCT col) ignoring NULLs, null-safe "
+        "equality (Spark <=> == ANSI IS NOT DISTINCT FROM), NULLIF/COALESCE "
+        "round-trip, conditional-count FILTER.  The fixtures have no NULL "
+        "cells, so NULLIF manufactures them in-query -- these are exactly "
+        "the semantics a user silently relies on when switching engines",
+)
+def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+    )
+    s = F.col("status_or_null")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(s).alias("n_nonnull"),
+        F.sum(F.when(s.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.countDistinct(s).alias("n_distinct_nonnull"),
+        F.sum(F.when(s.eqNullSafe(F.lit(None)), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nullsafe_eq_null"),
+        F.count(F.when(F.coalesce(s, F.lit("P")) == "P", 1)).alias("n_coalesced_p"),
+    )
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT'
+    AND o.o_totalprice > 250000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'
+)
+"""
+
+
+@register(
+    "sql_correlated_exists",
+    oracle=_EXISTS_SQL,
+    doc="correlated EXISTS + NOT EXISTS through the SQL parser (same ANSI "
+        "text on both engines): customers with a big urgent order but no "
+        "old finished one.  Catalyst decorrelates both subqueries into a "
+        "left-semi and a left-anti join on c_custkey -- the rewrite "
+        "(DecorrelateInnerQuery) that makes correlated subqueries usable "
+        "at scale instead of per-row re-execution",
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_SQL)
+
+
 _SX = "SUM(CAST(l_quantity AS DECIMAL(18,2)))"
 _SY = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
 _SXX = "SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))"
