@@ -70,6 +70,66 @@ def decode_media(content: bytes, media_type: str):
     )
 
 
+#: Output contract of :func:`sample_frames`.
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_size: int = 64,
+    stride: int = 4,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Deterministic frame sampling over an opaque binary column.
+
+    The video-pipeline analog: treat ``content`` as an array of
+    ``frame_size``-byte frames, keep every ``stride``-th frame up to
+    ``max_frames`` per document, and emit one row per sampled frame with
+    its offset, raw bytes, and digest.  Real video would let the (stubbed)
+    codec find keyframes; the byte-slicing version exercises the exact
+    plumbing that matters on Spark -- a 1->N Arrow-batched ``mapInPandas``
+    (each input row fans out to multiple output rows inside one batch, no
+    explode/shuffle), a ``binary`` output column, and a typed schema
+    contract -- and is fully oracle-checkable.
+
+    Scale: narrow operator; output size is bounded by
+    ``max_frames x frame_size`` per document regardless of media size,
+    which is what keeps a frame-sample stage's shuffle footprint flat when
+    the inputs are multi-GB videos.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_idx": [], "frame_offset": [],
+                "frame_bytes": [], "frame_digest": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                for k in range(max_frames):
+                    off = k * stride * frame_size
+                    if off >= len(b):
+                        break
+                    frame = b[off : off + frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["sample_idx"].append(k)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(frame)
+                    out["frame_digest"].append(hashlib.md5(frame).hexdigest())
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Header-level media features via Arrow-batched ``mapInPandas``.
 

@@ -577,6 +577,39 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
+    "mm_frame_sample",
+    oracle="""
+WITH ks AS (SELECT unnest(range(8)) AS k)
+SELECT d.doc_id,
+       CAST(ks.k AS BIGINT) AS sample_idx,
+       CAST(ks.k * 256 AS BIGINT) AS frame_offset,
+       base64(encode(substring(d.text, ks.k * 256 + 1, 64))) AS frame_b64,
+       md5(substring(d.text, ks.k * 256 + 1, 64)) AS frame_digest
+FROM documents d CROSS JOIN ks
+WHERE ks.k * 256 < length(d.text)
+""",
+    doc="north-star multimodal frame sampling: every 4th 64-byte frame (max "
+        "8) of the binary media column, one output row per sampled frame -- "
+        "the 1->N Arrow-batched mapInPandas shape with a binary column in "
+        "the operator contract (FRAME_SAMPLE_SCHEMA), oracle-checked "
+        "byte-for-byte.  The registered query projects the bytes as "
+        "unchunked base64 (driver-hash-safe; Spark base64 MIME-chunks past "
+        "57 bytes, stripped like the crypto path); the oracle slices TEXT "
+        "and re-encodes, valid because the synthesized media content is "
+        "UTF-8 of ASCII fixture text -- the operator itself is pure byte "
+        "logic and works on any binary",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    frames = MM.sample_frames(media)
+    b64 = F.regexp_replace(F.base64(F.col("frame_bytes")), "[\r\n]", "")
+    return frames.select(
+        "doc_id", "sample_idx", "frame_offset",
+        b64.alias("frame_b64"), "frame_digest",
+    )
+
+
+@register(
     "mm_media_features",
     oracle="""
 SELECT doc_id,

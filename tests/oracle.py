@@ -32,7 +32,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(df[c].dtype, pd.DatetimeTZDtype):
             df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            def _norm(v):
+                if isinstance(v, (bytearray, memoryview)):
+                    return bytes(v)  # Spark binary -> bytearray (unhashable)
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(v)
+                return v
+            df[c] = df[c].map(_norm)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
