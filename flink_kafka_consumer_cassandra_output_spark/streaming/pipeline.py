@@ -269,6 +269,92 @@ def run_session_window_stream(
     )
 
 
+def run_stream_static_taxonomy(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream-static join: the message stream classified against the static
+    18-code taxonomy dimension (O22's lookup-join form, streaming).
+
+    The static side is re-resolved per micro-batch and broadcast -- no
+    state, no watermark needed; this is the streaming shape for every
+    enrich-against-dimension step in the reference pipeline family."""
+    from ..functions import taxonomy, xml_fns
+
+    ev = stream_events(spark, input_dir)
+    msgs = mp.messages_from_events_df(ev)
+    typed = msgs.select(
+        "msg_id", xml_fns.stanza_type_fast(F.col("stanza")).alias("type_code")
+    )
+    dim = taxonomy.lookup_df(spark)
+    enriched = typed.join(F.broadcast(dim), "type_code")
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("stream_static_taxonomy")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_stream_conversion_join(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Stream-stream interval join: each ``purchase`` joined to the same
+    user's ``click`` events in the preceding hour -- conversion attribution.
+
+    Both sides carry watermarks and the join predicate bounds event time
+    (click in [purchase - 1h, purchase]), so Spark can size the join state
+    and EVICT rows the watermark has passed -- the requirement that makes
+    stream-stream joins feasible at all (unbounded state otherwise).  One
+    file per trigger so the watermark advances across micro-batches and
+    pairs spanning batch boundaries prove the buffered-state path."""
+    clicks = (
+        stream_events(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("stream_stream_conversions")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     input_dir: str,

@@ -186,6 +186,73 @@ def test_session_window_stream_with_watermark(spark, sf_dir, event_chunks, tmp_p
     assert len(emitted) >= len(batch_rows) // 2
 
 
+def test_stream_static_taxonomy_join(spark, sf_dir, event_chunks, tmp_path):
+    """Stream-static broadcast join: streaming classification equals the
+    batch lookup join row-for-row."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import taxonomy, xml_fns
+
+    input_dir = tmp_path / "in"
+    out = tmp_path / "typed"
+    cp = tmp_path / "cp_typed"
+    input_dir.mkdir()
+    _drop(event_chunks, input_dir, 0, N_CHUNKS)
+    _run(sp.run_stream_static_taxonomy(spark, str(input_dir), str(out), str(cp)))
+
+    got = {
+        (r.msg_id, r.type_code, r.type_name)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = (
+        mp.messages_from_events(spark, sf_dir)
+        .select("msg_id", xml_fns.stanza_type_fast(F.col("stanza")).alias("type_code"))
+        .join(taxonomy.lookup_df(spark), "type_code")
+    )
+    expect = {(r.msg_id, r.type_code, r.type_name) for r in batch.collect()}
+    assert got == expect
+
+
+def test_stream_stream_interval_join(spark, sf_dir, event_chunks, tmp_path):
+    """Stream-stream interval join with watermarks on both sides: the
+    emitted (purchase, click) attribution pairs equal the batch interval
+    join -- including pairs whose click and purchase arrive in DIFFERENT
+    micro-batches (buffered join state)."""
+    from pyspark.sql import functions as F
+
+    input_dir = tmp_path / "in"
+    out = tmp_path / "conv"
+    cp = tmp_path / "cp_conv"
+    input_dir.mkdir()
+    _drop(event_chunks, input_dir, 0, N_CHUNKS)
+    _run(sp.run_stream_stream_conversion_join(spark, str(input_dir), str(out), str(cp)))
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = {
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert expect, "fixture should contain click->purchase pairs within 1h"
+    assert got == expect
+
+
 def test_windowed_stream_with_watermark(spark, sf_dir, event_chunks, tmp_path):
     from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
 
