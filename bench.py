@@ -9,12 +9,17 @@ Configuration (env):
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[...] core count (default: os.cpu_count())
     SPARK_GRAFT_BENCH_QUERIES  comma-separated subset (default: all)
+    SPARK_GRAFT_BENCH_REPEATS  timed runs per query, min reported (default 2)
 
 Timing methodology: each query's DataFrame is fully materialized via the
 ``noop`` sink (forces every column expression to execute, unlike ``count()``
 which lets Catalyst prune projections), after one untimed warm-up of the
-whole session (JVM/codegen warm-up on the smallest query).  All Spark logs
-go to stderr; stdout carries only the JSON line.
+whole session (JVM/codegen warm-up on the smallest query).  Each query is
+timed ``REPEATS`` times and the MIN is reported: in a 60-query single-JVM
+sweep, GC and codegen-cache pressure from earlier queries can inflate one
+later query 1.5-2x run-to-run (observed), and min-of-N measures the
+query's cost rather than the sweep's interference.  All Spark logs go to
+stderr; stdout carries only the JSON line.
 """
 
 from __future__ import annotations
@@ -61,13 +66,18 @@ def main() -> None:
     except Exception:
         pass
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
+        best = None
         try:
-            materialize(specs[name].builder(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(max(1, repeats)):
+                t0 = time.perf_counter()
+                materialize(specs[name].builder(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # record, keep benching the rest
             failures[name] = f"{type(e).__name__}: {e}"[:200]
 
