@@ -71,15 +71,20 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name in names:
         best = None
-        try:
-            for _ in range(max(1, repeats)):
-                t0 = time.perf_counter()
+        err = None
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            try:
                 materialize(specs[name].builder(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            except Exception as e:  # keep any completed repeat's timing
+                err = f"{type(e).__name__}: {e}"[:200]
+                continue
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
             timings[name] = round(best, 3)
-        except Exception as e:  # record, keep benching the rest
-            failures[name] = f"{type(e).__name__}: {e}"[:200]
+        else:
+            failures[name] = err or "no successful repeat"
 
     out = {
         "metric": "total_query_seconds",
@@ -90,6 +95,7 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "n_registered": len(names),
+        "repeats": max(1, repeats),
     }
     if failures:
         out["failures"] = failures

@@ -113,6 +113,8 @@ def sample_frames(
                 "frame_bytes": [], "frame_digest": [],
             }
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue  # NULL media: no frames (don't crash the stage)
                 b = bytes(content)
                 for k in range(max_frames):
                     off = k * stride * frame_size

@@ -509,30 +509,42 @@ near_dropped AS (
   JOIN docs y ON y.doc_id = c.id_b
   WHERE {_JACCARD_SQL} >= 0.5
 ),
-near_kept AS (
-  SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+flags AS (
+  SELECT s.doc_id,
+         s.quality >= 1.0 AS quality_ok,
+         k.doc_id IS NOT NULL AS exact_ok,
+         nd.doc_id IS NOT NULL AS dropped
+  FROM scored s
+  LEFT JOIN exact_kept k ON k.doc_id = s.doc_id
+  LEFT JOIN near_dropped nd ON nd.doc_id = s.doc_id
+),
+agg AS (
+  SELECT COUNT(*) AS s0,
+         COUNT(*) FILTER (quality_ok) AS s1,
+         COUNT(*) FILTER (exact_ok) AS s2,
+         COUNT(*) FILTER (exact_ok AND NOT dropped) AS s3
+  FROM flags
 )
-SELECT 'stage0_raw' AS stage, COUNT(*) AS n_docs FROM documents
-UNION ALL SELECT 'stage1_quality', COUNT(*) FROM quality_pass
-UNION ALL SELECT 'stage2_exact_dedup', COUNT(*) FROM exact_kept
-UNION ALL SELECT 'stage3_near_dedup', COUNT(*) FROM near_kept
+SELECT 'stage0_raw' AS stage, CAST(s0 AS BIGINT) AS n_docs FROM agg
+UNION ALL SELECT 'stage1_quality', CAST(s1 AS BIGINT) FROM agg
+UNION ALL SELECT 'stage2_exact_dedup', CAST(s2 AS BIGINT) FROM agg
+UNION ALL SELECT 'stage3_near_dedup', CAST(s3 AS BIGINT) FROM agg
 """,
     doc="north-star curation funnel, end-to-end: the operators composed the "
         "way a training-data pipeline actually chains them -- quality "
-        "filter (>= 0.7) -> exact dedup (min doc_id per md5 fingerprint) -> "
-        "near-dup removal (drop the higher id of every Jaccard >= 0.5 pair "
-        "among survivors) -- with the per-stage document counts as the "
-        "output.  The 1.0 quality bar requires all three score components "
-        "(length band, stopword presence, punctuation ratio) and drops ~38% "
-        "of the fixture; exact dedup is a no-op on a single-ingest corpus by "
-        "construction (the operator is load-bearing in doc_exact_dedup's "
-        "double-ingest gate).  Stage 3 reuses the MinHash-LSH candidate "
-        "machinery (never "
-        "all-pairs, same as doc_near_dup_minhash_lsh), and the oracle "
-        "recomposes ALL stages from the same SQL fragments, so the gate "
-        "checks the COMPOSITION, not just each operator alone.  Scale: each "
-        "stage is one aggregate/join over the previous stage's shrinking "
-        "survivor set",
+        "filter (>= 1.0: all three score components) -> exact dedup (min "
+        "doc_id per md5 fingerprint) -> near-dup removal (drop the higher "
+        "id of every Jaccard >= 0.5 pair among survivors, via the "
+        "MinHash-LSH candidate machinery, never all-pairs) -- with the "
+        "per-stage survivor counts as the output.  Exact dedup is a no-op "
+        "on a single-ingest corpus by construction (the operator is "
+        "load-bearing in doc_exact_dedup's double-ingest gate).  Execution "
+        "shape: per-document stage FLAGS assembled by left joins, then ONE "
+        "aggregate computes every stage count in a single pass and an "
+        "unpivot emits the funnel rows -- not one scan per stage; the "
+        "oracle mirrors the same flags form.  The near-dup subtree is "
+        "shared lineage (AQE exchange reuse deduplicates the common "
+        "aggregate where possible)",
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -557,18 +569,24 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    near_kept = shingled.join(near_dropped, "doc_id", "left_anti")
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
-        )
-
-    return (
-        stage("stage0_raw", d)
-        .unionByName(stage("stage1_quality", quality_pass))
-        .unionByName(stage("stage2_exact_dedup", exact_kept))
-        .unionByName(stage("stage3_near_dedup", near_kept))
+    flags = (
+        scored.select("doc_id", (F.col("quality") >= 1.0).alias("quality_ok"))
+        .join(exact_kept.withColumn("exact_ok", F.lit(True)), "doc_id", "left")
+        .join(near_dropped.withColumn("dropped", F.lit(True)), "doc_id", "left")
+    )
+    exact_ok = F.coalesce(F.col("exact_ok"), F.lit(False))
+    dropped = F.coalesce(F.col("dropped"), F.lit(False))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("stage0_raw"),
+        F.sum(F.col("quality_ok").cast("long")).alias("stage1_quality"),
+        F.sum(exact_ok.cast("long")).alias("stage2_exact_dedup"),
+        F.sum((exact_ok & ~dropped).cast("long")).alias("stage3_near_dedup"),
+    )
+    return agg.unpivot(
+        ids=[],
+        values=["stage0_raw", "stage1_quality", "stage2_exact_dedup", "stage3_near_dedup"],
+        variableColumnName="stage",
+        valueColumnName="n_docs",
     )
 
 

@@ -200,10 +200,9 @@ def test_stream_static_taxonomy_join(spark, sf_dir, event_chunks, tmp_path):
     _drop(event_chunks, input_dir, 0, N_CHUNKS)
     _run(sp.run_stream_static_taxonomy(spark, str(input_dir), str(out), str(cp)))
 
-    got = {
-        (r.msg_id, r.type_code, r.type_name)
-        for r in spark.read.parquet(str(out)).collect()
-    }
+    rows = spark.read.parquet(str(out)).collect()
+    got = {(r.msg_id, r.type_code, r.type_name) for r in rows}
+    assert len(rows) == len(got)  # no duplicate emission
     batch = (
         mp.messages_from_events(spark, sf_dir)
         .select("msg_id", xml_fns.stanza_type_fast(F.col("stanza")).alias("type_code"))
@@ -227,10 +226,9 @@ def test_stream_stream_interval_join(spark, sf_dir, event_chunks, tmp_path):
     _drop(event_chunks, input_dir, 0, N_CHUNKS)
     _run(sp.run_stream_stream_conversion_join(spark, str(input_dir), str(out), str(cp)))
 
-    got = {
-        (r.purchase_id, r.click_id)
-        for r in spark.read.parquet(str(out)).collect()
-    }
+    rows = spark.read.parquet(str(out)).collect()
+    got = {(r.purchase_id, r.click_id) for r in rows}
+    assert len(rows) == len(got)  # each pair emitted exactly once
     ev = tables.load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),

@@ -24,14 +24,15 @@ THRESHOLD = 1.5
 MIN_SECONDS = 0.3
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_run(path: str) -> tuple[dict[str, float], int]:
+    """(per-query timings, timing repeats) from a bench.py output file."""
     with open(path) as f:
         obj = json.load(f)
     if "parsed" in obj and isinstance(obj["parsed"], dict):
         obj = obj["parsed"]
     if "queries" not in obj:
         raise SystemExit(f"{path}: no 'queries' key (unparsed bench round?)")
-    return dict(obj["queries"])
+    return dict(obj["queries"]), int(obj.get("repeats", 1))
 
 
 def compare(base: dict[str, float], cur: dict[str, float]) -> dict:
@@ -54,7 +55,7 @@ def compare(base: dict[str, float], cur: dict[str, float]) -> dict:
     return out
 
 
-def report_md(base_path: str, cur_path: str, cmp: dict) -> str:
+def report_md(base_path: str, cur_path: str, cmp: dict, methodology_note: str = "") -> str:
     lines = [
         "# BENCH_TREND — per-query regression gate",
         "",
@@ -62,6 +63,8 @@ def report_md(base_path: str, cur_path: str, cmp: dict) -> str:
         f"gate: ratio > {THRESHOLD}x on queries >= {MIN_SECONDS}s.",
         "",
     ]
+    if methodology_note:
+        lines += [f"**{methodology_note}**", ""]
     for title, key in [("Regressions (GATE)", "regressed"), ("Improvements", "improved")]:
         lines.append(f"## {title}\n")
         if not cmp[key]:
@@ -86,14 +89,31 @@ def main() -> None:
     if len(args) != 2:
         raise SystemExit(__doc__)
     base_path, cur_path = args
-    cmp = compare(load_queries(base_path), load_queries(cur_path))
-    md = report_md(base_path, cur_path, cmp)
+    base, base_rep = load_run(base_path)
+    cur, cur_rep = load_run(cur_path)
+    cmp = compare(base, cur)
+    note = ""
+    gate = bool(cmp["regressed"])
+    if base_rep != cur_rep:
+        # Min-of-N vs single-run timings are not comparable: the methodology
+        # change alone shifts values more than the gate threshold, masking
+        # real regressions and fabricating improvements.  Report ratios for
+        # context but DO NOT gate on them; the gate re-arms next round when
+        # both sides share a methodology.
+        note = (
+            f"METHODOLOGY CHANGED (timing repeats {base_rep} -> {cur_rep}): "
+            "ratios are apples-to-oranges this round — improvements are "
+            "partly measurement artifacts and the regression gate is NOT "
+            "armed.  It re-arms when both runs use the same repeats."
+        )
+        gate = False
+    md = report_md(base_path, cur_path, cmp, note)
     if "--write-report" in sys.argv:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(root, "BENCH_TREND.md"), "w") as f:
             f.write(md)
     print(md)
-    if cmp["regressed"]:
+    if gate:
         sys.exit(1)
 
 
