@@ -119,9 +119,18 @@ def _event_type_name_sql() -> str:
 
 def detail_table(msgs: DataFrame, encrypt: bool = True) -> DataFrame:
     """O5+O6+O7+O9+O12: the MESSAGE_HISTORY row shape
-    (CassandraOutputFormat.java:87-89, bind :121)."""
+    (CassandraOutputFormat.java:87-89, bind :121).
+
+    O9's null-drop of failed encryptions (CassandraOutputFormat.java:105)
+    is expressed on the PLAINTEXT: with a fixed valid key, the builtin
+    aes_encrypt is NULL-in/NULL-out (pinned by the crypto null-propagation
+    test), so ``stanza IS NOT NULL`` before the projection is equivalent --
+    and filtering the ciphertext instead doubles the AES work, because
+    predicate pushdown re-evaluates the whole encrypt expression below the
+    projection (observed in the physical plan: two aesEncrypt calls per
+    row)."""
     sent_time = datetime_fns.epoch_ms_to_timestamp(F.col("sent_time_ms"))
-    out = msgs.select(
+    return msgs.filter(F.col("stanza").isNotNull()).select(
         F.col("msg_id").alias("message_id"),
         "username",
         "jid",
@@ -129,8 +138,6 @@ def detail_table(msgs: DataFrame, encrypt: bool = True) -> DataFrame:
         sent_time.alias("sent_time"),
         (crypto.aes_encrypt_b64(F.col("stanza")) if encrypt else F.col("stanza")).alias("stanza"),
     )
-    # O9: null-drop of failed encryptions (CassandraOutputFormat.java:105).
-    return out.filter(F.col("stanza").isNotNull())
 
 
 def summary_distinct(msgs: DataFrame) -> DataFrame:
