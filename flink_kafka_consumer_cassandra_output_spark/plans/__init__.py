@@ -1,1 +1,7 @@
-from .registry import QuerySpec, all_specs, register  # noqa: F401
+from .registry import (  # noqa: F401
+    DRIVER_SWEEP_CAP,
+    QuerySpec,
+    all_specs,
+    driver_specs,
+    register,
+)

@@ -111,6 +111,9 @@ GROUP BY 1, 2
         "overlapping buckets; the oracle materializes both bucket starts "
         "explicitly. Scale: Spark's window expand is a per-row flatMap (x2 "
         "rows), then one shuffle on the bucket",
+    driver=False,  # ev_tumbling_hourly driver-checks F.window's epoch
+    # alignment and ev_session_windows the gap semantics; the slide variant
+    # (same operator, overlap factor 2) stays oracle-checked locally.
 )
 def ev_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -191,6 +194,9 @@ GROUP BY user_id
         "NULL on both engines (SUM over empty CASE).  Oracle SUMs are cast to "
         "BIGINT: DuckDB SUM yields HUGEINT, and the driver's value hash is "
         "type-sensitive even when values are identical",
+    driver=False,  # ev_unpivot_roundtrip COMPOSES this pivot and its oracle
+    # is the plain GROUP BY, so a wrong pivot cell cannot pass the driver's
+    # roundtrip gate; the wide form itself stays oracle-checked locally.
 )
 def ev_pivot_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)

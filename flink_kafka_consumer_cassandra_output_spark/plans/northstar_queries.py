@@ -149,6 +149,9 @@ FROM h
     doc="north-star SimHash (16-bit) document sketch: per-bit majority vote "
         "over 16-bit md5 token hashes; per-row fold, no shuffle, and the "
         "integer bit-sums are order-insensitive so parity is exact",
+    driver=False,  # doc_near_dup_simhash driver-checks the same sketch
+    # construction end-to-end at 32 bits (hash-exact oracle); the bare
+    # 16-bit sketch column stays oracle-checked locally.
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -763,6 +766,9 @@ WHERE rank <= 5
         "is exact; recall vs brute force is pinned separately in "
         "tests/test_similarity.py.  100 TB shape: assignment is a broadcast "
         "join vs the codebook; search touches ~nprobe/C of the corpus",
+    driver=False,  # emb_ann_ivf_trained driver-checks the same ivf_assign +
+    # ivf_topk machinery PLUS Lloyd training; the seed-codebook variant
+    # stays oracle-checked locally (and anchors the recall pin).
 )
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)

@@ -111,6 +111,8 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE over two low-cardinality dims (all 2^2 grouping combinations)",
+    driver=False,  # CUBE is a GROUPING SETS special case; sql_grouping_sets
+    # and agg_rollup_lineitem hold the driver slots for the Expand family.
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -351,15 +353,27 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the sketch path for percentiles at cardinalities where an exact "
         "sort is wasteful; rank error vs DuckDB's exact quantile_cont is "
         "pinned by tests/test_approx.py (no bit-compatible sketch exists in "
-        "DuckDB, so this entry is rows-only by design, like the HLL entry)",
+        "DuckDB, so this entry is rows-only by design, like the HLL entry).  "
+        "The four quantiles are projected to SCALAR double columns: the "
+        "round-3 array<double> form crashed the driver's canonicalizer "
+        "('unhashable type: list'), and tests/test_registry_lint.py now "
+        "bans non-scalar output columns registry-wide",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.percentile_approx(
             "o_totalprice", [0.25, 0.5, 0.75, 0.9], 10000
-        ).alias("price_quantiles"),
+        ).alias("q"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.element_at("q", 1).alias("price_p25"),
+        F.element_at("q", 2).alias("price_p50"),
+        F.element_at("q", 3).alias("price_p75"),
+        F.element_at("q", 4).alias("price_p90"),
+        "n_orders",
     )
 
 
@@ -561,6 +575,8 @@ WHERE EXISTS (
     doc="LEFT SEMI join: customers with at least one >400k order "
         "(EXISTS form in the oracle). Scale: semi join never duplicates the "
         "probe side, so output is bounded by |customer|",
+    driver=False,  # sql_correlated_exists driver-checks the left-semi plan
+    # (EXISTS decorrelates to exactly this join); DataFrame form stays local.
 )
 def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -583,6 +599,8 @@ WHERE NOT EXISTS (
 """,
     doc="LEFT ANTI join: customers with no orders in 2001+ (NOT EXISTS form). "
         "The build side is date-pruned before the join",
+    driver=False,  # sql_correlated_exists driver-checks the left-anti plan
+    # (NOT EXISTS decorrelates to exactly this join); DataFrame form is local.
 )
 def join_anti_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -633,6 +651,10 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     doc="window functions: row_number + lag + running decimal-exact sum with "
         "an explicit ROWS frame; one shuffle on o_custkey serves all three "
         "(same window spec). Order total: (o_orderdate, unique o_orderkey)",
+    driver=False,  # the window family is driver-checked 3 ways already
+    # (window_functions_extended: 6 functions incl. a ROWS frame;
+    # window_trailing_90d_revenue: RANGE frame; topk_orders_per_customer:
+    # rank-filter); this starter trio stays oracle-checked locally.
 )
 def window_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -812,6 +834,9 @@ LIMIT 20
     doc="global top-20 by price (unique-key tiebreak). Scale: Spark plans "
         "TakeOrderedAndProject -- per-partition top-20 then a 20-row merge on "
         "the driver, never a full global sort",
+    driver=False,  # sql_q3_shipping_priority driver-checks global ORDER BY +
+    # LIMIT (same TakeOrderedAndProject node); the bare form stays local and
+    # keeps the plan-invariant gate in tests/test_plan_invariants.py.
 )
 def orderby_limit_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

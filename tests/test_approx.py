@@ -36,7 +36,7 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
     side as brackets -- a bound that holds for any sketch meeting its rank
     guarantee, not a tuned tolerance."""
     approx = {
-        r.o_orderstatus: r.price_quantiles
+        r.o_orderstatus: [r.price_p25, r.price_p50, r.price_p75, r.price_p90]
         for r in all_specs()["approx_quantiles_price"].builder(spark, sf_dir).collect()
     }
     ps = [0.25, 0.5, 0.75, 0.9]
