@@ -112,6 +112,7 @@ GROUP BY 1, 2
         "explicitly. Scale: Spark's window expand is a per-row flatMap (x2 "
         "rows), then one shuffle on the bucket",
     driver=False,  # ev_tumbling_hourly driver-checks F.window's epoch
+    sibling="ev_tumbling_hourly",
     # alignment and ev_session_windows the gap semantics; the slide variant
     # (same operator, overlap factor 2) stays oracle-checked locally.
 )
@@ -195,6 +196,7 @@ GROUP BY user_id
         "BIGINT: DuckDB SUM yields HUGEINT, and the driver's value hash is "
         "type-sensitive even when values are identical",
     driver=False,  # ev_unpivot_roundtrip COMPOSES this pivot and its oracle
+    sibling="ev_unpivot_roundtrip",
     # is the plain GROUP BY, so a wrong pivot cell cannot pass the driver's
     # roundtrip gate; the wide form itself stays oracle-checked locally.
 )

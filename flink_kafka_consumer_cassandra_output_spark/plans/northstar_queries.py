@@ -150,6 +150,7 @@ FROM h
         "over 16-bit md5 token hashes; per-row fold, no shuffle, and the "
         "integer bit-sums are order-insensitive so parity is exact",
     driver=False,  # doc_near_dup_simhash driver-checks the same sketch
+    sibling="doc_near_dup_simhash",
     # construction end-to-end at 32 bits (hash-exact oracle); the bare
     # 16-bit sketch column stays oracle-checked locally.
 )
@@ -767,6 +768,7 @@ WHERE rank <= 5
         "tests/test_similarity.py.  100 TB shape: assignment is a broadcast "
         "join vs the codebook; search touches ~nprobe/C of the corpus",
     driver=False,  # emb_ann_ivf_trained driver-checks the same ivf_assign +
+    sibling="emb_ann_ivf_trained",
     # ivf_topk machinery PLUS Lloyd training; the seed-codebook variant
     # stays oracle-checked locally (and anchors the recall pin).
 )

@@ -103,6 +103,7 @@ GROUP BY username, jid
     doc="O11 'first month' variant implied by the column name "
         "first_date_partition (CassandraOutputFormat.java:95)",
     driver=False,  # O11's grain-true distinct-set form (msg_summary_distinct)
+    sibling="msg_summary_distinct",
     # holds the driver slot; the min() variant stays oracle-checked locally.
 )
 def msg_summary_first(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,6 +122,7 @@ GROUP BY 1
     doc="O22: the 18-code MessageType taxonomy applied and re-extracted from "
         "the stanza (MessageType.java:7-24); regexp hot path (stanza_type_fast)",
     driver=False,  # the CASE-chain classify is driver-checked over ALL 19
+    sibling="msg_taxonomy_all_codes",
     # names by msg_taxonomy_all_codes, and the stanza regexp + grouped count
     # by msg_taxonomy_lookup_join; this CASE-over-stanza form stays local.
 )
@@ -310,6 +312,7 @@ GROUP BY ROLLUP (date_partition, username)
         "aggregate) -- the continuous-aggregate view a reader of the "
         "detail table (CassandraOutputFormat.java:87-89) would maintain",
     driver=False,  # ROLLUP is driver-checked by agg_rollup_lineitem and
+    sibling="agg_rollup_lineitem",
     # multi-COUNT(DISTINCT) by distinct_agg_lineitem; the messages-stream
     # composition of the two stays oracle-checked locally.
 )

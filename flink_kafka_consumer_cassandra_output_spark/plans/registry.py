@@ -55,17 +55,35 @@ class QuerySpec:
     #: fully oracle-checked by tests/test_oracle_parity.py and plan-gated by
     #: tests/test_plan_invariants.py, but does not spend one of the driver
     #: sweep's DRIVER_SWEEP_CAP slots because a driver-checked sibling
-    #: exercises the same operator (the mapping lives in COVERAGE.md).
+    #: exercises the same operator (``sibling``; prose mapping in COVERAGE.md).
     driver: bool = True
+    #: For ``driver=False`` entries: the name of the driver-checked query
+    #: that proves the same operator.  Required exactly when ``driver`` is
+    #: False; tests/test_registry_lint.py asserts the sibling exists and is
+    #: itself driver-facing.
+    sibling: str | None = None
 
 
-def register(name: str, oracle: str | None = None, doc: str = "", driver: bool = True):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    driver: bool = True,
+    sibling: str | None = None,
+):
     """Decorator registering a query builder under ``name``."""
 
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), driver)
+        if (sibling is None) == (not driver):
+            raise ValueError(
+                f"{name!r}: sibling= must be given iff driver=False "
+                "(local-only queries must name their driver-checked twin)"
+            )
+        _REGISTRY[name] = QuerySpec(
+            name, fn, oracle, doc or (fn.__doc__ or ""), driver, sibling
+        )
         return fn
 
     return deco

@@ -112,6 +112,7 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE over two low-cardinality dims (all 2^2 grouping combinations)",
     driver=False,  # CUBE is a GROUPING SETS special case; sql_grouping_sets
+    sibling="sql_grouping_sets",
     # and agg_rollup_lineitem hold the driver slots for the Expand family.
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +577,7 @@ WHERE EXISTS (
         "(EXISTS form in the oracle). Scale: semi join never duplicates the "
         "probe side, so output is bounded by |customer|",
     driver=False,  # sql_correlated_exists driver-checks the left-semi plan
+    sibling="sql_correlated_exists",
     # (EXISTS decorrelates to exactly this join); DataFrame form stays local.
 )
 def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,6 +602,7 @@ WHERE NOT EXISTS (
     doc="LEFT ANTI join: customers with no orders in 2001+ (NOT EXISTS form). "
         "The build side is date-pruned before the join",
     driver=False,  # sql_correlated_exists driver-checks the left-anti plan
+    sibling="sql_correlated_exists",
     # (NOT EXISTS decorrelates to exactly this join); DataFrame form is local.
 )
 def join_anti_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +655,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         "an explicit ROWS frame; one shuffle on o_custkey serves all three "
         "(same window spec). Order total: (o_orderdate, unique o_orderkey)",
     driver=False,  # the window family is driver-checked 3 ways already
+    sibling="window_functions_extended",
     # (window_functions_extended: 6 functions incl. a ROWS frame;
     # window_trailing_90d_revenue: RANGE frame; topk_orders_per_customer:
     # rank-filter); this starter trio stays oracle-checked locally.
@@ -835,6 +839,7 @@ LIMIT 20
         "TakeOrderedAndProject -- per-partition top-20 then a 20-row merge on "
         "the driver, never a full global sort",
     driver=False,  # sql_q3_shipping_priority driver-checks global ORDER BY +
+    sibling="sql_q3_shipping_priority",
     # LIMIT (same TakeOrderedAndProject node); the bare form stays local and
     # keeps the plan-invariant gate in tests/test_plan_invariants.py.
 )

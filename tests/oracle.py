@@ -32,11 +32,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(df[c].dtype, pd.DatetimeTZDtype):
             df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         if df[c].dtype == object:
-            def _norm(v):
+            def _norm(v, c=c):
                 if isinstance(v, (bytearray, memoryview)):
                     return bytes(v)  # Spark binary -> bytearray (unhashable)
-                if isinstance(v, (list, np.ndarray)):
-                    return tuple(v)
+                if isinstance(v, (list, np.ndarray, dict)):
+                    # The driver's canonicalizer dies on exactly these
+                    # ('unhashable type: list' — round 3's
+                    # approx_quantiles_price array column).  The local
+                    # mirror must fail where the driver fails, not paper
+                    # over it by tupling.
+                    raise AssertionError(
+                        f"non-scalar cell in column {c!r} "
+                        f"({type(v).__name__}): the driver's value hash "
+                        "rejects array/map cells — project to scalar "
+                        "columns before registering"
+                    )
                 return v
             df[c] = df[c].map(_norm)
     if len(df):

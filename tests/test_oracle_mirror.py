@@ -67,3 +67,24 @@ def test_matching_int_columns_compare():
     s = pd.DataFrame({"n": pd.array([7, 8], dtype="int64")})
     o = pd.DataFrame({"n": pd.array([7, 8], dtype="int32")})
     compare_frames(s, o, "int_widths_ok")  # width differs, kind matches
+
+
+def test_non_scalar_cells_are_rejected_like_the_driver():
+    """Round-3 driver crash shape ('unhashable type: list'): an array-typed
+    output column must fail the LOCAL mirror too, not get silently tupled.
+    Same for map-typed (dict) cells."""
+    s = pd.DataFrame({"g": ["a"], "q": [[1.0, 2.0]]})
+    o = pd.DataFrame({"g": ["a"], "q": [[1.0, 2.0]]})
+    with pytest.raises(AssertionError, match="non-scalar"):
+        compare_frames(s, o, "array_cells")
+    m = pd.DataFrame({"g": ["a"], "q": [{"k": 1}]})
+    with pytest.raises(AssertionError, match="non-scalar"):
+        compare_frames(m, m.copy(), "map_cells")
+
+
+def test_binary_cells_still_normalize_and_compare():
+    """Spark binary surfaces as bytearray (unhashable); the mirror converts
+    to bytes and compares — the driver accepts these (mm_* queries)."""
+    s = pd.DataFrame({"b": [bytearray(b"\x00\x01"), bytearray(b"\x02")]})
+    o = pd.DataFrame({"b": [b"\x00\x01", b"\x02"]})
+    compare_frames(s, o, "binary_ok")

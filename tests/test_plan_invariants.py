@@ -13,7 +13,7 @@ import pytest
 
 from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
 
-SF_DIR = "/root/testdata/sf0.001"
+from .conftest import SF_DIR  # honors SPARK_GRAFT_TEST_SF_DIR like the suite
 
 
 def _plan(spark, name: str) -> str:
