@@ -128,15 +128,30 @@ def simhash_band_pairs(
     id_col: str = "doc_id",
     sketch_col: str = "sketch",
     widths: tuple[int, ...] = SIMHASH_BAND_WIDTHS,
+    radius: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing >= 1 simhash band.
+    """Candidate pairs (id_a < id_b) sharing >= 1 simhash band.
 
     Same shuffle shape as :func:`lsh_candidate_pairs`: explode to
     ``len(widths)`` rows per doc, equi-join on (band_id, band_value) --
-    never all-pairs."""
+    never all-pairs.
+
+    With ``radius`` given, the hamming cut runs INSIDE the band join and
+    the output gains a ``hamming`` column.  The sketch is a single long,
+    so carrying it through the join is free, and the filter runs on the
+    streamed join output under whole-stage codegen BEFORE anything is
+    shuffled.  This matters when band values collide heavily (low-entropy
+    corpora: the 31-word fixture vocabulary puts ~36% of ALL pairs in a
+    shared band at sf0.1): without it, millions of band candidates pay a
+    distinct shuffle plus two sketch-lookup joins just to be discarded;
+    with it, only hamming survivors -- a set near the true near-dup count
+    -- reach the distinct.  At 100 TB the same shape holds: candidate
+    volume is corpus-dependent (widen the sketch to thin the buckets),
+    but the per-candidate cost is one XOR+popcount in the probe loop."""
     offsets = simhash_band_offsets(widths)
+    cols = [F.col(id_col)] + ([F.col(sketch_col)] if radius is not None else [])
     banded = sketches.select(
-        F.col(id_col),
+        *cols,
         F.posexplode(
             F.array(
                 *[
@@ -148,14 +163,26 @@ def simhash_band_pairs(
         ).alias("band_id", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if radius is None:
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        ).distinct()
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        joined.withColumn(
+            "hamming", hamming(F.col(f"a.{sketch_col}"), F.col(f"b.{sketch_col}"))
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .filter(F.col("hamming") <= radius)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
         .distinct()
     )
 

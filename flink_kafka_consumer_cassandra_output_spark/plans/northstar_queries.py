@@ -220,28 +220,35 @@ WHERE hamming <= {SIM.SIMHASH_RADIUS} AND jaccard >= 0.5
 )
 def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    base = TX.with_simhash(
+    # Narrow sketch projection only -- shingles are NOT carried into the
+    # band join (wide arrays through a self-join were measured slower; the
+    # sketch is one long, free to carry).  The hamming cut runs INSIDE the
+    # band join (radius=), so only true hamming survivors -- not the
+    # millions of band candidates a low-entropy corpus produces -- pay the
+    # distinct shuffle, and the old candidate->sketch lookup joins (two
+    # full re-evaluations of the sketch fold) disappear entirely.
+    sketches = TX.with_simhash(
         d.select("doc_id", "text"), "text", "sketch", SIM.SIMHASH_NEARDUP_BITS
-    ).select(
-        "doc_id",
-        F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
-        "sketch",
+    ).select("doc_id", "sketch")
+    survivors = SIM.simhash_band_pairs(sketches, radius=SIM.SIMHASH_RADIUS)
+    # Survivor rows are narrow (two ids + a long) so AQE's byte-based
+    # coalescing collapses the post-distinct stage to ~1 partition -- and
+    # the CPU-heavy Jaccard verify below would run single-threaded
+    # (measured: 6.2s vs 1.8s at sf0.1/32 cores).  Repartitioning the
+    # survivor set is a ~8MB shuffle that restores full parallelism for
+    # the verify; at production scale survivors are big enough that the
+    # exchange is noise.
+    survivors = survivors.repartition(spark.sparkContext.defaultParallelism)
+    # The expensive exact-Jaccard verify (array intersect over ~60-shingle
+    # sets) touches hamming survivors only; the shingle projection is
+    # evaluated twice but each join streams survivors against it (Catalyst
+    # broadcasts the 5k-row shingle side here; at corpus scale it would
+    # shuffle-join -- no hardcoded hint).
+    sh = d.select(
+        "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
     )
-    cand = SIM.simhash_band_pairs(base.select("doc_id", "sketch"))
-    # staged verify: the cheap hamming filter runs on candidates joined to
-    # SKETCHES ONLY; the expensive exact-Jaccard (array intersect over
-    # ~60-shingle sets) touches hamming survivors, not every band candidate
-    sk_a = base.select(F.col("doc_id").alias("id_a"), F.col("sketch").alias("sk_a"))
-    sk_b = base.select(F.col("doc_id").alias("id_b"), F.col("sketch").alias("sk_b"))
-    survivors = (
-        cand.join(sk_a, "id_a")
-        .join(sk_b, "id_b")
-        .withColumn("hamming", SIM.hamming(F.col("sk_a"), F.col("sk_b")))
-        .filter(F.col("hamming") <= SIM.SIMHASH_RADIUS)
-        .select("id_a", "id_b", "hamming")
-    )
-    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         survivors.join(sh_a, "id_a")
         .join(sh_b, "id_b")
