@@ -150,6 +150,14 @@ def rolling_hash_sql(text_sql: str = "text") -> str:
 #: construction widens further (md5 gives up to 128 bits).
 SIMHASH_BITS = 16
 
+#: Hard per-document token cap of the packed-counter fast path
+#: (:func:`with_simhash`).  A vote counter lives in a 16-bit field, but the
+#: binding limit is signed-long packing: the top field is shifted 48 bits,
+#: so counts must stay <= 2^15 - 1 for the packed accumulator to fit in
+#: int64 (n * (2^48 + 2^32 + 2^16 + 1) < 2^63).  Enforced at runtime with
+#: a loud error; chunk longer documents upstream.
+SIMHASH_MAX_TOKENS = 32767
+
 
 def token_hashes(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """``bits``-wide token hashes (md5 hex prefix), the SimHash vote inputs.
@@ -206,10 +214,16 @@ def with_simhash(df, text_col: str, out_col: str, bits: int = SIMHASH_BITS):
     expensive fold in its own projection, computed once, instead of
     inlining it into every per-bit reference (verified in the plan).
 
-    Limits: 16-bit counters cap documents at 65535 tokens (fixture max 99;
-    chunk longer documents).  Equality with the naive spec is pinned by
-    tests; the DuckDB oracles keep the naive per-bit ``list_sum`` form --
-    the values are identical integers either way.
+    Limits: documents are capped at SIMHASH_MAX_TOKENS = 32767 (fixture max
+    99; chunk longer documents).  The binding constraint is not the 16-bit
+    field width but the SIGNED-LONG packing: the top sub-counter is shifted
+    48 bits, so a count of 2^15 already pushes the packed accumulator past
+    2^63 (ANSI mode then kills the fold with a cryptic ARITHMETIC_OVERFLOW;
+    non-ANSI would silently corrupt).  The cap is ENFORCED before the fold
+    runs: an oversized document raises a loud, actionable error.  Equality
+    with the naive spec is pinned by tests; the DuckDB oracles keep the
+    naive per-bit ``list_sum`` form -- the values are identical integers
+    either way.
     """
     from functools import reduce
 
@@ -233,9 +247,24 @@ def with_simhash(df, text_col: str, out_col: str, bits: int = SIMHASH_BITS):
         ),
     )
     tmp_packed, tmp_n = f"__{out_col}_packed", f"__{out_col}_n"
-    df = df.withColumn(tmp_packed, packed).withColumn(
-        tmp_n, F.size(tokens(F.col(text_col))).cast("long")
+    # The guard must run BEFORE the fold (the overflow happens inside the
+    # fold's accumulator, not at unpack time), so the fold is the lazy
+    # branch of a per-row conditional on the token count: assert_true
+    # returns NULL on success and raises otherwise.
+    guard = F.assert_true(
+        F.col(tmp_n) <= F.lit(SIMHASH_MAX_TOKENS),
+        F.concat(
+            F.lit(
+                "simhash packed vote counters overflow past "
+                f"{SIMHASH_MAX_TOKENS} tokens (got "
+            ),
+            F.col(tmp_n).cast("string"),
+            F.lit(f" in column {text_col!r}); chunk the document first"),
+        ),
     )
+    df = df.withColumn(
+        tmp_n, F.size(tokens(F.col(text_col))).cast("long")
+    ).withColumn(tmp_packed, F.when(guard.isNull(), packed))
     terms = []
     for j in range(bits):
         k, b = divmod(j, 4)

@@ -147,6 +147,39 @@ def test_with_simhash_equals_naive_spec(spark, sf_dir):
         assert n_diff == 0, f"bits={bits}: {n_diff} docs diverge from spec"
 
 
+def test_with_simhash_token_cap_is_enforced(spark):
+    """The packed-counter accumulator overflows signed int64 once a
+    document exceeds SIMHASH_MAX_TOKENS (the top 16-bit field is shifted
+    48 bits, so counts must stay <= 2^15-1); the guard must make that a
+    LOUD, actionable error BEFORE the fold runs -- without it, ANSI mode
+    dies mid-fold with a cryptic ARITHMETIC_OVERFLOW (observed) and
+    non-ANSI would silently corrupt the sketch.  Boundary: exactly
+    SIMHASH_MAX_TOKENS computes a sketch equal to the naive spec; one more
+    token raises with a chunking hint."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import text as TX
+
+    cap = TX.SIMHASH_MAX_TOKENS
+    ok = spark.sql(
+        f"SELECT 1 AS doc_id, concat('t0', repeat(' x', {cap - 1})) AS text"
+    )
+    row = (
+        TX.with_simhash(ok, "text", "sketch", 16)
+        .withColumn("naive", TX.simhash(F.col("text"), 16))
+        .select("sketch", "naive")
+        .first()
+    )
+    assert row.sketch is not None and row.sketch == row.naive  # exact at cap
+
+    over = spark.sql(
+        f"SELECT 1 AS doc_id, concat('t0', repeat(' x', {cap})) AS text"
+    )
+    with pytest.raises(Exception, match=f"{cap} tokens"):
+        TX.with_simhash(over, "text", "sketch", 16).select("sketch").first()
+
+
 def test_arrow_topk_matches_fold_topk(spark, sf_dir):
     """The BLAS/Arrow brute-force path must return the SAME neighbor sets
     as the fold-based exact baseline (values may differ in the last ulp --
