@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 THRESHOLD = 1.5
@@ -25,11 +26,26 @@ MIN_SECONDS = 0.3
 
 
 def load_run(path: str) -> tuple[dict[str, float], int]:
-    """(per-query timings, timing repeats) from a bench.py output file."""
+    """(per-query timings, timing repeats) from a bench.py output file.
+
+    Accepts three shapes: a raw ``bench.py`` JSON line, the driver's
+    ``BENCH_r{N}.json`` with the line under ``parsed``, and the driver
+    file when ``parsed`` is null but the head-truncated ``tail`` string
+    still contains the flat ``"queries": {...}`` object (the r03/r04
+    files are exactly this: the driver keeps only the last N chars of
+    stdout, cutting the ``{"metric"`` prefix so its own parse fails)."""
     with open(path) as f:
         obj = json.load(f)
     if "parsed" in obj and isinstance(obj["parsed"], dict):
         obj = obj["parsed"]
+    if "queries" not in obj and isinstance(obj.get("tail"), str):
+        m = re.search(r'"queries": (\{[^{}]*\})', obj["tail"])
+        r = re.search(r'"repeats": (\d+)', obj["tail"])
+        if m:
+            obj = {
+                "queries": json.loads(m.group(1)),
+                "repeats": int(r.group(1)) if r else 1,
+            }
     if "queries" not in obj:
         raise SystemExit(f"{path}: no 'queries' key (unparsed bench round?)")
     return dict(obj["queries"]), int(obj.get("repeats", 1))
