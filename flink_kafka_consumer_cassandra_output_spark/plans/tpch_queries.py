@@ -347,35 +347,80 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: approx_percentile accuracy knob and the quantiles checked.
+_QUANTILE_ACCURACY = 10000
+_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
 @register(
     "approx_quantiles_price",
-    oracle=None,  # quantile-sketch values are engine-specific; rows-only gate.
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+FROM orders
+GROUP BY o_orderstatus
+""",
     doc="approx_percentile (quantile sketch) of order prices per status -- "
         "the sketch path for percentiles at cardinalities where an exact "
-        "sort is wasteful; rank error vs DuckDB's exact quantile_cont is "
-        "pinned by tests/test_approx.py (no bit-compatible sketch exists in "
-        "DuckDB, so this entry is rows-only by design, like the HLL entry).  "
-        "The four quantiles are projected to SCALAR double columns: the "
-        "round-3 array<double> form crashed the driver's canonicalizer "
-        "('unhashable type: list'), and tests/test_registry_lint.py now "
-        "bans non-scalar output columns registry-wide",
+        "sort is wasteful.  Sketch VALUES are engine-specific (no "
+        "bit-compatible sketch exists in DuckDB), so the hash-matched "
+        "contract is the sketch's accuracy GUARANTEE instead: for each "
+        "quantile q, the engine re-derives the returned element's exact "
+        "rank interval [count(<v)+1, count(<=v)] in a second pass over "
+        "orders and asserts it intersects [q*n - eps*n - 1, q*n + eps*n "
+        "+ 1] (eps = 1/accuracy), emitting the verdict as a boolean "
+        "column; the oracle computes the exact group keys/counts and "
+        "asserts TRUE.  A sketch outside its error bound flips a boolean "
+        "and fails the driver's value hash.  Raw sketch values stay "
+        "pinned by tests/test_approx.py's rank-error test.  Scale: one "
+        "sketch aggregation + one broadcast-join counting pass, both "
+        "shuffle-on-status",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     agg = o.groupBy("o_orderstatus").agg(
         F.percentile_approx(
-            "o_totalprice", [0.25, 0.5, 0.75, 0.9], 10000
+            "o_totalprice", list(_QUANTILES), _QUANTILE_ACCURACY
         ).alias("q"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    return agg.select(
-        "o_orderstatus",
-        F.element_at("q", 1).alias("price_p25"),
-        F.element_at("q", 2).alias("price_p50"),
-        F.element_at("q", 3).alias("price_p75"),
-        F.element_at("q", 4).alias("price_p90"),
-        "n_orders",
-    )
+    return quantile_rank_certificate(o, agg)
+
+
+def quantile_rank_certificate(o: DataFrame, agg: DataFrame) -> DataFrame:
+    """Boolean rank-error certificate for a per-status quantile sketch.
+
+    ``agg`` carries (o_orderstatus, q: array of len(_QUANTILES) sketch
+    values, n_orders); the returned frame re-derives each value's exact
+    rank interval from ``o`` and asserts the sketch's accuracy guarantee.
+    Split out so tests can feed a deliberately broken sketch and watch the
+    booleans flip (the certificate must be falsifiable, or the oracle's
+    TRUE columns prove nothing)."""
+    j = o.join(F.broadcast(agg), "o_orderstatus")
+    cnt_cols = []
+    for i in range(len(_QUANTILES)):
+        v = F.element_at("q", i + 1)
+        cnt_cols.append(
+            F.sum(F.when(F.col("o_totalprice") < v, 1).otherwise(0)).alias(f"lt{i}")
+        )
+        cnt_cols.append(
+            F.sum(F.when(F.col("o_totalprice") <= v, 1).otherwise(0)).alias(f"le{i}")
+        )
+    chk = j.groupBy("o_orderstatus", "n_orders").agg(*cnt_cols)
+    eps = 1.0 / _QUANTILE_ACCURACY
+    n = F.col("n_orders").cast("double")
+    oks = []
+    for i, (q, name) in enumerate(zip(_QUANTILES, ("p25", "p50", "p75", "p90"))):
+        slack = eps * n + F.lit(1.0)  # +1 absorbs rank-rounding conventions
+        lo, hi = F.lit(q) * n - slack, F.lit(q) * n + slack
+        oks.append(
+            (
+                (F.col(f"lt{i}").cast("double") + F.lit(1.0) <= hi)
+                & (F.col(f"le{i}").cast("double") >= lo)
+            ).alias(f"{name}_ok")
+        )
+    return chk.select("o_orderstatus", "n_orders", *oks)
 
 
 @register(

@@ -30,14 +30,28 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         assert rel_err < 0.10, f"{flag}: approx {approx[flag]} vs exact {n} ({rel_err:.1%})"
 
 
+def _raw_quantiles(spark, sf_dir):
+    """The raw sketch values (the registered query now emits the boolean
+    rank certificate instead; the values themselves are pinned here)."""
+    from flink_kafka_consumer_cassandra_output_spark.plans.tpch_queries import (
+        _QUANTILE_ACCURACY,
+        _QUANTILES,
+    )
+
+    return tables.load(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", list(_QUANTILES), _QUANTILE_ACCURACY
+        ).alias("q")
+    )
+
+
 def test_approx_quantiles_within_rank_error(spark, sf_dir):
     """percentile_approx with accuracy=10000 guarantees rank error <= 1/10000;
     the VALUE check here uses the exact quantiles one rank-percent either
     side as brackets -- a bound that holds for any sketch meeting its rank
     guarantee, not a tuned tolerance."""
     approx = {
-        r.o_orderstatus: [r.price_p25, r.price_p50, r.price_p75, r.price_p90]
-        for r in all_specs()["approx_quantiles_price"].builder(spark, sf_dir).collect()
+        r.o_orderstatus: list(r.q) for r in _raw_quantiles(spark, sf_dir).collect()
     }
     ps = [0.25, 0.5, 0.75, 0.9]
     con = duck_connection(sf_dir)
@@ -61,3 +75,31 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             assert lo <= v <= hi, (
                 f"{status} p{ps[i]}: approx {v} outside exact bracket [{lo}, {hi}]"
             )
+
+
+def test_quantile_rank_certificate_is_falsifiable(spark, sf_dir):
+    """The driver-checked entry asserts TRUE booleans; that only means
+    something if a broken sketch flips them.  Feed the certificate a
+    'sketch' whose p25 slot holds the maximum price: every _ok column for
+    that slot must come back False while the honest slots stay True."""
+    from flink_kafka_consumer_cassandra_output_spark.plans.tpch_queries import (
+        quantile_rank_certificate,
+    )
+
+    o = tables.load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    bad = o.groupBy("o_orderstatus").agg(
+        F.array(
+            F.max("o_totalprice"),  # p25 slot: grossly wrong
+            F.percentile_approx("o_totalprice", 0.5, 10000),
+            F.percentile_approx("o_totalprice", 0.75, 10000),
+            F.percentile_approx("o_totalprice", 0.9, 10000),
+        ).alias("q"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rows = quantile_rank_certificate(o, bad).collect()
+    assert rows, "certificate produced no rows"
+    for r in rows:
+        assert r.p25_ok is False, f"{r.o_orderstatus}: broken p25 passed"
+        assert r.p50_ok and r.p75_ok and r.p90_ok, (
+            f"{r.o_orderstatus}: honest slots failed"
+        )
