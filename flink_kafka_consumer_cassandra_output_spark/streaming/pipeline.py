@@ -376,3 +376,164 @@ def run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# North-star x streaming: incremental curation funnel
+# --------------------------------------------------------------------------
+
+#: Schema of the document stream (the documents fixture shape; streaming
+#: file sources require a declared schema).
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Documents arriving as files: the streaming twin of the corpus scan."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    reader = reader.option("pathGlobFilter", "*.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def run_curation_funnel_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    counts_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental streaming run of the batch ``doc_curation_funnel``:
+    quality filter -> cross-batch exact dedup -> cross-batch LSH near-dedup,
+    with per-micro-batch stage counters.
+
+    Convergence contract (tested): when documents arrive in ``doc_id``
+    order, the accumulated state after the stream drains is EXACTLY the
+    batch funnel's verdict on the full corpus --
+
+    - exact dedup keeps the first-arriving fingerprint, which is the
+      batch rule's ``min(doc_id)`` holder;
+    - near-dedup candidates are generated per batch between the new
+      exact-kept docs and ALL previously kept exact-survivors (including
+      near-dropped ones: the batch rule drops the higher id of a pair
+      regardless of whether the lower id itself was dropped), plus
+      within-batch pairs.  Every unordered pair (a < b) is examined in
+      exactly the batch where ``b`` arrives, so the union over batches is
+      the batch candidate set and the dropped sets coincide.
+
+    State model: ``state_dir`` is the exact-survivor table (doc_id, fp,
+    sh, dropped), appended per batch under a ``_batch_id`` partition with
+    dynamic overwrite (same replay idempotence as
+    :func:`run_dual_sink_stream`); ``counts_dir`` records (batch_id,
+    stage0_raw, stage1_quality) the same way.  Stage-2/3 counts are reads
+    over the state table.  Scale posture: per batch, the LSH band join is
+    new-docs x accumulated-band-table -- the band table is re-derived from
+    state shingles here (fixture-sized corpora); a production deployment
+    materializes the banded table once and appends to it, keeping the per
+    batch cost |new| x bucket width, never corpus x corpus.
+    """
+    from ..functions import text as TX
+    from ..operators import similarity as SIM
+
+    docs = stream_documents(spark, input_dir)
+
+    def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select("doc_id", "text").persist()
+        try:
+            scored = batch_df.select(
+                "doc_id", "text", TX.quality_score(F.col("text")).alias("quality")
+            )
+            q_pass = scored.filter(F.col("quality") >= 1.0)
+            stage0 = batch_df.count()
+            stage1 = q_pass.count()
+
+            try:
+                state = spark.read.parquet(state_dir).select(
+                    "doc_id", "fp", "sh", "dropped"
+                )
+            except Exception:  # first batch: no state yet
+                state = None
+
+            batch_exact = (
+                q_pass.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .join(batch_df, "doc_id")
+            )
+            if state is not None:
+                batch_exact = batch_exact.join(
+                    state.select("fp"), "fp", "left_anti"
+                )
+            new = batch_exact.select(
+                "doc_id",
+                "fp",
+                F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
+            ).persist()
+
+            pool = new.select("doc_id", "sh")
+            if state is not None:
+                pool = state.select("doc_id", "sh").unionByName(pool)
+            sigs = pool.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+            cand = SIM.lsh_candidate_pairs(sigs).join(
+                new.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+            )
+            sh_a = pool.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+            sh_b = pool.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+            dropped_new = (
+                cand.join(sh_a, "id_a")
+                .join(sh_b, "id_b")
+                .filter(SIM.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+                .withColumn("is_dropped", F.lit(True))
+            )
+            out = (
+                new.join(dropped_new, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "fp",
+                    "sh",
+                    F.coalesce(F.col("is_dropped"), F.lit(False)).alias("dropped"),
+                )
+                .withColumn("_batch_id", F.lit(batch_id))
+            )
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(state_dir)
+            )
+            (
+                spark.range(1)
+                .select(
+                    F.lit(batch_id).alias("batch_id"),
+                    F.lit(stage0).cast("long").alias("stage0_raw"),
+                    F.lit(stage1).cast("long").alias("stage1_quality"),
+                    F.lit(batch_id).alias("_batch_id"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(counts_dir)
+            )
+            new.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(curate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("curation_funnel_stream")
+        .trigger(availableNow=True)
+        .start()
+    )

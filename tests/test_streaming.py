@@ -272,3 +272,64 @@ def test_windowed_stream_with_watermark(spark, sf_dir, event_chunks, tmp_path):
     batch_counts = {(r.window_start, r.event_type): r.n_events for r in batch}
     for key, n in emitted.items():
         assert batch_counts[key] == n, f"window {key}: stream {n} != batch {batch_counts[key]}"
+
+
+@pytest.fixture(scope="module")
+def doc_chunks(sf_dir):
+    """The documents fixture as N_CHUNKS doc_id-ordered arrow tables --
+    arrival order == id order, the precondition for the incremental
+    funnel's convergence contract (first-arriving fingerprint == the batch
+    rule's min(doc_id) holder)."""
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).arrow()
+    finally:
+        con.close()
+    n = tbl.num_rows
+    step = (n + N_CHUNKS - 1) // N_CHUNKS
+    return [tbl.slice(i * step, step) for i in range(N_CHUNKS)]
+
+
+def test_curation_funnel_stream_converges_to_batch_truth(
+    spark, sf_dir, doc_chunks, tmp_path
+):
+    """The streaming x north-star loop: an incremental foreachBatch run of
+    the curation funnel (quality -> exact dedup -> LSH near-dedup, state
+    accumulated across micro-batches AND across a restart) must converge to
+    the batch doc_curation_funnel's per-stage counts exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir, state, counts, cp = (
+        tmp_path / "in",
+        tmp_path / "state",
+        tmp_path / "counts",
+        tmp_path / "cp",
+    )
+    input_dir.mkdir()
+
+    # phase 1: first half of the corpus, one file per micro-batch
+    _drop(doc_chunks, input_dir, 0, 2)
+    _run(sp.run_curation_funnel_stream(spark, str(input_dir), str(state), str(counts), str(cp)))
+    # phase 2: rest arrives after a restart from the checkpoint
+    _drop(doc_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_curation_funnel_stream(spark, str(input_dir), str(state), str(counts), str(cp)))
+
+    st = spark.read.parquet(str(state))
+    ct = spark.read.parquet(str(counts))
+    got = {
+        "stage0_raw": ct.agg(F.sum("stage0_raw")).first()[0],
+        "stage1_quality": ct.agg(F.sum("stage1_quality")).first()[0],
+        "stage2_exact_dedup": st.count(),
+        "stage3_near_dedup": st.filter(~F.col("dropped")).count(),
+    }
+    expect = {
+        r.stage: r.n_docs
+        for r in all_specs()["doc_curation_funnel"].builder(spark, sf_dir).collect()
+    }
+    assert got == expect, f"stream {got} != batch {expect}"
+    # the per-doc verdicts, not just the counts: state ids must be unique
+    assert st.select("doc_id").distinct().count() == st.count()
