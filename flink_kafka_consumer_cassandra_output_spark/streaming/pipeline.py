@@ -457,11 +457,16 @@ def run_curation_funnel_stream(
             stage0 = batch_df.count()
             stage1 = q_pass.count()
 
+            from pyspark.errors import AnalysisException
+
             try:
                 state = spark.read.parquet(state_dir).select(
                     "doc_id", "fp", "sh", "dropped"
                 )
-            except Exception:  # first batch: no state yet
+            except AnalysisException:  # first batch: state path not created yet
+                # Only PATH_NOT_FOUND is expected here; a corrupt or
+                # unreadable state table must NOT silently restart dedup
+                # from scratch (that would re-admit every past duplicate).
                 state = None
 
             batch_exact = (
