@@ -49,15 +49,26 @@ def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
 
     ``shingles`` must be a deduplicated array<string> column.  Returns
     array<string> of length ``num_hashes``.
+
+    The seed is bound via a closure FACTORY, never a second lambda
+    parameter: PySpark treats a two-parameter ``transform`` lambda as
+    ``(element, index)`` and silently overrides a ``i=i`` default with the
+    index Column, whose repr then lands in the f-string prefix -- turning
+    the hash into a per-plan random salt (consistent within one query, so
+    single-plan banding and even the cross-engine pair oracle still
+    passed; any MATERIALIZED signature compared across plans broke).
+    Found when the streaming funnel's stored band index missed every
+    cross-batch candidate; pinned by the known-answer test in
+    tests/test_similarity.py.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+
+    def h(i: int) -> Column:
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[h(i) for i in range(num_hashes)])
 
 
 def band_value(sig: Column, band_id: int, rows_per_band: int) -> Column:
@@ -66,6 +77,50 @@ def band_value(sig: Column, band_id: int, rows_per_band: int) -> Column:
         sig[band_id * rows_per_band + j] for j in range(rows_per_band)
     ]
     return F.concat_ws("#", *parts)
+
+
+def lsh_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """The banded (exploded) form of a signature frame: one row per
+    (document, band) with columns (id_col, band_id, band_val).  This is
+    the MATERIALIZABLE representation of an LSH index -- an incremental
+    pipeline appends new documents' band rows to a stored table and joins
+    arrivals against it instead of re-deriving signatures for the whole
+    corpus (see streaming.pipeline.run_curation_funnel_stream)."""
+    r = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[band_value(F.col(sig_col), b, r) for b in range(bands)])
+        ).alias("band_id", "band_val"),
+    )
+
+
+def banded_pairs(
+    banded_a: DataFrame, banded_b: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing a band between two banded
+    frames (the (band_id, band_val) equi-join that IS the LSH bucketing;
+    no similarity is computed here).  Pass the same frame twice for the
+    classic self-join; pass (corpus, new-arrivals) for the incremental
+    form -- with monotone ids, ``id_a < id_b`` then yields exactly the
+    pairs whose HIGHER id is a new arrival."""
+    a, b = banded_a.alias("a"), banded_b.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(
@@ -78,27 +133,10 @@ def lsh_candidate_pairs(
     """Distinct candidate pairs (id_a < id_b) agreeing on >= 1 LSH band.
 
     Input: one row per document with an ``array<string>`` signature.
-    The band explode + self-equi-join on (band_id, band_value) is the
-    LSH bucketing; no similarity is computed here.
+    Composition of :func:`lsh_bands` and :func:`banded_pairs`.
     """
-    r = num_hashes // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[band_value(F.col(sig_col), b, r) for b in range(bands)])
-        ).alias("band_id", "band_val"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    banded = lsh_bands(sigs, id_col, sig_col, num_hashes, bands)
+    return banded_pairs(banded, banded, id_col)
 
 
 #: SimHash near-dup configuration: a 32-bit sketch cut into 5 bands

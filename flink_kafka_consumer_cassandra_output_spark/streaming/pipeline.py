@@ -412,6 +412,7 @@ def run_curation_funnel_stream(
     state_dir: str,
     counts_dir: str,
     checkpoint_dir: str,
+    bands_dir: str | None = None,
 ) -> StreamingQuery:
     """Incremental streaming run of the batch ``doc_curation_funnel``:
     quality filter -> cross-batch exact dedup -> cross-batch LSH near-dedup,
@@ -432,22 +433,44 @@ def run_curation_funnel_stream(
       the batch candidate set and the dropped sets coincide.
 
     State model: ``state_dir`` is the exact-survivor table (doc_id, fp,
-    sh, dropped), appended per batch under a ``_batch_id`` partition with
-    dynamic overwrite (same replay idempotence as
-    :func:`run_dual_sink_stream`); ``counts_dir`` records (batch_id,
-    stage0_raw, stage1_quality) the same way.  Stage-2/3 counts are reads
-    over the state table.  Scale posture: per batch, the LSH band join is
-    new-docs x accumulated-band-table -- the band table is re-derived from
-    state shingles here (fixture-sized corpora); a production deployment
-    materializes the banded table once and appends to it, keeping the per
-    batch cost |new| x bucket width, never corpus x corpus.
+    sh, dropped) and ``bands_dir`` (default: ``state_dir + "_bands"``) is
+    the MATERIALIZED LSH index -- each doc's (band_id, band_val) rows,
+    written once on arrival, so a batch joins its new docs' bands against
+    the stored index instead of re-deriving signatures for the whole
+    accumulated corpus: per-batch cost stays |new| x bucket width, never
+    corpus x corpus.  ``counts_dir`` records (batch_id, stage0_raw,
+    stage1_quality).  Stage-2/3 counts are reads over the state table.
+
+    All three tables land under a ``_batch_id`` partition with dynamic
+    overwrite, and every state/index READ filters ``_batch_id <
+    batch_id``: a replayed batch therefore sees exactly the pre-batch
+    state (not its own half-committed output -- without the filter a
+    replay would anti-join its docs against themselves and overwrite its
+    partition with an EMPTY one) and replaces its partitions
+    deterministically.
     """
+    from pyspark.errors import AnalysisException
+
     from ..functions import text as TX
     from ..operators import similarity as SIM
 
     docs = stream_documents(spark, input_dir)
+    bands_path = bands_dir if bands_dir is not None else state_dir + "_bands"
 
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def read_committed(path: str, cols: list[str]) -> DataFrame | None:
+            """Pre-batch state: earlier batches only.  Filtering out this
+            batch's own _batch_id keeps a REPLAYED batch from anti-joining
+            its docs against its own half-committed output (which would
+            overwrite its partition with an empty one).  Only
+            path-not-found initializes empty state -- a corrupt table must
+            not silently restart dedup from scratch."""
+            try:
+                df = spark.read.parquet(path)
+            except AnalysisException:
+                return None
+            return df.filter(F.col("_batch_id") < batch_id).select(*cols)
+
         batch_df = batch_df.select("doc_id", "text").persist()
         try:
             scored = batch_df.select(
@@ -457,17 +480,7 @@ def run_curation_funnel_stream(
             stage0 = batch_df.count()
             stage1 = q_pass.count()
 
-            from pyspark.errors import AnalysisException
-
-            try:
-                state = spark.read.parquet(state_dir).select(
-                    "doc_id", "fp", "sh", "dropped"
-                )
-            except AnalysisException:  # first batch: state path not created yet
-                # Only PATH_NOT_FOUND is expected here; a corrupt or
-                # unreadable state table must NOT silently restart dedup
-                # from scratch (that would re-admit every past duplicate).
-                state = None
+            state = read_committed(state_dir, ["doc_id", "fp", "sh", "dropped"])
 
             batch_exact = (
                 q_pass.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
@@ -484,13 +497,28 @@ def run_curation_funnel_stream(
                 F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
             ).persist()
 
+            # Candidate generation against the MATERIALIZED band index:
+            # only the new docs are signed/banded; stored docs contribute
+            # their band rows as written on their own arrival.
+            new_banded = SIM.lsh_bands(
+                new.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+            ).persist()
+            stored_bands = read_committed(
+                bands_path, ["doc_id", "band_id", "band_val"]
+            )
+            all_banded = (
+                new_banded
+                if stored_bands is None
+                else stored_bands.unionByName(new_banded)
+            )
+            # id_a < id_b with id-ordered arrival => the higher id of every
+            # pair is a new arrival, so (all x new) covers cross-batch and
+            # within-batch pairs in one join.
+            cand = SIM.banded_pairs(all_banded, new_banded)
+
             pool = new.select("doc_id", "sh")
             if state is not None:
                 pool = state.select("doc_id", "sh").unionByName(pool)
-            sigs = pool.withColumn("sig", SIM.minhash_signature(F.col("sh")))
-            cand = SIM.lsh_candidate_pairs(sigs).join(
-                new.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
-            )
             sh_a = pool.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
             sh_b = pool.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
             dropped_new = (
@@ -518,6 +546,13 @@ def run_curation_funnel_stream(
                 .parquet(state_dir)
             )
             (
+                new_banded.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(bands_path)
+            )
+            (
                 spark.range(1)
                 .select(
                     F.lit(batch_id).alias("batch_id"),
@@ -530,6 +565,7 @@ def run_curation_funnel_stream(
                 .partitionBy("_batch_id")
                 .parquet(counts_dir)
             )
+            new_banded.unpersist()
             new.unpersist()
         finally:
             batch_df.unpersist()

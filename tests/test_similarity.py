@@ -147,6 +147,38 @@ def test_with_simhash_equals_naive_spec(spark, sf_dir):
         assert n_diff == 0, f"bits={bits}: {n_diff} docs diverge from spec"
 
 
+def test_minhash_signature_known_answer(spark):
+    """The signature must be EXACTLY min_s md5(f'{seed}|' + s) -- the spec
+    the DuckDB oracle implements.  Pinned against a pure-Python reference
+    on a literal row, twice: the second plan must produce the SAME bytes
+    (regression for the two-parameter-lambda bug, where PySpark injected
+    the array index over the seed default and the hash prefix embedded a
+    per-plan Column repr -- deterministic within a plan, random across
+    plans, invisible to single-plan banding and to the pair-level oracle)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        NUM_HASHES,
+        minhash_signature,
+    )
+
+    shingles = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
+    expect = [
+        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles)
+        for i in range(NUM_HASHES)
+    ]
+    df = spark.sql(
+        "SELECT array('alpha beta gamma', 'beta gamma delta', "
+        "'gamma delta epsilon') AS sh"
+    )
+    got1 = df.select(minhash_signature(F.col("sh")).alias("sig")).first().sig
+    got2 = df.select(minhash_signature(F.col("sh")).alias("sig")).first().sig
+    assert list(got1) == expect, f"signature != md5 spec: {got1[:2]} vs {expect[:2]}"
+    assert list(got2) == expect  # cross-plan determinism
+
+
 def test_with_simhash_token_cap_is_enforced(spark):
     """The packed-counter accumulator overflows signed int64 once a
     document exceeds SIMHASH_MAX_TOKENS (the top 16-bit field is shifted

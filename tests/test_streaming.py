@@ -333,3 +333,10 @@ def test_curation_funnel_stream_converges_to_batch_truth(
     assert got == expect, f"stream {got} != batch {expect}"
     # the per-doc verdicts, not just the counts: state ids must be unique
     assert st.select("doc_id").distinct().count() == st.count()
+    # the materialized LSH index stays consistent with the survivor table:
+    # every exact-kept doc contributed exactly BANDS band rows on arrival
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import BANDS
+
+    bands = spark.read.parquet(str(state) + "_bands")
+    assert bands.count() == BANDS * st.count()
+    assert bands.select("doc_id").distinct().count() == st.count()
