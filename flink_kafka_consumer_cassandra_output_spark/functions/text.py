@@ -307,11 +307,18 @@ def simhash16_sql(hs_sql: str = "hs") -> str:
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (basis for MinHash/Jaccard).
 
-    Pure array expression: ``transform(sequence(0, size-n), i -> slice..)``
-    -- per-row, no explode, no shuffle."""
+    Pure array expression, per-row, no explode, no shuffle: ``arrays_zip``
+    of n shifted ``slice`` views of the token array, then one concat per
+    shingle.  The zip shape matters: higher-order lambdas are interpreted
+    (not codegen), and any expression referenced INSIDE the lambda is
+    re-evaluated per element -- the previous ``element_at(tokens(col), ..)``
+    form re-split the text 3x per shingle, O(tokens^2) per row (measured
+    7.7x slower at sf0.1).  Here ``tokens(col)`` appears only OUTSIDE the
+    lambda, so the split is evaluated O(n) times per row."""
     w = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(w, j + 1, m).alias(f"w{j}") for j in range(n)])
     return F.when(
         F.size(w) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])),
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])),
     ).otherwise(F.array(F.concat_ws(" ", w)))

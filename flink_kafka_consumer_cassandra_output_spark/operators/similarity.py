@@ -239,6 +239,125 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Set-similarity join (prefix filtering) and dedup clustering
+# --------------------------------------------------------------------------
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs for Jaccard >= ``threshold`` via prefix filtering
+    (the AllPairs/PPJoin family) -- EXACT recall, unlike the MinHash/SimHash
+    sketch paths: if two sets have Jaccard >= t, the pair is guaranteed to
+    be emitted.
+
+    Order each set's tokens by ascending global frequency (rarest first,
+    token string as tiebreak) and keep only the first
+    ``|s| - ceil(t*|s|) + 1`` tokens (the prefix).  Two sets with
+    Jaccard >= t must overlap in >= ceil(t/(1+t) * (|a|+|b|)) tokens, which
+    pigeonholes at least one shared token into both prefixes -- so the
+    prefix-token equi-join loses nothing.  A length filter
+    (t * |larger| <= |smaller|, integer-exact at t=0.5) prunes the rest.
+
+    Scale posture: the frequency table is a token-keyed dimension (one
+    shuffle agg), the prefix join is an equi-join on token -- never
+    all-pairs -- and it is naturally skew-resistant: the highest-frequency
+    tokens (the skewed join keys) are exactly the ones rarest-first
+    ordering pushes OUT of every prefix.
+
+    Returns distinct (id_a, id_b) with id_a < id_b, candidates only --
+    callers verify with :func:`jaccard`.
+    """
+    tok = docs.select(
+        F.col(id_col), F.size(sh_col).alias("sz"), F.explode(sh_col).alias("s")
+    )
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    plen = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + F.lit(1)
+    )
+    prefix = (
+        tok.join(freq, "s")
+        .groupBy(id_col, "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            F.col("sz"),
+            F.explode(
+                F.slice(F.transform("ord", lambda x: x["s"]), F.lit(1), plen)
+            ).alias("s"),
+        )
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components by min-label propagation: every vertex converges
+    to the minimum vertex id reachable from it.
+
+    ``nodes``: one column ``v``; ``edges``: columns ``(a, b)``, one row per
+    undirected edge (either orientation).  Returns (v, lbl).
+
+    Each iteration is one equi-join (labels onto edge endpoints) plus one
+    min-aggregate, materialized via persist so iteration N+1 reads N's
+    result, not the whole lineage; convergence is an exact changed-count
+    check, so the loop runs O(component diameter) rounds -- dedup-cluster
+    graphs are near-cliques (diameter ~1-2), not chains.  At real scale the
+    same loop holds; the known remedy for adversarial long-chain graphs is
+    large-star/small-star relabeling, which this deliberately omits.
+    Raises after ``max_iters`` instead of silently returning a
+    half-converged labeling.
+    """
+    # The edge lineage is typically the expensive part (a whole
+    # candidate+verify pipeline); persist it once or every iteration's
+    # join replays it from the scan.
+    und = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = nodes.select(F.col("v"), F.col("v").alias("lbl")).persist()
+    # Labels only ever DECREASE (min-propagation), so sum(lbl) strictly
+    # decreases iff any label changed -- one agg over the cached frame is
+    # the whole convergence check, no label-vs-label join needed.
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iters):
+        prop = und.join(
+            labels.select(F.col("v").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("v"), "lbl")
+        new_labels = (
+            labels.unionByName(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            und.unpersist()
+            return labels
+        prev_sum = new_sum
+    und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding similarity
 # --------------------------------------------------------------------------
 

@@ -382,6 +382,155 @@ def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared non-recursive CTE chain: prefix-filter candidate generation
+#: (rarest-first token ordering, prefix length |s| - ceil(t|s|) + 1, length
+#: filter) then exact-Jaccard >= 0.5 verify.  Mirrors
+#: operators/similarity.prefix_filter_pairs exactly: same ordering key
+#: (df, token), same integer-exact prefix length, same threshold.
+_PREFIX_FILTER_CTES = f"""docs AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+tok AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM docs
+),
+freq AS (
+  SELECT s, COUNT(*) AS df FROM tok GROUP BY s
+),
+ranked AS (
+  SELECT t.doc_id, t.sz, t.s,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.s) AS rn
+  FROM tok t JOIN freq f USING (s)
+),
+pfx AS (
+  SELECT doc_id, sz, s FROM ranked
+  WHERE rn <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND least(a.sz, b.sz) >= greatest(a.sz, b.sz) * 0.5
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT c.id_a, c.id_b, {_JACCARD_SQL} AS jaccard
+    FROM cand c
+    JOIN docs x ON x.doc_id = c.id_a
+    JOIN docs y ON y.doc_id = c.id_b
+  ) WHERE jaccard >= 0.5
+)"""
+
+
+def _jaccard_verified_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(id_a, id_b, jaccard) pairs with exact Jaccard >= 0.5, candidates
+    from the lossless prefix filter -- shared by doc_near_dup_jaccard and
+    doc_dedup_clusters.  ``docs``: (doc_id, sh).
+
+    The candidate set is repartitioned before the verify for the same
+    reason as doc_near_dup_simhash: narrow (id, id) rows get AQE-coalesced
+    to ~1 partition and the array-intersect verify would run
+    single-threaded."""
+    cand = SIM.prefix_filter_pairs(docs, threshold=0.5).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    x = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select("id_a", "id_b", SIM.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with the scan repartitioned first: the fixture table is
+    ONE parquet file, so without the explicit exchange the whole shingle
+    projection -- the expensive part -- runs on a single core.  At real
+    scale the scan has file-level parallelism and the repartition is a
+    cheap narrow-row shuffle that still guarantees it."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return d.select(
+        "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+
+
+@register(
+    "doc_near_dup_jaccard",
+    oracle=f"""
+WITH {_PREFIX_FILTER_CTES}
+SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM pairs
+""",
+    doc="north-star near-dup: EXACT n-gram Jaccard via a prefix-filtered "
+        "set-similarity join (AllPairs/PPJoin family).  Tokens ordered by "
+        "ascending global frequency; each set keeps only its first "
+        "|s| - ceil(0.5|s|) + 1 tokens; any pair with Jaccard >= 0.5 must "
+        "share a prefix token (pigeonhole), so unlike the MinHash/SimHash "
+        "paths recall is GUARANTEED 100% -- the deterministic completion "
+        "of the near-dup family (sketch paths trade recall for cost; this "
+        "trades a frequency-dimension shuffle for exactness).  Scale: "
+        "candidates from a token equi-join, never all-pairs, and the join "
+        "is skew-proof by construction -- the hottest tokens are exactly "
+        "the ones rarest-first ordering excludes from every prefix.  "
+        "Equality with brute-force all-pairs pinned in "
+        "tests/test_similarity.py",
+)
+def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    return _jaccard_verified_pairs(spark, docs).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_PREFIX_FILTER_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS u FROM documents
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN edges e ON e.a = r.u
+),
+lbl AS (
+  SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+FROM lbl
+""",
+    doc="north-star dedup clustering: connected components over the "
+        "verified near-dup pair graph (exact-Jaccard >= 0.5 edges from the "
+        "prefix-filter join), every document labeled with the minimum "
+        "doc_id reachable from it -- the canonical representative a "
+        "training pipeline keeps.  Spark side is ITERATIVE min-label "
+        "propagation (join + min-agg per round, persist-materialized, "
+        "exact changed-count convergence in O(diameter) rounds); the "
+        "DuckDB oracle replays it as a recursive transitive closure -- a "
+        "hash-matched driver row for a genuinely iterative algorithm.  "
+        "Scale: each round is one equi-join + one shuffle on vertex id; "
+        "dup clusters are near-cliques so rounds stay ~2-3",
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    labels = SIM.connected_components(nodes, edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+        (F.col("v") == F.col("lbl")).cast("int").alias("is_canonical"),
+    )
+
+
 @register(
     "doc_tfidf_top_terms",
     oracle="""
@@ -702,6 +851,12 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # BLAS accumulation order differs in the last ulp; the
     # neighbor sets are pinned equal to the fold-based emb_cosine_topk in
     # tests/test_similarity.py -- rows-only here by design.
+    # Rows-only is all the driver could ever record for this entry, while
+    # the sibling drives the SAME semantics to a hash-matched row -- so the
+    # driver slot goes to a hash-matched query instead and the neighbor-set
+    # pin test remains the real gate for the Arrow path.
+    driver=False,
+    sibling="emb_cosine_topk",
     doc="north-star similarity search via the Arrow-vectorized Python path: "
         "corpus partitions stream to numpy as Arrow batches, one BLAS "
         "matmul scores the whole batch against the broadcast query set, a "

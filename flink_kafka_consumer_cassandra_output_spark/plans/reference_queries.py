@@ -47,8 +47,15 @@ def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "msg_detail_encrypted",
-    oracle=None,  # AES not expressible in DuckDB; driver records rows-only.
+    oracle=None,  # AES not expressible in DuckDB; rows-only even locally.
     doc="O7+O9+O12: full detail rows incl. AES-CBC ciphertext (Encryptor.java:15-28)",
+    # The driver could only count rows here (no DuckDB AES); the AES wire
+    # format itself is driver-checked via msg_crypto_roundtrip (hash-match,
+    # decrypt(encrypt(x)) == x with Java-parity golden KATs in
+    # tests/test_crypto_golden.py), so this slot goes to a hash-matched
+    # query instead.
+    driver=False,
+    sibling="msg_crypto_roundtrip",
 )
 def msg_detail_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=True)

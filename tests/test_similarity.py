@@ -241,3 +241,68 @@ def test_ivf_recall_at_5(spark, sf_dir):
     assert len(bf) == 50  # 10 queries x k=5
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.6, f"IVF recall@5 {recall:.3f} < 0.6"
+
+
+def test_prefix_filter_pairs_exact_recall(spark, sf_dir):
+    """The prefix-filter join claims GUARANTEED recall -- not a floor like
+    the sketch paths: doc_near_dup_jaccard must equal the brute-force
+    all-pairs truth set exactly, both directions (no missed pair, no
+    phantom pair)."""
+    truth = _truth_pairs(sf_dir)
+    df = all_specs()["doc_near_dup_jaccard"].builder(spark, sf_dir)
+    got = {(r.doc_a, r.doc_b) for r in df.collect()}
+    assert got == truth, (
+        f"missed={sorted(truth - got)[:5]} phantom={sorted(got - truth)[:5]}"
+    )
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation on a known graph: a 4-chain (diameter 3 --
+    exercises multi-round convergence), a 2-clique, and isolated vertices."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(v,) for v in range(1, 8)], "v long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6)], "a long, b long"
+    )
+    got = {r.v: r.lbl for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_iteration_cap_is_loud(spark):
+    """A graph needing more rounds than max_iters must raise, never return
+    a half-converged labeling."""
+    import pytest
+
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(v,) for v in range(1, 6)], "v long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 5)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iters=1)
+
+
+def test_dedup_clusters_consistent_with_pair_graph(spark, sf_dir):
+    """Cluster labels must be exactly the transitive closure of the verified
+    pair graph: every pair shares a cluster, every cluster id is its own
+    minimum member, sizes add up to the corpus, and canonical flags mark
+    precisely the ids that equal their cluster id."""
+    specs = all_specs()
+    clusters = specs["doc_dedup_clusters"].builder(spark, sf_dir).collect()
+    pairs = specs["doc_near_dup_jaccard"].builder(spark, sf_dir).collect()
+    lbl = {r.doc_id: r.cluster_id for r in clusters}
+    for p in pairs:
+        assert lbl[p.doc_a] == lbl[p.doc_b], (p.doc_a, p.doc_b)
+    from collections import Counter
+
+    sizes = Counter(lbl.values())
+    n_docs = len(clusters)
+    assert sum(sizes.values()) == n_docs
+    for r in clusters:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.cluster_id == min(d for d, c in lbl.items() if c == r.cluster_id)
+        assert r.is_canonical == int(r.doc_id == r.cluster_id)
