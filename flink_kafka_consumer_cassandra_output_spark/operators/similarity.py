@@ -326,17 +326,26 @@ def connected_components(
     Raises after ``max_iters`` instead of silently returning a
     half-converged labeling.
     """
-    # The edge lineage is typically the expensive part (a whole
-    # candidate+verify pipeline); persist it once or every iteration's
-    # join replays it from the scan.
-    und = edges.select("a", "b").unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # Both edge directions via ONE explode, not a self-union: Spark does
+    # not share common subplans, so union(edges, edges-swapped) would
+    # evaluate the (typically expensive) edge lineage twice.  Then persist
+    # once or every iteration's join replays it from the scan.
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").persist()
     labels = nodes.select(F.col("v"), F.col("v").alias("lbl")).persist()
     # Labels only ever DECREASE (min-propagation), so sum(lbl) strictly
     # decreases iff any label changed -- one agg over the cached frame is
-    # the whole convergence check, no label-vs-label join needed.
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    # the whole convergence check, no label-vs-label join needed.  The
+    # initial sum is not worth its own job: prev_sum=None skips the
+    # comparison on round 1 (costing one no-op round only on an edgeless
+    # graph) and saves an action on every real graph.
+    prev_sum = None
     for _ in range(max_iters):
         prop = und.join(
             labels.select(F.col("v").alias("b"), "lbl"), "b"
@@ -347,7 +356,7 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("lbl")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if prev_sum is not None and new_sum == prev_sum:
             und.unpersist()
             return labels
         prev_sum = new_sum
