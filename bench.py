@@ -66,7 +66,10 @@ def main() -> None:
     except Exception:
         pass
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # 3, not 2: the container shows multi-second CPU-steal stalls (the same
+    # untouched query measured 0.9s and 7.9s across two sweeps); min-of-3
+    # keeps one stalled repeat from poisoning a query's number.
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:

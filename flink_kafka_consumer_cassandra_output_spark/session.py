@@ -51,6 +51,12 @@ def build_session(
         # Arrow for any pandas interchange (toPandas, pandas UDFs).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        # Local mode runs every executor thread inside the driver JVM, whose
+        # default heap is 1g -- a 32-thread sweep degrades steadily under GC
+        # pressure (measured: the same query 2x slower mid-sweep than alone).
+        # Static conf: applies only when this process creates the first
+        # SparkSession (spark-submit on a real cluster sets its own).
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
         # Parquet vectorized reader + pushdown are on by default; kept
         # explicit as documentation of the scan posture.
