@@ -448,11 +448,19 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE parquet file, so without the explicit exchange the whole shingle
     projection -- the expensive part -- runs on a single core.  At real
     scale the scan has file-level parallelism and the repartition is a
-    cheap narrow-row shuffle that still guarantees it."""
+    cheap narrow-row shuffle that still guarantees it.
+
+    Materialized via ``localCheckpoint``: downstream the frame feeds the
+    prefix self-join (2 subtrees) plus the two verify lookups, and Spark
+    shares no common subplans, so without it the shingle fold runs 4x and
+    the documents scan 6x (measured: 3.27s -> 2.62s at sf0.1).
+    ``localCheckpoint`` rather than ``persist`` so downstream joins keep
+    AQE runtime replanning; on a real cluster with dynamic allocation
+    swap for reliable ``checkpoint`` (executor loss drops local blocks)."""
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     return d.select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
 
 
 @register(
