@@ -718,14 +718,20 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     scored = d.select("doc_id", "text", TX.quality_score(F.col("text")).alias("quality"))
     quality_pass = scored.filter(F.col("quality") >= 1.0)
+    # Both intermediates feed multiple downstream subtrees (exact_kept: the
+    # shingle join AND the flags join; shingled: signatures + both verify
+    # lookups) and Spark shares no common subplans, so without
+    # materialization the quality/fingerprint scan runs 2x and the shingle
+    # fold 3x.  localCheckpoint, not persist, keeps AQE replanning alive
+    # downstream (measured 2.34 -> 1.91s at sf0.1).
     exact_kept = (
         quality_pass.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-    )
+    ).localCheckpoint(eager=True)
     shingled = d.join(exact_kept, "doc_id").select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     sigs = shingled.withColumn("sig", SIM.minhash_signature(F.col("sh")))
     cand = SIM.lsh_candidate_pairs(sigs)
     x = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
