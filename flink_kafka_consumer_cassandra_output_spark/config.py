@@ -10,9 +10,23 @@ source builder to forward ``kafka.*`` options.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 KAFKA_PREFIX = "kafka.message.backup."
+
+#: Env flag honored by builders that materialize eagerly at plan-build time
+#: (localCheckpoint intermediates, the iterative connected-components loop).
+#: When set, those builders return a schema-identical lazy plan instead of
+#: running jobs, so schema-only consumers (tests/test_registry_lint.py's
+#: registry-wide output-type lint, plan dumps) stay cheap.  Never set in the
+#: driver/bench/oracle paths -- results there come from the full pipelines.
+SCHEMA_ONLY_ENV = "SPARK_GRAFT_SCHEMA_ONLY"
+
+
+def schema_only_builds() -> bool:
+    """True when builders should skip eager materialization (schema lint)."""
+    return os.environ.get(SCHEMA_ONLY_ENV, "") not in ("", "0")
 
 
 def read_properties(path: str | Path) -> dict[str, str]:

@@ -251,8 +251,11 @@ def with_simhash(df, text_col: str, out_col: str, bits: int = SIMHASH_BITS):
     # fold's accumulator, not at unpack time), so the fold is the lazy
     # branch of a per-row conditional on the token count: assert_true
     # returns NULL on success and raises otherwise.
+    # Null-tolerant: size(tokens(NULL)) is NULL under ANSI mode, and
+    # assert_true treats a NULL condition as failure — a NULL document must
+    # fall through to a NULL sketch, not die with a spurious overflow error.
     guard = F.assert_true(
-        F.col(tmp_n) <= F.lit(SIMHASH_MAX_TOKENS),
+        F.col(tmp_n).isNull() | (F.col(tmp_n) <= F.lit(SIMHASH_MAX_TOKENS)),
         F.concat(
             F.lit(
                 "simhash packed vote counters overflow past "
@@ -272,7 +275,12 @@ def with_simhash(df, text_col: str, out_col: str, bits: int = SIMHASH_BITS):
         terms.append(
             F.when(cnt * 2 > F.col(tmp_n), F.lit(1 << j)).otherwise(F.lit(0))
         )
-    sketch = reduce(lambda a, b2: a + b2, terms).cast("long")
+    # NULL text => NULL sketch: without the isNotNull gate every per-bit
+    # term's NULL comparison falls into otherwise(0) and a null document
+    # would silently sketch as 0 (a legal sketch value).
+    sketch = F.when(
+        F.col(tmp_n).isNotNull(), reduce(lambda a, b2: a + b2, terms)
+    ).cast("long")
     return df.withColumn(out_col, sketch).drop(tmp_packed, tmp_n)
 
 

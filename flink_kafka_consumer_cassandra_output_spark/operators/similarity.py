@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..config import schema_only_builds
 from ..functions import vectors
 
 #: Defaults shared by the Spark builders and the DuckDB oracle generators.
@@ -310,22 +311,44 @@ def prefix_filter_pairs(
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 25
 ) -> DataFrame:
-    """Connected components by min-label propagation: every vertex converges
-    to the minimum vertex id reachable from it.
+    """Connected components by min-label propagation WITH pointer jumping:
+    every vertex converges to the minimum vertex id reachable from it.
 
     ``nodes``: one column ``v``; ``edges``: columns ``(a, b)``, one row per
     undirected edge (either orientation).  Returns (v, lbl).
 
-    Each iteration is one equi-join (labels onto edge endpoints) plus one
-    min-aggregate, materialized via persist so iteration N+1 reads N's
-    result, not the whole lineage; convergence is an exact changed-count
-    check, so the loop runs O(component diameter) rounds -- dedup-cluster
-    graphs are near-cliques (diameter ~1-2), not chains.  At real scale the
-    same loop holds; the known remedy for adversarial long-chain graphs is
-    large-star/small-star relabeling, which this deliberately omits.
-    Raises after ``max_iters`` instead of silently returning a
+    Each iteration is (1) neighbor step -- one equi-join of labels onto
+    edge endpoints plus one min-aggregate -- then (2) a pointer-jumping
+    shortcut ``lbl := lbl(lbl)`` (one self-join on the label table).  The
+    shortcut is what makes adversarial chain graphs converge in O(log d)
+    rounds instead of O(d): the hop distance from a vertex to its label
+    roughly doubles every round (the MapReduce-CC family's alternating
+    large-star/small-star achieves the same bound; pointer jumping needs
+    no orientation cases and preserves the exact min-reachable labels).
+    Both steps keep the invariant "lbl(v) is a vertex reachable from v"
+    and labels only decrease, so the fixed point is the component minimum.
+    Dedup-cluster graphs are near-cliques (diameter ~1-2) where the
+    neighbor step alone converges in 2 rounds and the shortcut is a cheap
+    no-op join on a tiny label table.
+
+    Each round is materialized via ``localCheckpoint(eager=True)``, which
+    BOTH stops re-execution of prior rounds AND truncates the logical
+    plan -- ``persist`` alone does not: the self-join references its input
+    twice, so an uncut lineage doubles every round and the analyzer dies
+    on a gigabyte-scale plan string long before 2^10 rounds (observed on
+    the 1024-chain test).  Checkpoint blocks are released by the context
+    cleaner when the frames are garbage-collected, so nothing stays pinned
+    in a long-lived driver JVM (round 5 leaked the returned persisted
+    frame); the static edge table is the one explicit persist and is
+    unpersisted on every exit path.  Convergence is an exact sum check;
+    raises after ``max_iters`` instead of silently returning a
     half-converged labeling.
     """
+    init = nodes.select(F.col("v"), F.col("v").alias("lbl"))
+    if schema_only_builds():
+        # Schema-identical lazy plan; the loop below runs real jobs at
+        # plan-BUILD time, which schema-only consumers must not pay for.
+        return init
     # Both edge directions via ONE explode, not a self-union: Spark does
     # not share common subplans, so union(edges, edges-swapped) would
     # evaluate the (typically expensive) edge lineage twice.  Then persist
@@ -338,32 +361,46 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.a", "e.b").persist()
-    labels = nodes.select(F.col("v"), F.col("v").alias("lbl")).persist()
+    labels = init.localCheckpoint(eager=True)
     # Labels only ever DECREASE (min-propagation), so sum(lbl) strictly
-    # decreases iff any label changed -- one agg over the cached frame is
-    # the whole convergence check, no label-vs-label join needed.  The
-    # initial sum is not worth its own job: prev_sum=None skips the
+    # decreases iff any label changed -- one agg over the materialized
+    # frame is the whole convergence check, no label-vs-label join needed.
+    # The initial sum is not worth its own job: prev_sum=None skips the
     # comparison on round 1 (costing one no-op round only on an edgeless
     # graph) and saves an action on every real graph.
     prev_sum = None
-    for _ in range(max_iters):
-        prop = und.join(
-            labels.select(F.col("v").alias("b"), "lbl"), "b"
-        ).select(F.col("a").alias("v"), "lbl")
-        new_labels = (
-            labels.unionByName(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        ).persist()
-        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if prev_sum is not None and new_sum == prev_sum:
-            und.unpersist()
-            return labels
-        prev_sum = new_sum
-    und.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} iterations"
-    )
+    try:
+        for _ in range(max_iters):
+            prop = und.join(
+                labels.select(F.col("v").alias("b"), "lbl"), "b"
+            ).select(F.col("a").alias("v"), "lbl")
+            stepped = (
+                labels.unionByName(prop)
+                .groupBy("v")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            # Pointer jump: re-resolve each label through the label table.
+            # Every label IS a vertex id (the invariant above), so the
+            # lookup hits; left-join + coalesce keeps partial node sets
+            # (edge endpoints missing from ``nodes``) from dropping rows.
+            jump = stepped.select(
+                F.col("v").alias("lbl"), F.col("lbl").alias("jumped")
+            )
+            labels = (
+                stepped.join(jump, "lbl", "left")
+                .select("v", F.coalesce("jumped", "lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            new_sum = labels.agg(F.sum("lbl")).first()[0]
+            if prev_sum is not None and new_sum == prev_sum:
+                return labels
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
+    finally:
+        und.unpersist()
 
 
 # --------------------------------------------------------------------------

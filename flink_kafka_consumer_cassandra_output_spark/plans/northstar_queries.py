@@ -22,12 +22,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..config import schema_only_builds
 from ..functions import text as TX
 from ..functions import vectors as V
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..sources import tables
 from .registry import register
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` unless schema-only builds are on.
+
+    The checkpoint cuts shared subtrees out of downstream lineage (Spark
+    shares no common subplans, so a frame feeding N subtrees recomputes N
+    times otherwise) while keeping AQE replanning alive downstream --
+    ``persist`` would pin the pre-AQE plan.  LOCAL checkpoints live in
+    executor memory/disk, so on a real multi-executor cluster with dynamic
+    allocation or preemption the equivalent move is a reliable
+    ``checkpoint()`` or an explicit staging table
+    (``write.parquet`` + read back): same plan-truncation effect,
+    executor-loss-safe, and the staging write doubles as a restartable
+    pipeline boundary.  Schema-only consumers (the registry lint's
+    output-type sweep) skip the materialization job entirely -- the lazy
+    plan is schema-identical."""
+    return df if schema_only_builds() else df.localCheckpoint(eager=True)
 
 # --------------------------------------------------------------------------
 # Shared SQL fragments (generated from the same constants as the Spark side)
@@ -450,17 +469,15 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the scan has file-level parallelism and the repartition is a
     cheap narrow-row shuffle that still guarantees it.
 
-    Materialized via ``localCheckpoint``: downstream the frame feeds the
+    Materialized via ``_materialize``: downstream the frame feeds the
     prefix self-join (2 subtrees) plus the two verify lookups, and Spark
     shares no common subplans, so without it the shingle fold runs 4x and
-    the documents scan 6x (measured: 3.27s -> 2.62s at sf0.1).
-    ``localCheckpoint`` rather than ``persist`` so downstream joins keep
-    AQE runtime replanning; on a real cluster with dynamic allocation
-    swap for reliable ``checkpoint`` (executor loss drops local blocks)."""
+    the documents scan 6x (measured: 3.27s -> 2.62s at sf0.1).  See
+    ``_materialize`` for the cluster-scale (staging table) equivalence."""
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    return d.select(
+    return _materialize(d.select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
-    ).localCheckpoint(eager=True)
+    ))
 
 
 @register(
@@ -722,16 +739,17 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle join AND the flags join; shingled: signatures + both verify
     # lookups) and Spark shares no common subplans, so without
     # materialization the quality/fingerprint scan runs 2x and the shingle
-    # fold 3x.  localCheckpoint, not persist, keeps AQE replanning alive
-    # downstream (measured 2.34 -> 1.91s at sf0.1).
-    exact_kept = (
+    # fold 3x.  _materialize (localCheckpoint), not persist, keeps AQE
+    # replanning alive downstream (measured 2.34 -> 1.91s at sf0.1); see
+    # its docstring for the cluster-scale staging-table equivalence.
+    exact_kept = _materialize(
         quality_pass.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-    ).localCheckpoint(eager=True)
-    shingled = d.join(exact_kept, "doc_id").select(
+    )
+    shingled = _materialize(d.join(exact_kept, "doc_id").select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
-    ).localCheckpoint(eager=True)
+    ))
     sigs = shingled.withColumn("sig", SIM.minhash_signature(F.col("sh")))
     cand = SIM.lsh_candidate_pairs(sigs)
     x = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -464,11 +464,20 @@ def run_curation_funnel_stream(
             its docs against its own half-committed output (which would
             overwrite its partition with an empty one).  Only
             path-not-found initializes empty state -- a corrupt table must
-            not silently restart dedup from scratch."""
+            not silently restart dedup from scratch, so every other
+            AnalysisException (UNABLE_TO_INFER_SCHEMA on a gutted dir,
+            column-resolution failures, ...) re-raises."""
             try:
                 df = spark.read.parquet(path)
-            except AnalysisException:
-                return None
+            except AnalysisException as exc:
+                cond = (
+                    exc.getCondition()
+                    if hasattr(exc, "getCondition")
+                    else exc.getErrorClass()
+                )
+                if cond == "PATH_NOT_FOUND":
+                    return None
+                raise
             return df.filter(F.col("_batch_id") < batch_id).select(*cols)
 
         batch_df = batch_df.select("doc_id", "text").persist()

@@ -13,7 +13,10 @@ Three hazards observed in earlier rounds are pinned here:
    non-scalar cells ('unhashable type: list' — round 3's
    approx_quantiles_price array<double> column), so no registered query
    may output array/map/struct/binary-nested columns.  Checked on the
-   built schema (plan only, nothing executes), registry-wide.
+   built schema registry-wide, with SPARK_GRAFT_SCHEMA_ONLY set so the
+   builders that otherwise materialize at build time (localCheckpoint
+   intermediates, the iterative connected-components loop) return lazy
+   schema-identical plans — the sweep stays plan-only for real.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import types as T
 
+from flink_kafka_consumer_cassandra_output_spark.config import SCHEMA_ONLY_ENV
 from flink_kafka_consumer_cassandra_output_spark.plans import all_specs, driver_specs
 from flink_kafka_consumer_cassandra_output_spark.plans.registry import (
     DRIVER_SWEEP_CAP,
@@ -77,10 +81,30 @@ def test_register_rejects_local_only_without_sibling():
 
 
 @pytest.mark.parametrize("name", sorted(all_specs()))
-def test_no_non_scalar_output_columns_anywhere(spark, name):
-    """Registry-wide scalar-output ban (schema built, never executed)."""
+def test_no_non_scalar_output_columns_anywhere(spark, name, monkeypatch):
+    """Registry-wide scalar-output ban (schema built, never executed:
+    SPARK_GRAFT_SCHEMA_ONLY makes the eager builders lazy)."""
+    monkeypatch.setenv(SCHEMA_ONLY_ENV, "1")
     df = all_specs()[name].builder(spark, SF_DIR)
     assert_scalar_schema(df.schema, name)
+
+
+def test_schema_only_flag_yields_same_schema_for_eager_builders(spark):
+    """The schema-only fast path must be schema-IDENTICAL to the real
+    build, else the lint checks a fiction.  Pinned on the two builder
+    families that honor the flag (checkpoint intermediates + iterative
+    CC)."""
+    import os
+
+    for name in ("doc_dedup_clusters", "doc_curation_funnel"):
+        spec = all_specs()[name]
+        os.environ[SCHEMA_ONLY_ENV] = "1"
+        try:
+            lazy_schema = spec.builder(spark, SF_DIR).schema
+        finally:
+            os.environ.pop(SCHEMA_ONLY_ENV, None)
+        real_schema = spec.builder(spark, SF_DIR).schema
+        assert lazy_schema == real_schema, name
 
 
 def test_scalar_ban_catches_array_typed_output(spark):

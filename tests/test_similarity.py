@@ -13,6 +13,7 @@ brute force, which parity alone cannot see:
 from __future__ import annotations
 
 import duckdb
+from pyspark.sql import functions as F
 
 from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
 
@@ -212,6 +213,28 @@ def test_with_simhash_token_cap_is_enforced(spark):
         TX.with_simhash(over, "text", "sketch", 16).select("sketch").first()
 
 
+def test_with_simhash_null_text_yields_null_sketch(spark):
+    """NULL documents must pass through as NULL sketches, not die in the
+    token-cap guard: under ANSI mode size(tokens(NULL)) is NULL and
+    assert_true treats a NULL condition as failure, so a non-null-tolerant
+    guard raised a spurious 'overflow (got null)' on any null text.  The
+    fixture has no null texts, so this is pinned here explicitly."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import text as TX
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'alpha beta gamma'), (2, CAST(NULL AS STRING)) "
+        "AS t(doc_id, text)"
+    )
+    rows = {
+        r.doc_id: r.sketch
+        for r in TX.with_simhash(df, "text", "sketch", 16).collect()
+    }
+    assert rows[1] is not None
+    assert rows[2] is None
+
+
 def test_arrow_topk_matches_fold_topk(spark, sf_dir):
     """The BLAS/Arrow brute-force path must return the SAME neighbor sets
     as the fold-based exact baseline (values may differ in the last ulp --
@@ -284,6 +307,30 @@ def test_connected_components_iteration_cap_is_loud(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 5)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, chain, max_iters=1)
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Adversarial chain graph: a 1024-node path is the worst case for
+    plain min-label propagation (O(diameter) = ~1023 rounds).  The
+    pointer-jumping shortcut must converge it in O(log n): max_iters is
+    pinned at 2*log2(n) = 20, so plain propagation would raise and only a
+    doubling scheme passes.  Labels must still be the exact component
+    minimum (all 1)."""
+    import math
+
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        connected_components,
+    )
+
+    n = 1024
+    nodes = spark.range(1, n + 1).select(F.col("id").alias("v"))
+    edges = spark.range(1, n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    cap = 2 * int(math.log2(n))
+    labels = connected_components(nodes, edges, max_iters=cap)
+    got = {r.v: r.lbl for r in labels.collect()}
+    assert got == {v: 1 for v in range(1, n + 1)}
 
 
 def test_dedup_clusters_consistent_with_pair_graph(spark, sf_dir):
