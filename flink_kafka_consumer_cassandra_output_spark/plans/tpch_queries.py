@@ -143,21 +143,68 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+#: approx_count_distinct's default relative standard deviation, and the
+#: certificate's tolerance: 3 sigma of the sketch's own guarantee, not a
+#: tuned constant (HLL++ at rsd=0.05 stays within 15% with probability
+#: ~0.997; tests/test_approx.py pins the fixture tighter at <10%).
+_HLL_RSD = 0.05
+_HLL_BOUND = 3 * _HLL_RSD
+
+
+def distinct_bound_certificate(agg: DataFrame) -> DataFrame:
+    """Boolean error-bound certificate for a per-group HLL distinct sketch.
+
+    ``agg`` carries (l_returnflag, approx_parts, exact_parts, n_rows); the
+    returned frame replaces the engine-specific sketch VALUE with the
+    sketch's accuracy GUARANTEE as a hashable boolean — the same
+    graduation trick as ``quantile_rank_certificate``.  Split out so tests
+    can feed a deliberately broken sketch and watch the boolean flip (a
+    certificate nobody can falsify proves nothing)."""
+    rel = (
+        F.abs(
+            F.col("approx_parts").cast("double")
+            - F.col("exact_parts").cast("double")
+        )
+        / F.col("exact_parts").cast("double")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (rel <= F.lit(_HLL_BOUND)).alias("within_bound"),
+    )
+
+
 @register(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketch values are engine-specific; rows-only gate.
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
     doc="approx_count_distinct (HyperLogLog++) per return flag -- the "
         "sketch-based path for cardinalities too large for exact distinct "
-        "at 100 TB; relative error vs exact pinned <10% by "
-        "tests/test_approx.py (DuckDB has no bit-compatible HLL, so this "
-        "entry is rows-only by design)",
+        "at 100 TB.  Sketch VALUES are engine-specific (DuckDB has no "
+        "bit-compatible HLL), so the hash-matched contract is the sketch's "
+        "error GUARANTEE: the engine re-derives the exact distinct count in "
+        "the same aggregation and emits a boolean within_bound (|approx - "
+        "exact| / exact <= 3*rsd); the oracle computes the exact keys/counts "
+        "and asserts TRUE.  A sketch outside its bound flips the boolean and "
+        "fails the driver's value hash; raw sketch accuracy stays pinned by "
+        "tests/test_approx.py.  The exact column exists FOR the certificate "
+        "-- production users keep only the sketch and skip that pass",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    return distinct_bound_certificate(agg)
 
 
 @register(

@@ -13,9 +13,14 @@ from .oracle import duck_connection
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """Raw sketch values pinned <10% of exact (the registered query now
+    emits the boolean bound certificate instead of the sketch value)."""
     approx = {
         r.l_returnflag: r.approx_parts
-        for r in all_specs()["approx_distinct_parts"].builder(spark, sf_dir).collect()
+        for r in tables.load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .collect()
     }
     exact = {
         r.l_returnflag: r.n
@@ -28,6 +33,28 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     for flag, n in exact.items():
         rel_err = abs(approx[flag] - n) / n
         assert rel_err < 0.10, f"{flag}: approx {approx[flag]} vs exact {n} ({rel_err:.1%})"
+
+
+def test_distinct_bound_certificate_is_falsifiable(spark, sf_dir):
+    """The driver-checked entry asserts TRUE within_bound; that only means
+    something if a broken sketch flips it.  Feed the certificate an
+    'approx' of 2x the exact count: every boolean must come back False,
+    while the registered (honest) query's booleans are all True."""
+    from flink_kafka_consumer_cassandra_output_spark.plans.tpch_queries import (
+        distinct_bound_certificate,
+    )
+
+    base = tables.load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    broken = base.withColumn("approx_parts", F.col("exact_parts") * 2)
+    rows = distinct_bound_certificate(broken).collect()
+    assert rows, "certificate produced no rows"
+    assert all(r.within_bound is False for r in rows)
+
+    honest = all_specs()["approx_distinct_parts"].builder(spark, sf_dir).collect()
+    assert honest and all(r.within_bound is True for r in honest)
 
 
 def _raw_quantiles(spark, sf_dir):
