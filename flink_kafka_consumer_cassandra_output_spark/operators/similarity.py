@@ -430,23 +430,33 @@ def brute_force_topk(
 
 
 def brute_force_topk_arrow(
-    queries: list[tuple[int, list[float]]],
+    queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via the Arrow-vectorized Python path.
 
-    Same semantics as :func:`brute_force_topk`, different execution: each
-    corpus partition streams to Python as Arrow batches, numpy does one
-    (batch x dim) @ (dim x n_queries) matmul, and only the per-partition
-    top-k survives -- a combiner -- before a final global top-k window.
-    This is the documented escape hatch for when the JVM expression path is
-    the bottleneck: higher-order-function folds are interpreted per
-    element, while the matmul is BLAS over the whole batch.
+    Same semantics as :func:`brute_force_topk`, different execution: the
+    corpus is salted into ``fanout`` groups (default: the session's
+    parallelism), the query set is replicated onto every salt with a
+    broadcast cross join, and a cogrouped ``applyInPandas`` hands each
+    task (corpus chunk, full query set) as pandas frames — numpy does one
+    (chunk x dim) @ (dim x n_queries) matmul per group and only the
+    per-group top-k survives (a combiner) before a final global top-k
+    window.  This is the documented escape hatch for when the JVM
+    expression path is the bottleneck: higher-order-function folds are
+    interpreted per element, while the matmul is BLAS over the whole
+    chunk.
 
-    ``queries`` is a bounded in-memory list (id, vector) shipped in the
-    task closure -- the same bounded-small-side pattern as the LSH planes;
-    the corpus is never shuffled before the combiner.
+    The query side is a DATAFRAME, never a driver-materialized list: the
+    replication is |queries| x fanout rows of a broadcast join, so the
+    same plan serves ten queries or a hundred thousand without a
+    driver-memory bottleneck — the shape that matters at production
+    query volumes.  The price vs the closure-shipped variant is one
+    corpus-wide hash repartition on the salt (the cogroup's exchange);
+    the combiner still bounds what leaves every task at k x |queries|
+    rows.
 
     Caveat, and why the oracle gate for this operator is rows-only: BLAS
     accumulates dot products in SIMD-blocked order, so cosine values can
@@ -457,46 +467,61 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    qids = [int(q[0]) for q in queries]
-    Q = np.array([q[1] for q in queries], dtype="float64")
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    p = int(fanout or spark.sparkContext.defaultParallelism)
 
-    def part(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            V = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    def score(corpus_pdf: "pd.DataFrame", query_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        if len(corpus_pdf) and len(query_pdf):
+            qdf = query_pdf.sort_values("query_id")
+            qids = qdf["query_id"].to_numpy()
+            Q = np.vstack(qdf["query_emb"].to_numpy()).astype("float64")
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            ids = corpus_pdf["vec_id"].to_numpy()
+            V = np.vstack(corpus_pdf["embedding"].to_numpy()).astype("float64")
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn @ Qn.T  # (batch, n_queries)
-            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            S = Vn @ Qn.T  # (chunk, n_queries)
             for j, qid in enumerate(qids):
                 col = S[:, j].copy()
                 col[ids == qid] = -np.inf  # exclude self
                 order = np.lexsort((ids, -col))[:k]  # ties -> smaller id
                 keep = order[np.isfinite(col[order])]
-                out["query_id"].extend([qid] * len(keep))
+                out["query_id"].extend([int(qid)] * len(keep))
                 out["neighbor_id"].extend(int(i) for i in ids[keep])
                 out["cosine"].extend(float(c) for c in col[keep])
-            yield pd.DataFrame(out)
+        return pd.DataFrame(out)
 
-    cand = corpus.mapInPandas(part, "query_id long, neighbor_id long, cosine double")
+    salted = corpus.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(p)))
+    q_rep = queries.crossJoin(
+        F.broadcast(spark.range(p).select(F.col("id").cast("int").alias("salt")))
+    )
+    cand = (
+        salted.groupBy("salt")
+        .cogroup(q_rep.groupBy("salt"))
+        .applyInPandas(score, "query_id long, neighbor_id long, cosine double")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
 
 
-def lsh_sign_bucket(emb: Column, planes: list[list[float]]) -> Column:
+def lsh_sign_bucket(emb: Column, planes: Column, n_planes: int) -> Column:
     """Random-hyperplane (SimHash) bucket code: bit j = sign(<v, plane_j>).
 
-    ``planes`` are plain float lists (deterministic pseudo-planes — e.g.
-    corpus vectors at fixed ids — so the oracle can inline them); the code
-    is an int in [0, 2^len(planes)).
+    ``planes`` is a COLUMN holding the plane vectors (array of
+    array<float>, one element per plane) — in practice a one-row
+    aggregated frame broadcast onto the corpus, so the plane set never
+    leaves the cluster (no driver ``.collect()`` bootstrap).  ``n_planes``
+    is the static plane COUNT (a config constant, not data — same
+    contract as :func:`lsh_multiprobe_codes`); the code is an int in
+    [0, 2^n_planes).  The per-bit expression is identical to a
+    literal-plane formulation (float -> double widening is exact either
+    way), so swapping the plane source does not move a single bucket.
     """
     code = F.lit(0)
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+    for j in range(n_planes):
+        p = F.element_at(planes, j + 1)
         code = code + F.when(vectors.dot(emb, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return code
 

@@ -890,9 +890,10 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,
     sibling="emb_cosine_topk",
     doc="north-star similarity search via the Arrow-vectorized Python path: "
-        "corpus partitions stream to numpy as Arrow batches, one BLAS "
-        "matmul scores the whole batch against the broadcast query set, a "
-        "per-partition top-k combiner bounds what leaves each task, and a "
+        "salted corpus chunks cogroup with the broadcast-replicated query "
+        "DataFrame (no driver-side query bootstrap), one BLAS matmul "
+        "scores each chunk against the full query set, a per-group top-k "
+        "combiner bounds what leaves each task, and a "
         "global top-k window merges.  Same answers as emb_cosine_topk "
         "(pinned by test); exists because interpreted per-element JVM folds "
         "lose to BLAS once dim x batch x n_queries is large.  Measured "
@@ -904,11 +905,10 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    qrows = (
-        e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").orderBy("vec_id").collect()
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
     )
-    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
-    return SIM.brute_force_topk_arrow(queries, e.select("vec_id", "embedding"), k=5)
+    return SIM.brute_force_topk_arrow(q, e.select("vec_id", "embedding"), k=5)
 
 
 @register(
@@ -1125,19 +1125,26 @@ SELECT * FROM (
 )
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    plane_rows = (
+    # Plane set as a one-row broadcast frame (vectors at ids 16..19 in id
+    # order), cross-joined onto the corpus — the planes never touch the
+    # driver, and the 4-plane COUNT is config, not data, so the bit loop
+    # stays static.  array_sort on (vec_id, embedding) structs orders by
+    # vec_id; identical per-bit arithmetic to a literal-plane bootstrap.
+    n_planes = 4
+    planes_row = (
         e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 20))
-        .orderBy("vec_id")
-        .collect()
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))).alias("ps"))
+        .select(F.transform("ps", lambda s: s["embedding"]).alias("planes"))
     )
-    planes = [[float(x) for x in r.embedding] for r in plane_rows]
-    coded = e.select(
-        "vec_id", "embedding", SIM.lsh_sign_bucket(F.col("embedding"), planes).alias("bucket")
+    coded = e.crossJoin(F.broadcast(planes_row)).select(
+        "vec_id",
+        "embedding",
+        SIM.lsh_sign_bucket(F.col("embedding"), F.col("planes"), n_planes).alias("bucket"),
     )
     q = coded.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_emb"),
-        SIM.lsh_multiprobe_codes(F.col("bucket"), len(planes)).alias("probe_codes"),
+        SIM.lsh_multiprobe_codes(F.col("bucket"), n_planes).alias("probe_codes"),
     )
     probes = q.select(
         "query_id", "query_emb", F.explode("probe_codes").alias("bucket")
