@@ -1,0 +1,127 @@
+"""Pure-Python media header parsers: synth -> parse round-trips with
+known answers, spec-vector checks on hand-crafted bytes, and the
+never-raise contract on malformed input (a 100 TB crawl contains garbage;
+one bad file must not kill a task).  The registered mm_media_headers
+query runs the same synth+parse distributed and is hash-checked against
+an arithmetic DuckDB oracle by tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_kafka_consumer_cassandra_output_spark.operators import multimodal as mm
+
+
+def test_png_round_trip():
+    hd = mm.parse_media_header(mm.synth_png(640, 480, b"pixels"))
+    assert hd == {"fmt": "png", "width": 640, "height": 480}
+
+
+def test_jpeg_round_trip():
+    hd = mm.parse_media_header(mm.synth_jpeg(1920, 1080, b"scan data"))
+    assert hd == {"fmt": "jpeg", "width": 1920, "height": 1080}
+
+
+def test_gif_round_trip():
+    hd = mm.parse_media_header(mm.synth_gif(13, 7))
+    assert hd == {"fmt": "gif", "width": 13, "height": 7}
+
+
+def test_wav_round_trip_duration_floor():
+    # 44100 Hz stereo 16-bit, 44100 samples + one extra byte: exactly 1s of
+    # audio plus a remainder that must FLOOR away, not round.
+    payload = bytes(44100 * 2 * 2 + 1)
+    hd = mm.parse_media_header(mm.synth_wav(2, 44100, 16, payload))
+    assert hd == {
+        "fmt": "wav",
+        "channels": 2,
+        "sample_rate": 44100,
+        "bits": 16,
+        "duration_ms": 1000,
+    }
+
+
+def test_png_spec_vector():
+    """Hand-assembled IHDR per the PNG spec, not via the synthesizer --
+    catches a synth+parse pair that agree on the same wrong offsets."""
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        b"\x00\x00\x00\x0dIHDR"
+        b"\x00\x00\x00\x01"  # width 1
+        b"\x00\x00\x00\x02"  # height 2
+        b"\x08\x06\x00\x00\x00"
+        b"\x1f\x15\xc4\x89"  # (real CRC of the 1x2 IHDR)
+    )
+    assert mm.parse_media_header(raw) == {"fmt": "png", "width": 1, "height": 2}
+
+
+def test_jpeg_progressive_sof2_and_restart_markers():
+    """SOF2 (progressive) must be recognized, and standalone RSTn/TEM
+    markers between segments must not desync the walk."""
+    raw = (
+        b"\xff\xd8"
+        b"\xff\x01"  # TEM, standalone
+        b"\xff\xd0"  # RST0, standalone
+        b"\xff\xc2\x00\x11\x08\x00\x0a\x00\x14" + bytes(10)  # SOF2 h=10 w=20
+    )
+    assert mm.parse_media_header(raw) == {"fmt": "jpeg", "width": 20, "height": 10}
+
+
+def test_wav_odd_chunk_word_alignment():
+    """A 3-byte odd-sized chunk before fmt must advance by 4 (RIFF pads
+    chunks to word boundaries) or every later field misparses."""
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad byte
+    wav = mm.synth_wav(1, 8000, 16, bytes(16000))
+    raw = wav[:12] + odd + wav[12:]
+    hd = mm.parse_media_header(raw)
+    assert hd is not None and hd["duration_ms"] == 1000
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        mm.synth_png(9, 9, b"x"),
+        mm.synth_jpeg(9, 9, b"x"),
+        mm.synth_gif(9, 9, b"x"),
+        mm.synth_wav(1, 8000, 16, b"xx"),
+    ],
+    ids=["png", "jpeg", "gif", "wav"],
+)
+def test_truncated_prefixes_never_raise(blob):
+    """Every prefix of every container parses to a dict or None -- never
+    an exception (the crawl-garbage contract)."""
+    for i in range(len(blob)):
+        mm.parse_media_header(blob[:i])  # must not raise
+
+
+def test_garbage_returns_none():
+    assert mm.parse_media_header(b"") is None
+    assert mm.parse_media_header(b"not a container at all") is None
+    assert mm.parse_media_header(b"\xff\xd8\x00\x00") is None  # lost sync
+
+
+def test_decode_media_sniffs_not_trusts_labels():
+    """A PNG mislabeled as audio parses as what it IS."""
+    hd = mm.decode_media(mm.synth_png(3, 4), "audio/wav")
+    assert hd == {"fmt": "png", "width": 3, "height": 4}
+
+
+def test_decode_media_still_refuses_unrecognized():
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_media(b"\x00\x01\x02\x03 opaque", "video/mp4")
+
+
+def test_media_headers_query_covers_all_formats(spark, sf_dir):
+    """The registered query must exercise all four parsers distributed and
+    parse EVERY row (a None from parse_media_header would surface as a
+    NULL fmt)."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    rows = all_specs()["mm_media_headers"].builder(spark, sf_dir).collect()
+    fmts = {r.fmt for r in rows}
+    assert fmts == {"png", "jpeg", "gif", "wav"}
+    assert all(r.fmt is not None for r in rows)
+    by_fmt = {f: next(r for r in rows if r.fmt == f) for f in fmts}
+    assert by_fmt["png"].width == by_fmt["png"].doc_id % 640 + 1
+    assert by_fmt["wav"].sample_rate == 8000 * (by_fmt["wav"].doc_id % 3 + 1)
+    assert by_fmt["wav"].width is None and by_fmt["png"].channels is None
