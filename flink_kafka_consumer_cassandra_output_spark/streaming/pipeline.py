@@ -438,8 +438,13 @@ def run_curation_funnel_stream(
     written once on arrival, so a batch joins its new docs' bands against
     the stored index instead of re-deriving signatures for the whole
     accumulated corpus: per-batch cost stays |new| x bucket width, never
-    corpus x corpus.  ``counts_dir`` records (batch_id, stage0_raw,
-    stage1_quality).  Stage-2/3 counts are reads over the state table.
+    corpus x corpus.  ``state_dir + "_pairs"`` records every VERIFIED
+    near-dup pair (id_a < id_b, exact Jaccard >= threshold) in the batch
+    where the higher id arrived; since each unordered pair is examined in
+    exactly that batch, the union over batches is the batch pipeline's
+    pair set (asserted pair-for-pair in tests/test_streaming.py).
+    ``counts_dir`` records (batch_id, stage0_raw, stage1_quality).
+    Stage-2/3 counts are reads over the state table.
 
     All three tables land under a ``_batch_id`` partition with dynamic
     overwrite, and every state/index READ filters ``_batch_id <
@@ -530,11 +535,15 @@ def run_curation_funnel_stream(
                 pool = state.select("doc_id", "sh").unionByName(pool)
             sh_a = pool.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
             sh_b = pool.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-            dropped_new = (
+            verified = (
                 cand.join(sh_a, "id_a")
                 .join(sh_b, "id_b")
                 .filter(SIM.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
-                .select(F.col("id_b").alias("doc_id"))
+                .select("id_a", "id_b")
+                .persist()
+            )
+            dropped_new = (
+                verified.select(F.col("id_b").alias("doc_id"))
                 .distinct()
                 .withColumn("is_dropped", F.lit(True))
             )
@@ -561,6 +570,14 @@ def run_curation_funnel_stream(
                 .partitionBy("_batch_id")
                 .parquet(bands_path)
             )
+            (
+                verified.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(state_dir + "_pairs")
+            )
+            verified.unpersist()
             (
                 spark.range(1)
                 .select(

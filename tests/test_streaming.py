@@ -340,3 +340,45 @@ def test_curation_funnel_stream_converges_to_batch_truth(
     bands = spark.read.parquet(str(state) + "_bands")
     assert bands.count() == BANDS * st.count()
     assert bands.select("doc_id").distinct().count() == st.count()
+
+    # PAIR-level convergence: the union of per-batch verified pairs (each
+    # found by joining the new arrivals' bands against the STORED band
+    # index) must equal a one-shot batch LSH run over the same exact-kept
+    # pool -- the end-to-end gate on the incremental index, not just
+    # counts.  Each unordered pair is examined exactly in the batch where
+    # its higher id arrived, so the union has no duplicates either.
+    from flink_kafka_consumer_cassandra_output_spark.operators import (
+        similarity as SIM,
+    )
+
+    stream_pair_rows = spark.read.parquet(str(state) + "_pairs").select(
+        "id_a", "id_b"
+    ).collect()
+    stream_pairs = {(r.id_a, r.id_b) for r in stream_pair_rows}
+    assert len(stream_pairs) == len(stream_pair_rows), "duplicate pair rows"
+
+    sigs = st.select("doc_id", "sh").withColumn(
+        "sig", SIM.minhash_signature(F.col("sh"))
+    )
+    cand = SIM.lsh_candidate_pairs(sigs)
+    xa = st.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    xb = st.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .filter(SIM.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
+    # non-vacuous: at least one pair must SPAN micro-batches (its two ids
+    # arrived in different chunks), or the stored-index path went untested
+    chunk_of = {}
+    for ci, tbl in enumerate(doc_chunks):
+        for v in tbl.column("doc_id").to_pylist():
+            chunk_of[v] = ci
+    assert any(chunk_of[a] != chunk_of[b] for a, b in stream_pairs), (
+        "no cross-batch pair in the fixture split; the incremental band "
+        "index was never exercised across batches"
+    )
