@@ -28,22 +28,39 @@ MIN_SECONDS = 0.3
 def load_run(path: str) -> tuple[dict[str, float], int]:
     """(per-query timings, timing repeats) from a bench.py output file.
 
-    Accepts three shapes: a raw ``bench.py`` JSON line, the driver's
-    ``BENCH_r{N}.json`` with the line under ``parsed``, and the driver
-    file when ``parsed`` is null but the head-truncated ``tail`` string
-    still contains the flat ``"queries": {...}`` object (the r03/r04
-    files are exactly this: the driver keeps only the last N chars of
-    stdout, cutting the ``{"metric"`` prefix so its own parse fails)."""
+    Accepts four shapes: a raw ``bench.py`` JSON line, the driver's
+    ``BENCH_r{N}.json`` with the line under ``parsed``, the driver file
+    when ``parsed`` is null but the head-truncated ``tail`` string still
+    contains the flat ``"queries": {...}`` object (the r03/r04 files:
+    the driver keeps only the last N chars of stdout, cutting the
+    ``{"metric"`` prefix so its own parse fails), and the harder
+    truncation where the tail starts MID-queries-object (r05: the cut
+    also ate ``"queries": {`` and the first entries) -- recovered by
+    re-bracing the fragment up to the object's closing ``}``; the lost
+    head entries just become absent queries, which compare() reports as
+    'added' rather than silently gating on them."""
     with open(path) as f:
         obj = json.load(f)
     if "parsed" in obj and isinstance(obj["parsed"], dict):
         obj = obj["parsed"]
     if "queries" not in obj and isinstance(obj.get("tail"), str):
-        m = re.search(r'"queries": (\{[^{}]*\})', obj["tail"])
-        r = re.search(r'"repeats": (\d+)', obj["tail"])
+        tail = obj["tail"]
+        r = re.search(r'"repeats": (\d+)', tail)
+        m = re.search(r'"queries": (\{[^{}]*\})', tail)
+        frag = None
         if m:
+            frag = m.group(1)
+        else:
+            # tail begins inside the queries object: '<name-suffix>": 1.03,
+            # "next": ..., "last": 0.5}, "sf": ...'.  Re-brace from the
+            # first full entry (the leading truncated one is dropped).
+            end = re.search(r"\}", tail)
+            start = re.search(r', "', tail)
+            if end and start and start.start() < end.start():
+                frag = "{" + tail[start.end() - 1 : end.end()]
+        if frag:
             obj = {
-                "queries": json.loads(m.group(1)),
+                "queries": json.loads(frag),
                 "repeats": int(r.group(1)) if r else 1,
             }
     if "queries" not in obj:
