@@ -1,0 +1,44 @@
+"""Plan-truncating materialization, mode-selected by environment.
+
+Several pipelines materialize an intermediate that feeds multiple
+downstream subtrees (Spark shares no common subplans, so an
+unmaterialized frame recomputes once per consumer -- and a self-joined
+one doubles its lineage).  Three modes, one call site:
+
+- default: ``localCheckpoint(eager=True)`` -- executor-local blocks,
+  plan truncated, AQE stays live downstream.  Right for local[n] and for
+  clusters without preemption.
+- ``SPARK_GRAFT_STAGING_DIR=<dir>``: write the frame to a parquet
+  staging table under <dir> and read it back.  Same plan-truncation
+  effect, executor-loss-safe (local checkpoint blocks die with their
+  executor under dynamic allocation/preemption), and the write doubles
+  as a restartable pipeline boundary.  This is the 100 TB-cluster mode;
+  ``tests/test_staging_mode.py`` pins result equality against the
+  default so the documented equivalence is executable, not prose.
+- ``SPARK_GRAFT_SCHEMA_ONLY=1``: no materialization at all (lazy,
+  schema-identical plan) so schema-only consumers -- the registry lint's
+  output-type sweep, plan dumps -- never pay for build-time jobs.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+from .config import schema_only_builds
+
+STAGING_ENV = "SPARK_GRAFT_STAGING_DIR"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` once per the mode above; see module docstring."""
+    if schema_only_builds():
+        return df
+    staging = os.environ.get(STAGING_ENV, "")
+    if staging:
+        path = os.path.join(staging, f"stage-{uuid.uuid4().hex}")
+        df.write.parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return df.localCheckpoint(eager=True)

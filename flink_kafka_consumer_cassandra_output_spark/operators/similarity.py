@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..config import schema_only_builds
 from ..functions import vectors
+from ..materialize import materialize
 
 #: Defaults shared by the Spark builders and the DuckDB oracle generators.
 NUM_HASHES = 8
@@ -304,10 +305,10 @@ def prefix_filter_pairs(
     # tok -> freq -> sort -> explode derivation twice -- and the doubled
     # cost grows with corpus size (the freq join leaves the broadcast
     # regime as the token dimension grows), which is exactly the shape the
-    # scale probe flags.  Materialize it once; see plans/_materialize for
-    # the cluster-scale staging-table equivalence.
-    if not schema_only_builds():
-        prefix = prefix.localCheckpoint(eager=True)
+    # scale probe flags.  Materialize it once (localCheckpoint locally,
+    # staging table under SPARK_GRAFT_STAGING_DIR on clusters, lazy no-op
+    # for schema-only builds -- see materialize.py).
+    prefix = materialize(prefix)
     a, b = prefix.alias("a"), prefix.alias("b")
     # alpha = ceil(t/(1+t) * (|a|+|b|)), the minimum overlap for J >= t.
     # The 1e-9 slack keeps the float ceil from rounding UP past the exact

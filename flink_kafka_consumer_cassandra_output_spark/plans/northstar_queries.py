@@ -22,31 +22,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..config import schema_only_builds
 from ..functions import text as TX
 from ..functions import vectors as V
 from ..operators import multimodal as MM
+from ..materialize import materialize
 from ..operators import similarity as SIM
 from ..sources import tables
 from .registry import register
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """``localCheckpoint(eager=True)`` unless schema-only builds are on.
-
-    The checkpoint cuts shared subtrees out of downstream lineage (Spark
-    shares no common subplans, so a frame feeding N subtrees recomputes N
-    times otherwise) while keeping AQE replanning alive downstream --
-    ``persist`` would pin the pre-AQE plan.  LOCAL checkpoints live in
-    executor memory/disk, so on a real multi-executor cluster with dynamic
-    allocation or preemption the equivalent move is a reliable
-    ``checkpoint()`` or an explicit staging table
-    (``write.parquet`` + read back): same plan-truncation effect,
-    executor-loss-safe, and the staging write doubles as a restartable
-    pipeline boundary.  Schema-only consumers (the registry lint's
-    output-type sweep) skip the materialization job entirely -- the lazy
-    plan is schema-identical."""
-    return df if schema_only_builds() else df.localCheckpoint(eager=True)
+    """Cut shared subtrees out of downstream lineage (Spark shares no
+    common subplans, so a frame feeding N subtrees recomputes N times
+    otherwise) while keeping AQE replanning alive downstream --
+    ``persist`` would pin the pre-AQE plan.  Mode-selected by env:
+    localCheckpoint locally, a parquet staging table under
+    ``SPARK_GRAFT_STAGING_DIR`` for executor-loss-safe cluster runs
+    (equality of the two modes is pinned by tests/test_staging_mode.py),
+    and a lazy no-op for schema-only consumers.  See ``materialize.py``."""
+    return materialize(df)
 
 # --------------------------------------------------------------------------
 # Shared SQL fragments (generated from the same constants as the Spark side)

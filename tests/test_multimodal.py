@@ -8,6 +8,8 @@ an arithmetic DuckDB oracle by tests/test_oracle_parity.py."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from flink_kafka_consumer_cassandra_output_spark.operators import multimodal as mm
 
@@ -98,6 +100,30 @@ def test_garbage_returns_none():
     assert mm.parse_media_header(b"") is None
     assert mm.parse_media_header(b"not a container at all") is None
     assert mm.parse_media_header(b"\xff\xd8\x00\x00") is None  # lost sync
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.binary(max_size=256))
+def test_arbitrary_bytes_never_raise(blob):
+    """Hypothesis sweep of the crawl-garbage contract: any byte string
+    parses to a dict or None, never an exception."""
+    hd = mm.parse_media_header(blob)
+    assert hd is None or isinstance(hd, dict)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=128))
+def test_magic_prefixed_garbage_never_raises(blob):
+    """Same, but forced down each parser's innards: valid magic, then
+    arbitrary bytes (the adversarial half-file case)."""
+    for magic in (
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8",
+        b"GIF89a",
+        b"RIFF\x10\x00\x00\x00WAVE",
+    ):
+        hd = mm.parse_media_header(magic + blob)
+        assert hd is None or isinstance(hd, dict)
 
 
 def test_decode_media_sniffs_not_trusts_labels():
