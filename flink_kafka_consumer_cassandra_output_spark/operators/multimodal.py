@@ -99,6 +99,9 @@ def parse_media_header(content: bytes) -> dict | None:
             if b[i] != 0xFF:
                 return None  # lost marker sync
             marker = b[i + 1]
+            if marker == 0xFF:  # 0xFF fill bytes may pad any marker (T.81)
+                i += 1
+                continue
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
                 i += 2
                 continue
@@ -128,12 +131,16 @@ def parse_media_header(content: bytes) -> dict | None:
                 data_size = csz
             i += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
         if ch and rate and bits and data_size is not None:
+            # duration in ms = 1000 * bytes * 8 / (rate * ch * bits); kept
+            # as one integer floor-division so sub-byte sample widths
+            # (bits < 8: IMA ADPCM is 4) divide by rate*ch*bits, never by
+            # a truncated zero bytes-per-sample.
             return {
                 "fmt": "wav",
                 "channels": ch,
                 "sample_rate": rate,
                 "bits": bits,
-                "duration_ms": (1000 * data_size) // (rate * ch * (bits // 8)),
+                "duration_ms": (8000 * data_size) // (rate * ch * bits),
             }
         return None
     return None

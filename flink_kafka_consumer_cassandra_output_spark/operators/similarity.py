@@ -424,7 +424,11 @@ def connected_components(
                 .localCheckpoint(eager=True)
             )
             new_sum = labels.agg(F.sum("lbl")).first()[0]
-            if prev_sum is not None and new_sum == prev_sum:
+            # sum over an EMPTY label table is NULL: an empty graph is
+            # already converged (its answer is the empty frame), and
+            # None == None must not have to survive 25 no-op rounds into
+            # the did-not-converge error.
+            if new_sum is None or (prev_sum is not None and new_sum == prev_sum):
                 return labels
             prev_sum = new_sum
         raise RuntimeError(

@@ -31,17 +31,6 @@ from ..sources import tables
 from .registry import register
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Cut shared subtrees out of downstream lineage (Spark shares no
-    common subplans, so a frame feeding N subtrees recomputes N times
-    otherwise) while keeping AQE replanning alive downstream --
-    ``persist`` would pin the pre-AQE plan.  Mode-selected by env:
-    localCheckpoint locally, a parquet staging table under
-    ``SPARK_GRAFT_STAGING_DIR`` for executor-loss-safe cluster runs
-    (equality of the two modes is pinned by tests/test_staging_mode.py),
-    and a lazy no-op for schema-only consumers.  See ``materialize.py``."""
-    return materialize(df)
-
 # --------------------------------------------------------------------------
 # Shared SQL fragments (generated from the same constants as the Spark side)
 # --------------------------------------------------------------------------
@@ -463,13 +452,13 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the scan has file-level parallelism and the repartition is a
     cheap narrow-row shuffle that still guarantees it.
 
-    Materialized via ``_materialize``: downstream the frame feeds the
+    Materialized via ``materialize``: downstream the frame feeds the
     prefix self-join (2 subtrees) plus the two verify lookups, and Spark
     shares no common subplans, so without it the shingle fold runs 4x and
     the documents scan 6x (measured: 3.27s -> 2.62s at sf0.1).  See
-    ``_materialize`` for the cluster-scale (staging table) equivalence."""
+    ``materialize.py`` for the cluster-scale (staging table) equivalence."""
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    return _materialize(d.select(
+    return materialize(d.select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
     ))
 
@@ -733,15 +722,15 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle join AND the flags join; shingled: signatures + both verify
     # lookups) and Spark shares no common subplans, so without
     # materialization the quality/fingerprint scan runs 2x and the shingle
-    # fold 3x.  _materialize (localCheckpoint), not persist, keeps AQE
+    # fold 3x.  materialize (localCheckpoint), not persist, keeps AQE
     # replanning alive downstream (measured 2.34 -> 1.91s at sf0.1); see
     # its docstring for the cluster-scale staging-table equivalence.
-    exact_kept = _materialize(
+    exact_kept = materialize(
         quality_pass.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    shingled = _materialize(d.join(exact_kept, "doc_id").select(
+    shingled = materialize(d.join(exact_kept, "doc_id").select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
     ))
     sigs = shingled.withColumn("sig", SIM.minhash_signature(F.col("sh")))

@@ -462,18 +462,27 @@ def run_curation_funnel_stream(
     docs = stream_documents(spark, input_dir)
     bands_path = bands_dir if bands_dir is not None else state_dir + "_bands"
 
+    #: Explicit state-table schemas: reads never infer, so a LEGITIMATELY
+    #: empty state dir (a zero-row first batch -- every doc quality-failed
+    #: -- writes only _SUCCESS) reads as zero rows instead of dying with
+    #: UNABLE_TO_INFER_SCHEMA on every subsequent batch and restart.
+    state_schema = "doc_id long, fp string, sh array<string>, dropped boolean, _batch_id int"
+    bands_schema = "doc_id long, band_id int, band_val string, _batch_id int"
+
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        def read_committed(path: str, cols: list[str]) -> DataFrame | None:
+        def read_committed(path: str, schema: str, cols: list[str]) -> DataFrame | None:
             """Pre-batch state: earlier batches only.  Filtering out this
             batch's own _batch_id keeps a REPLAYED batch from anti-joining
             its docs against its own half-committed output (which would
             overwrite its partition with an empty one).  Only
             path-not-found initializes empty state -- a corrupt table must
-            not silently restart dedup from scratch, so every other
-            AnalysisException (UNABLE_TO_INFER_SCHEMA on a gutted dir,
-            column-resolution failures, ...) re-raises."""
+            not silently restart dedup from scratch, so any other
+            AnalysisException re-raises.  The explicit schema keeps
+            'empty' and 'corrupt' distinguishable: an empty dir is valid
+            zero-row state (no inference to fail), while unreadable files
+            still fail the downstream action loudly."""
             try:
-                df = spark.read.parquet(path)
+                df = spark.read.schema(schema).parquet(path)
             except AnalysisException as exc:
                 cond = (
                     exc.getCondition()
@@ -494,7 +503,9 @@ def run_curation_funnel_stream(
             stage0 = batch_df.count()
             stage1 = q_pass.count()
 
-            state = read_committed(state_dir, ["doc_id", "fp", "sh", "dropped"])
+            state = read_committed(
+                state_dir, state_schema, ["doc_id", "fp", "sh", "dropped"]
+            )
 
             batch_exact = (
                 q_pass.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
@@ -518,7 +529,7 @@ def run_curation_funnel_stream(
                 new.withColumn("sig", SIM.minhash_signature(F.col("sh")))
             ).persist()
             stored_bands = read_committed(
-                bands_path, ["doc_id", "band_id", "band_val"]
+                bands_path, bands_schema, ["doc_id", "band_id", "band_val"]
             )
             all_banded = (
                 new_banded

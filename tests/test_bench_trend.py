@@ -7,7 +7,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from bench_trend import MIN_SECONDS, compare  # noqa: E402
+from bench_trend import MIN_SECONDS, compare, load_run  # noqa: E402
 
 
 def test_regression_flagged():
@@ -31,6 +31,39 @@ def test_noise_floor_exempts_tiny_queries():
 def test_added_and_removed_tracked():
     cmp = compare({"old": 1.0}, {"new": 1.0})
     assert cmp["added"] == ["new"] and cmp["removed"] == ["old"]
+
+
+def test_mid_object_truncated_tail_recovers(tmp_path):
+    """The r05 driver-file shape: tail starts INSIDE the queries object;
+    load_run re-braces from the first full entry and drops the partial
+    leading one."""
+    import json
+
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps({
+        "parsed": None,
+        "tail": 'lineitem": 1.034, "asof": 0.82, "topk": 0.3}, '
+                '"sf": 0.1, "repeats": 3}\n',
+    }))
+    queries, repeats = load_run(str(f))
+    assert queries == {"asof": 0.82, "topk": 0.3} and repeats == 3
+
+
+def test_tail_truncated_past_queries_refuses(tmp_path):
+    """If the truncation ate the whole queries object, the re-brace lands
+    on run metadata; the tool must refuse loudly, not gate the trend on
+    phantom 'sf'/'repeats' queries."""
+    import json
+
+    import pytest
+
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps({
+        "parsed": None,
+        "tail": '4, "sf": 0.1, "cpus": 32, "repeats": 3}\n',
+    }))
+    with pytest.raises(SystemExit, match="unrecoverable"):
+        load_run(str(f))
 
 
 def test_methodology_mismatch_disarms_gate(tmp_path):

@@ -69,6 +69,25 @@ def test_jpeg_progressive_sof2_and_restart_markers():
     assert mm.parse_media_header(raw) == {"fmt": "jpeg", "width": 20, "height": 10}
 
 
+def test_wav_sub_byte_sample_width():
+    """bits_per_sample < 8 (IMA ADPCM is 4) must not zero a truncated
+    bytes-per-sample: 8000 samples of 4-bit mono at 8 kHz = 4000 bytes =
+    1000 ms, computed in bits end-to-end."""
+    hd = mm.parse_media_header(mm.synth_wav(1, 8000, 4, bytes(4000)))
+    assert hd is not None and hd["duration_ms"] == 1000
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """Extra 0xFF fill bytes may pad any marker (ITU T.81); the walk must
+    skip them instead of desyncing."""
+    raw = (
+        b"\xff\xd8"
+        b"\xff\xff\xff"  # fill bytes
+        b"\xff\xc0\x00\x11\x08\x00\x05\x00\x06" + bytes(10)
+    )
+    assert mm.parse_media_header(raw) == {"fmt": "jpeg", "width": 6, "height": 5}
+
+
 def test_wav_odd_chunk_word_alignment():
     """A 3-byte odd-sized chunk before fmt must advance by 4 (RIFF pads
     chunks to word boundaries) or every later field misparses."""

@@ -309,6 +309,21 @@ def test_connected_components_iteration_cap_is_loud(spark):
         connected_components(nodes, chain, max_iters=1)
 
 
+def test_connected_components_empty_graph(spark):
+    """An empty node set is a valid graph whose answer is the empty frame
+    -- it must return immediately (sum over empty labels is NULL), not
+    burn max_iters no-op rounds into the did-not-converge error."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        connected_components,
+    )
+
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    edges = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    assert connected_components(empty, edges, max_iters=2).count() == 0
+
+
 def test_connected_components_chain_converges_in_log_rounds(spark):
     """Adversarial chain graph: a 1024-node path is the worst case for
     plain min-label propagation (O(diameter) = ~1023 rounds).  The

@@ -292,6 +292,38 @@ def doc_chunks(sf_dir):
     return [tbl.slice(i * step, step) for i in range(N_CHUNKS)]
 
 
+def test_curation_funnel_stream_survives_empty_state_tables(
+    spark, sf_dir, doc_chunks, tmp_path
+):
+    """A zero-row batch (every doc quality-failed or already deduped)
+    writes state tables holding only _SUCCESS.  Later batches must read
+    those as EMPTY state -- with the explicit-schema read there is no
+    inference to die in -- not crash-loop on UNABLE_TO_INFER_SCHEMA
+    (regression for the PATH_NOT_FOUND narrowing of read_committed)."""
+    from pyspark.sql import functions as F
+
+    input_dir, state, counts, cp = (
+        tmp_path / "in",
+        tmp_path / "state",
+        tmp_path / "counts",
+        tmp_path / "cp",
+    )
+    input_dir.mkdir()
+    # exactly what a zero-row batch leaves behind: dirs with no part files
+    spark.createDataFrame(
+        [], "doc_id long, fp string, sh array<string>, dropped boolean, _batch_id int"
+    ).write.partitionBy("_batch_id").parquet(str(state))
+    spark.createDataFrame(
+        [], "doc_id long, band_id int, band_val string, _batch_id int"
+    ).write.partitionBy("_batch_id").parquet(str(state) + "_bands")
+
+    _drop(doc_chunks, input_dir, 0, 1)
+    _run(sp.run_curation_funnel_stream(spark, str(input_dir), str(state), str(counts), str(cp)))
+    st = spark.read.parquet(str(state))
+    assert st.count() > 0  # the real batch landed on top of the empty state
+    assert st.filter(F.col("dropped")).count() >= 0  # schema intact
+
+
 def test_curation_funnel_stream_converges_to_batch_truth(
     spark, sf_dir, doc_chunks, tmp_path
 ):

@@ -59,8 +59,18 @@ def load_run(path: str) -> tuple[dict[str, float], int]:
             if end and start and start.start() < end.start():
                 frag = "{" + tail[start.end() - 1 : end.end()]
         if frag:
+            queries = json.loads(frag)
+            # If the truncation ate the whole queries object, the re-brace
+            # lands on the run-metadata suffix ('{"sf": .., "repeats": ..}')
+            # -- refuse rather than gate the trend on phantom 'queries'.
+            if set(queries) & {"sf", "cpus", "repeats", "n_queries",
+                               "n_registered", "value"}:
+                raise SystemExit(
+                    f"{path}: tail truncated past the queries object; "
+                    "unrecoverable bench round"
+                )
             obj = {
-                "queries": json.loads(frag),
+                "queries": queries,
                 "repeats": int(r.group(1)) if r else 1,
             }
     if "queries" not in obj:
