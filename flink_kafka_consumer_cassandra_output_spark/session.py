@@ -64,6 +64,12 @@ def build_session(
         # The events fixture stores ts as TIMESTAMP(NANOS); read as long and
         # convert explicitly (sources/tables.py) instead of failing the scan.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Fixture timestamps carry no timezone flag (isAdjustedToUTC=false);
+        # with the UTC session zone the LTZ read is wall-time-identical to
+        # DuckDB's naive read, and LTZ keeps the whole timestamp function
+        # surface (unix_micros, ORC writes) available.  Spark 4 would
+        # otherwise infer TIMESTAMP_NTZ.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
     if extra_conf:
         conf.update(extra_conf)

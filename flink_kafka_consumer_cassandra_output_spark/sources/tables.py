@@ -18,6 +18,14 @@ from pyspark.sql import types as T
 #: what DuckDB does when it casts the same column to its us timestamp).
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: The fixture parquet stores timestamps with isAdjustedToUTC=false; Spark 4
+#: infers TIMESTAMP_NTZ for those unless told otherwise.  The engine pins the
+#: legacy LTZ read: under the UTC session zone it is wall-time-identical to
+#: DuckDB's naive read, and LTZ keeps the full timestamp function surface
+#: (unix_micros, ORC writes) available.  Set per-load because the driver may
+#: hand us an externally-built session without this conf.
+_NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
 TABLES = (
     "region",
     "nation",
@@ -50,23 +58,45 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _pin_timestamp_reads(spark: SparkSession) -> None:
+    """Pin the scan-time timestamp semantics on any session we're handed.
+
+    Both confs are runtime SQL confs, so setting them here (before the first
+    parquet read) works even on an externally-built session.  They stay set —
+    restoring mid-plan is not possible and the pinned semantics are what every
+    query in ``plans/`` assumes.
+    """
+    if spark.conf.get(_NANOS_CONF, "false") != "true":
+        spark.conf.set(_NANOS_CONF, "true")
+    if spark.conf.get(_NTZ_CONF, "true") != "false":
+        spark.conf.set(_NTZ_CONF, "false")
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Safety net: cast any residual TIMESTAMP_NTZ column to LTZ.
+
+    Only fires if the NTZ conf could not take effect (e.g. a cached reader
+    schema from before ``_pin_timestamp_reads`` ran); the conf path is primary
+    because a post-scan cast would defeat parquet filter pushdown on the
+    column.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        if spark.conf.get(_NANOS_CONF, "false") != "true":
-            # set once in session.build_session; this is only a fallback for
-            # externally-built sessions (restored immediately is not possible
-            # mid-plan, so we leave it set and document the requirement).
-            spark.conf.set(_NANOS_CONF, "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer ns -> us floor division (no double round-trip: ns epochs
-            # exceed double's 2^53 integer range; pmod keeps floor semantics
-            # for pre-1970 instants, matching DuckDB's ns->us cast)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")))
-        return _spread(spark, df)
+    _pin_timestamp_reads(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer ns -> us floor division (no double round-trip: ns epochs
+        # exceed double's 2^53 integer range; pmod keeps floor semantics
+        # for pre-1970 instants, matching DuckDB's ns->us cast)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")))
+    df = _ntz_to_ltz(df)
     if name in _SPREAD_TABLES:
         df = _spread(spark, df)
     return df

@@ -492,6 +492,16 @@ def run_curation_funnel_stream(
                 if cond == "PATH_NOT_FOUND":
                     return None
                 raise
+            if not df.inputFiles():
+                # Directory exists but holds no data files (a zero-row
+                # batch leaves only _SUCCESS).  Treat as empty state AND
+                # keep the scan out of the plan entirely: this batch's own
+                # dynamic-overwrite write to the same path re-lists it,
+                # and recomputing a plan that captured partitionSchema=[]
+                # against a now-partitioned layout trips Spark's
+                # partitionValues arity assertion.  Driver-side listing
+                # check -- no job.
+                return None
             return df.filter(F.col("_batch_id") < batch_id).select(*cols)
 
         batch_df = batch_df.select("doc_id", "text").persist()
