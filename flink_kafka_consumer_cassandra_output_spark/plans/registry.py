@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "northstar_queries",
     "events_queries",
     "tpch_queries",
+    "tpch_adapted_queries",
     "reference_queries",
 )
 

@@ -1,0 +1,1051 @@
+"""The remaining 18 TPC-H query shapes, adapted to the fixture's columns.
+
+``tpch_queries.py`` implements Q1/Q3/Q5/Q14 directly; this module completes
+the set (Q2, Q4, Q6-Q13, Q15-Q22) so the engine demonstrably covers every
+canonical TPC-H plan shape: correlated scalar subqueries (Q2/Q11/Q15/Q17),
+EXISTS/NOT-EXISTS semi/anti chains (Q4/Q20/Q21/Q22), left-outer double
+aggregation (Q13), disjunctive join predicates (Q19), conditional-aggregate
+shares (Q7/Q8/Q12), group-HAVING-in (Q18), and multi-way dim chains (Q9/Q10/
+Q16).  The reference has none of this surface (SURVEY.md section 2, absence
+cited at BackupMessageConsumer.java:39-61); these are the "general query
+surface" rows of the checklist, widened to the full benchmark suite.
+
+Adaptation notes (the fixture is TPC-H-ish, not TPC-H): there is no
+``partsupp`` table, so Q2/Q11/Q20 derive supplier-part facts from lineitem
+(min unit price as cost, summed extended price as stock value); no
+commit/receipt dates, so Q4/Q12/Q21 use the ship-vs-order-date lag; no
+phone/comment columns, so Q13/Q16/Q22 substitute priority/acctbal/segment
+predicates.  Each adaptation preserves the original query's PLAN shape,
+which is what the engine is being exercised on.
+
+All entries are ``driver=False``: each names the driver-checked sibling that
+already proves its operator family under the driver's budget-capped sweep
+(mapping recorded in COVERAGE.md); tests/test_oracle_parity.py hash-checks
+every entry here against its DuckDB oracle at sf0.001 (and sf0.01 via
+SPARK_GRAFT_PARITY_SF_DIR).
+
+Determinism contract (registry.py docstring): money aggregates go through
+the decimal-exact helpers; integer-valued doubles (l_quantity) sum exactly
+below 2^53; every LIMIT carries a unique-key tiebreak; float ratios are
+single double ops over exact sums, so cross-engine parity is bit-exact.
+
+Scale notes use TPC-H's row-count ratios: lineitem is the 100 TB fact;
+orders is 1/4 of it; part 1/30; customer 1/40; supplier 1/400 (broadcastable
+through roughly SF 10k); nation/region constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import numeric as N
+from ..sources import tables
+from .registry import register
+
+_DEC8 = "decimal(8,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# Q2 - min-cost supplier per part (correlated-min over a derived partsupp)
+# --------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_brand, s_name, n_name, s_acctbal, unit_cost
+FROM cost
+JOIN eu   ON l_suppkey = s_suppkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_type = 'LARGE' AND p_size <= 10
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
+                           ORDER BY unit_cost, s_suppkey) = 1
+""",
+    doc="TPC-H Q2 adapted (no partsupp): supplier-part cost = min observed "
+        "unit price from lineitem; cheapest EUROPE supplier per LARGE small "
+        "part, ties broken by s_suppkey.  Plan: one shuffle agg builds the "
+        "derived partsupp, then broadcast joins (supplier|x|nation|x|region "
+        "and the pruned part side are both tiny) and a row_number window "
+        "partitioned by p_partkey -- the correlated min-subquery of the "
+        "original, decorrelated into a single window pass.  Unit-price "
+        "division is one double op per row, bit-identical cross-engine.",
+    driver=False,
+    sibling="topk_orders_per_customer",  # driver-checks window top-1-per-key
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_brand")
+    )
+    j = cost.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "unit_cost")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 - order priority checking (EXISTS semi join)
+# --------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 adapted (ship lag for commit lag): orders in a quarter "
+        "with at least one lineitem shipped after the order date, counted "
+        "per priority.  Plan: date-pruned orders LEFT SEMI lineitem on the "
+        "orderkey equi-condition plus the non-equi lag predicate -- the "
+        "semi join never duplicates orders, and the 3-month partition "
+        "prune reaches the orders scan (PushedFilters).",
+    driver=False,
+    sibling="sql_correlated_exists",  # driver-checks EXISTS decorrelation
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-07-01"))
+        & (F.col("o_orderdate") < _ts("1997-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Q6 - forecasting revenue change (pure scan-filter-aggregate)
+# --------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: the canonical scan-dominated query -- year + discount "
+        "band + quantity filters, one decimal-exact sum, zero joins and "
+        "zero wide shuffles (partial agg collapses to one row).  All three "
+        "predicates push to the parquet scan; at 100 TB this is the query "
+        "whose cost IS the pruned scan.",
+    driver=False,
+    sibling="q1_pricing_summary",  # driver-checks scan->decimal-agg family
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(N.dec2("l_extendedprice") * F.col("l_discount").cast(_DEC8))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 - volume shipping between two nations
+# --------------------------------------------------------------------------
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {N.drevenue_expr()} AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7: bilateral trade volume between two nations by ship year. "
+        "Plan: the nation pair prunes BOTH dimension paths before they "
+        "touch lineitem -- customer|x|nation2 and supplier|x|nation1 are "
+        "broadcast, the disjunctive pair predicate is applied after the "
+        "two small joins, and lineitem shuffles only against pre-filtered "
+        "orders.  Year bucketing is a scan-side expression, no extra "
+        "shuffle beyond the final 4-group agg.",
+    driver=False,
+    sibling="q5_revenue_by_nation",  # driver-checks the dim-chain join family
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    nat = _t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.filter(F.col("n_name").isin(pair))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.filter(F.col("n_name").isin(pair))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(N.drevenue("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q8 - national market share within a region
+# --------------------------------------------------------------------------
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {N.REVENUE_SQL}
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / {N.drevenue_expr()} AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n2.n_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year
+""",
+    doc="TPC-H Q8: NATION_5's share of ECONOMY-part revenue sold into ASIA "
+        "customers, per order year.  Plan shape: the market side (customer"
+        "|x|nation|x|region) and the shares side (supplier|x|nation) are "
+        "independent broadcast prunes; part is the midsize dim joined on "
+        "l_partkey (strategy left to AQE, see q14 note); the share is a "
+        "conditional decimal aggregate -- numerator and denominator in ONE "
+        "pass, one divide of exact sums at the end.",
+    driver=False,
+    sibling="q14_promo_revenue",  # driver-checks conditional-share aggregates
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = nat.select("n_nationkey", "n_regionkey").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    rev = N.revenue_col()
+    national = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+        F.lit(0).cast(N.DEC)
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(national).cast("double").alias("nat_rev"),
+        F.sum(rev).cast("double").alias("all_rev"),
+    )
+    return agg.select(
+        "o_year", (F.col("nat_rev") / F.col("all_rev")).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 - product-type profit by nation and year
+# --------------------------------------------------------------------------
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({N.REVENUE_SQL}) AS DOUBLE)
+       - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(0.10 AS DECIMAL(8,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+    doc="TPC-H Q9 adapted (no ps_supplycost): supply cost modeled as 10% of "
+        "retail price per unit; profit on red parts by supplier nation and "
+        "order year.  Determinism: revenue and cost are summed as SEPARATE "
+        "exact decimals and subtracted once as doubles -- a per-row decimal "
+        "subtraction would force a (37,4)x(38,6) scale unification whose "
+        "overflow behavior differs between engines.  Plan: part pruned by "
+        "the name filter before the fact join; supplier|x|nation broadcast; "
+        "orders joined only for the year column.",
+    driver=False,
+    sibling="q5_revenue_by_nation",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    cost = (
+        N.dec2("p_retailprice")
+        * N.dec2("l_quantity")
+        * F.lit(0.10).cast(_DEC8)
+    )
+    agg = j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        F.sum(N.revenue_col()).cast("double").alias("rev"),
+        F.sum(cost).cast("double").alias("cost"),
+    )
+    return agg.select(
+        "nation", "o_year", (F.col("rev") - F.col("cost")).alias("profit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 - returned-item reporting (top 20 lossy customers)
+# --------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, {N.drevenue_expr()} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: top-20 customers by returned revenue in a quarter. "
+        "Plan: returnflag and the quarter prune both fact scans before the "
+        "orderkey shuffle join; customer+nation broadcast onto the "
+        "aggregate; TakeOrderedAndProject does the global top-20 without a "
+        "total sort (revenue is an exact-decimal double, c_custkey breaks "
+        "ties deterministically).",
+    driver=False,
+    sibling="sql_q3_shipping_priority",  # driver-checks agg->deterministic-topk
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-10-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c.select("c_custkey", "c_name", "c_acctbal", "n_name")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        N.drevenue("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 - important stock values (scalar-subquery HAVING)
+# --------------------------------------------------------------------------
+
+@register(
+    "q11_important_values",
+    oracle=f"""
+WITH v AS (
+  SELECT l_partkey, {N.dsum_expr('l_extendedprice')} AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM v
+WHERE part_value > (SELECT SUM(part_value) * CAST(0.005 AS DOUBLE) FROM v)
+""",
+    doc="TPC-H Q11 adapted (no partsupp): per-part traded value through "
+        "NATION_3 suppliers, keeping parts above 0.5% of the national "
+        "total.  Plan: one shuffle agg builds the value table, the global "
+        "threshold is a 1-row broadcast (scalar subquery over the SAME "
+        "aggregate -- Spark reuses the exchange), filter is map-side.  "
+        "Determinism: per-part values are exact decimal sums surfaced as "
+        "double; the global total sums those doubles -- each an exact "
+        "multiple of 0.01 well under 2^53 at test scale, so the sum is "
+        "order-insensitive on both engines.",
+    driver=False,
+    sibling="scalar_subquery_above_avg_balance",
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(N.dsum("l_extendedprice", "part_value"))
+    )
+    total = v.agg(
+        (F.sum("part_value") * F.lit(0.005)).alias("threshold")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 - shipping-lag priority classes (conditional counts)
+# --------------------------------------------------------------------------
+
+@register(
+    "q12_ship_lag_priority",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 90
+            THEN 'late' ELSE 'ontime' END AS lag_class,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY lag_class
+""",
+    doc="TPC-H Q12 adapted (ship lag for the shipmode/commit columns): "
+        "lineitems shipped >= 90 days after ordering vs on time, with "
+        "high/low-priority conditional counts.  Plan: year filter prunes "
+        "the lineitem scan; one orderkey join (orders side carries only "
+        "two columns); datediff is a scan-side expression; 2-group agg.  "
+        "Fixture dates are midnight-aligned so day difference is exact on "
+        "both engines.",
+    driver=False,
+    sibling="date_functions_orders",  # driver-checks date arithmetic family
+)
+def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lag_class = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 90, "late"
+    ).otherwise("ontime")
+    return j.groupBy(lag_class.alias("lag_class")).agg(
+        F.count(F.when(high, 1)).alias("high_line_count"),
+        F.count(F.when(~high, 1)).alias("low_line_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 - customer order-count distribution (left outer + double aggregate)
+# --------------------------------------------------------------------------
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 adapted (priority filter for the comment filter): "
+        "distribution of per-customer order counts, zero-order customers "
+        "included via the LEFT join's null-preserving COUNT(o_orderkey).  "
+        "Plan: the filter lives IN the join condition (a WHERE would turn "
+        "the outer join inner and drop the zero bucket); first agg "
+        "shuffles on c_custkey, second on the tiny c_count domain.",
+    driver=False,
+    sibling="distinct_agg_lineitem",  # driver-checks multi-level aggregation
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15 - top supplier (scalar-subquery max over a derived view)
+# --------------------------------------------------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {N.drevenue_expr()} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15: the quarter's top-revenue supplier(s), via equality "
+        "against a scalar MAX over the derived revenue view.  Exact-decimal "
+        "revenue makes the float equality safe cross-engine (identical "
+        "bits).  Plan: one shuffle agg on l_suppkey; the max is a 1-row "
+        "broadcast; supplier joins by broadcast.  Ties all surface (the "
+        "TPC-H spec's multi-winner semantics), so no tiebreak is needed.",
+    driver=False,
+    sibling="scalar_subquery_above_avg_balance",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        N.drevenue("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 - supplier variety per part group (NOT IN + COUNT DISTINCT)
+# --------------------------------------------------------------------------
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 adapted (negative balance for the complaints filter): "
+        "distinct supplier count per brand/type/size over a part whitelist, "
+        "excluding flagged suppliers.  Plan: the NOT IN becomes a broadcast "
+        "LEFT ANTI against the pruned supplier set (s_suppkey is non-null, "
+        "so anti-join and NOT IN agree); part filters prune before the "
+        "fact join; COUNT DISTINCT expands to a two-phase aggregate.",
+    driver=False,
+    sibling="distinct_agg_lineitem",  # driver-checks COUNT DISTINCT family
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    j = li.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    ).join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 - small-quantity-order revenue (correlated average threshold)
+# --------------------------------------------------------------------------
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE)
+                           * (SUM(l2.l_quantity) / COUNT(*))
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+""",
+    doc="TPC-H Q17: revenue from orders of a brand's parts below 20% of "
+        "that part's average order quantity.  The correlated AVG "
+        "decorrelates to a window average over the brand-pruned lineitems "
+        "(joining the brand's parts first keeps every lineitem of those "
+        "parts, so the window sees exactly the subquery's rows).  "
+        "Determinism: quantities are integer-valued doubles, so SUM/COUNT "
+        "is exact and the 0.2x threshold is one multiply; AVG is spelled "
+        "SUM/COUNT on both engines to force the same operation order.",
+    driver=False,
+    sibling="scalar_subquery_above_avg_balance",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p5 = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    li5 = li.join(F.broadcast(p5), F.col("p_partkey") == F.col("l_partkey"))
+    w = Window.partitionBy("l_partkey")
+    thresh = F.lit(0.2) * (
+        F.sum("l_quantity").over(w) / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li5.withColumn("qty_threshold", thresh)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(N.dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 - large-volume customers (group-HAVING-in join)
+# --------------------------------------------------------------------------
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS qty_sum
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty_sum
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    doc="TPC-H Q18: customers whose single orders exceed 200 units, top 20 "
+        "by order price.  Plan: the HAVING aggregate runs on lineitem "
+        "ALONE (orderkey shuffle with map-side partial sums) and only the "
+        "few qualifying orderkeys join onward -- at 100 TB the big-order "
+        "set is tiny, so both downstream joins broadcast it; top-20 via "
+        "TakeOrderedAndProject with the o_orderkey tiebreak.",
+    driver=False,
+    sibling="topk_orders_per_customer",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(N.dec2("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 200)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty_sum"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")).join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    )
+    return (
+        j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "qty_sum")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 - disjunctive join predicates
+# --------------------------------------------------------------------------
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {N.drevenue_expr()} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 35)
+""",
+    doc="TPC-H Q19: revenue under three disjunctive brand/size/quantity "
+        "bands -- the classic test that an OR across join-sides doesn't "
+        "defeat the equi-join.  Plan: the join stays a p_partkey equi-join "
+        "(BHJ/SMJ by size) with the disjunction as a post-join filter; "
+        "Catalyst additionally pushes the derivable single-side bounds "
+        "(p_size <= 35, l_quantity <= 35) down to both scans.",
+    driver=False,
+    sibling="q14_promo_revenue",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey")).filter(band)
+    return j.agg(N.drevenue("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q20 - suppliers with excess shipped quantity (IN over grouped HAVING)
+# --------------------------------------------------------------------------
+
+@register(
+    "q20_excess_qty_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+  )
+""",
+    doc="TPC-H Q20 adapted (shipped-quantity for availqty): NATION_7 "
+        "suppliers who moved >100 units of any 'small' part.  Plan: the IN "
+        "subquery aggregates lineitem against the name-pruned part "
+        "broadcast, then collapses to a distinct supplier set that LEFT "
+        "SEMI joins the nation-pruned supplier dim -- the semi join runs "
+        "on the small side, never duplicating suppliers.",
+    driver=False,
+    sibling="sql_correlated_exists",
+)
+def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    movers = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(N.dec2("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return s.join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Q21 - suppliers who shipped last (EXISTS + NOT EXISTS chain)
+# --------------------------------------------------------------------------
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_4'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 adapted (ship date for receipt/commit lag): NATION_4 "
+        "suppliers who were the STRICTLY LAST shipper in finished "
+        "multi-supplier orders.  Plan: the EXISTS becomes a LEFT SEMI and "
+        "the NOT EXISTS a LEFT ANTI, both equi-joined on l_orderkey with "
+        "the supplier-inequality (and date) conditions attached -- two "
+        "orderkey shuffles against the same lineitem projection, no "
+        "correlated re-execution.  The nation+status prunes shrink l1 "
+        "before either.",
+    driver=False,
+    sibling="sql_correlated_exists",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return waited.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# --------------------------------------------------------------------------
+# Q22 - dormant high-balance accounts (anti join + scalar threshold)
+# --------------------------------------------------------------------------
+
+@register(
+    "q22_dormant_accounts",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       {N.dsum_expr('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')}
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+    doc="TPC-H Q22 adapted (market segment for the phone country code): "
+        "customers with above-average positive balances and no orders at "
+        "all, totalled per segment.  Plan: the scalar threshold is a 1-row "
+        "broadcast of a decimal-exact average; the NOT EXISTS is a LEFT "
+        "ANTI against the distinct o_custkey projection (orderkey-pruned "
+        "scan, no other orders columns read); final agg over 5 segments.",
+    driver=False,
+    sibling="sql_correlated_exists",
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+        N.davg("c_acctbal", "avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            N.dsum("c_acctbal", "totacctbal"),
+        )
+    )
