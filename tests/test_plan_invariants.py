@@ -88,3 +88,66 @@ def test_detail_encrypt_runs_aes_once_per_row(spark):
     assert plan.count("aesEncrypt") == 1, (
         f"expected 1 aesEncrypt in plan, found {plan.count('aesEncrypt')}"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H adapted batch (plans/tpch_adapted_queries.py): each test pins the
+# plan property the query's docstring claims survives a 100x scale-up.
+# --------------------------------------------------------------------------
+
+def test_q6_all_three_predicates_push_to_scan(spark):
+    """Q6 is the scan-dominated query: its cost at 100 TB IS the pruned
+    scan, so shipdate AND discount AND quantity must all reach parquet."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    start = plan.index("PushedFilters")
+    pushed = plan[start : plan.index("\n", start)]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed: {pushed}"
+
+
+def test_q18_having_set_broadcasts_onward(spark):
+    """The >200-unit order set is tiny at any scale; both downstream joins
+    must broadcast it (and customer), and the top-20 must avoid a global
+    sort."""
+    plan = _plan(spark, "q18_large_volume_customers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q10_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_exists_chain_is_one_semi_one_anti(spark):
+    """The EXISTS/NOT-EXISTS pair must plan as joins (no correlated
+    re-execution): exactly one LeftSemi and one LeftAnti over lineitem."""
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan, "EXISTS must become a left-semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must become a left-anti join"
+
+
+def test_q13_outer_join_survives_condition_filter(spark):
+    """The priority filter lives IN the join condition; if it slid into a
+    WHERE the join would degrade to inner and silently drop the zero-order
+    bucket Q13 exists to count."""
+    plan = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q19_disjunction_keeps_the_equi_join(spark):
+    """The OR-of-bands must not defeat the p_partkey equi-join: a nested-
+    loop join here is the classic Q19 planner failure."""
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_q17_window_decorrelation_scans_lineitem_once(spark):
+    """The correlated AVG is decorrelated into a window over the SAME
+    brand-pruned rows -- a second lineitem scan would mean the subquery
+    re-executed as a self-join."""
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert plan.count("lineitem.parquet") == 1, (
+        "correlated-avg decorrelation must not rescan lineitem"
+    )
