@@ -987,23 +987,24 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("o3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("d3"),
+    # One IDENTICAL projection for both probe sides: with byte-identical
+    # child subplans, Spark's ReuseExchange collapses the two l_orderkey
+    # shuffles into one at sort-merge scale (the extra l_shipdate column
+    # in the semi's build side costs nothing next to a second exchange).
+    others = li.select(
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_suppkey").alias("s2"),
+        F.col("l_shipdate").alias("d2"),
     )
     waited = l1.join(
-        l2,
+        others,
         (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
         "left_semi",
     ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("o3"))
-        & (F.col("l_suppkey") != F.col("s3"))
-        & (F.col("d3") > F.col("l_shipdate")),
+        others,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2"))
+        & (F.col("d2") > F.col("l_shipdate")),
         "left_anti",
     )
     return waited.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
