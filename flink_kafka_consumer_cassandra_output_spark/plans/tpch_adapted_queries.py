@@ -481,28 +481,30 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_values",
-    oracle=f"""
+    oracle="""
 WITH v AS (
-  SELECT l_partkey, {N.dsum_expr('l_extendedprice')} AS part_value
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pv
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation   ON n_nationkey = s_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
-SELECT l_partkey, part_value
+SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
 FROM v
-WHERE part_value > (SELECT SUM(part_value) * CAST(0.005 AS DOUBLE) FROM v)
+WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.005 AS DECIMAL(4,3))
 """,
     doc="TPC-H Q11 adapted (no partsupp): per-part traded value through "
         "NATION_3 suppliers, keeping parts above 0.5% of the national "
         "total.  Plan: one shuffle agg builds the value table, the global "
         "threshold is a 1-row broadcast (scalar subquery over the SAME "
         "aggregate -- Spark reuses the exchange), filter is map-side.  "
-        "Determinism: per-part values are exact decimal sums surfaced as "
-        "double; the global total sums those doubles -- each an exact "
-        "multiple of 0.01 well under 2^53 at test scale, so the sum is "
-        "order-insensitive on both engines.",
+        "Determinism: the threshold stays DECIMAL end-to-end (sum of "
+        "per-part decimal sums times an exact 0.005 decimal), so the "
+        "boundary comparison is exact on both engines -- a double total "
+        "would be order-dependent in the last ulp, and a part sitting "
+        "within an ulp of 0.5% would flip between engines; only the "
+        "OUTPUT column is surfaced as double.",
     driver=False,
     sibling="scalar_subquery_above_avg_balance",
 )
@@ -521,15 +523,15 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(N.dsum("l_extendedprice", "part_value"))
+        .agg(F.sum(N.dec2("l_extendedprice")).alias("pv"))
     )
     total = v.agg(
-        (F.sum("part_value") * F.lit(0.005)).alias("threshold")
+        (F.sum("pv") * F.lit(0.005).cast("decimal(4,3)")).alias("threshold")
     )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", "part_value")
+        .filter(F.col("pv") > F.col("threshold"))
+        .select("l_partkey", F.col("pv").cast("double").alias("part_value"))
     )
 
 
