@@ -230,3 +230,213 @@ def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n",
     ).filter(F.col("n").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Event-analytics suite: the product-analytics shapes (cohorts, funnels,
+# transitions, sessions-ranked) a training-data/events pipeline serves.
+# The reference has nothing event-time-relational at all; these extend the
+# absent-category surface the way the north-star suite extends text dedup.
+# --------------------------------------------------------------------------
+
+@register(
+    "ev_user_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS active_users
+FROM first_seen JOIN active USING (user_id)
+GROUP BY cohort_week, week_offset
+""",
+    doc="cohort retention: users bucketed by first-seen ISO week, counted "
+        "in each later week they were active.  Both engines truncate weeks "
+        "to Monday 00:00, so the offset division is an exact multiple of "
+        "7 days.  Plan: two aggregations over one events scan (first-seen "
+        "is a tiny per-user table that broadcasts back onto the distinct "
+        "user-week activity set); at 100 TB the cohort table is |users|, "
+        "dimension-sized by construction.",
+    driver=False,
+    sibling="ev_tumbling_hourly",  # driver-checks event-time bucketing aggs
+)
+def ev_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    j = active.join(F.broadcast(first_seen), "user_id")
+    offset = F.floor(
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return j.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@register(
+    "ev_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+""",
+    doc="ordered funnel conversion view -> click -> purchase: each stage "
+        "counts users whose FIRST qualifying event strictly follows their "
+        "first event of the previous stage (the standard strictly-ordered "
+        "funnel; re-orderings don't count).  Plan: three per-user min "
+        "aggregations chained by broadcast joins -- each stage's table "
+        "shrinks, so at 100 TB every stage after the first is a "
+        "dimension-sized broadcast; one row out.",
+    driver=False,
+    sibling="asof_last_order_before_event",  # driver-checks time-conditioned joins
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def stage(prev: DataFrame, prev_col: str, etype: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = stage(v, "t_view", "click", "t_click")
+    p = stage(c, "t_click", "purchase", "t_purchase")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((v, "n_view"), (c, "n_view_click"), (p, "n_view_click_purchase"))
+    ]
+    out = counts[0].crossJoin(F.broadcast(counts[1])).crossJoin(
+        F.broadcast(counts[2])
+    )
+    return out
+
+
+@register(
+    "ev_event_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM ordered
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    doc="per-user event transition matrix (markov-chain edge counts): LAG "
+        "over (user, time) with the unique event_id tiebreak making the "
+        "order total, aggregated to (prev, next) pairs.  Plan: one shuffle "
+        "on user_id for the window sort, then a 25-group aggregate; the "
+        "window never re-shuffles an already user-partitioned stream.",
+    driver=False,
+    sibling="window_functions_extended",  # driver-checks lag/lead windows
+)
+def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ev_top_sessions_by_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY n_events DESC, user_id, session_start
+LIMIT 20
+""",
+    doc="top-20 busiest sessions under a 30-minute inactivity gap: the "
+        "gaps-and-islands sessionization (lag -> running sum) ranked by "
+        "event count with a (user, start) total-order tiebreak.  Plan: one "
+        "user_id shuffle serves both windows AND the per-session "
+        "aggregate; TakeOrderedAndProject does the global top-20.",
+    driver=False,
+    sibling="ev_session_windows",  # driver-checks gaps-and-islands sessions
+)
+def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond arithmetic: the oracle's INTERVAL comparison is exact, so
+    # a whole-second cast here would misclassify sub-second boundary gaps
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    agg = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        agg.orderBy(
+            F.col("n_events").desc(), F.col("user_id"), F.col("session_start")
+        )
+        .limit(20)
+        .select("user_id", "session_start", "n_events")
+    )
