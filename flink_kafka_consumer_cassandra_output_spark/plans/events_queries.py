@@ -309,40 +309,55 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
     doc="ordered funnel conversion view -> click -> purchase: each stage "
         "counts users whose FIRST qualifying event strictly follows their "
         "first event of the previous stage (the standard strictly-ordered "
-        "funnel; re-orderings don't count).  Plan: three per-user min "
-        "aggregations chained by broadcast joins -- each stage's table "
-        "shrinks, so at 100 TB every stage after the first is a "
-        "dimension-sized broadcast; one row out.",
+        "funnel; re-orderings don't count).  The Spark side is the ONE-SCAN "
+        "windowed form: per user, a running min of preceding first-view "
+        "times marks qualifying clicks, a second running min over those "
+        "marks qualifying purchases, and one aggregate emits all three "
+        "distinct-user counts -- a single fact scan and a single user_id "
+        "shuffle serving both windows, where the staged form (the oracle's "
+        "CTE chain, kept as the independent check) re-scans events once "
+        "per stage.  Strictness under ties: the 1-preceding frame plus the "
+        "explicit ts > comparison, with event_id completing the total "
+        "order.",
     driver=False,
     sibling="asof_last_order_before_event",  # driver-checks time-conditioned joins
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    from pyspark.sql import Window
 
-    def stage(prev: DataFrame, prev_col: str, etype: str, out: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype)
-        return (
-            e.join(F.broadcast(prev), "user_id")
-            .filter(F.col("ts") > F.col(prev_col))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    c = stage(v, "t_view", "click", "t_click")
-    p = stage(c, "t_click", "purchase", "t_purchase")
-    counts = [
-        df.agg(F.count(F.lit(1)).alias(name))
-        for df, name in ((v, "n_view"), (c, "n_view_click"), (p, "n_view_click_purchase"))
-    ]
-    out = counts[0].crossJoin(F.broadcast(counts[1])).crossJoin(
-        F.broadcast(counts[2])
+    min_view_prev = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w_prev)
+    staged = ev.withColumn(
+        "qual_click",
+        (F.col("event_type") == "click")
+        & min_view_prev.isNotNull()
+        & (F.col("ts") > min_view_prev),
     )
-    return out
+    min_qc_prev = F.min(F.when(F.col("qual_click"), F.col("ts"))).over(w_prev)
+    staged = staged.withColumn(
+        "qual_purchase",
+        (F.col("event_type") == "purchase")
+        & min_qc_prev.isNotNull()
+        & (F.col("ts") > min_qc_prev),
+    )
+    return staged.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(F.when(F.col("qual_click"), F.col("user_id"))).alias(
+            "n_view_click"
+        ),
+        F.countDistinct(F.when(F.col("qual_purchase"), F.col("user_id"))).alias(
+            "n_view_click_purchase"
+        ),
+    )
 
 
 @register(
