@@ -1216,3 +1216,65 @@ def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "anchor_id", "other_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking: the training-data-prep staple the suite was missing.
+# --------------------------------------------------------------------------
+
+#: 200-token chunks advancing 150 tokens (25% overlap) -- the common
+#: context-window prep shape; both constants are inlined into the oracle.
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + {CHUNK_SIZE})) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM s
+""",
+    doc="deterministic overlapping token-window chunking (200-token chunks, "
+        "150-token stride): every document explodes into ceil(n/stride) "
+        "chunks keyed (doc_id, chunk_id), the last chunk short.  Plan: "
+        "tokenize once, generate start offsets with sequence(), explode, "
+        "array-slice -- all JVM-side codegen, no shuffle at all (chunking "
+        "is embarrassingly parallel per document; the 1->N fan-out stays "
+        "inside the scan stage).  At 100 TB the only knob is output "
+        "partition sizing, which maxPartitionBytes already governs.  "
+        "Determinism: whitespace split and slice arithmetic are identical "
+        "cross-engine; chunk_id = start DIV stride needs no tiebreak.",
+    driver=False,
+    sibling="doc_tfidf_top_terms",  # driver-checks the explode/fan-out family
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_SIZE)
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
