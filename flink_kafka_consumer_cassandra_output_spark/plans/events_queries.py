@@ -399,7 +399,7 @@ def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_top_sessions_by_events",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
@@ -408,7 +408,7 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -438,9 +438,11 @@ def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
+    # same (ts, event_id) total order as the lag window: a ts-only running
+    # sum would assign tied rows to sessions nondeterministically
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))

@@ -1232,7 +1232,8 @@ CHUNK_STRIDE = 150
     "doc_chunking",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
 ),
 s AS (
   SELECT doc_id, toks,
@@ -1261,16 +1262,19 @@ FROM s
     sibling="doc_tfidf_top_terms",  # driver-checks the explode/fan-out family
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tables.load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # project toks FIRST so the explode's sequence bound reads the already-
+    # split array -- split() both in the projection and inside the Generate
+    # would re-tokenize the full document once per emitted chunk
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
         F.lit(CHUNK_STRIDE),
     )
     chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_SIZE)
     return (
-        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        toked.select("doc_id", "toks", F.explode(starts).alias("start"))
         .select(
             "doc_id",
             (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),

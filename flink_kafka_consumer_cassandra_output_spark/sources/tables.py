@@ -70,6 +70,12 @@ def _pin_timestamp_reads(spark: SparkSession) -> None:
         spark.conf.set(_NANOS_CONF, "true")
     if spark.conf.get(_NTZ_CONF, "true") != "false":
         spark.conf.set(_NTZ_CONF, "false")
+    # The LTZ-read-equals-DuckDB-naive-read equivalence (and every
+    # timestamp literal / year() / date_trunc in plans/) holds only under
+    # the UTC session zone build_session pins; a foreign session in any
+    # other zone would shift every date filter's boundary.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:

@@ -28,6 +28,8 @@ from pyspark.sql import types as T
 
 from flink_kafka_consumer_cassandra_output_spark.sources import tables
 
+from .conftest import SF_DIR
+
 UTC = datetime.timezone.utc
 TS = [
     datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
@@ -72,20 +74,27 @@ def test_events_ts_always_ltz(spark, tmp_path, arrow_type):
 
 
 def test_loader_pins_confs_on_foreign_session(spark):
-    """Simulate the driver's unpinned session: flip both confs to their
-    Spark-4 defaults and check one load() restores the engine posture."""
+    """Simulate the driver's unpinned session: flip the confs to foreign
+    values and check one load() restores the engine posture -- including
+    the UTC session zone the LTZ==naive equivalence (and every timestamp
+    literal in plans/) depends on."""
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    tables.load(spark, "/root/testdata/sf0.001", "events")
-    assert spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        tables.load(spark, SF_DIR, "events")
+        assert spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def test_real_fixture_timestamp_columns_are_ltz(spark):
     """Whatever encoding the current driver generation uses, the loaded
     timestamp columns must be LTZ (the r5-proven query surface assumes it)."""
     for name, col in (("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
-        df = tables.load(spark, "/root/testdata/sf0.001", name)
+        df = tables.load(spark, SF_DIR, name)
         assert isinstance(df.schema[col].dataType, T.TimestampType), (
             f"{name}.{col} is {df.schema[col].dataType}"
         )

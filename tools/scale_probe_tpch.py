@@ -88,12 +88,16 @@ def main() -> None:
     spark = local_session(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     probe_dir = build_probe_dir(spark, k)
     specs = all_specs()
-    # scan warm-up (codegen + file-listing caches), untimed
-    spark.read.parquet(os.path.join(probe_dir, "lineitem.parquet")).count()
     print(f"| k | lineitem rows | query | result rows | seconds | sec/k |")
     print("|---|---|---|---|---|---|")
     li_rows = spark.read.parquet(os.path.join(probe_dir, "lineitem.parquet")).count()
     for name in QUERIES:
+        # per-query untimed warm-up: the first execution carries this plan's
+        # whole-stage-codegen compilation, which would otherwise land in the
+        # first timed repeat (and be the ONLY sample at REPEATS=1)
+        specs[name].builder(spark, probe_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.monotonic()
