@@ -968,3 +968,36 @@ def set_ops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tag(open_c.exceptAll(done_c), "open_only"))
         .unionAll(tag(done_c.exceptAll(open_c), "done_only"))
     )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="EXACT percentiles (median + p90 per priority): Spark's sort-based "
+        "percentile() vs DuckDB's quantile_cont -- both linear-interpolate "
+        "at rank (n-1)*p over the sorted group, so the doubles match "
+        "bit-for-bit (the approx sketch family is approx_quantiles_price; "
+        "this is the exact path users reach for at dimension-sized "
+        "groups).  Scale note: exact percentile buffers each group's "
+        "values -- right for the 5-priority grouping here, wrong for "
+        "high-cardinality groups, where the sketch variant is the "
+        "documented alternative.",
+    driver=False,
+    sibling="approx_quantiles_price",  # driver-checks the quantile family
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50_price"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
