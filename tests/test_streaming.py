@@ -362,7 +362,20 @@ def test_curation_funnel_stream_converges_to_batch_truth(
         r.stage: r.n_docs
         for r in all_specs()["doc_curation_funnel"].builder(spark, sf_dir).collect()
     }
-    assert got == expect, f"stream {got} != batch {expect}"
+    # forensics on mismatch: name the pairs the stream missed/invented,
+    # not just the count delta (one full-suite flake of this test showed
+    # stage3 off by 2 with no way to see WHICH pairs went missing)
+    if got != expect:
+        stream_p = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(str(state) + "_pairs")
+            .select("id_a", "id_b")
+            .collect()
+        }
+        raise AssertionError(
+            f"stream {got} != batch {expect}; stream pair set "
+            f"({len(stream_p)} pairs): {sorted(stream_p)[:50]}"
+        )
     # the per-doc verdicts, not just the counts: state ids must be unique
     assert st.select("doc_id").distinct().count() == st.count()
     # the materialized LSH index stays consistent with the survivor table:
