@@ -1282,3 +1282,50 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+@register(
+    "doc_decontamination",
+    oracle="""
+WITH needles AS (
+  SELECT doc_id AS needle_src,
+         array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+           AS needle
+  FROM documents
+  WHERE doc_id % 100 = 7 AND text IS NOT NULL
+)
+SELECT needle_src, COUNT(*) AS n_matches, MIN(doc_id) AS first_match
+FROM needles
+JOIN documents ON contains(text, needle)
+GROUP BY needle_src
+""",
+    doc="benchmark decontamination: exact-substring scan of the corpus "
+        "against a needle set (here: the leading 6 tokens of every 100th "
+        "document, so every needle provably matches at least its source).  "
+        "Plan: the needle table is benchmark-sized by definition, so the "
+        "scan is ONE pass over documents with the needles broadcast -- a "
+        "BroadcastNestedLoopJoin whose inner loop is |needles| substring "
+        "probes per document, the same shape production decontamination "
+        "(10^2-10^4 benchmark strings vs 10^9 docs) wants; per-needle "
+        "aggregation is a tiny keyed shuffle.  For needle sets too big to "
+        "broadcast, the n-gram route is doc_near_dup_jaccard's prefix-"
+        "filter join.",
+    driver=False,
+    sibling="doc_exact_dedup",  # driver-checks the exact-match dedup family
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    needles = d.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("needle_src"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)).alias(
+            "needle"
+        ),
+    )
+    return (
+        d.join(F.broadcast(needles), F.col("text").contains(F.col("needle")))
+        .groupBy("needle_src")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("doc_id").alias("first_match"),
+        )
+    )
