@@ -457,3 +457,76 @@ def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("user_id", "session_start", "n_events")
     )
+
+
+@register(
+    "ev_hourly_gapfill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         arg_max(value, ts) AS last_value
+  FROM events GROUP BY user_id, hour
+),
+span AS (
+  SELECT user_id,
+         UNNEST(generate_series(MIN(hour), MAX(hour), INTERVAL 1 HOUR))
+           AS hour
+  FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT s.user_id, s.hour, o.last_value,
+         o.last_value IS NOT NULL AS is_observed
+  FROM span s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hour = o.hour
+)
+SELECT user_id, hour,
+       last_value(last_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_value,
+       is_observed
+FROM grid
+""",
+    doc="time-series resampling with forward fill: per user, a dense "
+        "hourly grid spanning their observed range (sequence + explode), "
+        "each empty hour carrying the last observed hour's value "
+        "(last-ignoring-nulls window).  The in-hour representative is "
+        "max_by(value, ts) -- deterministic because (user_id, ts) is "
+        "unique.  Plan: one aggregate builds the sparse observations, the "
+        "grid explodes from a 2-row-per-user span table (never from raw "
+        "events), and ONE user_id shuffle serves the left join and the "
+        "fill window; grid size is users x span-hours regardless of event "
+        "volume, so densification cost is independent of the fact table.  "
+        "The first grid hour is observed by construction, so the fill "
+        "never emits leading NULLs.",
+    driver=False,
+    sibling="window_functions_extended",  # driver-checks ignore-null windows
+)
+def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max_by("value", "ts").alias("last_value"))
+    span = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    grid = span.join(obs, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        "hour",
+        F.last("last_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("last_value").isNotNull().alias("is_observed"),
+    )
