@@ -33,12 +33,39 @@ STAGING_ENV = "SPARK_GRAFT_STAGING_DIR"
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` once per the mode above; see module docstring."""
+    """Materialize ``df`` once per the mode above; see module docstring.
+
+    Staging tables land under ``<dir>/<applicationId>/stage-<uuid>``: the
+    per-application scoping is the reclamation contract.  Stage tables are
+    plan intermediates, never durable outputs, so everything under an
+    application's subdirectory is garbage the moment that application
+    ends -- ``cleanup_staging(spark)`` deletes the CURRENT app's subdir
+    (call it from job teardown), and a janitor can safely remove any
+    subdir whose application id is no longer running.  Without the
+    scoping, staged intermediates from repeated builder invocations would
+    accumulate unboundedly with no safe deletion rule.
+    """
     if schema_only_builds():
         return df
     staging = os.environ.get(STAGING_ENV, "")
     if staging:
-        path = os.path.join(staging, f"stage-{uuid.uuid4().hex}")
+        app_dir = os.path.join(staging, df.sparkSession.sparkContext.applicationId)
+        path = os.path.join(app_dir, f"stage-{uuid.uuid4().hex}")
         df.write.parquet(path)
         return df.sparkSession.read.parquet(path)
     return df.localCheckpoint(eager=True)
+
+
+def cleanup_staging(spark) -> None:
+    """Delete the current application's staging subdirectory (no-op when
+    staging mode is off or nothing was staged).  Uses the Hadoop
+    filesystem API so it works on HDFS/S3A paths, not just local disk."""
+    staging = os.environ.get(STAGING_ENV, "")
+    if not staging:
+        return
+    app_dir = os.path.join(staging, spark.sparkContext.applicationId)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(app_dir)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)

@@ -318,7 +318,13 @@ def prefix_filter_pairs(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
         - F.lit(1e-9)
     )
-    pos_ub = F.lit(1) + F.least(
+    # PPJoin positional upper bound at a common prefix token at 0-based
+    # positions (pa, pb): at the pair's FIRST common token no common token
+    # precedes it, so overlap <= 1 + min(strictly-after counts)
+    # = min(sz-pa, sz-pb).  Rows for later common tokens may violate the
+    # bound and be pruned, but the first-token row always survives, so
+    # recall stays exact (the brute-force equality test pins this).
+    pos_ub = F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
     return (
@@ -362,9 +368,12 @@ def connected_components(
     neighbor step alone converges in 2 rounds and the shortcut is a cheap
     no-op join on a tiny label table.
 
-    Each round is materialized via ``localCheckpoint(eager=True)``, which
-    BOTH stops re-execution of prior rounds AND truncates the logical
-    plan -- ``persist`` alone does not: the self-join references its input
+    Each round is materialized via :func:`materialize` (localCheckpoint
+    locally, staging table under SPARK_GRAFT_STAGING_DIR on clusters --
+    the same mode dispatch every other pipeline uses, so preemption-safe
+    cluster runs cover the CC loop too), which BOTH stops re-execution of
+    prior rounds AND truncates the logical plan -- ``persist`` alone does
+    not: the self-join references its input
     twice, so an uncut lineage doubles every round and the analyzer dies
     on a gigabyte-scale plan string long before 2^10 rounds (observed on
     the 1024-chain test).  Checkpoint blocks are released by the context
@@ -392,7 +401,7 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.a", "e.b").persist()
-    labels = init.localCheckpoint(eager=True)
+    labels = materialize(init)
     # Labels only ever DECREASE (min-propagation), so sum(lbl) strictly
     # decreases iff any label changed -- one agg over the materialized
     # frame is the whole convergence check, no label-vs-label join needed.
@@ -409,8 +418,8 @@ def connected_components(
                 labels.unionByName(prop)
                 .groupBy("v")
                 .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
             )
+            stepped = materialize(stepped)
             # Pointer jump: re-resolve each label through the label table.
             # Every label IS a vertex id (the invariant above), so the
             # lookup hits; left-join + coalesce keeps partial node sets
@@ -418,10 +427,9 @@ def connected_components(
             jump = stepped.select(
                 F.col("v").alias("lbl"), F.col("lbl").alias("jumped")
             )
-            labels = (
+            labels = materialize(
                 stepped.join(jump, "lbl", "left")
                 .select("v", F.coalesce("jumped", "lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
             )
             new_sum = labels.agg(F.sum("lbl")).first()[0]
             # sum over an EMPTY label table is NULL: an empty graph is

@@ -1151,10 +1151,31 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays static.  array_sort on (vec_id, embedding) structs orders by
     # vec_id; identical per-bit arithmetic to a literal-plane bootstrap.
     n_planes = 4
+    # The bit loop is static over n_planes while the plane ARRAY is
+    # data-derived, so a corpus missing any of ids 16..19 must fail LOUDLY
+    # here -- element_at past the array end would either throw a cryptic
+    # INVALID_ARRAY_INDEX (ANSI) or silently zero the bit (non-ANSI),
+    # corrupting every bucket code.  The check lives INSIDE the planes
+    # expression so column pruning can never skip it.
     planes_row = (
         e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 20))
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))).alias("ps"))
-        .select(F.transform("ps", lambda s: s["embedding"]).alias("planes"))
+        .select(
+            F.when(
+                F.size("ps") == n_planes,
+                F.transform("ps", lambda s: s["embedding"]),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("emb_ann_lsh: plane vectors 16..19 incomplete: "),
+                        F.size("ps").cast("string"),
+                        F.lit(" of 4 present in corpus"),
+                    )
+                )
+            )
+            .alias("planes")
+        )
     )
     coded = e.crossJoin(F.broadcast(planes_row)).select(
         "vec_id",
