@@ -1350,3 +1350,63 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_match"),
         )
     )
+
+
+#: Sequence packing capacity (tokens per pack) for doc_sequence_packing.
+PACK_CAPACITY = 2048
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+placed AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM sized
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset // {PACK_CAPACITY} AS BIGINT) AS pack_id
+FROM placed
+""",
+    doc="sequence packing for training batches: documents are packed "
+        "contiguously into {cap}-token bins per language, each doc's bin "
+        "decided by its token START OFFSET in the per-language running sum "
+        "(offset-based contiguous packing: deterministic, one window pass, "
+        "splittable docs spanning a boundary stay in the bin they start "
+        "in).  Plan: ONE shuffle on lang for the cumulative-sum window "
+        "over the doc_id order; no global sort -- the language partition "
+        "is the packing domain, which is also what keeps the running sum "
+        "scalable at 100 TB (a corpus-wide cumsum would serialize; "
+        "per-group cumsums parallelize across the partition key).  "
+        "Token counts are whitespace tokens, consistent with "
+        "doc_chunking/doc_text_stats.".format(cap=PACK_CAPACITY),
+    driver=False,
+    sibling="window_trailing_90d_revenue",  # driver-checks running-sum windows
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return placed.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("start_offset") / PACK_CAPACITY).alias("pack_id"),
+    )
