@@ -21,7 +21,7 @@ operator uses, so the batch plan is an honest cost model for the stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -323,8 +323,6 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
     sibling="asof_last_order_before_event",  # driver-checks time-conditioned joins
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
     w_prev = (
         Window.partitionBy("user_id")
@@ -383,8 +381,6 @@ GROUP BY prev_type, next_type
     sibling="window_functions_extended",  # driver-checks lag/lead windows
 )
 def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -427,8 +423,6 @@ LIMIT 20
     sibling="ev_session_windows",  # driver-checks gaps-and-islands sessions
 )
 def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond arithmetic: the oracle's INTERVAL comparison is exact, so
@@ -502,8 +496,6 @@ FROM grid
     sibling="window_functions_extended",  # driver-checks ignore-null windows
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _ev(spark, sf_dir)
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")

@@ -40,18 +40,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
-from ..sources import tables
 from .registry import register
-
-_DEC8 = "decimal(8,2)"
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return tables.load(spark, sf_dir, name)
+from .tpch_queries import _DEC8, _t, _ts
 
 
-def _ts(lit: str):
-    return F.lit(lit).cast("timestamp")
+def _supplier_nations(
+    spark: SparkSession, sf_dir: str, nation: str | None = None
+) -> DataFrame:
+    """supplier |x| broadcast(nation), optionally pruned to one nation --
+    the dimension-side pattern the Q8/Q9/Q20/Q21 adaptations share."""
+    n = _t(spark, sf_dir, "nation")
+    if nation is not None:
+        n = n.filter(F.col("n_name") == nation)
+    return _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -312,10 +315,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     nat = _t(spark, sf_dir, "nation")
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    s = _supplier_nations(spark, sf_dir).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
     )
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n2 = nat.select("n_nationkey", "n_regionkey").join(
@@ -392,14 +393,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "n_name")
-    )
+    s = _supplier_nations(spark, sf_dir).select("s_suppkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     j = (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -510,16 +504,7 @@ WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.005 AS DECIMAL(4,3))
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey")
-    )
+    s = _supplier_nations(spark, sf_dir, "NATION_3").select("s_suppkey")
     v = (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
@@ -919,16 +904,7 @@ def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
         .distinct()
     )
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name")
-    )
+    s = _supplier_nations(spark, sf_dir, "NATION_7").select("s_suppkey", "s_name")
     return s.join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
 
 
@@ -968,16 +944,7 @@ GROUP BY s_name
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name")
-    )
+    s = _supplier_nations(spark, sf_dir, "NATION_4").select("s_suppkey", "s_name")
     o_f = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
