@@ -1001,3 +1001,53 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "cust_fuzzy_match_blocked",
+    oracle="""
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+         substr(c_name, 1, length(c_name) - 2)
+           || reverse(substr(c_name, length(c_name) - 1, 2)) AS probe_name
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT probe_id, c_custkey, c_name,
+       CAST(levenshtein(probe_name, c_name) AS BIGINT) AS distance
+FROM probes
+JOIN customer ON substr(probe_name, 1, 15) = substr(c_name, 1, 15)
+WHERE levenshtein(probe_name, c_name) <= 2
+""",
+    doc="blocked fuzzy matching (entity resolution): a probe set of "
+        "deterministically mangled names (last two characters swapped) is "
+        "matched back to the customer table by 15-char-prefix BLOCKING "
+        "plus a Levenshtein<=2 verify.  The record-linkage shape: never "
+        "all-pairs -- candidates come from the block equi-join, the "
+        "quadratic edit-distance only runs inside blocks (same posture as "
+        "the similarity module's candidate-then-verify rule).  At 100 TB "
+        "the block key is the shuffle key; skewed blocks take the salting "
+        "path (tests/test_salting.py).  Every probe provably matches its "
+        "source at distance <= 2, so the result is never empty.",
+    driver=False,
+    sibling="str_functions_nation",  # driver-checks the levenshtein family
+)
+def cust_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ln = F.length("c_name")
+    probes = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), ln - 2),
+            F.reverse(F.col("c_name").substr(ln - 1, F.lit(2))),
+        ).alias("probe_name"),
+    )
+    j = c.join(
+        F.broadcast(probes),
+        F.substring("probe_name", 1, 15) == F.substring("c_name", 1, 15),
+    )
+    return j.filter(F.levenshtein("probe_name", "c_name") <= 2).select(
+        "probe_id",
+        "c_custkey",
+        "c_name",
+        F.levenshtein("probe_name", "c_name").cast("long").alias("distance"),
+    )
