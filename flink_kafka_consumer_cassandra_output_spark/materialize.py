@@ -52,8 +52,35 @@ def materialize(df: DataFrame) -> DataFrame:
         app_dir = os.path.join(staging, df.sparkSession.sparkContext.applicationId)
         path = os.path.join(app_dir, f"stage-{uuid.uuid4().hex}")
         df.write.parquet(path)
-        return df.sparkSession.read.parquet(path)
+        staged = df.sparkSession.read.parquet(path)
+        # Tag the frame with its stage path so iterative pipelines can
+        # reclaim a dead round's table mid-run via drop_stage() instead
+        # of holding max_iters rounds of files until cleanup_staging.
+        staged._spark_graft_stage_path = path
+        return staged
     return df.localCheckpoint(eager=True)
+
+
+def drop_stage(df: DataFrame) -> None:
+    """Eagerly delete the staging table backing a ``materialize`` result.
+
+    Call ONLY when every consumer of ``df`` has already executed (i.e. a
+    later ``materialize`` that read it has finished writing): after this,
+    any new action on ``df`` fails with a missing-path error.  No-op for
+    frames materialized via localCheckpoint (their blocks are reclaimed
+    by the context cleaner on GC) and in schema-only mode.  This is the
+    per-round reclamation path for iterative pipelines (connected
+    components): the app's staging high-water mark stays at ~2 rounds of
+    label tables instead of growing with iteration count."""
+    path = getattr(df, "_spark_graft_stage_path", None)
+    if not path:
+        return
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def cleanup_staging(spark) -> None:

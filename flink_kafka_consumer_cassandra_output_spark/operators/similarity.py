@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..config import schema_only_builds
 from ..functions import vectors
-from ..materialize import materialize
+from ..materialize import drop_stage, materialize
 
 #: Defaults shared by the Spark builders and the DuckDB oracle generators.
 NUM_HASHES = 8
@@ -380,7 +380,10 @@ def connected_components(
     cleaner when the frames are garbage-collected, so nothing stays pinned
     in a long-lived driver JVM (round 5 leaked the returned persisted
     frame); the static edge table is the one explicit persist and is
-    unpersisted on every exit path.  Convergence is an exact sum check;
+    unpersisted on every exit path.  In staging mode each dead round's
+    stage tables are reclaimed mid-loop via :func:`drop_stage` (the
+    app's staging high-water mark is ~2 rounds, not ``max_iters``); only
+    the returned label table lives until ``cleanup_staging``.  Convergence is an exact sum check;
     raises after ``max_iters`` instead of silently returning a
     half-converged labeling.
     """
@@ -427,10 +430,18 @@ def connected_components(
             jump = stepped.select(
                 F.col("v").alias("lbl"), F.col("lbl").alias("jumped")
             )
-            labels = materialize(
+            jumped = materialize(
                 stepped.join(jump, "lbl", "left")
                 .select("v", F.coalesce("jumped", "lbl").alias("lbl"))
             )
+            # Staging-mode reclamation: once the jumped labels are
+            # eagerly materialized, the prior round's label table and
+            # this round's stepped table are dead -- drop them NOW so an
+            # iterative run holds ~2 rounds of stage files, not
+            # max_iters' worth (no-op under localCheckpoint).
+            drop_stage(stepped)
+            drop_stage(labels)
+            labels = jumped
             new_sum = labels.agg(F.sum("lbl")).first()[0]
             # sum over an EMPTY label table is NULL: an empty graph is
             # already converged (its answer is the empty frame), and

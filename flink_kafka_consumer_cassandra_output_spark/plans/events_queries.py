@@ -459,7 +459,7 @@ def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH obs AS (
   SELECT user_id, date_trunc('hour', ts) AS hour,
          arg_max(value, ts) AS last_value
-  FROM events GROUP BY user_id, hour
+  FROM events WHERE value IS NOT NULL GROUP BY user_id, hour
 ),
 span AS (
   SELECT user_id,
@@ -485,7 +485,10 @@ FROM grid
         "each empty hour carrying the last observed hour's value "
         "(last-ignoring-nulls window).  The in-hour representative is "
         "max_by(value, ts) -- deterministic because (user_id, ts) is "
-        "unique.  Plan: one aggregate builds the sparse observations, the "
+        "unique; both sides filter value IS NOT NULL first because Spark "
+        "max_by and DuckDB arg_max disagree on NULL args (arg_max skips "
+        "them, max_by can return the NULL paired with the max ts).  "
+        "Plan: one aggregate builds the sparse observations, the "
         "grid explodes from a 2-row-per-user span table (never from raw "
         "events), and ONE user_id shuffle serves the left join and the "
         "fill window; grid size is users x span-hours regardless of event "
@@ -496,7 +499,7 @@ FROM grid
     sibling="window_functions_extended",  # driver-checks ignore-null windows
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir)
+    ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.max_by("value", "ts").alias("last_value"))

@@ -66,7 +66,7 @@ def _supplier_nations(
     oracle="""
 WITH cost AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
 ), eu AS (
   SELECT s_suppkey, s_name, s_acctbal, n_name
   FROM supplier
@@ -89,12 +89,14 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
         "and the pruned part side are both tiny) and a row_number window "
         "partitioned by p_partkey -- the correlated min-subquery of the "
         "original, decorrelated into a single window pass.  Unit-price "
-        "division is one double op per row, bit-identical cross-engine.",
+        "division is one double op per row, bit-identical cross-engine; "
+        "the l_quantity > 0 guard (both sides) pins that: at 0 Spark's "
+        "non-ANSI division yields NULL where DuckDB yields +inf.",
     driver=False,
     sibling="topk_orders_per_customer",  # driver-checks window top-1-per-key
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )

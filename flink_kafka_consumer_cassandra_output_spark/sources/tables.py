@@ -9,6 +9,8 @@ column pruning -- the scan posture every query in ``plans/`` relies on.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -64,18 +66,34 @@ def _pin_timestamp_reads(spark: SparkSession) -> None:
     Both confs are runtime SQL confs, so setting them here (before the first
     parquet read) works even on an externally-built session.  They stay set —
     restoring mid-plan is not possible and the pinned semantics are what every
-    query in ``plans/`` assumes.
+    query in ``plans/`` assumes.  Because the override is a session-global
+    side effect that would silently shift timestamp semantics for any OTHER
+    workload sharing the session, each conf flip on a foreign session emits a
+    ``UserWarning`` naming the conf and both values (sessions built by
+    ``session.build_session`` already carry the pinned values, so they never
+    warn).
     """
-    if spark.conf.get(_NANOS_CONF, "false") != "true":
-        spark.conf.set(_NANOS_CONF, "true")
-    if spark.conf.get(_NTZ_CONF, "true") != "false":
-        spark.conf.set(_NTZ_CONF, "false")
+    def _pin(key: str, want: str, default: str) -> None:
+        have = spark.conf.get(key, default)
+        if have != want:
+            warnings.warn(
+                f"load() is overriding {key}={have!r} -> {want!r} on this "
+                "SparkSession for the rest of its lifetime; every query in "
+                "flink_kafka_consumer_cassandra_output_spark.plans assumes the pinned value. Build the "
+                "session via flink_kafka_consumer_cassandra_output_spark.session.build_session to avoid "
+                "the override.",
+                UserWarning,
+                stacklevel=3,
+            )
+            spark.conf.set(key, want)
+
+    _pin(_NANOS_CONF, "true", "false")
+    _pin(_NTZ_CONF, "false", "true")
     # The LTZ-read-equals-DuckDB-naive-read equivalence (and every
     # timestamp literal / year() / date_trunc in plans/) holds only under
     # the UTC session zone build_session pins; a foreign session in any
     # other zone would shift every date filter's boundary.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin("spark.sql.session.timeZone", "UTC", "")
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:

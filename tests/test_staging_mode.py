@@ -51,11 +51,47 @@ def test_cleanup_staging_removes_only_this_apps_dir(spark, sf_dir, tmp_path):
     os.environ[STAGING_ENV] = str(tmp_path / "staging")
     try:
         all_specs()["doc_near_dup_jaccard"].builder(spark, sf_dir).collect()
+        app_dir = tmp_path / "staging" / spark.sparkContext.applicationId
+        assert app_dir.is_dir() and list(app_dir.iterdir()), (
+            "staged pipeline left no app dir to reclaim"
+        )
         other = tmp_path / "staging" / "application_someone_else"
         other.mkdir()
         (other / "stage-keep").mkdir()
         cleanup_staging(spark)
+        assert not app_dir.exists(), "cleanup_staging left this app's dir"
         left = {d.name for d in (tmp_path / "staging").iterdir()}
         assert left == {"application_someone_else"}, left
     finally:
         os.environ.pop(STAGING_ENV, None)
+
+
+def test_iterative_staging_reclaims_dead_rounds(spark, tmp_path):
+    """The CC loop's per-round drop_stage keeps the staging high-water
+    mark at ~2 rounds of tables: after a multi-round chain convergence,
+    the app dir must hold only the final label table, not one pair of
+    stage tables per iteration -- AND the returned frame must still be
+    readable (only dead rounds were dropped)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        connected_components,
+    )
+
+    n = 128
+    nodes = spark.range(1, n + 1).select(F.col("id").alias("v"))
+    edges = spark.range(1, n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    os.environ[STAGING_ENV] = str(tmp_path / "staging")
+    try:
+        labels = connected_components(nodes, edges, max_iters=14)
+        got = {r.v: r.lbl for r in labels.collect()}
+    finally:
+        os.environ.pop(STAGING_ENV, None)
+    assert got == {v: 1 for v in range(1, n + 1)}
+    app_dir = tmp_path / "staging" / spark.sparkContext.applicationId
+    leftover = [d.name for d in app_dir.iterdir()]
+    # a ~7-round convergence materializes ~21 stage tables; without
+    # reclamation they would ALL survive to teardown
+    assert len(leftover) <= 2, leftover
