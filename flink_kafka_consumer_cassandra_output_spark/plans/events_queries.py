@@ -159,6 +159,9 @@ GROUP BY user_id, session_id
         "the oracle is the classic gaps-and-islands rewrite (lag -> running "
         "sum of session starts).  Spark session semantics: start = first "
         "event, end = last event + gap",
+    # r7 driver-slot rotation: top-sessions COMPOSES this sessionization, checked transitively.
+    driver=False,
+    sibling="ev_top_sessions_by_events",
 )
 def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -263,8 +266,6 @@ GROUP BY cohort_week, week_offset
         "is a tiny per-user table that broadcasts back onto the distinct "
         "user-week activity set); at 100 TB the cohort table is |users|, "
         "dimension-sized by construction.",
-    driver=False,
-    sibling="ev_tumbling_hourly",  # driver-checks event-time bucketing aggs
 )
 def ev_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -319,8 +320,6 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
         "per stage.  Strictness under ties: the 1-preceding frame plus the "
         "explicit ts > comparison, with event_id completing the total "
         "order.",
-    driver=False,
-    sibling="asof_last_order_before_event",  # driver-checks time-conditioned joins
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
@@ -377,8 +376,6 @@ GROUP BY prev_type, next_type
         "order total, aggregated to (prev, next) pairs.  Plan: one shuffle "
         "on user_id for the window sort, then a 25-group aggregate; the "
         "window never re-shuffles an already user-partitioned stream.",
-    driver=False,
-    sibling="window_functions_extended",  # driver-checks lag/lead windows
 )
 def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -419,8 +416,6 @@ LIMIT 20
         "event count with a (user, start) total-order tiebreak.  Plan: one "
         "user_id shuffle serves both windows AND the per-session "
         "aggregate; TakeOrderedAndProject does the global top-20.",
-    driver=False,
-    sibling="ev_session_windows",  # driver-checks gaps-and-islands sessions
 )
 def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -495,8 +490,6 @@ FROM grid
         "volume, so densification cost is independent of the fact table.  "
         "The first grid hour is observed by construction, so the fill "
         "never emits leading NULLs.",
-    driver=False,
-    sibling="window_functions_extended",  # driver-checks ignore-null windows
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())

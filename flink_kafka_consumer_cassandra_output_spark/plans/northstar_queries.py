@@ -99,6 +99,9 @@ FROM documents
     doc="north-star text analysis: whitespace + BPE-ish token counts, "
         "distinct tokens, stopword/punct counts, composite quality score -- "
         "all pure Column expressions (functions/text.py), zero Python UDFs",
+    # r7 driver-slot rotation: token counting/text features drive the packer the driver now checks.
+    driver=False,
+    sibling="doc_sequence_packing",
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -128,6 +131,9 @@ GROUP BY lang, lang_pred
 """,
     doc="north-star language-ID: marker-lexicon argmax (deterministic "
         "tiebreak) cross-tabulated against the declared lang column",
+    # r7 driver-slot rotation: same n-gram machinery, driver-checked there.
+    driver=False,
+    sibling="doc_decontamination",
 )
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -274,6 +280,9 @@ FROM documents
     doc="north-star rolling-hash document fingerprint (Rabin-Karp fold over "
         "the token stream, order-sensitive — complements the md5 "
         "fingerprint); per-row fold, no shuffle, exact int64 parity",
+    # r7 driver-slot rotation: sliding token-window op family, driver-checked there.
+    driver=False,
+    sibling="doc_chunking",
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -302,6 +311,9 @@ GROUP BY fingerprint
         "double-ingested corpus (the union simulates re-crawling the same "
         "snapshot); converges to one representative (min doc_id) per "
         "fingerprint with n_copies=2. Scale: one shuffle on the digest",
+    # r7 driver-slot rotation: hash-fingerprint equi-join dedup family, driver-checked there.
+    driver=False,
+    sibling="doc_decontamination",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -362,6 +374,9 @@ WHERE jaccard >= 0.5
         "3-word shingles.  Never all-pairs: candidates come from the "
         "(band_id, band_value) equi-join; exact Jaccard touches candidates "
         "only.  Recall vs brute force pinned in tests/test_similarity.py",
+    # r7 driver-slot rotation: banded-sketch near-dup family, driver-checked there.
+    driver=False,
+    sibling="doc_near_dup_simhash",
 )
 def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -482,6 +497,9 @@ SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM pairs
         "the ones rarest-first ordering excludes from every prefix.  "
         "Equality with brute-force all-pairs pinned in "
         "tests/test_similarity.py",
+    # r7 driver-slot rotation: clusters COMPOSE this exact pair graph, so its hash is checked transitively.
+    driver=False,
+    sibling="doc_dedup_clusters",
 )
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -575,6 +593,9 @@ WHERE rank <= 3
         "the term dimension is orders of magnitude smaller than the corpus "
         "and the n_docs scalar rides along as a broadcast, never a "
         "driver-side collect",
+    # r7 driver-slot rotation: tokenize+explode+window family, driver-checked there.
+    driver=False,
+    sibling="doc_chunking",
 )
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -791,6 +812,9 @@ WHERE ks.k * 256 < length(d.text)
         "and re-encodes, valid because the synthesized media content is "
         "UTF-8 of ASCII fixture text -- the operator itself is pure byte "
         "logic and works on any binary",
+    # r7 driver-slot rotation: Arrow-batched mapInPandas media plumbing, driver-checked there.
+    driver=False,
+    sibling="mm_media_headers",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -817,6 +841,9 @@ FROM documents
         "Arrow-batched mapInPandas (the engine's one deliberate Python "
         "path); the real codec decode is stubbed (operators/multimodal.py), "
         "but the batch plumbing is oracle-checked via header-level features",
+    # r7 driver-slot rotation: same media-parse operator, driver-checked there.
+    driver=False,
+    sibling="mm_media_headers",
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -851,10 +878,6 @@ FROM documents
         "ARITHMETICALLY (never parsing bytes), so the hash gate proves "
         "parse(synth(x)) == x per row; malformed-input behavior (return "
         "None, never raise) is pinned in tests/test_multimodal.py",
-    driver=False,  # driver sweep is capped at 50; the mapInPandas media
-    sibling="mm_media_features",
-    # plumbing is driver-checked by the sibling, and this entry stays
-    # hash-checked locally by tests/test_oracle_parity.py.
 )
 def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_headers(_docs(spark, sf_dir))
@@ -900,13 +923,29 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_cosine_topk_arrow",
-    oracle=None,  # BLAS accumulation order differs in the last ulp; the
-    # neighbor sets are pinned equal to the fold-based emb_cosine_topk in
-    # tests/test_similarity.py -- rows-only here by design.
-    # Rows-only is all the driver could ever record for this entry, while
-    # the sibling drives the SAME semantics to a hash-matched row -- so the
-    # driver slot goes to a hash-matched query instead and the neighbor-set
-    # pin test remains the real gate for the Arrow path.
+    # FLOAT-FREE projection (r7): the registered entry emits only the
+    # (query_id, neighbor_id) membership pairs, so the hash gate is exact
+    # even though BLAS cosines differ from the sequential fold in the last
+    # ulp.  The oracle is the fold-based SQL twin minus the float columns;
+    # membership agreement at the k boundary holds because the fixture's
+    # rank-5/rank-6 cosine margins are far above one ulp (the full-row
+    # set equality incl. this margin is pinned in tests/test_similarity.py).
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb
+  FROM embeddings WHERE vec_id < 10
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT q.query_id,
+         e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS('q.query_emb', 'e.embedding')} DESC, e.vec_id
+         ) AS rank
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+WHERE rank <= 5
+""",
     driver=False,
     sibling="emb_cosine_topk",
     doc="north-star similarity search via the Arrow-vectorized Python path: "
@@ -921,14 +960,19 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wins (0.7s vs 2.7s -- Python worker spin-up dominates); the Arrow "
         "path is the right tool at production scale (thousands of queries, "
         "high-dim vectors), and the per-partition top-k combiner is what "
-        "keeps its shuffle bounded there",
+        "keeps its shuffle bounded there.  The cosine column stays on the "
+        "OPERATOR (similarity.brute_force_topk_arrow) for consumers; the "
+        "registry projection drops it so the driver can hash-match the "
+        "neighbor membership instead of recording rows-only",
 )
 def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
     )
-    return SIM.brute_force_topk_arrow(q, e.select("vec_id", "embedding"), k=5)
+    return SIM.brute_force_topk_arrow(
+        q, e.select("vec_id", "embedding"), k=5
+    ).select("query_id", "neighbor_id")
 
 
 @register(
@@ -1218,6 +1262,9 @@ LIMIT 100
         "the most-similar same-label vectors (top-100 global).  The label "
         "equi-join is the IVF-style bucketing -- pairs never cross buckets, "
         "so the join co-partitions on label instead of a corpus cross join",
+    # r7 driver-slot rotation: bucketed cosine scoring, driver-checked there.
+    driver=False,
+    sibling="emb_cosine_topk",
 )
 def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1279,8 +1326,6 @@ FROM s
         "partition sizing, which maxPartitionBytes already governs.  "
         "Determinism: whitespace split and slice arithmetic are identical "
         "cross-engine; chunk_id = start DIV stride needs no tiebreak.",
-    driver=False,
-    sibling="doc_tfidf_top_terms",  # driver-checks the explode/fan-out family
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -1331,8 +1376,6 @@ GROUP BY needle_src
         "aggregation is a tiny keyed shuffle.  For needle sets too big to "
         "broadcast, the n-gram route is doc_near_dup_jaccard's prefix-"
         "filter join.",
-    driver=False,
-    sibling="doc_exact_dedup",  # driver-checks the exact-match dedup family
 )
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -1386,8 +1429,6 @@ FROM placed
         "per-group cumsums parallelize across the partition key).  "
         "Token counts are whitespace tokens, consistent with "
         "doc_chunking/doc_text_stats.".format(cap=PACK_CAPACITY),
-    driver=False,
-    sibling="window_trailing_90d_revenue",  # driver-checks running-sum windows
 )
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())

@@ -40,6 +40,9 @@ WHERE stanza IS NOT NULL
 """,
     doc="O5+O6+O10: detail-row projection without the (non-SQL) cipher column "
         "(CassandraOutputFormat.java:101-132)",
+    # r7 driver-slot rotation: same pipeline prefix (O5/O6/O9), driver-checked there.
+    driver=False,
+    sibling="msg_summary_distinct",
 )
 def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=False).drop("stanza")
@@ -203,6 +206,9 @@ SELECT
         "vice versa (SURVEY.md section 5 case 5); both counts must be 0. "
         "Single-plan form: one groupBy + one full_outer join + one aggregate "
         "-- no driver-side counts, no double pipeline recompute",
+    # r7 driver-slot rotation: the summary sink IS one of its two sinks, driver-checked there.
+    driver=False,
+    sibling="msg_summary_distinct",
 )
 def msg_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -240,6 +246,9 @@ GROUP BY t.type_name
 """,
     doc="O22 as a broadcast dimension join (the lookup-DataFrame form of the "
         "taxonomy; BHJ, no shuffle of the fact side)",
+    # r7 driver-slot rotation: same 18-code taxonomy, CASE form driver-checked there.
+    driver=False,
+    sibling="msg_taxonomy_all_codes",
 )
 def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)

@@ -92,8 +92,6 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
         "division is one double op per row, bit-identical cross-engine; "
         "the l_quantity > 0 guard (both sides) pins that: at 0 Spark's "
         "non-ANSI division yields NULL where DuckDB yields +inf.",
-    driver=False,
-    sibling="topk_orders_per_customer",  # driver-checks window top-1-per-key
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -148,8 +146,6 @@ GROUP BY o_orderpriority
         "orderkey equi-condition plus the non-equi lag predicate -- the "
         "semi join never duplicates orders, and the 3-month partition "
         "prune reaches the orders scan (PushedFilters).",
-    driver=False,
-    sibling="sql_correlated_exists",  # driver-checks EXISTS decorrelation
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -186,8 +182,6 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         "zero wide shuffles (partial agg collapses to one row).  All three "
         "predicates push to the parquet scan; at 100 TB this is the query "
         "whose cost IS the pruned scan.",
-    driver=False,
-    sibling="q1_pricing_summary",  # driver-checks scan->decimal-agg family
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -234,8 +228,6 @@ GROUP BY supp_nation, cust_nation, l_year
         "two small joins, and lineitem shuffles only against pre-filtered "
         "orders.  Year bucketing is a scan-side expression, no extra "
         "shuffle beyond the final 4-group agg.",
-    driver=False,
-    sibling="q5_revenue_by_nation",  # driver-checks the dim-chain join family
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -306,8 +298,6 @@ GROUP BY o_year
         "l_partkey (strategy left to AQE, see q14 note); the share is a "
         "conditional decimal aggregate -- numerator and denominator in ONE "
         "pass, one divide of exact sums at the end.",
-    driver=False,
-    sibling="q14_promo_revenue",  # driver-checks conditional-share aggregates
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -385,8 +375,6 @@ GROUP BY n_name, o_year
         "overflow behavior differs between engines.  Plan: part pruned by "
         "the name filter before the fact join; supplier|x|nation broadcast; "
         "orders joined only for the year column.",
-    driver=False,
-    sibling="q5_revenue_by_nation",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -444,8 +432,6 @@ LIMIT 20
         "aggregate; TakeOrderedAndProject does the global top-20 without a "
         "total sort (revenue is an exact-decimal double, c_custkey breaks "
         "ties deterministically).",
-    driver=False,
-    sibling="sql_q3_shipping_priority",  # driver-checks agg->deterministic-topk
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -501,8 +487,6 @@ WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.005 AS DECIMAL(4,3))
         "would be order-dependent in the last ulp, and a part sitting "
         "within an ulp of 0.5% would flip between engines; only the "
         "OUTPUT column is surfaced as double.",
-    driver=False,
-    sibling="scalar_subquery_above_avg_balance",
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -548,8 +532,6 @@ GROUP BY lag_class
         "two columns); datediff is a scan-side expression; 2-group agg.  "
         "Fixture dates are midnight-aligned so day difference is exact on "
         "both engines.",
-    driver=False,
-    sibling="date_functions_orders",  # driver-checks date arithmetic family
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -593,8 +575,6 @@ GROUP BY c_count
         "Plan: the filter lives IN the join condition (a WHERE would turn "
         "the outer join inner and drop the zero bucket); first agg "
         "shuffles on c_custkey, second on the tiny c_count domain.",
-    driver=False,
-    sibling="distinct_agg_lineitem",  # driver-checks multi-level aggregation
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -637,8 +617,6 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         "bits).  Plan: one shuffle agg on l_suppkey; the max is a 1-row "
         "broadcast; supplier joins by broadcast.  Ties all surface (the "
         "TPC-H spec's multi-winner semantics), so no tiebreak is needed.",
-    driver=False,
-    sibling="scalar_subquery_above_avg_balance",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -680,8 +658,6 @@ GROUP BY p_brand, p_type, p_size
         "LEFT ANTI against the pruned supplier set (s_suppkey is non-null, "
         "so anti-join and NOT IN agree); part filters prune before the "
         "fact join; COUNT DISTINCT expands to a two-phase aggregate.",
-    driver=False,
-    sibling="distinct_agg_lineitem",  # driver-checks COUNT DISTINCT family
 )
 def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -731,8 +707,6 @@ WHERE p_brand = 'Brand#5'
         "Determinism: quantities are integer-valued doubles, so SUM/COUNT "
         "is exact and the 0.2x threshold is one multiply; AVG is spelled "
         "SUM/COUNT on both engines to force the same operation order.",
-    driver=False,
-    sibling="scalar_subquery_above_avg_balance",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -786,8 +760,6 @@ LIMIT 20
         "few qualifying orderkeys join onward -- at 100 TB the big-order "
         "set is tiny, so both downstream joins broadcast it; top-20 via "
         "TakeOrderedAndProject with the o_orderkey tiebreak.",
-    driver=False,
-    sibling="topk_orders_per_customer",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -835,8 +807,6 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
         "(BHJ/SMJ by size) with the disjunction as a post-join filter; "
         "Catalyst additionally pushes the derivable single-side bounds "
         "(p_size <= 35, l_quantity <= 35) down to both scans.",
-    driver=False,
-    sibling="q14_promo_revenue",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -888,8 +858,6 @@ WHERE n_name = 'NATION_7'
         "broadcast, then collapses to a distinct supplier set that LEFT "
         "SEMI joins the nation-pruned supplier dim -- the semi join runs "
         "on the small side, never duplicating suppliers.",
-    driver=False,
-    sibling="sql_correlated_exists",
 )
 def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
@@ -941,8 +909,6 @@ GROUP BY s_name
         "orderkey shuffles against the same lineitem projection, no "
         "correlated re-execution.  The nation+status prunes shrink l1 "
         "before either.",
-    driver=False,
-    sibling="sql_correlated_exists",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1002,8 +968,6 @@ GROUP BY c_mktsegment
         "broadcast of a decimal-exact average; the NOT EXISTS is a LEFT "
         "ANTI against the distinct o_custkey projection (orderkey-pruned "
         "scan, no other orders columns read); final agg over 5 segments.",
-    driver=False,
-    sibling="sql_correlated_exists",
 )
 def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")

@@ -62,6 +62,9 @@ GROUP BY l_returnflag, l_linestatus
 """,
     doc="TPC-H Q1 pricing summary: multi-aggregate hash aggregation with "
         "decimal-exact sums/avgs; map-side partial agg into a 6-group shuffle",
+    # r7 driver-slot rotation: decimal-exact lineitem aggregate family, driver-checked there.
+    driver=False,
+    sibling="q6_forecast_revenue",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-02"))
@@ -196,6 +199,9 @@ GROUP BY l_returnflag
         "fails the driver's value hash; raw sketch accuracy stays pinned by "
         "tests/test_approx.py.  The exact column exists FOR the certificate "
         "-- production users keep only the sketch and skip that pass",
+    # r7 driver-slot rotation: distinct-part counting, driver-checked exactly there.
+    driver=False,
+    sibling="q16_supplier_part_variety",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -229,6 +235,9 @@ FROM o
         "round-trip, conditional-count FILTER.  The fixtures have no NULL "
         "cells, so NULLIF manufactures them in-query -- these are exactly "
         "the semantics a user silently relies on when switching engines",
+    # r7 driver-slot rotation: LEFT-OUTER null counting semantics, driver-checked there.
+    driver=False,
+    sibling="q13_customer_distribution",
 )
 def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -326,6 +335,9 @@ FROM s
         "Scale: "
         "this is also the 100 TB-correct formulation -- one pass, map-side "
         "partial sums, no second pass for the mean",
+    # r7 driver-slot rotation: order/dispersion statistics family, driver-checked there.
+    driver=False,
+    sibling="agg_exact_percentiles",
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -374,6 +386,9 @@ WHERE o_orderkey % 100 = 0
         "JVM built-ins; Spark dayofweek is 1=Sunday vs DuckDB dow 0=Sunday, "
         "reconciled explicitly (dayofweek - 1), the kind of off-by-one "
         "convention divergence the oracle gate exists to pin",
+    # r7 driver-slot rotation: date arithmetic + bucketing, driver-checked there.
+    driver=False,
+    sibling="q12_ship_lag_priority",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -423,6 +438,9 @@ GROUP BY o_orderstatus
         "pinned by tests/test_approx.py's rank-error test.  Scale: one "
         "sketch aggregation + one broadcast-join counting pass, both "
         "shuffle-on-status",
+    # r7 driver-slot rotation: percentile family: the exact sort-based form is driver-checked.
+    driver=False,
+    sibling="agg_exact_percentiles",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
@@ -491,6 +509,9 @@ FROM nation
         "SHORT strings -- titles, names -- where shingle Jaccard is too "
         "coarse; O(len^2) per pair, so at scale it only ever runs on "
         "candidate pairs, never all-pairs)",
+    # r7 driver-slot rotation: string-function family incl. edit distance, driver-checked there.
+    driver=False,
+    sibling="cust_fuzzy_match_blocked",
 )
 def str_functions_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
@@ -520,6 +541,9 @@ GROUP BY l_returnflag
 """,
     doc="multiple exact COUNT(DISTINCT) in one aggregate (Catalyst plans one "
         "Expand + two-phase distinct aggregation, not N scans)",
+    # r7 driver-slot rotation: multi-COUNT-DISTINCT, driver-checked there.
+    driver=False,
+    sibling="q16_supplier_part_variety",
 )
 def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -554,6 +578,9 @@ GROUP BY n_name
         "Scale: region/nation/customer/supplier broadcast (all dims tiny vs "
         "lineitem); the only shuffle joins are orders|x|customer-free -- "
         "lineitem joins pre-filtered orders on l_orderkey",
+    # r7 driver-slot rotation: multi-way broadcast revenue join family, driver-checked there.
+    driver=False,
+    sibling="q7_volume_shipping",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -605,6 +632,9 @@ GROUP BY ship_month
         "(tests/test_bucketing.py demonstrates the mechanism).  promo_pct "
         "is one double multiply + one divide of exact decimal sums, so "
         "cross-engine parity is exact",
+    # r7 driver-slot rotation: part|x|lineitem conditional revenue, driver-checked there.
+    driver=False,
+    sibling="q19_disjunctive_revenue",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -715,6 +745,9 @@ WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')} FROM customer)
     doc="scalar-subquery predicate: customers above the global average "
         "balance (decimal-exact avg so the threshold is bit-identical); "
         "Spark side: broadcast 1-row aggregate cross join",
+    # r7 driver-slot rotation: scalar-subquery HAVING threshold, driver-checked there.
+    driver=False,
+    sibling="q11_important_values",
 )
 def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -782,6 +815,9 @@ WHERE rk <= 3
     doc="top-k per group via row_number (k=3; o_orderkey tiebreak per the "
         "registry determinism contract). Scale: rank-then-filter shuffles "
         "once on the group key; no global sort",
+    # r7 driver-slot rotation: per-key top-k/threshold family, driver-checked there.
+    driver=False,
+    sibling="q18_large_volume_customers",
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -817,6 +853,9 @@ FROM orders
         "epoch seconds because Spark's rangeBetween takes numeric offsets.  "
         "Scale: one shuffle + sort per customer partition, frame evaluated "
         "by a sliding accumulator, decimal-exact sums",
+    # r7 driver-slot rotation: running-window cumsum family, driver-checked there (inverse of its old mapping).
+    driver=False,
+    sibling="doc_sequence_packing",
 )
 def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -896,6 +935,9 @@ WHERE rn = 1
         "-- the range never becomes a cross product because the equi-key "
         "partitions the join. 100 TB shape: shuffle both sides on the user "
         "key once; the window touches only each event's own matches",
+    # r7 driver-slot rotation: funnel COMPOSES the as-of match, checked transitively.
+    driver=False,
+    sibling="ev_funnel_conversion",
 )
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
@@ -957,6 +999,9 @@ SELECT 'done_only' AS activity, o_custkey FROM (SELECT * FROM done_c EXCEPT SELE
 """,
     doc="set operations: INTERSECT + EXCEPT + UNION ALL classifying customers "
         "by order-status activity; distinct key sets keep inputs small",
+    # r7 driver-slot rotation: customer-activity set membership, driver-checked there.
+    driver=False,
+    sibling="q22_dormant_accounts",
 )
 def set_ops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -990,8 +1035,6 @@ GROUP BY o_orderpriority
         "values -- right for the 5-priority grouping here, wrong for "
         "high-cardinality groups, where the sketch variant is the "
         "documented alternative.",
-    driver=False,
-    sibling="approx_quantiles_price",  # driver-checks the quantile family
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1028,8 +1071,6 @@ WHERE levenshtein(probe_name, c_name) <= 2
         "the block key is the shuffle key; skewed blocks take the salting "
         "path (tests/test_salting.py).  Every probe provably matches its "
         "source at distance <= 2, so the result is never empty.",
-    driver=False,
-    sibling="str_functions_nation",  # driver-checks the levenshtein family
 )
 def cust_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
