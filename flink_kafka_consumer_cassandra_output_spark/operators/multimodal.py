@@ -293,15 +293,24 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             content = pdf["content"]
-            n = content.map(len)
+            # NULL media keeps its row with NULL features (matching SQL
+            # NULL propagation -- octet_length(NULL)/md5(NULL) are NULL),
+            # never a crash: a 100 TB crawl WILL contain null cells and
+            # dropping documents in a feature stage would silently shrink
+            # the corpus.  Nullable Int64/object dtypes carry the NULLs
+            # through Arrow to the typed schema.
+            n = content.map(len, na_action="ignore").astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": n.astype("int64"),
-                    "digest": content.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "fake_width": (n % 640).astype("int32"),
-                    "fake_height": ((n * 7) % 480).astype("int32"),
+                    "n_bytes": n,
+                    "digest": content.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest(),
+                        na_action="ignore",
+                    ),
+                    "fake_width": (n % 640).astype("Int32"),
+                    "fake_height": ((n * 7) % 480).astype("Int32"),
                 }
             )
 
