@@ -924,10 +924,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
     )
-    # One IDENTICAL projection for both probe sides: with byte-identical
-    # child subplans, Spark's ReuseExchange collapses the two l_orderkey
-    # shuffles into one at sort-merge scale (the extra l_shipdate column
-    # in the semi's build side costs nothing next to a second exchange).
+    # One shared projection feeds both probe sides.  NOTE (r7, measured on
+    # the executed sort-merge-regime plan): ReuseExchange does NOT collapse
+    # the two l_orderkey shuffles -- column pruning drops l_shipdate from
+    # the semi's build side, so the exchanges differ (semi shuffles the
+    # narrower (o2, s2), ~25% fewer bytes than the anti's (o2, s2, d2)).
+    # The scale posture is two PRUNED orderkey shuffles + merge passes,
+    # each linear; pinned by
+    # tests/test_plan_invariants.py::test_q21_smj_regime_executed_plan.
     others = li.select(
         F.col("l_orderkey").alias("o2"),
         F.col("l_suppkey").alias("s2"),

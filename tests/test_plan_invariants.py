@@ -151,3 +151,41 @@ def test_q17_window_decorrelation_scans_lineitem_once(spark):
     assert plan.count("lineitem.parquet") == 1, (
         "correlated-avg decorrelation must not rescan lineitem"
     )
+
+
+def test_q21_smj_regime_executed_plan(spark):
+    """Pin the EXECUTED sort-merge-regime plan for q21 (the AQE strategy
+    flip SCALING.md's TPC-H probe documented at k>=4), by disabling
+    broadcast instead of replicating data: the semi/anti chain must run
+    as SortMergeJoin LeftSemi + LeftAnti with NO correlated re-execution
+    and no cartesian product.  Also pins the honest r7 finding: column
+    pruning makes the semi's build side narrower than the anti's, so the
+    two probe exchanges are NOT collapsed by ReuseExchange (each shuffles
+    its own pruned projection) -- if a future Spark starts reusing here,
+    this assert fails and the SCALING.md narrative should be upgraded.
+    Runs at the oracle scale (sf0.01): the sf0.001 result is empty and
+    AQE collapses empty relations to a degenerate plan.
+    """
+    from .conftest import SF_DIR_ORACLE
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_specs()["q21_waiting_supplier"].builder(spark, SF_DIR_ORACLE)
+        rows = df.collect()  # finalize the adaptive plan
+        assert rows, "q21 must be non-empty at sf0.01 for a real final plan"
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin LeftSemi" in final, "EXISTS probe must be SMJ semi"
+        assert "SortMergeJoin LeftAnti" in final, "NOT EXISTS probe must be SMJ anti"
+        assert "CartesianProduct" not in final
+        assert "AQEShuffleRead" in final, "the adaptive plan must have executed"
+        assert "ReusedExchange" not in final, (
+            "probe-side exchanges were reused: the r7 pruning finding no "
+            "longer holds -- update the q21 docstring and SCALING.md to "
+            "claim the (better) shared-exchange plan"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
