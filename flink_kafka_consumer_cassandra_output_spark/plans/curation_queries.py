@@ -1,0 +1,471 @@
+"""Training-data curation queries: quality rules, LM rarity, retrieval,
+repeated-passage mining.
+
+Not present in the reference (pure ETL; SURVEY.md section 2 "north-star
+extensions"); these extend the LLM-data-pipeline surface with the four
+curation stages real 100 TB pipelines run between dedup and packing:
+
+- ``doc_gopher_quality_rules`` -- Gopher-style repetition/composition
+  filters (word-count bounds, mean word length, duplicate/top bigram
+  fractions, stopword presence) with per-rule columns and a ``keep`` flag.
+- ``doc_lm_rarity`` -- CCNet-style head/middle/tail bucketing by a corpus
+  unigram-LM statistic (exact integer mean token frequency, so parity is
+  bit-exact with no transcendental functions).
+- ``doc_bm25_topk`` -- BM25 top-k retrieval for a fixed query set; the
+  per-term score expression trees are mirrored node-for-node in the DuckDB
+  oracle and ``ln`` is empirically bit-identical across Spark/DuckDB/libm,
+  so even this float-heavy query is value-hash-checked.
+- ``doc_repeated_passages`` -- cross-document repeated 5-gram passage
+  mining (the memorization/boilerplate detector from suffix-array dedup
+  literature, done with shuffle-keyed n-gram explode instead of suffix
+  arrays).
+
+All four are driver=False this round (the 50 driver slots are spent on the
+round-7 rotation promoting never-driver-checked queries); they are fully
+oracle-checked by tests/test_oracle_parity.py and are the first rotation
+candidates for round 8.
+
+Determinism notes (same contract as northstar_queries):
+- every ratio is a single division of exact integers, except BM25 where
+  the full expression tree (including ``ln``) is mirrored exactly;
+- every top-k / bucket boundary has a total-order tiebreak on a unique key;
+- global top-k uses orderBy+limit (TakeOrderedAndProject) rather than an
+  unpartitioned window, so nothing funnels through one task at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources import tables
+from .registry import register
+
+_TOKS = "string_split(text, ' ')"
+_STOP_LIST = "[" + ",".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+_N_STOP = f"len(list_filter({_TOKS}, t -> list_contains({_STOP_LIST}, t)))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules
+# --------------------------------------------------------------------------
+
+#: rule thresholds (Gopher-shaped, tuned to the synthetic corpus so the
+#: keep flag actually discriminates); shared by builder and oracle.
+_MIN_WORDS, _MAX_WORDS = 20, 1000
+_MIN_MWL, _MAX_MWL = 2.0, 12.0
+_MAX_DUP_BIGRAM = 0.30
+_MAX_TOP_BIGRAM = 0.20
+_MIN_STOPWORDS = 2
+
+_BIGRAMS_SQL = (
+    "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+@register(
+    "doc_gopher_quality_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {_TOKS} AS toks,
+         CAST(len({_TOKS}) AS BIGINT) AS n_words,
+         CAST({_N_STOP} AS BIGINT) AS n_stop
+  FROM documents
+), enriched AS (
+  SELECT doc_id, n_words, n_stop,
+         {_BIGRAMS_SQL} AS bg,
+         (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)) AS mean_word_len,
+         CAST(len({_BIGRAMS_SQL}) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct({_BIGRAMS_SQL})) AS BIGINT) AS n_distinct_bigrams
+  FROM base
+), tops AS (
+  SELECT doc_id, MAX(c) AS top_cnt FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS g FROM enriched)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), stats AS (
+  SELECT e.doc_id, e.n_words, e.mean_word_len, e.n_stop,
+         CASE WHEN e.n_bigrams > 0
+              THEN CAST(e.n_bigrams - e.n_distinct_bigrams AS DOUBLE)
+                     / CAST(e.n_bigrams AS DOUBLE)
+              WHEN e.n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+         END AS dup_bigram_frac,
+         CASE WHEN e.n_bigrams > 0
+              THEN CAST(t.top_cnt AS DOUBLE) / CAST(e.n_bigrams AS DOUBLE)
+              WHEN e.n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+         END AS top_bigram_frac
+  FROM enriched e LEFT JOIN tops t ON e.doc_id = t.doc_id
+)
+SELECT doc_id, n_words, mean_word_len, dup_bigram_frac, top_bigram_frac, n_stop,
+       COALESCE(n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                AND mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+                AND dup_bigram_frac <= {_MAX_DUP_BIGRAM}
+                AND top_bigram_frac <= {_MAX_TOP_BIGRAM}
+                AND n_stop >= {_MIN_STOPWORDS}, FALSE) AS keep
+FROM stats
+""",
+    doc="Gopher-style quality rules: word-count bounds, mean word length, "
+        "duplicate/top bigram fractions, stopword presence, composite keep "
+        "flag.  Bigram stats are array expressions (no shuffle) except the "
+        "top-bigram mode, which is an explode keyed by doc_id -- the one "
+        "shuffle, partitioned by document so it scales horizontally.",
+    driver=False,  # r8 rotation candidate; funnel drives quality filters now
+    sibling="doc_curation_funnel",
+)
+def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sz = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, sz - 1),
+        F.slice(toks, 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = d.select(
+        "doc_id",
+        sz.cast("long").alias("n_words"),
+        TX.stopword_count(F.col("text")).alias("n_stop"),
+        bigrams.alias("bg"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / sz.cast("double")
+        ).alias("mean_word_len"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    tops = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    nb = F.col("n_bigrams")
+    dup_frac = (
+        F.when(nb > 0, (nb - F.col("n_distinct_bigrams")).cast("double") / nb.cast("double"))
+        .when(nb == 0, F.lit(0.0))
+    )
+    top_frac = (
+        F.when(nb > 0, F.col("top_cnt").cast("double") / nb.cast("double"))
+        .when(nb == 0, F.lit(0.0))
+    )
+    stats = base.join(tops, "doc_id", "left").select(
+        "doc_id", "n_words", "mean_word_len",
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        "n_stop",
+    )
+    keep = F.coalesce(
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+        & (F.col("dup_bigram_frac") <= _MAX_DUP_BIGRAM)
+        & (F.col("top_bigram_frac") <= _MAX_TOP_BIGRAM)
+        & (F.col("n_stop") >= _MIN_STOPWORDS),
+        F.lit(False),
+    )
+    return stats.withColumn("keep", keep)
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM rarity bucketing
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_lm_rarity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+), scores AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         (CAST(CAST(SUM(v.cnt) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS avg_tok_freq
+  FROM tok t JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id
+), ranked AS (
+  SELECT doc_id, n_tokens, avg_tok_freq,
+         row_number() OVER (ORDER BY avg_tok_freq, doc_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM scores
+)
+SELECT doc_id, n_tokens, avg_tok_freq,
+       CASE WHEN r * 3 <= n THEN 'tail'
+            WHEN r * 3 <= n * 2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM ranked
+""",
+    doc="CCNet-style LM scoring: corpus unigram model, per-document mean "
+        "token frequency (exact integer sum / count, one final division -- "
+        "no transcendental, bit-exact parity), head/middle/tail terciles by "
+        "integer rank arithmetic.  The tercile window runs over the doc-level "
+        "score table (1 short row per doc, orders of magnitude smaller than "
+        "the corpus); at extreme scale the documented alternative is the "
+        "two order-statistic cutoffs via orderBy+limit as in "
+        "agg_exact_percentiles.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_stratified_sample",
+)
+def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    scores = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_cnt").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "avg_tok_freq"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy("avg_tok_freq", "doc_id")
+    ranked = scores.select(
+        "doc_id", "n_tokens", "avg_tok_freq",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("n"), "tail")
+        .when(F.col("r") * 3 <= F.col("n") * 2, "middle")
+        .otherwise("head")
+    )
+    return ranked.select("doc_id", "n_tokens", "avg_tok_freq", bucket.alias("bucket"))
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval
+# --------------------------------------------------------------------------
+
+_K1 = 1.2
+_B = 0.75
+_ONE_MINUS_B = 1.0 - _B
+_K1_PLUS_1 = _K1 + 1.0
+_TOPK = 5
+
+#: fixed retrieval query set over the fixture vocabulary.
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("spark_hash", ("spark", "hash")),
+    ("sort_merge_batch", ("sort", "merge", "batch")),
+    ("window_scan", ("window", "scan")),
+)
+
+
+def _d(v: float) -> str:
+    """Render a Python double into SQL with exact round-trip semantics."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _bm25_term_sql(term: str) -> str:
+    """Per-term BM25 contribution; expression tree mirrors the Column tree
+    in ``_bm25_term_col`` node for node so doubles match bit-for-bit."""
+    tf = f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
+    ratio = "(CAST(len(toks) AS DOUBLE) / avgdl)"
+    denom = f"({tf} + ({_d(_K1)} * ({_d(_ONE_MINUS_B)} + ({_d(_B)} * {ratio}))))"
+    idf = f"idf_{term}"
+    return (
+        f"CASE WHEN {tf} > {_d(0.0)} "
+        f"THEN (({idf} * ({tf} * {_d(_K1_PLUS_1)})) / {denom}) "
+        f"ELSE {_d(0.0)} END"
+    )
+
+
+def _bm25_term_col(term: str, toks, avgdl, idf):
+    tf = F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+    ratio = F.size(toks).cast("double") / avgdl
+    denom = tf + (F.lit(_K1) * (F.lit(_ONE_MINUS_B) + (F.lit(_B) * ratio)))
+    return F.when(tf > F.lit(0.0), (idf * (tf * F.lit(_K1_PLUS_1))) / denom).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _idf_sql(term: str) -> str:
+    nd = "CAST(n_docs AS DOUBLE)"
+    dfd = f"CAST(df_{term} AS DOUBLE)"
+    return f"ln(((({nd} - {dfd}) + {_d(0.5)}) / ({dfd} + {_d(0.5)})) + {_d(1.0)})"
+
+
+_BM25_TERMS = sorted({t for _, ts in BM25_QUERIES for t in ts})
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         (CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avgdl,
+         {", ".join(f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in _BM25_TERMS)}
+  FROM base
+), stats AS (
+  SELECT avgdl, {", ".join(f"{_idf_sql(t)} AS idf_{t}" for t in _BM25_TERMS)}
+  FROM corpus
+), scored AS (
+  {" UNION ALL ".join(
+    f'''SELECT '{qid}' AS query_id, b.doc_id,
+        ({" + ".join(f"({_bm25_term_sql(t)})" for t in terms)}) AS score
+        FROM base b CROSS JOIN stats'''
+    for qid, terms in BM25_QUERIES
+  )}
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > {_d(0.0)}
+)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= {_TOPK}
+""",
+    doc="BM25 top-k retrieval for a fixed literal query set: corpus stats "
+        "(N, avgdl, per-term df -> idf) in one aggregate, broadcast to the "
+        "scan; per-term tf via array filter (no explode for literal query "
+        "sets); fixed-order score summation so the doubles are bit-identical "
+        "to the DuckDB oracle (idf's ln runs through an Arrow-batched libm "
+        "crossing on the one-row stats frame -- JVM Math.log is a 1-ulp "
+        "intrinsic that measurably diverges from DuckDB's libm ln; every "
+        "per-document expression stays JVM-side).  Large dynamic query sets "
+        "route through the posting-list explode+equi-join form instead "
+        "(the machinery doc_tfidf_top_terms already exercises).",
+    driver=False,  # r8 rotation candidate
+    sibling="emb_cosine_topk",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(toks)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.sum(F.when(F.array_contains(toks, t), 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    nd = F.col("n_docs").cast("double")
+
+    # JVM Math.log is a 1-ulp-tolerance intrinsic and measurably diverges
+    # from libm on some inputs (e.g. ln(1.2699619771863118) at sf0.01),
+    # while DuckDB's ln IS libm.  The 7 idf values live on a ONE-ROW stats
+    # frame, so route exactly that row through an Arrow-batched CPython
+    # libm crossing; every per-document expression stays JVM-side.
+    @F.pandas_udf("double")
+    def _ln_libm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else math.log(v))
+
+    def _idf(t: str):
+        dfd = F.col(f"df_{t}").cast("double")
+        return _ln_libm((((nd - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5))) + F.lit(1.0))
+
+    stats = corpus.select(
+        "avgdl", *[_idf(t).alias(f"idf_{t}") for t in _BM25_TERMS]
+    )
+    avgdl = F.col("avgdl")
+    branches = []
+    for qid, terms in BM25_QUERIES:
+        score = None
+        for t in terms:
+            c = _bm25_term_col(t, toks, avgdl, F.col(f"idf_{t}"))
+            score = c if score is None else (score + c)
+        branches.append(
+            base.crossJoin(F.broadcast(stats)).select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                score.alias("score"),
+            )
+        )
+    scored = branches[0]
+    for b in branches[1:]:
+        scored = scored.unionAll(b)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.filter(F.col("score") > F.lit(0.0))
+        .select(
+            "query_id", "doc_id", F.row_number().over(w).cast("long").alias("rank"),
+            "score",
+        )
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated passage mining
+# --------------------------------------------------------------------------
+
+_PASSAGE_N = 5
+_PASSAGE_TOPK = 20
+
+_SHINGLE5_SQL = f"""CASE WHEN len(toks) >= {_PASSAGE_N}
+  THEN list_transform(range(len(toks) - {_PASSAGE_N - 1}),
+         i -> array_to_string(toks[i+1:i+{_PASSAGE_N}], ' '))
+  ELSE [] END"""
+
+
+@register(
+    "doc_repeated_passages",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLE5_SQL}) AS passage FROM base
+), agg AS (
+  SELECT passage,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM sh GROUP BY passage
+)
+SELECT passage, n_docs, n_occurrences
+FROM agg WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, passage
+LIMIT {_PASSAGE_TOPK}
+""",
+    doc="cross-document repeated-passage mining (the boilerplate/"
+        "memorization detector): 5-gram passages exploded with the document "
+        "key, grouped by passage, kept where >= 2 distinct docs share them, "
+        "global top-20 via orderBy+limit (TakeOrderedAndProject -- "
+        "per-partition top-k then merge, no single-task sort).  The "
+        "suffix-array literature's exact-substring dedup reduced to the "
+        "n-gram explode Spark executes as two keyed shuffles.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_decontamination",
+)
+def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    shingles = F.expr(
+        f"CASE WHEN size(toks) >= {_PASSAGE_N} "
+        f"THEN transform(sequence(0, size(toks) - {_PASSAGE_N}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {_PASSAGE_N}))) "
+        f"ELSE slice(toks, 1, 0) END"
+    )
+    sh = base.select("doc_id", F.explode(shingles).alias("passage"))
+    agg = sh.groupBy("passage").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "passage")
+        .limit(_PASSAGE_TOPK)
+    )

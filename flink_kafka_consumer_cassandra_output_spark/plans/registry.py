@@ -33,6 +33,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 #: every prior round -- registers last.
 _QUERY_MODULES = (
     "northstar_queries",
+    "curation_queries",
     "events_queries",
     "tpch_queries",
     "tpch_adapted_queries",
