@@ -518,3 +518,171 @@ def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("last_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("last_value").isNotNull().alias("is_observed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Range/interval join via bucket decomposition (round 7)
+# --------------------------------------------------------------------------
+
+@register(
+    "ev_range_interval_join",
+    oracle="""
+SELECT e.event_id AS err_event_id,
+       e.user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_2h,
+       MIN(c.ts) AS first_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts
+ AND c.ts <= e.ts + INTERVAL 2 HOUR
+GROUP BY e.event_id, e.user_id
+""",
+    doc="large-large INTERVAL/RANGE join done the scale-correct way: the "
+        "oracle states the naive theta join (user equi-key + time range), "
+        "the Spark plan decomposes the range into hour buckets -- each "
+        "error interval explodes into its <=3 covered hour buckets, each "
+        "click keeps its single bucket, and the join becomes a pure "
+        "(user_id, hour_bucket) EQUI-join followed by the exact range "
+        "filter.  A click matches at most one bucket row per interval, so "
+        "no post-join dedup is needed.  This is the standard range-join "
+        "optimization (binned interval join): at 100 TB the naive form is "
+        "a per-user cross product, the bucketed form shuffles both sides "
+        "once on (user, bucket) with bounded per-bucket fan-in.",
+    driver=False,  # r8 rotation candidate; funnel drives time-window matching
+    sibling="ev_funnel_conversion",
+)
+def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("err_end"),
+    )
+    err_buckets = errs.select(
+        "err_event_id", "e_user", "err_ts", "err_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("err_ts")),
+                F.date_trunc("hour", F.col("err_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    # The range predicate lives IN the left-join condition (not a post-join
+    # filter): a post-join filter would drop an error whose bucket rows all
+    # matched only out-of-range clicks, while the oracle keeps it with
+    # count 0.  Catalyst still extracts the two equi keys for the shuffle;
+    # the range conjuncts become the join's residual condition.
+    j = err_buckets.join(
+        clicks,
+        (F.col("c_user") == F.col("e_user"))
+        & (clicks["bucket"] == err_buckets["bucket"])
+        & (F.col("click_ts") >= F.col("err_ts"))
+        & (F.col("click_ts") <= F.col("err_end")),
+        "left",
+    )
+    return j.groupBy("err_event_id", F.col("e_user").alias("user_id")).agg(
+        F.count("click_id").alias("n_clicks_2h"),
+        F.min("click_ts").alias("first_click_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (round 7)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4   # hash rows
+_CMS_W = 32  # buckets per row (intentionally < |user_id| so collisions occur)
+
+
+def _cms_bucket_sql(j: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms{j}:' || CAST(user_id AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "ev_heavy_hitters_cms",
+    oracle=f"""
+WITH sketch AS (
+  SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    {" UNION ALL ".join(f"SELECT {j} AS row_id, {_cms_bucket_sql(j)} AS bucket FROM events" for j in range(_CMS_D))}
+  ) GROUP BY row_id, bucket
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM events GROUP BY user_id
+), probes AS (
+  {" UNION ALL ".join(f"SELECT user_id, exact_cnt, {j} AS row_id, {_cms_bucket_sql(j)} AS bucket FROM exact" for j in range(_CMS_D))}
+)
+SELECT p.user_id, p.exact_cnt,
+       MIN(s.cnt) AS cms_estimate,
+       MIN(s.cnt) = p.exact_cnt AS is_exact
+FROM probes p JOIN sketch s ON p.row_id = s.row_id AND p.bucket = s.bucket
+GROUP BY p.user_id, p.exact_cnt
+""",
+    doc=f"count-min sketch heavy hitters, exact-checked: a {_CMS_D}x{_CMS_W} "
+        "CMS built over user_id (md5-salted bucket hashing, deterministic in "
+        "both engines), then every candidate's estimate = min over the "
+        f"{_CMS_D} rows, reported next to the exact count.  The sketch is "
+        f"{_CMS_D}*{_CMS_W} integers regardless of input size -- the point "
+        "of CMS at 100 TB: the build is one map-side-combinable groupBy on "
+        "(row, bucket), the probe an equi-join against a broadcast-sized "
+        "table.  w < |keys| by design so collisions make estimates "
+        "overestimate (CMS guarantee: never under).",
+    driver=False,  # r8 rotation candidate
+    sibling="ev_top_sessions_by_events",
+)
+def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+
+    def _bucket(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("row_id"), _bucket(j).alias("bucket"))
+                for j in range(_CMS_D)
+            ]
+        )
+    ).alias("rb")
+    sketch = (
+        ev.select(rb)
+        .select("rb.row_id", "rb.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select("user_id", "exact_cnt", rb).select(
+        "user_id", "exact_cnt", "rb.row_id", "rb.bucket"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") == F.col("exact_cnt")).alias("is_exact"),
+        )
+    )
