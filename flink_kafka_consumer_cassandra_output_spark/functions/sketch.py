@@ -1,0 +1,91 @@
+"""Count-min sketch primitives shared by the batch query and its
+streaming twin.
+
+A CMS is a D x W integer grid: row j counts every value in bucket
+``h_j(value)``; a point estimate is ``min_j grid[j][h_j(v)]`` and can
+only OVER-estimate (collisions add, never subtract).  Two properties
+make it the canonical 100 TB sketch:
+
+- the build is a map-side-combinable groupBy on (row, bucket) whose
+  result is D*W integers regardless of input size;
+- sketches are ADDITIVE: cell-wise sum of per-partition (or per-batch)
+  sketches equals the sketch of the union, so streaming maintenance is
+  just appending per-batch deltas and summing at read time.
+
+Bucket hashing is md5-salted and identical in Spark and DuckDB
+(``'0x' || substr(md5(...))`` twin of ``F.conv(F.substring(F.md5``),
+so the sketch itself is oracle-checkable cell for cell.
+
+No reference citation: the reference has no sketches (SURVEY.md §2
+absent-category "aggregations"); this is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash rows / buckets per row.  W intentionally below the fixture's
+#: user_id cardinality so collisions (and the over-estimate property)
+#: are visible in test output.
+CMS_D = 4
+CMS_W = 32
+
+
+def cms_bucket(j: int, value: Column) -> Column:
+    """Row-j bucket of ``value`` (BIGINT in [0, CMS_W))."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), value.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def cms_bucket_sql(j: int, value_sql: str) -> str:
+    """DuckDB twin of :func:`cms_bucket`."""
+    return (
+        f"CAST('0x' || substr(md5('cms{j}:' || CAST({value_sql} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+def cms_row_buckets(value: Column) -> Column:
+    """array<struct<row_id,bucket>> of the value's CMS_D (row, bucket)
+    coordinates -- explode it to fan one input row into D sketch updates."""
+    return F.array(
+        *[
+            F.struct(F.lit(j).alias("row_id"), cms_bucket(j, value).alias("bucket"))
+            for j in range(CMS_D)
+        ]
+    )
+
+
+def cms_build(df: DataFrame, value: Column) -> DataFrame:
+    """The D x W sketch of ``value`` over ``df``: (row_id, bucket, cnt)
+    rows, absent cells meaning zero.  One explode + one combinable
+    groupBy; output is at most CMS_D * CMS_W rows."""
+    return (
+        df.select(F.explode(cms_row_buckets(value)).alias("rb"))
+        .select("rb.row_id", "rb.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(candidates: DataFrame, value: Column, sketch: DataFrame) -> DataFrame:
+    """min-over-rows point estimates for every candidate row.
+
+    ``candidates`` keeps all its columns; the result adds
+    ``cms_estimate``.  The sketch side is broadcast (<= D*W rows)."""
+    probes = candidates.withColumn("rb", F.explode(cms_row_buckets(value))).select(
+        *candidates.columns, F.col("rb.row_id").alias("row_id"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy(*candidates.columns)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import numeric as N
+from ..functions import sketch as SK
 from ..sources import tables
 from .registry import register
 
@@ -599,15 +600,12 @@ def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-min sketch heavy hitters (round 7)
 # --------------------------------------------------------------------------
 
-_CMS_D = 4   # hash rows
-_CMS_W = 32  # buckets per row (intentionally < |user_id| so collisions occur)
+_CMS_D = SK.CMS_D
+_CMS_W = SK.CMS_W
 
 
 def _cms_bucket_sql(j: int) -> str:
-    return (
-        f"CAST('0x' || substr(md5('cms{j}:' || CAST(user_id AS VARCHAR)), 1, 8) "
-        f"AS BIGINT) % {_CMS_W}"
-    )
+    return SK.cms_bucket_sql(j, "user_id")
 
 
 @register(
@@ -642,47 +640,11 @@ GROUP BY p.user_id, p.exact_cnt
 )
 def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-
-    def _bucket(j: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"cms{j}:"), F.col("user_id").cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _CMS_W
-        )
-
-    rb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(j).alias("row_id"), _bucket(j).alias("bucket"))
-                for j in range(_CMS_D)
-            ]
-        )
-    ).alias("rb")
-    sketch = (
-        ev.select(rb)
-        .select("rb.row_id", "rb.bucket")
-        .groupBy("row_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    sketch = SK.cms_build(ev, F.col("user_id"))
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    probes = exact.select("user_id", "exact_cnt", rb).select(
-        "user_id", "exact_cnt", "rb.row_id", "rb.bucket"
-    )
-    return (
-        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
-        .groupBy("user_id", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_estimate"))
-        .select(
-            "user_id",
-            "exact_cnt",
-            "cms_estimate",
-            (F.col("cms_estimate") == F.col("exact_cnt")).alias("is_exact"),
-        )
+    return SK.cms_estimate(exact, F.col("user_id"), sketch).select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") == F.col("exact_cnt")).alias("is_exact"),
     )

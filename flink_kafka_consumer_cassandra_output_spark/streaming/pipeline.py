@@ -625,3 +625,59 @@ def run_curation_funnel_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# North-star x streaming: incremental count-min sketch
+# --------------------------------------------------------------------------
+
+def run_cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming maintenance of the count-min sketch behind the batch
+    ``ev_heavy_hitters_cms`` query.
+
+    CMS is ADDITIVE (cell-wise sum of per-batch sketches == sketch of the
+    union), so the exactly-once state model needs no cross-batch read at
+    all: each micro-batch writes its own D x W delta sketch into a
+    ``_batch_id`` partition with dynamic overwrite (a replayed batch
+    REPLACES its partition rather than double-counting), and the live
+    sketch is just ``read_cms_sketch`` -- a sum over all committed
+    partitions, at most D*W rows per batch.  This is the mergeable-sketch
+    pattern a 100 TB deployment runs: partial sketches merge by union +
+    groupBy-sum, never by replaying inputs.
+    """
+    from ..functions import sketch as SK
+
+    ev = stream_events(spark, input_dir)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = SK.cms_build(batch_df, F.col("user_id"))
+        (
+            delta.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        ev.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("cms_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The live sketch: cell-wise sum of every committed batch delta."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -427,3 +427,58 @@ def test_curation_funnel_stream_converges_to_batch_truth(
         "no cross-batch pair in the fixture split; the incremental band "
         "index was never exercised across batches"
     )
+
+
+def test_cms_stream_matches_batch_sketch(spark, sf_dir, event_chunks, tmp_path):
+    """The incremental CMS equals the batch-built sketch cell for cell,
+    across a mid-stream restart (additivity + per-batch delta partitions
+    with dynamic overwrite = exactly-once without cross-batch reads)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import sketch as SK
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    input_dir = tmp_path / "in"
+    sk = tmp_path / "sketch"
+    cp = tmp_path / "cp_cms"
+    input_dir.mkdir()
+
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_cms_stream(spark, str(input_dir), str(sk), str(cp)))
+    # restart with the rest of the stream: committed batches must not
+    # double-count (their partitions are replaced, not appended)
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_cms_stream(spark, str(input_dir), str(sk), str(cp)))
+
+    streamed = {
+        (r.row_id, r.bucket): r.cnt
+        for r in sp.read_cms_sketch(spark, str(sk)).collect()
+    }
+    ev = tables.load(spark, sf_dir, "events")
+    batch = {
+        (r.row_id, r.bucket): r.cnt
+        for r in SK.cms_build(ev, F.col("user_id")).collect()
+    }
+    assert streamed == batch, (
+        f"sketch mismatch: {sum(1 for k in batch if streamed.get(k) != batch[k])} "
+        f"cells differ of {len(batch)}"
+    )
+
+    # estimates computed from the streamed sketch equal the batch query's
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est_stream = {
+        r.user_id: r.cms_estimate
+        for r in SK.cms_estimate(
+            exact, F.col("user_id"), sp.read_cms_sketch(spark, str(sk))
+        ).collect()
+    }
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    est_batch = {
+        r.user_id: r.cms_estimate
+        for r in all_specs()["ev_heavy_hitters_cms"].builder(spark, sf_dir).collect()
+    }
+    assert est_stream == est_batch
+    # CMS guarantee: never underestimates
+    exact_map = {r.user_id: r.exact_cnt for r in exact.collect()}
+    assert all(est_batch[u] >= exact_map[u] for u in exact_map)

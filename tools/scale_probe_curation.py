@@ -1,0 +1,107 @@
+"""Scaling probe: does the curation query family scale ~linearly?
+
+Usage: python tools/scale_probe_curation.py [k ...]   (default: 1 2 4 8)
+
+The sf0.1 documents fixture (5,000 docs) is replicated k times with
+re-keyed doc_ids and UNCHANGED text, written to a temp dir, and each
+curation builder runs against that dir exactly as registered (the probe
+times the real `plans/curation_queries.py` code, not a reimplementation).
+
+Unchanged text is the right replication model here because none of the
+four operators builds document pairs:
+
+- doc_gopher_quality_rules / doc_lm_rarity are per-document (rows must
+  grow exactly k; lm_rarity's vocab stays fixed while its counts grow k);
+- doc_bm25_topk has a FIXED query set (output rows constant at
+  |queries| * top-k; the scan, df/tf work grows k);
+- doc_repeated_passages aggregates by passage (output capped at top-20;
+  per-passage doc lists grow k inside a map-side-combinable groupBy).
+
+A superlinear blow-up in any of these is a plan bug (an accidental
+re-scan, a non-combinable agg, a pair explosion) -- what this probe
+exists to catch before a 100 TB run would.
+
+Each k is measured with min-of-REPEATS noop-sink materializations after
+one warm-up.  Results print as one markdown table; paste into SCALING.md
+when regenerating it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from flink_kafka_consumer_cassandra_output_spark.plans import all_specs  # noqa: E402
+from flink_kafka_consumer_cassandra_output_spark.session import local_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_PROBE_REPEATS", "2"))
+ID_SPACE = 10_000_000
+
+QUERIES = (
+    "doc_gopher_quality_rules",
+    "doc_lm_rarity",
+    "doc_bm25_topk",
+    "doc_repeated_passages",
+)
+
+
+def write_replicated(spark, k: int, out_dir: str) -> int:
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    out = (
+        d.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("rep") * ID_SPACE + F.col("doc_id")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    return k
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    spark = local_session(cores=os.cpu_count() or 8)
+    specs = all_specs()
+    base = tempfile.mkdtemp(prefix="curation_probe_")
+    rows_hdr = "| k | docs | query | result rows | seconds | sec/k |"
+    print(rows_hdr)
+    print("|---|---|---|---|---|---|")
+    try:
+        for k in ks:
+            kdir = os.path.join(base, f"k{k}")
+            write_replicated(spark, k, kdir)
+            n_docs = spark.read.parquet(os.path.join(kdir, "documents.parquet")).count()
+            for name in QUERIES:
+                builder = specs[name].builder
+                # warm-up (also captures the result-row count once)
+                n_rows = builder(spark, kdir).count()
+                best = None
+                for _ in range(REPEATS):
+                    t0 = time.perf_counter()
+                    builder(spark, kdir).write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                print(
+                    f"| {k} | {n_docs} | {name.removeprefix('doc_')} "
+                    f"| {n_rows} | {best:.2f} | {best / k:.2f} |"
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
