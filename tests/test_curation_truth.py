@@ -1,0 +1,100 @@
+"""Hand-computed truth for the curation query family.
+
+The DuckDB oracles in plans/curation_queries.py are generated from the
+same constants as the Spark builders, so oracle parity alone cannot catch
+a shared specification bug.  This corpus pins the SEMANTICS by hand:
+every expected number below was computed on paper from the docstrings'
+definitions, not by running either engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+# doc 1: "a b a b a b" -> 6 words, bigrams: [a b, b a, a b, b a, a b]
+#   n_bigrams=5, distinct=2, dup_frac=3/5, top bigram "a b" x3 -> top=3/5
+# doc 2: "x y z w v"  -> 5 words, 4 bigrams all distinct, dup=0, top=1/4
+# doc 3: 5 tokens shared with doc 4's interior -> one shared 5-gram passage
+# doc 4: doc 3's passage embedded with one token either side
+# doc 5: single token (zero bigrams; passage-less)
+_ROWS = [
+    (1, "a b a b a b", "en", "s", 11),
+    (2, "x y z w v", "en", "s", 9),
+    (3, "p q r s t", "en", "s", 9),
+    (4, "u p q r s t u", "en", "s", 13),
+    (5, "solo", "en", "s", 4),
+]
+
+
+@pytest.fixture(scope="module")
+def truth_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("curation_truth_sf")
+    spark.createDataFrame(_ROWS, _SCHEMA).coalesce(1).write.parquet(
+        os.path.join(str(out), "documents.parquet")
+    )
+    return str(out)
+
+
+def _rows(spark, name, sf_dir):
+    return all_specs()[name].builder(spark, sf_dir).collect()
+
+
+def test_gopher_bigram_fractions_by_hand(spark, truth_dir):
+    got = {r.doc_id: r for r in _rows(spark, "doc_gopher_quality_rules", truth_dir)}
+    assert got[1].n_words == 6
+    assert got[1].dup_bigram_frac == 3 / 5
+    assert got[1].top_bigram_frac == 3 / 5
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[2].top_bigram_frac == 1 / 4
+    assert got[5].dup_bigram_frac == 0.0  # zero bigrams -> defined 0.0
+    assert got[5].top_bigram_frac == 0.0
+    # mean word length: doc 2 = (1+1+1+1+1)/5 = 1.0
+    assert got[2].mean_word_len == 1.0
+    # every doc fails the word-count floor (20) -> keep all False
+    assert not any(r.keep for r in got.values())
+
+
+def test_lm_rarity_frequencies_by_hand(spark, truth_dir):
+    # corpus unigram counts: a3 b3 x1 y1 z1 w1 v1 p2 q2 r2 s2 t2 u2 solo1
+    got = {r.doc_id: r for r in _rows(spark, "doc_lm_rarity", truth_dir)}
+    assert got[1].n_tokens == 6 and got[1].avg_tok_freq == 3.0  # all a/b
+    assert got[2].avg_tok_freq == 1.0                           # all unique
+    assert got[3].avg_tok_freq == 2.0                           # all shared w/ doc 4
+    assert got[4].avg_tok_freq == 2.0                           # p q r s t u u p...
+    assert got[5].avg_tok_freq == 1.0
+    # terciles over 5 docs ordered by (score, doc_id):
+    # (1.0,2) (1.0,5) (2.0,3) (2.0,4) (3.0,1); r*3<=5 -> rank1 tail,
+    # r*3<=10 -> ranks 2,3 middle, ranks 4,5 head
+    assert got[2].bucket == "tail"
+    assert got[5].bucket == "middle" and got[3].bucket == "middle"
+    assert got[4].bucket == "head" and got[1].bucket == "head"
+
+
+def test_repeated_passages_by_hand(spark, truth_dir):
+    rows = _rows(spark, "doc_repeated_passages", truth_dir)
+    # exactly one 5-gram appears in >= 2 docs: "p q r s t" (docs 3 and 4)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.passage == "p q r s t"
+    assert r.n_docs == 2
+    assert r.n_occurrences == 2
+
+
+def test_bm25_zero_match_queries_emit_nothing(spark, truth_dir):
+    # no fixture vocab term appears in this corpus -> all scores 0 -> empty
+    assert _rows(spark, "doc_bm25_topk", truth_dir) == []
