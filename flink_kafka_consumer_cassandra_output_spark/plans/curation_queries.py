@@ -19,8 +19,14 @@ curation stages real 100 TB pipelines run between dedup and packing:
   mining (the memorization/boilerplate detector from suffix-array dedup
   literature, done with shuffle-keyed n-gram explode instead of suffix
   arrays).
+- ``doc_decontamination_ngram`` -- the shingle-equi-join decontamination
+  route for needle sets too big to broadcast (complements the broadcast
+  substring form in northstar_queries).
+- ``doc_corpus_report`` -- the per-(source, lang) datasheet a mixing
+  decision reads: counts, token totals, exact mean length, cross-corpus
+  duplicate exposure.
 
-All four are driver=False this round (the 50 driver slots are spent on the
+All six are driver=False this round (the 50 driver slots are spent on the
 round-7 rotation promoting never-driver-checked queries); they are fully
 oracle-checked by tests/test_oracle_parity.py and are the first rotation
 candidates for round 8.
@@ -471,4 +477,153 @@ def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "passage")
         .limit(_PASSAGE_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram decontamination (the big-needle-set route)
+# --------------------------------------------------------------------------
+
+_DECON_N = 6          # shingle width (tokens), parallel to the substring form's 6-token needles
+_DECON_MIN_FRAC = 0.2  # matched fraction of the needle's shingles to flag
+
+_SHINGLE6_SQL = f"""CASE WHEN len(toks) >= {_DECON_N}
+  THEN list_distinct(list_transform(range(len(toks) - {_DECON_N - 1}),
+         i -> array_to_string(toks[i+1:i+{_DECON_N}], ' ')))
+  ELSE list_distinct([array_to_string(toks, ' ')]) END"""
+
+
+def _shingle6_col():
+    toks = F.col("toks")
+    full = F.expr(
+        f"transform(sequence(0, size(toks) - {_DECON_N}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {_DECON_N})))"
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= _DECON_N, full).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+    )
+
+
+@register(
+    "doc_decontamination_ngram",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE6_SQL} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL)
+), needles AS (
+  SELECT doc_id AS needle_src, unnest(sh) AS gram,
+         CAST(len(sh) AS BIGINT) AS n_needle_grams
+  FROM sh WHERE doc_id % 100 = 7
+), corpus AS (
+  SELECT doc_id, unnest(sh) AS gram FROM sh
+), matched AS (
+  SELECT n.needle_src, c.doc_id, n.n_needle_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+  FROM needles n JOIN corpus c ON n.gram = c.gram
+  GROUP BY n.needle_src, c.doc_id, n.n_needle_grams
+)
+SELECT needle_src, doc_id, n_shared_grams,
+       (CAST(n_shared_grams AS DOUBLE) / CAST(n_needle_grams AS DOUBLE))
+         AS overlap_frac
+FROM matched
+WHERE CAST(n_shared_grams AS DOUBLE) / CAST(n_needle_grams AS DOUBLE)
+      >= {_DECON_MIN_FRAC}
+""",
+    doc="benchmark decontamination, the N-GRAM route for needle sets too "
+        "big to broadcast (the path doc_decontamination's docstring "
+        "promises): needle docs and corpus docs both explode into distinct "
+        f"{_DECON_N}-token shingles, contamination candidates come from a "
+        "pure shingle EQUI-join (shuffle keyed by the gram -- no substring "
+        "scan, no broadcast), and a (needle, doc) pair is flagged when the "
+        f"matched fraction of the needle's shingles reaches "
+        f"{_DECON_MIN_FRAC}.  Counts are exact integers; the fraction is "
+        "one final division.  This is how contamination checks run when "
+        "the 'benchmark' is itself web-scale (dedup-against-eval at "
+        "100 TB): both sides shard by gram, the hot-gram skew ceiling is "
+        "the same one the PPJoin prefix filter bounds.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_decontamination",
+)
+def doc_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sh = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select("doc_id", _shingle6_col().alias("sh"))
+    needles = sh.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("needle_src"),
+        F.explode("sh").alias("gram"),
+        F.size("sh").cast("long").alias("n_needle_grams"),
+    )
+    corpus = sh.select("doc_id", F.explode("sh").alias("gram"))
+    matched = (
+        needles.join(corpus, "gram")
+        .groupBy("needle_src", "doc_id", "n_needle_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    frac = F.col("n_shared_grams").cast("double") / F.col("n_needle_grams").cast(
+        "double"
+    )
+    return matched.filter(frac >= _DECON_MIN_FRAC).select(
+        "needle_src", "doc_id", "n_shared_grams", frac.alias("overlap_frac")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus datasheet report
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_corpus_report",
+    oracle="""
+WITH sized AS (
+  SELECT source, lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE text IS NOT NULL
+), dupes AS (
+  SELECT fp, COUNT(*) AS n_with_fp FROM sized GROUP BY fp
+)
+SELECT s.source, s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+       (CAST(CAST(SUM(s.n_tokens) AS BIGINT) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE)) AS avg_doc_tokens,
+       CAST(SUM(CASE WHEN d.n_with_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs
+FROM sized s JOIN dupes d ON s.fp = d.fp
+GROUP BY s.source, s.lang
+""",
+    doc="corpus datasheet: per (source, lang) document counts, token "
+        "totals, exact mean doc length, and how many docs share their "
+        "normalized fingerprint with another doc ANYWHERE in the corpus "
+        "(cross-source dup exposure -- the number a mixing decision reads "
+        "first).  Two combinable aggregations plus one fingerprint "
+        "equi-join; every stat is exact-integer with one final division.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_sequence_packing",
+)
+def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sized = d.select(
+        "source", "lang", "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    dupes = sized.groupBy("fp").agg(F.count(F.lit(1)).alias("n_with_fp"))
+    return (
+        sized.join(dupes, "fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_doc_tokens"),
+            F.sum(
+                F.when(F.col("n_with_fp") > 1, 1).otherwise(0)
+            ).alias("n_dup_docs"),
+        )
     )
