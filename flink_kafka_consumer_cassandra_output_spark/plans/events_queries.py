@@ -648,3 +648,85 @@ def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") == F.col("exact_cnt")).alias("is_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series pattern matching (round 7)
+# --------------------------------------------------------------------------
+
+#: fixed 8-hour query pattern (integer weights -> the whole query is exact
+#: integer arithmetic, no float parity surface at all).
+TS_PATTERN = (3, 1, 4, 1, 5, 9, 2, 6)
+
+
+@register(
+    "ev_ts_pattern_match",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1, 2
+), windows AS (
+  SELECT user_id, hour AS start_hour,
+         list(n_ev) OVER w AS arr,
+         COUNT(*) OVER w AS w_len,
+         MAX(hour) OVER w AS end_hour
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND {len(TS_PATTERN) - 1} FOLLOWING)
+)
+SELECT user_id, start_hour,
+       ({" + ".join(f"arr[{i + 1}] * {w}" for i, w in enumerate(TS_PATTERN))})
+         AS score
+FROM windows
+WHERE w_len = {len(TS_PATTERN)}
+  AND end_hour = start_hour + INTERVAL {len(TS_PATTERN) - 1} HOUR
+ORDER BY score DESC, user_id, start_hour
+LIMIT 20
+""",
+    doc="time-series similarity search (PAPERS.md EDBT-2019 family) as "
+        "sliding-window cross-correlation: per-user hourly event-count "
+        "series, every contiguous 8-hour subsequence scored by an exact "
+        "integer dot product against a fixed pattern, global top-20 via "
+        "orderBy+limit (TakeOrderedAndProject).  One shuffle builds the "
+        "hourly series, ONE user-partitioned window builds every "
+        "subsequence (collect over a bounded 8-row frame -- state is "
+        "O(pattern), not O(series)), and the contiguity guard (frame "
+        "length + end-hour arithmetic) rejects windows spanning gaps.  "
+        "Integer weights make the whole query float-free, so parity is "
+        "exact by construction.",
+    driver=False,  # r8 rotation candidate
+    sibling="ev_hourly_gapfill",
+)
+def ev_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = len(TS_PATTERN)
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, n - 1)
+    )
+    windows = hourly.select(
+        "user_id",
+        F.col("hour").alias("start_hour"),
+        F.collect_list("n_ev").over(w).alias("arr"),
+        F.count(F.lit(1)).over(w).alias("w_len"),
+        F.max("hour").over(w).alias("end_hour"),
+    )
+    score = None
+    for i, wt in enumerate(TS_PATTERN):
+        term = F.col("arr")[i] * wt
+        score = term if score is None else (score + term)
+    return (
+        windows.filter(
+            (F.col("w_len") == n)
+            & (F.col("end_hour") == F.col("start_hour") + F.expr(f"INTERVAL {n - 1} HOURS"))
+        )
+        .select("user_id", "start_hour", score.alias("score"))
+        .orderBy(F.col("score").desc(), "user_id", "start_hour")
+        .limit(20)
+    )
