@@ -627,3 +627,70 @@ def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dup_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lexicon sentiment scoring
+# --------------------------------------------------------------------------
+
+#: polarity lexicons over the fixture vocabulary (the operator is generic;
+#: real deployments swap in a real lexicon table).
+POS_WORDS = ("fast", "big", "value")
+NEG_WORDS = ("slow", "small", "dup")
+
+
+def _lex_count_sql(words: tuple[str, ...]) -> str:
+    lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_TOKS}, t -> list_contains({lst}, t)))"
+
+
+@register(
+    "doc_sentiment_lexicon",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST({_lex_count_sql(POS_WORDS)} AS BIGINT) AS n_pos,
+         CAST({_lex_count_sql(NEG_WORDS)} AS BIGINT) AS n_neg,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_pos, n_neg,
+       (CAST(n_pos - n_neg AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS polarity,
+       CASE WHEN n_pos > n_neg THEN 'positive'
+            WHEN n_neg > n_pos THEN 'negative'
+            ELSE 'neutral' END AS label
+FROM scored
+""",
+    doc="lexicon-based sentiment scoring (the PAPERS.md EDBT-2016 Spark "
+        "sentiment family): positive/negative token counts via array "
+        "filters (no shuffle, whole-stage codegen), polarity = one exact "
+        "integer division, 3-way label.  The lexicons are literal arrays "
+        "here; a production lexicon becomes a broadcast join against the "
+        "same counting shape (the taxonomy lookup-join pattern).",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_curation_funnel",
+)
+def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def _count(words: tuple[str, ...]):
+        wl = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        _count(POS_WORDS).alias("n_pos"),
+        _count(NEG_WORDS).alias("n_neg"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    label = (
+        F.when(F.col("n_pos") > F.col("n_neg"), "positive")
+        .when(F.col("n_neg") > F.col("n_pos"), "negative")
+        .otherwise("neutral")
+    )
+    return scored.select(
+        "doc_id", "n_pos", "n_neg",
+        ((F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tokens").cast("double")).alias("polarity"),
+        label.alias("label"),
+    )
