@@ -694,3 +694,63 @@ def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tokens").cast("double")).alias("polarity"),
         label.alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based source mixing weights
+# --------------------------------------------------------------------------
+
+#: mixing temperature: weight_i ∝ frac_i^(1/T) with T=2 -> sqrt.  sqrt is
+#: IEEE-754 correctly rounded, so unlike ln/pow it is bit-exact across
+#: Spark, DuckDB, and libm by spec -- no crossing needed.
+_MIX_ALPHA_IS_SQRT = True
+
+
+@register(
+    "doc_temperature_mixing",
+    oracle="""
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM src
+), scored AS (
+  SELECT s.source, s.n_docs,
+         (CAST(s.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)) AS frac,
+         sqrt(CAST(s.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)) AS raw_w
+  FROM src s CROSS JOIN tot t
+), summed AS (
+  SELECT source, n_docs, frac, raw_w,
+         SUM(raw_w) OVER (ORDER BY source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS z
+  FROM scored
+)
+SELECT source, n_docs, frac, (raw_w / z) AS weight
+FROM summed
+""",
+    doc="temperature-based source mixing (the multilingual/multi-source "
+        "sampling-weight table: weight ∝ share^(1/T), T=2): per-source "
+        "shares from one combinable groupBy, sqrt (IEEE correctly-rounded "
+        "-> bit-exact cross-engine, unlike ln), and the normalizer summed "
+        "in a PINNED order (window SUM over rows ORDERED BY source) so the "
+        "float fold is identical in both engines.  The weight table is "
+        "|sources| rows -- broadcast-sized by construction; downstream "
+        "sampling joins it to the corpus on the source key.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_stratified_sample",
+)
+def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("n_total"))
+    frac = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    scored = src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", frac.alias("frac"), F.sqrt(frac).alias("raw_w")
+    )
+    w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "source", "n_docs", "frac",
+        (F.col("raw_w") / F.sum("raw_w").over(w)).alias("weight"),
+    )
