@@ -25,8 +25,12 @@ curation stages real 100 TB pipelines run between dedup and packing:
 - ``doc_corpus_report`` -- the per-(source, lang) datasheet a mixing
   decision reads: counts, token totals, exact mean length, cross-corpus
   duplicate exposure.
+- ``doc_sentiment_lexicon`` -- lexicon polarity scoring (array-filter
+  counts, exact ratio, 3-way label).
+- ``doc_temperature_mixing`` -- per-source sampling weights
+  ∝ share^(1/T) with IEEE-exact sqrt and a pinned-order normalizer.
 
-All six are driver=False this round (the 50 driver slots are spent on the
+All eight are driver=False this round (the 50 driver slots are spent on the
 round-7 rotation promoting never-driver-checked queries); they are fully
 oracle-checked by tests/test_oracle_parity.py and are the first rotation
 candidates for round 8.
@@ -700,12 +704,9 @@ def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Temperature-based source mixing weights
 # --------------------------------------------------------------------------
 
-#: mixing temperature: weight_i ∝ frac_i^(1/T) with T=2 -> sqrt.  sqrt is
-#: IEEE-754 correctly rounded, so unlike ln/pow it is bit-exact across
-#: Spark, DuckDB, and libm by spec -- no crossing needed.
-_MIX_ALPHA_IS_SQRT = True
-
-
+# Mixing temperature: weight_i ∝ frac_i^(1/T) with T=2 -> sqrt.  sqrt is
+# IEEE-754 correctly rounded, so unlike ln/pow it is bit-exact across
+# Spark, DuckDB, and libm by spec -- no crossing needed.
 @register(
     "doc_temperature_mixing",
     oracle="""
