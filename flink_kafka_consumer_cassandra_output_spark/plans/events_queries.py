@@ -671,31 +671,33 @@ WITH hourly AS (
   SELECT user_id, hour AS start_hour,
          list(n_ev) OVER w AS arr,
          COUNT(*) OVER w AS w_len,
-         MAX(hour) OVER w AS end_hour
+         CAST(epoch_us(MAX(hour) OVER w) - epoch_us(hour) AS BIGINT) // 3600000000
+           AS span_hours
   FROM hourly
   WINDOW w AS (PARTITION BY user_id ORDER BY hour
                ROWS BETWEEN CURRENT ROW AND {len(TS_PATTERN) - 1} FOLLOWING)
 )
-SELECT user_id, start_hour,
+SELECT user_id, start_hour, span_hours,
        ({" + ".join(f"arr[{i + 1}] * {w}" for i, w in enumerate(TS_PATTERN))})
          AS score
 FROM windows
 WHERE w_len = {len(TS_PATTERN)}
-  AND end_hour = start_hour + INTERVAL {len(TS_PATTERN) - 1} HOUR
 ORDER BY score DESC, user_id, start_hour
 LIMIT 20
 """,
     doc="time-series similarity search (PAPERS.md EDBT-2019 family) as "
         "sliding-window cross-correlation: per-user hourly event-count "
-        "series, every contiguous 8-hour subsequence scored by an exact "
-        "integer dot product against a fixed pattern, global top-20 via "
-        "orderBy+limit (TakeOrderedAndProject).  One shuffle builds the "
-        "hourly series, ONE user-partitioned window builds every "
-        "subsequence (collect over a bounded 8-row frame -- state is "
-        "O(pattern), not O(series)), and the contiguity guard (frame "
-        "length + end-hour arithmetic) rejects windows spanning gaps.  "
-        "Integer weights make the whole query float-free, so parity is "
-        "exact by construction.",
+        "series, every 8 consecutive OBSERVED hourly buckets scored by an "
+        "exact integer dot product against a fixed pattern, global top-20 "
+        "via orderBy+limit (TakeOrderedAndProject).  The subsequence runs "
+        "over the observation sequence (gaps allowed, reported as "
+        "span_hours) because the fixture's per-user hourly series is "
+        "sparse: a strict wall-clock-contiguity variant returns zero rows "
+        "at every fixture SF, which would make the gate vacuous.  One "
+        "shuffle builds the series, ONE user-partitioned window builds "
+        "every subsequence (collect over a bounded 8-row frame -- state "
+        "is O(pattern), not O(series)).  Integer weights keep the whole "
+        "query float-free, so parity is exact by construction.",
     driver=False,  # r8 rotation candidate
     sibling="ev_hourly_gapfill",
 )
@@ -710,23 +712,26 @@ def ev_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.currentRow, n - 1)
     )
+    span = (
+        (
+            F.unix_micros(F.max("hour").over(w)) - F.unix_micros(F.col("hour"))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("long")
     windows = hourly.select(
         "user_id",
         F.col("hour").alias("start_hour"),
         F.collect_list("n_ev").over(w).alias("arr"),
         F.count(F.lit(1)).over(w).alias("w_len"),
-        F.max("hour").over(w).alias("end_hour"),
+        span.alias("span_hours"),
     )
     score = None
     for i, wt in enumerate(TS_PATTERN):
         term = F.col("arr")[i] * wt
         score = term if score is None else (score + term)
     return (
-        windows.filter(
-            (F.col("w_len") == n)
-            & (F.col("end_hour") == F.col("start_hour") + F.expr(f"INTERVAL {n - 1} HOURS"))
-        )
-        .select("user_id", "start_hour", score.alias("score"))
+        windows.filter(F.col("w_len") == n)
+        .select("user_id", "start_hour", "span_hours", score.alias("score"))
         .orderBy(F.col("score").desc(), "user_id", "start_hour")
         .limit(20)
     )

@@ -50,17 +50,41 @@ QUERIES = (
     "doc_lm_rarity",
     "doc_bm25_topk",
     "doc_repeated_passages",
+    "doc_corpus_report",
+    "doc_sentiment_lexicon",
+    "doc_temperature_mixing",
 )
 
+#: Queries probed against the TAGGED replication (every token suffixed with
+#: its replica id, so vocab is disjoint across replicas).  Unchanged-text
+#: replication is WRONG for decontamination: replicas of a needle's source
+#: doc are genuine cross-replica contamination, so true-positive pairs --
+#: and therefore output rows -- grow k^2 by construction.  That is the
+#: operator reporting real duplicates, not an engine nonlinearity; probing
+#: engine cost requires replica-disjoint vocab, under which matches stay
+#: within-replica and must grow exactly k.
+TAGGED_QUERIES = ("doc_decontamination_ngram",)
 
-def write_replicated(spark, k: int, out_dir: str) -> int:
+
+def write_replicated(spark, k: int, out_dir: str, tagged: bool = False) -> int:
     d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     reps = spark.range(k).select(F.col("id").alias("rep"))
+    text = F.col("text")
+    if tagged:
+        # replica-disjoint vocab (see TAGGED_QUERIES): suffix every token
+        # with the replica id, same scheme as tools/scale_probe.py
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("_"), F.col("rep").cast("string")),
+            ),
+        )
     out = (
         d.crossJoin(F.broadcast(reps))
         .select(
             (F.col("rep") * ID_SPACE + F.col("doc_id")).alias("doc_id"),
-            "text",
+            text.alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -83,15 +107,18 @@ def main() -> None:
         for k in ks:
             kdir = os.path.join(base, f"k{k}")
             write_replicated(spark, k, kdir)
+            tdir = os.path.join(base, f"k{k}_tagged")
+            write_replicated(spark, k, tdir, tagged=True)
             n_docs = spark.read.parquet(os.path.join(kdir, "documents.parquet")).count()
-            for name in QUERIES:
+            for name in QUERIES + TAGGED_QUERIES:
+                qdir = tdir if name in TAGGED_QUERIES else kdir
                 builder = specs[name].builder
                 # warm-up (also captures the result-row count once)
-                n_rows = builder(spark, kdir).count()
+                n_rows = builder(spark, qdir).count()
                 best = None
                 for _ in range(REPEATS):
                     t0 = time.perf_counter()
-                    builder(spark, kdir).write.format("noop").mode("overwrite").save()
+                    builder(spark, qdir).write.format("noop").mode("overwrite").save()
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
                 print(

@@ -47,6 +47,11 @@ QUERIES = (
     "ev_event_transitions",
     "ev_funnel_conversion",
     "ev_user_retention_cohorts",
+    # round 7 additions: bucketed range join, CMS heavy hitters (fixed-size
+    # sketch, k x candidates), integer cross-correlation pattern match
+    "ev_range_interval_join",
+    "ev_heavy_hitters_cms",
+    "ev_ts_pattern_match",
 )
 
 
