@@ -474,19 +474,20 @@ WITH v AS (
 )
 SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
 FROM v
-WHERE pv > (SELECT SUM(pv) FROM v) * CAST(0.005 AS DECIMAL(4,3))
+WHERE pv * (SELECT COUNT(*) FROM v) > (SELECT SUM(pv) FROM v) * 2
 """,
     doc="TPC-H Q11 adapted (no partsupp): per-part traded value through "
-        "NATION_3 suppliers, keeping parts above 0.5% of the national "
-        "total.  Plan: one shuffle agg builds the value table, the global "
-        "threshold is a 1-row broadcast (scalar subquery over the SAME "
-        "aggregate -- Spark reuses the exchange), filter is map-side.  "
-        "Determinism: the threshold stays DECIMAL end-to-end (sum of "
-        "per-part decimal sums times an exact 0.005 decimal), so the "
-        "boundary comparison is exact on both engines -- a double total "
-        "would be order-dependent in the last ulp, and a part sitting "
-        "within an ulp of 0.5% would flip between engines; only the "
-        "OUTPUT column is surfaced as double.",
+        "NATION_3 suppliers, keeping parts whose value exceeds 2x the "
+        "mean part value (TPC-H's own FRACTION is SF-dependent -- "
+        "0.0001/SF -- and a fixed 0.5%-of-total cut returned ZERO rows at "
+        "sf>=0.01, making the driver's hash check vacuous; the 2x-mean "
+        "form is scale-free and non-empty at every fixture SF).  Plan: "
+        "one shuffle agg builds the value table, the global (count, "
+        "total) pair is a 1-row broadcast over the SAME aggregate, "
+        "filter is map-side.  Determinism: the comparison is pv*n > "
+        "total*2 -- DECIMAL times integer on both sides, no division, "
+        "no doubles -- so the boundary is exact on both engines; only "
+        "the OUTPUT column is surfaced as double.",
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -497,11 +498,12 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(N.dec2("l_extendedprice")).alias("pv"))
     )
     total = v.agg(
-        (F.sum("pv") * F.lit(0.005).cast("decimal(4,3)")).alias("threshold")
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("pv").alias("total_pv"),
     )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("pv") > F.col("threshold"))
+        .filter(F.col("pv") * F.col("n_parts") > F.col("total_pv") * 2)
         .select("l_partkey", F.col("pv").cast("double").alias("part_value"))
     )
 
@@ -963,26 +965,41 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
 FROM customer c
 WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')}
                    FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c.c_custkey
+      AND o_orderdate >= (SELECT CAST(MAX(o_orderdate) - INTERVAL 6 MONTH AS DATE)
+                          FROM orders)
+  )
 GROUP BY c_mktsegment
 """,
     doc="TPC-H Q22 adapted (market segment for the phone country code): "
-        "customers with above-average positive balances and no orders at "
-        "all, totalled per segment.  Plan: the scalar threshold is a 1-row "
-        "broadcast of a decimal-exact average; the NOT EXISTS is a LEFT "
-        "ANTI against the distinct o_custkey projection (orderkey-pruned "
-        "scan, no other orders columns read); final agg over 5 segments.",
+        "customers with above-average positive balances and NO ORDERS IN "
+        "THE DATASET'S LAST SIX MONTHS (data-derived cutoff: max "
+        "o_orderdate minus 6 months -- the literal no-orders-at-all form "
+        "was vacuous on this fixture, where orders cover every customer "
+        "at sf<=0.01, so the driver's hash check passed on zero rows), "
+        "totalled per segment.  Plan: two 1-row broadcasts (decimal-exact "
+        "average balance; the date cutoff), the dormancy test a LEFT ANTI "
+        "against the recent-orders custkey projection (date filter + "
+        "2-column pruned scan); final agg over 5 segments.",
 )
 def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
         N.davg("c_acctbal", "avg_bal")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cutoff = o.agg(F.add_months(F.max("o_orderdate"), -6).alias("cutoff_date"))
+    recent = (
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("cutoff_date"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(avg_pos))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
