@@ -1451,3 +1451,58 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor(F.col("start_offset") / PACK_CAPACITY).alias("pack_id"),
     )
+
+
+@register(
+    "doc_dup_graph_triangles",
+    oracle=f"""
+WITH {_PREFIX_FILTER_CTES},
+tri AS (
+  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.id_a = p1.id_b
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT DISTINCT v FROM
+        (SELECT a AS v FROM tri UNION ALL
+         SELECT b FROM tri UNION ALL
+         SELECT c FROM tri))) AS n_nodes_in_triangles
+""",
+    doc="graph analytics beyond components: triangle counting on the "
+        "verified near-dup pair graph via the compact-forward pattern -- "
+        "edges stored once as (id_a < id_b), so each triangle a<b<c is "
+        "found exactly once by joining (a,b)x(b,c) and closing with "
+        "(a,c).  Pure integer counting, bit-exact parity for free.  "
+        "Scale: two equi-joins on vertex ids; the classic skew control "
+        "(orient edges low-degree -> high-degree) is exactly what the "
+        "a<b storage convention approximates on near-clique dup graphs, "
+        "and the join never materializes open wedges beyond the shuffle "
+        "that closes them.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_dedup_clusters",
+)
+def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = materialize(
+        _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    )
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = (
+        p1.join(p2, F.col("b") == F.col("b2"))
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .distinct()
+    )
+    counts = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    node_count = nodes.agg(F.count(F.lit(1)).alias("n_nodes_in_triangles"))
+    return counts.crossJoin(F.broadcast(node_count))
