@@ -27,7 +27,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO error) when either norm is zero:
+    a zero vector has no direction, and under the session's ANSI mode an
+    unguarded division would abort the whole job on one degenerate row
+    (caught by tests/test_degenerate_embeddings.py)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != F.lit(0.0), dot(a, b) / denom)
 
 
 # ---- DuckDB oracle twins (same fold order => same bits) -------------------
@@ -44,4 +49,9 @@ def norm_sql(a: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+    # CASE mirrors cosine()'s zero-norm guard (DuckDB would yield inf,
+    # not an error, but the twins must stay expression-for-expression)
+    denom = f"({norm_sql(a)} * {norm_sql(b)})"
+    return (
+        f"(CASE WHEN {denom} <> 0.0 THEN ({dot_sql(a, b)} / {denom}) END)"
+    )

@@ -526,6 +526,25 @@ def brute_force_topk_arrow(
 
     def score(corpus_pdf: "pd.DataFrame", query_pdf: "pd.DataFrame") -> "pd.DataFrame":
         out = {"query_id": [], "neighbor_id": [], "cosine": []}
+
+        def _well_formed(pdf: "pd.DataFrame", col: str) -> "pd.DataFrame":
+            """Drop NULL / ragged-dimension / zero-norm vectors before the
+            matmul: np.vstack dies on ragged input and a zero norm turns
+            into a divide-by-zero NaN row.  Mirrors the JVM twin, where
+            cosine() yields NULL for these rows and NULLS LAST keeps them
+            out of every top-k (degenerate-corpus sweep)."""
+            ok = pdf[col].map(lambda v: v is not None and len(v) > 0)
+            pdf = pdf[ok.to_numpy()] if len(pdf) else pdf
+            if not len(pdf):
+                return pdf
+            lens = pdf[col].map(len)
+            dim = int(lens.mode().iloc[0])
+            pdf = pdf[(lens == dim).to_numpy()]
+            norms = pdf[col].map(lambda v: float(np.linalg.norm(np.asarray(v, dtype="float64"))))
+            return pdf[(norms > 0).to_numpy()]
+
+        corpus_pdf = _well_formed(corpus_pdf, "embedding")
+        query_pdf = _well_formed(query_pdf, "query_emb")
         if len(corpus_pdf) and len(query_pdf):
             qdf = query_pdf.sort_values("query_id")
             qids = qdf["query_id"].to_numpy()
