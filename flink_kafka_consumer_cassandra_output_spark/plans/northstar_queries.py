@@ -1506,3 +1506,93 @@ def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     node_count = nodes.agg(F.count(F.lit(1)).alias("n_nodes_in_triangles"))
     return counts.crossJoin(F.broadcast(node_count))
+
+
+def _minhash_match_count_sql() -> str:
+    return " + ".join(
+        f"CAST(x.h{i} = y.h{i} AS INTEGER)" for i in range(SIM.NUM_HASHES)
+    )
+
+
+@register(
+    "doc_minhash_estimate_certificate",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc_id, sh,
+         {_minhash_sig_sql()}
+  FROM docs
+),
+banded AS (
+  {_band_union_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       abs(est_jaccard - exact_jaccard) AS abs_err,
+       abs(est_jaccard - exact_jaccard) <= 0.375 AS within_tol
+FROM (
+  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+         (CAST(({_minhash_match_count_sql()}) AS DOUBLE)
+            / CAST({SIM.NUM_HASHES} AS DOUBLE)) AS est_jaccard,
+         {_JACCARD_SQL} AS exact_jaccard
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.id_a
+  JOIN sigs y ON y.doc_id = c.id_b
+)
+""",
+    doc="MinHash accuracy certificate (the sketch-certificate pattern the "
+        "HLL and CMS entries follow): every LSH candidate pair carries its "
+        "ESTIMATED Jaccard (matching signature components / 8) next to the "
+        "exact set Jaccard, plus the absolute error and a 3-sigma-ish "
+        "tolerance flag (std <= sqrt(J(1-J)/8) ~ 0.177, tol 0.375).  Both "
+        "columns are exact int/int divisions, the error an exact IEEE "
+        "difference -- fully hash-matched, unlike typical sketch demos "
+        "that can only be eyeballed.  tests/test_similarity.py pins the "
+        "MEAN error below 0.15 on the fixture, making the accuracy claim "
+        "executable, not prose.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_near_dup_simhash",
+)
+def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    sigs = docs.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+    cand = SIM.lsh_candidate_pairs(sigs)
+    x = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda m: m,
+        )
+    )
+    est = matches.cast("double") / F.lit(SIM.NUM_HASHES).cast("double")
+    exact = SIM.jaccard(F.col("sh_a"), F.col("sh_b"))
+    j = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+    )
+    err = F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+    return j.select(
+        "doc_a", "doc_b", "est_jaccard", "exact_jaccard",
+        err.alias("abs_err"),
+        (err <= F.lit(0.375)).alias("within_tol"),
+    )

@@ -368,3 +368,21 @@ def test_dedup_clusters_consistent_with_pair_graph(spark, sf_dir):
         assert r.cluster_size == sizes[r.cluster_id]
         assert r.cluster_id == min(d for d, c in lbl.items() if c == r.cluster_id)
         assert r.is_canonical == int(r.doc_id == r.cluster_id)
+
+
+def test_minhash_estimate_mean_error_bounded(spark, sf_dir):
+    """The accuracy claim in doc_minhash_estimate_certificate's docstring,
+    executable: over the fixture's LSH candidate pairs, the mean absolute
+    gap between the 8-hash MinHash estimate and the exact Jaccard stays
+    under 0.15 (expected std per pair <= sqrt(J(1-J)/8) ~ 0.177; LSH
+    candidates skew toward high J, where the variance is lower)."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    rows = (
+        all_specs()["doc_minhash_estimate_certificate"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "fixture must produce LSH candidate pairs"
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.15, f"mean |est - exact| = {mean_err:.3f}"
