@@ -457,6 +457,98 @@ def connected_components(
         und.unpersist()
 
 
+#: Peel rounds unrolled in the DuckDB oracle for k-core.  The Spark loop
+#: raises if it has not converged within this many rounds, so a too-shallow
+#: unroll fails LOUDLY in the parity gate instead of silently diverging.
+#: Dup graphs are near-cliques: measured peel depth is 1 round (+1 to
+#: witness the fixed point) at sf0.001/0.01/0.1; 4 leaves slack.
+KCORE_UNROLL = 4
+
+
+def kcore_membership(
+    nodes: DataFrame, edges: DataFrame, k: int = 2, max_rounds: int = KCORE_UNROLL
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel vertices whose
+    degree among surviving vertices is < k until a fixed point; the
+    survivors are the k-core (the "dense part" of a duplicate graph --
+    boilerplate families and template clusters -- vs the degree-1 fringe
+    of incidental near-dups).
+
+    ``nodes``: one column ``v``; ``edges``: columns ``(a, b)``, one row
+    per undirected edge.  Returns (v, degree, in_kcore) for EVERY node:
+    original degree (0 for isolated vertices) and a 0/1 core flag.
+
+    Peeling is monotone (alive sets only shrink and a removed vertex can
+    never re-enter), so (1) an unchanged alive COUNT is a complete
+    convergence check, and (2) a fixed point is idempotent under further
+    rounds -- which is what lets the DuckDB oracle unroll a FIXED
+    ``KCORE_UNROLL`` rounds while the Spark loop exits early: any extra
+    unrolled rounds peel nothing.  Rounds materialize via
+    :func:`materialize` with mid-loop :func:`drop_stage` reclamation,
+    exactly like :func:`connected_components`.
+
+    Scale: each round is two semi-joins of the (narrow, persisted)
+    undirected edge table against the alive set plus one combinable
+    count -- all equi-joins on vertex id; rounds are bounded by the
+    graph's degeneracy ordering depth, ~1-2 on near-clique dup graphs.
+    """
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    deg = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("a").alias("v"), "degree")
+    )
+    base = nodes.join(deg, "v", "left").select(
+        "v", F.coalesce("degree", F.lit(0).cast("long")).alias("degree")
+    )
+    if schema_only_builds():
+        # Schema-identical lazy plan; no jobs at plan-build time.
+        return base.select(
+            "v", "degree", (F.col("degree") >= k).cast("int").alias("in_kcore")
+        )
+    und = und.persist()
+    try:
+        alive = materialize(deg.filter(F.col("degree") >= k).select("v"))
+        n = alive.count()
+        converged = n == 0
+        for _ in range(max_rounds):
+            if converged:
+                break
+            nxt = (
+                und.join(alive.select(F.col("v").alias("a")), "a")
+                .join(alive.select(F.col("v").alias("b")), "b")
+                .groupBy("a")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select(F.col("a").alias("v"))
+            )
+            nxt = materialize(nxt)
+            m = nxt.count()
+            drop_stage(alive)
+            alive = nxt
+            converged = m == n or m == 0
+            n = m
+        if not converged:
+            raise RuntimeError(
+                f"kcore_membership: not converged in {max_rounds} rounds; "
+                "KCORE_UNROLL must be raised (oracle unroll depth matches it)"
+            )
+        return base.join(
+            alive.withColumn("core", F.lit(1)), "v", "left"
+        ).select(
+            "v", "degree", F.coalesce("core", F.lit(0)).cast("int").alias("in_kcore")
+        )
+    finally:
+        und.unpersist()
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity
 # --------------------------------------------------------------------------

@@ -755,3 +755,82 @@ def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "frac",
         (F.col("raw_w") / F.sum("raw_w").over(w)).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction
+# --------------------------------------------------------------------------
+
+#: Patterns restricted to syntax with IDENTICAL semantics in Java regex
+#: (Spark) and RE2 (DuckDB): character classes, bounded quantifiers and \b
+#: word boundaries only -- no backreferences, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+#: The synthetic corpus contains no real PII (word-soup text, no digits or
+#: '@'), so a detector run on raw ``text`` would be a vacuous gate
+#: (tests/test_nonvacuous.py bans those).  Both engines therefore append a
+#: deterministic doc_id-derived contact block -- an email for every doc, a
+#: phone for doc_id % 3 != 0 -- and the operator must find EXACTLY those,
+#: redact them, and leave the surrounding text byte-identical (checked via
+#: md5 of the redacted string).  concat_ws skips NULL operands in both
+#: engines, which also makes the builder total on NULL-text rows.
+_AUG_SQL = (
+    "concat_ws(' ', text,"
+    " 'user' || CAST(doc_id AS VARCHAR) || '@example.com',"
+    " CASE WHEN doc_id % 3 <> 0 THEN"
+    " 'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END)"
+)
+
+
+@register(
+    "doc_pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, {_AUG_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                  '{_PHONE_RE}', '[PHONE]', 'g')) AS BIGINT)
+         AS redacted_len,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+FROM aug
+""",
+    doc="PII detection + redaction (the compliance pass every training-data "
+        "pipeline runs before packing): count and mask email/phone patterns "
+        "with regexes whose semantics are identical under Java regex and "
+        "RE2 (classes + bounded quantifiers + \\b only).  Pure Column "
+        "expressions -- regexp_count/regexp_replace are JVM-side, zero "
+        "Python; at 100 TB this is a narrow map with no shuffle at all.  "
+        "The redacted string itself is hash-checked (md5), so the gate "
+        "pins masking byte-for-byte, not just the match counts.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_decontamination",
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    aug = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit("call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_fp"),
+    )

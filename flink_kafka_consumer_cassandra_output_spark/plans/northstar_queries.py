@@ -1042,9 +1042,11 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(q, assigned, cent, k=5, nprobe=2)
 
 
-def _ivf_trained_oracle(k: int = 16, nprobe: int = 1) -> str:
-    """Same-algorithm oracle for the Lloyd-trained IVF: the training loop is
-    unrolled into one CTE pair (assign, re-centroid) per iteration."""
+def _ivf_train_ctes(k: int = 16) -> list[str]:
+    """The Lloyd-training CTE chain shared by every trained-codebook
+    oracle: unrolls IVF_TRAIN_ITERS (assign, re-centroid) pairs and ends
+    with ``a{iters}`` = the final (vec_id, embedding, bucket) assignment
+    and ``cent{iters}`` = the trained codebook."""
     iters = SIM.IVF_TRAIN_ITERS
     ctes = [
         "e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE))"
@@ -1076,6 +1078,14 @@ def _ivf_trained_oracle(k: int = 16, nprobe: int = 1) -> str:
                CAST(COUNT(*) AS DOUBLE) AS n
         FROM a{i} GROUP BY bucket)
 )""")
+    return ctes
+
+
+def _ivf_trained_oracle(k: int = 16, nprobe: int = 1) -> str:
+    """Same-algorithm oracle for the Lloyd-trained IVF: the training loop is
+    unrolled into one CTE pair (assign, re-centroid) per iteration."""
+    iters = SIM.IVF_TRAIN_ITERS
+    ctes = _ivf_train_ctes(k)
     ctes.append("""q AS (
   SELECT vec_id AS query_id, embedding AS query_emb
   FROM e WHERE vec_id < 10
@@ -1135,6 +1145,93 @@ def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
     )
     return SIM.ivf_topk(q, assigned, cent, k=5, nprobe=1)
+
+
+#: SemDeDup cosine threshold.  The fixture embeddings are isotropic (max
+#: same-label cosine ~0.45), so 0.35 yields a small-but-real duplicate set
+#: at every SF (70 / 72 / 873 within-bucket pairs at sf0.001/0.01/0.1) --
+#: selective enough to look like dedup, populated enough that the gate is
+#: non-vacuous (tests/test_nonvacuous.py).
+SEMDEDUP_TAU = 0.35
+
+
+def _semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    iters = SIM.IVF_TRAIN_ITERS
+    ctes = _ivf_train_ctes()
+    ctes.append(f"""dup_pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM a{iters} x
+  JOIN a{iters} y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE {_COS('x.embedding', 'y.embedding')} >= {tau}
+)""")
+    ctes.append("""dup_of AS (
+  SELECT id_b AS vec_id, MIN(id_a) AS dup_min FROM dup_pairs GROUP BY id_b
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT a.vec_id,
+       CAST(a.bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(d.dup_min, -1) AS BIGINT) AS dup_of,
+       CAST(d.dup_min IS NULL AS INTEGER) AS is_kept
+FROM a{iters} a
+LEFT JOIN dup_of d ON d.vec_id = a.vec_id"""
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic deduplication: cluster the corpus with the "
+        "Lloyd-trained IVF codebook, compare vectors ONLY within their "
+        "cluster (exact cosine, sequential fold), and keep the minimum "
+        "vec_id of every duplicate relation -- each vector reports its "
+        "bucket, the id it duplicates (dup_of, -1 if kept) and a keep "
+        "flag.  The cluster bucketing is what makes the quadratic "
+        "comparison tractable: candidates come from a bucket equi-join, "
+        "never all-pairs (comparisons cut ~16x here; at real scale k "
+        "grows with the corpus to hold per-bucket cost constant).  Same "
+        "training unroll as emb_ann_ivf_trained's oracle, so the whole "
+        "train-assign-compare-keep pipeline is value-hash-checked.",
+    driver=False,  # r8 rotation candidate
+    sibling="emb_ann_ivf_trained",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    corpus = e.select("vec_id", "embedding")
+    cent = SIM.ivf_train(corpus, k=16)
+    c = corpus.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("embedding"),
+    )
+    # Materialized: the frame feeds the pair self-join (2 subtrees) plus
+    # the final projection, and the upstream Lloyd training would
+    # otherwise re-run per subtree.
+    assigned = materialize(SIM.ivf_assign(c, cent))
+    x = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        x.join(y, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(V.cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(SEMDEDUP_TAU))
+        .select("id_a", "id_b")
+    )
+    dup_of = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_min")).select(
+        F.col("id_b").alias("vec_id"), "dup_min"
+    )
+    return (
+        assigned.select("vec_id", F.col("bucket").cast("long").alias("bucket"))
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce("dup_min", F.lit(-1)).cast("long").alias("dup_of"),
+            F.col("dup_min").isNull().cast("int").alias("is_kept"),
+        )
+    )
 
 
 def _lsh_probe_union_sql() -> str:
@@ -1506,6 +1603,65 @@ def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     node_count = nodes.agg(F.count(F.lit(1)).alias("n_nodes_in_triangles"))
     return counts.crossJoin(F.broadcast(node_count))
+
+
+def _kcore_oracle(k: int = 2, rounds: int = SIM.KCORE_UNROLL) -> str:
+    """Unrolled-peel oracle for doc_graph_kcore.  Fixed-depth unroll is
+    sound because peeling is idempotent at its fixed point (rounds past
+    convergence remove nothing); the Spark side raises if convergence
+    takes more than ``rounds``, so a too-shallow unroll fails loudly."""
+    ctes = [f"alive0 AS (SELECT v FROM deg WHERE degree >= {k})"]
+    for i in range(rounds):
+        ctes.append(f"""alive{i + 1} AS (
+  SELECT e.a AS v FROM edges e
+  JOIN alive{i} x ON x.v = e.a
+  JOIN alive{i} y ON y.v = e.b
+  GROUP BY e.a HAVING COUNT(*) >= {k}
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {_PREFIX_FILTER_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (
+  SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY a
+),
+{joined}
+SELECT d.doc_id,
+       COALESCE(g.degree, 0) AS degree,
+       CAST(a.v IS NOT NULL AS INTEGER) AS in_kcore
+FROM documents d
+LEFT JOIN deg g ON g.v = d.doc_id
+LEFT JOIN alive{rounds} a ON a.v = d.doc_id"""
+
+
+@register(
+    "doc_graph_kcore",
+    oracle=_kcore_oracle(),
+    doc="graph analytics: 2-core decomposition of the verified near-dup "
+        "graph (iterative peel of degree<2 vertices to a fixed point) -- "
+        "separates dense duplicate families (template/boilerplate "
+        "clusters, which survive) from the degree-1 fringe of incidental "
+        "pairwise near-dups (peeled: 38/44/446 of the dup vertices at "
+        "sf0.001/0.01/0.1, core 7/3/31 -- the gate exercises real peeling "
+        "at every fixture scale).  Spark side loops semi-join+count rounds "
+        "with per-round materialization and early exit; the oracle unrolls "
+        "a FIXED number of rounds, sound because peeling is idempotent at "
+        "its fixed point, and the Spark loop raises if it ever needs more "
+        "rounds than the unroll.  Integer-only output, bit-exact parity "
+        "for free.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_dedup_clusters",
+)
+def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    out = SIM.kcore_membership(nodes, edges, k=2)
+    return out.select(F.col("v").alias("doc_id"), "degree", "in_kcore")
 
 
 def _minhash_match_count_sql() -> str:
