@@ -1,0 +1,188 @@
+"""Differential fuzzing: machine-generated filter/group/aggregate plans run
+on BOTH engines (Spark DataFrame API vs DuckDB SQL) and compared exactly.
+
+The registry's 108 oracle pairs are hand-written points in plan space; this
+harness tests a NEIGHBORHOOD around them: hypothesis draws a random predicate
+tree (numeric / string / timestamp comparisons, AND/OR composition), a random
+grouping set, and a random aggregate set -- all restricted to the repo's
+cross-engine determinism conventions (decimal-exact sums from
+functions/numeric.py, integer counts, order-insensitive min/max) -- builds
+the same logical plan twice (once as Columns, once as SQL), and requires
+row-count + dtype + exact-value equality via the same ``compare_frames``
+the oracle-parity gate uses.
+
+What this catches that the curated pairs cannot: dialect drift in predicate
+semantics (timestamp literal coercion, <> vs !=, AND/OR precedence),
+aggregate NULL semantics on empty groups and empty inputs, and dtype
+degradation paths (count on empty frames, decimal sum of no rows) -- for
+ARBITRARY combinations, not just the ones a human thought to write.
+
+``derandomize=True``: the example stream is stable run-to-run so the suite
+stays deterministic for the driver gate; crank SPARK_GRAFT_FUZZ_EXAMPLES
+(default 40) for a deeper exploratory run.
+"""
+
+from __future__ import annotations
+
+import operator
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_kafka_consumer_cassandra_output_spark.functions import numeric as N
+from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+from .oracle import compare_frames, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+N_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "40"))
+
+# --------------------------------------------------------------------------
+# Grammar
+# --------------------------------------------------------------------------
+
+#: Value domains straddle the fixture's actual ranges (l_orderkey <= 1499,
+#: quantity 1..50, shipdate 1995..2001) so predicates land everywhere from
+#: empty to all-rows selectivity.
+_NUM_COLS = {
+    "l_orderkey": st.integers(0, 1600),
+    "l_linenumber": st.integers(0, 8),
+    "l_quantity": st.integers(1, 50),
+}
+_STR_COLS = {
+    "l_returnflag": st.sampled_from(["A", "N", "R"]),
+    "l_linestatus": st.sampled_from(["F", "O"]),
+}
+_OPS = ["<", "<=", "=", ">=", ">", "<>"]
+_OP_FN = {
+    "<": operator.lt,
+    "<=": operator.le,
+    "=": operator.eq,
+    ">=": operator.ge,
+    ">": operator.gt,
+    "<>": operator.ne,
+}
+
+_GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+#: name -> (Spark aggregate Column, DuckDB aggregate SQL).  Every entry
+#: follows the determinism conventions: counts are BIGINT both sides,
+#: sums go through DECIMAL(18,2) (order-insensitive exact), min/max are
+#: order-insensitive by definition.
+#: Spark Columns are built lazily (closures) -- constructing them at import
+#: time needs an active SparkContext, which test collection does not have.
+_AGGS = {
+    "n_rows": (
+        lambda: F.count(F.lit(1)).alias("n_rows"),
+        "CAST(COUNT(*) AS BIGINT) AS n_rows",
+    ),
+    "sum_qty": (
+        lambda: N.dsum("l_quantity", "sum_qty"),
+        f"{N.dsum_expr('l_quantity')} AS sum_qty",
+    ),
+    "sum_price": (
+        lambda: N.dsum("l_extendedprice", "sum_price"),
+        f"{N.dsum_expr('l_extendedprice')} AS sum_price",
+    ),
+    "min_price": (
+        lambda: F.min("l_extendedprice").alias("min_price"),
+        "MIN(l_extendedprice) AS min_price",
+    ),
+    "max_key": (
+        lambda: F.max("l_orderkey").alias("max_key"),
+        "CAST(MAX(l_orderkey) AS BIGINT) AS max_key",
+    ),
+    "n_supp": (
+        lambda: F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp",
+    ),
+}
+
+
+@st.composite
+def _predicate(draw):
+    """One comparison: (col, op, value, kind)."""
+    kind = draw(st.sampled_from(["num", "num", "str", "date"]))
+    op = draw(st.sampled_from(_OPS))
+    if kind == "num":
+        col = draw(st.sampled_from(sorted(_NUM_COLS)))
+        return (col, op, draw(_NUM_COLS[col]), "num")
+    if kind == "str":
+        col = draw(st.sampled_from(sorted(_STR_COLS)))
+        return (col, op, draw(_STR_COLS[col]), "str")
+    y, m, d = (
+        draw(st.integers(1994, 2002)),
+        draw(st.integers(1, 12)),
+        draw(st.integers(1, 28)),
+    )
+    return ("l_shipdate", op, f"{y:04d}-{m:02d}-{d:02d}", "date")
+
+
+@st.composite
+def _plan(draw):
+    """(predicates, connective, group_cols, agg_names)."""
+    preds = draw(st.lists(_predicate(), min_size=1, max_size=3))
+    conn = draw(st.sampled_from(["AND", "OR"]))
+    groups = draw(
+        st.lists(st.sampled_from(_GROUP_COLS), max_size=2, unique=True)
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(sorted(_AGGS)), min_size=1, max_size=4, unique=True)
+    )
+    return preds, conn, groups, aggs
+
+
+def _pred_spark(p):
+    col, op, val, kind = p
+    lhs = F.col(col)
+    rhs = F.to_timestamp(F.lit(val)) if kind == "date" else F.lit(val)
+    return _OP_FN[op](lhs, rhs)
+
+
+def _pred_sql(p):
+    col, op, val, kind = p
+    if kind == "num":
+        return f"{col} {op} {val}"
+    if kind == "str":
+        return f"{col} {op} '{val}'"
+    return f"{col} {op} TIMESTAMP '{val}'"
+
+
+def _run_both(spark, con, plan):
+    preds, conn, groups, agg_names = plan
+
+    cond = _pred_spark(preds[0])
+    for p in preds[1:]:
+        cond = (cond & _pred_spark(p)) if conn == "AND" else (cond | _pred_spark(p))
+    df = tables.load(spark, SF_DIR, "lineitem").filter(cond)
+    agg_cols = [_AGGS[a][0]() for a in agg_names]
+    sdf = (df.groupBy(*groups).agg(*agg_cols) if groups else df.agg(*agg_cols)).toPandas()
+
+    where = f" {conn} ".join(_pred_sql(p) for p in preds)
+    select = ", ".join(
+        [*groups, *(_AGGS[a][1] for a in agg_names)]
+    )
+    sql = f"SELECT {select} FROM lineitem WHERE {where}"
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)}"
+    odf = con.execute(sql).fetchdf()
+
+    label = f"fuzz[{where} | by {groups} | {agg_names}]"
+    compare_frames(sdf, odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_plan())
+def test_random_plan_cross_engine_equivalence(spark, plan):
+    con = duck_connection(SF_DIR)
+    try:
+        _run_both(spark, con, plan)
+    finally:
+        con.close()
