@@ -1206,7 +1206,17 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final projection, and the upstream Lloyd training would
     # otherwise re-run per subtree.
     assigned = materialize(SIM.ivf_assign(c, cent))
-    x = assigned.select(
+    # Same lesson as doc_near_dup_jaccard/simhash: the materialized frame
+    # is a handful of narrow rows that AQE coalesces to ONE partition, and
+    # the within-bucket cosine verify -- the quadratic part -- would run
+    # single-threaded (measured: 6.8s single-core at sf0.1).  Locally the
+    # fixture corpus is broadcast-small, so: round-robin repartition the
+    # probe side, broadcast the build side -> verify parallelism = CPU
+    # count instead of 1.  At real scale the broadcast is replaced by a
+    # bucket-co-partitioned self-join with k (the cluster count) grown
+    # with the corpus -- parallelism = k and per-task work = one cluster's
+    # quadratic block, which is exactly how SemDeDup shards.
+    x = assigned.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
     y = assigned.select(
@@ -1215,7 +1225,10 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("bucket_b"),
     )
     pairs = (
-        x.join(y, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        x.join(
+            F.broadcast(y),
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
+        )
         .filter(V.cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(SEMDEDUP_TAU))
         .select("id_a", "id_b")
     )
