@@ -239,3 +239,27 @@ def test_bm25_is_one_pass_over_documents(spark):
     # node once in the tree and once in the detail section
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_scans <= 2, f"BM25 re-scans documents per query branch: {n_scans} scans"
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    """PII masking is a pure per-row map (regex count + replace + md5);
+    any exchange in this plan would mean the 100 TB compliance pass
+    suddenly shuffles the whole corpus.  (The loader's round-robin spread
+    of the single-file fixture is exempt, as in the reference-pipeline
+    gate.)"""
+    plan = _plan(spark, "doc_pii_redaction")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_semdedup_verify_is_broadcast_equi_join(spark):
+    """The SemDeDup within-bucket verify must stay a broadcast EQUI join
+    on the bucket key with the id/cosine conditions as residuals: losing
+    the equi key would degrade to a nested-loop scan of the corpus per
+    probe row -- all-pairs, the exact thing the clustering exists to
+    avoid."""
+    plan = _plan(spark, "emb_semantic_dedup")
+    assert "BroadcastHashJoin" in plan, "bucket join must broadcast the build side"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "verify lost its bucket equi key (BNLJ = all-pairs per partition)"
+    )
