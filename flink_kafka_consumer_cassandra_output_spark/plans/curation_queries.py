@@ -758,6 +758,122 @@ def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Positional-index phrase search
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_phrase_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+p AS (
+  SELECT doc_id, u.pos AS pos, u.term AS term
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(tk)),
+                                     i -> {'pos': i, 'term': tk[i+1]})) AS u
+        FROM toks)
+),
+trig AS (
+  SELECT unnest(CASE WHEN len(tk) >= 3 THEN
+           list_transform(range(len(tk) - 2),
+                          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+         ELSE [] END) AS ph
+  FROM toks
+),
+top3 AS (
+  SELECT ph, COUNT(*) AS cnt FROM trig GROUP BY ph
+  ORDER BY cnt DESC, ph LIMIT 3
+),
+parts AS (
+  SELECT ph, string_split(ph, ' ') AS pp FROM top3
+),
+m AS (
+  SELECT parts.ph, p0.doc_id
+  FROM parts
+  JOIN p p0 ON p0.term = pp[1]
+  JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.term = pp[2]
+  JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.term = pp[3]
+)
+SELECT ph AS phrase,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM m GROUP BY ph
+""",
+    doc="IR phrase search over a POSITIONAL inverted index (the "
+        "Lucene/ES phrase-query plan): postings are (doc_id, pos, term); "
+        "a 3-term phrase resolves as term1's postings joined to term2's "
+        "at pos+1 and term3's at pos+2 -- equi-joins on (doc, pos), "
+        "never a substring scan.  The query set is data-derived (the 3 "
+        "most frequent trigrams, tie-broken by text) so the gate is "
+        "non-vacuous at every SF.  Differs from the n-gram explode the "
+        "dedup family uses: the positional join composes to ANY phrase "
+        "length without materializing longer n-grams, which is why real "
+        "indexes store positions.  Scale: the phrase terms broadcast; "
+        "each join touches only the matched terms' postings, shuffled on "
+        "(doc, pos).",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_decontamination",
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    post = toks.select("doc_id", F.posexplode("tk").alias("pos", "term"))
+    # Trigram stream WITHOUT the word_shingles <3-token fallback: the
+    # oracle's range(len-2) form emits nothing for short docs, and the
+    # whole-text fallback would let a 1-token doc alias a real trigram.
+    trig_arr = F.when(
+        F.size("tk") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("tk", i + 1),
+                F.element_at("tk", i + 2),
+                F.element_at("tk", i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    trig = toks.select(F.explode(trig_arr).alias("ph"))
+    top3 = (
+        trig.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ph"))
+        .limit(3)
+    )
+    parts = top3.select("ph", F.split(F.col("ph"), " ").alias("pp"))
+    p0 = post.select(
+        F.col("doc_id").alias("d0"), F.col("pos").alias("pos0"), F.col("term").alias("t0")
+    )
+    p1 = post.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("pos1"), F.col("term").alias("t1")
+    )
+    p2 = post.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"), F.col("term").alias("t2")
+    )
+    m = (
+        F.broadcast(parts)
+        .join(p0, F.col("t0") == F.col("pp")[0])
+        .join(
+            p1,
+            (F.col("d1") == F.col("d0"))
+            & (F.col("pos1") == F.col("pos0") + 1)
+            & (F.col("t1") == F.col("pp")[1]),
+        )
+        .join(
+            p2,
+            (F.col("d2") == F.col("d0"))
+            & (F.col("pos2") == F.col("pos0") + 2)
+            & (F.col("t2") == F.col("pp")[2]),
+        )
+    )
+    return m.groupBy(F.col("ph").alias("phrase")).agg(
+        F.count_distinct(F.col("d0")).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII detection + redaction
 # --------------------------------------------------------------------------
 

@@ -1677,6 +1677,109 @@ def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("v").alias("doc_id"), "degree", "in_kcore")
 
 
+@register(
+    "doc_graph_clustering_coeff",
+    oracle=f"""
+WITH {_PREFIX_FILTER_CTES},
+tri AS (
+  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.id_a = p1.id_b
+  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+),
+tcnt AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (
+  SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(g.degree, 0) AS degree,
+       COALESCE(t.n_tri, 0) AS n_tri,
+       CASE WHEN COALESCE(g.degree, 0) >= 2
+            THEN CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                   / CAST(g.degree * (g.degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering_coeff
+FROM documents d
+LEFT JOIN deg g ON g.v = d.doc_id
+LEFT JOIN tcnt t ON t.v = d.doc_id
+""",
+    doc="graph analytics: per-node local clustering coefficient on the "
+        "verified near-dup graph -- triangles through each vertex (from "
+        "the compact-forward triangle list, so each triangle is counted "
+        "once per member) over its open-wedge count deg*(deg-1)/2.  "
+        "Distinguishes template families (coeff ~1: my neighbors "
+        "duplicate each other) from hub-like boilerplate (low coeff: I "
+        "match many documents that don't match each other) -- the signal "
+        "a curation pass uses to pick CLUSTER removal vs document "
+        "removal.  All-integer counts plus one exact int/int division; "
+        "same two-equi-join triangle plan as doc_dup_graph_triangles.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_dedup_clusters",
+)
+def doc_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = materialize(
+        _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    )
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = (
+        p1.join(p2, F.col("b") == F.col("b2"))
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    und = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+                F.struct(F.col("id_b").alias("a"), F.col("id_a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a")
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.col("a").alias("v"), "degree"
+    )
+    d = _docs(spark, sf_dir).select(F.col("doc_id"))
+    degree = F.coalesce("degree", F.lit(0).cast("long"))
+    n_tri = F.coalesce("n_tri", F.lit(0).cast("long"))
+    return (
+        d.join(deg, d["doc_id"] == deg["v"], "left")
+        .drop("v")
+        .join(tcnt, d["doc_id"] == tcnt["v"], "left")
+        .drop("v")
+        .select(
+            "doc_id",
+            degree.alias("degree"),
+            n_tri.alias("n_tri"),
+            F.when(
+                degree >= 2,
+                (F.lit(2) * n_tri).cast("double")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
 def _minhash_match_count_sql() -> str:
     return " + ".join(
         f"CAST(x.h{i} = y.h{i} AS INTEGER)" for i in range(SIM.NUM_HASHES)

@@ -1,7 +1,7 @@
 """Differential fuzzing: machine-generated filter/group/aggregate plans run
 on BOTH engines (Spark DataFrame API vs DuckDB SQL) and compared exactly.
 
-The registry's 108 oracle pairs are hand-written points in plan space; this
+The registry's oracle pairs are hand-written points in plan space; this
 harness tests a NEIGHBORHOOD around them: hypothesis draws a random predicate
 tree (numeric / string / timestamp comparisons, AND/OR composition), a random
 grouping set, and a random aggregate set -- all restricted to the repo's

@@ -130,10 +130,34 @@ def dedup_clusters(spark: SparkSession, docs: DataFrame) -> int:
     return labels.filter(F.col("v") != F.col("lbl")).count()
 
 
+def graph_kcore(spark: SparkSession, docs: DataFrame) -> int:
+    """2-core of the verified pair graph (doc_graph_kcore's pipeline):
+    candidate equi-join -> exact verify -> iterative degree peel.  True
+    structure is k disjoint copies, so the core count must be exactly
+    k x the fixture's and the peel depth must NOT grow with k (replicas
+    peel in parallel within each round)."""
+    sh = shingled(docs)
+    cand = SIM.prefix_filter_pairs(sh, threshold=0.5).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    x = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(x, "id_a").join(y, "id_b")
+        .filter(SIM.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    core = SIM.kcore_membership(nodes, edges, k=2)
+    return core.filter(F.col("in_kcore") == 1).count()
+
+
 PIPELINES = {
     "minhash_lsh": minhash_lsh,
     "jaccard_prefix": jaccard_prefix,
     "dedup_clusters": dedup_clusters,
+    "graph_kcore": graph_kcore,
 }
 
 

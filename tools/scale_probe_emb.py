@@ -165,11 +165,64 @@ def probe_arrow_sharded(spark: SparkSession, probe_dir: str) -> DataFrame:
     )
 
 
+def probe_semdedup_sharded(spark: SparkSession, probe_dir: str) -> DataFrame:
+    """Table 5b: replica-sharded SemDeDup (emb_semantic_dedup's scale
+    form).  Per-replica seed codebooks (each replica's vectors 0..15),
+    assignment via an equi-join on the rep key, quadratic verify within
+    (rep, bucket).  The sign-flip transform preserves within-replica
+    cosines AND bucket assignments (flipping both vector and centroid
+    cancels), so the duplicate-pair count must be exactly k x replica
+    0's -- and the verify join stays equi on (rep, bucket), never
+    all-pairs."""
+    c = _corpus(spark, probe_dir).withColumn(
+        "rep", (F.col("vec_id") / ID_SPACE).cast("long")
+    )
+    cent = c.filter(F.col("vec_id") % ID_SPACE < 16).select(
+        F.col("rep").alias("c_rep"),
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    j = c.join(cent, F.col("rep") == F.col("c_rep"))
+    cos = SIM.vectors.cosine(F.col("embedding"), F.col("cent_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        j.select("rep", "vec_id", "embedding", "cent_id", cos.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rep", "vec_id", "embedding", F.col("cent_id").alias("bucket"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    x = assigned.select(
+        F.col("rep").alias("r_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("bucket").alias("b_a"),
+    )
+    y = assigned.select(
+        F.col("rep").alias("r_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("b_b"),
+    )
+    return (
+        x.join(
+            y,
+            (F.col("r_a") == F.col("r_b"))
+            & (F.col("b_a") == F.col("b_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(SIM.vectors.cosine(F.col("emb_a"), F.col("emb_b")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+
 PROBES = (
     ("5a", "cosine_topk_arrow_fixedq", probe_arrow_fixed),
     ("5a", "ann_ivf_trained_fixedq", probe_ivf_fixed),
     ("5a", "ann_lsh_fixedq", probe_lsh_fixed),
     ("5b", "cosine_topk_replica_sharded", probe_arrow_sharded),
+    ("5b", "semdedup_replica_sharded", probe_semdedup_sharded),
 )
 
 
