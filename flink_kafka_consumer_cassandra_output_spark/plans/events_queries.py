@@ -735,3 +735,82 @@ def ev_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "user_id", "start_hour")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Activity anomaly detection (per-user hourly z-score)
+# --------------------------------------------------------------------------
+
+@register(
+    "ev_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         (CAST(SUM(n_events) AS DOUBLE) / COUNT(*)) AS mean_ev,
+         sqrt(greatest(
+           (CAST(SUM(n_events * n_events) AS DOUBLE) / COUNT(*))
+             - (CAST(SUM(n_events) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(n_events) AS DOUBLE) / COUNT(*)),
+           0.0)) AS std_ev
+  FROM hourly GROUP BY user_id
+)
+SELECT * FROM (
+  SELECT h.user_id, h.hour_ts, h.n_events,
+         (CAST(h.n_events AS DOUBLE) - s.mean_ev) / s.std_ev AS zscore
+  FROM hourly h
+  JOIN stats s ON s.user_id = h.user_id
+  WHERE s.std_ev > 0.0 AND s.n_hours >= 3
+)
+ORDER BY abs(zscore) DESC, user_id, hour_ts
+LIMIT 50
+""",
+    doc="activity anomaly detection: each user's hourly event count scored "
+        "against their OWN baseline (population z-score over the user's "
+        "observed hours; users with < 3 hours or zero variance excluded), "
+        "global top-50 by |z| with a total-order tiebreak.  The monitoring "
+        "query every event pipeline runs: who deviated most from their own "
+        "norm, not from the global norm.  Float parity by construction: "
+        "mean and E[x^2] are single divisions of exact integer sums, the "
+        "variance expression tree is mirrored node-for-node, greatest(...,"
+        "0.0) clamps the E[x^2]-mean^2 form's tiny-negative FP case "
+        "(sqrt(-eps) is engine-dependent), and sqrt is IEEE "
+        "correctly-rounded.  Scale: one (user, hour) shuffle with map-side "
+        "combine, a user-level stats aggregate joined back on the SAME "
+        "user key, top-50 via TakeOrderedAndProject.",
+    driver=False,  # r8 rotation candidate
+    sibling="ev_tumbling_hourly",
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sum_ev = F.sum("n_events").cast("double")
+    sum_sq = F.sum(F.col("n_events") * F.col("n_events")).cast("double")
+    n = F.count(F.lit(1))
+    mean = sum_ev / n
+    stats = hourly.groupBy("user_id").agg(
+        n.alias("n_hours"),
+        mean.alias("mean_ev"),
+        F.sqrt(F.greatest(sum_sq / n - mean * mean, F.lit(0.0))).alias("std_ev"),
+    )
+    return (
+        hourly.join(stats, "user_id")
+        .filter((F.col("std_ev") > 0.0) & (F.col("n_hours") >= 3))
+        .select(
+            "user_id",
+            "hour_ts",
+            "n_events",
+            ((F.col("n_events").cast("double") - F.col("mean_ev")) / F.col("std_ev")).alias(
+                "zscore"
+            ),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), "user_id", "hour_ts")
+        .limit(50)
+    )

@@ -1677,6 +1677,94 @@ def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("v").alias("doc_id"), "degree", "in_kcore")
 
 
+#: Johnson-Lindenstrauss projection: target dimension and the deterministic
+#: +-1 sign matrix (Achlioptas-style), derived from md5 of the (out_dim,
+#: in_dim) index pair at PLAN BUILD time -- an engine-independent constant
+#: both the Spark builder and the DuckDB oracle embed as literals, so the
+#: projection is bit-identical across engines by construction.
+JL_DIMS = 16
+_JL_IN_DIMS = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{d}|{j}".encode()).digest()[0] & 1 else -1
+            for j in range(_JL_IN_DIMS)
+        ]
+        for d in range(JL_DIMS)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    projs = []
+    for d in range(JL_DIMS):
+        lst = "[" + ", ".join(f"{float(s)}" for s in signs[d]) + "]"
+        projs.append(V.dot_sql("embedding", lst))
+    sq_sum = " + ".join(f"(p{d} * p{d})" for d in range(JL_DIMS))
+    proj_cols = ",\n         ".join(f"{p} AS p{d}" for d, p in enumerate(projs))
+    return f"""WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+proj AS (
+  SELECT vec_id, {V.norm_sql('embedding')} AS orig_norm,
+         {proj_cols}
+  FROM e
+)
+SELECT vec_id, orig_norm,
+       sqrt({sq_sum}) AS proj_norm,
+       CASE WHEN orig_norm > 0.0
+            THEN (sqrt({sq_sum}) / 4.0) / orig_norm END AS distortion
+FROM proj"""
+
+
+@register(
+    "emb_random_projection",
+    oracle=_jl_oracle(),
+    doc="dimensionality reduction: Johnson-Lindenstrauss random projection "
+        "64 -> 16 dims with a deterministic Achlioptas +-1 sign matrix "
+        "(md5-derived plan-time constant, embedded as literals in BOTH "
+        "engines), emitting a per-vector DISTORTION CERTIFICATE: original "
+        "norm, projected norm, and the 1/sqrt(k)-corrected norm ratio -- "
+        "the quantity JL bounds around 1.  Every fold is the sequential "
+        "zip-multiply-accumulate from functions/vectors.py mirrored by "
+        "DuckDB list_reduce, so even this float-heavy query is value-hash "
+        "checked.  tests/test_similarity.py pins the mean |distortion-1| "
+        "(the executable form of the JL accuracy claim, like the MinHash "
+        "certificate).  Scale: a narrow per-row map -- no shuffle at all; "
+        "the sign matrix is config, not data.",
+    driver=False,  # r8 rotation candidate
+    sibling="emb_ann_lsh",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    signs = _jl_signs()
+    projs = [
+        V.dot(
+            F.col("embedding"),
+            F.array(*[F.lit(float(s)) for s in signs[d]]),
+        ).alias(f"p{d}")
+        for d in range(JL_DIMS)
+    ]
+    proj = e.select("vec_id", V.norm(F.col("embedding")).alias("orig_norm"), *projs)
+    sq_sum = None
+    for d in range(JL_DIMS):
+        term = F.col(f"p{d}") * F.col(f"p{d}")
+        sq_sum = term if sq_sum is None else (sq_sum + term)
+    proj_norm = F.sqrt(sq_sum)
+    return proj.select(
+        "vec_id",
+        "orig_norm",
+        proj_norm.alias("proj_norm"),
+        F.when(
+            F.col("orig_norm") > 0.0, (proj_norm / F.lit(4.0)) / F.col("orig_norm")
+        ).alias("distortion"),
+    )
+
+
 @register(
     "doc_graph_clustering_coeff",
     oracle=f"""

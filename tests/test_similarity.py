@@ -386,3 +386,23 @@ def test_minhash_estimate_mean_error_bounded(spark, sf_dir):
     assert rows, "fixture must produce LSH candidate pairs"
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err < 0.15, f"mean |est - exact| = {mean_err:.3f}"
+
+
+def test_jl_projection_mean_distortion_bounded(spark, sf_dir):
+    """The accuracy claim in emb_random_projection's docstring, executable:
+    with k=16 projection dims the corrected norm ratio concentrates near 1
+    (JL: deviation ~1/sqrt(k) ~ 0.25); the fixture measures mean
+    |distortion - 1| ~ 0.14 at sf0.001 and sf0.1 alike.  A sign-matrix
+    derivation bug (wrong axis, wrong scale correction) blows this up to
+    O(1) immediately, so the bound is a real tripwire, not decoration."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    rows = (
+        all_specs()["emb_random_projection"]
+        .builder(spark, sf_dir)
+        .filter("distortion IS NOT NULL")
+        .collect()
+    )
+    assert len(rows) > 0
+    mean_err = sum(abs(r.distortion - 1.0) for r in rows) / len(rows)
+    assert mean_err < 0.2, f"mean |distortion - 1| = {mean_err:.3f}"
