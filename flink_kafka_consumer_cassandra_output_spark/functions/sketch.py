@@ -89,3 +89,42 @@ def cms_estimate(candidates: DataFrame, value: Column, sketch: DataFrame) -> Dat
         .groupBy(*candidates.columns)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (membership sketch)
+# --------------------------------------------------------------------------
+
+#: Bloom geometry for the decontamination filter.  Sized for the FIXTURE's
+#: largest needle set (sf0.1: ~50 needle docs x ~120 distinct 6-grams x K
+#: insertions ~ 12k of 64k bits -> ~17% fill, ~3% per-probe FP) so the
+#: filter neither saturates nor trivializes: false positives OCCUR and the
+#: certificate query shows them, while recall stays exactly 1 (Bloom's
+#: no-false-negative guarantee).  At real scale M grows with the needle
+#: set -- the filter is bits, so even 10^9 needles at 10 bits each
+#: broadcast in ~1 GB.
+BLOOM_M = 65536
+BLOOM_K = 2
+
+
+def bloom_bit(j: int, value: Column) -> Column:
+    """Hash-j bit position of ``value`` (BIGINT in [0, BLOOM_M)); same
+    md5-substring recipe as the CMS buckets, so DuckDB replicates it."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{j}:"), value.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_bit_sql(j: int, value_sql: str) -> str:
+    """DuckDB twin of :func:`bloom_bit`."""
+    return (
+        f"CAST('0x' || substr(md5('bloom{j}:' || CAST({value_sql} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {BLOOM_M}"
+    )

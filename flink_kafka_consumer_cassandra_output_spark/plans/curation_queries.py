@@ -51,6 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import sketch as SK
 from ..functions import text as TX
 from ..sources import tables
 from .registry import register
@@ -572,6 +573,213 @@ def doc_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return matched.filter(frac >= _DECON_MIN_FRAC).select(
         "needle_src", "doc_id", "n_shared_grams", frac.alias("overlap_frac")
+    )
+
+
+def _bloom_oracle() -> str:
+    probes = "\n  UNION ALL ".join(
+        f"SELECT doc_id, gram, {SK.bloom_bit_sql(j, 'gram')} AS bit FROM corpus"
+        for j in range(SK.BLOOM_K)
+    )
+    inserts = "\n    UNION ALL ".join(
+        f"SELECT {SK.bloom_bit_sql(j, 'gram')} AS bit FROM needle_grams"
+        for j in range(SK.BLOOM_K)
+    )
+    return f"""WITH sh AS (
+  SELECT doc_id, {_SHINGLE6_SQL} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL)
+),
+needle_grams AS (
+  SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 100 = 7
+),
+bloom AS (
+  SELECT DISTINCT bit FROM (
+    {inserts}
+  )
+),
+corpus AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+probe_bits AS (
+  {probes}
+),
+hits AS (
+  SELECT p.doc_id, p.gram FROM probe_bits p JOIN bloom b ON b.bit = p.bit
+  GROUP BY p.doc_id, p.gram HAVING COUNT(*) = {SK.BLOOM_K}
+),
+true_hits AS (
+  SELECT c.doc_id, c.gram FROM corpus c JOIN needle_grams n ON n.gram = c.gram
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bloom_hits,
+       CAST(COUNT(t.gram) AS BIGINT) AS n_true_hits,
+       CAST(COUNT(*) > COUNT(t.gram) AS INTEGER) AS has_false_positive
+FROM hits h
+LEFT JOIN true_hits t ON t.doc_id = h.doc_id AND t.gram = h.gram
+GROUP BY h.doc_id"""
+
+
+@register(
+    "doc_decontamination_bloom",
+    oracle=_bloom_oracle(),
+    doc="benchmark decontamination, the BLOOM-FILTER route (the third of "
+        "the family: broadcast substring scan, n-gram equi-join, and now a "
+        "membership sketch): needle 6-grams insert K md5-derived bits into "
+        "an M-bit filter; corpus 6-grams probe it and a gram 'hits' when "
+        "ALL K bits are set.  The output is a per-document CERTIFICATE: "
+        "bloom hits next to exact-equi-join true hits, so the sketch's "
+        "one-sided error is VISIBLE (n_bloom_hits >= n_true_hits always "
+        "-- no false negatives, pinned in tests/test_curation_truth.py -- "
+        "and has_false_positive marks where the filter over-approximates, "
+        "~3%/probe at the fixture's fill).  Scale: the filter is bits "
+        "(needle count x 10 bits broadcasts at any benchmark size); the "
+        "probe is a broadcast join on bit position -- the corpus never "
+        "shuffles, which is the whole reason production pipelines put a "
+        "Bloom filter in FRONT of the exact n-gram join.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_decontamination",
+)
+def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import materialize
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    # Repartition before the shingle fold (single-file fixture scan) and
+    # materialize: the frame feeds THREE subtrees (filter build, probe
+    # chain, exact-verify join) and Spark shares no common subplans, so
+    # without this the 6-gram explode runs 3x (measured 3.0s -> 1.5s at
+    # sf0.1) -- the same pattern as _docs_shingled.
+    sh = materialize(
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", _shingle6_col().alias("sh"))
+    )
+    needle_grams = (
+        sh.filter(F.col("doc_id") % 100 == 7)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    bloom = needle_grams.select(
+        F.explode(
+            F.array(*[SK.bloom_bit(j, F.col("gram")) for j in range(SK.BLOOM_K)])
+        ).alias("bit")
+    ).distinct()
+    corpus = sh.select("doc_id", F.explode("sh").alias("gram"))
+    # A gram hits iff ALL K bits are set: a chain of broadcast LEFT SEMI
+    # joins (one per hash) keeps the probe entirely map-side -- the
+    # explode-then-count form shuffles every (doc, gram) probe row
+    # (measured 3.2s -> 1.3s at sf0.1), and at 100 TB a corpus-sized
+    # shuffle in FRONT of the filter defeats the filter's purpose.
+    hits = corpus
+    for j in range(SK.BLOOM_K):
+        hits = hits.join(
+            F.broadcast(bloom),
+            SK.bloom_bit(j, F.col("gram")) == F.col("bit"),
+            "left_semi",
+        )
+    true_hits = corpus.join(F.broadcast(needle_grams), "gram").select(
+        "doc_id", "gram", F.lit(1).alias("is_true")
+    )
+    return (
+        hits.join(true_hits, ["doc_id", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_hits"),
+            F.count("is_true").alias("n_true_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            "n_true_hits",
+            (F.col("n_bloom_hits") > F.col("n_true_hits")).cast("int").alias(
+                "has_false_positive"
+            ),
+        )
+    )
+
+
+#: Association-mining support floor (min co-occurring docs for a pair).
+_LIFT_MIN_SUPPORT = 10
+
+
+@register(
+    "doc_token_lift",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+co AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+),
+df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM t GROUP BY tok
+)
+SELECT * FROM (
+  SELECT co.tok_a, co.tok_b, co.n_ab,
+         CAST(co.n_ab * n.n_docs AS DOUBLE)
+           / CAST(fa.n_tok * fb.n_tok AS DOUBLE) AS lift
+  FROM co
+  JOIN df fa ON fa.tok = co.tok_a
+  JOIN df fb ON fb.tok = co.tok_b
+  CROSS JOIN n
+  WHERE co.n_ab >= {_LIFT_MIN_SUPPORT}
+)
+ORDER BY lift DESC, tok_a, tok_b
+LIMIT 20
+""",
+    doc="association mining: token co-occurrence LIFT -- P(a,b)/(P(a)P(b)) "
+        "computed log-free as n_ab*N / (n_a*n_b), one exact division of "
+        "integer products, so unlike PMI no transcendental enters and "
+        "parity is bit-exact.  Top-20 pairs above a support floor, "
+        "tie-broken on the pair itself.  The market-basket query reshaped "
+        "for corpora: which tokens travel together beyond chance (topic "
+        "signatures, collocations, template phrases).  Scale: the pair "
+        "generator is a within-doc self-join on doc_id whose output is "
+        "bounded by distinct-tokens-per-doc^2 (per-doc vocabulary, not "
+        "corpus vocabulary), aggregated with map-side combine onto the "
+        "tiny pair-key space; document frequencies are a token-level "
+        "aggregate joined back, N rides along as a broadcast scalar -- "
+        "the same shape doc_tfidf_top_terms uses.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_chunking",
+)
+def doc_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = t.select(F.col("doc_id").alias("da"), F.col("tok").alias("tok_a"))
+    b = t.select(F.col("doc_id").alias("db"), F.col("tok").alias("tok_b"))
+    co = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+    )
+    df_ = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    fa = df_.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("na"))
+    fb = df_.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("nb"))
+    return (
+        co.join(fa, "tok_a")
+        .join(fb, "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "tok_a", "tok_b")
+        .limit(20)
     )
 
 

@@ -98,3 +98,23 @@ def test_repeated_passages_by_hand(spark, truth_dir):
 def test_bm25_zero_match_queries_emit_nothing(spark, truth_dir):
     # no fixture vocab term appears in this corpus -> all scores 0 -> empty
     assert _rows(spark, "doc_bm25_topk", truth_dir) == []
+
+
+def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee, executable: every gram truly in the needle set
+    MUST bloom-hit, so per doc n_bloom_hits >= n_true_hits with zero
+    exceptions -- and every true-contaminated doc appears in the output.
+    (False positives are allowed and expected; the certificate columns
+    make them visible rather than hiding them.)"""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    rows = all_specs()["doc_decontamination_bloom"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.n_bloom_hits >= r.n_true_hits for r in rows), (
+        "a truly-present gram failed its Bloom probe: impossible unless "
+        "the builder and filter hash differently"
+    )
+    # needle sources self-match: each doc_id % 100 == 7 doc contains its
+    # own grams, so it must be reported with n_true_hits > 0
+    srcs = {r.doc_id for r in rows if r.n_true_hits > 0}
+    assert any(d % 100 == 7 for d in srcs)
