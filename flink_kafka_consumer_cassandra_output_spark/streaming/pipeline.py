@@ -681,3 +681,66 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("row_id", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def run_bloom_filter_stream(
+    spark: SparkSession,
+    input_dir: str,
+    bits_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming maintenance of the Bloom decontamination filter behind
+    the batch ``doc_decontamination_bloom`` query.
+
+    A Bloom filter is ADDITIVE under union (bit-OR of per-batch filters
+    == filter of the union), so it gets the same exactly-once mergeable-
+    sketch treatment as ``run_cms_stream``: each micro-batch of arriving
+    NEEDLE documents writes its delta bit set into a ``_batch_id``
+    partition with dynamic overwrite (a replayed batch REPLACES its
+    partition -- bit sets are idempotent under replay by construction,
+    the overwrite just keeps the storage bounded), and the live filter is
+    ``read_bloom_bits`` -- a distinct over all committed partitions,
+    at most BLOOM_M rows total regardless of needle volume.  This is how
+    a decontamination service absorbs new benchmark releases: append the
+    new needles' bits, never rebuild the filter.
+    """
+    from ..functions import sketch as SK
+    from ..plans.curation_queries import _shingle6_col
+
+    docs = stream_documents(spark, input_dir)
+
+    def bits_batch(batch_df: DataFrame, batch_id: int) -> None:
+        needles = (
+            batch_df.filter(F.col("text").isNotNull())
+            .filter(F.col("doc_id") % 100 == 7)
+            .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+            .select(F.explode(_shingle6_col()).alias("gram"))
+            .distinct()
+        )
+        delta = needles.select(
+            F.explode(
+                F.array(*[SK.bloom_bit(j, F.col("gram")) for j in range(SK.BLOOM_K)])
+            ).alias("bit")
+        ).distinct()
+        (
+            delta.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(bits_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(bits_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("bloom_filter_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom_bits(spark: SparkSession, bits_dir: str) -> DataFrame:
+    """The live filter: the distinct union of every committed batch's
+    bit set (bounded by BLOOM_M rows)."""
+    return spark.read.parquet(bits_dir).select("bit").distinct()

@@ -482,3 +482,61 @@ def test_cms_stream_matches_batch_sketch(spark, sf_dir, event_chunks, tmp_path):
     # CMS guarantee: never underestimates
     exact_map = {r.user_id: r.exact_cnt for r in exact.collect()}
     assert all(est_batch[u] >= exact_map[u] for u in exact_map)
+
+
+def test_bloom_stream_matches_batch_filter(spark, sf_dir, doc_chunks, tmp_path):
+    """The incrementally-maintained Bloom filter equals the batch-built
+    one bit for bit, across a mid-stream restart (bit sets are additive
+    under union; per-batch delta partitions with dynamic overwrite make
+    replay idempotent) -- and therefore the streamed filter classifies
+    every corpus gram exactly as the batch doc_decontamination_bloom
+    query's filter does."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import sketch as SK
+    from flink_kafka_consumer_cassandra_output_spark.plans.curation_queries import (
+        _shingle6_col,
+    )
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    input_dir = tmp_path / "in"
+    bits = tmp_path / "bits"
+    cp = tmp_path / "cp_bloom"
+    input_dir.mkdir()
+
+    _drop(doc_chunks, input_dir, 0, 2)
+    _run(sp.run_bloom_filter_stream(spark, str(input_dir), str(bits), str(cp)))
+    # restart with the rest of the needle stream: committed batches must
+    # not change (their partitions are replaced with identical bit sets)
+    _drop(doc_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_bloom_filter_stream(spark, str(input_dir), str(bits), str(cp)))
+
+    streamed = {r.bit for r in sp.read_bloom_bits(spark, str(bits)).collect()}
+
+    d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    batch_bits = {
+        r.bit
+        for r in d.filter(F.col("doc_id") % 100 == 7)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(F.explode(_shingle6_col()).alias("gram"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[SK.bloom_bit(j, F.col("gram")) for j in range(SK.BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch_bits, (
+        f"{len(streamed ^ batch_bits)} bits differ "
+        f"(streamed {len(streamed)}, batch {len(batch_bits)})"
+    )
+    assert len(streamed) > 0
+    # non-vacuous split: needles must arrive in more than one micro-batch
+    needle_chunks = {
+        ci
+        for ci, tbl in enumerate(doc_chunks)
+        if any(v % 100 == 7 for v in tbl.column("doc_id").to_pylist())
+    }
+    assert len(needle_chunks) >= 2, "all needles in one chunk; increment untested"
