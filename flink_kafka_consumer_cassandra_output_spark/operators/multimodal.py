@@ -118,6 +118,53 @@ def parse_media_header(content: bytes) -> dict | None:
                 return None
             i += 2 + seg_len
         return None
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV family): walk top-level boxes to moov, then
+        # moov's children to mvhd; duration_ms = 1000 * duration /
+        # timescale (mvhd version 0: 32-bit fields; version 1: 64-bit).
+        def _walk(lo: int, hi: int):
+            i = lo
+            while i + 8 <= hi:
+                size = int.from_bytes(b[i : i + 4], "big")
+                btype = b[i + 4 : i + 8]
+                hdr = 8
+                if size == 1:  # 64-bit largesize
+                    if i + 16 > hi:
+                        return
+                    size = int.from_bytes(b[i + 8 : i + 16], "big")
+                    hdr = 16
+                elif size == 0:  # box extends to end of enclosing scope
+                    size = hi - i
+                if size < hdr or i + size > hi:
+                    return  # malformed/truncated: stop, never raise
+                yield btype, i + hdr, i + size
+                i += size
+
+        for btype, lo, hi in _walk(0, len(b)):
+            if btype != b"moov":
+                continue
+            for ctype, clo, chi in _walk(lo, hi):
+                if ctype != b"mvhd":
+                    continue
+                if chi - clo < 4:
+                    return None
+                version = b[clo]
+                if version == 0 and chi - clo >= 20:
+                    timescale = int.from_bytes(b[clo + 12 : clo + 16], "big")
+                    duration = int.from_bytes(b[clo + 16 : clo + 20], "big")
+                elif version == 1 and chi - clo >= 32:
+                    timescale = int.from_bytes(b[clo + 20 : clo + 24], "big")
+                    duration = int.from_bytes(b[clo + 24 : clo + 32], "big")
+                else:
+                    return None
+                if timescale == 0:
+                    return None
+                return {
+                    "fmt": "mp4",
+                    "duration_ms": (1000 * duration) // timescale,
+                }
+            return None
+        return None
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         i, ch, rate, bits, data_size = 12, None, None, None, None
         while i + 8 <= len(b):
@@ -197,6 +244,28 @@ def synth_wav(
     data = b"data" + len(payload).to_bytes(4, "little") + payload
     body = b"WAVE" + fmt + data
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synth_mp4(timescale: int, duration_units: int, payload: bytes = b"") -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd v0, zero-padded to spec length)
+    + mdat carrying the payload."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    # mvhd version 0 payload is 100 bytes: version/flags, ctime, mtime,
+    # timescale, duration, then rate/volume/matrix/next_track_id padding.
+    mvhd_body = (
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + duration_units.to_bytes(4, "big")
+        + bytes(80)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_body))
+    mdat = box(b"mdat", payload)
+    return ftyp + moov + mdat
 
 
 def decode_media(content: bytes, media_type: str):
@@ -337,10 +406,12 @@ def media_headers(docs: DataFrame) -> DataFrame:
     batch pass, synth and parse in the same task.
 
     The container and its encoded dimensions are DETERMINISTIC functions
-    of (doc_id, text): fmt cycles on doc_id % 4; image width/height are
+    of (doc_id, text): fmt cycles on doc_id % 5; image width/height are
     doc_id % 640 + 1 and doc_id*7 % 480 + 1; WAV is 16-bit with
     channels = doc_id % 2 + 1, rate = 8000 * (doc_id % 3 + 1), and the
-    UTF-8 text as sample data.  A SQL oracle therefore re-derives every
+    UTF-8 text as sample data; MP4 carries an mvhd with timescale
+    600 * (doc_id % 3 + 1) and duration (doc_id*37) % 100000 + 1 units.
+    A SQL oracle therefore re-derives every
     output column arithmetically WITHOUT parsing bytes -- the hash gate
     proves parse(synth(x)) == x across ~N real container round-trips on
     the executors, which is exactly the coverage a header sniffer needs
@@ -355,15 +426,19 @@ def media_headers(docs: DataFrame) -> DataFrame:
                 did = int(doc_id)
                 payload = str(text).encode("utf-8")
                 w, h = did % 640 + 1, did * 7 % 480 + 1
-                kind = did % 4
+                kind = did % 5
                 if kind == 0:
                     blob = synth_png(w, h, payload)
                 elif kind == 1:
                     blob = synth_jpeg(w, h, payload)
                 elif kind == 2:
                     blob = synth_gif(w, h, payload)
-                else:
+                elif kind == 3:
                     blob = synth_wav(did % 2 + 1, 8000 * (did % 3 + 1), 16, payload)
+                else:
+                    blob = synth_mp4(
+                        600 * (did % 3 + 1), (did * 37) % 100000 + 1, payload
+                    )
                 hd = parse_media_header(blob) or {}
                 rows.append(
                     (

@@ -854,30 +854,37 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_media_headers",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                       WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
-       CASE WHEN doc_id % 4 < 3
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                       ELSE 'mp4' END AS fmt,
+       CASE WHEN doc_id % 5 < 3
             THEN CAST(doc_id % 640 + 1 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 4 < 3
+       CASE WHEN doc_id % 5 < 3
             THEN CAST(doc_id * 7 % 480 + 1 AS INTEGER) END AS height,
-       CASE WHEN doc_id % 4 = 3
+       CASE WHEN doc_id % 5 = 3
             THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
-       CASE WHEN doc_id % 4 = 3
+       CASE WHEN doc_id % 5 = 3
             THEN CAST(8000 * (doc_id % 3 + 1) AS INTEGER) END AS sample_rate,
-       CASE WHEN doc_id % 4 = 3
+       CASE WHEN doc_id % 5 = 3
             THEN CAST((1000 * octet_length(encode(text)))
                       // (8000 * (doc_id % 3 + 1) * (doc_id % 2 + 1) * 2)
-                 AS BIGINT) END AS duration_ms
+                 AS BIGINT)
+            WHEN doc_id % 5 = 4
+            THEN CAST((1000 * ((doc_id * 37) % 100000 + 1))
+                      // (600 * (doc_id % 3 + 1)) AS BIGINT)
+       END AS duration_ms
 FROM documents
 """,
     doc="north-star multimodal header sniffing, pure Python (no PIL/"
-        "ffmpeg): real PNG/JPEG/GIF/WAV containers are synthesized around "
-        "each document's bytes and parsed back by "
-        "operators/multimodal.parse_media_header in one Arrow batch pass.  "
-        "The oracle re-derives the encoded dimensions/duration "
-        "ARITHMETICALLY (never parsing bytes), so the hash gate proves "
-        "parse(synth(x)) == x per row; malformed-input behavior (return "
-        "None, never raise) is pinned in tests/test_multimodal.py",
+        "ffmpeg): real PNG/JPEG/GIF/WAV/MP4 containers are synthesized "
+        "around each document's bytes and parsed back by "
+        "operators/multimodal.parse_media_header in one Arrow batch pass "
+        "(MP4 = a real ISO-BMFF box walk: ftyp sniff, moov -> mvhd, "
+        "version 0/1 timescale+duration).  The oracle re-derives the "
+        "encoded dimensions/duration ARITHMETICALLY (never parsing "
+        "bytes), so the hash gate proves parse(synth(x)) == x per row; "
+        "malformed-input behavior (return None, never raise) is pinned "
+        "in tests/test_multimodal.py",
 )
 def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_headers(_docs(spark, sf_dir))

@@ -157,16 +157,60 @@ def test_decode_media_still_refuses_unrecognized():
 
 
 def test_media_headers_query_covers_all_formats(spark, sf_dir):
-    """The registered query must exercise all four parsers distributed and
+    """The registered query must exercise all five parsers distributed and
     parse EVERY row (a None from parse_media_header would surface as a
     NULL fmt)."""
     from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
 
     rows = all_specs()["mm_media_headers"].builder(spark, sf_dir).collect()
     fmts = {r.fmt for r in rows}
-    assert fmts == {"png", "jpeg", "gif", "wav"}
+    assert fmts == {"png", "jpeg", "gif", "wav", "mp4"}
     assert all(r.fmt is not None for r in rows)
     by_fmt = {f: next(r for r in rows if r.fmt == f) for f in fmts}
     assert by_fmt["png"].width == by_fmt["png"].doc_id % 640 + 1
     assert by_fmt["wav"].sample_rate == 8000 * (by_fmt["wav"].doc_id % 3 + 1)
     assert by_fmt["wav"].width is None and by_fmt["png"].channels is None
+
+
+def test_mp4_round_trip_spec_vector():
+    """ISO-BMFF known answer: mvhd v0 timescale/duration land at the
+    spec's byte offsets and duration_ms floors correctly."""
+    import flink_kafka_consumer_cassandra_output_spark.operators.multimodal as mm
+
+    hd = mm.parse_media_header(mm.synth_mp4(600, 90000, b"frames"))
+    assert hd == {"fmt": "mp4", "duration_ms": 150000}
+    # floor, not round: 1001 units at timescale 600 = 1668.33ms -> 1668
+    assert mm.parse_media_header(mm.synth_mp4(600, 1001))["duration_ms"] == 1668
+
+
+def test_mp4_truncation_and_garbage_never_raise():
+    import flink_kafka_consumer_cassandra_output_spark.operators.multimodal as mm
+
+    blob = mm.synth_mp4(600, 90000, b"payload")
+    for cut in range(len(blob)):
+        mm.parse_media_header(blob[:cut])  # must not raise
+    # ftyp magic with garbage after it: None, not an exception
+    assert mm.parse_media_header(b"\x00\x00\x00\x08ftyp\xff\xff") is None
+    # zero timescale is undecodable, not a ZeroDivisionError
+    assert mm.parse_media_header(mm.synth_mp4(0, 100)) is None
+
+
+def test_mp4_mvhd_version1_64bit_fields():
+    """A v1 mvhd (64-bit ctime/mtime/duration) parses via the version
+    branch, not the v0 offsets."""
+    import flink_kafka_consumer_cassandra_output_spark.operators.multimodal as mm
+
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    mvhd = (
+        bytes([1, 0, 0, 0])  # version 1
+        + bytes(16)  # ctime, mtime (64-bit each)
+        + (1000).to_bytes(4, "big")  # timescale
+        + (7_500_000).to_bytes(8, "big")  # duration (64-bit)
+        + bytes(80)
+    )
+    blob = box(b"ftyp", b"isom" + bytes(4) + b"isom") + box(
+        b"moov", box(b"mvhd", mvhd)
+    )
+    assert mm.parse_media_header(blob) == {"fmt": "mp4", "duration_ms": 7_500_000}
