@@ -1158,3 +1158,55 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting (one tokenizer-training iteration)
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_bpe_merge_candidates",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT unnest(CASE WHEN length(t) >= 2 THEN
+           list_transform(range(length(t) - 1), i -> substr(t, i + 1, 2))
+         ELSE [] END) AS pair
+  FROM toks
+)
+SELECT * FROM (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""",
+    doc="one BPE tokenizer-training iteration: count every adjacent "
+        "symbol pair across all token OCCURRENCES (not types) and rank -- "
+        "the top pair is exactly the next merge BPE would learn.  Run "
+        "iteratively with re-segmentation this is the whole training loop; "
+        "the counting step shown here is the part that touches the 100 TB "
+        "corpus and it is one explode + one map-side-combinable groupBy "
+        "on a pair-key space bounded by |alphabet|^2, top-20 via "
+        "TakeOrderedAndProject.  Integer counts, lexicographic tiebreak: "
+        "bit-exact parity for free.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_chunking",
+)
+def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    pairs_arr = F.when(
+        F.length("t") >= 2,
+        F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(pairs_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )

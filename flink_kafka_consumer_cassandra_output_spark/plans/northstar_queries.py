@@ -1154,6 +1154,67 @@ def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(q, assigned, cent, k=5, nprobe=1)
 
 
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb, label AS query_label
+  FROM embeddings WHERE vec_id < 10
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+  SELECT q.query_id,
+         e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         {_COS('q.query_emb', 'e.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS('q.query_emb', 'e.embedding')} DESC, e.vec_id
+         ) AS rank
+  FROM q JOIN embeddings e
+    ON e.vec_id != q.query_id AND e.label != q.query_label
+)
+WHERE rank <= 3
+""",
+    doc="hard-negative mining for contrastive training: for each query "
+        "vector, the top-3 most-similar vectors with a DIFFERENT label -- "
+        "the examples a contrastive loss learns most from (similar "
+        "embedding, wrong class).  Same broadcast-query brute-force shape "
+        "as emb_cosine_topk with the label-disequality folded into the "
+        "join condition, so pruned candidates are never scored; at real "
+        "scale the corpus side routes through the IVF/LSH bucket "
+        "machinery exactly like positive neighbor search, with the label "
+        "filter applied per bucket.  Sequential-fold cosine keeps the "
+        "whole output hash-matched.",
+    driver=False,  # r8 rotation candidate
+    sibling="emb_cosine_topk",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("label").alias("query_label"),
+    )
+    cands = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label")),
+    )
+    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+    )
+
+
 #: SemDeDup cosine threshold.  The fixture embeddings are isotropic (max
 #: same-label cosine ~0.45), so 0.35 yields a small-but-real duplicate set
 #: at every SF (70 / 72 / 873 within-bucket pairs at sf0.001/0.01/0.1) --
