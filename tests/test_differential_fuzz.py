@@ -186,3 +186,78 @@ def test_random_plan_cross_engine_equivalence(spark, plan):
         _run_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Join-shape grammar: lineitem |x| orders with predicates on both sides
+# --------------------------------------------------------------------------
+
+_O_PREDS = {
+    "o_orderstatus": st.sampled_from(["P", "O", "F"]),
+    "o_orderpriority": st.sampled_from(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    ),
+}
+_JOIN_TYPES = ["inner", "left_semi", "left_anti"]
+_JOIN_SQL = {
+    "inner": "JOIN",
+    "left_semi": "SEMI JOIN",
+    "left_anti": "ANTI JOIN",
+}
+
+
+@st.composite
+def _join_plan(draw):
+    lpred = draw(_predicate())
+    ocol = draw(st.sampled_from(sorted(_O_PREDS)))
+    oval = draw(_O_PREDS[ocol])
+    jt = draw(st.sampled_from(_JOIN_TYPES))
+    groups = draw(st.lists(st.sampled_from(_GROUP_COLS), max_size=1, unique=True))
+    aggs = draw(
+        st.lists(st.sampled_from(sorted(_AGGS)), min_size=1, max_size=3, unique=True)
+    )
+    return lpred, (ocol, oval), jt, groups, aggs
+
+
+def _run_join_both(spark, con, plan):
+    lpred, (ocol, oval), jt, groups, agg_names = plan
+
+    li = tables.load(spark, SF_DIR, "lineitem").filter(_pred_spark(lpred))
+    orders = tables.load(spark, SF_DIR, "orders").filter(F.col(ocol) == oval)
+    j = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], jt
+    )
+    agg_cols = [_AGGS[a][0]() for a in agg_names]
+    sdf = (j.groupBy(*groups).agg(*agg_cols) if groups else j.agg(*agg_cols)).toPandas()
+
+    select = ", ".join([*groups, *(_AGGS[a][1] for a in agg_names)])
+    sql = (
+        f"SELECT {select} FROM (SELECT * FROM lineitem WHERE {_pred_sql(lpred)}) l "
+        f"{_JOIN_SQL[jt]} (SELECT * FROM orders WHERE {ocol} = '{oval}') o "
+        f"ON l.l_orderkey = o.o_orderkey"
+    )
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)}"
+    odf = con.execute(sql).fetchdf()
+
+    label = f"fuzzjoin[{_pred_sql(lpred)} | {jt} {ocol}={oval} | by {groups} | {agg_names}]"
+    compare_frames(sdf, odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_join_plan())
+def test_random_join_plan_cross_engine_equivalence(spark, plan):
+    """Same differential harness, join shapes: inner/semi/anti against a
+    filtered orders side -- the dialect corners this guards are join-type
+    semantics (semi/anti row multiplicity), filter-through-join pushdown,
+    and aggregate NULL behavior on empty join results."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_join_both(spark, con, plan)
+    finally:
+        con.close()
