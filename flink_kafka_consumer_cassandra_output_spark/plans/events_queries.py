@@ -814,3 +814,74 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("zscore")).desc(), "user_id", "hour_ts")
         .limit(50)
     )
+
+
+@register(
+    "ev_anomaly_zscore_online",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+pre AS (
+  SELECT user_id, hour_ts, n_events,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_prior,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS p_sum,
+         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS p_sumsq
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, hour_ts, n_events, n_prior,
+       (CAST(n_events AS DOUBLE) - (CAST(p_sum AS DOUBLE) / n_prior))
+         / sqrt(greatest(
+             (CAST(p_sumsq AS DOUBLE) / n_prior)
+               - (CAST(p_sum AS DOUBLE) / n_prior)
+                 * (CAST(p_sum AS DOUBLE) / n_prior),
+             0.0)) AS zscore
+FROM pre
+WHERE n_prior >= 3
+  AND sqrt(greatest(
+        (CAST(p_sumsq AS DOUBLE) / n_prior)
+          - (CAST(p_sum AS DOUBLE) / n_prior)
+            * (CAST(p_sum AS DOUBLE) / n_prior),
+        0.0)) > 0.0
+""",
+    doc="ONLINE anomaly detection: each user-hour scored against only the "
+        "hours BEFORE it (expanding-window prefix statistics) -- the "
+        "causal form a live monitor can actually compute, vs "
+        "ev_anomaly_zscore's full-history retrospective.  Exactly the "
+        "semantics of streaming/stateful.py's running-stats operator "
+        "(state = the same integer (n, sum, sumsq) this window carries), "
+        "and tests/test_stateful.py pins the replayed stream row-for-row "
+        "against this query -- the batch plan IS the streaming truth.  "
+        "One user shuffle, three window aggregates sharing one frame; "
+        "integer prefix sums keep parity exact.",
+    driver=False,  # r8 rotation candidate
+    sibling="ev_tumbling_hourly",
+)
+def ev_anomaly_zscore_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_prior = F.count(F.lit(1)).over(w)
+    p_sum = F.sum("n_events").over(w)
+    p_sumsq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = p_sum.cast("double") / n_prior
+    std = F.sqrt(F.greatest(p_sumsq.cast("double") / n_prior - mean * mean, F.lit(0.0)))
+    scored = hourly.select(
+        "user_id",
+        "hour_ts",
+        "n_events",
+        n_prior.alias("n_prior"),
+        ((F.col("n_events").cast("double") - mean) / std).alias("zscore"),
+        std.alias("_std"),
+    )
+    return scored.filter((F.col("n_prior") >= 3) & (F.col("_std") > 0.0)).drop("_std")

@@ -82,3 +82,81 @@ def running_user_counts(ev: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Online anomaly detection (the streaming half of ev_anomaly_zscore_online)
+# --------------------------------------------------------------------------
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("hour_ts", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+#: State: exact integer prefix statistics over CLOSED hours -- the same
+#: (count, sum, sum of squares) the batch query's expanding window carries,
+#: so stream and batch agree bit-for-bit, floats included.
+_ANOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("ssq", T.LongType()),
+    ]
+)
+
+
+def _update_running_anomaly(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    n, s, ssq = state.get if state.exists else (0, 0, 0)
+    parts = [pdf[["ts"]] for pdf in pdfs]
+    out = {c.name: [] for c in ANOMALY_SCHEMA.fields}
+    if parts:
+        ts = pd.concat(parts)["ts"].astype("datetime64[us]")
+        counts = ts.dt.floor("h").value_counts().sort_index()
+        for hr, c in counts.items():
+            c = int(c)
+            if n >= 3:
+                # expression tree mirrored from ev_anomaly_zscore_online:
+                # double div, E[x^2]-mean^2, clamp, IEEE sqrt -- exact parity
+                mean = s / n
+                std = math.sqrt(max(ssq / n - mean * mean, 0.0))
+                if std > 0.0:
+                    out["user_id"].append(key[0])
+                    out["hour_ts"].append(hr)
+                    out["n_events"].append(c)
+                    out["n_prior"].append(n)
+                    out["zscore"].append((float(c) - mean) / std)
+            n += 1
+            s += c
+            ssq += c * c
+    state.update((n, s, ssq))
+    yield pd.DataFrame(out)
+
+
+def running_anomaly_scores(ev: DataFrame) -> DataFrame:
+    """Per-user ONLINE hourly z-scores over the event stream: each closed
+    hour is scored against the integer prefix statistics of the hours
+    before it, then folded in.  PRECONDITION: micro-batches must be
+    hour-aligned per user (no (user, hour) split across batches) -- in a
+    real deployment the upstream is a watermarked hourly window aggregate
+    that emits each bucket exactly once; the tests construct hour-aligned
+    chunks to model that.  Equivalence with the batch expanding-window
+    query ev_anomaly_zscore_online is row-for-row exact (integer state,
+    mirrored float tree) -- pinned in tests/test_stateful.py."""
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_running_anomaly,
+        ANOMALY_SCHEMA,
+        _ANOM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -65,3 +65,78 @@ def test_running_counts_match_batch(spark, sf_dir, tmp_path):
         assert got.last_ts == row.last_ts, f"user {uid} last_ts"
     # state really carried across batches: some user must appear in >1 batch
     assert len(emitted) > len(final)
+
+
+def test_online_anomaly_stream_matches_batch_query(spark, sf_dir, tmp_path):
+    """The stateful streaming anomaly scorer must equal the batch
+    expanding-window query ROW FOR ROW, zscore doubles included: the state
+    is the same exact integer (n, sum, sumsq) the batch window carries and
+    the float tree is mirrored.  Chunks are HOUR-ALIGNED (the operator's
+    documented precondition, modeling a watermarked hourly upstream)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+    from flink_kafka_consumer_cassandra_output_spark.streaming.stateful import (
+        running_anomaly_scores,
+    )
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    # hour-aligned split: chunk boundaries fall on hour changes
+    hours = pd.Series(tbl.column("ts").to_pandas()).dt.floor("h")
+    uniq = hours.drop_duplicates().tolist()
+    assert len(uniq) >= N_CHUNKS, "fixture too small for hour-aligned chunks"
+    per = (len(uniq) + N_CHUNKS - 1) // N_CHUNKS
+    chunks = []
+    for i in range(N_CHUNKS):
+        sel = set(uniq[i * per : (i + 1) * per])
+        mask = hours.isin(sel).to_numpy()
+        chunks.append(tbl.filter(mask))
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(chunks, input_dir, 0, N_CHUNKS)
+
+    ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        running_anomaly_scores(ev)
+        .writeStream.format("memory")
+        .queryName("online_anomaly")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.sql(
+        "SELECT * FROM online_anomaly ORDER BY user_id, hour_ts"
+    ).toPandas()
+    batch = (
+        all_specs()["ev_anomaly_zscore_online"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "hour_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch), (
+        f"row count: stream {len(streamed)} vs batch {len(batch)}"
+    )
+    for col in ["user_id", "hour_ts", "n_events", "n_prior"]:
+        assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col
+    # EXACT float equality -- the whole point of the integer state design
+    assert (streamed["zscore"].to_numpy() == batch["zscore"].to_numpy()).all(), (
+        "zscore bits differ between stream and batch"
+    )
+    # state really carried: scores must exist for hours in later chunks
+    last_chunk_hours = set(
+        pd.Series(chunks[-1].column("ts").to_pandas()).dt.floor("h")
+    )
+    assert any(h in last_chunk_hours for h in streamed["hour_ts"]), (
+        "no emission from the final micro-batch; cross-batch state untested"
+    )
