@@ -1210,3 +1210,81 @@ def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# --------------------------------------------------------------------------
+
+#: Fold geometry: md5 of the doc id buckets into 10 folds; folds 0-7 are
+#: train, 8 val, 9 test.  Hash-based (not range-based) so the split is
+#: stable under corpus growth and independent of ingestion order -- the
+#: property that stops val/test leakage when the corpus is re-ingested.
+_N_FOLDS = 10
+
+
+@register(
+    "doc_split_assignment",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, source, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_N_FOLDS} AS fold
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM (
+  SELECT *, CASE WHEN fold <= 7 THEN 'train'
+                 WHEN fold = 8 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM assigned
+)
+GROUP BY split, source
+""",
+    doc="deterministic train/val/test splitting: md5-hash fold assignment "
+        "(stable under corpus growth and ingestion order -- the property "
+        "that prevents val/test leakage on re-ingestion, unlike row-number "
+        "or range splits), 80/10/10 via 10 folds, audited per (split, "
+        "source) with doc and token counts -- the balance sheet a training "
+        "run signs off on.  Same md5-substring bucket recipe as the "
+        "CMS/Bloom sketches, so DuckDB replicates it verbatim.  Scale: "
+        "one narrow map + one combinable groupBy on a "
+        "|splits| x |sources| key space.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_stratified_sample",
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_FOLDS
+    )
+    split = (
+        F.when(fold <= 7, F.lit("train"))
+        .when(fold == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -1215,6 +1215,98 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_int8_quantization",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, emb,
+         list_reduce(list_transform(emb, v -> abs(v)),
+                     (a, b) -> greatest(a, b)) AS max_abs
+  FROM e
+),
+q AS (
+  SELECT vec_id, emb, max_abs,
+         CASE WHEN max_abs > 0.0 THEN
+           list_transform(emb, v -> floor(v * 127.0 / max_abs))
+         END AS qv
+  FROM scaled
+)
+SELECT vec_id, max_abs,
+       CAST(CASE WHEN max_abs > 0.0 THEN
+         list_reduce(list_transform(qv, x -> CAST(x AS BIGINT)),
+                     (a, b) -> greatest(a, b)) END AS BIGINT) AS q_max,
+       CAST(CASE WHEN max_abs > 0.0 THEN
+         list_reduce(list_transform(qv, x -> CAST(x AS BIGINT)),
+                     (a, b) -> least(a, b)) END AS BIGINT) AS q_min,
+       CASE WHEN max_abs > 0.0 THEN
+         list_reduce(
+           list_transform(list_zip(emb, qv),
+             p -> (p[1] - (p[2] * max_abs / 127.0))
+                  * (p[1] - (p[2] * max_abs / 127.0))),
+           (a, b) -> a + b)
+       END AS sq_err
+FROM q
+""",
+    doc="embedding compression: per-vector symmetric int8 quantization "
+        "(scale = max|x|/127, floor -- NOT round, whose half-way tie rule "
+        "differs across engines) with an ERROR CERTIFICATE: the quantized "
+        "range [q_min, q_max] proving every code fits int8, and the exact "
+        "dequantization squared error (sequential fold).  What a vector "
+        "store actually ships at 100 TB -- 4x smaller vectors -- with the "
+        "quality cost measured per vector, not asserted.  Zero-vector "
+        "guard mirrors the cosine convention (NULL, not a fake zero "
+        "error).  Pure per-row map, no shuffle.",
+    driver=False,  # r8 rotation candidate
+    sibling="emb_ann_lsh",
+)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    emb = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    d = e.select("vec_id", emb.alias("emb"))
+    max_abs = F.aggregate(
+        F.transform(F.col("emb"), lambda v: F.abs(v)),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    scaled = d.select("vec_id", "emb", max_abs.alias("max_abs"))
+    qv = F.when(
+        F.col("max_abs") > 0.0,
+        F.transform(
+            F.col("emb"), lambda v: F.floor(v * F.lit(127.0) / F.col("max_abs"))
+        ),
+    )
+    q = scaled.select("vec_id", "emb", "max_abs", qv.alias("qv"))
+    q_long = F.transform(F.col("qv"), lambda x: x.cast("long"))
+    dequant_err = F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            F.col("qv"),
+            lambda v, x: (v - (x * F.col("max_abs") / F.lit(127.0)))
+            * (v - (x * F.col("max_abs") / F.lit(127.0))),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return q.select(
+        "vec_id",
+        "max_abs",
+        F.when(
+            F.col("max_abs") > 0.0,
+            F.aggregate(q_long, F.lit(-(1 << 62)), lambda a, b: F.greatest(a, b)),
+        ).alias("q_max"),
+        F.when(
+            F.col("max_abs") > 0.0,
+            F.aggregate(q_long, F.lit(1 << 62), lambda a, b: F.least(a, b)),
+        ).alias("q_min"),
+        F.when(F.col("max_abs") > 0.0, dequant_err).alias("sq_err"),
+    )
+
+
 #: SemDeDup cosine threshold.  The fixture embeddings are isotropic (max
 #: same-label cosine ~0.45), so 0.35 yields a small-but-real duplicate set
 #: at every SF (70 / 72 / 873 within-bucket pairs at sf0.001/0.01/0.1) --

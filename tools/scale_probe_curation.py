@@ -53,6 +53,19 @@ QUERIES = (
     "doc_corpus_report",
     "doc_sentiment_lexicon",
     "doc_temperature_mixing",
+    # late-round-7 additions, all sound under unchanged-text replication:
+    # pii is per-row (rows grow k); phrase search's top-3 trigram query set
+    # is scale-invariant (counts grow k, ranking unchanged) and matches
+    # grow k; token lift's counts all scale k so lift -- a ratio -- is
+    # invariant and output stays top-20; bpe pair counts grow k with a
+    # fixed alphabet^2 key space; bloom's needle gram set is IDENTICAL
+    # across replicas (distinct'd away -> constant filter) while
+    # contaminated docs grow k.
+    "doc_pii_redaction",
+    "doc_phrase_search",
+    "doc_token_lift",
+    "doc_bpe_merge_candidates",
+    "doc_decontamination_bloom",
 )
 
 #: Queries probed against the TAGGED replication (every token suffixed with
