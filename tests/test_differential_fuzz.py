@@ -261,3 +261,106 @@ def test_random_join_plan_cross_engine_equivalence(spark, plan):
         _run_join_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Window-function grammar: ranks and running integer sums over a total order
+# --------------------------------------------------------------------------
+
+#: Window order key (l_orderkey, l_linenumber) is UNIQUE in lineitem, so
+#: every rank and frame is total-ordered and cross-engine deterministic --
+#: the same tiebreak discipline every registered top-k query follows.
+_WIN_PARTS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+_WIN_FUNCS = {
+    "rn": (
+        lambda w: F.row_number().over(w),
+        "ROW_NUMBER() OVER w AS rn",
+    ),
+    "rk": (
+        lambda w: F.rank().over(w),
+        "RANK() OVER w AS rk",
+    ),
+    "run_qty": (
+        lambda w: F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w.rowsBetween(-9223372036854775808, 0))
+        .cast("double")
+        .alias("run_qty"),
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER "
+        "(w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty",
+    ),
+    "lag_key": (
+        lambda w: F.lag("l_orderkey", 1).over(w),
+        "LAG(l_orderkey, 1) OVER w AS lag_key",
+    ),
+}
+
+
+@st.composite
+def _window_plan(draw):
+    pred = draw(_predicate())
+    part = draw(st.sampled_from(_WIN_PARTS))
+    funcs = draw(
+        st.lists(st.sampled_from(sorted(_WIN_FUNCS)), min_size=1, max_size=3,
+                 unique=True)
+    )
+    topn = draw(st.integers(1, 5))
+    return pred, part, funcs, topn
+
+
+def _run_window_both(spark, con, plan):
+    pred, part, func_names, topn = plan
+
+    from pyspark.sql import Window
+
+    li = tables.load(spark, SF_DIR, "lineitem").filter(_pred_spark(pred))
+    w = Window.partitionBy(part).orderBy("l_orderkey", "l_linenumber")
+    cols = [
+        (
+            _WIN_FUNCS[n][0](w).alias(n)
+            if n != "run_qty"
+            else _WIN_FUNCS[n][0](w)
+        )
+        for n in func_names
+    ]
+    # keep per-partition top-n by the same total order so the output is
+    # bounded and the rank paths are genuinely exercised
+    sdf = (
+        li.select("l_orderkey", "l_linenumber", part, *cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= topn)
+        .drop("_rn")
+        .toPandas()
+    )
+
+    func_sql = ", ".join(_WIN_FUNCS[n][1] for n in func_names)
+    sql = f"""
+SELECT * FROM (
+  SELECT l_orderkey, l_linenumber, {part}, {func_sql},
+         ROW_NUMBER() OVER w AS _rn
+  FROM lineitem WHERE {_pred_sql(pred)}
+  WINDOW w AS (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber)
+) WHERE _rn <= {topn}
+"""
+    odf = con.execute(sql).fetchdf().drop(columns=["_rn"])
+
+    label = f"fuzzwin[{_pred_sql(pred)} | by {part} | {func_names} | top{topn}]"
+    compare_frames(sdf, odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_window_plan())
+def test_random_window_plan_cross_engine_equivalence(spark, plan):
+    """Window-family differential coverage: rank/row_number/lag/running
+    decimal sums over a unique total order, per-partition top-n on top --
+    guards frame semantics, rank tie behavior (none possible, by the
+    unique-key discipline), LAG null fill, and decimal window sums."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_window_both(spark, con, plan)
+    finally:
+        con.close()
