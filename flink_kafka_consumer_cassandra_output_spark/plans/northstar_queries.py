@@ -1216,6 +1216,89 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_bitext_margin",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb, label AS query_label
+  FROM embeddings WHERE vec_id < 10
+),
+ranked AS (
+  SELECT q.query_id,
+         e.vec_id AS match_id,
+         e.label AS match_label,
+         {_COS('q.query_emb', 'e.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS('q.query_emb', 'e.embedding')} DESC, e.vec_id
+         ) AS rank
+  FROM q JOIN embeddings e
+    ON e.vec_id != q.query_id AND e.label != q.query_label
+),
+topk AS (
+  SELECT *,
+         SUM(cosine) OVER (PARTITION BY query_id ORDER BY rank
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS denom_sum
+  FROM ranked WHERE rank <= 4
+)
+SELECT query_id, match_id, match_label, cosine,
+       cosine / (denom_sum / 4.0) AS margin
+FROM topk WHERE rank = 1
+""",
+    doc="margin-scored bitext/pair mining (the Artetxe-Schwenk ratio "
+        "criterion, forward direction): each query's best cross-label "
+        "candidate is scored by cos(top1) over the MEAN cosine of its 4 "
+        "nearest cross-label neighbors -- margin >> 1 means a genuinely "
+        "isolated match (a real translation pair), margin ~ 1 means the "
+        "query is merely in a dense region (hubness), which absolute "
+        "cosine thresholds cannot distinguish.  The 4-neighbor mean is a "
+        "PINNED-ORDER window sum (ORDER BY rank, the temperature-mixing "
+        "normalizer pattern) so the float fold is identical cross-engine "
+        "and even this ratio column hash-matches.  Scale: identical "
+        "candidate shape to emb_hard_negatives (bucket machinery at real "
+        "scale); the margin adds one bounded window over k rows per "
+        "query.",
+    driver=False,  # r8 rotation candidate
+    sibling="emb_cosine_topk",
+)
+def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("label").alias("query_label"),
+    )
+    cands = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label")),
+    )
+    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    ranked = cands.select(
+        "query_id",
+        F.col("vec_id").alias("match_id"),
+        F.col("label").alias("match_label"),
+        cos.alias("cosine"),
+    ).withColumn("rank", F.row_number().over(wr))
+    wsum = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    topk = ranked.filter(F.col("rank") <= 4).withColumn(
+        "denom_sum", F.sum("cosine").over(wsum)
+    )
+    return topk.filter(F.col("rank") == 1).select(
+        "query_id",
+        "match_id",
+        "match_label",
+        "cosine",
+        (F.col("cosine") / (F.col("denom_sum") / F.lit(4.0))).alias("margin"),
+    )
+
+
+@register(
     "emb_int8_quantization",
     oracle=f"""
 WITH e AS (
