@@ -744,3 +744,211 @@ def read_bloom_bits(spark: SparkSession, bits_dir: str) -> DataFrame:
     """The live filter: the distinct union of every committed batch's
     bit set (bounded by BLOOM_M rows)."""
     return spark.read.parquet(bits_dir).select("bit").distinct()
+
+
+def run_dedup_clusters_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental streaming maintenance of the batch ``doc_dedup_clusters``
+    labeling: documents arrive in doc_id order, each batch extends the
+    verified near-dup pair graph with exactly the pairs whose HIGHER id
+    just arrived, and cluster labels are re-converged by running min-label
+    connected components over the COMPRESSED graph -- prior labels as star
+    edges (v -> lbl) plus the batch's new verified edges.  Star compression
+    is what keeps the per-batch CC cheap: prior components are depth-1, so
+    the loop converges in ~2 rounds regardless of how history grew.
+
+    Exactness contract (tested pair-for-pair in tests/test_streaming.py):
+    min-label CC is associative under this merge -- label(v) is the
+    minimum reachable vertex, star edges preserve reachability minima,
+    and each unordered pair is examined in the batch where its higher id
+    arrives -- so the drained stream's labels EQUAL the batch query's.
+
+    Candidate prefixes use a FIXED md5 token order instead of the batch
+    query's corpus-frequency order: the prefix filter's pigeonhole
+    guarantee (any pair with Jaccard >= t shares a prefix token) holds
+    for ANY fixed total order, and a data-independent order is the one an
+    incremental pipeline can keep stable as the corpus grows --
+    rarest-first would re-rank as frequencies drift, silently changing
+    past prefixes.  Cost: somewhat wider prefixes than rarest-first; the
+    verified pair set is identical (both exact-verified, 100% recall).
+
+    State tables (all ``_batch_id``-partitioned, dynamic overwrite, reads
+    filter ``_batch_id < batch_id`` -- same replay discipline as the
+    curation funnel):
+
+    - ``state_dir + "_sh"``: (doc_id, sh) shingle store, appended once
+      per arriving doc;
+    - ``state_dir + "_pfx"``: (doc_id, sz, s) prefix-token index,
+      appended once per doc -- a batch joins only its NEW docs' prefixes
+      against this, never re-deriving the corpus;
+    - ``state_dir + "_labels"``: the COMPLETE (v, lbl) table per batch
+      (latest committed partition = current labels).  Full rewrite per
+      batch is the exactness-first model; a production deployment merges
+      only changed components.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..functions import text as TX
+    from ..materialize import materialize
+    from ..operators import similarity as SIM
+
+    docs = stream_documents(spark, input_dir)
+    sh_path = state_dir + "_sh"
+    pfx_path = state_dir + "_pfx"
+    labels_path = state_dir + "_labels"
+
+    sh_schema = "doc_id long, sh array<string>, _batch_id int"
+    pfx_schema = "doc_id long, sz int, s string, _batch_id int"
+    labels_schema = "v long, lbl long, _batch_id int"
+
+    def read_committed(path: str, schema: str, cols: list[str]) -> DataFrame | None:
+        try:
+            df = spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        if not df.inputFiles():
+            return None
+        return df
+
+    def _prefixes(sh_frame: DataFrame) -> DataFrame:
+        """(doc_id, sz, s): each doc's first sz - ceil(0.5*sz) + 1 shingles
+        under the fixed md5 order."""
+        ordered = F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("sh"), lambda s: F.struct(F.md5(s).alias("h"), s.alias("s"))
+                )
+            ),
+            lambda p: p["s"],
+        )
+        sz = F.size(F.col("sh"))
+        keep = (sz - F.ceil(sz * F.lit(0.5)) + F.lit(1)).cast("int")
+        return (
+            sh_frame.select(
+                "doc_id", sz.alias("sz"), F.slice(ordered, 1, keep).alias("pfx")
+            )
+            .select("doc_id", "sz", F.explode("pfx").alias("s"))
+        )
+
+    def cluster_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = materialize(
+            batch_df.filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
+            )
+        )
+        new_pfx = materialize(_prefixes(new))
+
+        stored_pfx = read_committed(pfx_path, pfx_schema, ["doc_id", "sz", "s"])
+        if stored_pfx is not None:
+            stored_pfx = stored_pfx.filter(F.col("_batch_id") < batch_id).select(
+                "doc_id", "sz", "s"
+            )
+        all_pfx = (
+            new_pfx if stored_pfx is None else stored_pfx.unionByName(new_pfx)
+        )
+        a = all_pfx.select(
+            F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "s"
+        )
+        b = new_pfx.select(
+            F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "s"
+        )
+        cand = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.least("sz_a", "sz_b").cast("double")
+                >= F.greatest("sz_a", "sz_b") * F.lit(0.5)
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+        stored_sh = read_committed(sh_path, sh_schema, ["doc_id", "sh"])
+        pool = (
+            new.select("doc_id", "sh")
+            if stored_sh is None
+            else stored_sh.filter(F.col("_batch_id") < batch_id)
+            .select("doc_id", "sh")
+            .unionByName(new.select("doc_id", "sh"))
+        )
+        sh_a = pool.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = pool.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        new_edges = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .filter(SIM.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+            .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        )
+
+        prior = read_committed(labels_path, labels_schema, ["v", "lbl"])
+        if prior is not None:
+            committed = prior.filter(F.col("_batch_id") < batch_id)
+            mx = committed.agg(F.max("_batch_id")).first()[0]
+            prior_labels = (
+                None
+                if mx is None
+                else committed.filter(F.col("_batch_id") == mx).select("v", "lbl")
+            )
+        else:
+            prior_labels = None
+
+        nodes = new.select(F.col("doc_id").alias("v"))
+        edges = new_edges
+        if prior_labels is not None:
+            nodes = prior_labels.select("v").unionByName(nodes)
+            star = prior_labels.filter(F.col("v") != F.col("lbl")).select(
+                F.col("v").alias("a"), F.col("lbl").alias("b")
+            )
+            edges = star.unionByName(edges)
+        labels = SIM.connected_components(nodes.distinct(), edges)
+
+        (
+            labels.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(labels_path)
+        )
+        (
+            new.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(sh_path)
+        )
+        (
+            new_pfx.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(pfx_path)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(cluster_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("dedup_clusters_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
+    """The current labeling: the latest committed batch's complete table."""
+    df = spark.read.parquet(labels_path)
+    mx = df.agg(F.max("_batch_id")).first()[0]
+    return df.filter(F.col("_batch_id") == mx).select("v", "lbl")

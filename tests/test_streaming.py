@@ -540,3 +540,58 @@ def test_bloom_stream_matches_batch_filter(spark, sf_dir, doc_chunks, tmp_path):
         if any(v % 100 == 7 for v in tbl.column("doc_id").to_pylist())
     }
     assert len(needle_chunks) >= 2, "all needles in one chunk; increment untested"
+
+
+def test_dedup_clusters_stream_matches_batch(spark, sf_dir, doc_chunks, tmp_path):
+    """The incrementally-maintained cluster labeling equals the batch
+    doc_dedup_clusters labeling vertex-for-vertex after the stream drains,
+    across a mid-stream restart.  Exactness rests on (1) min-label CC
+    being associative under star-compressed merge and (2) every unordered
+    pair being examined in the batch where its higher id arrives
+    (id-ordered chunks)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "cc_state"
+    cp = tmp_path / "cp_cc"
+    input_dir.mkdir()
+
+    _drop(doc_chunks, input_dir, 0, 2)
+    _run(sp.run_dedup_clusters_stream(spark, str(input_dir), str(state), str(cp)))
+    # restart with the rest of the corpus: committed batches must replay
+    # deterministically (state reads exclude each batch's own partition)
+    _drop(doc_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_dedup_clusters_stream(spark, str(input_dir), str(state), str(cp)))
+
+    streamed = {
+        (r.v, r.lbl)
+        for r in sp.read_cluster_labels(spark, str(state) + "_labels").collect()
+    }
+    batch = {
+        (r.doc_id, r.cluster_id)
+        for r in all_specs()["doc_dedup_clusters"]
+        .builder(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    assert len(streamed) == len(batch), (
+        f"label count: stream {len(streamed)} vs batch {len(batch)}"
+    )
+    assert streamed == batch, (
+        f"{len(streamed ^ batch)} label rows differ"
+    )
+    # non-vacuous: some cluster must span micro-batches (members arrived
+    # in different chunks), or the incremental merge path went untested
+    chunk_of = {}
+    for ci, tbl in enumerate(doc_chunks):
+        for v in tbl.column("doc_id").to_pylist():
+            chunk_of[v] = ci
+    clusters = {}
+    for v, lbl in streamed:
+        clusters.setdefault(lbl, set()).add(chunk_of[v])
+    assert any(len(cs) > 1 for cs in clusters.values()), (
+        "no cluster spans micro-batches in this fixture split; the "
+        "cross-batch merge was never exercised"
+    )
