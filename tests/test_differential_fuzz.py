@@ -364,3 +364,79 @@ def test_random_window_plan_cross_engine_equivalence(spark, plan):
         _run_window_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Set-operation grammar: UNION [ALL] / INTERSECT / EXCEPT over projections
+# --------------------------------------------------------------------------
+
+_SET_OPS = {
+    "union_all": ("unionAll", "UNION ALL"),
+    "union": ("union_distinct", "UNION"),
+    "intersect": ("intersect", "INTERSECT"),
+    "except": ("exceptAll_distinct", "EXCEPT"),
+}
+_SET_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+
+@st.composite
+def _set_plan(draw):
+    pred_a = draw(_predicate())
+    pred_b = draw(_predicate())
+    op = draw(st.sampled_from(sorted(_SET_OPS)))
+    cols = draw(
+        st.lists(st.sampled_from(_SET_COLS), min_size=1, max_size=2, unique=True)
+    )
+    return pred_a, pred_b, op, cols
+
+
+def _run_set_both(spark, con, plan):
+    pred_a, pred_b, op, cols = plan
+
+    li = tables.load(spark, SF_DIR, "lineitem")
+    a = li.filter(_pred_spark(pred_a)).select(*cols)
+    b = li.filter(_pred_spark(pred_b)).select(*cols)
+    if op == "union_all":
+        out = a.unionAll(b)
+    elif op == "union":
+        out = a.union(b).distinct()
+    elif op == "intersect":
+        out = a.intersect(b)
+    else:
+        # EXCEPT (distinct semantics) == Spark exceptAll on distinct inputs
+        out = a.distinct().exceptAll(b.distinct())
+    # aggregate to counted form so UNION ALL multiplicities are checked
+    # without multi-set canonicalization headaches
+    sdf = out.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).toPandas()
+
+    col_sql = ", ".join(cols)
+    sql = f"""
+SELECT {col_sql}, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT {col_sql} FROM lineitem WHERE {_pred_sql(pred_a)}
+  {_SET_OPS[op][1]}
+  SELECT {col_sql} FROM lineitem WHERE {_pred_sql(pred_b)}
+) GROUP BY {col_sql}
+"""
+    odf = con.execute(sql).fetchdf()
+
+    label = f"fuzzset[{_pred_sql(pred_a)} {op} {_pred_sql(pred_b)} | {cols}]"
+    compare_frames(sdf, odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_set_plan())
+def test_random_set_op_cross_engine_equivalence(spark, plan):
+    """Set-operation differential coverage: UNION ALL multiplicities,
+    UNION/INTERSECT/EXCEPT distinct semantics -- the corner where SQL
+    bag-vs-set behavior and Spark's unionAll/intersect/exceptAll naming
+    famously diverge."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_set_both(spark, con, plan)
+    finally:
+        con.close()

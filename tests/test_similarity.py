@@ -406,3 +406,56 @@ def test_jl_projection_mean_distortion_bounded(spark, sf_dir):
     assert len(rows) > 0
     mean_err = sum(abs(r.distortion - 1.0) for r in rows) / len(rows)
     assert mean_err < 0.2, f"mean |distortion - 1| = {mean_err:.3f}"
+
+
+def test_int8_quantized_search_preserves_neighbors(spark, sf_dir):
+    """Utility certificate for emb_int8_quantization: brute-force top-5
+    neighbor sets computed on DEQUANTIZED int8 vectors must overlap the
+    full-precision top-5 at >= 0.8 mean recall on the fixture -- the
+    measurable form of 'int8 is good enough to search with'.  A scale or
+    axis bug in the quantizer craters this instantly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import vectors as V
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    d = e.select("vec_id", emb.alias("emb"))
+    max_abs = F.aggregate(
+        F.transform(F.col("emb"), lambda v: F.abs(v)),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    deq = F.transform(
+        F.transform(
+            F.col("emb"), lambda v: F.floor(v * F.lit(127.0) / F.col("max_abs"))
+        ),
+        lambda x: x * F.col("max_abs") / F.lit(127.0),
+    )
+    both = d.select("vec_id", "emb", max_abs.alias("max_abs")).filter(
+        F.col("max_abs") > 0.0
+    ).select("vec_id", "emb", deq.alias("deq"))
+
+    def topk(col_name):
+        q = both.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col(col_name).alias("q")
+        )
+        c = both.select(F.col("vec_id").alias("nid"), F.col(col_name).alias("n"))
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+        ranked = (
+            q.join(c, F.col("qid") != F.col("nid"))
+            .select("qid", "nid", V.cosine(F.col("q"), F.col("n")).alias("cos"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 5)
+        )
+        out = {}
+        for row in ranked.collect():
+            out.setdefault(row.qid, set()).add(row.nid)
+        return out
+
+    full, quant = topk("emb"), topk("deq")
+    recalls = [len(full[q] & quant[q]) / 5 for q in full]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"int8 search recall {mean_recall:.2f}"
