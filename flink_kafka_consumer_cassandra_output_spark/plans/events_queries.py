@@ -885,3 +885,100 @@ def ev_anomaly_zscore_online(spark: SparkSession, sf_dir: str) -> DataFrame:
         std.alias("_std"),
     )
     return scored.filter((F.col("n_prior") >= 3) & (F.col("_std") > 0.0)).drop("_std")
+
+
+# --------------------------------------------------------------------------
+# Exponential smoothing (EWMA) over per-user hourly series
+# --------------------------------------------------------------------------
+
+#: Smoothing factor 1/4: an exact binary fraction, so every fold step is
+#: two exact-representable multiplies + one add in a PINNED order --
+#: mirrored fold == bit-identical EWMA across engines.
+_EWMA_ALPHA = 0.25
+
+
+@register(
+    "ev_ewma_smoothing",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+series AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         list_transform(list(CAST(n AS DOUBLE) ORDER BY hour_ts),
+                        x -> {{'maxdev': CAST(0.0 AS DOUBLE), 'ewma': x, 'x': x}}) AS st
+  FROM hourly GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, n_hours,
+         list_reduce(st, (a, b) -> {{
+           'maxdev': greatest(a.maxdev, abs(b.x - a.ewma)),
+           'ewma': {_EWMA_ALPHA} * b.x + {1.0 - _EWMA_ALPHA} * a.ewma,
+           'x': b.x
+         }}) AS r
+  FROM series
+)
+SELECT user_id, n_hours, r.ewma AS final_ewma, r.maxdev AS max_abs_dev
+FROM folded WHERE n_hours >= 2
+""",
+    doc="exponential smoothing over each user's hourly activity series: "
+        "EWMA (alpha = 1/4, an exact binary fraction) folded sequentially "
+        "in hour order, emitting the final smoothed level and the largest "
+        "single-step deviation from the running forecast -- the "
+        "forecast-residual statistic a rate-limiter or burst detector "
+        "thresholds.  The fold is collect-sorted-list + sequential "
+        "aggregate (the Lloyd re-centroid pattern) mirrored by DuckDB "
+        "list_reduce over ordered structs, so the smoothed doubles "
+        "hash-match bit-for-bit.  Oracle-dialect finding, pinned by this "
+        "gate: DuckDB evaluates struct-literal lambda fields SEQUENTIALLY "
+        "and a later field sees the accumulator's already-updated earlier "
+        "fields (ewma-then-maxdev computed deviations against the NEW "
+        "ewma), so the oracle lists 'maxdev' FIRST; Spark's F.struct "
+        "evaluates all fields against the old accumulator.  Scale: "
+        "per-user series are bounded "
+        "(hours in retention window); one user-keyed shuffle, state "
+        "O(1) per step -- and the same recurrence runs incrementally in "
+        "streaming/stateful.py's state model if maintained online.",
+    driver=False,  # r8 rotation candidate
+    sibling="ev_tumbling_hourly",
+)
+def ev_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("hour_ts"), F.col("n").cast("double").alias("x")))
+            ),
+            lambda s: F.struct(
+                s["x"].alias("ewma"), F.lit(0.0).alias("maxdev"), s["x"].alias("x")
+            ),
+        ).alias("st"),
+    )
+    a = F.lit(_EWMA_ALPHA)
+    one_a = F.lit(1.0 - _EWMA_ALPHA)
+    folded = F.aggregate(
+        F.slice(F.col("st"), 2, F.size("st") - 1),
+        F.element_at(F.col("st"), 1),
+        lambda acc, b: F.struct(
+            (a * b["x"] + one_a * acc["ewma"]).alias("ewma"),
+            F.greatest(acc["maxdev"], F.abs(b["x"] - acc["ewma"])).alias("maxdev"),
+            b["x"].alias("x"),
+        ),
+    )
+    return (
+        series.filter(F.col("n_hours") >= 2)
+        .select("user_id", "n_hours", folded.alias("r"))
+        .select(
+            "user_id",
+            "n_hours",
+            F.col("r.ewma").alias("final_ewma"),
+            F.col("r.maxdev").alias("max_abs_dev"),
+        )
+    )
