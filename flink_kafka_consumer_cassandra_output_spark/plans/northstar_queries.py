@@ -1298,6 +1298,117 @@ def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "emb_rank_fusion_rrf",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS('q.query_emb', 'e.embedding')} DESC, e.vec_id
+         ) AS r_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_l2sq_sql('q.query_emb', 'e.embedding')} ASC, e.vec_id
+         ) AS r_l2
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+fused AS (
+  SELECT query_id, neighbor_id, r_cos, r_l2,
+         (1.0 / (60.0 + r_cos)) + (1.0 / (60.0 + r_l2)) AS rrf
+  FROM scored WHERE r_cos <= 20 OR r_l2 <= 20
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id,
+         CAST(CASE WHEN r_cos <= 20 THEN r_cos END AS BIGINT) AS r_cos,
+         CAST(CASE WHEN r_l2 <= 20 THEN r_l2 END AS BIGINT) AS r_l2,
+         rrf,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, neighbor_id
+         ) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 5
+""",
+    doc="reciprocal-rank fusion across two retrievers (the standard RRF "
+        "combiner, k=60): each query's candidates ranked independently by "
+        "cosine and by L2 distance, fused by 1/(60+r_cos) + 1/(60+r_l2) "
+        "over the union of both top-20 lists, final top-5 per query.  On "
+        "unnormalized vectors the two metrics genuinely disagree (L2 "
+        "penalizes magnitude, cosine ignores it), which is exactly when "
+        "fusion earns its keep; ranks outside a retriever's top-20 still "
+        "contribute their true reciprocal (reported NULL in the output, "
+        "the rank columns showing each retriever's view).  All ranks are "
+        "integers and the fused score is a fixed two-term sum of exact "
+        "reciprocals, so even the fusion column hash-matches.  Scale: "
+        "same candidate shape as brute-force top-k; at real scale both "
+        "rankers route through bucketed ANN and RRF fuses the returned "
+        "lists -- fusion cost is per-query O(k), independent of corpus.",
+    driver=False,  # r8 rotation candidate
+    sibling="emb_cosine_topk",
+)
+def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    cands = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    diff = F.zip_with(
+        F.col("query_emb"),
+        F.col("embedding"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    l2sq = F.aggregate(diff, F.lit(0.0), lambda x, y: x + y)
+    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w_l2 = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("neighbor_id"))
+    scored = (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+            l2sq.alias("l2sq"),
+        )
+        .withColumn("r_cos", F.row_number().over(w_cos))
+        .withColumn("r_l2", F.row_number().over(w_l2))
+    )
+    fused = scored.filter((F.col("r_cos") <= 20) | (F.col("r_l2") <= 20)).select(
+        "query_id",
+        "neighbor_id",
+        "r_cos",
+        "r_l2",
+        (
+            F.lit(1.0) / (F.lit(60.0) + F.col("r_cos"))
+            + F.lit(1.0) / (F.lit(60.0) + F.col("r_l2"))
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("r_cos") <= 20, F.col("r_cos")).cast("long").alias("r_cos"),
+            F.when(F.col("r_l2") <= 20, F.col("r_l2")).cast("long").alias("r_l2"),
+            "rrf",
+            "fused_rank",
+        )
+    )
+
+
 @register(
     "emb_int8_quantization",
     oracle=f"""
