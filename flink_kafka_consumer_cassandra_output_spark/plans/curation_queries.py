@@ -131,8 +131,6 @@ FROM stats
         "flag.  Bigram stats are array expressions (no shuffle) except the "
         "top-bigram mode, which is an explode keyed by doc_id -- the one "
         "shuffle, partitioned by document so it scales horizontally.",
-    driver=False,  # r8 rotation candidate; funnel drives quality filters now
-    sibling="doc_curation_funnel",
 )
 def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -226,8 +224,6 @@ FROM ranked
         "the corpus); at extreme scale the documented alternative is the "
         "two order-statistic cutoffs via orderBy+limit as in "
         "agg_exact_percentiles.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_stratified_sample",
 )
 def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -357,8 +353,6 @@ FROM ranked WHERE rank <= {_TOPK}
         "per-document expression stays JVM-side).  Large dynamic query sets "
         "route through the posting-list explode+equi-join form instead "
         "(the machinery doc_tfidf_top_terms already exercises).",
-    driver=False,  # r8 rotation candidate
-    sibling="emb_cosine_topk",
 )
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -461,8 +455,6 @@ LIMIT {_PASSAGE_TOPK}
         "per-partition top-k then merge, no single-task sort).  The "
         "suffix-array literature's exact-substring dedup reduced to the "
         "n-gram explode Spark executes as two keyed shuffles.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_decontamination",
 )
 def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -549,8 +541,6 @@ WHERE CAST(n_shared_grams AS DOUBLE) / CAST(n_needle_grams AS DOUBLE)
         "the 'benchmark' is itself web-scale (dedup-against-eval at "
         "100 TB): both sides shard by gram, the hot-gram skew ceiling is "
         "the same one the PPJoin prefix filter bounds.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_decontamination",
 )
 def doc_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -636,7 +626,8 @@ GROUP BY h.doc_id"""
         "shuffles, which is the whole reason production pipelines put a "
         "Bloom filter in FRONT of the exact n-gram join.",
     driver=False,  # r8 rotation candidate
-    sibling="doc_decontamination",
+    # r8 sibling re-point: same contamination op; the exact join route is driver-checked.
+    sibling="doc_decontamination_ngram",
 )
 def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import materialize
@@ -814,8 +805,6 @@ GROUP BY s.source, s.lang
         "(cross-source dup exposure -- the number a mixing decision reads "
         "first).  Two combinable aggregations plus one fingerprint "
         "equi-join; every stat is exact-integer with one final division.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_sequence_packing",
 )
 def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -879,8 +868,6 @@ FROM scored
         "integer division, 3-way label.  The lexicons are literal arrays "
         "here; a production lexicon becomes a broadcast join against the "
         "same counting shape (the taxonomy lookup-join pattern).",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_curation_funnel",
 )
 def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -945,8 +932,6 @@ FROM summed
         "float fold is identical in both engines.  The weight table is "
         "|sources| rows -- broadcast-sized by construction; downstream "
         "sampling joins it to the corpus on the source key.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_stratified_sample",
 )
 def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1021,7 +1006,8 @@ FROM m GROUP BY ph
         "each join touches only the matched terms' postings, shuffled on "
         "(doc, pos).",
     driver=False,  # r8 rotation candidate
-    sibling="doc_decontamination",
+    # r8 sibling re-point: positional n-gram match family, driver-checked there.
+    sibling="doc_decontamination_ngram",
 )
 def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1132,7 +1118,8 @@ FROM aug
         "The redacted string itself is hash-checked (md5), so the gate "
         "pins masking byte-for-byte, not just the match counts.",
     driver=False,  # r8 rotation candidate
-    sibling="doc_decontamination",
+    # r8 sibling re-point: pattern-scan-over-text family, driver-checked there.
+    sibling="doc_decontamination_ngram",
 )
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1255,7 +1242,8 @@ GROUP BY split, source
         "one narrow map + one combinable groupBy on a "
         "|splits| x |sources| key space.",
     driver=False,  # r8 rotation candidate
-    sibling="doc_stratified_sample",
+    # r8 sibling re-point: deterministic hash-assignment family, driver-checked there.
+    sibling="doc_temperature_mixing",
 )
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1336,7 +1324,8 @@ FROM joined GROUP BY status
         "join is co-located) and a 4-row aggregate.  md5 fingerprints + "
         "integer counts: exact parity.",
     driver=False,  # r8 rotation candidate
-    sibling="doc_decontamination",
+    # r8 sibling re-point: fingerprint anti-join family, driver-checked there.
+    sibling="doc_decontamination_ngram",
 )
 def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())

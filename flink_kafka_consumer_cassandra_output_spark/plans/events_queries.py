@@ -162,7 +162,8 @@ GROUP BY user_id, session_id
         "event, end = last event + gap",
     # r7 driver-slot rotation: top-sessions COMPOSES this sessionization, checked transitively.
     driver=False,
-    sibling="ev_top_sessions_by_events",
+    # r8 sibling re-point: per-user event grouping family, driver-checked there; sessionization itself driver-green r7.
+    sibling="ev_heavy_hitters_cms",
 )
 def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -321,6 +322,9 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
         "per stage.  Strictness under ties: the 1-preceding frame plus the "
         "explicit ts > comparison, with event_id completing the total "
         "order.",
+    # r8 driver-slot rotation: time-window step matching IS a range join, driver-checked there.
+    driver=False,
+    sibling="ev_range_interval_join",
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
@@ -377,6 +381,9 @@ GROUP BY prev_type, next_type
         "order total, aggregated to (prev, next) pairs.  Plan: one shuffle "
         "on user_id for the window sort, then a 25-group aggregate; the "
         "window never re-shuffles an already user-partitioned stream.",
+    # r8 driver-slot rotation: lag/lead transition detection generalized there, driver-checked.
+    driver=False,
+    sibling="ev_ts_pattern_match",
 )
 def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -417,6 +424,9 @@ LIMIT 20
         "event count with a (user, start) total-order tiebreak.  Plan: one "
         "user_id shuffle serves both windows AND the per-session "
         "aggregate; TakeOrderedAndProject does the global top-20.",
+    # r8 driver-slot rotation: per-key frequency ranking family, driver-checked there.
+    driver=False,
+    sibling="ev_heavy_hitters_cms",
 )
 def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -491,6 +501,9 @@ FROM grid
         "volume, so densification cost is independent of the fact table.  "
         "The first grid hour is observed by construction, so the fill "
         "never emits leading NULLs.",
+    # r8 driver-slot rotation: ordered event-time sequence family, driver-checked there.
+    driver=False,
+    sibling="ev_ts_pattern_match",
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -550,8 +563,6 @@ GROUP BY e.event_id, e.user_id
         "optimization (binned interval join): at 100 TB the naive form is "
         "a per-user cross product, the bucketed form shuffles both sides "
         "once on (user, bucket) with bounded per-bucket fan-in.",
-    driver=False,  # r8 rotation candidate; funnel drives time-window matching
-    sibling="ev_funnel_conversion",
 )
 def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -635,8 +646,6 @@ GROUP BY p.user_id, p.exact_cnt
         "(row, bucket), the probe an equi-join against a broadcast-sized "
         "table.  w < |keys| by design so collisions make estimates "
         "overestimate (CMS guarantee: never under).",
-    driver=False,  # r8 rotation candidate
-    sibling="ev_top_sessions_by_events",
 )
 def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -698,8 +707,6 @@ LIMIT 20
         "every subsequence (collect over a bounded 8-row frame -- state "
         "is O(pattern), not O(series)).  Integer weights keep the whole "
         "query float-free, so parity is exact by construction.",
-    driver=False,  # r8 rotation candidate
-    sibling="ev_hourly_gapfill",
 )
 def ev_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(TS_PATTERN)

@@ -101,7 +101,8 @@ FROM documents
         "all pure Column expressions (functions/text.py), zero Python UDFs",
     # r7 driver-slot rotation: token counting/text features drive the packer the driver now checks.
     driver=False,
-    sibling="doc_sequence_packing",
+    # r8 sibling re-point: token/length accounting, driver-checked there.
+    sibling="doc_corpus_report",
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -133,7 +134,8 @@ GROUP BY lang, lang_pred
         "tiebreak) cross-tabulated against the declared lang column",
     # r7 driver-slot rotation: same n-gram machinery, driver-checked there.
     driver=False,
-    sibling="doc_decontamination",
+    # r8 sibling re-point: same n-gram shingle machinery, driver-checked there.
+    sibling="doc_decontamination_ngram",
 )
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -158,7 +160,8 @@ FROM h
         "over 16-bit md5 token hashes; per-row fold, no shuffle, and the "
         "integer bit-sums are order-insensitive so parity is exact",
     driver=False,  # doc_near_dup_simhash driver-checks the same sketch
-    sibling="doc_near_dup_simhash",
+    # r8 sibling re-point: sketch-based near-dup family; clusters compose verified pairs.
+    sibling="doc_dedup_clusters",
     # construction end-to-end at 32 bits (hash-exact oracle); the bare
     # 16-bit sketch column stays oracle-checked locally.
 )
@@ -225,6 +228,9 @@ WHERE hamming <= {SIM.SIMHASH_RADIUS} AND jaccard >= 0.5
         "bit sketch); recall pinned in tests/test_similarity.py.  Scale: "
         "never-all-pairs -- band equi-join candidates, verify touches "
         "candidates only",
+    # r8 driver-slot rotation: banded-sketch near-dup family; clusters compose the verified pairs.
+    driver=False,
+    sibling="doc_dedup_clusters",
 )
 def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -313,7 +319,8 @@ GROUP BY fingerprint
         "fingerprint with n_copies=2. Scale: one shuffle on the digest",
     # r7 driver-slot rotation: hash-fingerprint equi-join dedup family, driver-checked there.
     driver=False,
-    sibling="doc_decontamination",
+    # r8 sibling re-point: hash-fingerprint equi-join family, driver-checked there.
+    sibling="doc_decontamination_ngram",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -376,7 +383,8 @@ WHERE jaccard >= 0.5
         "only.  Recall vs brute force pinned in tests/test_similarity.py",
     # r7 driver-slot rotation: banded-sketch near-dup family, driver-checked there.
     driver=False,
-    sibling="doc_near_dup_simhash",
+    # r8 sibling re-point: the SAME MinHash sketch, its estimates driver-certified there.
+    sibling="doc_minhash_estimate_certificate",
 )
 def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -640,6 +648,9 @@ WHERE rank <= 10
         "row_number -- one shuffle on lang; at 100 TB the same pattern "
         "hash-filters WITHOUT the window (bucket < k) when exact quotas "
         "aren't required",
+    # r8 driver-slot rotation: per-source deterministic sampling family, driver-checked there.
+    driver=False,
+    sibling="doc_temperature_mixing",
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -734,6 +745,9 @@ UNION ALL SELECT 'stage3_near_dedup', CAST(s3 AS BIGINT) FROM agg
         "oracle mirrors the same flags form.  The near-dup subtree is "
         "shared lineage (AQE exchange reuse deduplicates the common "
         "aggregate where possible)",
+    # r8 driver-slot rotation: the funnel's quality-filter stage is now driver-checked standalone.
+    driver=False,
+    sibling="doc_gopher_quality_rules",
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -919,6 +933,9 @@ WHERE rank <= 5
     doc="north-star similarity search, exact baseline: brute-force cosine "
         "top-5 for a 10-query set.  Scale: queries broadcast, corpus scanned "
         "once with no shuffle; the only wide op is the per-query top-k",
+    # r8 driver-slot rotation: IVF's verify step computes the same exact-cosine fold on candidates.
+    driver=False,
+    sibling="emb_ann_ivf_trained",
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -954,7 +971,8 @@ SELECT query_id, neighbor_id FROM (
 WHERE rank <= 5
 """,
     driver=False,
-    sibling="emb_cosine_topk",
+    # r8 sibling re-point: exact-cosine fold family (Arrow twin), driver-checked there.
+    sibling="emb_ann_ivf_trained",
     doc="north-star similarity search via the Arrow-vectorized Python path: "
         "salted corpus chunks cogroup with the broadcast-replicated query "
         "DataFrame (no driver-side query bootstrap), one BLAS matmul "
@@ -1186,7 +1204,8 @@ WHERE rank <= 3
         "filter applied per bucket.  Sequential-fold cosine keeps the "
         "whole output hash-matched.",
     driver=False,  # r8 rotation candidate
-    sibling="emb_cosine_topk",
+    # r8 sibling re-point: cosine-ranked candidate family, driver-checked there.
+    sibling="emb_ann_ivf_trained",
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1259,7 +1278,8 @@ FROM topk WHERE rank = 1
         "scale); the margin adds one bounded window over k rows per "
         "query.",
     driver=False,  # r8 rotation candidate
-    sibling="emb_cosine_topk",
+    # r8 sibling re-point: cosine-scored pair family, driver-checked there.
+    sibling="emb_ann_ivf_trained",
 )
 def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1356,7 +1376,8 @@ SELECT * FROM (
         "rankers route through bucketed ANN and RRF fuses the returned "
         "lists -- fusion cost is per-query O(k), independent of corpus.",
     driver=False,  # r8 rotation candidate
-    sibling="emb_cosine_topk",
+    # r8 sibling re-point: scored-top-k fusion input, BM25 side driver-checked there.
+    sibling="doc_bm25_topk",
 )
 def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -1728,7 +1749,8 @@ LIMIT 100
         "so the join co-partitions on label instead of a corpus cross join",
     # r7 driver-slot rotation: bucketed cosine scoring, driver-checked there.
     driver=False,
-    sibling="emb_cosine_topk",
+    # r8 sibling re-point: exact-cosine pair family, driver-checked there.
+    sibling="emb_ann_ivf_trained",
 )
 def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1840,6 +1862,9 @@ GROUP BY needle_src
         "aggregation is a tiny keyed shuffle.  For needle sets too big to "
         "broadcast, the n-gram route is doc_near_dup_jaccard's prefix-"
         "filter join.",
+    # r8 driver-slot rotation: same benchmark-overlap op; the web-scale n-gram route is driver-checked.
+    driver=False,
+    sibling="doc_decontamination_ngram",
 )
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -1893,6 +1918,9 @@ FROM placed
         "per-group cumsums parallelize across the partition key).  "
         "Token counts are whitespace tokens, consistent with "
         "doc_chunking/doc_text_stats.".format(cap=PACK_CAPACITY),
+    # r8 driver-slot rotation: token-accounting family over documents, driver-checked there.
+    driver=False,
+    sibling="doc_corpus_report",
 )
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -1945,8 +1973,6 @@ SELECT
         "a<b storage convention approximates on near-clique dup graphs, "
         "and the join never materializes open wedges beyond the shuffle "
         "that closes them.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_dedup_clusters",
 )
 def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -2271,8 +2297,6 @@ FROM (
         "that can only be eyeballed.  tests/test_similarity.py pins the "
         "MEAN error below 0.15 on the fixture, making the accuracy claim "
         "executable, not prose.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_near_dup_simhash",
 )
 def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)

@@ -269,10 +269,13 @@ SELECT msg_id AS message_id, true AS avro_roundtrip_ok
 FROM messages
 """,
     doc="O2/O3: every message encoded to Avro binary (zigzag varints + "
-        "utf8 per the Avro spec) and decoded back through the Arrow-batched "
-        "decode operator must reproduce all 5 fields exactly "
-        "(AvroDeserializationSchema.java:34-50; pure-Python codec because "
-        "this container lacks the spark-avro jar -- sources/avro_py.py)",
+        "utf8 per the Avro spec) and decoded back must reproduce all 5 "
+        "fields exactly (AvroDeserializationSchema.java:34-50; pure-Python "
+        "codec because this container lacks the spark-avro jar -- "
+        "sources/avro_py.py).  encode->decode->compare runs inside ONE "
+        "Arrow-batched mapInPandas pass: the bytes never leave the python "
+        "worker, so the harness costs one python hop and no join (the r7 "
+        "two-pass+equi-join form was 4x the msg-family bench band).",
 )
 def msg_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -281,35 +284,21 @@ def msg_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     msgs = _msgs(spark, sf_dir)
 
-    def enc(it):
+    def roundtrip(it):
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "value": [
-                        avro_py.encode_message(m, u, j, int(t), s)
-                        for m, u, j, t, s in zip(
-                            pdf.msg_id, pdf.username, pdf.jid,
-                            pdf.sent_time_ms, pdf.stanza,
-                        )
-                    ]
-                }
-            )
+            ok = [
+                avro_py.decode_message_bytes(
+                    avro_py.encode_message(m, u, j, int(t), s)
+                )
+                == (m, u, j, int(t), s)
+                for m, u, j, t, s in zip(
+                    pdf.msg_id, pdf.username, pdf.jid,
+                    pdf.sent_time_ms, pdf.stanza,
+                )
+            ]
+            yield pd.DataFrame({"message_id": pdf.msg_id, "avro_roundtrip_ok": ok})
 
-    encoded = msgs.mapInPandas(enc, "value binary")
-    decoded = avro_py.decode_messages(encoded)
-    orig = msgs.select(
-        F.col("msg_id").alias("o_msg_id"), F.col("username").alias("o_username"),
-        F.col("jid").alias("o_jid"), F.col("sent_time_ms").alias("o_ms"),
-        F.col("stanza").alias("o_stanza"),
-    )
-    j = decoded.join(orig, decoded["msg_id"] == orig["o_msg_id"])
-    ok = (
-        (F.col("username") == F.col("o_username"))
-        & (F.col("jid") == F.col("o_jid"))
-        & (F.col("sent_time_ms") == F.col("o_ms"))
-        & (F.col("stanza") == F.col("o_stanza"))
-    )
-    return j.select(F.col("msg_id").alias("message_id"), ok.alias("avro_roundtrip_ok"))
+    return msgs.mapInPandas(roundtrip, "message_id string, avro_roundtrip_ok boolean")
 
 
 @register(

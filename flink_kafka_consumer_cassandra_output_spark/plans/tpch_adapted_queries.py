@@ -112,8 +112,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
         .select("p_partkey", "p_brand")
     )
-    j = cost.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    # s and p are SF-proportional (supplier/part x SF): no broadcast hint --
+    # AQE picks BHJ when their pruned size fits, SMJ at 100 TB.
+    j = cost.join(s, F.col("l_suppkey") == F.col("s_suppkey")).join(
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     w = Window.partitionBy("p_partkey").orderBy(
         F.col("unit_cost").asc(), F.col("s_suppkey").asc()
@@ -252,12 +254,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
+    # c and s are nation-pruned but still SF-proportional: AQE decides.
     o = _t(spark, sf_dir, "orders").join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        c, F.col("o_custkey") == F.col("c_custkey")
     )
     j = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return j.groupBy(
@@ -325,12 +328,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= _ts("1996-01-01"))
             & (F.col("o_orderdate") < _ts("1998-01-01"))
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate")
     )
+    # customer/part/supplier grow with SF: no hints, AQE decides per size.
     j = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
     )
     rev = N.revenue_col()
@@ -385,9 +389,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _supplier_nations(spark, sf_dir).select("s_suppkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # name-pruned part and supplier are still SF-proportional: AQE decides.
     j = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
     )
     cost = (
@@ -443,8 +448,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(_t(spark, sf_dir, "nation")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     )
+    # customer x nation is SF-proportional: no hint, AQE decides.
     j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(c.select("c_custkey", "c_name", "c_acctbal", "n_name")),
+        c.select("c_custkey", "c_name", "c_acctbal", "n_name"),
         F.col("c_custkey") == F.col("o_custkey"),
     )
     agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
@@ -493,7 +499,7 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _supplier_nations(spark, sf_dir, "NATION_3").select("s_suppkey")
     v = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(N.dec2("l_extendedprice")).alias("pv"))
     )
@@ -534,6 +540,9 @@ GROUP BY lag_class
         "two columns); datediff is a scan-side expression; 2-group agg.  "
         "Fixture dates are midnight-aligned so day difference is exact on "
         "both engines.",
+    # r8 driver-slot rotation: date-range + priority bucketing family, driver-checked there.
+    driver=False,
+    sibling="q4_order_priority",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -619,6 +628,9 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         "bits).  Plan: one shuffle agg on l_suppkey; the max is a 1-row "
         "broadcast; supplier joins by broadcast.  Ties all surface (the "
         "TPC-H spec's multi-winner semantics), so no tiebreak is needed.",
+    # r8 driver-slot rotation: aggregate-threshold top-group family, driver-checked there.
+    driver=False,
+    sibling="q18_large_volume_customers",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -633,7 +645,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -677,9 +689,10 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
+    # bad-supplier set and size-pruned part both grow with SF: AQE decides.
     j = li.join(
-        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
-    ).join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    ).join(p, F.col("p_partkey") == F.col("l_partkey"))
     return j.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
@@ -709,6 +722,9 @@ WHERE p_brand = 'Brand#5'
         "Determinism: quantities are integer-valued doubles, so SUM/COUNT "
         "is exact and the 0.2x threshold is one multiply; AVG is spelled "
         "SUM/COUNT on both engines to force the same operation order.",
+    # r8 driver-slot rotation: per-group scalar-subquery threshold family, driver-checked there.
+    driver=False,
+    sibling="q20_excess_qty_suppliers",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -719,7 +735,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#5")
         .select("p_partkey")
     )
-    li5 = li.join(F.broadcast(p5), F.col("p_partkey") == F.col("l_partkey"))
+    li5 = li.join(p5, F.col("p_partkey") == F.col("l_partkey"))
     w = Window.partitionBy("l_partkey")
     thresh = F.lit(0.2) * (
         F.sum("l_quantity").over(w) / F.count(F.lit(1)).over(w)
@@ -775,8 +791,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # big is the HAVING-bounded order set (qty > 200): a legitimate hint.
+    # customer is SF-proportional: no hint, AQE decides.
     j = o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")).join(
-        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+        c, F.col("c_custkey") == F.col("o_custkey")
     )
     return (
         j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -869,7 +887,7 @@ def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     movers = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(N.dec2("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 100)
@@ -923,7 +941,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
     )
     # One shared projection feeds both probe sides.  NOTE (r7, measured on

@@ -388,7 +388,8 @@ WHERE o_orderkey % 100 = 0
         "convention divergence the oracle gate exists to pin",
     # r7 driver-slot rotation: date arithmetic + bucketing, driver-checked there.
     driver=False,
-    sibling="q12_ship_lag_priority",
+    # r8 sibling re-point: date arithmetic + bucketing, driver-checked there.
+    sibling="q4_order_priority",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -575,9 +576,10 @@ GROUP BY n_name
 """,
     doc="TPC-H Q5: five-way join chain region->nation->customer->orders->"
         "lineitem->supplier with a theta condition (s_nationkey=c_nationkey). "
-        "Scale: region/nation/customer/supplier broadcast (all dims tiny vs "
-        "lineitem); the only shuffle joins are orders|x|customer-free -- "
-        "lineitem joins pre-filtered orders on l_orderkey",
+        "Scale: only the fixed-cardinality dims (region 5, nation 25) carry "
+        "broadcast hints; customer and supplier grow with SF (150k/10k x SF "
+        "-- ~15B/1B rows at 100 TB), so AQE picks BHJ vs SMJ from runtime "
+        "sizes instead of a hint that would OOM the driver at scale.",
     # r7 driver-slot rotation: multi-way broadcast revenue join family, driver-checked there.
     driver=False,
     sibling="q7_volume_shipping",
@@ -594,12 +596,12 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= _ts("1996-01-01"))
             & (F.col("o_orderdate") < _ts("1998-01-01"))
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     li = _t(spark, sf_dir, "lineitem").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     s = _t(spark, sf_dir, "supplier")
     j = li.join(
-        F.broadcast(s),
+        s,
         (F.col("s_suppkey") == F.col("l_suppkey"))
         & (F.col("s_nationkey") == F.col("c_nationkey")),
     )
@@ -855,7 +857,8 @@ FROM orders
         "by a sliding accumulator, decimal-exact sums",
     # r7 driver-slot rotation: running-window cumsum family, driver-checked there (inverse of its old mapping).
     driver=False,
-    sibling="doc_sequence_packing",
+    # r8 sibling re-point: range-frame window family, driver-checked there.
+    sibling="window_functions_extended",
 )
 def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -937,7 +940,8 @@ WHERE rn = 1
         "key once; the window touches only each event's own matches",
     # r7 driver-slot rotation: funnel COMPOSES the as-of match, checked transitively.
     driver=False,
-    sibling="ev_funnel_conversion",
+    # r8 sibling re-point: as-of IS the interval-join special case, driver-checked there.
+    sibling="ev_range_interval_join",
 )
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)

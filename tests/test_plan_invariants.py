@@ -35,10 +35,14 @@ def test_no_cartesian_product_anywhere(spark, name):
     )
 
 
-def test_q5_broadcasts_every_dimension(spark):
+def test_q5_broadcasts_fixed_dimensions(spark):
+    """Only region (5 rows) and nation (25 rows) carry broadcast hints --
+    customer/supplier grow with SF, so their strategy is left to AQE/stats
+    (r8 policy: a hint overrides size checks and would OOM the driver at
+    100 TB).  At test scale the statistics still pick BHJ for every dim,
+    which is exactly the point: same plan now, safe plan at scale."""
     plan = _plan(spark, "q5_revenue_by_nation")
-    assert plan.count("BroadcastHashJoin") >= 4, "dimension joins must be BHJ"
-    assert "SortMergeJoin" not in plan, "no dimension should shuffle-sort-merge"
+    assert plan.count("BroadcastHashJoin") >= 2, "region/nation joins must be BHJ"
 
 
 def test_global_topk_avoids_global_sort(spark):
@@ -106,11 +110,12 @@ def test_q6_all_three_predicates_push_to_scan(spark):
 
 
 def test_q18_having_set_broadcasts_onward(spark):
-    """The >200-unit order set is tiny at any scale; both downstream joins
-    must broadcast it (and customer), and the top-20 must avoid a global
-    sort."""
+    """The >200-unit order set is HAVING-bounded (tiny at any scale) so it
+    keeps its hint; customer is SF-proportional and hint-free (r8 policy),
+    though stats still pick BHJ for it at test scale.  The top-20 must
+    avoid a global sort."""
     plan = _plan(spark, "q18_large_volume_customers")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "TakeOrderedAndProject" in plan
 
 
@@ -263,3 +268,104 @@ def test_semdedup_verify_is_broadcast_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, (
         "verify lost its bucket equi key (BNLJ = all-pairs per partition)"
     )
+
+
+# --------------------------------------------------------------------------
+# r8 broadcast-hint policy: a hard `F.broadcast` hint overrides Spark's
+# size checks, so a hint on an SF-proportional base table is a driver OOM
+# at 100 TB no matter what the test-scale plan looks like.  This gate
+# walks EVERY registered query's analyzed logical plan (like the
+# cartesian-product gate) and rejects any broadcast hint whose subtree
+# reaches a parquet relation of an SF-proportional table without passing
+# a cardinality-bounding node (Filter / Aggregate / Join / limit / ...).
+# region and nation are fixed-cardinality (5 / 25 rows) and stay hintable.
+# --------------------------------------------------------------------------
+
+#: first column of each SF-proportional parquet table (grows ~linearly in
+#: SF: customer/supplier/part/orders/lineitem plus the synthetic corpora).
+_SF_TABLE_MARKERS = (
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey",
+    "doc_id", "event_id",
+)
+
+#: logical nodes that bound (or can bound) the cardinality of what flows
+#: out of a relation before it is broadcast.
+_BOUNDING_NODES = (
+    "Filter", "Aggregate", "Join", "Deduplicate", "Distinct",
+    "GlobalLimit", "LocalLimit", "Window", "Intersect", "Except", "Generate",
+)
+
+
+def _indent_of(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _unbounded_broadcast_hints(analyzed: str) -> list[str]:
+    lines = analyzed.splitlines()
+    bad: list[str] = []
+    for idx, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        depth = _indent_of(line)
+        bounded = False
+        for sub in lines[idx + 1 :]:
+            d = _indent_of(sub)
+            if d <= depth:
+                break  # left the hint's subtree
+            node = sub[d:].split(" ", 1)[0].split("[", 1)[0]
+            if node in _BOUNDING_NODES:
+                bounded = True
+                break
+            if node == "Relation":
+                cols = sub[d:]
+                if not bounded and any(m in cols for m in _SF_TABLE_MARKERS):
+                    bad.append(cols[:120])
+                break
+            # Project / SubqueryAlias / alias nodes: keep walking down
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(all_specs()))
+def test_no_broadcast_hint_on_unbounded_sf_table(spark, name):
+    df = all_specs()[name].builder(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    bad = _unbounded_broadcast_hints(analyzed)
+    assert not bad, (
+        f"{name}: F.broadcast hint targets an unfiltered SF-proportional "
+        f"table (driver OOM at 100 TB): {bad}"
+    )
+
+
+def test_broadcast_hint_gate_is_nonvacuous(spark):
+    """The gate must actually flag the r7 anti-pattern it was written for
+    (hint on an unfiltered / merely projected SF-proportional table) and
+    must NOT flag the sanctioned shapes (filtered subset, fixed-size
+    nation)."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+
+    def hints(df):
+        return _unbounded_broadcast_hints(
+            df._jdf.queryExecution().analyzed().toString()
+        )
+
+    bare = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert hints(bare), "unfiltered customer hint must be flagged"
+    proj = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_name")),
+        "o_custkey",
+    )
+    assert hints(proj), "a Project must not launder an unbounded hint"
+    filt = orders.join(
+        F.broadcast(cust.filter(F.col("c_acctbal") > 9000)),
+        orders.o_custkey == cust.c_custkey,
+    )
+    assert not hints(filt), "filtered subset is sanctioned"
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert not hints(dim), "fixed-cardinality nation is sanctioned"
