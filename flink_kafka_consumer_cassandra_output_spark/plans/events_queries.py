@@ -916,14 +916,22 @@ series AS (
   SELECT user_id,
          CAST(COUNT(*) AS BIGINT) AS n_hours,
          list_transform(list(CAST(n AS DOUBLE) ORDER BY hour_ts),
-                        x -> {{'maxdev': CAST(0.0 AS DOUBLE), 'ewma': x, 'x': x}}) AS st
+                        x -> {{'maxdev': CAST(0.0 AS DOUBLE), 'ewma': x,
+                               'pe': x, 'x': x}}) AS st
   FROM hourly GROUP BY user_id
 ),
+-- field-order-independent fold: every lambda field reads ONLY a.pe (the
+-- previous ewma, carried in its own slot and listed LAST) and b.x, so the
+-- result is identical whether DuckDB evaluates struct-literal fields
+-- all-at-once against the old accumulator or sequentially in listing
+-- order (the observed behavior: a later field sees already-updated
+-- earlier fields -- which is why nothing here reads a.ewma).
 folded AS (
   SELECT user_id, n_hours,
          list_reduce(st, (a, b) -> {{
-           'maxdev': greatest(a.maxdev, abs(b.x - a.ewma)),
-           'ewma': {_EWMA_ALPHA} * b.x + {1.0 - _EWMA_ALPHA} * a.ewma,
+           'maxdev': greatest(a.maxdev, abs(b.x - a.pe)),
+           'ewma': {_EWMA_ALPHA} * b.x + {1.0 - _EWMA_ALPHA} * a.pe,
+           'pe': {_EWMA_ALPHA} * b.x + {1.0 - _EWMA_ALPHA} * a.pe,
            'x': b.x
          }}) AS r
   FROM series
@@ -939,12 +947,13 @@ FROM folded WHERE n_hours >= 2
         "thresholds.  The fold is collect-sorted-list + sequential "
         "aggregate (the Lloyd re-centroid pattern) mirrored by DuckDB "
         "list_reduce over ordered structs, so the smoothed doubles "
-        "hash-match bit-for-bit.  Oracle-dialect finding, pinned by this "
-        "gate: DuckDB evaluates struct-literal lambda fields SEQUENTIALLY "
-        "and a later field sees the accumulator's already-updated earlier "
-        "fields (ewma-then-maxdev computed deviations against the NEW "
-        "ewma), so the oracle lists 'maxdev' FIRST; Spark's F.struct "
-        "evaluates all fields against the old accumulator.  Scale: "
+        "hash-match bit-for-bit.  Oracle-dialect finding (kept as a "
+        "comment in the SQL): DuckDB evaluates struct-literal lambda "
+        "fields SEQUENTIALLY and a later field sees the accumulator's "
+        "already-updated earlier fields; the oracle is now immune to that "
+        "detail -- every lambda field reads only a.pe (the previous ewma "
+        "carried in its own slot, listed last) and b.x, so all-at-once and "
+        "sequential field evaluation give identical results.  Scale: "
         "per-user series are bounded "
         "(hours in retention window); one user-keyed shuffle, state "
         "O(1) per step -- and the same recurrence runs incrementally in "

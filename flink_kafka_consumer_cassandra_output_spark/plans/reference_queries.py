@@ -405,37 +405,41 @@ erase AS (
   SELECT DISTINCT username FROM detail
   WHERE CAST('0x' || substr(md5(msg_id), 1, 8) AS BIGINT) % 101 = 9
 ),
-d AS (
-  SELECT d.*, CAST(e.username IS NOT NULL AS INTEGER) AS erased
-  FROM detail d LEFT JOIN erase e ON e.username = d.username
+d_after AS (
+  SELECT * FROM detail d
+  WHERE NOT EXISTS (SELECT 1 FROM erase e WHERE e.username = d.username)
 ),
-s AS (
-  SELECT s.*, CAST(e.username IS NOT NULL AS INTEGER) AS erased
-  FROM summary s LEFT JOIN erase e ON e.username = s.username
+s_after AS (
+  SELECT * FROM summary s
+  WHERE NOT EXISTS (SELECT 1 FROM erase e WHERE e.username = s.username)
 )
 SELECT 'detail' AS table_name,
-       CAST(COUNT(*) AS BIGINT) AS rows_before,
-       CAST(SUM(1 - erased) AS BIGINT) AS rows_after,
-       CAST(SUM(erased) AS BIGINT) AS rows_removed,
-       CAST(SUM(CASE WHEN erased = 1 AND FALSE THEN 1 ELSE 0 END) AS BIGINT)
-         AS remaining_for_erased
-FROM d
+       CAST((SELECT COUNT(*) FROM detail) AS BIGINT) AS rows_before,
+       CAST((SELECT COUNT(*) FROM d_after) AS BIGINT) AS rows_after,
+       CAST((SELECT COUNT(*) FROM detail)
+            - (SELECT COUNT(*) FROM d_after) AS BIGINT) AS rows_removed,
+       CAST((SELECT COUNT(*) FROM d_after a
+             WHERE EXISTS (SELECT 1 FROM erase e WHERE e.username = a.username))
+            AS BIGINT) AS remaining_for_erased
 UNION ALL
 SELECT 'summary',
-       CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(1 - erased) AS BIGINT),
-       CAST(SUM(erased) AS BIGINT),
-       CAST(SUM(CASE WHEN erased = 1 AND FALSE THEN 1 ELSE 0 END) AS BIGINT)
-FROM s
+       CAST((SELECT COUNT(*) FROM summary) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM s_after) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM summary)
+            - (SELECT COUNT(*) FROM s_after) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM s_after a
+             WHERE EXISTS (SELECT 1 FROM erase e WHERE e.username = a.username))
+            AS BIGINT)
 """,
     doc="right-to-be-forgotten cascade over the reference's dual-sink "
         "layout (MESSAGE_HISTORY + MESSAGE_HISTORY_SUMMARY, "
         "CassandraOutputFormat.java:87-95): a deterministic erasure set of "
         "usernames anti-joins BOTH tables, and the compliance report "
         "carries per-table before/after/removed counts plus "
-        "remaining_for_erased -- structurally zero here (the anti-join "
-        "cannot leave an erased user), which is exactly what the report "
-        "must PROVE to an auditor, not assume.  The operation the "
+        "remaining_for_erased, computed by MATERIALIZING the post-erasure "
+        "table and re-joining the survivors against the erasure set -- a "
+        "broken cascade makes the column nonzero, so the report PROVES "
+        "deletion to an auditor instead of assuming it.  The operation the "
         "reference system would have needed the day a deletion request "
         "arrived, expressible as one broadcast anti-join per table (the "
         "erasure set is request-sized); at 100 TB the detail table "
@@ -462,22 +466,32 @@ def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("username")
         .distinct()
-        .withColumn("erased_flag", F.lit(1))
     )
 
+    erase_names = erase.select("username")
+
     def report(df: DataFrame, name: str) -> DataFrame:
-        flagged = df.join(F.broadcast(erase), "username", "left").select(
-            F.coalesce("erased_flag", F.lit(0)).alias("erased")
-        )
-        return flagged.agg(
-            F.lit(name).alias("table_name"),
-            F.count(F.lit(1)).alias("rows_before"),
-            F.sum(F.lit(1) - F.col("erased")).alias("rows_after"),
-            F.sum("erased").alias("rows_removed"),
-            # structurally zero: count erased rows SURVIVING the anti-join
-            F.sum(
-                F.when((F.col("erased") == 1) & F.lit(False), 1).otherwise(0)
-            ).alias("remaining_for_erased"),
+        # the cascade itself: materialize the post-erasure table, then
+        # AUDIT it by re-joining the survivors against the erasure set --
+        # remaining_for_erased counts matches in the materialized output,
+        # so a broken anti-join would surface as a nonzero column, not be
+        # assumed away
+        after = materialize(df.join(F.broadcast(erase_names), "username", "left_anti"))
+        before_cnt = df.agg(F.count(F.lit(1)).alias("rows_before"))
+        after_cnt = after.agg(F.count(F.lit(1)).alias("rows_after"))
+        remaining = after.join(
+            F.broadcast(erase_names), "username", "left_semi"
+        ).agg(F.count(F.lit(1)).alias("remaining_for_erased"))
+        return (
+            before_cnt.crossJoin(F.broadcast(after_cnt))
+            .crossJoin(F.broadcast(remaining))
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_after",
+                (F.col("rows_before") - F.col("rows_after")).alias("rows_removed"),
+                "remaining_for_erased",
+            )
         )
 
     return report(detail, "detail").unionAll(report(summary, "summary"))

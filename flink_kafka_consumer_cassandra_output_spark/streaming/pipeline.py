@@ -842,11 +842,18 @@ def run_dedup_clusters_stream(
         )
 
     def cluster_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # null-text docs stay in the pool with EMPTY shingle sets so they
+        # become singleton vertices, exactly as the batch doc_dedup_clusters
+        # labels them (its vertex set is _docs with no null filter); an
+        # isNotNull filter here would silently drop them from the stream's
+        # labeling and break the documented stream==batch equality.
         new = materialize(
-            batch_df.filter(F.col("text").isNotNull())
-            .select(
+            batch_df.select(
                 "doc_id",
-                F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
+                F.coalesce(
+                    F.array_distinct(TX.word_shingles(F.col("text"), 3)),
+                    F.array().cast("array<string>"),
+                ).alias("sh"),
             )
         )
         new_pfx = materialize(_prefixes(new))
