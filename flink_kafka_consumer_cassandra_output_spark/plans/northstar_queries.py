@@ -1565,7 +1565,19 @@ LEFT JOIN dup_of d ON d.vec_id = a.vec_id"""
         "never all-pairs (comparisons cut ~16x here; at real scale k "
         "grows with the corpus to hold per-bucket cost constant).  Same "
         "training unroll as emb_ann_ivf_trained's oracle, so the whole "
-        "train-assign-compare-keep pipeline is value-hash-checked.",
+        "train-assign-compare-keep pipeline is value-hash-checked.  "
+        "Hot-cluster mitigation (the SCALING.md skew ceiling): EXACT-"
+        "duplicate mass -- the realistic cause of a cluster holding half "
+        "the corpus (mass-replicated boilerplate) -- is compressed to one "
+        "representative per identical-embedding group BEFORE the "
+        "quadratic verify, and the rep-level duplicate relation is "
+        "expanded back to members exactly (the minimum similar id below a "
+        "member is always a group rep or its own rep, so dup_of is "
+        "bit-identical to the uncompressed all-pairs form as long as tau "
+        "is bounded away from 1 by float error; tau=0.35).  The verify is "
+        "therefore quadratic in UNIQUE vectors per bucket, not rows -- "
+        "the skewed-replica probe (SCALING.md table 5c) pins sec/k flat "
+        "when one cluster holds half the corpus.",
     driver=False,  # r8 rotation candidate
     sibling="emb_ann_ivf_trained",
 )
@@ -1591,15 +1603,32 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-co-partitioned self-join with k (the cluster count) grown
     # with the corpus -- parallelism = k and per-task work = one cluster's
     # quadratic block, which is exactly how SemDeDup shards.
-    x = assigned.repartition(spark.sparkContext.defaultParallelism).select(
+    # Fingerprint-first compression: one rep (min vec_id) per group of
+    # bit-identical embeddings.  Identical vectors share every cosine and
+    # the bucket assignment, so the rep-level similar-pair relation plus
+    # the within-group rep link reconstructs dup_of EXACTLY (see doc).
+    grp = Window.partitionBy("embedding")
+    with_rep = assigned.select(
+        "vec_id",
+        "embedding",
+        "bucket",
+        F.min("vec_id").over(grp).alias("rep_id"),
+    )
+    members = with_rep.select("vec_id", "rep_id")
+    reps = materialize(
+        with_rep.filter(F.col("vec_id") == F.col("rep_id")).select(
+            "vec_id", "embedding", "bucket"
+        )
+    )
+    x = reps.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
-    y = assigned.select(
+    y = reps.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    pairs = (
+    rep_pairs = (
         x.join(
             F.broadcast(y),
             (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
@@ -1607,8 +1636,24 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(V.cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(SEMDEDUP_TAU))
         .select("id_a", "id_b")
     )
-    dup_of = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_min")).select(
-        F.col("id_b").alias("vec_id"), "dup_min"
+    # directed rep adjacency: (center rep, similar partner rep)
+    sim = rep_pairs.select(
+        F.col("id_a").alias("ctr"), F.col("id_b").alias("partner")
+    ).unionByName(
+        rep_pairs.select(F.col("id_b").alias("ctr"), F.col("id_a").alias("partner"))
+    )
+    # a member's duplicate candidates below it: partner reps of its group
+    # (identical cosines) plus its own rep when it is not the rep itself
+    cand = members.join(sim, members["rep_id"] == sim["ctr"]).filter(
+        F.col("partner") < F.col("vec_id")
+    ).select("vec_id", F.col("partner").alias("cand"))
+    own = members.filter(F.col("vec_id") != F.col("rep_id")).select(
+        "vec_id", F.col("rep_id").alias("cand")
+    )
+    dup_of = (
+        cand.unionByName(own)
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("dup_min"))
     )
     return (
         assigned.select("vec_id", F.col("bucket").cast("long").alias("bucket"))

@@ -52,16 +52,55 @@ def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "msg_detail_encrypted",
     oracle=None,  # AES not expressible in DuckDB; rows-only even locally.
     doc="O7+O9+O12: full detail rows incl. AES-CBC ciphertext (Encryptor.java:15-28)",
-    # The driver could only count rows here (no DuckDB AES); the AES wire
-    # format itself is driver-checked via msg_crypto_roundtrip (hash-match,
-    # decrypt(encrypt(x)) == x with Java-parity golden KATs in
-    # tests/test_crypto_golden.py), so this slot goes to a hash-matched
-    # query instead.
+    # The driver could only count rows here (no DuckDB AES), BUT the
+    # ciphertext column is pinned row-for-row by the decrypt-side twin
+    # msg_detail_encrypted_verified (same table, cipher column decrypted
+    # in Spark and hash-matched against the oracle's plaintext), and the
+    # AES wire format itself is driver-checked via msg_crypto_roundtrip
+    # with Java-parity golden KATs in tests/test_crypto_golden.py.
     driver=False,
     sibling="msg_crypto_roundtrip",
 )
 def msg_detail_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=True)
+
+
+@register(
+    "msg_detail_encrypted_verified",
+    oracle=f"""
+WITH {_M}
+SELECT
+  msg_id AS message_id,
+  username,
+  jid,
+  strftime(sent_ts, '%Y%m') || 'M' AS date_partition,
+  make_timestamp(sent_time_ms * 1000) AS sent_time,
+  stanza AS stanza_plain
+FROM messages
+WHERE stanza IS NOT NULL
+""",
+    doc="O7+O9+O12 ciphertext pin (VERDICT r7 item 7): the ENCRYPTED "
+        "detail table (msg_detail_encrypted's exact output) with its "
+        "cipher column decrypted back in Spark, hash-matched against the "
+        "oracle's plaintext -- so every row's ciphertext is pinned "
+        "row-for-row (a single corrupted ciphertext fails decrypt-"
+        "equality), not merely counted.  Together with the Java-parity "
+        "golden KATs (tests/test_crypto_golden.py) that pin the wire "
+        "format itself, this is the strongest gate available without AES "
+        "in DuckDB (Encryptor.java:15-28).",
+    driver=False,
+    sibling="msg_crypto_roundtrip",
+)
+def msg_detail_encrypted_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = mp.detail_table(_msgs(spark, sf_dir), encrypt=True)
+    return enc.select(
+        "message_id",
+        "username",
+        "jid",
+        "date_partition",
+        "sent_time",
+        crypto.aes_decrypt_b64(F.col("stanza")).alias("stanza_plain"),
+    )
 
 
 @register(

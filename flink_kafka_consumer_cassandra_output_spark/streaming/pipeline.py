@@ -959,3 +959,190 @@ def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
     df = spark.read.parquet(labels_path)
     mx = df.agg(F.max("_batch_id")).first()[0]
     return df.filter(F.col("_batch_id") == mx).select("v", "lbl")
+
+
+# --------------------------------------------------------------------------
+# Reference x compliance: streaming user-erasure cascade
+# --------------------------------------------------------------------------
+
+def run_user_erasure_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of the batch ``msg_user_erasure`` compliance report:
+    as message batches arrive, the erasure set (usernames selected by the
+    same md5 rule) and the detail/summary state grow, the post-erasure
+    snapshot is re-derived, AUDITED, and the per-table report re-issued.
+
+    Retroactivity is the point: a user can become erased by a message in a
+    LATER batch, which must remove their EARLIER rows from the post-
+    erasure snapshot -- so the report genuinely changes shape across
+    batches and an idempotent re-run on a grown corpus (restart + more
+    chunks) must converge to exactly the batch query's report.
+
+    State model (the ``_batch_id`` dynamic-overwrite pattern shared with
+    the funnel/dedup streams; replayed batches replace their partitions):
+
+    - ``state_dir``           : raw detail rows, one partition per batch;
+    - ``state_dir + "_erase"``: per-batch erased-username deltas;
+    - ``state_dir + "_clean"``: the post-erasure detail SNAPSHOT as of
+      each batch (the materialized cascade output the audit re-scans);
+    - ``state_dir + "_report"``: the 2-row compliance report per batch
+      (``read_erasure_report`` returns the latest).
+
+    Scale posture, stated honestly: the cascade + audit is a full pass
+    over accumulated state per batch -- that is inherent to retroactive
+    erasure (the report's rows_after over OLD rows changes when a user is
+    erased later), and a 100 TB deployment runs this as its periodic
+    compliance job (daily window) rather than per micro-batch; partition
+    pruning on username-bucketed storage bounds the rewrite.  Superseded
+    ``_clean``/``_report`` partitions are dead the moment the next batch
+    commits and can be dropped like the CC staging rounds.
+    """
+    from pyspark.errors import AnalysisException
+
+    detail_path = state_dir
+    erase_path = state_dir + "_erase"
+    clean_path = state_dir + "_clean"
+    report_path = state_dir + "_report"
+
+    detail_schema = (
+        "message_id string, username string, jid string, "
+        "date_partition string, _batch_id int"
+    )
+    erase_schema = "username string, _batch_id int"
+
+    def read_committed(path: str, schema: str) -> DataFrame | None:
+        try:
+            df = spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        if not df.inputFiles():
+            return None
+        return df
+
+    def erasure_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_detail = (
+            mp.detail_table(mp.messages_from_events_df(batch_df), encrypt=False)
+            .drop("stanza")
+            .persist()
+        )
+        try:
+            (
+                new_detail.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(detail_path)
+            )
+            new_erase = (
+                new_detail.filter(
+                    F.conv(
+                        F.substring(F.md5(F.col("message_id")), 1, 8), 16, 10
+                    ).cast("long")
+                    % 101
+                    == 9
+                )
+                .select("username")
+                .distinct()
+            )
+            (
+                new_erase.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(erase_path)
+            )
+
+            stored_detail = read_committed(detail_path, detail_schema)
+            full_detail = stored_detail.filter(
+                F.col("_batch_id") <= batch_id
+            ).drop("_batch_id")
+            stored_erase = read_committed(erase_path, erase_schema)
+            erase_names = (
+                stored_erase.filter(F.col("_batch_id") <= batch_id)
+                .select("username")
+                .distinct()
+            )
+
+            # the cascade: materialize the post-erasure snapshot
+            clean = full_detail.join(
+                F.broadcast(erase_names), "username", "left_anti"
+            )
+            (
+                clean.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(clean_path)
+            )
+            clean_stored = spark.read.parquet(clean_path).filter(
+                F.col("_batch_id") == batch_id
+            )
+
+            summary = full_detail.select(
+                "username", "jid", "date_partition"
+            ).distinct()
+            s_clean = clean_stored.select(
+                "username", "jid", "date_partition"
+            ).distinct()
+
+            def row(df: DataFrame, after: DataFrame, name: str) -> DataFrame:
+                before_cnt = df.agg(F.count(F.lit(1)).alias("rows_before"))
+                after_cnt = after.agg(F.count(F.lit(1)).alias("rows_after"))
+                # the audit re-scans the MATERIALIZED snapshot
+                remaining = after.join(
+                    F.broadcast(erase_names), "username", "left_semi"
+                ).agg(F.count(F.lit(1)).alias("remaining_for_erased"))
+                return (
+                    before_cnt.crossJoin(F.broadcast(after_cnt))
+                    .crossJoin(F.broadcast(remaining))
+                    .select(
+                        F.lit(name).alias("table_name"),
+                        "rows_before",
+                        "rows_after",
+                        (F.col("rows_before") - F.col("rows_after")).alias(
+                            "rows_removed"
+                        ),
+                        "remaining_for_erased",
+                    )
+                )
+
+            report = row(full_detail, clean_stored.drop("_batch_id"), "detail").unionAll(
+                row(summary, s_clean, "summary")
+            )
+            (
+                report.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(report_path)
+            )
+        finally:
+            new_detail.unpersist()
+
+    ev = stream_events(spark, input_dir)
+    return (
+        ev.writeStream.foreachBatch(erasure_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("user_erasure_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_erasure_report(spark: SparkSession, report_path: str) -> DataFrame:
+    """The current compliance report: the latest committed batch's rows."""
+    df = spark.read.parquet(report_path)
+    mx = df.agg(F.max("_batch_id")).first()[0]
+    return df.filter(F.col("_batch_id") == mx).drop("_batch_id")

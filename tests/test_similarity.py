@@ -459,3 +459,102 @@ def test_int8_quantized_search_preserves_neighbors(spark, sf_dir):
     recalls = [len(full[q] & quant[q]) / 5 for q in full]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.8, f"int8 search recall {mean_recall:.2f}"
+
+
+def test_semdedup_fingerprint_compression_exact_on_duplicate_mass(
+    spark, sf_dir, tmp_path
+):
+    """The fingerprint-first compression in emb_semantic_dedup must be
+    invisible in the RESULT: on a corpus where one cluster holds half the
+    rows as bit-identical copies (the boilerplate-mass skew case the
+    compression exists for), the compressed pipeline's output must equal
+    the uncompressed all-pairs-within-bucket form row-for-row.  The
+    fixture itself has no exact duplicates, so without this test the
+    compression path would be gate-vacuous."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_kafka_consumer_cassandra_output_spark.operators import (
+        similarity as SIM,
+    )
+    from flink_kafka_consumer_cassandra_output_spark.functions import vectors as V
+    from flink_kafka_consumer_cassandra_output_spark.plans.northstar_queries import (
+        SEMDEDUP_TAU,
+    )
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    n = base.num_rows
+    # replicate vectors 0..4, 100 copies each, under fresh ids: ~half the
+    # augmented corpus is exact-duplicate mass landing in a few buckets
+    src = base.to_pylist()
+    dup_rows = []
+    nxt = n
+    for v in src[:5]:
+        for _ in range(100):
+            dup_rows.append(
+                {"vec_id": nxt, "embedding": v["embedding"], "label": v["label"]}
+            )
+            nxt += 1
+    aug = pa.concat_tables([base, pa.Table.from_pylist(dup_rows, schema=base.schema)])
+    aug_sf = tmp_path / "sf_aug"
+    aug_sf.mkdir()
+    pq.write_table(aug, str(aug_sf / "embeddings.parquet"))
+
+    got = (
+        all_specs()["emb_semantic_dedup"]
+        .builder(spark, str(aug_sf))
+        .collect()
+    )
+
+    # uncompressed reference: the pre-r8 all-pairs-within-bucket form
+    e = spark.read.parquet(str(aug_sf / "embeddings.parquet"))
+    corpus = e.select("vec_id", "embedding")
+    cent = SIM.ivf_train(corpus, k=16)
+    c = corpus.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("embedding"),
+    )
+    assigned = SIM.ivf_assign(c, cent).localCheckpoint(eager=True)
+    x = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        x.join(
+            F.broadcast(y),
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(V.cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(SEMDEDUP_TAU))
+        .select("id_a", "id_b")
+    )
+    dup_of = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_min")).select(
+        F.col("id_b").alias("vec_id"), "dup_min"
+    )
+    want = (
+        assigned.select("vec_id", F.col("bucket").cast("long").alias("bucket"))
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce("dup_min", F.lit(-1)).cast("long").alias("dup_of"),
+            F.col("dup_min").isNull().cast("int").alias("is_kept"),
+        )
+        .collect()
+    )
+    got_set = {tuple(r) for r in got}
+    want_set = {tuple(r) for r in want}
+    assert len(got) == len(want) == n + 500
+    assert got_set == want_set, (
+        f"{len(got_set ^ want_set)} rows differ between compressed and "
+        f"uncompressed SemDeDup on duplicate-mass corpus"
+    )
+    # non-vacuous: the duplicate mass must actually be deduplicated
+    dup_ids = {r.vec_id for r in got if r.vec_id >= n}
+    assert all(r.dup_of != -1 for r in got if r.vec_id >= n), (
+        "every injected copy must be marked a duplicate"
+    )
+    assert len(dup_ids) == 500

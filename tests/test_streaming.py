@@ -664,3 +664,78 @@ def test_dedup_clusters_stream_matches_batch(spark, sf_dir, doc_chunks, tmp_path
         "no cluster spans micro-batches in this fixture split; the "
         "cross-batch merge was never exercised"
     )
+
+
+def test_user_erasure_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path):
+    """The streaming compliance report after the stream drains (across a
+    mid-stream restart) equals the batch msg_user_erasure report on the
+    full corpus row-for-row.  Retroactivity is exercised by construction:
+    users whose erasure-triggering message arrives in a late chunk must
+    have their EARLY rows removed from the final snapshot -- the
+    idempotent re-run-on-a-grown-corpus path VERDICT r7 item 8 names."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "erasure_state"
+    cp = tmp_path / "cp_erasure"
+    input_dir.mkdir()
+
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_user_erasure_stream(spark, str(input_dir), str(state), str(cp)))
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_user_erasure_stream(spark, str(input_dir), str(state), str(cp)))
+
+    streamed = {
+        tuple(r)
+        for r in sp.read_erasure_report(spark, str(state) + "_report").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_specs()["msg_user_erasure"].builder(spark, sf_dir).collect()
+    }
+    assert streamed == batch, f"stream {sorted(streamed)} != batch {sorted(batch)}"
+    # the audit column must be zero BECAUSE the cascade worked, and the
+    # erasure must be non-vacuous (some rows actually removed)
+    by_name = {r[0]: r for r in streamed}
+    for name in ("detail", "summary"):
+        assert by_name[name][4] == 0
+        assert by_name[name][3] > 0, f"{name}: erasure removed nothing"
+    # retroactivity non-vacuity: at least one erased user must have rows
+    # in phase-1 chunks but acquire erasure only in a phase-2 chunk --
+    # replaying the rule over per-chunk message sets
+    from flink_kafka_consumer_cassandra_output_spark.operators import (
+        message_pipeline as mp,
+    )
+
+    def chunk_frames(ci):
+        import pyarrow.parquet as pq_  # noqa: F401
+        path = str(tmp_path / f"probe_chunk{ci}.parquet")
+        pq.write_table(event_chunks[ci], path)
+        ev = spark.read.schema(sp.EVENTS_STREAM_SCHEMA).parquet(path)
+        d = mp.detail_table(mp.messages_from_events_df(ev), encrypt=False).drop("stanza")
+        users = {r.username for r in d.select("username").distinct().collect()}
+        erased = {
+            r.username
+            for r in d.filter(
+                F.conv(F.substring(F.md5(F.col("message_id")), 1, 8), 16, 10)
+                .cast("long") % 101 == 9
+            ).select("username").distinct().collect()
+        }
+        return users, erased
+
+    early_users, early_erased = set(), set()
+    for ci in range(2):
+        u, e = chunk_frames(ci)
+        early_users |= u
+        early_erased |= e
+    late_erased = set()
+    for ci in range(2, N_CHUNKS):
+        _, e = chunk_frames(ci)
+        late_erased |= e
+    retro = (late_erased - early_erased) & early_users
+    assert retro, (
+        "no user acquires erasure in phase 2 while having phase-1 rows; "
+        "the retroactive-removal path went unexercised by this fixture split"
+    )

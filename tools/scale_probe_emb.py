@@ -217,12 +217,133 @@ def probe_semdedup_sharded(spark: SparkSession, probe_dir: str) -> DataFrame:
     )
 
 
+_SKEWED_CACHE: dict = {}
+
+
+def _skewed_corpus(spark: SparkSession, probe_dir: str) -> DataFrame:
+    """Each replica's corpus DOUBLED with exact copies of its vector 0:
+    one IVF bucket per replica ends up holding more than half that
+    replica's rows -- the mass-duplicated-boilerplate pathology the
+    SemDeDup skew ceiling names.  Checkpointed so probe repeats time the
+    dedup, not the corpus build."""
+    if probe_dir in _SKEWED_CACHE:
+        return _SKEWED_CACHE[probe_dir]
+    c = _corpus(spark, probe_dir).withColumn(
+        "rep", (F.col("vec_id") / ID_SPACE).cast("long")
+    )
+    n_per_rep = c.filter(F.col("rep") == 0).count()
+    seed = c.filter(F.col("vec_id") % ID_SPACE == 0)
+    copies = seed.crossJoin(
+        F.broadcast(spark.range(n_per_rep).select(F.col("id").alias("i")))
+    ).select(
+        (F.col("rep") * ID_SPACE + F.lit(10_000_000) + F.col("i")).alias("vec_id"),
+        "embedding",
+        "rep",
+    )
+    out = (
+        c.select("vec_id", "embedding", "rep")
+        .unionByName(copies)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    _SKEWED_CACHE[probe_dir] = out
+    return out
+
+
+def _skewed_assigned(spark: SparkSession, probe_dir: str) -> DataFrame:
+    """Per-replica seed-codebook assignment of the skewed corpus (same
+    assignment machinery as probe_semdedup_sharded)."""
+    c = _skewed_corpus(spark, probe_dir)
+    cent = c.filter(F.col("vec_id") % ID_SPACE < 16).select(
+        F.col("rep").alias("c_rep"),
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    j = c.join(cent, F.col("rep") == F.col("c_rep"))
+    cos = SIM.vectors.cosine(F.col("embedding"), F.col("cent_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    return (
+        j.select("rep", "vec_id", "embedding", "cent_id", cos.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rep", "vec_id", "embedding", F.col("cent_id").alias("bucket"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _pairs_within(assigned: DataFrame) -> DataFrame:
+    x = assigned.select(
+        F.col("rep").alias("r_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("bucket").alias("b_a"),
+    )
+    y = assigned.select(
+        F.col("rep").alias("r_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("b_b"),
+    )
+    return (
+        x.join(
+            y,
+            (F.col("r_a") == F.col("r_b"))
+            & (F.col("b_a") == F.col("b_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(SIM.vectors.cosine(F.col("emb_a"), F.col("emb_b")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+
+def probe_semdedup_skewed_uncompressed(spark: SparkSession, probe_dir: str) -> DataFrame:
+    """Table 5c skew CONTRAST row: the pre-mitigation all-pairs verify on
+    the skewed corpus.  The hot bucket holds >n_per_rep identical rows,
+    so its task does a quadratic block of ~n^2/2 cosine folds -- this row
+    is expected to blow past the unskewed band and NOT flatten with k."""
+    return _pairs_within(_skewed_assigned(spark, probe_dir))
+
+
+def probe_semdedup_skewed_compressed(spark: SparkSession, probe_dir: str) -> DataFrame:
+    """Table 5c skew row: emb_semantic_dedup's r8 fingerprint-first
+    compression on the skewed corpus.  Identical-embedding groups
+    collapse to their min-id rep before the (rep, bucket) verify, so the
+    hot bucket contributes ~1 rep and sec/k stays in the unskewed row's
+    band; the member-level dup_of expansion (exact, see the registered
+    query's docstring) is included in the timed pipeline."""
+    assigned = _skewed_assigned(spark, probe_dir)
+    grp = Window.partitionBy("rep", "embedding")
+    with_rep = assigned.withColumn("rep_id", F.min("vec_id").over(grp))
+    members = with_rep.select("vec_id", "rep_id")
+    reps = with_rep.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "rep", "vec_id", "embedding", "bucket"
+    )
+    rep_pairs = _pairs_within(reps)
+    sim = rep_pairs.select(
+        F.col("id_a").alias("ctr"), F.col("id_b").alias("partner")
+    ).unionByName(
+        rep_pairs.select(F.col("id_b").alias("ctr"), F.col("id_a").alias("partner"))
+    )
+    cand = (
+        members.join(sim, members["rep_id"] == sim["ctr"])
+        .filter(F.col("partner") < F.col("vec_id"))
+        .select("vec_id", F.col("partner").alias("cand"))
+    )
+    own = members.filter(F.col("vec_id") != F.col("rep_id")).select(
+        "vec_id", F.col("rep_id").alias("cand")
+    )
+    return cand.unionByName(own).groupBy("vec_id").agg(F.min("cand").alias("dup_min"))
+
+
 PROBES = (
     ("5a", "cosine_topk_arrow_fixedq", probe_arrow_fixed),
     ("5a", "ann_ivf_trained_fixedq", probe_ivf_fixed),
     ("5a", "ann_lsh_fixedq", probe_lsh_fixed),
     ("5b", "cosine_topk_replica_sharded", probe_arrow_sharded),
     ("5b", "semdedup_replica_sharded", probe_semdedup_sharded),
+    ("5c-skew", "semdedup_skewed_uncompressed", probe_semdedup_skewed_uncompressed),
+    ("5c-skew", "semdedup_skewed_compressed", probe_semdedup_skewed_compressed),
 )
 
 
