@@ -357,6 +357,12 @@ def main() -> None:
     print("| table | k | corpus | probe | result rows | seconds | sec/k |")
     print("|---|---|---|---|---|---|---|")
     for table, name, fn in PROBES:
+        if name == "semdedup_skewed_uncompressed" and k > 4:
+            # the quadratic contrast row is established at k=1,2,4; at k=8
+            # it alone would cost ~10 min of probe wall-clock for no new
+            # information (its sec/k GROWS -- that is the point)
+            print(f"| {table} | {k} | {n} | {name} | - | skipped | - |")
+            continue
         fn(spark, probe_dir).write.format("noop").mode("overwrite").save()  # warm-up
         best = float("inf")
         for _ in range(REPEATS):
