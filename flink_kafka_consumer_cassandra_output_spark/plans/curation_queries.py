@@ -1358,3 +1358,100 @@ def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic sampling via distributed prefix sum (round 8)
+# --------------------------------------------------------------------------
+
+#: Sample points per language stratum (fixed; shared with the oracle).
+WSAMPLE_K = 10
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT lang, doc_id,
+         COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS weight
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, weight,
+         SUM(weight) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(weight) OVER (PARTITION BY lang) AS total
+  FROM w
+), sel AS (
+  SELECT lang, doc_id, weight,
+         CAST(((2 * {WSAMPLE_K} * cum + total) // (2 * total))
+            - ((2 * {WSAMPLE_K} * (cum - weight) + total) // (2 * total))
+            AS BIGINT) AS n_copies
+  FROM c WHERE total > 0
+)
+SELECT lang, doc_id, weight, n_copies FROM sel WHERE n_copies >= 1
+""",
+    doc="Weighted systematic sampling (the particle-filter resampling "
+        "scheme): per language stratum, K sample points sit at odd "
+        "multiples of total_weight/2K along the cumulative token-weight "
+        "axis; a document is drawn once per point inside its weight "
+        "interval, so selection probability is exactly proportional to "
+        "weight, heavy documents can be drawn n_copies>1 times, and the "
+        "whole draw is integer arithmetic -- no RNG, no transcendental "
+        "priority keys, bit-identical across engines.  The cumulative "
+        "weight is a DISTRIBUTED PREFIX SUM, not a per-stratum sequential "
+        "window: range-repartition by (lang, doc_id), per-partition "
+        "partial sums, prefix the TINY (one row per partition x stratum) "
+        "partials frame, broadcast the offsets back, then cumsum within "
+        "each partition -- parallelism scales with partition count, never "
+        "with stratum count, so one dominant language cannot serialize "
+        "the scan the way Window.partitionBy(lang) would.  The final "
+        "within-partition window does shuffle on (pid, lang), but those "
+        "keys are one range-partition's rows each -- balanced by "
+        "construction.  Complements doc_stratified_sample (hash quotas: "
+        "uniform within stratum) and doc_temperature_mixing (computes "
+        "weights; this query consumes them).",
+    driver=False,
+    sibling="doc_temperature_mixing",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "lang",
+        "doc_id",
+        F.coalesce(
+            F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(0)
+        ).alias("weight"),
+    )
+    nparts = max(2, d.sparkSession.sparkContext.defaultParallelism)
+    parts = w.repartitionByRange(nparts, "lang", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    psums = parts.groupBy("pid", "lang").agg(F.sum("weight").alias("psum"))
+    wo = Window.partitionBy("lang").orderBy("pid")
+    offsets = psums.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("psum").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("total", F.sum("psum").over(Window.partitionBy("lang")))
+    joined = parts.join(
+        F.broadcast(offsets.select("pid", "lang", "offset", "total")),
+        ["pid", "lang"],
+    )
+    win = Window.partitionBy("pid", "lang").orderBy("doc_id")
+    cum = (F.col("offset") + F.sum("weight").over(win)).alias("cum")
+    k2 = 2 * WSAMPLE_K
+    return (
+        joined.select("lang", "doc_id", "weight", "total", cum)
+        .filter(F.col("total") > 0)
+        .selectExpr(
+            "lang",
+            "doc_id",
+            "weight",
+            f"cast((({k2} * cum + total) div (2 * total))"
+            f" - (({k2} * (cum - weight) + total) div (2 * total))"
+            " as bigint) as n_copies",
+        )
+        .filter(F.col("n_copies") >= 1)
+    )

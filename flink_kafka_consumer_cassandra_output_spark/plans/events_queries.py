@@ -998,3 +998,206 @@ def ev_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.maxdev").alias("max_abs_dev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 temporal table from a changelog (round 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ev_scd2_user_state",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_state IS NOT DISTINCT FROM event_type
+                 THEN 0 ELSE 1 END AS chg
+  FROM ordered
+), versioned AS (
+  SELECT user_id, event_type, ts, chg,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+), islands AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         event_type AS state,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM versioned GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       n_events,
+       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+          IS NULL) AS is_current
+FROM islands
+""",
+    doc="Changelog -> SCD2 temporal dimension: per-user event stream "
+        "collapsed into state-validity intervals (gaps-and-islands: "
+        "null-safe lag-change flag, running-sum island id, interval "
+        "assembly via lead over versions).  A user of the reference's "
+        "upsert sink (CassandraOutputFormat.java:66-97 overwrites the "
+        "latest row per key) gets the history-preserving variant here: "
+        "valid_from/valid_to half-open intervals, is_current on the open "
+        "row.  Scale: one shuffle on user_id serves BOTH stacked windows "
+        "(same partitioning+ordering -> one sort, Catalyst fuses them); "
+        "the islands groupBy keys on (user_id, version) -- a superset of "
+        "user_id, so AQE-coalesced local aggregation follows the same "
+        "exchange; no per-user data ever funnels through one task wider "
+        "than that user's own history.",
+    driver=False,
+    sibling="ev_ts_pattern_match",
+)
+def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.eqNullSafe(F.col("event_type")), 0).otherwise(1)
+    versioned = ev.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = versioned.groupBy(
+        "user_id", F.col("version").cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return islands.select(
+        "user_id", "version", "state", "valid_from",
+        valid_to.alias("valid_to"), "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout planning + data-skipping index (round 8)
+# --------------------------------------------------------------------------
+
+#: Z-order knobs shared by builder, oracle, and tests/test_zorder.py.
+ZORDER_DIM_BITS = 16          # each dimension quantized to 16 bits
+ZORDER_BUCKET_SHIFT = 26      # top 6 z bits -> up to 64 buckets (8x8 grid)
+_HOUR_US = 3_600_000_000
+
+
+def _spread16_sql(x: str) -> str:
+    """DuckDB SQL spreading a 16-bit int so its bits occupy even positions."""
+    a = f"(({x} | ({x} << 8)) & 16711935)"        # 0x00FF00FF
+    b = f"(({a} | ({a} << 4)) & 252645135)"       # 0x0F0F0F0F
+    c = f"(({b} | ({b} << 2)) & 858993459)"       # 0x33333333
+    return f"(({c} | ({c} << 1)) & 1431655765)"   # 0x55555555
+
+
+def _spread16_col(x):
+    """Same bit spread as :func:`_spread16_sql`, Spark column side."""
+    a = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    b = (a.bitwiseOR(F.shiftleft(a, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (b.bitwiseOR(F.shiftleft(b, 2))).bitwiseAND(F.lit(0x33333333))
+    return (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+
+
+def _zorder_dims(ev: DataFrame) -> DataFrame:
+    """Per-event z-order coordinates: both dimensions RANGE-QUANTIZED to the
+    full 16 bits against the corpus min/max (raw values would cluster in the
+    low bits and collapse every row into z-bucket 0), then bit-interleaved.
+    All arithmetic is integer (`div`, shifts, masks) so the quantization is
+    bit-exact cross-engine; the one-row min/max stats frame rides a
+    broadcast, the same shape as doc_bm25_topk's corpus-stats crossJoin."""
+    raw = ev.select(
+        "event_id",
+        F.col("user_id").alias("u"),
+        # integer `div`, never float `/`: a double quotient near an exact
+        # hour boundary could round up and flip the bucket after the cast
+        F.expr(f"unix_micros(ts) div {_HOUR_US}L").alias("h"),
+    )
+    stats = raw.agg(
+        F.min("u").alias("u_lo"), F.max("u").alias("u_hi"),
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi"),
+    )
+    q = raw.crossJoin(F.broadcast(stats)).selectExpr(
+        "event_id",
+        "cast(((u - u_lo) * 65535) div greatest(u_hi - u_lo, 1) as bigint) as ub",
+        "cast(((h - h_lo) * 65535) div greatest(h_hi - h_lo, 1) as bigint) as hb",
+    )
+    z = (
+        F.shiftleft(_spread16_col(F.col("ub")), 1)
+        .bitwiseOR(_spread16_col(F.col("hb")))
+        .alias("zvalue")
+    )
+    return q.select(
+        "event_id", "ub", "hb", z
+    ).withColumn("zbucket", F.shiftright(F.col("zvalue"), ZORDER_BUCKET_SHIFT))
+
+
+_ZQUANT_SQL = """
+raw AS (
+  SELECT event_id, user_id AS u,
+         (epoch_us(ts) // {hour_us}) AS h
+  FROM events
+), st AS (
+  SELECT MIN(u) AS u_lo, MAX(u) AS u_hi, MIN(h) AS h_lo, MAX(h) AS h_hi
+  FROM raw
+), dims AS (
+  SELECT event_id,
+         (((u - u_lo) * 65535) // GREATEST(u_hi - u_lo, 1)) AS ub,
+         (((h - h_lo) * 65535) // GREATEST(h_hi - h_lo, 1)) AS hb
+  FROM raw, st
+)"""
+
+
+@register(
+    "ev_zorder_layout",
+    oracle=f"""
+WITH {_ZQUANT_SQL.format(hour_us=_HOUR_US)}, z AS (
+  SELECT event_id, ub, hb,
+         (({_spread16_sql("ub")} << 1) | {_spread16_sql("hb")}) AS zvalue
+  FROM dims
+)
+SELECT (zvalue >> {ZORDER_BUCKET_SHIFT}) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ub) AS u_min, MAX(ub) AS u_max,
+       MIN(hb) AS h_min, MAX(hb) AS h_max,
+       MIN(zvalue) AS z_min, MAX(zvalue) AS z_max
+FROM z GROUP BY 1
+""",
+    doc="Z-order (Morton) layout planner: range-quantize (user_id, event "
+        "hour) to 16 bits each against corpus min/max, interleave the bits "
+        "into one clustering key, then emit the per-bucket min/max "
+        "statistics table -- the data-skipping index a lakehouse write "
+        "would persist.  Because z-buckets are grid cells in (user, hour) "
+        "space, BOTH a user-range and a time-range predicate map to a "
+        "small set of candidate buckets via this stats table (a 1-D sort "
+        "key prunes only its own dimension); tests/test_zorder.py measures "
+        "exactly that: the same box query touches <40% of z-buckets but "
+        "100% of time-only buckets, and the pruned read is lossless.  The "
+        "quantization and bit spread are integer shift/mask arithmetic "
+        "(JVM-side, whole-stage codegen) after one tiny broadcast of the "
+        "4-value min/max frame; plan is two scans (stats + coords) + one "
+        "shuffle on zbucket with map-side partial min/max.  At 100 TB the "
+        "write path is repartitionByRange(zvalue) so parquet row-group "
+        "min/max footers carry tight ranges on both dimensions -- this "
+        "query IS that index build.",
+    driver=False,
+    sibling="ev_tumbling_hourly",
+)
+def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_z = _zorder_dims(_ev(spark, sf_dir))
+    return (
+        with_z.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ub").alias("u_min"), F.max("ub").alias("u_max"),
+            F.min("hb").alias("h_min"), F.max("hb").alias("h_max"),
+            F.min("zvalue").alias("z_min"), F.max("zvalue").alias("z_max"),
+        )
+    )

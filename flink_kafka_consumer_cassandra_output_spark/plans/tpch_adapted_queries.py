@@ -1024,3 +1024,109 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint suite (round 8)
+# --------------------------------------------------------------------------
+
+#: Declarative constraint thresholds, shared by builder and oracle.  The
+#: suite deliberately contains constraints that PASS and constraints that
+#: FAIL on the fixture (uniqueness_o_custkey fails by design: orders:customer
+#: is many:1), so the `satisfied` column is non-vacuous in both directions.
+DQ_MAX_TOTALPRICE = 600_000.0
+
+
+@register(
+    "dq_constraint_suite",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(o_custkey) AS BIGINT) AS nc,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS dok,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dck,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+              AS BIGINT) AS ncomp,
+         MAX(o_totalprice) AS mx
+  FROM orders
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nviol
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT constraint_name, metric, satisfied FROM (
+  SELECT 'completeness_o_custkey' AS constraint_name,
+         CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+         nc = n AS satisfied FROM a
+  UNION ALL SELECT 'uniqueness_o_orderkey',
+         CAST(dok AS DOUBLE) / CAST(n AS DOUBLE), dok = n FROM a
+  UNION ALL SELECT 'uniqueness_o_custkey',
+         CAST(dck AS DOUBLE) / CAST(n AS DOUBLE), dck = n FROM a
+  UNION ALL SELECT 'compliance_o_orderstatus',
+         CAST(ncomp AS DOUBLE) / CAST(n AS DOUBLE), ncomp = n FROM a
+  UNION ALL SELECT 'bound_o_totalprice_max',
+         mx, mx <= {DQ_MAX_TOTALPRICE!r} FROM a
+  UNION ALL SELECT 'referential_o_custkey',
+         CAST(nviol AS DOUBLE), nviol = 0 FROM a, v
+)
+""",
+    doc="Declarative data-quality constraint engine (the Deequ/dbt-test "
+        "shape): completeness, key uniqueness, domain compliance, value "
+        "bounds, and referential integrity evaluated as ONE metrics "
+        "aggregate over the fact table plus ONE anti-join for the RI "
+        "probe, then unpivoted to (constraint_name, metric, satisfied) "
+        "rows.  Every ratio is a single division of exact BIGINT counts "
+        "(IEEE-exact cross-engine).  Scale: the metrics pass is a single "
+        "scan with map-side partials (the two COUNT DISTINCTs share one "
+        "Expand); the anti-join shuffles on custkey exactly like q22's -- "
+        "no hint, AQE picks the strategy, and a constraint report over "
+        "100 TB costs two scans regardless of how many constraints the "
+        "suite declares.  The 1-row x 1-row combine is a "
+        "BroadcastNestedLoopJoin over scalars, not a data cross product.",
+    driver=False,
+    sibling="q22_dormant_accounts",
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    a = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nc"),
+        F.countDistinct("o_orderkey").alias("dok"),
+        F.countDistinct("o_custkey").alias("dck"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("ncomp"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    v = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("nviol"))
+    row = a.crossJoin(v)
+    n_d = F.col("n").cast("double")
+
+    def _ratio(num) -> F.Column:
+        return num.cast("double") / n_d
+
+    checks = [
+        ("completeness_o_custkey", _ratio(F.col("nc")), F.col("nc") == F.col("n")),
+        ("uniqueness_o_orderkey", _ratio(F.col("dok")), F.col("dok") == F.col("n")),
+        ("uniqueness_o_custkey", _ratio(F.col("dck")), F.col("dck") == F.col("n")),
+        ("compliance_o_orderstatus", _ratio(F.col("ncomp")), F.col("ncomp") == F.col("n")),
+        ("bound_o_totalprice_max", F.col("mx"), F.col("mx") <= F.lit(DQ_MAX_TOTALPRICE)),
+        ("referential_o_custkey", F.col("nviol").cast("double"), F.col("nviol") == 0),
+    ]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint_name"),
+                metric.alias("metric"),
+                sat.alias("satisfied"),
+            )
+            for name, metric, sat in checks
+        ]
+    )
+    return (
+        row.select(F.explode(structs).alias("c"))
+        .select("c.constraint_name", "c.metric", "c.satisfied")
+    )
