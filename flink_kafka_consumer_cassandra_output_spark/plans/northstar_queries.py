@@ -2379,3 +2379,204 @@ def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFr
         err.alias("abs_err"),
         (err <= F.lit(0.375)).alias("within_tol"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (round 8)
+# --------------------------------------------------------------------------
+
+#: PQ knobs (fixture embeddings are 64-dim): M subspaces x SUBDIM dims,
+#: K centroids per subspace codebook, seed codebook = subvectors of
+#: vec_id < K (same seed convention as the untrained emb_ann_ivf).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+PQ_TOPK = 5
+PQ_SHORTLIST = 20
+PQ_NQUERIES = 10
+
+
+def _pq_oracle() -> str:
+    subs = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        subs.append(
+            f"SELECT vec_id, {m} AS m, emb[{lo}:{hi}] AS sv FROM e"
+        )
+    sub_union = "\nUNION ALL ".join(subs)
+    l2 = _l2sq_sql
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+), sub AS (
+  {sub_union}
+), cb AS (
+  SELECT m, vec_id AS cent_id, sv AS cent_sv FROM sub WHERE vec_id < {PQ_K}
+), codes AS (
+  SELECT vec_id, m, cent_id AS code FROM (
+    SELECT s.vec_id, s.m, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {l2('s.sv', 'c.cent_sv')} ASC, c.cent_id
+           ) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, m, sv AS q_sv FROM sub
+  WHERE vec_id < {PQ_NQUERIES}
+), dt AS (
+  SELECT q.query_id, c.m, c.cent_id, {l2('q.q_sv', 'c.cent_sv')} AS term
+  FROM q JOIN cb c ON c.m = q.m
+), terms AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id,
+         list(d.term ORDER BY d.m) AS ts
+  FROM codes k JOIN dt d ON d.m = k.m AND d.cent_id = k.code
+  WHERE d.query_id <> k.vec_id
+  GROUP BY d.query_id, k.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(ts, (x, y) -> x + y) AS adc_dist
+  FROM terms
+), shortlist AS (
+  SELECT query_id, neighbor_id, adc_dist FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+    ) AS arn FROM scored
+  ) WHERE arn <= {PQ_SHORTLIST}
+)
+SELECT query_id, neighbor_id, l2_dist, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT s.query_id, s.neighbor_id, s.adc_dist,
+         {l2('eq.emb', 'en.emb')} AS l2_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {l2('eq.emb', 'en.emb')} ASC, s.neighbor_id
+         ) AS rank
+  FROM shortlist s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e en ON en.vec_id = s.neighbor_id
+) WHERE rank <= {PQ_TOPK}"""
+
+
+@register(
+    "emb_pq_adc",
+    oracle=_pq_oracle(),
+    doc="Product quantization + asymmetric distance computation with "
+        "exact shortlist re-rank (the IVF-PQ architecture): each 64-dim "
+        "vector is encoded as M=8 sub-codes (one argmin-L2 codebook of "
+        "K=16 per 8-dim subspace; 4 bits/code => 4 bytes per vector vs "
+        "256 raw, a 64x compression).  The SCAN runs entirely on the "
+        "code table: per query, an M x K distance table of subspace L2 "
+        "terms is computed once against the codebooks, each candidate's "
+        "ADC distance is the m-ordered sequential fold of its codes' "
+        "table entries, and only the ADC top-PQ_SHORTLIST survivors are "
+        "re-ranked by exact L2 against their raw vectors -- |Q| x 20 "
+        "vector fetches, not a corpus scan.  At 100 TB the float vectors "
+        "stay cold behind the 64x-smaller code table and the distance "
+        "tables (|Q| x M x K doubles) ride a broadcast.  Seed codebooks "
+        "(subvectors of vec_id < K, the emb_ann_ivf convention) keep the "
+        "oracle a single unroll; the Lloyd-trained drop-in is "
+        "similarity.ivf_train per subspace, exactly as "
+        "emb_ann_ivf_trained layers it over the same seed.  Recall vs "
+        "exact L2 top-k is pinned in tests/test_similarity.py (0.56 "
+        "measured on the isotropic fixture -- the hardest case for a "
+        "quantizer; clustered real embeddings quantize far tighter).",
+    driver=False,
+    sibling="emb_ann_ivf_trained",
+)
+def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("emb"),
+    )
+    slices = F.array(
+        *[
+            F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for m in range(PQ_M)
+        ]
+    )
+    sub = e.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cent_sv")
+    )
+
+    def _l2sq(a, b):
+        diff = F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda x, y: x + y)
+
+    wc = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d2"), F.asc("cent_id")
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m", "cent_id",
+            _l2sq(F.col("sv"), F.col("cent_sv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cent_id").alias("code"))
+    )
+    q = sub.filter(F.col("vec_id") < PQ_NQUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("q_sv")
+    )
+    dt = q.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "cent_id",
+        _l2sq(F.col("q_sv"), F.col("cent_sv")).alias("term"),
+    )
+    terms = (
+        codes.join(
+            F.broadcast(dt),
+            (codes["m"] == dt["m"]) & (codes["code"] == dt["cent_id"])
+            & (dt["query_id"] != codes["vec_id"]),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            codes["m"].alias("m"), "term",
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("m", "term"))).alias("ts")
+        )
+    )
+    # mirror DuckDB list_reduce: fold starts FROM the first element
+    n = F.size(F.col("ts"))
+    adc = F.aggregate(
+        F.slice(F.col("ts"), 2, n - 1),
+        F.element_at(F.col("ts"), 1)["term"],
+        lambda acc, s: acc + s["term"],
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        terms.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= PQ_SHORTLIST)
+        .drop("arn")
+    )
+    # exact re-rank of the shortlist: the only point where raw vectors are
+    # touched at query time -- |Q| x PQ_SHORTLIST rows, not the corpus
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(eq), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            _l2sq(F.col("q_emb"), F.col("n_emb")).alias("l2_dist"),
+            "adc_dist",
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+    )

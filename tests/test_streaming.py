@@ -739,3 +739,67 @@ def test_user_erasure_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path
         "no user acquires erasure in phase 2 while having phase-1 rows; "
         "the retroactive-removal path went unexercised by this fixture split"
     )
+
+
+def test_scd2_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path):
+    """The incrementally-maintained SCD2 table equals the batch
+    ev_scd2_user_state output row-for-row after the stream drains, across
+    a mid-stream restart.  Exactness rests on ts-ordered arrival making
+    closed intervals immutable: each batch re-islands only (open row as
+    synthetic changelog entry + new events).  Both cross-batch paths are
+    asserted non-vacuous below: an open interval EXTENDED by a same-state
+    event in a later chunk, and one CLOSED by a changed state."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "scd2_state"
+    cp = tmp_path / "cp_scd2"
+    input_dir.mkdir()
+
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_scd2_stream(spark, str(input_dir), str(state), str(cp)))
+    # restart with the rest of the corpus: committed batches must replay
+    # deterministically (state reads exclude each batch's own partition)
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_scd2_stream(spark, str(input_dir), str(state), str(cp)))
+
+    cols = ("user_id", "version", "state", "valid_from", "valid_to",
+            "n_events", "is_current")
+    streamed = {
+        tuple(r[c] for c in cols)
+        for r in sp.read_scd2_state(spark, str(state) + "_scd2").collect()
+    }
+    batch = {
+        tuple(r[c] for c in cols)
+        for r in all_specs()["ev_scd2_user_state"].builder(spark, sf_dir).collect()
+    }
+    assert len(streamed) == len(batch)
+    assert streamed == batch, f"{len(streamed ^ batch)} SCD2 rows differ"
+
+    # non-vacuity: both incremental paths must occur across chunk
+    # boundaries in this fixture split, or the merge logic went untested
+    chunk_of = {}
+    for ci, tbl in enumerate(event_chunks):
+        for eid in tbl.column("event_id").to_pylist():
+            chunk_of[eid] = ci
+    ordered = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for tbl in event_chunks
+            for r in tbl.to_pylist()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    extends = closes = 0
+    for a, b in zip(ordered, ordered[1:]):
+        if a[0] != b[0]:
+            continue
+        if chunk_of[a[2]] != chunk_of[b[2]]:
+            if a[3] == b[3]:
+                extends += 1
+            else:
+                closes += 1
+    assert extends > 0, "no cross-batch open-interval extension in fixture"
+    assert closes > 0, "no cross-batch interval closure in fixture"
