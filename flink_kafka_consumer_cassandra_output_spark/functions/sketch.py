@@ -128,3 +128,72 @@ def bloom_bit_sql(j: int, value_sql: str) -> str:
         f"CAST('0x' || substr(md5('bloom{j}:' || CAST({value_sql} AS VARCHAR)), 1, 8) "
         f"AS BIGINT) % {BLOOM_M}"
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (the missing member of the mergeable-summary family:
+# CMS = frequencies, Bloom = membership, MinHash = similarity, HLL =
+# cardinality)
+# --------------------------------------------------------------------------
+
+#: 64 registers (6 index bits off a 60-bit md5 prefix; the remaining 54
+#: bits feed the leading-zero scan).  m=64 keeps the register table small
+#: enough to print in test output while leaving the estimator honest
+#: (alpha_64 is the standard bias constant for m=64).
+HLL_M = 64
+HLL_W_BITS = 54
+HLL_ALPHA = 0.709
+
+#: Linear-counting correction values 64*ln(64/V) for V=1..64, materialized
+#: as LITERALS shared by the Spark builder and the DuckDB oracle -- ln never
+#: executes on either engine at query time, so the small-range correction is
+#: bit-exact cross-engine without a libm crossing.
+import math as _math
+
+HLL_LC_TABLE = {v: float(HLL_M) * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)}
+
+
+def hll_hash(value: Column) -> Column:
+    """60-bit md5-prefix hash of ``value`` (nonnegative BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), value.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def hll_hash_sql(value_sql: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('hll:' || CAST({value_sql} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT)"
+    )
+
+
+def hll_reg(value: Column) -> Column:
+    """Register index in [0, HLL_M)."""
+    return hll_hash(value) % HLL_M
+
+
+def hll_rho(value: Column) -> Column:
+    """Leading-zero rank of the remaining HLL_W_BITS bits: position of the
+    leftmost 1-bit counting from 1; all-zero word -> HLL_W_BITS + 1.
+    Integer-only via the binary-string length (bin() exists verbatim in
+    both engines), never a float log2.  The word extraction is a bit
+    shift, never float division: the 60-bit hash exceeds a double's 53-bit
+    mantissa, so ``/`` then cast would corrupt low bits."""
+    w = F.shiftright(hll_hash(value), 6)
+    return F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+
+
+def hll_reg_sql(value_sql: str) -> str:
+    return f"({hll_hash_sql(value_sql)} % {HLL_M})"
+
+
+def hll_rho_sql(value_sql: str) -> str:
+    w = f"({hll_hash_sql(value_sql)} >> 6)"
+    return (
+        f"(CASE WHEN {w} = 0 THEN {HLL_W_BITS + 1} "
+        f"ELSE {HLL_W_BITS + 1} - length(bin({w})) END)"
+    )

@@ -1201,3 +1201,157 @@ def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("zvalue").alias("z_min"), F.max("zvalue").alias("z_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct counting (round 8)
+# --------------------------------------------------------------------------
+
+#: alpha_64 * m^2, computed ONCE in Python and embedded as the same double
+#: literal in both engines (repr round-trips), like the LC table.
+_HLL_AMM = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M
+_HLL_LC_RANGE = 2.5 * SK.HLL_M
+
+
+def _hll_d(v: float) -> str:
+    """Exact-round-trip double literal: a bare decimal literal is DECIMAL
+    in DuckDB, which silently perturbs the low bits (caught by the parity
+    gate on the LC table: 1-ulp drift on hll_est)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _hll_lc_sql() -> str:
+    branches = " ".join(
+        f"WHEN {v} THEN {_hll_d(SK.HLL_LC_TABLE[v])}"
+        for v in range(1, SK.HLL_M + 1)
+    )
+    return f"(CASE v_zero {branches} END)"
+
+
+def _hll_lc_col():
+    out = F.lit(None).cast("double")
+    for v in range(1, SK.HLL_M + 1):
+        out = F.when(F.col("v_zero") == v, F.lit(SK.HLL_LC_TABLE[v])).otherwise(out)
+    return out
+
+
+@register(
+    "ev_hll_distinct_users",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         {SK.hll_reg_sql("user_id")} AS reg,
+         {SK.hll_rho_sql("user_id")} AS rho
+  FROM events
+), mx AS (
+  SELECT event_type, reg, MAX(rho) AS m FROM h GROUP BY event_type, reg
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), allr AS (
+  SELECT event_type, unnest(range({SK.HLL_M})) AS reg FROM types
+), filled AS (
+  SELECT a.event_type, a.reg, COALESCE(mx.m, 0) AS m
+  FROM allr a LEFT JOIN mx ON mx.event_type = a.event_type AND mx.reg = a.reg
+), folded AS (
+  SELECT event_type,
+         list_reduce(list(power(2.0, -m) ORDER BY reg), (x, y) -> x + y)
+           AS hsum,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+  FROM filled GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+), est AS (
+  SELECT f.event_type, ex.n_exact, f.v_zero,
+         {_hll_d(_HLL_AMM)} / f.hsum AS raw_est
+  FROM folded f JOIN ex ON ex.event_type = f.event_type
+), corrected AS (
+  SELECT event_type, n_exact, v_zero,
+         CASE WHEN raw_est <= {_hll_d(_HLL_LC_RANGE)} AND v_zero > 0
+              THEN {_hll_lc_sql()} ELSE raw_est END AS hll_est
+  FROM est
+)
+SELECT event_type, n_exact, v_zero, hll_est,
+       (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+         AS rel_err
+FROM corrected
+""",
+    doc="HyperLogLog distinct-user cardinality per event_type: the missing "
+        "member of the mergeable-summary family (CMS = frequencies, Bloom "
+        "= membership, MinHash = similarity, HLL = cardinality).  "
+        "Registers are integer-exact cross-engine: 60-bit md5-prefix "
+        "hash, 6 index bits, leading-zero rank of the remaining 54 via "
+        "binary-string length (never float log2; word extraction is a bit "
+        "shift because 60 bits exceed a double mantissa).  The estimator "
+        "is bit-exact too: the harmonic sum is a register-ordered "
+        "sequential fold of exact powers of two, and the small-range "
+        "linear-counting correction reads 64*ln(64/V) from a literal "
+        "table shared by both engines -- ln never executes at query "
+        "time.  Merge = cell-wise MAX, so the build is one map-side-"
+        "combinable groupBy producing 64 integers per group no matter "
+        "the input size -- THE cardinality shape at 100 TB (exact "
+        "count-distinct shuffles every key; this shuffles 64 registers) "
+        "-- and the streaming twin max-merges per-batch registers with "
+        "bit-identical results (tests/test_streaming.py).  n_exact and "
+        "rel_err are carried alongside so the estimate's quality is "
+        "visible in the output (|rel_err| pinned in tests).",
+    driver=False,
+    sibling="ev_heavy_hitters_cms",
+)
+def ev_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    regs = ev.select(
+        "event_type",
+        SK.hll_reg(F.col("user_id")).alias("reg"),
+        SK.hll_rho(F.col("user_id")).alias("rho"),
+    )
+    maxes = regs.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
+    allr = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(SK.HLL_M - 1))).alias("reg"),
+        )
+    )
+    filled = allr.join(maxes, ["event_type", "reg"], "left").select(
+        "event_type", "reg", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    pows = F.transform(
+        F.array_sort(F.collect_list(F.struct("reg", "m"))),
+        lambda s: F.pow(F.lit(2.0), -s["m"]),
+    )
+    folded = filled.groupBy("event_type").agg(
+        pows.alias("pows"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    n = F.size(F.col("pows"))
+    hsum = F.aggregate(
+        F.slice(F.col("pows"), 2, n - 1),
+        F.element_at(F.col("pows"), 1),
+        lambda acc, x: acc + x,
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = (
+        folded.select("event_type", "v_zero", hsum.alias("hsum"))
+        .join(ex, "event_type")
+        .select(
+            "event_type", "n_exact", "v_zero",
+            (F.lit(_HLL_AMM) / F.col("hsum")).alias("raw_est"),
+        )
+    )
+    hll_est = F.when(
+        (F.col("raw_est") <= F.lit(_HLL_LC_RANGE)) & (F.col("v_zero") > 0),
+        _hll_lc_col(),
+    ).otherwise(F.col("raw_est"))
+    corrected = est.select(
+        "event_type", "n_exact", "v_zero", hll_est.alias("hll_est")
+    )
+    rel = (F.col("hll_est") - F.col("n_exact").cast("double")) / F.col(
+        "n_exact"
+    ).cast("double")
+    return corrected.select(
+        "event_type", "n_exact", "v_zero", "hll_est", rel.alias("rel_err")
+    )

@@ -1317,3 +1317,108 @@ def read_scd2_state(spark: SparkSession, scd2_path: str) -> DataFrame:
         .filter(F.col("_batch_id") == F.col("_mx"))
         .drop("_mx", "_batch_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming HyperLogLog maintenance
+# --------------------------------------------------------------------------
+
+def run_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of ``ev_hll_distinct_users``'s register build: HLL
+    registers merge by cell-wise MAX -- commutative and idempotent -- so
+    per-batch maintenance is exact under ANY arrival order and replays
+    are harmless by construction (re-merging a batch changes nothing).
+    The drained stream's register table is bit-identical to the batch
+    query's (integer equality, no float tolerance anywhere), and every
+    estimate derived from the registers is therefore bit-identical too.
+
+    State table ``state_dir + "_hll"``: the full merged (event_type, reg,
+    m) register table per batch -- |types| x 64 integers, so the "full
+    rewrite" per batch is a few KB regardless of corpus size; reads
+    filter ``_batch_id < batch_id`` and take the latest committed
+    partition, the replay discipline shared with the other incremental
+    streams.  This is the sketch whose streaming story is strongest at
+    100 TB: the distinct-user count of an unbounded stream lives in 64
+    integers per group, never a shuffle of user ids.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..functions import sketch as SK
+
+    hll_path = state_dir + "_hll"
+    hll_schema = "event_type string, reg int, m int, _batch_id int"
+
+    def read_committed(path: str, schema: str) -> DataFrame | None:
+        try:
+            df = spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        if not df.inputFiles():
+            return None
+        return df
+
+    def hll_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                "event_type",
+                SK.hll_reg(F.col("user_id")).cast("int").alias("reg"),
+                SK.hll_rho(F.col("user_id")).cast("int").alias("rho"),
+            )
+            .groupBy("event_type", "reg")
+            .agg(F.max("rho").alias("m"))
+        )
+        prior = read_committed(hll_path, hll_schema)
+        if prior is not None:
+            latest = (
+                prior.filter(F.col("_batch_id") < F.lit(batch_id))
+                .withColumn("_mx", F.max("_batch_id").over(Window.partitionBy("event_type")))
+                .filter(F.col("_batch_id") == F.col("_mx"))
+                .select("event_type", "reg", "m")
+            )
+            delta = (
+                delta.unionByName(latest)
+                .groupBy("event_type", "reg")
+                .agg(F.max("m").alias("m"))
+            )
+        (
+            delta.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(hll_path)
+        )
+
+    return (
+        stream_events(spark, input_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(hll_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("hll_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_registers(spark: SparkSession, hll_path: str) -> DataFrame:
+    """The current merged register table: per event_type, the rows of the
+    latest committed batch partition (hit registers only; absent rows
+    are zero registers, exactly as the batch query fills them)."""
+    df = spark.read.parquet(hll_path)
+    w = Window.partitionBy("event_type")
+    return (
+        df.withColumn("_mx", F.max("_batch_id").over(w))
+        .filter(F.col("_batch_id") == F.col("_mx"))
+        .select("event_type", "reg", "m")
+    )

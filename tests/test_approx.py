@@ -130,3 +130,27 @@ def test_quantile_rank_certificate_is_falsifiable(spark, sf_dir):
         assert r.p50_ok and r.p75_ok and r.p90_ok, (
             f"{r.o_orderstatus}: honest slots failed"
         )
+
+
+def test_hll_estimate_quality_and_register_bound(spark, sf_dir):
+    """ev_hll_distinct_users: |rel_err| within 3 standard errors of the
+    m=64 HLL (1.04/sqrt(64) ~ 13%; ceiling 0.40), and every register
+    value respects the structural bound 0 <= m <= HLL_W_BITS + 1."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import sketch as SK
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    out = all_specs()["ev_hll_distinct_users"].builder(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert abs(r["rel_err"]) <= 0.40, r
+        assert 0 <= r["v_zero"] <= SK.HLL_M
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bad = (
+        ev.select(SK.hll_rho(F.col("user_id")).alias("rho"))
+        .filter((F.col("rho") < 1) | (F.col("rho") > SK.HLL_W_BITS + 1))
+        .count()
+    )
+    assert bad == 0

@@ -803,3 +803,103 @@ def test_scd2_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path):
                 closes += 1
     assert extends > 0, "no cross-batch open-interval extension in fixture"
     assert closes > 0, "no cross-batch interval closure in fixture"
+
+
+def test_hll_stream_matches_batch_registers(spark, sf_dir, event_chunks, tmp_path):
+    """The streamed HLL register table is bit-identical to the batch
+    build's (integer equality; MAX-merge is commutative + idempotent, so
+    arrival order and replays cannot perturb it), across a mid-stream
+    restart.
+
+    A user's (reg, rho) is a pure function of user_id, and every fixture
+    user appears in the early chunks -- so a register can only RISE in
+    phase 2 if a NEW user arrives late.  One is INJECTED into the final
+    chunk, chosen by replaying the md5 register math in Python so its
+    rho provably exceeds the fixture's maximum for its register: the
+    cross-batch max-merge conflict is exercised by construction, and the
+    batch reference is computed over the same augmented corpus."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.functions import sketch as SK
+
+    def py_reg_rho(user_id: int) -> tuple[int, int]:
+        h = int(hashlib.md5(f"hll:{user_id}".encode()).hexdigest()[:15], 16)
+        reg, w = h % SK.HLL_M, h >> 6
+        rho = (SK.HLL_W_BITS + 1) - w.bit_length() if w else SK.HLL_W_BITS + 1
+        return reg, rho
+
+    # fixture registers for the injected event's type
+    fixture_m: dict[int, int] = {}
+    users = set()
+    for tbl in event_chunks:
+        for r in tbl.select(["user_id"]).to_pylist():
+            users.add(r["user_id"])
+    for u in users:
+        reg, rho = py_reg_rho(u)
+        fixture_m[reg] = max(fixture_m.get(reg, 0), rho)
+    uid = max(users) + 1
+    while True:
+        reg, rho = py_reg_rho(uid)
+        if rho > fixture_m.get(reg, 0):
+            break
+        uid += 1
+
+    schema = event_chunks[0].schema
+    last = event_chunks[-1].to_pylist()[-1]
+    inject = pa.table(
+        {
+            "event_id": [last["event_id"] + 1_000_000],
+            "ts": pa.array([last["ts"]], type=schema.field("ts").type),
+            "user_id": [uid],
+            "event_type": ["click"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    ).cast(schema)
+    chunks = list(event_chunks)
+    chunks[-1] = pa.concat_tables([chunks[-1], inject])
+    aug_sf = tmp_path / "sf_aug"
+    aug_sf.mkdir()
+    pq.write_table(pa.concat_tables(chunks), str(aug_sf / "events.parquet"))
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "hll_state"
+    cp = tmp_path / "cp_hll"
+    input_dir.mkdir()
+
+    _drop(chunks, input_dir, 0, 2)
+    _run(sp.run_hll_stream(spark, str(input_dir), str(state), str(cp)))
+    phase1 = {
+        (r["event_type"], r["reg"]): r["m"]
+        for r in sp.read_hll_registers(spark, str(state) + "_hll").collect()
+    }
+    _drop(chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_hll_stream(spark, str(input_dir), str(state), str(cp)))
+    streamed = {
+        (r["event_type"], r["reg"]): r["m"]
+        for r in sp.read_hll_registers(spark, str(state) + "_hll").collect()
+    }
+
+    ev = spark.read.parquet(str(aug_sf / "events.parquet"))
+    batch = {
+        (r["event_type"], r["reg"]): r["m"]
+        for r in ev.select(
+            "event_type",
+            SK.hll_reg(F.col("user_id")).cast("int").alias("reg"),
+            SK.hll_rho(F.col("user_id")).cast("int").alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    }
+    assert streamed == batch, (
+        f"{len(set(streamed.items()) ^ set(batch.items()))} register cells differ"
+    )
+    key = ("click", py_reg_rho(uid)[0])
+    assert streamed[key] == py_reg_rho(uid)[1]
+    assert streamed[key] > phase1.get(key, 0), (
+        "the injected late user failed to raise its register: the "
+        "max-merge conflict went unexercised"
+    )
