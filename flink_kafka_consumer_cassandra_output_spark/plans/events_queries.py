@@ -1355,3 +1355,104 @@ def ev_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrected.select(
         "event_type", "n_exact", "v_zero", "hll_est", rel.alias("rel_err")
     )
+
+
+#: Number of as-of probe instants laid on an integer-quantized grid across
+#: the corpus ts span (shared by builder and oracle).
+SCD2_PROBES = 8
+
+
+@register(
+    "ev_scd2_asof_lookup",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_state IS NOT DISTINCT FROM event_type
+                 THEN 0 ELSE 1 END AS chg
+  FROM ordered
+), versioned AS (
+  SELECT user_id, event_type, ts, chg,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+), islands AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         event_type AS state, MIN(ts) AS valid_from
+  FROM versioned GROUP BY user_id, version, event_type
+), dim AS (
+  SELECT user_id, version, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM islands
+), span AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), probes AS (
+  SELECT make_timestamp(lo + ((hi - lo) * i) // {SCD2_PROBES - 1})
+           AS probe_ts
+  FROM span, (SELECT unnest(range({SCD2_PROBES})) AS i)
+)
+SELECT p.probe_ts, d.user_id, d.version, d.state
+FROM probes p JOIN dim d
+  ON d.valid_from <= p.probe_ts
+ AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+""",
+    doc="Time-travel lookup against the SCD2 dimension ev_scd2_user_state "
+        "builds: for {n} probe instants on an integer-quantized grid "
+        "across the corpus span, return every user's state version valid "
+        "at that instant (half-open interval containment, at most one row "
+        "per user per probe by SCD2 non-overlap).  The probe set rides a "
+        "broadcast against the dimension scan -- the 100 TB shape for "
+        "'as of T' reads over a billion-row dimension, where interval "
+        "containment plus partition pruning on valid_from bounds the "
+        "scan; the row-per-event variant is the asof join "
+        "asof_last_order_before_event already driver-checks.  Grid "
+        "arithmetic is integer epoch-us division, never float seconds.".format(
+            n=SCD2_PROBES
+        ),
+    driver=False,
+    sibling="ev_range_interval_join",
+)
+def ev_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.eqNullSafe(F.col("event_type")), 0).otherwise(1)
+    versioned = ev.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = versioned.groupBy(
+        "user_id", F.col("version").cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+    ).agg(F.min("ts").alias("valid_from"))
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = islands.select(
+        "user_id", "version", "state", "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    probes = span.select(
+        F.explode(F.sequence(F.lit(0), F.lit(SCD2_PROBES - 1))).alias("i"),
+        "lo", "hi",
+    ).selectExpr(
+        f"timestamp_micros(lo + ((hi - lo) * i) div {SCD2_PROBES - 1}) "
+        "as probe_ts"
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            dim,
+            (dim["valid_from"] <= F.col("probe_ts"))
+            & (dim["valid_to"].isNull() | (F.col("probe_ts") < dim["valid_to"])),
+        )
+        .select("probe_ts", "user_id", "version", "state")
+    )

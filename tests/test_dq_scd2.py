@@ -92,3 +92,34 @@ def test_scd2_intervals_are_a_valid_temporal_dimension(spark):
         assert per_user.filter(F.col("n") > 1).count() > 0
     finally:
         out.unpersist()
+
+
+def test_scd2_asof_lookup_is_a_function_per_probe(spark):
+    """Non-overlap in action: each (probe_ts, user) resolves to AT MOST one
+    state row, and a user appears under a probe iff their history started
+    at or before it."""
+    out = R.all_specs()["ev_scd2_asof_lookup"].builder(spark, SF_DIR).cache()
+    try:
+        dup = (
+            out.groupBy("probe_ts", "user_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0, "a probe instant matched overlapping intervals"
+
+        firsts = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_ts"))
+        )
+        probes = out.select("probe_ts").distinct()
+        expected = (
+            probes.join(firsts, firsts["first_ts"] <= probes["probe_ts"])
+            .count()
+        )
+        assert out.count() == expected, (
+            "every user active by a probe must resolve exactly once"
+        )
+    finally:
+        out.unpersist()

@@ -369,3 +369,72 @@ def test_broadcast_hint_gate_is_nonvacuous(spark):
     assert not hints(filt), "filtered subset is sanctioned"
     dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     assert not hints(dim), "fixed-cardinality nation is sanctioned"
+
+
+def test_dq_suite_metrics_is_two_scans_no_extra(spark):
+    """dq_constraint_suite's docstring claims ONE metrics aggregate plus
+    ONE anti-join probe: exactly two scans of orders (and one of
+    customer) no matter how many constraints the suite declares; the
+    1-row x 1-row combine must be a broadcast nested-loop over scalars,
+    never a CartesianProduct (gated globally) or a shuffle join."""
+    plan = _plan(spark, "dq_constraint_suite")
+    assert plan.count("orders.parquet") == 2, "constraint count leaked into scan count"
+    assert plan.count("customer.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_weighted_sample_offsets_ride_a_broadcast(spark):
+    """doc_weighted_sample's distributed prefix sum joins the tiny
+    per-(partition, stratum) offsets frame back via broadcast -- a
+    SortMergeJoin there would shuffle the corpus a second time for a
+    frame of (nparts x strata) rows."""
+    plan = _plan(spark, "doc_weighted_sample")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0, "offsets join must not SMJ"
+
+
+def test_zorder_layout_single_aggregation_shuffle(spark):
+    """ev_zorder_layout: the 4-value min/max stats frame rides a
+    broadcast; the only exchange in the plan is the zbucket aggregation
+    (plus the stats aggregate's own single-partition gather) -- the scan
+    is never re-shuffled on anything else."""
+    plan = _plan(spark, "ev_zorder_layout")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_pq_adc_code_join_broadcasts_small_sides(spark):
+    """emb_pq_adc: codebooks and per-query distance tables are the small
+    sides everywhere -- every join in the plan must be broadcast-backed
+    (the code table is the only corpus-sized frame and is never
+    shuffled for a join)."""
+    plan = _plan(spark, "emb_pq_adc")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_hll_build_shuffles_registers_not_users(spark):
+    """ev_hll_distinct_users: the register build aggregates on
+    (event_type, reg) with map-side partials -- 64 cells per type cross
+    the wire, not user ids.  The exact count-distinct column rides the
+    SAME pass via Spark's Expand, so the plan may not contain more than
+    the three scans the query is (registers + types + exact)."""
+    plan = _plan(spark, "ev_hll_distinct_users")
+    assert plan.count("events.parquet") <= 3
+    assert "HashAggregate" in plan
+
+
+def test_scd2_windows_share_one_user_shuffle(spark):
+    """ev_scd2_user_state: both stacked windows (lag-change flag, running
+    version sum) declare the same (user_id)(ts, event_id) partitioning
+    and ordering, so Catalyst plans ONE exchange + ONE sort for the
+    pair; a second sort on the same keys would mean the windows
+    diverged."""
+    plan = _plan(spark, "ev_scd2_user_state")
+    assert plan.count("events.parquet") == 1
+    # exactly ONE hash exchange (user_id): the stacked windows share it,
+    # the islands aggregate keys on a superset, and the chaining window
+    # re-sorts WITHOUT re-exchanging.  (formatted output names each node
+    # twice -- tree + detail -- so one physical exchange counts 2.)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") <= 4  # loader round-robin + user_id hash
