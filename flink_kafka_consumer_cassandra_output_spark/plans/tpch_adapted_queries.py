@@ -1130,3 +1130,148 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         row.select(F.explode(structs).alias("c"))
         .select("c.constraint_name", "c.metric", "c.satisfied")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (round 8)
+# --------------------------------------------------------------------------
+
+#: Equi-width bucket count and target percentiles (integer percent so rank
+#: arithmetic stays integer-exact cross-engine).
+HIST_B = 64
+HIST_QS = (50, 90, 99)
+
+
+@register(
+    "agg_histogram_quantile_sketch",
+    oracle=f"""
+WITH o AS (
+  SELECT o_totalprice AS x, o_orderkey AS k FROM orders
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo, MAX(x) AS hi FROM o
+), ob AS (
+  SELECT x, k,
+         LEAST({HIST_B - 1},
+               CAST(FLOOR(((x - lo) * {HIST_B}.0) / (hi - lo)) AS BIGINT))
+           AS b
+  FROM o, st
+), hist AS (
+  SELECT r.b, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+  FROM (SELECT unnest(range({HIST_B})) AS b) r
+  LEFT JOIN (SELECT b, COUNT(*) AS cnt FROM ob GROUP BY b) h ON h.b = r.b
+), cumhist AS (
+  SELECT b, cnt,
+         SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), qf AS (
+  SELECT q, n, lo, hi, ((q * n + 99) // 100) AS r
+  FROM st, (SELECT unnest([{', '.join(str(q) for q in HIST_QS)}]) AS q)
+), pick AS (
+  SELECT q, n, r, b, cum - cnt AS prev_cum,
+         lo + (CAST(b + 1 AS DOUBLE) * ((hi - lo) / {HIST_B}.0))
+           AS est_upper,
+         (hi - lo) / {HIST_B}.0 AS width
+  FROM (
+    SELECT qf.*, c.b, c.cnt, c.cum,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY c.b) AS rn
+    FROM qf JOIN cumhist c ON c.cum >= qf.r
+  ) WHERE rn = 1
+), exact AS (
+  SELECT p.q, ob.x AS exact_value
+  FROM pick p JOIN ob ON ob.b = p.b
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.q ORDER BY ob.x, ob.k)
+          = p.r - p.prev_cum
+)
+SELECT CAST(p.q AS BIGINT) AS q_pct, p.n, p.r AS rank, p.b AS bucket,
+       p.est_upper, e.exact_value,
+       p.est_upper - e.exact_value AS err, p.width
+FROM pick p JOIN exact e ON e.q = p.q
+""",
+    doc="Mergeable equi-width histogram quantile sketch with a two-phase "
+        "exact-rank certificate: 64 integer bucket counts summarize the "
+        "whole distribution (cell-wise ADDITIVE like the CMS, so "
+        "map-side partials / per-batch deltas merge exactly -- the "
+        "quantile shape for 100 TB where the exact path would buffer the "
+        "column), the p50/p90/p99 estimate is the covering bucket's "
+        "upper edge, and the certificate narrows to THAT bucket and "
+        "sorts only its ~n/64 rows to fetch the true rank-r value "
+        "(never a global sort; rank arithmetic is integer: "
+        "r = (q*n+99) div 100, bucket choice by integer cum >= r).  "
+        "err = est - exact is emitted and pinned in [0, width] by "
+        "tests -- the one-bucket error bound IS the sketch's contract.  "
+        "Float bucket/edge expressions are mirrored node-for-node; the "
+        "cum window runs over exactly 64 rows regardless of data size.",
+    driver=False,
+    sibling="agg_exact_percentiles",
+)
+def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"), F.col("o_orderkey").alias("k")
+    )
+    st = o.agg(
+        F.count(F.lit(1)).alias("n"), F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+    b = F.least(
+        F.lit(HIST_B - 1),
+        F.floor(
+            ((F.col("x") - F.col("lo")) * F.lit(float(HIST_B)))
+            / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+    )
+    ob = o.crossJoin(F.broadcast(st)).select("x", "k", b.alias("b"))
+    hist = (
+        st.select(F.explode(F.sequence(F.lit(0), F.lit(HIST_B - 1))).alias("b"))
+        .join(ob.groupBy("b").agg(F.count(F.lit(1)).alias("cnt")), "b", "left")
+        .select(
+            F.col("b").cast("long").alias("b"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    # 64 rows total, always: the constant partition key keeps the window
+    # single-partition WITHOUT tripping the no-partition-defined warning
+    wcum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumhist = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    qf = st.select(
+        "n", "lo", "hi",
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q"),
+    ).selectExpr("q", "n", "lo", "hi", "(q * n + 99) div 100 as r")
+    wq = Window.partitionBy("q").orderBy("b")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_B))
+    pick = (
+        qf.join(F.broadcast(cumhist), F.col("cum") >= F.col("r"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q", "n", "r", "b",
+            (F.col("cum") - F.col("cnt")).alias("prev_cum"),
+            (
+                F.col("lo")
+                + (F.col("b") + 1).cast("double") * width
+            ).alias("est_upper"),
+            width.alias("width"),
+        )
+    )
+    we = Window.partitionBy("q").orderBy("x", "k")
+    exact = (
+        ob.join(
+            F.broadcast(pick.select("q", "b", "r", "prev_cum")), "b"
+        )
+        .withColumn("rne", F.row_number().over(we))
+        .filter(F.col("rne") == F.col("r") - F.col("prev_cum"))
+        .select("q", F.col("x").alias("exact_value"))
+    )
+    return (
+        pick.join(exact, "q")
+        .select(
+            F.col("q").cast("long").alias("q_pct"), "n",
+            F.col("r").alias("rank"), F.col("b").alias("bucket"),
+            "est_upper", "exact_value",
+            (F.col("est_upper") - F.col("exact_value")).alias("err"),
+            "width",
+        )
+    )

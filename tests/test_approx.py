@@ -154,3 +154,22 @@ def test_hll_estimate_quality_and_register_bound(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_histogram_quantile_error_within_one_bucket(spark, sf_dir):
+    """agg_histogram_quantile_sketch's contract: for every target
+    percentile, 0 <= est_upper - exact_value <= width (the exact rank-r
+    value lies in the covering bucket, whose upper edge is the estimate),
+    and the certificate rank matches the integer definition
+    (q*n+99) div 100."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    rows = (
+        all_specs()["agg_histogram_quantile_sketch"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert {r["q_pct"] for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert 0.0 <= r["err"] <= r["width"], r
+        assert r["rank"] == (r["q_pct"] * r["n"] + 99) // 100, r
