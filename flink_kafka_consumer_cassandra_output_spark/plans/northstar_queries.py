@@ -2580,3 +2580,129 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= PQ_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the dup graph (round 8)
+# --------------------------------------------------------------------------
+
+#: Fixed damping and iteration count (unrolled in the oracle; the canonical
+#: d=0.85).  Literals go through the CAST('repr' AS DOUBLE) route on the
+#: SQL side so both engines hold the identical double.
+PR_D = 0.85
+PR_ITERS = 3
+
+
+def _pr_d(v: float) -> str:
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _pagerank_oracle() -> str:
+    ctes = [f"""edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+), verts AS (
+  SELECT DISTINCT src AS v FROM edges
+), nv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT v, {_pr_d(1.0)} / CAST(n AS DOUBLE) AS rank FROM verts, nv
+)"""]
+    base = _pr_d(1.0 - PR_D)
+    damp = _pr_d(PR_D)
+    for i in range(PR_ITERS):
+        ctes.append(f"""r{i + 1} AS (
+  SELECT t.v, ({base} / CAST(nv.n AS DOUBLE)) + {damp} * t.s AS rank
+  FROM (
+    SELECT e.dst AS v,
+           list_reduce(list(r.rank / CAST(d.deg AS DOUBLE) ORDER BY e.src),
+                       (x, y) -> x + y) AS s
+    FROM edges e
+    JOIN deg d ON d.src = e.src
+    JOIN r{i} r ON r.v = e.src
+    GROUP BY e.dst
+  ) t, nv
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {_PREFIX_FILTER_CTES},
+{joined}
+SELECT r.v AS doc_id, d.deg, r.rank AS pagerank
+FROM r{PR_ITERS} r JOIN deg d ON d.src = r.v"""
+
+
+@register(
+    "doc_dup_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank (3 fixed iterations, d=0.85) over the exact-verified "
+        "near-dup graph -- the canonical iterative graph workload, "
+        "surfacing hub boilerplate the way triangles/k-core surface "
+        "template families.  Determinism discipline matches the Lloyd/CC "
+        "machinery: per-vertex incoming mass is a SEQUENTIAL src-ordered "
+        "fold (sorted-collect then element-first aggregate, mirrored by "
+        "DuckDB's ORDER BY list_reduce), every constant rides the "
+        "CAST('repr' AS DOUBLE) literal route, and the oracle unrolls "
+        "the loop one CTE pair per iteration.  The undirected dup graph "
+        "has no dangling vertices (every vertex carries its own edge), "
+        "so total mass stays 1 and the iteration is a pure "
+        "join-aggregate: one shuffle on dst per round, per-round "
+        "materialization exactly like connected components' pointer "
+        "jumping.  Scale: work per round is O(edges); the fold is per "
+        "dst over its in-degree, the same bound the clustering "
+        "coefficient's wedge count already carries.",
+    driver=False,
+    sibling="doc_dup_graph_triangles",
+)
+def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = materialize(
+        _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = materialize(edges)
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    nv = verts.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_d = F.col("n").cast("double")
+    r = materialize(
+        verts.crossJoin(F.broadcast(nv)).select(
+            "v", (F.lit(1.0) / n_d).alias("rank")
+        )
+    )
+    for _ in range(PR_ITERS):
+        inc = (
+            edges.join(deg, "src")
+            .join(r.select(F.col("v").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.struct(
+                    F.col("src"),
+                    (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+                ).alias("sc"),
+            )
+        )
+        summed = inc.groupBy("v").agg(
+            F.array_sort(F.collect_list("sc")).alias("cs")
+        )
+        ncs = F.size(F.col("cs"))
+        s = F.aggregate(
+            F.slice(F.col("cs"), 2, ncs - 1),
+            F.element_at(F.col("cs"), 1)["c"],
+            lambda acc, x: acc + x["c"],
+        )
+        r = materialize(
+            summed.crossJoin(F.broadcast(nv)).select(
+                "v",
+                (
+                    (F.lit(1.0 - PR_D) / n_d) + F.lit(PR_D) * s
+                ).alias("rank"),
+            )
+        )
+    return r.join(deg, r["v"] == deg["src"]).select(
+        F.col("v").alias("doc_id"), "deg", F.col("rank").alias("pagerank")
+    )
