@@ -596,3 +596,107 @@ def test_random_aggregate_family_cross_engine_equivalence(spark, plan):
         _run_agg_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Family 6: string-function pipelines (round 8)
+# --------------------------------------------------------------------------
+
+#: Composable unary string transforms: name -> (Column fn, SQL template).
+#: Restricted to dialect-safe ground: positive substr indices, ASCII
+#: fixture text (no locale-sensitive case edges), explicit pad chars.
+_STR_FNS = {
+    "lower": (lambda c: F.lower(c), "lower({x})"),
+    "upper": (lambda c: F.upper(c), "upper({x})"),
+    "reverse": (lambda c: F.reverse(c), "reverse({x})"),
+    "trim": (lambda c: F.trim(c), "trim({x})"),
+    "substr_2_9": (lambda c: F.substring(c, 2, 9), "substr({x}, 2, 9)"),
+    "lpad_22": (lambda c: F.lpad(c, 22, "*"), "lpad({x}, 22, '*')"),
+    "rpad_22": (lambda c: F.rpad(c, 22, "."), "rpad({x}, 22, '.')"),
+    "replace_0_Z": (
+        lambda c: F.replace(c, F.lit("0"), F.lit("Z")),
+        "replace({x}, '0', 'Z')",
+    ),
+    "concat_tag": (lambda c: F.concat(c, F.lit("#q")), "({x} || '#q')"),
+    "repeat_2": (lambda c: F.repeat(c, 2), "repeat({x}, 2)"),
+}
+
+#: Final row filters over the transformed string.
+_STR_PREDS = {
+    "contains_0": (
+        lambda c: c.contains("0"), "contains({s}, '0')"),
+    "starts_C": (
+        lambda c: c.startswith("C"), "starts_with({s}, 'C')"),
+    "like_er": (lambda c: c.like("%er%"), "{s} LIKE '%er%'"),
+    "len_gt_12": (lambda c: F.length(c) > 12, "length({s}) > 12"),
+    "always": (lambda c: F.lit(True), "TRUE"),
+}
+
+_LEV_PROBE = "Customer#000000042"
+
+
+@st.composite
+def _str_plan(draw):
+    chain = draw(
+        st.lists(st.sampled_from(sorted(_STR_FNS)), min_size=1, max_size=3)
+    )
+    pred = draw(st.sampled_from(sorted(_STR_PREDS)))
+    return chain, pred
+
+
+def _run_str_both(spark, con, plan):
+    chain, pred = plan
+
+    col = F.col("c_name")
+    sql_x = "c_name"
+    for fn in chain:
+        sp, tmpl = _STR_FNS[fn]
+        col = sp(col)
+        sql_x = tmpl.format(x=sql_x)
+    sdf = (
+        tables.load(spark, SF_DIR, "customer")
+        .select(
+            "c_custkey",
+            col.alias("s"),
+            F.length(col).cast("long").alias("slen"),
+            F.levenshtein(col, F.lit(_LEV_PROBE)).cast("long").alias("lev"),
+            F.instr(col, "er").cast("long").alias("pos_er"),
+        )
+        .filter(_STR_PREDS[pred][0](F.col("s")))
+    )
+    spdf = sdf.toPandas()
+
+    where = _STR_PREDS[pred][1].format(s="s")
+    sql = f"""
+SELECT * FROM (
+  SELECT c_custkey, {sql_x} AS s,
+         CAST(length({sql_x}) AS BIGINT) AS slen,
+         CAST(levenshtein({sql_x}, '{_LEV_PROBE}') AS BIGINT) AS lev,
+         CAST(strpos({sql_x}, 'er') AS BIGINT) AS pos_er
+  FROM customer
+) WHERE {where}"""
+    odf = con.execute(sql).fetchdf()
+
+    compare_frames(spdf, odf, f"fuzzstr[{'->'.join(chain)} | {pred}]")
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_str_plan())
+def test_random_string_pipeline_cross_engine_equivalence(spark, plan):
+    """String-function differential coverage: random 1-3 deep compositions
+    of lower/upper/reverse/trim/substr/pad/replace/concat/repeat, checked
+    through length, Levenshtein distance, substring position (Spark instr
+    vs DuckDB strpos -- both 1-based, 0 on miss), and a drawn row filter
+    (contains/starts_with/LIKE/length).  The dialect corners a curated
+    pair samples pointwise -- pad semantics at exact width, replace on
+    absent needles, LIKE after reversal -- get swept combinatorially."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_str_both(spark, con, plan)
+    finally:
+        con.close()
