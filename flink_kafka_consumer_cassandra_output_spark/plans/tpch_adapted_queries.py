@@ -1275,3 +1275,123 @@ def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             "width",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: blocking -> verify -> cluster -> golden record (r8)
+# --------------------------------------------------------------------------
+
+#: Every c_custkey % ER_MOD == 0 spawns a mangled duplicate record
+#: (last two name chars swapped, all other fields copied) with
+#: record_id = c_custkey + ER_ID_OFFSET, so ground truth is known:
+#: each probe must land in its source's cluster and nowhere else.
+ER_MOD = 29
+ER_ID_OFFSET = 10_000_000
+
+
+@register(
+    "cust_entity_resolution",
+    oracle=f"""
+WITH RECURSIVE records AS (
+  SELECT c_custkey AS record_id, c_name AS name,
+         c_nationkey, c_mktsegment, c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + {ER_ID_OFFSET},
+         substr(c_name, 1, length(c_name) - 2)
+           || reverse(substr(c_name, length(c_name) - 1, 2)),
+         c_nationkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % {ER_MOD} = 0
+), pairs AS (
+  SELECT x.record_id AS a, y.record_id AS b
+  FROM records x JOIN records y
+    ON substr(x.name, 1, 15) = substr(y.name, 1, 15)
+   AND x.c_nationkey = y.c_nationkey
+   AND x.c_mktsegment = y.c_mktsegment
+   AND x.c_acctbal = y.c_acctbal
+   AND x.record_id < y.record_id
+  WHERE levenshtein(x.name, y.name) <= 2
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach AS (
+  SELECT record_id AS v, record_id AS u FROM records
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN edges e ON e.a = r.u
+), lbl AS (
+  SELECT v AS record_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+), sized AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_records
+  FROM lbl GROUP BY cluster_id
+)
+SELECT s.cluster_id, r.name AS canonical_name, s.n_records,
+       s.n_records - 1 AS n_merged
+FROM sized s JOIN records r ON r.record_id = s.cluster_id
+""",
+    doc="End-to-end entity resolution (the record-linkage pipeline): a "
+        "known-truth duplicate set (every {m}th customer mangled by a "
+        "last-two-character swap, fields copied) is resolved by "
+        "multi-field BLOCKING (15-char name prefix + exact nationkey + "
+        "mktsegment + acctbal -- Levenshtein alone cannot discriminate "
+        "TPC-H serial names, where Customer#..042 vs ..043 is edit "
+        "distance 1; composite-field agreement is the Fellegi-Sunter "
+        "lesson baked into the block key), Levenshtein<=2 verify inside "
+        "blocks, connected components (the SAME pointer-jumping "
+        "similarity.connected_components the dedup clusters use -- the "
+        "operator is graph-generic), and a golden-record projection: "
+        "min-record_id canonical name per cluster.  Scale: blocking is "
+        "the shuffle key (never all-pairs), the edit distance runs only "
+        "inside blocks, CC rounds are O(log d), and the golden-record "
+        "join is on the tiny cluster table.".format(m=ER_MOD),
+    driver=False,
+    sibling="cust_fuzzy_match_blocked",
+)
+def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    c = _t(spark, sf_dir, "customer")
+    ln = F.length("c_name")
+    originals = c.select(
+        F.col("c_custkey").alias("record_id"), F.col("c_name").alias("name"),
+        "c_nationkey", "c_mktsegment", "c_acctbal",
+    )
+    probes = c.filter(F.col("c_custkey") % ER_MOD == 0).select(
+        (F.col("c_custkey") + F.lit(ER_ID_OFFSET)).alias("record_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), ln - 2),
+            F.reverse(F.col("c_name").substr(ln - 1, F.lit(2))),
+        ).alias("name"),
+        "c_nationkey", "c_mktsegment", "c_acctbal",
+    )
+    records = originals.unionByName(probes)
+    x = records.select(
+        F.col("record_id").alias("a"), F.col("name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    y = records.select(
+        F.col("record_id").alias("b"), F.col("name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.substring("name_a", 1, 15) == F.substring("name_b", 1, 15))
+            & (x["nk"] == y["nk"]) & (x["seg"] == y["seg"])
+            & (x["bal"] == y["bal"]) & (x["a"] < y["b"]),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("a", "b")
+    )
+    labels = SIM.connected_components(
+        records.select(F.col("record_id").alias("v")), pairs
+    )
+    sized = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return sized.join(
+        records, records["record_id"] == sized["cluster_id"]
+    ).select(
+        "cluster_id", F.col("name").alias("canonical_name"), "n_records",
+        (F.col("n_records") - 1).alias("n_merged"),
+    )

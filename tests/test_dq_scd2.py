@@ -123,3 +123,34 @@ def test_scd2_asof_lookup_is_a_function_per_probe(spark):
         )
     finally:
         out.unpersist()
+
+
+def test_entity_resolution_ground_truth(spark):
+    """Known-truth check: every mangled probe resolves into exactly its
+    source customer's cluster (canonical id = source custkey, size 2),
+    every unprobed customer stays a singleton, and nothing else merges --
+    the composite block key must prevent the Customer#..042/..043
+    serial-name collapse that Levenshtein alone would cause."""
+    from flink_kafka_consumer_cassandra_output_spark.plans.tpch_adapted_queries import (
+        ER_MOD,
+    )
+
+    rows = {
+        r["cluster_id"]: r
+        for r in R.all_specs()["cust_entity_resolution"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    custkeys = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    probed = {k for k in custkeys if k % ER_MOD == 0}
+    assert probed, "fixture must spawn at least one probe"
+    assert len(rows) == len(custkeys), "cluster count = customer count"
+    for k in custkeys:
+        expect = 2 if k in probed else 1
+        assert rows[k]["n_records"] == expect, (k, rows[k])
+        assert rows[k]["n_merged"] == expect - 1
