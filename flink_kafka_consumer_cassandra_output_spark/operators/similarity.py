@@ -701,16 +701,26 @@ def lsh_multiprobe_codes(code: Column, n_planes: int) -> Column:
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid by
     cosine (ties -> smallest cent_id).  Broadcast join against the codebook;
-    the argmax is a per-vector window over |centroids| rows."""
-    j = corpus.crossJoin(F.broadcast(centroids))
+    the argmax is a per-vector window over |centroids| rows.
+
+    Plan note (r8): the window sees only NARROW (vec_id, cent_id, cos)
+    rows -- the N x k argmin shuffle used to carry the full embedding
+    array per candidate row (k x the vector bytes over the wire); the
+    embedding is re-attached afterwards by a vec_id equi-join whose
+    shuffle is N narrow-keyed wide rows, strictly smaller.  Output is
+    identical; strategy for the re-attach join is left to AQE (the best
+    side is corpus-sized, so a broadcast hint would be the 100 TB
+    driver-OOM mistake the TPC-H modules already corrected)."""
+    j = corpus.select("vec_id", "embedding").crossJoin(F.broadcast(centroids))
     cos = vectors.cosine(F.col("embedding"), F.col("cent_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
-    return (
-        j.select("vec_id", "embedding", "cent_id", cos.alias("cos_c"))
+    best = (
+        j.select("vec_id", "cent_id", cos.alias("cos_c"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+        .select("vec_id", F.col("cent_id").alias("bucket"))
     )
+    return corpus.join(best, "vec_id").select("vec_id", "embedding", "bucket")
 
 
 #: Lloyd iteration count for the trained codebook (fixed for determinism and

@@ -684,3 +684,54 @@ def test_pagerank_differentiates_on_an_irregular_star(spark, tmp_path):
     assert abs(total - 1.0) < 1e-12
     floor = (1.0 - PR_D) / 3
     assert all(r["pagerank"] >= floor for r in rows.values())
+
+
+def test_semantic_dedup_compressed_branch_full_parity(spark, tmp_path):
+    """The adaptive fingerprint compression's COMPRESSED branch, exercised
+    and oracle-checked: 20 vectors are duplicated bit-identically under
+    fresh ids (dup_probe > 0 -> the grouping-window path runs), and the
+    full DuckDB parity harness re-runs on the augmented corpus -- the
+    compression must stay output-transparent, and every injected copy
+    must be marked a duplicate of an id at or below its source."""
+    import os
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    from .oracle import TABLES, run_and_compare
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    # single-FILE parquet like the fixture (a Spark write would make a
+    # directory the DuckDB side of the harness cannot glob)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{src}/embeddings.parquet")
+    mask = pc.and_(
+        pc.greater_equal(tbl["vec_id"], 100), pc.less(tbl["vec_id"], 120)
+    )
+    dup = tbl.filter(mask)
+    dup = dup.set_column(
+        dup.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(dup["vec_id"], 100_000),
+    )
+    pq.write_table(
+        pa.concat_tables([tbl, dup]), str(tmp_path / "embeddings.parquet")
+    )
+
+    run_and_compare(spark, "emb_semantic_dedup", str(tmp_path))
+
+    out = {
+        r["vec_id"]: r
+        for r in all_specs()["emb_semantic_dedup"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    for v in range(100, 120):
+        injected = out[v + 100_000]
+        assert injected["is_kept"] == 0, (v, injected)
+        assert -1 < injected["dup_of"] <= v, (v, injected)
