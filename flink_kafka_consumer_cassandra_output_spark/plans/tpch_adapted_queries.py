@@ -1147,13 +1147,14 @@ HIST_QS = (50, 90, 99)
     oracle=f"""
 WITH o AS (
   SELECT o_totalprice AS x, o_orderkey AS k FROM orders
+  WHERE o_totalprice IS NOT NULL
 ), st AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo, MAX(x) AS hi FROM o
 ), ob AS (
   SELECT x, k,
          LEAST({HIST_B - 1},
-               CAST(FLOOR(((x - lo) * {HIST_B}.0) / (hi - lo)) AS BIGINT))
-           AS b
+               CAST(FLOOR(((x - lo) * {HIST_B}.0) / GREATEST(hi - lo, 1e-300))
+                    AS BIGINT)) AS b
   FROM o, st
 ), hist AS (
   SELECT r.b, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
@@ -1168,9 +1169,9 @@ WITH o AS (
   FROM st, (SELECT unnest([{', '.join(str(q) for q in HIST_QS)}]) AS q)
 ), pick AS (
   SELECT q, n, r, b, cum - cnt AS prev_cum,
-         lo + (CAST(b + 1 AS DOUBLE) * ((hi - lo) / {HIST_B}.0))
+         lo + (CAST(b + 1 AS DOUBLE) * (GREATEST(hi - lo, 1e-300) / {HIST_B}.0))
            AS est_upper,
-         (hi - lo) / {HIST_B}.0 AS width
+         GREATEST(hi - lo, 1e-300) / {HIST_B}.0 AS width
   FROM (
     SELECT qf.*, c.b, c.cnt, c.cum,
            ROW_NUMBER() OVER (PARTITION BY q ORDER BY c.b) AS rn
@@ -1205,18 +1206,24 @@ FROM pick p JOIN exact e ON e.q = p.q
     sibling="agg_exact_percentiles",
 )
 def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").alias("x"), F.col("o_orderkey").alias("k")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(F.col("o_totalprice").alias("x"), F.col("o_orderkey").alias("k"))
     )
     st = o.agg(
         F.count(F.lit(1)).alias("n"), F.min("x").alias("lo"),
         F.max("x").alias("hi"),
     )
+    # GREATEST(range, 1e-300) guards the all-equal-values corpus: a zero
+    # range would make the bucket expression 0/0 = NaN, and a NaN->BIGINT
+    # cast ABORTS under ANSI mode (found by the degenerate-tpch sweep);
+    # with the floor the whole mass lands in bucket 0, which is correct.
+    rng = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-300))
     b = F.least(
         F.lit(HIST_B - 1),
         F.floor(
-            ((F.col("x") - F.col("lo")) * F.lit(float(HIST_B)))
-            / (F.col("hi") - F.col("lo"))
+            ((F.col("x") - F.col("lo")) * F.lit(float(HIST_B))) / rng
         ).cast("long"),
     )
     ob = o.crossJoin(F.broadcast(st)).select("x", "k", b.alias("b"))
@@ -1241,7 +1248,9 @@ def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q"),
     ).selectExpr("q", "n", "lo", "hi", "(q * n + 99) div 100 as r")
     wq = Window.partitionBy("q").orderBy("b")
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_B))
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-300)) / F.lit(
+        float(HIST_B)
+    )
     pick = (
         qf.join(F.broadcast(cumhist), F.col("cum") >= F.col("r"))
         .withColumn("rn", F.row_number().over(wq))
