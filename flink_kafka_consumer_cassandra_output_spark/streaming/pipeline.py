@@ -1422,3 +1422,102 @@ def read_hll_registers(spark: SparkSession, hll_path: str) -> DataFrame:
         .filter(F.col("_batch_id") == F.col("_mx"))
         .select("event_type", "reg", "m")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming histogram maintenance (additive buckets + max-merged extremes)
+# --------------------------------------------------------------------------
+
+#: Declared domain for the streaming price histogram (the production
+#: pattern: a streaming histogram DECLARES its edges up front -- the batch
+#: agg_histogram_quantile_sketch can derive edges from corpus min/max
+#: because it sees the whole corpus; a stream cannot, so it bins against a
+#: declared domain and carries running min/max so a reader may re-derive
+#: tighter edges by re-binning, the rescale story).
+HIST_STREAM_B = 64
+
+
+def hist_stream_bucket(x, lo: float, hi: float):
+    """Fixed-edge bucket id; same arithmetic family as the batch sketch
+    (GREATEST-guarded range, floor, clamp)."""
+    rng = F.greatest(F.lit(hi) - F.lit(lo), F.lit(1e-300))
+    return F.least(
+        F.lit(HIST_STREAM_B - 1),
+        F.floor(((x - F.lit(lo)) * F.lit(float(HIST_STREAM_B))) / rng).cast(
+            "long"
+        ),
+    )
+
+
+def run_histogram_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+) -> StreamingQuery:
+    """Streaming maintenance of a fixed-edge value histogram over
+    ``events.value`` plus running min/max: bucket counts are ADDITIVE
+    (per-batch delta partitions, summed at read -- the CMS pattern
+    verbatim) and the extremes MAX/MIN-merge (the HLL pattern), so the
+    whole summary is mergeable and replay-safe with no cross-batch read.
+    The drained stream's histogram is integer-identical to a batch build
+    with the same declared edges (tests/test_streaming.py)."""
+
+    ev = stream_events(spark, input_dir)
+
+    def hist_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vals = batch_df.filter(F.col("value").isNotNull())
+        delta = (
+            vals.select(
+                hist_stream_bucket(F.col("value"), lo, hi).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ext = vals.agg(
+            F.min("value").alias("vmin"), F.max("value").alias("vmax")
+        )
+        (
+            delta.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_dir + "_hist")
+        )
+        (
+            ext.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(state_dir + "_ext")
+        )
+
+    return (
+        ev.writeStream.foreachBatch(hist_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("histogram_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(b, cnt): cell-wise sum of every committed delta partition."""
+    return (
+        spark.read.parquet(state_dir + "_hist")
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def read_histogram_extremes(spark: SparkSession, state_dir: str):
+    """(vmin, vmax) min/max-merged across batches."""
+    r = (
+        spark.read.parquet(state_dir + "_ext")
+        .agg(F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"))
+        .first()
+    )
+    return r["vmin"], r["vmax"]

@@ -903,3 +903,43 @@ def test_hll_stream_matches_batch_registers(spark, sf_dir, event_chunks, tmp_pat
         "the injected late user failed to raise its register: the "
         "max-merge conflict went unexercised"
     )
+
+
+def test_histogram_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path):
+    """The streamed fixed-edge histogram (additive bucket deltas, the CMS
+    pattern) is integer-identical to a batch build with the same declared
+    edges, across a mid-stream restart; the max-merged extremes equal the
+    corpus min/max, proving a reader could re-derive tighter edges."""
+    from pyspark.sql import functions as F
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "hist_state"
+    cp = tmp_path / "cp_hist"
+    input_dir.mkdir()
+    LO, HI = 0.0, 1000.0
+
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_histogram_stream(spark, str(input_dir), str(state), str(cp), LO, HI))
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_histogram_stream(spark, str(input_dir), str(state), str(cp), LO, HI))
+
+    streamed = {
+        (r["b"], r["cnt"])
+        for r in sp.read_histogram(spark, str(state)).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    batch = {
+        (r["b"], r["cnt"])
+        for r in ev.select(
+            sp.hist_stream_bucket(F.col("value"), LO, HI).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+    vmin, vmax = sp.read_histogram_extremes(spark, str(state))
+    exact = ev.agg(F.min("value"), F.max("value")).first()
+    assert (vmin, vmax) == (exact[0], exact[1])
