@@ -2691,12 +2691,17 @@ def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = materialize(edges)
     verts = edges.select(F.col("src").alias("v")).distinct()
     nv = verts.agg(F.count(F.lit(1)).alias("n"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is joined in every iteration: materialize ONCE instead of
+    # re-deriving the groupBy per round
+    deg = materialize(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     n_d = F.col("n").cast("double")
-    r = materialize(
-        verts.crossJoin(F.broadcast(nv)).select(
-            "v", (F.lit(1.0) / n_d).alias("rank")
-        )
+    # Unlike connected_components' data-dependent loop, the rank lineage
+    # grows LINEARLY over a fixed PR_ITERS=3 unroll (each round reads the
+    # previous r exactly once), so no per-round materialization is needed
+    # -- Catalyst plans the whole unroll as one job and the per-round
+    # action overhead disappears (measured: 5.08s -> see commit).
+    r = verts.crossJoin(F.broadcast(nv)).select(
+        "v", (F.lit(1.0) / n_d).alias("rank")
     )
     for _ in range(PR_ITERS):
         inc = (
@@ -2719,13 +2724,9 @@ def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("cs"), 1)["c"],
             lambda acc, x: acc + x["c"],
         )
-        r = materialize(
-            summed.crossJoin(F.broadcast(nv)).select(
-                "v",
-                (
-                    (F.lit(1.0 - PR_D) / n_d) + F.lit(PR_D) * s
-                ).alias("rank"),
-            )
+        r = summed.crossJoin(F.broadcast(nv)).select(
+            "v",
+            ((F.lit(1.0 - PR_D) / n_d) + F.lit(PR_D) * s).alias("rank"),
         )
     return r.join(deg, r["v"] == deg["src"]).select(
         F.col("v").alias("doc_id"), "deg", F.col("rank").alias("pagerank")
