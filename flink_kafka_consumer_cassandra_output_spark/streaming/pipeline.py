@@ -1521,3 +1521,146 @@ def read_histogram_extremes(spark: SparkSession, state_dir: str):
         .first()
     )
     return r["vmin"], r["vmax"]
+
+
+# --------------------------------------------------------------------------
+# Streaming PQ code-table maintenance (incremental ANN ingest)
+# --------------------------------------------------------------------------
+
+def pq_encode(df: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode (vec_id, embedding) rows against a PQ codebook frame
+    (m, cent_id, cent_sv): per (vector, subspace) argmin-L2 code, ties ->
+    smallest cent_id -- the identical arithmetic as the batch emb_pq_adc
+    (plans/northstar_queries.py), shared here so the stream and any batch
+    re-encode CANNOT drift."""
+    from ..plans.northstar_queries import PQ_M, PQ_SUBDIM
+
+    e = df.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("emb"),
+    )
+    slices = F.array(
+        *[F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    sub = e.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    diff = F.zip_with(
+        F.col("sv"), F.col("cent_sv"),
+        lambda x, y: (x - y) * (x - y),
+    )
+    d2 = F.aggregate(diff, F.lit(0.0), lambda x, y: x + y)
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cent_id"))
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cent_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cent_id").alias("code"))
+    )
+
+
+def run_pq_encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental maintenance of the PQ code table (the ANN ingest path):
+    vectors arriving as files are encoded against a PINNED codebook and
+    their codes appended -- a vector's codes never change once written,
+    so the state model is append-only per-batch partitions (replay
+    replaces a partition, the usual dynamic-overwrite discipline) and the
+    drained stream's code table is row-identical to a batch encode of the
+    same corpus.
+
+    The codebook is extracted ONCE from the seed vectors (vec_id < PQ_K,
+    the emb_pq_adc convention) and persisted to ``state_dir + "_cb"``;
+    the id-ordered-arrival precondition the other incremental streams
+    document guarantees the seeds land in the first batch, and a batch
+    that arrives before any codebook exists fails LOUDLY rather than
+    encoding against nothing.  At 100 TB this is how a PQ index absorbs
+    ingest: the codebook is fixed (retraining is an offline rebuild, as
+    in any IVF-PQ deployment), encode is embarrassingly parallel, and
+    each micro-batch ships M small integers per vector."""
+    from pyspark.errors import AnalysisException
+
+    from ..plans.northstar_queries import PQ_K, PQ_SUBDIM, PQ_M
+
+    cb_path = state_dir + "_cb"
+    codes_path = state_dir + "_codes"
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+
+    def read_cb() -> DataFrame | None:
+        try:
+            df = spark.read.parquet(cb_path)
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        if not df.inputFiles():
+            return None
+        return df
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cb = read_cb()
+        if cb is None:
+            seeds = batch_df.filter(F.col("vec_id") < PQ_K)
+            if seeds.limit(1).count() == 0:
+                raise RuntimeError(
+                    "pq_encode_stream: no codebook yet and the batch "
+                    "carries no seed vectors (vec_id < PQ_K); the "
+                    "id-ordered-arrival precondition is violated"
+                )
+            e = seeds.select(
+                "vec_id",
+                F.transform(
+                    F.col("embedding"), lambda v: v.cast("double")
+                ).alias("emb"),
+            )
+            slices = F.array(
+                *[
+                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+            cb = e.select(
+                F.col("vec_id").alias("cent_id"),
+                F.posexplode(slices).alias("m", "cent_sv"),
+            ).select("m", "cent_id", "cent_sv")
+            cb.write.mode("overwrite").parquet(cb_path)
+            cb = spark.read.parquet(cb_path)
+        (
+            pq_encode(batch_df, cb)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(codes_path)
+        )
+
+    reader = (
+        spark.readStream.schema(emb_schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("pq_encode_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_pq_codes(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(vec_id, m, code): union of all committed batch partitions."""
+    return spark.read.parquet(state_dir + "_codes").select(
+        "vec_id", "m", "code"
+    )

@@ -943,3 +943,59 @@ def test_histogram_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path):
     vmin, vmax = sp.read_histogram_extremes(spark, str(state))
     exact = ev.agg(F.min("value"), F.max("value")).first()
     assert (vmin, vmax) == (exact[0], exact[1])
+
+
+@pytest.fixture(scope="module")
+def emb_chunks(sf_dir):
+    """The embeddings fixture as N_CHUNKS vec_id-ordered arrow tables
+    (seeds vec_id < PQ_K land in chunk 0 -- the id-ordered-arrival
+    precondition the PQ encode stream documents)."""
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        ).arrow()
+    finally:
+        con.close()
+    n = tbl.num_rows
+    step = (n + N_CHUNKS - 1) // N_CHUNKS
+    return [tbl.slice(i * step, step) for i in range(N_CHUNKS)]
+
+
+def test_pq_encode_stream_matches_batch(spark, sf_dir, emb_chunks, tmp_path):
+    """The incrementally-maintained PQ code table is row-identical to a
+    batch encode of the same corpus against the same pinned codebook,
+    across a mid-stream restart -- codes are immutable once written, so
+    append-only per-batch partitions suffice and replay is harmless."""
+    from pyspark.sql import functions as F
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "pq_state"
+    cp = tmp_path / "cp_pq"
+    input_dir.mkdir()
+
+    _drop(emb_chunks, input_dir, 0, 2)
+    _run(sp.run_pq_encode_stream(spark, str(input_dir), str(state), str(cp)))
+    _drop(emb_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_pq_encode_stream(spark, str(input_dir), str(state), str(cp)))
+
+    streamed = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in sp.read_pq_codes(spark, str(state)).collect()
+    }
+    cb = spark.read.parquet(str(state) + "_cb")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in sp.pq_encode(emb, cb).collect()
+    }
+    assert len(streamed) == len(batch)
+    assert streamed == batch, (
+        f"{len(streamed ^ batch)} code cells differ"
+    )
+    # every vector encoded exactly once per subspace
+    from flink_kafka_consumer_cassandra_output_spark.plans.northstar_queries import (
+        PQ_M,
+    )
+    n_vec = emb.count()
+    assert len(streamed) == n_vec * PQ_M
