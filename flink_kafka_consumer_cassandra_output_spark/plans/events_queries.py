@@ -1456,3 +1456,79 @@ def ev_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_ts", "user_id", "version", "state")
     )
+
+
+@register(
+    "ev_scd2_state_durations",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_state IS NOT DISTINCT FROM event_type
+                 THEN 0 ELSE 1 END AS chg
+  FROM ordered
+), versioned AS (
+  SELECT user_id, event_type, ts, chg,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+), islands AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         event_type AS state, MIN(ts) AS valid_from
+  FROM versioned GROUP BY user_id, version, event_type
+), dim AS (
+  SELECT user_id, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM islands
+)
+SELECT state,
+       CAST(COUNT(*) AS BIGINT) AS n_closed_intervals,
+       CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT)
+         AS total_us,
+       CAST(MAX(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT)
+         AS max_us
+FROM dim WHERE valid_to IS NOT NULL
+GROUP BY state
+""",
+    doc="Duration-weighted temporal analytics over the SCD2 dimension: "
+        "per state, total and maximum dwell time across CLOSED validity "
+        "intervals (the open is_current rows have no defined duration "
+        "and are excluded -- the standard temporal-table convention).  "
+        "All integer microsecond arithmetic; rides the same single "
+        "user_id exchange as ev_scd2_user_state and adds one tiny "
+        "aggregate keyed by state.  The consumption-side triple is now "
+        "complete: build (ev_scd2_user_state), point-in-time read "
+        "(ev_scd2_asof_lookup), and duration analytics (this query).",
+    driver=False,
+    sibling="ev_ts_pattern_match",
+)
+def ev_scd2_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.eqNullSafe(F.col("event_type")), 0).otherwise(1)
+    versioned = ev.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = versioned.groupBy(
+        "user_id", F.col("version").cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+    ).agg(F.min("ts").alias("valid_from"))
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = islands.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    ).filter(F.col("valid_to").isNotNull())
+    dur = F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    return dim.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_closed_intervals"),
+        F.sum(dur).alias("total_us"),
+        F.max(dur).alias("max_us"),
+    )
