@@ -1010,7 +1010,7 @@ def run_user_erasure_stream(
 
     detail_schema = (
         "message_id string, username string, jid string, "
-        "date_partition string, _batch_id int"
+        "date_partition string, sent_time timestamp, _batch_id int"
     )
     erase_schema = "username string, _batch_id int"
 
@@ -1610,11 +1610,16 @@ def run_pq_encode_stream(
         cb = read_cb()
         if cb is None:
             seeds = batch_df.filter(F.col("vec_id") < PQ_K)
-            if seeds.limit(1).count() == 0:
+            n_seeds = seeds.select("vec_id").distinct().count()
+            if n_seeds != PQ_K:
                 raise RuntimeError(
                     "pq_encode_stream: no codebook yet and the batch "
-                    "carries no seed vectors (vec_id < PQ_K); the "
-                    "id-ordered-arrival precondition is violated"
+                    f"carries only {n_seeds}/{PQ_K} distinct seed "
+                    "vectors (vec_id < PQ_K); persisting a partial "
+                    "codebook would silently diverge every later code "
+                    "from the batch encode -- the id-ordered-arrival "
+                    "precondition (all seeds in the first file) is "
+                    "violated"
                 )
             e = seeds.select(
                 "vec_id",

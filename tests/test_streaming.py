@@ -696,6 +696,13 @@ def test_user_erasure_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path
         for r in all_specs()["msg_user_erasure"].builder(spark, sf_dir).collect()
     }
     assert streamed == batch, f"stream {sorted(streamed)} != batch {sorted(batch)}"
+    # ADVICE r8 pin: the materialized post-erasure snapshot must keep the
+    # FULL detail row shape -- sent_time was silently dropped by the
+    # read-back schema before the r9 fix
+    clean_cols = set(
+        spark.read.parquet(str(state) + "_clean").columns
+    )
+    assert {"message_id", "username", "jid", "date_partition", "sent_time"} <= clean_cols, clean_cols
     # the audit column must be zero BECAUSE the cascade worked, and the
     # erasure must be non-vacuous (some rows actually removed)
     by_name = {r[0]: r for r in streamed}
