@@ -131,6 +131,9 @@ FROM stats
         "flag.  Bigram stats are array expressions (no shuffle) except the "
         "top-bigram mode, which is an explode keyed by doc_id -- the one "
         "shuffle, partitioned by document so it scales horizontally.",
+    # r9 driver-slot rotation: quality-filter family; both driver-green r8.
+    driver=False,
+    sibling="doc_lm_rarity",
 )
 def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -868,6 +871,9 @@ FROM scored
         "integer division, 3-way label.  The lexicons are literal arrays "
         "here; a production lexicon becomes a broadcast join against the "
         "same counting shape (the taxonomy lookup-join pattern).",
+    # r9 driver-slot rotation: lexicon scoring exercised by the rarity machinery.
+    driver=False,
+    sibling="doc_lm_rarity",
 )
 def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1117,9 +1123,7 @@ FROM aug
         "Python; at 100 TB this is a narrow map with no shuffle at all.  "
         "The redacted string itself is hash-checked (md5), so the gate "
         "pins masking byte-for-byte, not just the match counts.",
-    driver=False,  # r8 rotation candidate
     # r8 sibling re-point: pattern-scan-over-text family, driver-checked there.
-    sibling="doc_decontamination_ngram",
 )
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1180,8 +1184,6 @@ LIMIT 20
         "on a pair-key space bounded by |alphabet|^2, top-20 via "
         "TakeOrderedAndProject.  Integer counts, lexicographic tiebreak: "
         "bit-exact parity for free.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_chunking",
 )
 def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1410,8 +1412,6 @@ SELECT lang, doc_id, weight, n_copies FROM sel WHERE n_copies >= 1
         "construction.  Complements doc_stratified_sample (hash quotas: "
         "uniform within stratum) and doc_temperature_mixing (computes "
         "weights; this query consumes them).",
-    driver=False,
-    sibling="doc_temperature_mixing",
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

@@ -201,7 +201,8 @@ GROUP BY user_id
         "BIGINT: DuckDB SUM yields HUGEINT, and the driver's value hash is "
         "type-sensitive even when values are identical",
     driver=False,  # ev_unpivot_roundtrip COMPOSES this pivot and its oracle
-    sibling="ev_unpivot_roundtrip",
+    # r9 sibling re-point: wide/long reshaping family, driver-checked there.
+    sibling="ev_json_props_typed",
     # is the plain GROUP BY, so a wrong pivot cell cannot pass the driver's
     # roundtrip gate; the wide form itself stays oracle-checked locally.
 )
@@ -226,6 +227,9 @@ GROUP BY user_id, event_type
         "GROUP BY exactly -- the oracle IS that group-by, so the gate checks "
         "the pivot/unpivot round-trip, not just the melt mechanics.  NULL "
         "cells (user never produced the type) are dropped on both sides",
+    # r9 driver-slot rotation: wide/long reshaping green r7+r8; the JSON anchor stays.
+    driver=False,
+    sibling="ev_json_props_typed",
 )
 def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = ev_pivot_user_type_counts(spark, sf_dir)
@@ -268,6 +272,9 @@ GROUP BY cohort_week, week_offset
         "is a tiny per-user table that broadcasts back onto the distinct "
         "user-week activity set); at 100 TB the cohort table is |users|, "
         "dimension-sized by construction.",
+    # r9 driver-slot rotation: per-user ordered-window family keeps two anchors.
+    driver=False,
+    sibling="ev_ts_pattern_match",
 )
 def ev_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -865,8 +872,6 @@ WHERE n_prior >= 3
         "against this query -- the batch plan IS the streaming truth.  "
         "One user shuffle, three window aggregates sharing one frame; "
         "integer prefix sums keep parity exact.",
-    driver=False,  # r8 rotation candidate
-    sibling="ev_tumbling_hourly",
 )
 def ev_anomaly_zscore_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1050,8 +1055,6 @@ FROM islands
         "user_id, so AQE-coalesced local aggregation follows the same "
         "exchange; no per-user data ever funnels through one task wider "
         "than that user's own history.",
-    driver=False,
-    sibling="ev_ts_pattern_match",
 )
 def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1187,8 +1190,6 @@ FROM z GROUP BY 1
         "write path is repartitionByRange(zvalue) so parquet row-group "
         "min/max footers carry tight ranges on both dimensions -- this "
         "query IS that index build.",
-    driver=False,
-    sibling="ev_tumbling_hourly",
 )
 def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_z = _zorder_dims(_ev(spark, sf_dir))
@@ -1295,8 +1296,6 @@ FROM corrected
         "bit-identical results (tests/test_streaming.py).  n_exact and "
         "rel_err are carried alongside so the estimate's quality is "
         "visible in the output (|rel_err| pinned in tests).",
-    driver=False,
-    sibling="ev_heavy_hitters_cms",
 )
 def ev_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)

@@ -384,7 +384,8 @@ WHERE jaccard >= 0.5
     # r7 driver-slot rotation: banded-sketch near-dup family, driver-checked there.
     driver=False,
     # r8 sibling re-point: the SAME MinHash sketch, its estimates driver-certified there.
-    sibling="doc_minhash_estimate_certificate",
+    # r9 sibling re-point: the verified-pair chain composing this op is driver-checked there.
+    sibling="doc_dedup_clusters",
 )
 def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -747,7 +748,8 @@ UNION ALL SELECT 'stage3_near_dedup', CAST(s3 AS BIGINT) FROM agg
         "aggregate where possible)",
     # r8 driver-slot rotation: the funnel's quality-filter stage is now driver-checked standalone.
     driver=False,
-    sibling="doc_gopher_quality_rules",
+    # r9 sibling re-point: quality-filter composition; the scoring stage driver-checked there.
+    sibling="doc_lm_rarity",
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1578,8 +1580,6 @@ LEFT JOIN dup_of d ON d.vec_id = a.vec_id"""
         "therefore quadratic in UNIQUE vectors per bucket, not rows -- "
         "the skewed-replica probe (SCALING.md table 5c) pins sec/k flat "
         "when one cluster holds half the corpus.",
-    driver=False,  # r8 rotation candidate
-    sibling="emb_ann_ivf_trained",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2366,6 +2366,9 @@ FROM (
         "that can only be eyeballed.  tests/test_similarity.py pins the "
         "MEAN error below 0.15 on the fixture, making the accuracy claim "
         "executable, not prose.",
+    # r9 driver-slot rotation: certificate green r8; minhash anchored by the dedup chain.
+    driver=False,
+    sibling="doc_dedup_clusters",
 )
 def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -2505,8 +2508,6 @@ FROM (
         "exact L2 top-k is pinned in tests/test_similarity.py (0.56 "
         "measured on the isotropic fixture -- the hardest case for a "
         "quantizer; clustered real embeddings quantize far tighter).",
-    driver=False,
-    sibling="emb_ann_ivf_trained",
 )
 def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -2675,8 +2676,6 @@ FROM r{PR_ITERS} r JOIN deg d ON d.src = r.v"""
         "jumping.  Scale: work per round is O(edges); the fold is per "
         "dst over its in-degree, the same bound the clustering "
         "coefficient's wedge count already carries.",
-    driver=False,
-    sibling="doc_dup_graph_triangles",
 )
 def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)

@@ -59,7 +59,8 @@ def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AES wire format itself is driver-checked via msg_crypto_roundtrip
     # with Java-parity golden KATs in tests/test_crypto_golden.py.
     driver=False,
-    sibling="msg_crypto_roundtrip",
+    # r9 sibling re-point: the promoted decrypt-verified gate is the same projection, pinned row-for-row.
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_detail_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=True)
@@ -88,8 +89,6 @@ WHERE stanza IS NOT NULL
         "golden KATs (tests/test_crypto_golden.py) that pin the wire "
         "format itself, this is the strongest gate available without AES "
         "in DuckDB (Encryptor.java:15-28).",
-    driver=False,
-    sibling="msg_crypto_roundtrip",
 )
 def msg_detail_encrypted_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = mp.detail_table(_msgs(spark, sf_dir), encrypt=True)
@@ -113,6 +112,9 @@ FROM messages
     doc="O7/O8 known-answer: decrypt(encrypt(stanza)) == stanza for every row; "
         "the oracle asserts true exactly where a stanza exists (NULL-aware "
         "equality on the Spark side), so any cipher divergence hash-mismatches",
+    # r9 driver-slot rotation: the promoted gate decrypt-verifies the same surface + golden KATs.
+    driver=False,
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -196,6 +198,9 @@ FROM messages
     doc="O21: stanza XML parse -- one from_xml parse per row into a typed "
         "struct (replaces the vendored 900-LoC pull parser, "
         "XmppPacketReader.java:308-435; 20x cheaper than per-field xpath)",
+    # r9 driver-slot rotation: stanza parse exercised transitively by the taxonomy CASE.
+    driver=False,
+    sibling="msg_taxonomy_all_codes",
 )
 def msg_stanza_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -217,6 +222,9 @@ WHERE sent_ts >= TIMESTAMP '2024-01-15 00:00:00'
 """,
     doc="O18: TTL/retention as an event-time predicate "
         "(BackupMessageConsumer.java:46-51); prunes month partitions at scan",
+    # r9 driver-slot rotation: retention also pytest-gated (tests/test_retention.py).
+    driver=False,
+    sibling="msg_summary_distinct",
 )
 def msg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -356,7 +364,8 @@ GROUP BY ROLLUP (date_partition, username)
         "aggregate) -- the continuous-aggregate view a reader of the "
         "detail table (CassandraOutputFormat.java:87-89) would maintain",
     driver=False,  # ROLLUP is driver-checked by agg_rollup_lineitem and
-    sibling="agg_rollup_lineitem",
+    # r9 sibling re-point: rollup-hierarchy agg family, driver-checked there.
+    sibling="sql_grouping_sets",
     # multi-COUNT(DISTINCT) by distinct_agg_lineitem; the messages-stream
     # composition of the two stays oracle-checked locally.
 )
@@ -484,8 +493,6 @@ SELECT 'summary',
         "erasure set is request-sized); at 100 TB the detail table "
         "additionally prunes to the user's partitions.  All-integer "
         "output, exact parity.",
-    driver=False,  # r8 rotation candidate
-    sibling="msg_summary_distinct",
 )
 def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import materialize

@@ -148,6 +148,9 @@ GROUP BY o_orderpriority
         "orderkey equi-condition plus the non-equi lag predicate -- the "
         "semi join never duplicates orders, and the 3-month partition "
         "prune reaches the orders scan (PushedFilters).",
+    # r9 driver-slot rotation: EXISTS family keeps q21 + sql_correlated_exists.
+    driver=False,
+    sibling="q21_waiting_supplier",
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -230,6 +233,9 @@ GROUP BY supp_nation, cust_nation, l_year
         "two small joins, and lineitem shuffles only against pre-filtered "
         "orders.  Year bucketing is a scan-side expression, no extra "
         "shuffle beyond the final 4-group agg.",
+    # r9 driver-slot rotation: multi-dim join-agg family keeps q8/q9.
+    driver=False,
+    sibling="q8_market_share",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -437,6 +443,9 @@ LIMIT 20
         "aggregate; TakeOrderedAndProject does the global top-20 without a "
         "total sort (revenue is an exact-decimal double, c_custkey breaks "
         "ties deterministically).",
+    # r9 driver-slot rotation: top-k family keeps q18 + sql_q3.
+    driver=False,
+    sibling="q18_large_volume_customers",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -542,7 +551,8 @@ GROUP BY lag_class
         "both engines.",
     # r8 driver-slot rotation: date-range + priority bucketing family, driver-checked there.
     driver=False,
-    sibling="q4_order_priority",
+    # r9 sibling re-point: date-range + priority bucketing family, driver-checked there.
+    sibling="sql_q3_shipping_priority",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -672,6 +682,9 @@ GROUP BY p_brand, p_type, p_size
         "LEFT ANTI against the pruned supplier set (s_suppkey is non-null, "
         "so anti-join and NOT IN agree); part filters prune before the "
         "fact join; COUNT DISTINCT expands to a two-phase aggregate.",
+    # r9 driver-slot rotation: count-distinct agg family, driver-checked there.
+    driver=False,
+    sibling="sql_grouping_sets",
 )
 def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -724,7 +737,8 @@ WHERE p_brand = 'Brand#5'
         "SUM/COUNT on both engines to force the same operation order.",
     # r8 driver-slot rotation: per-group scalar-subquery threshold family, driver-checked there.
     driver=False,
-    sibling="q20_excess_qty_suppliers",
+    # r9 sibling re-point: per-group scalar-subquery threshold family, driver-checked there.
+    sibling="q22_dormant_accounts",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -878,6 +892,9 @@ WHERE n_name = 'NATION_7'
         "broadcast, then collapses to a distinct supplier set that LEFT "
         "SEMI joins the nation-pruned supplier dim -- the semi join runs "
         "on the small side, never duplicating suppliers.",
+    # r9 driver-slot rotation: nested-subquery family keeps q22.
+    driver=False,
+    sibling="q22_dormant_accounts",
 )
 def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
@@ -1083,8 +1100,6 @@ SELECT constraint_name, metric, satisfied FROM (
         "100 TB costs two scans regardless of how many constraints the "
         "suite declares.  The 1-row x 1-row combine is a "
         "BroadcastNestedLoopJoin over scalars, not a data cross product.",
-    driver=False,
-    sibling="q22_dormant_accounts",
 )
 def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -1202,8 +1217,6 @@ FROM pick p JOIN exact e ON e.q = p.q
         "tests -- the one-bucket error bound IS the sketch's contract.  "
         "Float bucket/edge expressions are mirrored node-for-node; the "
         "cum window runs over exactly 64 rows regardless of data size.",
-    driver=False,
-    sibling="agg_exact_percentiles",
 )
 def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (

@@ -95,6 +95,9 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     doc="ROLLUP hierarchy (flag -> flag+status -> grand total); Spark expands "
         "to one Expand + single hash aggregate, no extra shuffle per level",
+    # r9 driver-slot rotation: the grouping-sets superset covers rollup.
+    driver=False,
+    sibling="sql_grouping_sets",
 )
 def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -201,7 +204,8 @@ GROUP BY l_returnflag
         "-- production users keep only the sketch and skip that pass",
     # r7 driver-slot rotation: distinct-part counting, driver-checked exactly there.
     driver=False,
-    sibling="q16_supplier_part_variety",
+    # r9 sibling re-point: approximate-distinct family proper, promoted this round.
+    sibling="ev_hll_distinct_users",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -389,7 +393,8 @@ WHERE o_orderkey % 100 = 0
     # r7 driver-slot rotation: date arithmetic + bucketing, driver-checked there.
     driver=False,
     # r8 sibling re-point: date arithmetic + bucketing, driver-checked there.
-    sibling="q4_order_priority",
+    # r9 sibling re-point: date arithmetic + bucketing over orders, driver-checked there.
+    sibling="sql_q3_shipping_priority",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -544,7 +549,8 @@ GROUP BY l_returnflag
         "Expand + two-phase distinct aggregation, not N scans)",
     # r7 driver-slot rotation: multi-COUNT-DISTINCT, driver-checked there.
     driver=False,
-    sibling="q16_supplier_part_variety",
+    # r9 sibling re-point: multi-COUNT-DISTINCT agg family, driver-checked there.
+    sibling="sql_grouping_sets",
 )
 def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -582,7 +588,8 @@ GROUP BY n_name
         "sizes instead of a hint that would OOM the driver at scale.",
     # r7 driver-slot rotation: multi-way broadcast revenue join family, driver-checked there.
     driver=False,
-    sibling="q7_volume_shipping",
+    # r9 sibling re-point: multi-dim join-agg family, driver-checked there.
+    sibling="q8_market_share",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
