@@ -2616,6 +2616,14 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SQL side so both engines hold the identical double.
 PR_D = 0.85
 PR_ITERS = 3
+#: Src-range bucket count for the hub-safe two-level contribution fold:
+#: per (dst, src%PR_BUCKETS) partial fold first, then a fold of the
+#: bucket partials in bucket order.  Row width is bounded by
+#: max(in_deg / PR_BUCKETS, PR_BUCKETS) instead of in_deg -- a 10^6-degree
+#: hub holds ~10^3-entry arrays (O(sqrt(deg)) at that scale) where the
+#: single-level fold held 10^6.  Both engines compute the bucket as
+#: ``src % 1024`` (doc ids are non-negative BIGINT, so % agrees).
+PR_BUCKETS = 1024
 
 
 def _pr_d(v: float) -> str:
@@ -2641,13 +2649,18 @@ def _pagerank_oracle() -> str:
         ctes.append(f"""r{i + 1} AS (
   SELECT t.v, ({base} / CAST(nv.n AS DOUBLE)) + {damp} * t.s AS rank
   FROM (
-    SELECT e.dst AS v,
-           list_reduce(list(r.rank / CAST(d.deg AS DOUBLE) ORDER BY e.src),
-                       (x, y) -> x + y) AS s
-    FROM edges e
-    JOIN deg d ON d.src = e.src
-    JOIN r{i} r ON r.v = e.src
-    GROUP BY e.dst
+    SELECT p.v,
+           list_reduce(list(p.sb ORDER BY p.b), (x, y) -> x + y) AS s
+    FROM (
+      SELECT e.dst AS v, e.src % {PR_BUCKETS} AS b,
+             list_reduce(list(r.rank / CAST(d.deg AS DOUBLE) ORDER BY e.src),
+                         (x, y) -> x + y) AS sb
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN r{i} r ON r.v = e.src
+      GROUP BY e.dst, e.src % {PR_BUCKETS}
+    ) p
+    GROUP BY p.v
   ) t, nv
 )""")
     joined = ",\n".join(ctes)
@@ -2664,24 +2677,35 @@ FROM r{PR_ITERS} r JOIN deg d ON d.src = r.v"""
         "near-dup graph -- the canonical iterative graph workload, "
         "surfacing hub boilerplate the way triangles/k-core surface "
         "template families.  Determinism discipline matches the Lloyd/CC "
-        "machinery: per-vertex incoming mass is a SEQUENTIAL src-ordered "
-        "fold (sorted-collect then element-first aggregate, mirrored by "
-        "DuckDB's ORDER BY list_reduce), every constant rides the "
-        "CAST('repr' AS DOUBLE) literal route, and the oracle unrolls "
-        "the loop one CTE pair per iteration.  The undirected dup graph "
-        "has no dangling vertices (every vertex carries its own edge), "
-        "so total mass stays 1 and the iteration is a pure "
-        "join-aggregate: one shuffle on dst per round, per-round "
-        "materialization exactly like connected components' pointer "
-        "jumping.  Scale: work per round is O(edges); the fold is per "
-        "dst over its in-degree, the same bound the clustering "
-        "coefficient's wedge count already carries.",
+        "machinery: per-vertex incoming mass is a SEQUENTIAL fold over a "
+        "fixed TWO-LEVEL total order -- src-ordered sub-fold per "
+        "src%PR_BUCKETS bucket, then the bucket partials folded in "
+        "bucket order (mirrored by the oracle's nested ORDER BY "
+        "list_reduce) -- every constant rides the CAST('repr' AS DOUBLE) "
+        "literal route, and the oracle unrolls the loop one CTE pair "
+        "per iteration.  The undirected dup graph has no dangling "
+        "vertices (every vertex carries its own edge), so total mass "
+        "stays 1 and the iteration is a pure join-aggregate with "
+        "map-side partial aggregation on both levels.  Scale: work per "
+        "round is O(edges) and NO row holds more than "
+        "max(in_deg/PR_BUCKETS, PR_BUCKETS) entries, so a power-law hub "
+        "vertex cannot blow a single row up to its full in-degree (the "
+        "r8 single-level fold's hazard; star-graph width probe in "
+        "SCALING.md).",
 )
 def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
     pairs = materialize(
         _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
     )
+    return pagerank_from_pairs(pairs)
+
+
+def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The PageRank iteration proper over an undirected pair list
+    ``(id_a, id_b)`` -- factored out of the registered builder so the
+    star-graph hub probe (tools/scale_probe_graph.py) exercises the REAL
+    fold on synthetic edges.  Returns (doc_id, deg, pagerank)."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -2703,25 +2727,48 @@ def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", (F.lit(1.0) / n_d).alias("rank")
     )
     for _ in range(PR_ITERS):
+        # Hub-safe two-level deterministic fold (VERDICT r8 item 2): the
+        # single-level sorted-collect held the vertex's FULL in-contribution
+        # list in one row (O(in_deg) width -- a power-law-hub hazard).  Now
+        # level 1 folds per (dst, src % PR_BUCKETS) in src order, level 2
+        # folds the bucket partials in bucket order; both groupBys keep
+        # map-side partial aggregation, rows are bounded by
+        # max(in_deg/PR_BUCKETS, PR_BUCKETS), and the nested order is a
+        # fixed engine-independent total order mirrored by the oracle's
+        # two-level ORDER BY list_reduce.
         inc = (
             edges.join(deg, "src")
             .join(r.select(F.col("v").alias("src"), "rank"), "src")
             .select(
                 F.col("dst").alias("v"),
+                F.pmod(F.col("src"), F.lit(PR_BUCKETS)).alias("b"),
                 F.struct(
                     F.col("src"),
                     (F.col("rank") / F.col("deg").cast("double")).alias("c"),
                 ).alias("sc"),
             )
         )
-        summed = inc.groupBy("v").agg(
+        part = inc.groupBy("v", "b").agg(
             F.array_sort(F.collect_list("sc")).alias("cs")
         )
         ncs = F.size(F.col("cs"))
-        s = F.aggregate(
+        sb = F.aggregate(
             F.slice(F.col("cs"), 2, ncs - 1),
             F.element_at(F.col("cs"), 1)["c"],
             lambda acc, x: acc + x["c"],
+        )
+        summed = (
+            part.select(
+                "v", F.struct(F.col("b"), sb.alias("s")).alias("bs")
+            )
+            .groupBy("v")
+            .agg(F.array_sort(F.collect_list("bs")).alias("bss"))
+        )
+        nbs = F.size(F.col("bss"))
+        s = F.aggregate(
+            F.slice(F.col("bss"), 2, nbs - 1),
+            F.element_at(F.col("bss"), 1)["s"],
+            lambda acc, x: acc + x["s"],
         )
         r = summed.crossJoin(F.broadcast(nv)).select(
             "v",
