@@ -700,3 +700,197 @@ def test_random_string_pipeline_cross_engine_equivalence(spark, plan):
         _run_str_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Window FRAME grammar (VERDICT r8 item 7): randomized frame bounds x order
+# keys x ties.  The earlier window family pins rank/lag over ONE fixed
+# frame (UNBOUNDED..CURRENT) and a unique total order; this family sweeps
+# the remaining frame space under the repo's determinism conventions:
+#   - ROWS frames need a UNIQUE total order (frame membership is
+#     positional), so they ride (l_orderkey, l_linenumber);
+#   - RANGE frames and pure rank functions are VALUE-determined, so they
+#     deliberately order by a low-cardinality key (l_quantity cast BIGINT)
+#     to exercise TIES -- the case the unique-key family cannot reach;
+#   - row_number/ntile/lag under ties are excluded (row-order dependent,
+#     not cross-engine deterministic by construction).
+# --------------------------------------------------------------------------
+
+_FRAME_BOUND = st.one_of(st.integers(0, 4), st.just("unbounded"))
+
+#: ROWS-frame functions over a frame-bounded window w (unique order).
+_ROWS_FUNCS = {
+    "f_sum_qty": (
+        lambda w: F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w).cast("double").alias("f_sum_qty"),
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) "
+        "AS f_sum_qty",
+    ),
+    "f_min_price": (
+        lambda w: F.min("l_extendedprice").over(w).alias("f_min_price"),
+        "MIN(l_extendedprice) OVER w AS f_min_price",
+    ),
+    "f_max_key": (
+        lambda w: F.max("l_orderkey").over(w).alias("f_max_key"),
+        "CAST(MAX(l_orderkey) OVER w AS BIGINT) AS f_max_key",
+    ),
+    "f_cnt": (
+        lambda w: F.count(F.lit(1)).over(w).alias("f_cnt"),
+        "CAST(COUNT(*) OVER w AS BIGINT) AS f_cnt",
+    ),
+    "f_first_key": (
+        lambda w: F.first("l_orderkey").over(w).alias("f_first_key"),
+        "CAST(FIRST_VALUE(l_orderkey) OVER w AS BIGINT) AS f_first_key",
+    ),
+}
+
+#: RANGE-frame functions (value-determined membership, safe under ties).
+_RANGE_FUNCS = {
+    "r_sum_price": (
+        lambda w: F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(w).cast("double").alias("r_sum_price"),
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) "
+        "AS r_sum_price",
+    ),
+    "r_cnt": (
+        lambda w: F.count(F.lit(1)).over(w).alias("r_cnt"),
+        "CAST(COUNT(*) OVER w AS BIGINT) AS r_cnt",
+    ),
+    "r_min_key": (
+        lambda w: F.min("l_orderkey").over(w).alias("r_min_key"),
+        "CAST(MIN(l_orderkey) OVER w AS BIGINT) AS r_min_key",
+    ),
+}
+
+#: Rank functions that depend only on the ORDER KEY VALUE, so ties are
+#: deterministic: rank/dense_rank are rank-of-value; percent_rank and
+#: cume_dist are one exact-integer division each (identical IEEE op).
+_TIES_FUNCS = {
+    "t_rank": (
+        lambda w: F.rank().over(w).alias("t_rank"),
+        "CAST(RANK() OVER w AS BIGINT) AS t_rank",
+    ),
+    "t_dense": (
+        lambda w: F.dense_rank().over(w).alias("t_dense"),
+        "CAST(DENSE_RANK() OVER w AS BIGINT) AS t_dense",
+    ),
+    "t_prank": (
+        lambda w: F.percent_rank().over(w).alias("t_prank"),
+        "PERCENT_RANK() OVER w AS t_prank",
+    ),
+    "t_cume": (
+        lambda w: F.cume_dist().over(w).alias("t_cume"),
+        "CUME_DIST() OVER w AS t_cume",
+    ),
+}
+
+
+@st.composite
+def _frame_plan(draw):
+    pred = draw(_predicate())
+    part = draw(st.sampled_from(_WIN_PARTS))
+    mode = draw(st.sampled_from(["rows", "range", "ties"]))
+    if mode == "rows":
+        p, f = draw(_FRAME_BOUND), draw(_FRAME_BOUND)
+        funcs = draw(st.lists(st.sampled_from(sorted(_ROWS_FUNCS)),
+                              min_size=1, max_size=3, unique=True))
+        return pred, part, mode, p, f, funcs
+    if mode == "range":
+        p, f = draw(st.integers(0, 10)), draw(st.integers(0, 10))
+        funcs = draw(st.lists(st.sampled_from(sorted(_RANGE_FUNCS)),
+                              min_size=1, max_size=2, unique=True))
+        return pred, part, mode, p, f, funcs
+    funcs = draw(st.lists(st.sampled_from(sorted(_TIES_FUNCS)),
+                          min_size=1, max_size=4, unique=True))
+    return pred, part, mode, None, None, funcs
+
+
+def _sql_bound(v, side: str) -> str:
+    if v == "unbounded":
+        return f"UNBOUNDED {side}"
+    if v == 0:
+        return "CURRENT ROW"
+    return f"{v} {side}"
+
+
+def _spark_bounds(p, f):
+    from pyspark.sql import Window
+
+    lo = Window.unboundedPreceding if p == "unbounded" else -p
+    hi = Window.unboundedFollowing if f == "unbounded" else f
+    return lo, hi
+
+
+def _run_frame_both(spark, con, plan):
+    pred, part, mode, p, f, func_names = plan
+
+    from pyspark.sql import Window
+
+    li = tables.load(spark, SF_DIR, "lineitem").filter(_pred_spark(pred))
+
+    if mode == "rows":
+        lo, hi = _spark_bounds(p, f)
+        w = (
+            Window.partitionBy(part)
+            .orderBy("l_orderkey", "l_linenumber")
+            .rowsBetween(lo, hi)
+        )
+        cols = [_ROWS_FUNCS[n][0](w) for n in func_names]
+        func_sql = ", ".join(_ROWS_FUNCS[n][1] for n in func_names)
+        wdef = (
+            f"PARTITION BY {part} ORDER BY l_orderkey, l_linenumber "
+            f"ROWS BETWEEN {_sql_bound(p, 'PRECEDING')} "
+            f"AND {_sql_bound(f, 'FOLLOWING')}"
+        )
+    elif mode == "range":
+        w = (
+            Window.partitionBy(part)
+            .orderBy(F.col("l_quantity").cast("bigint"))
+            .rangeBetween(-p, f)
+        )
+        cols = [_RANGE_FUNCS[n][0](w) for n in func_names]
+        func_sql = ", ".join(_RANGE_FUNCS[n][1] for n in func_names)
+        wdef = (
+            f"PARTITION BY {part} ORDER BY CAST(l_quantity AS BIGINT) "
+            f"RANGE BETWEEN {p} PRECEDING AND {f} FOLLOWING"
+        )
+    else:  # ties: pure rank functions over a low-cardinality order key
+        w = Window.partitionBy(part).orderBy(F.col("l_quantity").cast("bigint"))
+        cols = [_TIES_FUNCS[n][0](w) for n in func_names]
+        func_sql = ", ".join(_TIES_FUNCS[n][1] for n in func_names)
+        wdef = f"PARTITION BY {part} ORDER BY CAST(l_quantity AS BIGINT)"
+
+    sdf = li.select("l_orderkey", "l_linenumber", part, *cols).toPandas()
+    sql = f"""
+SELECT l_orderkey, l_linenumber, {part}, {func_sql}
+FROM lineitem WHERE {_pred_sql(pred)}
+WINDOW w AS ({wdef})
+"""
+    odf = con.execute(sql).fetchdf()
+    label = (
+        f"fuzzframe[{_pred_sql(pred)} | by {part} | {mode} "
+        f"{p}..{f} | {func_names}]"
+    )
+    compare_frames(sdf, odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_frame_plan())
+def test_random_window_frame_cross_engine_equivalence(spark, plan):
+    """Frame-bound window differential coverage: random ROWS frames
+    (0..4/unbounded preceding x following) over a unique order, random
+    RANGE frames and tie-sensitive rank functions over a deliberately
+    low-cardinality order key -- guards frame-membership arithmetic at
+    the bounds, value-vs-position frame semantics under duplicate keys,
+    FIRST_VALUE within shifted frames, and the percent_rank/cume_dist
+    division conventions."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_frame_both(spark, con, plan)
+    finally:
+        con.close()
