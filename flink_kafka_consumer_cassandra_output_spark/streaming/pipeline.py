@@ -1669,3 +1669,201 @@ def read_pq_codes(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(state_dir + "_codes").select(
         "vec_id", "m", "code"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: incremental entity resolution (round 9)
+# --------------------------------------------------------------------------
+
+def run_entity_resolution_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental streaming maintenance of the batch
+    ``cust_entity_resolution`` clustering (VERDICT r8 item 8): customer
+    records arrive in chunks, each batch derives its records (originals +
+    the known-truth mangled probes), extends the match graph with exactly
+    the pairs whose LATER-ARRIVING record is in this batch, and
+    re-converges cluster labels by min-label connected components over the
+    star-compressed prior labeling plus the new verified edges -- the SAME
+    incremental-CC discipline ``run_dedup_clusters_stream`` pins, reused
+    on a second graph family (the operator is graph-generic).
+
+    Blocking-key index: the stored ``_recs`` table carries each record's
+    composite block key (15-char name prefix, nationkey, mktsegment,
+    acctbal); a batch equi-joins only its NEW records against the
+    accumulated index -- never all-pairs, never re-deriving history.
+    Unlike the dedup stream, arrival order is NOT id order (a probe's id
+    is custkey + ER_ID_OFFSET), so pair canonicalization is least/greatest
+    + distinct on the SYMMETRIC new-vs-all join instead of relying on
+    id-ordered arrival: a pair is examined exactly in the batch where its
+    later record arrives, old-old pairs were examined before, and
+    min-label CC is associative under the star merge, so the drained
+    labels EQUAL the batch query's (tested across restart).
+
+    State tables (``_batch_id``-partitioned, dynamic overwrite, reads
+    filter ``_batch_id < batch_id`` -- the replay discipline every stream
+    here follows):
+
+    - ``state_dir + "_recs"``: (record_id, name, block key) index;
+    - ``state_dir + "_labels"``: the COMPLETE (v, lbl) table per batch.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..materialize import materialize
+    from ..operators import similarity as SIM
+    from ..plans.tpch_adapted_queries import ER_ID_OFFSET, ER_MOD
+
+    recs_path = state_dir + "_recs"
+    labels_path = state_dir + "_labels"
+    recs_schema = (
+        "record_id long, name string, nk int, seg string, bal double, "
+        "_batch_id int"
+    )
+    labels_schema = "v long, lbl long, _batch_id int"
+    cust_schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+
+    def read_committed(path: str, schema: str) -> DataFrame | None:
+        try:
+            df = spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        if not df.inputFiles():
+            return None
+        return df
+
+    def resolve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ln = F.length("c_name")
+        originals = batch_df.select(
+            F.col("c_custkey").alias("record_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+        )
+        probes = batch_df.filter(F.col("c_custkey") % ER_MOD == 0).select(
+            (F.col("c_custkey") + F.lit(ER_ID_OFFSET)).alias("record_id"),
+            F.concat(
+                F.col("c_name").substr(F.lit(1), ln - 2),
+                F.reverse(F.col("c_name").substr(ln - 1, F.lit(2))),
+            ).alias("name"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+        )
+        new = materialize(originals.unionByName(probes))
+
+        stored = read_committed(recs_path, recs_schema)
+        all_recs = (
+            new
+            if stored is None
+            else stored.filter(F.col("_batch_id") < batch_id)
+            .drop("_batch_id")
+            .unionByName(new)
+        )
+        x = all_recs.select(
+            F.col("record_id").alias("a"), F.col("name").alias("name_a"),
+            "nk", "seg", "bal", F.substring("name", 1, 15).alias("blk"),
+        )
+        y = new.select(
+            F.col("record_id").alias("b"), F.col("name").alias("name_b"),
+            F.col("nk").alias("nk_b"), F.col("seg").alias("seg_b"),
+            F.col("bal").alias("bal_b"),
+            F.substring("name", 1, 15).alias("blk"),
+        )
+        pairs = (
+            x.join(
+                y,
+                (x["blk"] == y["blk"]) & (x["nk"] == y["nk_b"])
+                & (x["seg"] == y["seg_b"]) & (x["bal"] == y["bal_b"])
+                & (x["a"] != y["b"]),
+            )
+            .filter(F.levenshtein("name_a", "name_b") <= 2)
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+
+        prior = read_committed(labels_path, labels_schema)
+        if prior is not None:
+            committed = prior.filter(F.col("_batch_id") < batch_id)
+            mx = committed.agg(F.max("_batch_id")).first()[0]
+            prior_labels = (
+                None
+                if mx is None
+                else committed.filter(F.col("_batch_id") == mx).select("v", "lbl")
+            )
+        else:
+            prior_labels = None
+
+        nodes = new.select(F.col("record_id").alias("v"))
+        edges = pairs
+        if prior_labels is not None:
+            nodes = prior_labels.select("v").unionByName(nodes)
+            star = prior_labels.filter(F.col("v") != F.col("lbl")).select(
+                F.col("v").alias("a"), F.col("lbl").alias("b")
+            )
+            edges = star.unionByName(edges)
+        labels = SIM.connected_components(nodes.distinct(), edges)
+
+        (
+            labels.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(labels_path)
+        )
+        (
+            new.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(recs_path)
+        )
+
+    reader = (
+        spark.readStream.schema(cust_schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(resolve_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("entity_resolution_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_entity_resolution_report(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Golden-record projection over the CURRENT labeling: the same
+    (cluster_id, canonical_name, n_records, n_merged) shape the batch
+    ``cust_entity_resolution`` returns."""
+    labels = read_cluster_labels(spark, state_dir + "_labels")
+    recs = spark.read.parquet(state_dir + "_recs").select("record_id", "name")
+    sized = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return sized.join(
+        recs, recs["record_id"] == sized["cluster_id"]
+    ).select(
+        "cluster_id", F.col("name").alias("canonical_name"), "n_records",
+        (F.col("n_records") - 1).alias("n_merged"),
+    )

@@ -1006,3 +1006,60 @@ def test_pq_encode_stream_matches_batch(spark, sf_dir, emb_chunks, tmp_path):
     )
     n_vec = emb.count()
     assert len(streamed) == n_vec * PQ_M
+
+
+@pytest.fixture(scope="module")
+def customer_chunks(sf_dir):
+    """The customer fixture as N_CHUNKS custkey-ordered arrow tables.
+    Unlike the dedup stream, the ER stream does NOT require id-ordered
+    arrival (probe ids jump by ER_ID_OFFSET); custkey order here just
+    makes the split deterministic."""
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/customer.parquet' ORDER BY c_custkey"
+        ).arrow()
+    finally:
+        con.close()
+    n = tbl.num_rows
+    step = (n + N_CHUNKS - 1) // N_CHUNKS
+    return [tbl.slice(i * step, step) for i in range(N_CHUNKS)]
+
+
+def test_entity_resolution_stream_matches_batch(
+    spark, sf_dir, customer_chunks, tmp_path
+):
+    """VERDICT r8 item 8: the incrementally-maintained entity-resolution
+    clustering equals the batch cust_entity_resolution golden-record
+    table row-for-row after the stream drains, across a mid-stream
+    restart.  Exactness rests on the same two pillars the dedup-cluster
+    twin pins (pair examined when its later record arrives; min-label CC
+    associative under star merge), exercised here WITHOUT the id-ordered
+    arrival crutch -- the pair canonicalization is least/greatest over a
+    symmetric new-vs-all block join."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "er_state"
+    cp = tmp_path / "cp_er"
+    input_dir.mkdir()
+
+    _drop(customer_chunks, input_dir, 0, 2)
+    _run(sp.run_entity_resolution_stream(spark, str(input_dir), str(state), str(cp)))
+    _drop(customer_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_entity_resolution_stream(spark, str(input_dir), str(state), str(cp)))
+
+    streamed = {
+        tuple(r)
+        for r in sp.read_entity_resolution_report(spark, str(state)).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_specs()["cust_entity_resolution"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert len(streamed) == len(batch), (len(streamed), len(batch))
+    assert streamed == batch, f"{len(streamed ^ batch)} golden rows differ"
+    # non-vacuous: the probe duplicates must actually merge somewhere
+    assert any(r[3] > 0 for r in streamed), "no cluster merged anything"
