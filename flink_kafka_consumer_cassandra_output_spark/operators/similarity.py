@@ -549,6 +549,89 @@ def kcore_membership(
         und.unpersist()
 
 
+#: Hop bound for bfs_hops, matched by the DuckDB oracle's unroll depth.
+#: A fixed bound (not run-to-convergence) is the semantics: "distance from
+#: the nearest seed, if within BFS_UNROLL hops" -- the bounded-traversal
+#: shape every production graph walk uses at scale.  Extra unrolled rounds
+#: past the true eccentricity add nothing (frontier-empty is a fixed
+#: point), so the Spark early-exit and the oracle's full unroll agree.
+BFS_UNROLL = 6
+
+
+def bfs_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = BFS_UNROLL,
+) -> DataFrame:
+    """Multi-source BFS hop distance: for every node, the minimum number
+    of edges to ANY seed vertex, bounded at ``max_hops``.
+
+    ``nodes``: one column ``v``; ``edges``: columns ``(a, b)``, one row
+    per undirected edge; ``seeds``: one column ``v``.  Returns (v, hop)
+    for EVERY node: 0 for seeds, the BFS distance for vertices reached
+    within ``max_hops``, and -1 for everything else (unreached within the
+    bound, or isolated non-seeds) -- an explicit sentinel rather than
+    NULL so downstream filters need no three-valued logic.
+
+    Level-synchronous FRONTIER expansion, not whole-set re-expansion:
+    round i joins only the previous round's newly-reached vertices
+    against the (persisted, symmetrized) edge table, anti-joins the
+    visited set, and tags survivors hop=i.  A vertex is reached first at
+    its true BFS level, so no min-fold over competing hop values is ever
+    needed -- the anti-join IS the min.  Rounds materialize via
+    :func:`materialize` with mid-loop :func:`drop_stage` reclamation and
+    exit early on an empty frontier, exactly the
+    :func:`connected_components` discipline.
+
+    Scale: per round one equi-join frontier-to-edges (shuffle keyed on
+    vertex id, frontier side shrinks as the wave passes) plus one
+    anti-join against visited; at 100 TB the visited table is the big
+    operand and both joins co-partition on ``v``, so each level is one
+    bounded shuffle -- never re-walking interior vertices, which is what
+    makes level-synchronous BFS the scalable form of graph traversal.
+    """
+    init = seeds.select("v", F.lit(0).cast("long").alias("hop"))
+    if schema_only_builds():
+        # Schema-identical lazy plan; no jobs at plan-build time.
+        return nodes.join(init, "v", "left").select(
+            "v", F.coalesce("hop", F.lit(-1).cast("long")).alias("hop")
+        )
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").persist()
+    try:
+        visited = materialize(init)
+        frontier = visited.select("v")
+        for i in range(1, max_hops + 1):
+            nxt = materialize(
+                und.join(frontier.select(F.col("v").alias("a")), "a")
+                .select(F.col("b").alias("v"))
+                .distinct()
+                .join(visited.select("v"), "v", "left_anti")
+                .select("v", F.lit(i).cast("long").alias("hop"))
+            )
+            if nxt.count() == 0:
+                drop_stage(nxt)
+                break
+            merged = materialize(visited.unionByName(nxt))
+            # the old visited set and the old frontier are dead once the
+            # merge is eagerly materialized (nxt was built from them)
+            drop_stage(visited)
+            visited = merged
+            frontier = nxt
+        return nodes.join(visited, "v", "left").select(
+            "v", F.coalesce("hop", F.lit(-1).cast("long")).alias("hop")
+        )
+    finally:
+        und.unpersist()
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity
 # --------------------------------------------------------------------------

@@ -1573,3 +1573,257 @@ def ev_scd2_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).alias("total_us"),
         F.max(dur).alias("max_us"),
     )
+
+
+@register(
+    "ev_cdc_apply_changelog",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_type AS cur_type, value AS cur_value,
+       ts AS updated_at, CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="CDC changelog apply (Debezium-style snapshot materialization, "
+        "the SCD1 counterpart of the ev_scd2_user_state dimension build): "
+        "the event stream is read as a keyed changelog -- every record "
+        "upserts the user's current row, 'error' records are tombstone "
+        "DELETEs -- and applied to a latest-wins snapshot: one row per "
+        "live key carrying the last (type, value, ts) plus the total "
+        "change count; a key whose LAST record is a tombstone is absent.  "
+        "Determinism: the (ts DESC, event_id DESC) order is total, so "
+        "'latest' is engine-independent.  Plan: ONE user_id shuffle "
+        "serves both the row_number and the count window -- exactly the "
+        "shape a MERGE INTO target would shuffle, with map-side pruning "
+        "of all but each key's tail at 100 TB via the same AQE-sized "
+        "exchange every window query here rides.  The streaming twin "
+        "(streaming/pipeline.py run_cdc_apply_stream) maintains the same "
+        "snapshot incrementally and is pinned stream==batch.",
+    driver=False,
+    sibling="ev_scd2_user_state",
+)
+def ev_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_changes"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.col("value").alias("cur_value"),
+        F.col("ts").alias("updated_at"),
+        "n_changes",
+    )
+
+
+#: Autocorrelation lags computed by ev_acf_lags (hours).
+ACF_LAGS = (1, 2, 3)
+
+
+def _acf_oracle() -> str:
+    pair_selects = "\nUNION ALL\n".join(
+        f"""SELECT event_type, CAST({k} AS BIGINT) AS lag, cnt AS x,
+       LAG(cnt, {k}) OVER (PARTITION BY event_type ORDER BY hour) AS y
+FROM dense"""
+        for k in ACF_LAGS
+    )
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, hour
+), dense AS (
+  SELECT t.event_type, s.hour, COALESCE(c.cnt, 0) AS cnt
+  FROM types t CROSS JOIN spine s
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = s.hour
+), pairs AS (
+  {pair_selects}
+), sums AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+         CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+         CAST(SUM(y * y) AS BIGINT) AS sum_y2
+  FROM pairs WHERE y IS NOT NULL GROUP BY event_type, lag
+)
+SELECT event_type, lag, n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+       CASE WHEN n_pairs * sum_x2 - sum_x * sum_x = 0
+              OR n_pairs * sum_y2 - sum_y * sum_y = 0 THEN NULL
+            ELSE CAST(n_pairs * sum_xy - sum_x * sum_y AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sum_x2 - sum_x * sum_x AS DOUBLE)
+                        * CAST(n_pairs * sum_y2 - sum_y * sum_y AS DOUBLE))
+       END AS acf
+FROM sums
+"""
+
+
+@register(
+    "ev_acf_lags",
+    oracle=_acf_oracle(),
+    doc="Autocorrelation function of the hourly event-count series at "
+        "lags {lags} per event_type -- the time-series diagnostic behind "
+        "seasonality detection and forecast-model order selection.  The "
+        "count series is DENSIFIED first (hour spine from the global "
+        "[min, max] hour crossed with the type list; missing hours count "
+        "0 -- skipping empty hours would silently misalign every lag), "
+        "then Pearson r over (x_t, x_t-k) pairs.  Determinism: all six "
+        "sufficient statistics are exact BIGINT sums of integer counts; "
+        "the single double division/sqrt is computed from identical "
+        "integers by both engines, and a zero-variance series yields "
+        "NULL, not a 0/0.  Scale: the spine is time-range-bounded "
+        "metadata, counts are one map-side-combined shuffle on (type, "
+        "hour), the lag windows ride ONE event_type exchange, and "
+        "parallelism grows with the number of series (the per-type "
+        "window is the unit of work) -- no global sort anywhere.",
+    driver=False,
+    sibling="ev_anomaly_zscore_online",
+)
+def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dense = (
+        # the spine is time-range-bounded metadata (one row per hour of the
+        # global [min, max] span, from a 1-row Aggregate): broadcast it so
+        # the densify join never shuffles the type list
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("hour")
+    lagged = dense.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        *[F.lag("cnt", k).over(wt).alias(f"y{k}") for k in ACF_LAGS],
+    )
+    stack_args = ", ".join(f"{k}L, y{k}" for k in ACF_LAGS)
+    pairs = lagged.select(
+        "event_type",
+        F.expr(f"stack({len(ACF_LAGS)}, {stack_args}) as (lag, y)"),
+        "x",
+    ).filter(F.col("y").isNotNull())
+    sums = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
+    )
+    dx = F.col("n_pairs") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
+    dy = F.col("n_pairs") * F.col("sum_y2") - F.col("sum_y") * F.col("sum_y")
+    num = F.col("n_pairs") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    return sums.select(
+        "event_type", "lag", "n_pairs", "sum_x", "sum_y", "sum_xy",
+        "sum_x2", "sum_y2",
+        F.when((dx == 0) | (dy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
+        )
+        .alias("acf"),
+    )
+
+
+@register(
+    "ev_session_path_trigrams",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+grams AS (
+  SELECT lag(event_type, 2) OVER s AS t1,
+         lag(event_type, 1) OVER s AS t2,
+         event_type AS t3
+  FROM numbered
+  WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+""",
+    doc="Sequence mining over SESSION-scoped user journeys: the top-20 "
+        "most common 3-step event paths, with paths never crossing a "
+        "session boundary (the 30-minute-gap sessionization shared with "
+        "ev_top_sessions_by_events) -- the clickstream path-analysis "
+        "primitive one level up from ev_event_transitions' global "
+        "bigram matrix.  Determinism: the (ts, event_id) order is total "
+        "within a session, trigram counts are integers, and the top-20 "
+        "carries the full (n, t1, t2, t3) total order.  Plan: ONE "
+        "user_id shuffle serves the gap flag, the running-sum session "
+        "numbering AND the per-session lag pair (the session window is "
+        "a subpartition of the user window, so Spark reuses the "
+        "exchange); the trigram count is a map-side-combined aggregate "
+        "over at most |event-type|^3 groups and the top-20 is "
+        "TakeOrderedAndProject.",
+    driver=False,
+    sibling="ev_ts_pattern_match",
+)
+def ev_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    grams = numbered.select(
+        F.lag("event_type", 2).over(ws).alias("t1"),
+        F.lag("event_type", 1).over(ws).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        grams.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )

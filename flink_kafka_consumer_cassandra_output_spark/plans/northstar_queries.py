@@ -2777,3 +2777,74 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
     return r.join(deg, r["v"] == deg["src"]).select(
         F.col("v").alias("doc_id"), "deg", F.col("rank").alias("pagerank")
     )
+
+
+#: Seed selector for doc_graph_bfs_hops: every BFS_SEED_MOD-th document.
+BFS_SEED_MOD = 17
+
+
+def _bfs_oracle(rounds: int = SIM.BFS_UNROLL) -> str:
+    """Unrolled level-relaxation oracle for doc_graph_bfs_hops.  The
+    oracle re-expands the whole reached set each round and min-folds --
+    O(reached * deg) per round, fine for an oracle -- while the Spark
+    side expands frontiers only; both compute min-hop <= ``rounds``
+    exactly, and rounds past the graph's seed-eccentricity relax nothing
+    (fixed point), so the fixed unroll matches the early-exiting loop."""
+    ctes = [
+        "reach0 AS (SELECT v, CAST(0 AS BIGINT) AS hop FROM seeds)"
+    ]
+    for i in range(rounds):
+        ctes.append(f"""reach{i + 1} AS (
+  SELECT v, MIN(hop) AS hop FROM (
+    SELECT v, hop FROM reach{i}
+    UNION ALL
+    SELECT e.b AS v, r.hop + 1 AS hop
+    FROM reach{i} r JOIN edges e ON e.a = r.v
+  ) GROUP BY v
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {_PREFIX_FILTER_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+seeds AS (
+  SELECT doc_id AS v FROM documents WHERE doc_id % {BFS_SEED_MOD} = 0
+),
+{joined}
+SELECT d.doc_id, COALESCE(r.hop, -1) AS hop
+FROM documents d LEFT JOIN reach{rounds} r ON r.v = d.doc_id"""
+
+
+@register(
+    "doc_graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    doc="Bounded multi-source BFS over the verified near-dup graph: hop "
+        "distance from the nearest seed document (every {m}th doc_id) "
+        "within {h} hops; -1 marks unreached -- the graph-traversal "
+        "primitive behind 'how far is this document from a known-bad/"
+        "known-good set' contamination-radius walks.  Completes the "
+        "graph family's traversal axis next to the fixed-point ops "
+        "(components, k-core, PageRank).  Spark side is level-"
+        "synchronous FRONTIER expansion (operators/similarity.bfs_hops): "
+        "per level one frontier-to-edges equi-join plus one anti-join "
+        "against visited, rounds materialized with staged reclamation, "
+        "early exit on an empty frontier; the oracle unrolls the same "
+        "bound as whole-set min-relaxation, sound because extra rounds "
+        "past the seed eccentricity are fixed-point no-ops (mirror of "
+        "the k-core unroll argument).  Pure integer hops: bit-exact "
+        "parity for free.".format(m=BFS_SEED_MOD, h=SIM.BFS_UNROLL),
+    driver=False,
+    sibling="doc_dup_graph_pagerank",
+)
+def doc_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
+    seeds = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % BFS_SEED_MOD == 0
+    ).select(F.col("doc_id").alias("v"))
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    out = SIM.bfs_hops(nodes, edges, seeds)
+    return out.select(F.col("v").alias("doc_id"), "hop")

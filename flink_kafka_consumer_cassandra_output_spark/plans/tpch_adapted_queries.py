@@ -1417,3 +1417,260 @@ def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id", F.col("name").alias("canonical_name"), "n_records",
         (F.col("n_records") - 1).alias("n_merged"),
     )
+
+
+#: Minimum pair support for basket_copurchase_lift (orders containing both).
+BASKET_MIN_SUPPORT = 2
+
+
+@register(
+    "basket_copurchase_lift",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+), supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+       (1000000 * n.n_orders * p.supp_ab) // (sa.supp * sb.supp) AS lift_ppm
+FROM pairs p
+JOIN supp sa ON sa.l_partkey = p.part_a
+JOIN supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY lift_ppm DESC, part_a, part_b
+LIMIT 100
+""",
+    doc="Market-basket co-purchase mining (the association-rule support/"
+        "lift primitive): top-100 part pairs by lift among pairs bought "
+        "together in >= {m} orders.  Lift is kept EXACT as parts-per-"
+        "million via pure BIGINT arithmetic -- (1e6 * N * supp_ab) DIV "
+        "(supp_a * supp_b) -- so the ranking is engine-independent with "
+        "no float division anywhere; the (lift_ppm, part_a, part_b) "
+        "order is total.  Scale: the pair generation self-joins the "
+        "DISTINCT (order, part) item table on l_orderkey, so work per "
+        "order is C(items,2) with items <= 13 on TPC-H shapes -- bounded "
+        "fan-out, never all-pairs across parts; supports are map-side-"
+        "combined counts; the support lookups are plain equi-joins AQE "
+        "can broadcast when part is small; the 1-row order count rides "
+        "an explicit bounded broadcast; top-100 is "
+        "TakeOrderedAndProject.".format(m=BASKET_MIN_SUPPORT),
+    driver=False,
+    sibling="q18_large_volume_customers",
+)
+def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "supp_ab", "supp_a", "supp_b",
+            F.expr(
+                "(1000000L * n_orders * supp_ab) div (supp_a * supp_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+#: Survivorship fixture constants: every SURV_MOD-th customer gets a probe
+#: duplicate whose name is mangled (last-two-char swap), whose segment is
+#: LOST (NULL), and whose balance drifts by +SURV_DRIFT -- so the golden
+#: record genuinely has to pick fields from different cluster members.
+SURV_MOD = 6
+SURV_ID_OFFSET = 20_000_000
+SURV_DRIFT = "0.05"
+SURV_BAL_TOL = "0.10"
+
+
+@register(
+    "cust_survivorship_golden",
+    oracle=f"""
+WITH RECURSIVE records AS (
+  SELECT c_custkey AS record_id, c_name AS name, c_nationkey,
+         c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + {SURV_ID_OFFSET},
+         substr(c_name, 1, length(c_name) - 2)
+           || reverse(substr(c_name, length(c_name) - 1, 2)),
+         c_nationkey, NULL,
+         CAST(c_acctbal AS DECIMAL(18,2)) + CAST({SURV_DRIFT} AS DECIMAL(18,2))
+  FROM customer WHERE c_custkey % {SURV_MOD} = 0
+), pairs AS (
+  SELECT x.record_id AS a, y.record_id AS b
+  FROM records x JOIN records y
+    ON substr(x.name, 1, 15) = substr(y.name, 1, 15)
+   AND x.c_nationkey = y.c_nationkey
+   AND x.record_id < y.record_id
+  WHERE levenshtein(x.name, y.name) <= 2
+    AND abs(x.bal - y.bal) <= CAST({SURV_BAL_TOL} AS DECIMAL(18,2))
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach AS (
+  SELECT record_id AS v, record_id AS u FROM records
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN edges e ON e.a = r.u
+), lbl AS (
+  SELECT v AS record_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+), seg_votes AS (
+  SELECT l.cluster_id, r.c_mktsegment AS seg, COUNT(*) AS votes
+  FROM lbl l JOIN records r USING (record_id)
+  WHERE r.c_mktsegment IS NOT NULL
+  GROUP BY 1, 2
+), seg_pick AS (
+  SELECT cluster_id, seg FROM (
+    SELECT cluster_id, seg,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY votes DESC, seg) AS rn
+    FROM seg_votes
+  ) WHERE rn = 1
+), agg AS (
+  SELECT l.cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(MAX(r.bal) AS DOUBLE) AS golden_acctbal
+  FROM lbl l JOIN records r USING (record_id)
+  GROUP BY 1
+)
+SELECT a.cluster_id, r.name AS golden_name, s.seg AS golden_segment,
+       a.golden_acctbal, a.n_records
+FROM agg a
+JOIN records r ON r.record_id = a.cluster_id
+LEFT JOIN seg_pick s ON s.cluster_id = a.cluster_id
+""",
+    doc="Field-level SURVIVORSHIP golden record (the master-data-"
+        "management step after entity resolution): a probe set with "
+        "per-field damage (mangled name, LOST segment, +{d} balance "
+        "drift) is clustered by tolerance-based matching -- block on "
+        "(15-char name prefix, nationkey), verify levenshtein <= 2 AND "
+        "|bal diff| <= {t} in exact DECIMAL -- then each cluster's "
+        "golden row picks each field by its own rule: name from the "
+        "min-record_id representative, segment by deterministic majority "
+        "vote over non-null values (votes DESC, value ASC -- mode() "
+        "alone is tie-unspecified in both engines), balance as the "
+        "cluster MAX in DECIMAL.  Scale: same story as "
+        "cust_entity_resolution (blocking is the shuffle key, edit "
+        "distance only inside blocks, O(log d) CC rounds); the vote and "
+        "max aggregates ride one cluster_id shuffle over the small "
+        "label table.".format(d=SURV_DRIFT, t=SURV_BAL_TOL),
+    driver=False,
+    sibling="cust_fuzzy_match_blocked",
+)
+def cust_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    c = _t(spark, sf_dir, "customer")
+    ln = F.length("c_name")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    originals = c.select(
+        F.col("c_custkey").alias("record_id"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+        bal.alias("bal"),
+    )
+    probes = c.filter(F.col("c_custkey") % SURV_MOD == 0).select(
+        (F.col("c_custkey") + F.lit(SURV_ID_OFFSET)).alias("record_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), ln - 2),
+            F.reverse(F.col("c_name").substr(ln - 1, F.lit(2))),
+        ).alias("name"),
+        "c_nationkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        (bal + F.lit(SURV_DRIFT).cast("decimal(18,2)")).alias("bal"),
+    )
+    records = originals.unionByName(probes)
+    x = records.select(
+        F.col("record_id").alias("a"), F.col("name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"), F.col("bal").alias("bal_a"),
+    )
+    y = records.select(
+        F.col("record_id").alias("b"), F.col("name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"), F.col("bal").alias("bal_b"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.substring("name_a", 1, 15) == F.substring("name_b", 1, 15))
+            & (x["nk"] == y["nk"]) & (x["a"] < y["b"]),
+        )
+        .filter(
+            (F.levenshtein("name_a", "name_b") <= 2)
+            & (
+                F.abs(F.col("bal_a") - F.col("bal_b"))
+                <= F.lit(SURV_BAL_TOL).cast("decimal(18,2)")
+            )
+        )
+        .select("a", "b")
+    )
+    labels = SIM.connected_components(
+        records.select(F.col("record_id").alias("v")), pairs
+    ).select(F.col("v").alias("record_id"), F.col("lbl").alias("cluster_id"))
+    member = labels.join(records, "record_id")
+    seg_votes = (
+        member.filter(F.col("c_mktsegment").isNotNull())
+        .groupBy("cluster_id", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("cluster_id").orderBy(
+        F.col("votes").desc(), F.col("seg")
+    )
+    seg_pick = (
+        seg_votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("seg").alias("golden_segment"))
+    )
+    agg = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("bal").cast("double").alias("golden_acctbal"),
+    )
+    return (
+        agg.join(
+            records.select(
+                F.col("record_id").alias("cluster_id"),
+                F.col("name").alias("golden_name"),
+            ),
+            "cluster_id",
+        )
+        .join(seg_pick, "cluster_id", "left")
+        .select(
+            "cluster_id", "golden_name", "golden_segment",
+            "golden_acctbal", "n_records",
+        )
+    )

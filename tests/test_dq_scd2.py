@@ -154,3 +154,44 @@ def test_entity_resolution_ground_truth(spark):
         expect = 2 if k in probed else 1
         assert rows[k]["n_records"] == expect, (k, rows[k])
         assert rows[k]["n_merged"] == expect - 1
+
+
+def test_survivorship_golden_ground_truth(spark):
+    """Known-truth check on the survivorship rules: for every probed
+    customer whose cluster is exactly the clean {source, probe} pair, the
+    golden record must pick each field by its own rule -- name from the
+    min-id source, segment from the majority vote over non-null values
+    (the probe's segment is LOST, so the vote returns the source's), and
+    balance as the DECIMAL max (the probe's +0.05 drift).  The loose
+    tolerance blocking can occasionally merge serial-name neighbours
+    (|bal| within 0.10 at lev<=2 is possible by chance), so the gate
+    requires the CLEAN pairs to dominate rather than be universal."""
+    from flink_kafka_consumer_cassandra_output_spark.plans.tpch_adapted_queries import (
+        SURV_DRIFT,
+        SURV_MOD,
+    )
+
+    rows = {
+        r["cluster_id"]: r
+        for r in R.all_specs()["cust_survivorship_golden"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    cust = {
+        r["c_custkey"]: r
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    probed = sorted(k for k in cust if k % SURV_MOD == 0)
+    assert probed, "fixture must spawn at least one probe"
+    clean = 0
+    for k in probed:
+        row = rows.get(k)
+        if row is None or row["n_records"] != 2:
+            continue  # polluted by an accidental tolerance merge
+        src = cust[k]
+        assert row["golden_name"] == src["c_name"], (k, row)
+        assert row["golden_segment"] == src["c_mktsegment"], (k, row)
+        drifted = round(src["c_acctbal"] + float(SURV_DRIFT), 2)
+        assert row["golden_acctbal"] == drifted, (k, row)
+        clean += 1
+    assert clean >= 0.8 * len(probed), (clean, len(probed))

@@ -735,3 +735,60 @@ def test_semantic_dedup_compressed_branch_full_parity(spark, tmp_path):
         injected = out[v + 100_000]
         assert injected["is_kept"] == 0, (v, injected)
         assert -1 < injected["dup_of"] <= v, (v, injected)
+
+
+def test_bfs_hops_known_graph(spark):
+    """Bounded multi-source BFS on a known graph: a 6-chain with the seed
+    at one end (hops 0..5 within the default bound), a second seed in a
+    2-clique, an isolated non-seed (-1), and an isolated seed (0)."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        bfs_hops,
+    )
+
+    nodes = spark.createDataFrame([(v,) for v in range(1, 11)], "v long")
+    # chain 1-2-3-4-5-6, clique 7-8; 9 isolated non-seed; 10 isolated seed
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (7, 8)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,), (8,), (10,)], "v long")
+    got = {r.v: r.hop for r in bfs_hops(nodes, edges, seeds).collect()}
+    assert got == {
+        1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 1, 8: 0, 9: -1, 10: 0,
+    }
+
+
+def test_bfs_hops_bound_is_enforced(spark):
+    """A vertex beyond max_hops stays at the -1 sentinel: the bound is the
+    SEMANTICS (distance-if-within-k), not a convergence knob."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        bfs_hops,
+    )
+
+    n = 6
+    nodes = spark.createDataFrame([(v,) for v in range(1, n + 1)], "v long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    got = {
+        r.v: r.hop for r in bfs_hops(nodes, chain, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: -1, 5: -1, 6: -1}
+
+
+def test_bfs_hops_min_over_competing_seeds(spark):
+    """A vertex reachable from two seeds gets the MIN distance, and a seed
+    that is also reachable from another seed keeps hop 0."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        bfs_hops,
+    )
+
+    # seeds 1 and 5 on a 5-chain: middle vertex 3 is 2 hops from both;
+    # vertex 4 is 1 from seed 5 though 3 from seed 1
+    nodes = spark.createDataFrame([(v,) for v in range(1, 6)], "v long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "v long")
+    got = {r.v: r.hop for r in bfs_hops(nodes, chain, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}

@@ -1063,3 +1063,40 @@ def test_entity_resolution_stream_matches_batch(
     assert streamed == batch, f"{len(streamed ^ batch)} golden rows differ"
     # non-vacuous: the probe duplicates must actually merge somewhere
     assert any(r[3] > 0 for r in streamed), "no cluster merged anything"
+
+
+def test_cdc_apply_stream_matches_batch(spark, sf_dir, event_chunks, tmp_path):
+    """The incrementally-maintained CDC snapshot equals the batch
+    ev_cdc_apply_changelog row-for-row after the stream drains, across a
+    mid-stream restart.  Unlike the SCD2 twin, the merge is commutative
+    (latest-wins by (ts, event_id) tuple + additive counts), so no
+    arrival-order precondition is involved."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "cdc_state"
+    cp = tmp_path / "cp_cdc"
+    input_dir.mkdir()
+
+    _drop(event_chunks, input_dir, 0, 2)
+    _run(sp.run_cdc_apply_stream(spark, str(input_dir), str(state), str(cp)))
+    _drop(event_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_cdc_apply_stream(spark, str(input_dir), str(state), str(cp)))
+
+    streamed = {
+        tuple(r) for r in sp.read_cdc_snapshot(spark, str(state)).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_specs()["ev_cdc_apply_changelog"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert len(streamed) == len(batch), (len(streamed), len(batch))
+    assert streamed == batch, f"{len(streamed ^ batch)} snapshot rows differ"
+    # non-vacuous tombstones: some user's last record is an 'error' DELETE,
+    # so the snapshot must be strictly smaller than the live-key universe
+    n_users = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id"
+    ).distinct().count()
+    assert len(streamed) < n_users, "no tombstone was ever applied"
