@@ -1827,3 +1827,219 @@ def ev_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+@register(
+    "ev_ols_trend",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, hour
+), dense AS (
+  SELECT t.event_type, s.hour, COALESCE(c.cnt, 0) AS cnt,
+         CAST(row_number() OVER (PARTITION BY t.event_type ORDER BY s.hour)
+              - 1 AS BIGINT) AS t
+  FROM types t CROSS JOIN spine s
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = s.hour
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(t) AS BIGINT) AS sum_t, CAST(SUM(cnt) AS BIGINT) AS sum_y,
+         CAST(SUM(t * cnt) AS BIGINT) AS sum_ty,
+         CAST(SUM(t * t) AS BIGINT) AS sum_t2
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, n_hours, sum_t, sum_y, sum_ty, sum_t2,
+       CAST(n_hours * sum_ty - sum_t * sum_y AS DOUBLE)
+         / CAST(n_hours * sum_t2 - sum_t * sum_t AS DOUBLE) AS slope,
+       (CAST(sum_y AS DOUBLE)
+        - (CAST(n_hours * sum_ty - sum_t * sum_y AS DOUBLE)
+           / CAST(n_hours * sum_t2 - sum_t * sum_t AS DOUBLE))
+          * CAST(sum_t AS DOUBLE))
+         / CAST(n_hours AS DOUBLE) AS intercept
+FROM sums
+""",
+    doc="Per-series OLS trend line (least-squares slope/intercept of the "
+        "hourly event-count series, the forecasting-baseline primitive "
+        "next to ev_acf_lags' order diagnostics): y = cnt over the "
+        "DENSIFIED hour spine, t = 0-based hour index.  All five "
+        "sufficient statistics are exact BIGINT sums; slope and "
+        "intercept are the ONLY double ops, computed from identical "
+        "integers with an identical expression tree on both engines -- "
+        "bit-exact parity.  The t-index is relative to the global min "
+        "hour, so magnitudes stay small (t^2 sums bounded by the range, "
+        "not the epoch).  Plan: same shape as ev_acf_lags -- bounded "
+        "spine broadcast, one map-side-combined count shuffle, one "
+        "event_type exchange for the row_number, one tiny per-type "
+        "aggregate; parallelism grows with the number of series.",
+    driver=False,
+    sibling="ev_anomaly_zscore_online",
+)
+def ev_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias(
+            "hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("event_type").orderBy("hour")
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+        .withColumn("t", (F.row_number().over(wt) - 1).cast("long"))
+    )
+    sums = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("t").alias("sum_t"),
+        F.sum("cnt").alias("sum_y"),
+        F.sum(F.col("t") * F.col("cnt")).alias("sum_ty"),
+        F.sum(F.col("t") * F.col("t")).alias("sum_t2"),
+    )
+    num = (
+        F.col("n_hours") * F.col("sum_ty") - F.col("sum_t") * F.col("sum_y")
+    ).cast("double")
+    den = (
+        F.col("n_hours") * F.col("sum_t2") - F.col("sum_t") * F.col("sum_t")
+    ).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sum_y").cast("double") - slope * F.col("sum_t").cast("double")
+    ) / F.col("n_hours").cast("double")
+    return sums.select(
+        "event_type", "n_hours", "sum_t", "sum_y", "sum_ty", "sum_t2",
+        slope.alias("slope"), intercept.alias("intercept"),
+    )
+
+
+@register(
+    "ev_max_concurrent_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY user_id, session_id
+),
+segments AS (
+  SELECT day,
+         greatest(s, day) AS seg_start,
+         least(e, day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND) AS seg_end
+  FROM (
+    SELECT s, e,
+           unnest(generate_series(date_trunc('day', s), date_trunc('day', e),
+                                  INTERVAL 1 DAY)) AS day
+    FROM sessions
+  )
+),
+sweep AS (
+  SELECT day, seg_start AS pt, 1 AS delta FROM segments
+  UNION ALL
+  SELECT day, seg_end, -1 FROM segments
+),
+running AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY pt, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM sweep
+)
+SELECT day, CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_segments
+FROM running GROUP BY day
+""",
+    doc="Interval-overlap analytics: the maximum number of SIMULTANEOUS "
+        "user sessions per day (30-minute-gap sessionization shared "
+        "with the session family), via the classic +1/-1 boundary sweep "
+        "with sessions CLIPPED at day boundaries -- the clip is the "
+        "scale move: it makes every day's sweep independent, so the "
+        "running sum partitions by day instead of one global ordered "
+        "pass over all boundaries (unboundable at 100 TB).  Tie policy: "
+        "boundaries at the same instant process starts before ends "
+        "(delta DESC), so touching sessions count as concurrent; the "
+        "running-sum PREFIX MULTISET is permutation-invariant within an "
+        "equal (ts, delta) group, so MAX(conc) is deterministic without "
+        "a per-row total order.  Integer counting end to end.",
+    driver=False,
+    sibling="ev_ts_pattern_match",
+)
+def ev_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    segments = sessions.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s"),
+                F.date_trunc("day", "e"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "day",
+        F.greatest("s", F.col("day")).alias("seg_start"),
+        F.least(
+            "e",
+            F.col("day")
+            + F.expr("INTERVAL 1 DAY")
+            - F.expr("INTERVAL 1 MICROSECOND"),
+        ).alias("seg_end"),
+    )
+    sweep = segments.select(
+        "day", F.col("seg_start").alias("pt"), F.lit(1).alias("delta")
+    ).unionByName(
+        segments.select(
+            "day", F.col("seg_end").alias("pt"), F.lit(-1).alias("delta")
+        )
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy(F.col("pt"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = sweep.withColumn("conc", F.sum("delta").over(wd))
+    return running.groupBy("day").agg(
+        F.max("conc").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_segments"),
+    )

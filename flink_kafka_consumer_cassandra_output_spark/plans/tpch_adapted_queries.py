@@ -1674,3 +1674,61 @@ def cust_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_acctbal", "n_records",
         )
     )
+
+
+@register(
+    "orders_skyline_pareto",
+    oracle="""
+WITH bydate AS (
+  SELECT o_orderdate AS d, MAX(o_totalprice) AS mx
+  FROM orders GROUP BY 1
+), runmax AS (
+  SELECT d, mx,
+         MAX(mx) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_prior
+  FROM bydate
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM orders o JOIN runmax r ON r.d = o.o_orderdate
+WHERE o.o_totalprice = r.mx
+  AND (r.m_prior IS NULL OR o.o_totalprice > r.m_prior)
+""",
+    doc="Pareto-skyline query (earliest-date / highest-price frontier): "
+        "the orders not dominated by any other -- b dominates a iff "
+        "b.date <= a.date AND b.price >= a.price with one strict -- the "
+        "record-setting-orders multi-objective primitive.  Computed by "
+        "DECOMPOSITION, not the naive all-pairs NOT EXISTS (which is "
+        "quadratic -- measured: DuckDB IEJoin takes 3.7s at sf0.01 and "
+        "times out at sf0.1; this form is milliseconds): (1) per-date "
+        "max price -- a map-side-combined aggregate that collapses the "
+        "xSF fact to ONE row per date, (2) a running max over the "
+        "date-count-bounded table (the single-partition window is over "
+        "calendar metadata, ~2.5k rows at ANY scale factor, never the "
+        "fact), (3) one equi-join back; a row survives iff it holds its "
+        "date's max AND strictly beats every prior date's.  Same "
+        "three-step plan on both engines; pure comparisons on the "
+        "2-dp-clean price, bit-exact parity.",
+    driver=False,
+    sibling="q18_large_volume_customers",
+)
+def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bydate = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("mx")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    runmax = bydate.withColumn("m_prior", F.max("mx").over(w))
+    return (
+        o.join(
+            F.broadcast(runmax),
+            o["o_orderdate"] == runmax["d"],
+        )
+        .filter(
+            (F.col("o_totalprice") == F.col("mx"))
+            & (
+                F.col("m_prior").isNull()
+                | (F.col("o_totalprice") > F.col("m_prior"))
+            )
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
