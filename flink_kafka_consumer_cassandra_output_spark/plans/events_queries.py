@@ -1667,11 +1667,16 @@ WITH bounds AS (
   FROM pairs WHERE y IS NOT NULL GROUP BY event_type, lag
 )
 SELECT event_type, lag, n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
-       CASE WHEN n_pairs * sum_x2 - sum_x * sum_x = 0
-              OR n_pairs * sum_y2 - sum_y * sum_y = 0 THEN NULL
-            ELSE CAST(n_pairs * sum_xy - sum_x * sum_y AS DOUBLE)
-                 / sqrt(CAST(n_pairs * sum_x2 - sum_x * sum_x AS DOUBLE)
-                        * CAST(n_pairs * sum_y2 - sum_y * sum_y AS DOUBLE))
+       CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                 - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) = 0
+              OR CAST(n_pairs AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+                 - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE) = 0 THEN NULL
+            ELSE (CAST(n_pairs AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
        END AS acf
 FROM sums
 """
@@ -1743,17 +1748,21 @@ def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
         F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
     )
-    dx = F.col("n_pairs") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
-    dy = F.col("n_pairs") * F.col("sum_y2") - F.col("sum_y") * F.col("sum_y")
-    num = F.col("n_pairs") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    # double-first combination of the exact BIGINT statistics: products of
+    # the raw longs can overflow 2^63 on long/hot series (the OLS twin of
+    # this expression did, under the degenerate 130-year spine); double
+    # products round IDENTICALLY on both engines instead
+    npd = F.col("n_pairs").cast("double")
+    sxd = F.col("sum_x").cast("double")
+    syd = F.col("sum_y").cast("double")
+    dx = npd * F.col("sum_x2").cast("double") - sxd * sxd
+    dy = npd * F.col("sum_y2").cast("double") - syd * syd
+    num = npd * F.col("sum_xy").cast("double") - sxd * syd
     return sums.select(
         "event_type", "lag", "n_pairs", "sum_x", "sum_y", "sum_xy",
         "sum_x2", "sum_y2",
         F.when((dx == 0) | (dy == 0), F.lit(None).cast("double"))
-        .otherwise(
-            num.cast("double")
-            / F.sqrt(dx.cast("double") * dy.cast("double"))
-        )
+        .otherwise(num / F.sqrt(dx * dy))
         .alias("acf"),
     )
 
@@ -1858,11 +1867,15 @@ WITH bounds AS (
   FROM dense GROUP BY event_type
 )
 SELECT event_type, n_hours, sum_t, sum_y, sum_ty, sum_t2,
-       CAST(n_hours * sum_ty - sum_t * sum_y AS DOUBLE)
-         / CAST(n_hours * sum_t2 - sum_t * sum_t AS DOUBLE) AS slope,
+       (CAST(n_hours AS DOUBLE) * CAST(sum_ty AS DOUBLE)
+        - CAST(sum_t AS DOUBLE) * CAST(sum_y AS DOUBLE))
+         / (CAST(n_hours AS DOUBLE) * CAST(sum_t2 AS DOUBLE)
+            - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)) AS slope,
        (CAST(sum_y AS DOUBLE)
-        - (CAST(n_hours * sum_ty - sum_t * sum_y AS DOUBLE)
-           / CAST(n_hours * sum_t2 - sum_t * sum_t AS DOUBLE))
+        - ((CAST(n_hours AS DOUBLE) * CAST(sum_ty AS DOUBLE)
+            - CAST(sum_t AS DOUBLE) * CAST(sum_y AS DOUBLE))
+           / (CAST(n_hours AS DOUBLE) * CAST(sum_t2 AS DOUBLE)
+              - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)))
           * CAST(sum_t AS DOUBLE))
          / CAST(n_hours AS DOUBLE) AS intercept
 FROM sums
@@ -1914,12 +1927,16 @@ def ev_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("cnt")).alias("sum_ty"),
         F.sum(F.col("t") * F.col("t")).alias("sum_t2"),
     )
-    num = (
-        F.col("n_hours") * F.col("sum_ty") - F.col("sum_t") * F.col("sum_y")
-    ).cast("double")
-    den = (
-        F.col("n_hours") * F.col("sum_t2") - F.col("sum_t") * F.col("sum_t")
-    ).cast("double")
+    # each exact BIGINT statistic is cast to double BEFORE combining: the
+    # products can pass 2^63 on long spines (a 130-year degenerate range
+    # overflowed n*sum_t2 under ANSI -- caught by the degenerate-events
+    # sweep), while double products merely round, IDENTICALLY on both
+    # engines (IEEE nearest-even from identical BIGINT casts)
+    nd = F.col("n_hours").cast("double")
+    std = F.col("sum_t").cast("double")
+    syd = F.col("sum_y").cast("double")
+    num = nd * F.col("sum_ty").cast("double") - std * syd
+    den = nd * F.col("sum_t2").cast("double") - std * std
     slope = num / den
     intercept = (
         F.col("sum_y").cast("double") - slope * F.col("sum_t").cast("double")

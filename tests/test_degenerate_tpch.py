@@ -1,8 +1,9 @@
 """Degenerate orders/customer hardening: the TPC-H-table twin of the
 events/corpus/embeddings sweeps.
 
-The three round-8 operators that consume orders/customer must BUILD and
-EXECUTE over adversarial rows the pristine fixture never produces: NULL
+The round-8/round-9 operators that consume orders/customer/lineitem must
+BUILD and EXECUTE over adversarial rows the pristine fixture never
+produces: NULL
 o_custkey (completeness target), NULL o_totalprice (bucket arithmetic),
 NULL o_orderstatus (compliance CASE), duplicate o_orderkey (uniqueness),
 a dangling custkey (referential violation), an ALL-EQUAL price corpus
@@ -28,6 +29,10 @@ _NAMES = [
     "dq_constraint_suite",
     "agg_histogram_quantile_sketch",
     "cust_entity_resolution",
+    # round 9
+    "cust_survivorship_golden",
+    "orders_skyline_pareto",
+    "basket_copurchase_lift",
 ]
 
 _O_SCHEMA = T.StructType(
@@ -77,6 +82,39 @@ _CUSTOMERS = [
     (10, "Customer#000000010", 1, 50.0, "BUILDING"),   # duplicate custkey
 ]
 
+_L_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType(), True),
+        T.StructField("l_partkey", T.LongType(), True),
+        T.StructField("l_suppkey", T.LongType(), True),
+        T.StructField("l_linenumber", T.IntegerType(), True),
+        T.StructField("l_quantity", T.DoubleType(), True),
+        T.StructField("l_extendedprice", T.DoubleType(), True),
+        T.StructField("l_discount", T.DoubleType(), True),
+        T.StructField("l_tax", T.DoubleType(), True),
+        T.StructField("l_returnflag", T.StringType(), True),
+        T.StructField("l_linestatus", T.StringType(), True),
+        T.StructField("l_shipdate", T.TimestampType(), True),
+    ]
+)
+
+_LINEITEMS = [
+    # order 1: a healthy 3-item basket (pairs exist)
+    (1, 100, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),
+    (1, 101, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),
+    (1, 102, 1, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),
+    # order 2: the SAME pair again (meets min-support 2)
+    (2, 100, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),
+    (2, 101, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),
+    # order 3: single-item basket (no pairs)
+    (3, 100, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),
+    # degenerate rows
+    (4, None, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),   # NULL partkey
+    (None, 100, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _D), # NULL orderkey
+    (5, 100, 1, 1, None, None, None, None, None, None, None),  # all-null tail
+    (1, 100, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _D),    # exact duplicate line
+]
+
 
 @pytest.fixture(scope="module")
 def degenerate_tpch_dir(spark, tmp_path_factory):
@@ -86,6 +124,9 @@ def degenerate_tpch_dir(spark, tmp_path_factory):
     )
     spark.createDataFrame(_CUSTOMERS, _C_SCHEMA).coalesce(1).write.parquet(
         os.path.join(str(out), "customer.parquet")
+    )
+    spark.createDataFrame(_LINEITEMS, _L_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(str(out), "lineitem.parquet")
     )
     return str(out)
 
@@ -136,3 +177,30 @@ def test_histogram_survives_zero_range(spark, flat_price_dir):
     for r in rows:
         assert r["bucket"] == 0
         assert r["exact_value"] == 42.0
+
+
+def test_basket_pairs_survive_degeneracy(spark, degenerate_tpch_dir):
+    """Semantic spot check: the (100, 101) pair appears in 2 baskets and
+    must survive min-support; NULL order/part keys and the duplicate line
+    must never fabricate a pair (items are DISTINCT (order, part) and
+    NULL keys fail the equi-join)."""
+    rows = (
+        all_specs()["basket_copurchase_lift"]
+        .builder(spark, degenerate_tpch_dir)
+        .collect()
+    )
+    pairs = {(r["part_a"], r["part_b"]): r["supp_ab"] for r in rows}
+    assert pairs.get((100, 101)) == 2, pairs
+    assert all(a is not None and b is not None for a, b in pairs)
+
+
+def test_skyline_on_degenerate_orders(spark, degenerate_tpch_dir):
+    """Semantic spot check: every order shares one date, so the skyline
+    is exactly the max-price order(s) of that date; NULL prices and the
+    NULL-date row must not surface."""
+    rows = (
+        all_specs()["orders_skyline_pareto"]
+        .builder(spark, degenerate_tpch_dir)
+        .collect()
+    )
+    assert {r["o_orderkey"] for r in rows} == {8}, rows  # 700.0 is the max
