@@ -1682,6 +1682,35 @@ FROM sums
 """
 
 
+def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, hour, cnt) DENSIFIED over the global [min, max] hour
+    span: the hour spine (time-range-bounded metadata from a 1-row
+    Aggregate) is broadcast and crossed with the type list, so missing
+    hours count 0 and the densify join never shuffles the fact -- shared
+    by ev_acf_lags and ev_ols_trend (both engines' oracles embed the
+    identical CTE text)."""
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+
+
 @register(
     "ev_acf_lags",
     oracle=_acf_oracle(),
@@ -1704,30 +1733,7 @@ FROM sums
     sibling="ev_anomaly_zscore_online",
 )
 def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir)
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("hour")
-    )
-    types = ev.select("event_type").distinct()
-    counts = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    dense = (
-        # the spine is time-range-bounded metadata (one row per hour of the
-        # global [min, max] span, from a 1-row Aggregate): broadcast it so
-        # the densify join never shuffles the type list
-        types.crossJoin(F.broadcast(spine))
-        .join(counts, ["event_type", "hour"], "left")
-        .select(
-            "event_type", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
-        )
-    )
+    dense = _dense_hourly_counts(_ev(spark, sf_dir))
     wt = Window.partitionBy("event_type").orderBy("hour")
     lagged = dense.select(
         "event_type",
@@ -1897,28 +1903,9 @@ FROM sums
     sibling="ev_anomaly_zscore_online",
 )
 def ev_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir)
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias(
-            "hour"
-        )
-    )
-    types = ev.select("event_type").distinct()
-    counts = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
     wt = Window.partitionBy("event_type").orderBy("hour")
-    dense = (
-        types.crossJoin(F.broadcast(spine))
-        .join(counts, ["event_type", "hour"], "left")
-        .select(
-            "event_type", "hour", F.coalesce("cnt", F.lit(0)).alias("cnt")
-        )
-        .withColumn("t", (F.row_number().over(wt) - 1).cast("long"))
+    dense = _dense_hourly_counts(_ev(spark, sf_dir)).withColumn(
+        "t", (F.row_number().over(wt) - 1).cast("long")
     )
     sums = dense.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),

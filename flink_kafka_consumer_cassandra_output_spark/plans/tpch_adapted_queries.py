@@ -1584,11 +1584,14 @@ LEFT JOIN seg_pick s ON s.cluster_id = a.cluster_id
         "min-record_id representative, segment by deterministic majority "
         "vote over non-null values (votes DESC, value ASC -- mode() "
         "alone is tie-unspecified in both engines), balance as the "
-        "cluster MAX in DECIMAL.  Scale: same story as "
-        "cust_entity_resolution (blocking is the shuffle key, edit "
-        "distance only inside blocks, O(log d) CC rounds); the vote and "
-        "max aggregates ride one cluster_id shuffle over the small "
-        "label table.".format(d=SURV_DRIFT, t=SURV_BAL_TOL),
+        "cluster MAX in DECIMAL.  Scale: blocking is the shuffle key "
+        "and the balance tolerance is BANDED into the block key (exact "
+        "decimal buckets at the tolerance width, 3-bucket probe side -- "
+        "lossless and duplicate-free), so the levenshtein verify runs "
+        "on ~1-2-record bands instead of whole (prefix, nation) blocks; "
+        "O(log d) CC rounds; the vote and max aggregates ride one "
+        "cluster_id shuffle over the small label "
+        "table.".format(d=SURV_DRIFT, t=SURV_BAL_TOL),
     driver=False,
     sibling="cust_fuzzy_match_blocked",
 )
@@ -1616,19 +1619,34 @@ def cust_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bal + F.lit(SURV_DRIFT).cast("decimal(18,2)")).alias("bal"),
     )
     records = originals.unionByName(probes)
+    # banded range-join bucketing: the |bal diff| <= 0.10 tolerance is a
+    # range predicate, so bucket balances at the tolerance width (exact
+    # decimal*10 -> floor) and probe each record against buckets
+    # {b-1, b, b+1} -- LOSSLESS (a 0.10 gap moves the scaled value by
+    # exactly 1.0, so matching pairs are never >1 bucket apart) and
+    # duplicate-free (each pair matches on exactly one probe value).
+    # This turns the (prefix, nation) blocks -- up to ~40 records each at
+    # ANY scale factor -- into (prefix, nation, bal-band) blocks of ~1-2,
+    # so the levenshtein verify runs on near-candidates only: the same
+    # equi-join reduction every range join in this repo uses.
+    bkt = F.floor(F.col("bal") * 10)
     x = records.select(
         F.col("record_id").alias("a"), F.col("name").alias("name_a"),
         F.col("c_nationkey").alias("nk"), F.col("bal").alias("bal_a"),
+        F.explode(
+            F.array(bkt - 1, bkt, bkt + 1)
+        ).alias("bb"),
     )
     y = records.select(
         F.col("record_id").alias("b"), F.col("name").alias("name_b"),
         F.col("c_nationkey").alias("nk"), F.col("bal").alias("bal_b"),
+        bkt.alias("bb"),
     )
     pairs = (
         x.join(
             y,
             (F.substring("name_a", 1, 15) == F.substring("name_b", 1, 15))
-            & (x["nk"] == y["nk"]) & (x["a"] < y["b"]),
+            & (x["nk"] == y["nk"]) & (x["bb"] == y["bb"]) & (x["a"] < y["b"]),
         )
         .filter(
             (F.levenshtein("name_a", "name_b") <= 2)

@@ -2036,3 +2036,157 @@ def read_cdc_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
     return latest.filter(~F.col("deleted")).select(
         "user_id", "cur_type", "cur_value", "updated_at", "n_changes"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin: incremental Pareto skyline (round 9)
+# --------------------------------------------------------------------------
+
+def run_skyline_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental streaming maintenance of the batch
+    ``orders_skyline_pareto`` frontier, exploiting the batch query's own
+    decomposition: the ONLY state the skyline needs is the per-date max
+    price -- a max-mergeable summary (the HLL/extremes discipline), NOT
+    the frontier itself.  Each batch max-merges its per-date maxes into
+    the bounded (calendar-sized) state table; :func:`read_skyline`
+    recomputes the frontier from that state plus the per-date argmax
+    keys, so LATE DATA retracts naturally: a higher price arriving for
+    an early date silently dominates (drops) later frontier members on
+    the next read -- no explicit retraction bookkeeping, because the
+    frontier is a pure function of the maintained summary.
+
+    State tables (``_batch_id``-partitioned, dynamic overwrite, reads
+    filter ``_batch_id < batch_id``):
+
+    - ``state_dir + "_bydate"``: (d, mx, keys) per date the batch
+      touched, where ``keys`` is the orderkey set achieving ``mx``
+      (max-merge keeps the union on ties, the argmax side on beats);
+      untouched dates are never rewritten -- per-batch write volume is
+      O(dates in batch), bounded by the calendar at any fact scale.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..materialize import materialize
+
+    bydate_path = state_dir + "_bydate"
+    bydate_schema = (
+        "d timestamp, mx double, keys array<bigint>, _batch_id int"
+    )
+
+    def read_committed(path: str, schema: str) -> DataFrame | None:
+        try:
+            df = spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        if not df.inputFiles():
+            return None
+        return df
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        wd = Window.partitionBy("o_orderdate")
+        fresh = materialize(
+            batch_df.withColumn("_dmx", F.max("o_totalprice").over(wd))
+            .filter(F.col("o_totalprice") == F.col("_dmx"))
+            .groupBy(F.col("o_orderdate").alias("d"))
+            .agg(
+                F.max("o_totalprice").alias("mx"),
+                F.sort_array(F.collect_set("o_orderkey")).alias("keys"),
+            )
+        )
+
+        prior = read_committed(bydate_path, bydate_schema)
+        if prior is not None:
+            cur = (
+                prior.filter(F.col("_batch_id") < batch_id)
+                .withColumn(
+                    "_mx2", F.max("_batch_id").over(Window.partitionBy("d"))
+                )
+                .filter(F.col("_batch_id") == F.col("_mx2"))
+                .select(
+                    "d",
+                    F.col("mx").alias("p_mx"),
+                    F.col("keys").alias("p_keys"),
+                )
+                .join(fresh.select("d"), "d", "left_semi")
+            )
+            j = fresh.join(cur, "d", "left")
+            merged = j.select(
+                "d",
+                F.greatest(F.col("mx"), F.coalesce("p_mx", F.col("mx"))).alias(
+                    "m"
+                ),
+                F.when(
+                    F.col("p_mx").isNull() | (F.col("p_mx") < F.col("mx")),
+                    F.col("keys"),
+                )
+                .when(F.col("p_mx") > F.col("mx"), F.col("p_keys"))
+                .otherwise(
+                    F.sort_array(
+                        F.array_distinct(
+                            F.concat(F.col("keys"), F.col("p_keys"))
+                        )
+                    )
+                )
+                .alias("k"),
+            ).select("d", F.col("m").alias("mx"), F.col("k").alias("keys"))
+        else:
+            merged = fresh
+        (
+            merged.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(bydate_path)
+        )
+
+    reader = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("skyline_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_skyline(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The CURRENT frontier, recomputed from the bounded per-date-max
+    state: same (o_orderkey, o_orderdate, o_totalprice) shape as the
+    batch ``orders_skyline_pareto``."""
+    rows = spark.read.parquet(state_dir + "_bydate")
+    latest = (
+        rows.withColumn("_m", F.max("_batch_id").over(Window.partitionBy("d")))
+        .filter(F.col("_batch_id") == F.col("_m"))
+        .select("d", "mx", "keys")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    sky = latest.withColumn("m_prior", F.max("mx").over(w)).filter(
+        F.col("m_prior").isNull() | (F.col("mx") > F.col("m_prior"))
+    )
+    return sky.select(
+        F.explode("keys").alias("o_orderkey"),
+        F.col("d").alias("o_orderdate"),
+        F.col("mx").alias("o_totalprice"),
+    )
