@@ -51,6 +51,13 @@ QUERIES = [
     ("doc_phrase_search", "positional-index phrase query: broadcast phrase terms, postings equi-joins at pos+1/pos+2"),
     ("doc_decontamination_bloom", "Bloom route: broadcast left-semi probe chain, no corpus shuffle before the filter"),
     ("doc_token_lift", "association mining: within-doc pair self-join, two-level aggregate, broadcast scalar N"),
+    ("ev_scd2_user_state", "changelog -> SCD2 gaps-and-islands: one user exchange for flag, numbering and lead"),
+    ("dq_constraint_suite", "DQ constraints: one metrics scan + one referential anti-join"),
+    ("ev_zorder_layout", "Z-order layout planner: interleaved-bit key, bucket stats, skip arithmetic"),
+    ("doc_weighted_sample", "weighted systematic sampling: range-partitioned prefix sum, broadcast offsets"),
+    ("emb_pq_adc", "PQ-ADC: broadcast distance tables over the compressed code table, shortlist re-rank"),
+    ("ev_hll_distinct_users", "HLL: map-side register build, max-merge, one tiny aggregate"),
+    ("agg_histogram_quantile_sketch", "mergeable histogram sketch: fixed-edge buckets + exact percentile check"),
     ("orders_skyline_pareto", "decomposed Pareto skyline: per-date max collapses the fact, bounded-table running max, one join back"),
     ("basket_copurchase_lift", "co-purchase mining: bounded per-order pair self-join, BIGINT lift, TakeOrderedAndProject top-100"),
     ("ev_max_concurrent_sessions", "interval sweep: day-clipped +1/-1 boundaries, per-day partitioned running sum"),
