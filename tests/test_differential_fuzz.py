@@ -894,3 +894,134 @@ def test_random_window_frame_cross_engine_equivalence(spark, plan):
         _run_frame_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Sessionization grammar (round 9): randomized inactivity-gap thresholds x
+# event predicates x session-level aggregation shapes.  The curated
+# session queries pin ONE threshold (30 minutes); this family sweeps the
+# threshold space -- where the boundary arithmetic (strict > on exact
+# microsecond gaps) and the islands numbering must agree between engines
+# for EVERY cut point, including degenerate ones (1-minute gaps splinter
+# nearly every event into its own session; 1440 minutes merges most of a
+# user's history into one).
+# --------------------------------------------------------------------------
+
+_GAP_MINUTES = [1, 5, 17, 30, 90, 240, 1440]
+_EV_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@st.composite
+def _session_plan(draw):
+    gap = draw(st.sampled_from(_GAP_MINUTES))
+    types = draw(
+        st.lists(st.sampled_from(_EV_TYPES), min_size=1, max_size=5,
+                 unique=True)
+    )
+    lo = draw(st.integers(0, 120))
+    hi = draw(st.integers(lo, 170))
+    mode = draw(st.sampled_from(["per_user", "size_hist", "durations"]))
+    return gap, sorted(types), lo, hi, mode
+
+
+def _run_session_both(spark, con, plan):
+    gap, types, lo, hi, mode = plan
+
+    from pyspark.sql import Window
+
+    micros = gap * 60 * 1_000_000
+    ev = (
+        tables.load(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin(types))
+        .filter(F.col("user_id").between(lo, hi))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "ns", F.when(g.isNull() | (g > micros), 1).otherwise(0)
+    )
+    sid = F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        flagged.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "dur_us"
+            ),
+        )
+    )
+    if mode == "per_user":
+        sdf = sessions.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_sess_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        final = """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_sess_events,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM sessions GROUP BY user_id"""
+    elif mode == "size_hist":
+        sdf = sessions.groupBy("n_events").agg(
+            F.count(F.lit(1)).alias("n_sessions")
+        )
+        final = """SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sessions GROUP BY n_events"""
+    else:
+        sdf = sessions.groupBy("user_id").agg(
+            F.sum("dur_us").alias("total_dur_us"),
+            F.max("dur_us").alias("max_dur_us"),
+        )
+        final = """SELECT user_id, CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+FROM sessions GROUP BY user_id"""
+
+    in_list = ", ".join(f"'{t}'" for t in types)
+    sql = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type IN ({in_list}) AND user_id BETWEEN {lo} AND {hi}
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {micros}
+              THEN 1 ELSE 0 END AS ns
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sessions AS (
+  SELECT user_id, sid,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM numbered GROUP BY user_id, sid
+)
+{final}
+"""
+    odf = con.execute(sql).fetchdf()
+    label = f"fuzzsession[gap={gap}m | {types} | {lo}..{hi} | {mode}]"
+    compare_frames(sdf.toPandas(), odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_session_plan())
+def test_random_sessionization_cross_engine_equivalence(spark, plan):
+    """Sessionization differential coverage: the gaps-and-islands pipeline
+    (strict-> microsecond gap flag, running-sum numbering, per-session
+    aggregation) must agree between engines for EVERY threshold cut,
+    predicate slice, and session-level aggregation shape -- guards the
+    boundary arithmetic the single 30-minute curated queries pin at one
+    point of the space."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_session_both(spark, con, plan)
+    finally:
+        con.close()
