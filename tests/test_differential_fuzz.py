@@ -313,7 +313,14 @@ def _run_window_both(spark, con, plan):
     from pyspark.sql import Window
 
     li = tables.load(spark, SF_DIR, "lineitem").filter(_pred_spark(pred))
-    w = Window.partitionBy(part).orderBy("l_orderkey", "l_linenumber")
+    # the fixture has ~1.1k duplicate (orderkey, linenumber) pairs (it is
+    # TPC-H-ISH, not TPC-H): l_extendedprice completes a verified-unique
+    # total order -- without it, positional window functions over the tie
+    # are genuinely nondeterministic (the 200-example frame-family fuzz
+    # run caught exactly that on a running MIN)
+    w = Window.partitionBy(part).orderBy(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     cols = [
         (
             _WIN_FUNCS[n][0](w).alias(n)
@@ -325,10 +332,12 @@ def _run_window_both(spark, con, plan):
     # keep per-partition top-n by the same total order so the output is
     # bounded and the rank paths are genuinely exercised
     sdf = (
-        li.select("l_orderkey", "l_linenumber", part, *cols)
+        li.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", part, *cols
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= topn)
-        .drop("_rn")
+        .drop("_rn", "l_extendedprice")
         .toPandas()
     )
 
@@ -338,7 +347,8 @@ SELECT * FROM (
   SELECT l_orderkey, l_linenumber, {part}, {func_sql},
          ROW_NUMBER() OVER w AS _rn
   FROM lineitem WHERE {_pred_sql(pred)}
-  WINDOW w AS (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber)
+  WINDOW w AS (PARTITION BY {part}
+               ORDER BY l_orderkey, l_linenumber, l_extendedprice)
 ) WHERE _rn <= {topn}
 """
     odf = con.execute(sql).fetchdf().drop(columns=["_rn"])
@@ -708,7 +718,9 @@ def test_random_string_pipeline_cross_engine_equivalence(spark, plan):
 # frame (UNBOUNDED..CURRENT) and a unique total order; this family sweeps
 # the remaining frame space under the repo's determinism conventions:
 #   - ROWS frames need a UNIQUE total order (frame membership is
-#     positional), so they ride (l_orderkey, l_linenumber);
+#     positional), so they ride (l_orderkey, l_linenumber,
+#     l_extendedprice) -- the pair alone is NOT unique on this
+#     TPC-H-ish fixture (~1.1k duplicate pairs with differing prices);
 #   - RANGE frames and pure rank functions are VALUE-determined, so they
 #     deliberately order by a low-cardinality key (l_quantity cast BIGINT)
 #     to exercise TIES -- the case the unique-key family cannot reach;
@@ -830,15 +842,19 @@ def _run_frame_both(spark, con, plan):
 
     if mode == "rows":
         lo, hi = _spark_bounds(p, f)
+        # (orderkey, linenumber) alone is NOT unique on this fixture --
+        # l_extendedprice completes the verified-unique order (see the
+        # window family above; found by this family's 200-example run)
         w = (
             Window.partitionBy(part)
-            .orderBy("l_orderkey", "l_linenumber")
+            .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
             .rowsBetween(lo, hi)
         )
         cols = [_ROWS_FUNCS[n][0](w) for n in func_names]
         func_sql = ", ".join(_ROWS_FUNCS[n][1] for n in func_names)
         wdef = (
-            f"PARTITION BY {part} ORDER BY l_orderkey, l_linenumber "
+            f"PARTITION BY {part} "
+            f"ORDER BY l_orderkey, l_linenumber, l_extendedprice "
             f"ROWS BETWEEN {_sql_bound(p, 'PRECEDING')} "
             f"AND {_sql_bound(f, 'FOLLOWING')}"
         )

@@ -56,6 +56,7 @@ QUERIES = [
     "doc_graph_kcore",
     "doc_graph_clustering_coeff",
     "doc_dup_graph_pagerank",
+    "doc_graph_bfs_hops",  # round 9: bounded traversal over the same edges
 ]
 
 
