@@ -2047,3 +2047,80 @@ def ev_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_segments"),
     )
+
+
+@register(
+    "ev_growth_accounting",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), seq AS (
+  SELECT user_id, day,
+         LAG(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM active
+), classified AS (
+  SELECT day,
+         CASE WHEN prev_day IS NULL THEN 'new'
+              WHEN day - prev_day = INTERVAL 1 DAY THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM seq
+), churn AS (
+  SELECT day + INTERVAL 1 DAY AS day, 'churned' AS status
+  FROM seq
+  WHERE next_day IS NULL OR next_day - day > INTERVAL 1 DAY
+)
+SELECT day, status, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT * FROM classified UNION ALL SELECT * FROM churn)
+GROUP BY day, status
+""",
+    doc="Growth accounting (the DAU decomposition used in every growth "
+        "dashboard): each (user, active-day) is classified NEW (first "
+        "day ever), RETAINED (also active the previous day) or "
+        "RESURRECTED (returning after a gap), and each day is charged "
+        "the CHURNED count of users active the day before who did not "
+        "return (attributed to the day after their last consecutive "
+        "day, including the day after the observation window's last "
+        "activity -- the standard convention, so the identity "
+        "DAU(d) = new + retained + resurrected and "
+        "retained(d+1) = DAU(d) - churned(d+1) holds).  Pure calendar-"
+        "day integer arithmetic, bit-exact parity.  Plan: one distinct "
+        "on (user, day) with map-side combine, ONE user_id exchange "
+        "serving both the lag and the lead, and a tiny (day, status) "
+        "aggregate -- the same shape ev_user_retention_cohorts rides, "
+        "completing the retention family's day-over-day axis.",
+    driver=False,
+    sibling="ev_ts_pattern_match",
+)
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = active.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    one_day = F.expr("INTERVAL 1 DAY")
+    classified = seq.select(
+        "day",
+        F.when(F.col("prev_day").isNull(), F.lit("new"))
+        .when(F.col("day") - one_day == F.col("prev_day"), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    churn = seq.filter(
+        F.col("next_day").isNull()
+        | (F.col("next_day") - one_day > F.col("day"))
+    ).select(
+        (F.col("day") + one_day).alias("day"), F.lit("churned").alias("status")
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy("day", "status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
