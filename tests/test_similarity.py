@@ -792,3 +792,66 @@ def test_bfs_hops_min_over_competing_seeds(spark):
     seeds = spark.createDataFrame([(1,), (5,)], "v long")
     got = {r.v: r.hop for r in bfs_hops(nodes, chain, seeds).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_hops_random_graphs_match_python_oracle(spark):
+    """Property test: bfs_hops equals a direct Python BFS on random small
+    graphs (independent derivation -- the distributed frontier/anti-join
+    pipeline vs a queue walk), across random seed sets and hop bounds,
+    including disconnected graphs, isolated seeds, and hop-bound cutoffs."""
+    import random
+    from collections import deque
+
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        bfs_hops,
+    )
+
+    rng = random.Random(0xB55)
+    for trial in range(8):
+        n = rng.randint(2, 14)
+        verts = list(range(1, n + 1))
+        m = rng.randint(0, 2 * n)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(verts, 2)))
+                for _ in range(m)
+            }
+        )
+        n_seeds = rng.randint(1, max(1, n // 3))
+        seeds = sorted(rng.sample(verts, n_seeds))
+        max_hops = rng.randint(1, 4)
+
+        adj = {v: set() for v in verts}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expect = {v: -1 for v in verts}
+        q = deque((s, 0) for s in seeds)
+        for s in seeds:
+            expect[s] = 0
+        while q:
+            v, h = q.popleft()
+            if h == max_hops:
+                continue
+            for u in adj[v]:
+                if expect[u] == -1:
+                    expect[u] = h + 1
+                    q.append((u, h + 1))
+
+        nodes_df = spark.createDataFrame([(v,) for v in verts], "v long")
+        edges_df = spark.createDataFrame(
+            edges or [(1, 1)], "a long, b long"
+        )
+        if not edges:
+            edges_df = edges_df.filter("a <> a")  # empty edge set
+        seeds_df = spark.createDataFrame([(s,) for s in seeds], "v long")
+        got = {
+            r.v: r.hop
+            for r in bfs_hops(
+                nodes_df, edges_df, seeds_df, max_hops=max_hops
+            ).collect()
+        }
+        assert got == expect, (
+            f"trial {trial}: n={n} edges={edges} seeds={seeds} "
+            f"max_hops={max_hops}: {got} != {expect}"
+        )

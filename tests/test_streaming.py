@@ -1162,3 +1162,77 @@ def test_skyline_stream_matches_batch(spark, sf_dir, order_chunks, tmp_path):
         .count()
     )
     assert moved > 0, "no per-date max was ever beaten across batches"
+
+
+def _drop_in_order(chunks, input_dir, order):
+    """Write chunk files so Spark's mtime-ordered file source processes
+    them in EXACTLY the given chunk order (mtime = position in ``order``,
+    one second apart) -- unlike :func:`_drop`, whose ``base + i``
+    convention re-sorts any drop sequence back to ascending chunk id."""
+    base = time.time()
+    for pos, i in enumerate(order):
+        path = f"{input_dir}/chunk{i}.parquet"
+        pq.write_table(chunks[i], path)
+        os.utime(path, (base + pos, base + pos))
+
+
+def test_cdc_apply_stream_reverse_arrival_matches_batch(
+    spark, sf_dir, event_chunks, tmp_path
+):
+    """Direct certification of the CDC twin's ANY-batch-split claim: the
+    chunks arrive in REVERSE chronological order (the adversarial case
+    for a latest-wins merge -- every later batch carries EARLIER data,
+    so the stored winner must survive every subsequent merge) and the
+    drained snapshot must still equal the batch query's."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "cdc_rev_state"
+    cp = tmp_path / "cp_cdc_rev"
+    input_dir.mkdir()
+
+    _drop_in_order(
+        event_chunks, input_dir, list(range(N_CHUNKS - 1, -1, -1))
+    )
+    _run(sp.run_cdc_apply_stream(spark, str(input_dir), str(state), str(cp)))
+
+    streamed = {
+        tuple(r) for r in sp.read_cdc_snapshot(spark, str(state)).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_specs()["ev_cdc_apply_changelog"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch, f"{len(streamed ^ batch)} snapshot rows differ"
+
+
+def test_skyline_stream_reverse_arrival_matches_batch(
+    spark, sf_dir, order_chunks, tmp_path
+):
+    """Same adversarial-order certification for the skyline twin: the
+    per-date max-merge is commutative, so reverse arrival must converge
+    to the same frontier."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    input_dir = tmp_path / "in"
+    state = tmp_path / "sky_rev_state"
+    cp = tmp_path / "cp_sky_rev"
+    input_dir.mkdir()
+
+    _drop_in_order(
+        order_chunks, input_dir, list(range(N_CHUNKS - 1, -1, -1))
+    )
+    _run(sp.run_skyline_stream(spark, str(input_dir), str(state), str(cp)))
+
+    streamed = {
+        tuple(r) for r in sp.read_skyline(spark, str(state)).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_specs()["orders_skyline_pareto"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch, f"{len(streamed ^ batch)} frontier rows differ"
