@@ -1041,3 +1041,109 @@ def test_random_sessionization_cross_engine_equivalence(spark, plan):
         _run_session_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# AS-OF join grammar (round 9): the composed Spark as-of (equi-join +
+# range predicate + per-key argmax) vs DuckDB's NATIVE ASOF JOIN -- two
+# genuinely independent derivations of point-in-time semantics, swept
+# over direction (backward/forward), tolerance windows, event sampling,
+# and build-side predicates.  Only the matched DATE is projected: ASOF
+# picks an arbitrary row among equal-date ties, so payload columns are
+# not cross-engine-deterministic but the matched date itself is.
+# --------------------------------------------------------------------------
+
+_ASOF_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+@st.composite
+def _asof_plan(draw):
+    mod = draw(st.sampled_from([20, 50, 100]))
+    off = draw(st.integers(0, 9))
+    backward = draw(st.booleans())
+    tol_days = draw(st.sampled_from([None, 3, 10, 30]))
+    prios = draw(
+        st.lists(st.sampled_from(_ASOF_PRIORITIES), min_size=1, max_size=5,
+                 unique=True)
+    )
+    return mod, off, backward, tol_days, sorted(prios)
+
+
+def _run_asof_both(spark, con, plan):
+    mod, off, backward, tol_days, prios = plan
+
+    ev = tables.load(spark, SF_DIR, "events").filter(
+        F.col("event_id") % mod == off
+    ).select("event_id", "user_id", "ts")
+    o = tables.load(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority").isin(prios)
+    ).select("o_custkey", "o_orderdate")
+    if backward:
+        cond = F.col("o_orderdate") <= F.col("ts")
+        pick = F.max("o_orderdate").alias("matched_date")
+    else:
+        cond = F.col("o_orderdate") >= F.col("ts")
+        pick = F.min("o_orderdate").alias("matched_date")
+    j = ev.join(o, (F.col("o_custkey") == F.col("user_id")) & cond)
+    sdf = j.groupBy("event_id", "user_id", "ts").agg(pick)
+    if tol_days is not None:
+        gap = (
+            F.unix_micros("ts") - F.unix_micros("matched_date")
+            if backward
+            else F.unix_micros("matched_date") - F.unix_micros("ts")
+        )
+        sdf = sdf.filter(gap <= tol_days * 86_400_000_000)
+
+    op = ">=" if backward else "<="
+    in_list = ", ".join(f"'{p}'" for p in prios)
+    tol_sql = ""
+    if tol_days is not None:
+        lhs = (
+            "epoch_us(e.ts) - epoch_us(o.o_orderdate)"
+            if backward
+            else "epoch_us(o.o_orderdate) - epoch_us(e.ts)"
+        )
+        tol_sql = f"WHERE {lhs} <= {tol_days} * 86400000000"
+    sql = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_id % {mod} = {off}
+), o AS (
+  SELECT o_custkey, o_orderdate FROM orders
+  WHERE o_orderpriority IN ({in_list})
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS matched_date
+FROM e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts {op} o.o_orderdate
+{tol_sql}
+"""
+    odf = con.execute(sql).fetchdf()
+    label = (
+        f"fuzzasof[mod={mod}+{off} | {'back' if backward else 'fwd'} | "
+        f"tol={tol_days}d | {prios}]"
+    )
+    compare_frames(sdf.toPandas(), odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_asof_plan())
+def test_random_asof_join_cross_engine_equivalence(spark, plan):
+    """As-of family differential coverage against an INDEPENDENT engine
+    implementation: Spark's composed equi-join + range + argmax vs
+    DuckDB's native ASOF JOIN operator, across both directions,
+    tolerance windows, sampling offsets, and build-side predicates --
+    if the composition's boundary semantics (<= vs <, tie dates,
+    inner-match behavior) drifted from true point-in-time lookup
+    semantics, the specialized operator would disagree."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_asof_both(spark, con, plan)
+    finally:
+        con.close()
