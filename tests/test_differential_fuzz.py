@@ -1063,16 +1063,17 @@ def _asof_plan(draw):
     mod = draw(st.sampled_from([20, 50, 100]))
     off = draw(st.integers(0, 9))
     backward = draw(st.booleans())
+    left = draw(st.booleans())
     tol_days = draw(st.sampled_from([None, 3, 10, 30]))
     prios = draw(
         st.lists(st.sampled_from(_ASOF_PRIORITIES), min_size=1, max_size=5,
                  unique=True)
     )
-    return mod, off, backward, tol_days, sorted(prios)
+    return mod, off, backward, left, tol_days, sorted(prios)
 
 
 def _run_asof_both(spark, con, plan):
-    mod, off, backward, tol_days, prios = plan
+    mod, off, backward, left, tol_days, prios = plan
 
     ev = tables.load(spark, SF_DIR, "events").filter(
         F.col("event_id") % mod == off
@@ -1086,7 +1087,8 @@ def _run_asof_both(spark, con, plan):
     else:
         cond = F.col("o_orderdate") >= F.col("ts")
         pick = F.min("o_orderdate").alias("matched_date")
-    j = ev.join(o, (F.col("o_custkey") == F.col("user_id")) & cond)
+    how = "left" if left else "inner"
+    j = ev.join(o, (F.col("o_custkey") == F.col("user_id")) & cond, how)
     sdf = j.groupBy("event_id", "user_id", "ts").agg(pick)
     if tol_days is not None:
         gap = (
@@ -1094,17 +1096,36 @@ def _run_asof_both(spark, con, plan):
             if backward
             else F.unix_micros("matched_date") - F.unix_micros("ts")
         )
-        sdf = sdf.filter(gap <= tol_days * 86_400_000_000)
+        in_tol = gap <= tol_days * 86_400_000_000
+        if left:
+            # LEFT semantics: out-of-tolerance matches become NULL, the
+            # event row itself is kept
+            sdf = sdf.withColumn(
+                "matched_date",
+                F.when(in_tol, F.col("matched_date")),
+            )
+        else:
+            sdf = sdf.filter(in_tol)
 
     op = ">=" if backward else "<="
+    join_kw = "ASOF LEFT JOIN" if left else "ASOF JOIN"
     in_list = ", ".join(f"'{p}'" for p in prios)
-    tol_sql = ""
-    if tol_days is not None:
-        lhs = (
-            "epoch_us(e.ts) - epoch_us(o.o_orderdate)"
-            if backward
-            else "epoch_us(o.o_orderdate) - epoch_us(e.ts)"
+    lhs = (
+        "epoch_us(e.ts) - epoch_us(o.o_orderdate)"
+        if backward
+        else "epoch_us(o.o_orderdate) - epoch_us(e.ts)"
+    )
+    if tol_days is None:
+        proj = "o.o_orderdate AS matched_date"
+        tol_sql = ""
+    elif left:
+        proj = (
+            f"CASE WHEN {lhs} <= {tol_days} * 86400000000 "
+            "THEN o.o_orderdate END AS matched_date"
         )
+        tol_sql = ""
+    else:
+        proj = "o.o_orderdate AS matched_date"
         tol_sql = f"WHERE {lhs} <= {tol_days} * 86400000000"
     sql = f"""
 WITH e AS (
@@ -1114,15 +1135,15 @@ WITH e AS (
   SELECT o_custkey, o_orderdate FROM orders
   WHERE o_orderpriority IN ({in_list})
 )
-SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS matched_date
-FROM e ASOF JOIN o
+SELECT e.event_id, e.user_id, e.ts, {proj}
+FROM e {join_kw} o
   ON e.user_id = o.o_custkey AND e.ts {op} o.o_orderdate
 {tol_sql}
 """
     odf = con.execute(sql).fetchdf()
     label = (
         f"fuzzasof[mod={mod}+{off} | {'back' if backward else 'fwd'} | "
-        f"tol={tol_days}d | {prios}]"
+        f"{'left' if left else 'inner'} | tol={tol_days}d | {prios}]"
     )
     compare_frames(sdf.toPandas(), odf, label)
 
