@@ -574,6 +574,15 @@ def bfs_hops(
     bound, or isolated non-seeds) -- an explicit sentinel rather than
     NULL so downstream filters need no three-valued logic.
 
+    Preconditions: the seed projection is deduplicated HERE (duplicate
+    seed rows would otherwise fan out through the final left join into
+    duplicate (v, hop) rows), but seeds MUST be a subset of ``nodes`` --
+    a seed vertex absent from ``nodes`` is silently dropped by that same
+    left join rather than raising.  Enforcing the subset would cost a
+    semi-join against the (large) node table per call, so it stays a
+    documented caller contract; every registered caller derives seeds
+    from the node table itself.
+
     Level-synchronous FRONTIER expansion, not whole-set re-expansion:
     round i joins only the previous round's newly-reached vertices
     against the (persisted, symmetrized) edge table, anti-joins the
@@ -591,7 +600,9 @@ def bfs_hops(
     bounded shuffle -- never re-walking interior vertices, which is what
     makes level-synchronous BFS the scalable form of graph traversal.
     """
-    init = seeds.select("v", F.lit(0).cast("long").alias("hop"))
+    init = seeds.select("v").distinct().select(
+        "v", F.lit(0).cast("long").alias("hop")
+    )
     if schema_only_builds():
         # Schema-identical lazy plan; no jobs at plan-build time.
         return nodes.join(init, "v", "left").select(

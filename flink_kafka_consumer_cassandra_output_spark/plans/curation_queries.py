@@ -133,7 +133,8 @@ FROM stats
         "shuffle, partitioned by document so it scales horizontally.",
     # r9 driver-slot rotation: quality-filter family; both driver-green r8.
     driver=False,
-    sibling="doc_lm_rarity",
+    # r10 sibling re-point: quality-metric family, driver-checked there.
+    sibling="doc_corpus_report",
 )
 def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -227,6 +228,9 @@ FROM ranked
         "the corpus); at extreme scale the documented alternative is the "
         "two order-statistic cutoffs via orderBy+limit as in "
         "agg_exact_percentiles.",
+    # r10 driver-slot rotation: token-frequency scoring family keeps BM25.
+    driver=False,
+    sibling="doc_bm25_topk",
 )
 def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -544,6 +548,9 @@ WHERE CAST(n_shared_grams AS DOUBLE) / CAST(n_needle_grams AS DOUBLE)
         "the 'benchmark' is itself web-scale (dedup-against-eval at "
         "100 TB): both sides shard by gram, the hot-gram skew ceiling is "
         "the same one the PPJoin prefix filter bounds.",
+    # r10 driver-slot rotation: decontamination family anchor moves to the promoted Bloom variant.
+    driver=False,
+    sibling="doc_decontamination_bloom",
 )
 def doc_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -628,9 +635,6 @@ GROUP BY h.doc_id"""
         "probe is a broadcast join on bit position -- the corpus never "
         "shuffles, which is the whole reason production pipelines put a "
         "Bloom filter in FRONT of the exact n-gram join.",
-    driver=False,  # r8 rotation candidate
-    # r8 sibling re-point: same contamination op; the exact join route is driver-checked.
-    sibling="doc_decontamination_ngram",
 )
 def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import materialize
@@ -873,7 +877,8 @@ FROM scored
         "same counting shape (the taxonomy lookup-join pattern).",
     # r9 driver-slot rotation: lexicon scoring exercised by the rarity machinery.
     driver=False,
-    sibling="doc_lm_rarity",
+    # r10 sibling re-point: lexicon/token scoring family, driver-checked there.
+    sibling="doc_bm25_topk",
 )
 def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1013,7 +1018,8 @@ FROM m GROUP BY ph
         "(doc, pos).",
     driver=False,  # r8 rotation candidate
     # r8 sibling re-point: positional n-gram match family, driver-checked there.
-    sibling="doc_decontamination_ngram",
+    # r10 sibling re-point: n-gram matching family, driver-checked there.
+    sibling="doc_decontamination_bloom",
 )
 def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1325,9 +1331,6 @@ FROM joined GROUP BY status
         "on doc_id -- at 100 TB both snapshots are bucketed on it and the "
         "join is co-located) and a 4-row aggregate.  md5 fingerprints + "
         "integer counts: exact parity.",
-    driver=False,  # r8 rotation candidate
-    # r8 sibling re-point: fingerprint anti-join family, driver-checked there.
-    sibling="doc_decontamination_ngram",
 )
 def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())

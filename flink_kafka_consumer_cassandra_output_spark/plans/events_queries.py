@@ -50,6 +50,9 @@ FROM events
 """,
     doc="from_json with an explicit StructType on events.props (JSON scalar "
         "surface); typed struct field access, not string re-parsing per key",
+    # r10 driver-slot rotation: events-table typed extraction green 8 consecutive rounds; from_json stays parity- and streaming-test-gated.
+    driver=False,
+    sibling="ev_ts_pattern_match",
 )
 def ev_json_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -74,6 +77,9 @@ GROUP BY 1, 2, 3
 """,
     doc="tumbling 1-hour window aggregate (epoch-aligned, matching "
         "F.window's origin); decimal-exact value sums",
+    # r10 driver-slot rotation: hourly time-bucketed aggregation exercised by the densified ACF spine.
+    driver=False,
+    sibling="ev_acf_lags",
 )
 def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -113,7 +119,8 @@ GROUP BY 1, 2
         "explicitly. Scale: Spark's window expand is a per-row flatMap (x2 "
         "rows), then one shuffle on the bucket",
     driver=False,  # ev_tumbling_hourly driver-checks F.window's epoch
-    sibling="ev_tumbling_hourly",
+    # r10 sibling re-point: hourly time-bucketed series family, driver-checked there.
+    sibling="ev_acf_lags",
     # alignment and ev_session_windows the gap semantics; the slide variant
     # (same operator, overlap factor 2) stays oracle-checked locally.
 )
@@ -202,7 +209,8 @@ GROUP BY user_id
         "type-sensitive even when values are identical",
     driver=False,  # ev_unpivot_roundtrip COMPOSES this pivot and its oracle
     # r9 sibling re-point: wide/long reshaping family, driver-checked there.
-    sibling="ev_json_props_typed",
+    # r10 sibling re-point: wide/long multi-dim aggregation family, driver-checked there.
+    sibling="sql_grouping_sets",
     # is the plain GROUP BY, so a wrong pivot cell cannot pass the driver's
     # roundtrip gate; the wide form itself stays oracle-checked locally.
 )
@@ -229,7 +237,8 @@ GROUP BY user_id, event_type
         "cells (user never produced the type) are dropped on both sides",
     # r9 driver-slot rotation: wide/long reshaping green r7+r8; the JSON anchor stays.
     driver=False,
-    sibling="ev_json_props_typed",
+    # r10 sibling re-point: wide/long multi-dim aggregation family, driver-checked there.
+    sibling="sql_grouping_sets",
 )
 def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = ev_pivot_user_type_counts(spark, sf_dir)
@@ -798,7 +807,8 @@ LIMIT 50
         "combine, a user-level stats aggregate joined back on the SAME "
         "user key, top-50 via TakeOrderedAndProject.",
     driver=False,  # r8 rotation candidate
-    sibling="ev_tumbling_hourly",
+    # r10 sibling re-point: its own stream==batch twin, driver-checked since r9.
+    sibling="ev_anomaly_zscore_online",
 )
 def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -963,8 +973,6 @@ FROM folded WHERE n_hours >= 2
         "(hours in retention window); one user-keyed shuffle, state "
         "O(1) per step -- and the same recurrence runs incrementally in "
         "streaming/stateful.py's state model if maintained online.",
-    driver=False,  # r8 rotation candidate
-    sibling="ev_tumbling_hourly",
 )
 def ev_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1454,8 +1462,6 @@ FROM probes p JOIN dim d
         "arithmetic is integer epoch-us division, never float seconds.".format(
             n=SCD2_PROBES
         ),
-    driver=False,
-    sibling="ev_range_interval_join",
 )
 def ev_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1604,8 +1610,6 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
         "exchange every window query here rides.  The streaming twin "
         "(streaming/pipeline.py run_cdc_apply_stream) maintains the same "
         "snapshot incrementally and is pinned stream==batch.",
-    driver=False,
-    sibling="ev_scd2_user_state",
 )
 def ev_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1729,8 +1733,6 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
         "hour), the lag windows ride ONE event_type exchange, and "
         "parallelism grows with the number of series (the per-type "
         "window is the unit of work) -- no global sort anywhere.",
-    driver=False,
-    sibling="ev_anomaly_zscore_online",
 )
 def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _dense_hourly_counts(_ev(spark, sf_dir))

@@ -135,7 +135,8 @@ GROUP BY lang, lang_pred
     # r7 driver-slot rotation: same n-gram machinery, driver-checked there.
     driver=False,
     # r8 sibling re-point: same n-gram shingle machinery, driver-checked there.
-    sibling="doc_decontamination_ngram",
+    # r10 sibling re-point: n-gram tokenization machinery, driver-checked there.
+    sibling="doc_decontamination_bloom",
 )
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -320,7 +321,8 @@ GROUP BY fingerprint
     # r7 driver-slot rotation: hash-fingerprint equi-join dedup family, driver-checked there.
     driver=False,
     # r8 sibling re-point: hash-fingerprint equi-join family, driver-checked there.
-    sibling="doc_decontamination_ngram",
+    # r10 sibling re-point: dedup family proper, driver-checked there.
+    sibling="doc_dedup_clusters",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -749,7 +751,8 @@ UNION ALL SELECT 'stage3_near_dedup', CAST(s3 AS BIGINT) FROM agg
     # r8 driver-slot rotation: the funnel's quality-filter stage is now driver-checked standalone.
     driver=False,
     # r9 sibling re-point: quality-filter composition; the scoring stage driver-checked there.
-    sibling="doc_lm_rarity",
+    # r10 sibling re-point: quality-metric composition family, driver-checked there.
+    sibling="doc_corpus_report",
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1205,9 +1208,6 @@ WHERE rank <= 3
         "machinery exactly like positive neighbor search, with the label "
         "filter applied per bucket.  Sequential-fold cosine keeps the "
         "whole output hash-matched.",
-    driver=False,  # r8 rotation candidate
-    # r8 sibling re-point: cosine-ranked candidate family, driver-checked there.
-    sibling="emb_ann_ivf_trained",
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1377,9 +1377,6 @@ SELECT * FROM (
         "same candidate shape as brute-force top-k; at real scale both "
         "rankers route through bucketed ANN and RRF fuses the returned "
         "lists -- fusion cost is per-query O(k), independent of corpus.",
-    driver=False,  # r8 rotation candidate
-    # r8 sibling re-point: scored-top-k fusion input, BM25 side driver-checked there.
-    sibling="doc_bm25_topk",
 )
 def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -1478,8 +1475,6 @@ FROM q
         "quality cost measured per vector, not asserted.  Zero-vector "
         "guard mirrors the cosine convention (NULL, not a fake zero "
         "error).  Pure per-row map, no shuffle.",
-    driver=False,  # r8 rotation candidate
-    sibling="emb_ann_lsh",
 )
 def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1740,6 +1735,9 @@ SELECT * FROM (
         "tests/test_similarity.py.  100 TB shape: coding is a broadcast of "
         "4 planes, candidates come from a bucket equi-join of ~5/16 of the "
         "corpus per query",
+    # r10 driver-slot rotation: ANN family keeps IVF + PQ-ADC driver anchors.
+    driver=False,
+    sibling="emb_ann_ivf_trained",
 )
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1933,7 +1931,8 @@ GROUP BY needle_src
         "filter join.",
     # r8 driver-slot rotation: same benchmark-overlap op; the web-scale n-gram route is driver-checked.
     driver=False,
-    sibling="doc_decontamination_ngram",
+    # r10 sibling re-point: decontamination family, driver-checked there.
+    sibling="doc_decontamination_bloom",
 )
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -2114,8 +2113,6 @@ LEFT JOIN alive{rounds} a ON a.v = d.doc_id"""
         "its fixed point, and the Spark loop raises if it ever needs more "
         "rounds than the unroll.  Integer-only output, bit-exact parity "
         "for free.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_dedup_clusters",
 )
 def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -2186,7 +2183,8 @@ FROM proj"""
         "certificate).  Scale: a narrow per-row map -- no shuffle at all; "
         "the sign matrix is config, not data.",
     driver=False,  # r8 rotation candidate
-    sibling="emb_ann_lsh",
+    # r10 sibling re-point: embedding projection/compression family, driver-checked there.
+    sibling="emb_pq_adc",
 )
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2835,8 +2833,6 @@ FROM documents d LEFT JOIN reach{rounds} r ON r.v = d.doc_id"""
         "past the seed eccentricity are fixed-point no-ops (mirror of "
         "the k-core unroll argument).  Pure integer hops: bit-exact "
         "parity for free.".format(m=BFS_SEED_MOD, h=SIM.BFS_UNROLL),
-    driver=False,
-    sibling="doc_dup_graph_pagerank",
 )
 def doc_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)

@@ -42,7 +42,8 @@ WHERE stanza IS NOT NULL
         "(CassandraOutputFormat.java:101-132)",
     # r7 driver-slot rotation: same pipeline prefix (O5/O6/O9), driver-checked there.
     driver=False,
-    sibling="msg_summary_distinct",
+    # r10 sibling re-point: the decrypt-verified superset of the same projection.
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=False).drop("stanza")
@@ -137,6 +138,9 @@ FROM messages
 """,
     doc="O11 distinct-set semantics of the Cassandra summary upsert "
         "(CassandraOutputFormat.java:95-108)",
+    # r10 driver-slot rotation: same decode->project->partition-key pipeline, detail side pinned row-for-row; 9 consecutive driver-green rounds.
+    driver=False,
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_summary_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.summary_distinct(_msgs(spark, sf_dir))
@@ -154,7 +158,8 @@ GROUP BY username, jid
     doc="O11 'first month' variant implied by the column name "
         "first_date_partition (CassandraOutputFormat.java:95)",
     driver=False,  # O11's grain-true distinct-set form (msg_summary_distinct)
-    sibling="msg_summary_distinct",
+    # r10 sibling re-point: same decode->project pipeline, detail side pinned row-for-row.
+    sibling="msg_detail_encrypted_verified",
     # holds the driver slot; the min() variant stays oracle-checked locally.
 )
 def msg_summary_first(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +229,8 @@ WHERE sent_ts >= TIMESTAMP '2024-01-15 00:00:00'
         "(BackupMessageConsumer.java:46-51); prunes month partitions at scan",
     # r9 driver-slot rotation: retention also pytest-gated (tests/test_retention.py).
     driver=False,
-    sibling="msg_summary_distinct",
+    # r10 sibling re-point: partition-lifecycle deletion family, driver-checked there.
+    sibling="msg_user_erasure",
 )
 def msg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -255,7 +261,8 @@ SELECT
         "-- no driver-side counts, no double pipeline recompute",
     # r7 driver-slot rotation: the summary sink IS one of its two sinks, driver-checked there.
     driver=False,
-    sibling="msg_summary_distinct",
+    # r10 sibling re-point: detail sink side pinned row-for-row there; dual-sink consistency also one-pass streaming-test-gated.
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)

@@ -92,6 +92,9 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
         "division is one double op per row, bit-identical cross-engine; "
         "the l_quantity > 0 guard (both sides) pins that: at 0 Spark's "
         "non-ANSI division yields NULL where DuckDB yields +inf.",
+    # r10 driver-slot rotation: correlated scalar-subquery threshold family keeps q22.
+    driver=False,
+    sibling="q22_dormant_accounts",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -187,6 +190,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         "zero wide shuffles (partial agg collapses to one row).  All three "
         "predicates push to the parquet scan; at 100 TB this is the query "
         "whose cost IS the pruned scan.",
+    # r10 driver-slot rotation: single-table filter+agg revenue family keeps q19.
+    driver=False,
+    sibling="q19_disjunctive_revenue",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -235,7 +241,8 @@ GROUP BY supp_nation, cust_nation, l_year
         "shuffle beyond the final 4-group agg.",
     # r9 driver-slot rotation: multi-dim join-agg family keeps q8/q9.
     driver=False,
-    sibling="q8_market_share",
+    # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
+    sibling="q9_product_profit",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -307,6 +314,9 @@ GROUP BY o_year
         "l_partkey (strategy left to AQE, see q14 note); the share is a "
         "conditional decimal aggregate -- numerator and denominator in ONE "
         "pass, one divide of exact sums at the end.",
+    # r10 driver-slot rotation: multi-dim join-agg family keeps q9.
+    driver=False,
+    sibling="q9_product_profit",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -503,6 +513,9 @@ WHERE pv * (SELECT COUNT(*) FROM v) > (SELECT SUM(pv) FROM v) * 2
         "total*2 -- DECIMAL times integer on both sides, no division, "
         "no doubles -- so the boundary is exact on both engines; only "
         "the OUTPUT column is surfaced as double.",
+    # r10 driver-slot rotation: global scalar-subquery HAVING threshold family keeps q22.
+    driver=False,
+    sibling="q22_dormant_accounts",
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -552,7 +565,8 @@ GROUP BY lag_class
     # r8 driver-slot rotation: date-range + priority bucketing family, driver-checked there.
     driver=False,
     # r9 sibling re-point: date-range + priority bucketing family, driver-checked there.
-    sibling="sql_q3_shipping_priority",
+    # r10 sibling re-point: CASE-bucketed conditional aggregation family, driver-checked there.
+    sibling="q19_disjunctive_revenue",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1364,8 +1378,6 @@ FROM sized s JOIN records r ON r.record_id = s.cluster_id
         "the shuffle key (never all-pairs), the edit distance runs only "
         "inside blocks, CC rounds are O(log d), and the golden-record "
         "join is on the tiny cluster table.".format(m=ER_MOD),
-    driver=False,
-    sibling="cust_fuzzy_match_blocked",
 )
 def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM
@@ -1465,8 +1477,6 @@ LIMIT 100
         "can broadcast when part is small; the 1-row order count rides "
         "an explicit bounded broadcast; top-100 is "
         "TakeOrderedAndProject.".format(m=BASKET_MIN_SUPPORT),
-    driver=False,
-    sibling="q18_large_volume_customers",
 )
 def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1592,8 +1602,6 @@ LEFT JOIN seg_pick s ON s.cluster_id = a.cluster_id
         "O(log d) CC rounds; the vote and max aggregates ride one "
         "cluster_id shuffle over the small label "
         "table.".format(d=SURV_DRIFT, t=SURV_BAL_TOL),
-    driver=False,
-    sibling="cust_fuzzy_match_blocked",
 )
 def cust_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM

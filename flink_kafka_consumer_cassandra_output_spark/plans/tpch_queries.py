@@ -64,7 +64,8 @@ GROUP BY l_returnflag, l_linestatus
         "decimal-exact sums/avgs; map-side partial agg into a 6-group shuffle",
     # r7 driver-slot rotation: decimal-exact lineitem aggregate family, driver-checked there.
     driver=False,
-    sibling="q6_forecast_revenue",
+    # r10 sibling re-point: multi-aggregate groupBy over lineitem, driver-checked there.
+    sibling="sql_grouping_sets",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-02"))
@@ -287,6 +288,9 @@ AND NOT EXISTS (
         "left-semi and a left-anti join on c_custkey -- the rewrite "
         "(DecorrelateInnerQuery) that makes correlated subqueries usable "
         "at scale instead of per-row re-execution",
+    # r10 driver-slot rotation: EXISTS/NOT EXISTS family keeps the harder q21 self-join plan.
+    driver=False,
+    sibling="q21_waiting_supplier",
 )
 def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
@@ -341,7 +345,8 @@ FROM s
         "partial sums, no second pass for the mean",
     # r7 driver-slot rotation: order/dispersion statistics family, driver-checked there.
     driver=False,
-    sibling="agg_exact_percentiles",
+    # r10 sibling re-point: distribution-summary agg family, driver-checked there.
+    sibling="agg_histogram_quantile_sketch",
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -394,7 +399,8 @@ WHERE o_orderkey % 100 = 0
     driver=False,
     # r8 sibling re-point: date arithmetic + bucketing, driver-checked there.
     # r9 sibling re-point: date arithmetic + bucketing over orders, driver-checked there.
-    sibling="sql_q3_shipping_priority",
+    # r10 sibling re-point: date_trunc/densification arithmetic is the datetime-function family's driver anchor this round.
+    sibling="ev_acf_lags",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -446,7 +452,8 @@ GROUP BY o_orderstatus
         "shuffle-on-status",
     # r7 driver-slot rotation: percentile family: the exact sort-based form is driver-checked.
     driver=False,
-    sibling="agg_exact_percentiles",
+    # r10 sibling re-point: approximate-quantile family proper, driver-checked there.
+    sibling="agg_histogram_quantile_sketch",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
@@ -517,7 +524,8 @@ FROM nation
         "candidate pairs, never all-pairs)",
     # r7 driver-slot rotation: string-function family incl. edit distance, driver-checked there.
     driver=False,
-    sibling="cust_fuzzy_match_blocked",
+    # r10 sibling re-point: string normalization family used by the ER blocking stage.
+    sibling="cust_entity_resolution",
 )
 def str_functions_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
@@ -589,7 +597,8 @@ GROUP BY n_name
     # r7 driver-slot rotation: multi-way broadcast revenue join family, driver-checked there.
     driver=False,
     # r9 sibling re-point: multi-dim join-agg family, driver-checked there.
-    sibling="q8_market_share",
+    # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
+    sibling="q9_product_profit",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -688,6 +697,9 @@ LIMIT 10
     doc="TPC-H Q3 through spark.sql: join + filter + aggregate + "
         "deterministic top-10 (revenue DESC with unique o_orderkey tiebreak); "
         "identical ANSI text on both engines",
+    # r10 driver-slot rotation: top-k-over-join-agg family keeps q18.
+    driver=False,
+    sibling="q18_large_volume_customers",
 )
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
@@ -708,7 +720,8 @@ WHERE EXISTS (
         "(EXISTS form in the oracle). Scale: semi join never duplicates the "
         "probe side, so output is bounded by |customer|",
     driver=False,  # sql_correlated_exists driver-checks the left-semi plan
-    sibling="sql_correlated_exists",
+    # r10 sibling re-point: semi/anti EXISTS family, driver-checked there.
+    sibling="q21_waiting_supplier",
     # (EXISTS decorrelates to exactly this join); DataFrame form stays local.
 )
 def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +746,8 @@ WHERE NOT EXISTS (
     doc="LEFT ANTI join: customers with no orders in 2001+ (NOT EXISTS form). "
         "The build side is date-pruned before the join",
     driver=False,  # sql_correlated_exists driver-checks the left-anti plan
-    sibling="sql_correlated_exists",
+    # r10 sibling re-point: semi/anti EXISTS family, driver-checked there.
+    sibling="q21_waiting_supplier",
     # (NOT EXISTS decorrelates to exactly this join); DataFrame form is local.
 )
 def join_anti_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,7 +770,8 @@ WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')} FROM customer)
         "Spark side: broadcast 1-row aggregate cross join",
     # r7 driver-slot rotation: scalar-subquery HAVING threshold, driver-checked there.
     driver=False,
-    sibling="q11_important_values",
+    # r10 sibling re-point: the same AVG-threshold scalar subquery, driver-checked there.
+    sibling="q22_dormant_accounts",
 )
 def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -984,7 +999,8 @@ LIMIT 20
         "TakeOrderedAndProject -- per-partition top-20 then a 20-row merge on "
         "the driver, never a full global sort",
     driver=False,  # sql_q3_shipping_priority driver-checks global ORDER BY +
-    sibling="sql_q3_shipping_priority",
+    # r10 sibling re-point: top-k with total-order tiebreak, driver-checked there.
+    sibling="q18_large_volume_customers",
     # LIMIT (same TakeOrderedAndProject node); the bare form stays local and
     # keeps the plan-invariant gate in tests/test_plan_invariants.py.
 )
@@ -1046,6 +1062,9 @@ GROUP BY o_orderpriority
         "values -- right for the 5-priority grouping here, wrong for "
         "high-cardinality groups, where the sketch variant is the "
         "documented alternative.",
+    # r10 driver-slot rotation: quantile family keeps the sketch anchor (exact side pytest-pinned).
+    driver=False,
+    sibling="agg_histogram_quantile_sketch",
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1082,6 +1101,9 @@ WHERE levenshtein(probe_name, c_name) <= 2
         "the block key is the shuffle key; skewed blocks take the salting "
         "path (tests/test_salting.py).  Every probe provably matches its "
         "source at distance <= 2, so the result is never empty.",
+    # r10 driver-slot rotation: the promoted end-to-end ER pipeline embeds the same blocked fuzzy matching stage.
+    driver=False,
+    sibling="cust_entity_resolution",
 )
 def cust_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")

@@ -1819,19 +1819,26 @@ def run_entity_resolution_stream(
             edges = star.unionByName(edges)
         labels = SIM.connected_components(nodes.distinct(), edges)
 
-        (
-            labels.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(labels_path)
-        )
+        # Commit order matters: _recs FIRST, _labels LAST.  The report
+        # reader keys on the latest committed labels batch, so the labels
+        # table must never be ahead of the records backing it -- a crash
+        # between the two writes then leaves only a stale-but-consistent
+        # labels batch (the half-written recs batch is replayed and
+        # dynamically overwritten on restart), never a labels batch whose
+        # canonical records are missing from _recs.
         (
             new.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(recs_path)
+        )
+        (
+            labels.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(labels_path)
         )
 
     reader = (
