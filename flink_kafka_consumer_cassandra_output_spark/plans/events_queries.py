@@ -2126,3 +2126,238 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "status")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "ev_conversion_funnel",
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+  GROUP BY e.user_id
+), stages AS (
+  SELECT CAST(1 AS BIGINT) AS stage, user_id FROM t1
+  UNION ALL SELECT 2, user_id FROM t2
+  UNION ALL SELECT 3, user_id FROM t3
+), counts AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM stages GROUP BY stage
+)
+SELECT stage,
+       CASE stage WHEN 1 THEN 'signup' WHEN 2 THEN 'click'
+            ELSE 'purchase' END AS stage_name,
+       n_users,
+       (n_users * 1000000) // (SELECT n_users FROM counts WHERE stage = 1)
+         AS conv_ppm
+FROM counts
+""",
+    doc="Strict-order conversion funnel (signup -> click -> purchase): a "
+        "user advances to stage k only via an event STRICTLY AFTER their "
+        "stage k-1 entry time, the standard ordered-funnel semantics "
+        "(unordered 'did all three ever' funnels overcount).  Entry time "
+        "per stage is the EARLIEST qualifying event, so the count is "
+        "maximal under the strict-order rule.  Conversion reported as "
+        "exact BIGINT parts-per-million of stage-1 entrants -- no float "
+        "division anywhere, bit-exact parity.  Plan: three min-aggregates "
+        "chained by user_id equi-joins -- every shuffle keys on user_id, "
+        "so at 100 TB the whole chain rides ONE exchange of the events "
+        "table (AQE reuses the partitioning) plus two tiny per-stage "
+        "joins; the final counts frame is <= 3 rows.",
+    driver=False,
+    sibling="ev_ts_pattern_match",
+)
+def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        t1.select(F.lit(1).cast("long").alias("stage"), "user_id")
+        .unionByName(t2.select(F.lit(2).cast("long").alias("stage"), "user_id"))
+        .unionByName(t3.select(F.lit(3).cast("long").alias("stage"), "user_id"))
+    )
+    counts = stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+    first = counts.filter(F.col("stage") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    return counts.crossJoin(first).select(
+        "stage",
+        F.when(F.col("stage") == 1, F.lit("signup"))
+        .when(F.col("stage") == 2, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("stage_name"),
+        "n_users",
+        F.expr("(n_users * 1000000) div n_first").alias("conv_ppm"),
+    )
+
+
+@register(
+    "ev_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med_value
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med_value, abs(e.value - m.med_value) AS dev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad_value
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       MIN(d.med_value) AS med_value,
+       MIN(a.mad_value) AS mad_value,
+       CAST(COUNT(CASE WHEN d.dev > 3 * a.mad_value THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+""",
+    doc="Robust anomaly detection via median absolute deviation: per "
+        "event_type, median(value), MAD = median(|value - median|), and "
+        "the count of events beyond 3*MAD -- the outlier-resistant twin "
+        "of ev_anomaly_zscore (a single fat-finger value shifts a "
+        "mean/stddev gate but not a median/MAD gate).  Exact "
+        "percentiles: Spark's sort-based percentile() and DuckDB's "
+        "quantile_cont both interpolate at rank (n-1)*p, bit-identical "
+        "(the agg_exact_percentiles precedent); |x-m|, 3*m and the "
+        "comparison are single correctly-rounded double ops, so the "
+        "whole gate is deterministic cross-engine.  Plan: two "
+        "percentile aggregates and one count, every exchange keyed on "
+        "the bounded event_type -- the per-group value buffering is the "
+        "documented exact-percentile trade, right for bounded "
+        "categorical groups, with agg_histogram_quantile_sketch as the "
+        "high-cardinality alternative.",
+    driver=False,
+    sibling="ev_anomaly_zscore_online",
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med_value")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "med_value",
+        F.abs(F.col("value") - F.col("med_value")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad_value")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med_value").alias("med_value"),
+            F.min("mad_value").alias("mad_value"),
+            F.count(
+                F.when(F.col("dev") > 3 * F.col("mad_value"), F.lit(1))
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "ev_ab_test_welch",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN user_id % 2 = 0 AND value IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN user_id % 2 = 1 AND value IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(value AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                       THEN CAST(value AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                       THEN CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS qb
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       sa / n_a AS mean_a,
+       sb / n_b AS mean_b,
+       (sb / n_b - sa / n_a)
+         / sqrt(((qa - sa * sa / n_a) / (n_a - 1)) / n_a
+                + ((qb - sb * sb / n_b) / (n_b - 1)) / n_b) AS welch_z
+FROM stats
+""",
+    doc="A/B experiment readout: Welch's z-statistic on the value metric "
+        "per event_type, variant assigned by user_id parity (the "
+        "deterministic stand-in for an assignment table).  ONE "
+        "aggregation pass computes both arms' sufficient statistics "
+        "(n, sum, sum-of-squares) via conditional aggregates -- no "
+        "second scan, no pivot shuffle; sums are exact DECIMAL (values "
+        "are 2dp-clean, squares 4dp-clean), then a mirrored double "
+        "expression tree (each +,-,*,/ and the sqrt is a single "
+        "correctly-rounded IEEE op on identical operands) yields "
+        "bit-exact means, Welch variances and the z.  Scale: the plan "
+        "is a single map-side-combined groupBy on the bounded "
+        "event_type key -- sufficient-statistics reduction is THE "
+        "pattern for experiment analysis at 100 TB (never collect "
+        "per-user frames to the driver).",
+    driver=False,
+    sibling="ev_acf_lags",
+)
+def ev_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    val = F.col("value").cast(N.DEC)
+    is_a = F.col("user_id") % 2 == 0
+    is_b = F.col("user_id") % 2 == 1
+    stats = ev.groupBy("event_type").agg(
+        F.count(
+            F.when(is_a & F.col("value").isNotNull(), F.lit(1))
+        ).alias("n_a"),
+        F.count(
+            F.when(is_b & F.col("value").isNotNull(), F.lit(1))
+        ).alias("n_b"),
+        F.sum(F.when(is_a, val)).cast("double").alias("sa"),
+        F.sum(F.when(is_b, val)).cast("double").alias("sb"),
+        F.sum(F.when(is_a, val * val)).cast("double").alias("qa"),
+        F.sum(F.when(is_b, val * val)).cast("double").alias("qb"),
+    )
+    mean_a = F.col("sa") / F.col("n_a")
+    mean_b = F.col("sb") / F.col("n_b")
+    var_a = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return stats.select(
+        "event_type", "n_a", "n_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        z.alias("welch_z"),
+    )
