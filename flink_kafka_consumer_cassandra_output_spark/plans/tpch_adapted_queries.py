@@ -1758,3 +1758,182 @@ def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+@register(
+    "cust_rfm_segmentation",
+    oracle="""
+WITH anchor AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders
+), base AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT d0 FROM anchor)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), thr AS (
+  SELECT quantile_cont(recency_days, 0.2) AS r1,
+         quantile_cont(recency_days, 0.4) AS r2,
+         quantile_cont(recency_days, 0.6) AS r3,
+         quantile_cont(recency_days, 0.8) AS r4,
+         quantile_cont(frequency, 0.2) AS f1,
+         quantile_cont(frequency, 0.4) AS f2,
+         quantile_cont(frequency, 0.6) AS f3,
+         quantile_cont(frequency, 0.8) AS f4,
+         quantile_cont(monetary, 0.2) AS m1,
+         quantile_cont(monetary, 0.4) AS m2,
+         quantile_cont(monetary, 0.6) AS m3,
+         quantile_cont(monetary, 0.8) AS m4
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary,
+       5 - (CAST(recency_days > r1 AS BIGINT) + CAST(recency_days > r2 AS BIGINT)
+            + CAST(recency_days > r3 AS BIGINT) + CAST(recency_days > r4 AS BIGINT))
+         AS r_score,
+       1 + CAST(frequency > f1 AS BIGINT) + CAST(frequency > f2 AS BIGINT)
+         + CAST(frequency > f3 AS BIGINT) + CAST(frequency > f4 AS BIGINT)
+         AS f_score,
+       1 + CAST(monetary > m1 AS BIGINT) + CAST(monetary > m2 AS BIGINT)
+         + CAST(monetary > m3 AS BIGINT) + CAST(monetary > m4 AS BIGINT)
+         AS m_score
+FROM base CROSS JOIN thr
+""",
+    doc="RFM customer segmentation (recency / frequency / monetary "
+        "quintile scores, the classic CRM feature): per customer, days "
+        "since last order (anchored at the corpus max date), order "
+        "count, and exact-decimal spend; each metric scored 1-5 by "
+        "comparison against its four exact quintile thresholds "
+        "(recency inverted so 5 = most recent).  DELIBERATELY not a "
+        "global NTILE window -- that is a single-task total sort at 100 "
+        "TB; threshold bucketing needs only a 1-row percentile "
+        "aggregate broadcast back over the per-customer frame, is "
+        "fully distributed, and gives tied metric values tied scores "
+        "(arguably the better semantics).  Bit-exact: thresholds ride "
+        "the percentile()==quantile_cont path, monetary is an exact "
+        "decimal sum, comparisons and the small-integer adds are "
+        "exact.  Customers with zero orders are out of scope (RFM is "
+        "defined on purchasers).",
+    driver=False,
+    sibling="agg_histogram_quantile_sketch",
+)
+def cust_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("d0"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(N.DEC)).cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(anchor)
+        .select(
+            "custkey",
+            F.datediff(F.col("d0"), F.col("last_d")).cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thr = base.agg(
+        *[
+            F.percentile(F.col(c), F.lit(q)).alias(f"{c[0]}{i + 1}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def _bucket(col: str, pfx: str) -> F.Column:
+        s = sum(
+            (F.col(col) > F.col(f"{pfx}{i}")).cast("long") for i in (1, 2, 3, 4)
+        )
+        return s
+
+    return base.crossJoin(thr).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(5) - _bucket("recency_days", "r")).alias("r_score"),
+        (F.lit(1) + _bucket("frequency", "f")).alias("f_score"),
+        (F.lit(1) + _bucket("monetary", "m")).alias("m_score"),
+    )
+
+
+@register(
+    "part_itemsim_cf",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.supp_ab,
+       p.supp_ab / sqrt(CAST(sa.supp * sb.supp AS DOUBLE)) AS cosine
+FROM pairs p
+JOIN supp sa ON sa.l_partkey = p.part_a
+JOIN supp sb ON sb.l_partkey = p.part_b
+ORDER BY cosine DESC, part_a, part_b
+LIMIT 20
+""",
+    doc="Item-item collaborative filtering: cosine similarity between "
+        "parts over the binary order-basket incidence matrix -- "
+        "cooc(a,b) / sqrt(freq(a)*freq(b)), the memory-based recommender "
+        "primitive (basket_copurchase_lift is the association-rule view "
+        "of the SAME co-occurrence frame; this is the vector-space "
+        "view).  Top-20 with full (cosine DESC, part_a, part_b) "
+        "tiebreak.  Bit-exact despite the float: the only non-integer "
+        "ops are one BIGINT->double cast, one sqrt and one division -- "
+        "each correctly rounded per IEEE-754 on identical operands, so "
+        "unlike ln/pow no libm variance exists to leak in.  Scale: "
+        "pair generation is the bounded per-order self-join (never "
+        "all-pairs across parts), min-support prunes the tail before "
+        "the frequency joins, and the top-k is TakeOrderedAndProject.",
+    driver=False,
+    sibling="q18_large_volume_customers",
+)
+def part_itemsim_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    cos = F.col("supp_ab") / F.sqrt(
+        (F.col("supp_a") * F.col("supp_b")).cast("double")
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .select("part_a", "part_b", "supp_ab", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(20)
+    )
