@@ -2844,3 +2844,140 @@ def doc_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     out = SIM.bfs_hops(nodes, edges, seeds)
     return out.select(F.col("v").alias("doc_id"), "hop")
+
+
+def _lpa_oracle(rounds: int = SIM.LPA_ROUNDS) -> str:
+    """Unrolled synchronous frequency-LPA oracle: each round every vertex
+    with neighbors takes the most frequent neighbor label (count DESC,
+    then min label); isolated vertices keep theirs.  A FIXED round count
+    on both sides is the whole parity argument -- synchronous LPA has no
+    fixed-point guarantee (period-2 oscillations exist), so the spec IS
+    'exactly R synchronous rounds', which unrolls mechanically."""
+    ctes = ["lbl0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents)"]
+    for i in range(rounds):
+        ctes.append(f"""nbr{i + 1} AS (
+  SELECT e.a AS v, l.lbl FROM edges e JOIN lbl{i} l ON l.v = e.b
+), cnt{i + 1} AS (
+  SELECT v, lbl, COUNT(*) AS c FROM nbr{i + 1} GROUP BY v, lbl
+), pick{i + 1} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+    FROM cnt{i + 1}
+  ) WHERE rn = 1
+), lbl{i + 1} AS (
+  SELECT l.v, COALESCE(p.lbl, l.lbl) AS lbl
+  FROM lbl{i} l LEFT JOIN pick{i + 1} p ON p.v = l.v
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {_PREFIX_FILTER_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+{joined}
+SELECT v AS doc_id, lbl AS community,
+       COUNT(*) OVER (PARTITION BY lbl) AS community_size
+FROM lbl{rounds}"""
+
+
+@register(
+    "doc_graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Community detection over the verified near-dup graph: {r} rounds "
+        "of SYNCHRONOUS frequency-based label propagation (most frequent "
+        "neighbor label, ties to the smallest -- a deterministic total "
+        "order), isolated vertices keeping their own label.  Where "
+        "connected components labels whole components, the frequency "
+        "vote splits weakly-bridged components into dense duplicate "
+        "communities -- the partitioning a curation pipeline wants when "
+        "one spurious edge chains two unrelated template families.  "
+        "Fixed round count on BOTH sides because synchronous LPA can "
+        "oscillate (no fixed point to converge to), making 'exactly R "
+        "rounds' the only well-defined cross-engine spec; the oracle "
+        "unrolls it mechanically.  Scale (operators/similarity."
+        "label_propagation): per round one labels-onto-edges equi-join, "
+        "one (v,label) count with map-side combine, one bounded "
+        "row_number top-1 and one left join, all co-partitioned on the "
+        "vertex id; the frequency table is O(degree) ROWS per vertex, "
+        "never a collected array -- hub-safe, unlike a collect_list "
+        "fold.".format(r=SIM.LPA_ROUNDS),
+    driver=False,
+    sibling="doc_dup_graph_pagerank",
+)
+def doc_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    lbl = SIM.label_propagation(nodes, edges)
+    sizes = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return lbl.join(sizes, "lbl").select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )
+
+
+@register(
+    "doc_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_PREFIX_FILTER_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS u FROM documents
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN edges e ON e.a = r.u
+),
+lbl AS (
+  SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+)
+SELECT l.doc_id, l.cluster_id, d.n_chars,
+       CAST(row_number() OVER (
+         PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.doc_id
+       ) = 1 AS BIGINT) AS keep
+FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+""",
+    doc="The dedup DECISION step the cluster labeling exists for: within "
+        "each connected near-dup cluster keep exactly one document, "
+        "chosen by QUALITY (longest n_chars, doc_id tiebreak) rather "
+        "than doc_dedup_clusters' min-id canonical -- 'keep the best "
+        "copy, drop the rest' is what an LLM training pipeline actually "
+        "materializes, and keeping the longest near-dup retains the "
+        "superset copy of partially-overlapping boilerplate.  Output is "
+        "a per-document keep/drop verdict with its cluster and quality "
+        "key, ready to semi-join the corpus.  Plan: the shared CC "
+        "labeling plus one n_chars lookup join and one per-cluster "
+        "row_number (bounded by cluster size); singleton clusters pass "
+        "through keep=1.  Composes the driver-checked doc_dedup_clusters "
+        "chain, adding only the argmax.",
+    driver=False,
+    sibling="doc_dedup_clusters",
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    labels = SIM.connected_components(nodes, edges)
+    quality = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labels.select(
+            F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            (F.row_number().over(w) == 1).cast("long").alias("keep"),
+        )
+    )

@@ -855,3 +855,79 @@ def test_bfs_hops_random_graphs_match_python_oracle(spark):
             f"trial {trial}: n={n} edges={edges} seeds={seeds} "
             f"max_hops={max_hops}: {got} != {expect}"
         )
+
+
+def test_bfs_hops_duplicate_seed_rows_are_deduped(spark):
+    """Duplicate seed rows must not fan out into duplicate (v, hop) output
+    rows (the r9 advice finding: the seed projection is deduped inside)."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        bfs_hops,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], "v long")
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    seeds = spark.createDataFrame([(1,), (1,), (1,)], "v long")
+    rows = bfs_hops(nodes, edges, seeds).collect()
+    assert len(rows) == 2
+    assert {r.v: r.hop for r in rows} == {1: 0, 2: 1}
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Two triangles joined by ONE bridge edge: connected components sees a
+    single component, frequency-LPA keeps two dense communities -- the
+    behavioral difference the operator exists for.  Triangle A = {1,2,3},
+    triangle B = {4,5,6}, bridge 3-4."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        connected_components,
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame([(v,) for v in range(1, 7)], "v long")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "a long, b long",
+    )
+    cc = {r.v: r.lbl for r in connected_components(nodes, edges).collect()}
+    assert len(set(cc.values())) == 1  # one component
+    lpa = {r.v: r.lbl for r in label_propagation(nodes, edges).collect()}
+    # The two triangles end in different communities: the bridge vertex
+    # pair (3,4) each sees two same-triangle neighbors vs one bridge
+    # neighbor, so the triangle majority wins every round.
+    assert lpa[1] == lpa[2] == lpa[3]
+    assert lpa[4] == lpa[5] == lpa[6]
+    assert lpa[1] != lpa[4]
+
+
+def test_label_propagation_isolated_vertex_keeps_label(spark):
+    """A vertex with no edges never votes and keeps its own id."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = {r.v: r.lbl for r in label_propagation(nodes, edges).collect()}
+    assert got[3] == 3
+    # the connected pair swaps labels every synchronous round (period-2
+    # oscillator); after the default 3 (odd) rounds each holds the other's
+    assert got[1] == 2 and got[2] == 1
+
+
+def test_label_propagation_fixed_rounds_deterministic_on_oscillator(spark):
+    """A 2-path oscillates under synchronous LPA (each endpoint adopts the
+    other's label every round); the FIXED round count makes the result a
+    function of rounds alone -- two runs agree, and rounds=2 vs rounds=3
+    differ, which is exactly why the round count is part of the spec."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], "v long")
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    r3a = {r.v: r.lbl for r in label_propagation(nodes, edges, 3).collect()}
+    r3b = {r.v: r.lbl for r in label_propagation(nodes, edges, 3).collect()}
+    assert r3a == r3b
+    # odd rounds: swapped from init; labels are the neighbor's id
+    assert r3a == {1: 2, 2: 1}
+    r2 = {r.v: r.lbl for r in label_propagation(nodes, edges, 2).collect()}
+    assert r2 == {1: 1, 2: 2}
