@@ -2361,3 +2361,261 @@ def ev_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),
         z.alias("welch_z"),
     )
+
+
+@register(
+    "ev_quota_flagging",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hr,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(CASE WHEN rn <= 3 THEN 1 END) AS BIGINT) AS n_allowed,
+       CAST(COUNT(CASE WHEN rn > 3 THEN 1 END) AS BIGINT) AS n_throttled,
+       CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_active_hours
+FROM ranked
+GROUP BY user_id
+""",
+    doc="Per-user rate-limit audit: within each calendar hour a user may "
+        "emit 3 events; the rest are throttled.  row_number over the "
+        "(user_id, hour) partition ordered by the total (ts, event_id) key "
+        "assigns deterministic arrival ranks, then one conditional "
+        "aggregate splits allowed vs throttled per user.  The reference "
+        "has no rate limiting (its Cassandra writes are fire-and-forget, "
+        "BackupMessageConsumer.java:36-39); this is the quota-enforcement "
+        "shape every ingest front-end needs.  Scale: one shuffle on "
+        "(user_id, hour) for the window, one map-side-combined re-agg on "
+        "user_id; hour-bounded partitions cap window state regardless of "
+        "per-user volume -- a user with 1e9 events still windows in "
+        "hour-sized slices.",
+    driver=False,
+    sibling="window_functions_extended",
+)
+def ev_quota_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    hr = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+    ranked = ev.select("user_id", "ts", "event_id", hr.alias("hr")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.when(F.col("rn") <= 3, F.lit(1))).alias("n_allowed"),
+        F.count(F.when(F.col("rn") > 3, F.lit(1))).alias("n_throttled"),
+        F.countDistinct("hr").alias("n_active_hours"),
+    )
+
+
+@register(
+    "ev_burst_collapse",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) > 60000000
+              THEN 1 ELSE 0 END AS is_head
+  FROM events
+), isl AS (
+  SELECT user_id, event_type,
+         SUM(is_head) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS burst_id
+  FROM g
+), bursts AS (
+  SELECT user_id, event_type, burst_id, COUNT(*) AS blen
+  FROM isl GROUP BY user_id, event_type, burst_id
+)
+SELECT event_type,
+       CAST(SUM(blen) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_bursts,
+       CAST(MAX(blen) AS BIGINT) AS max_burst_len,
+       CAST(SUM(blen) - COUNT(*) AS BIGINT) AS n_collapsed
+FROM bursts
+GROUP BY event_type
+""",
+    doc="Burst collapse (debounce) via gaps-and-islands: within each "
+        "(user_id, event_type) stream ordered by the total (ts, event_id) "
+        "key, an event opens a new burst iff it is the first or arrives "
+        ">60s after its predecessor; a running sum of the head flags "
+        "numbers the islands, and per event_type we report events, bursts, "
+        "the longest burst, and how many events a keep-burst-head debounce "
+        "would drop.  All comparisons are on integer epoch microseconds "
+        "(no interval semantics to diverge cross-engine) and the running "
+        "sum uses an explicit ROWS frame over a total order, so island "
+        "ids are bit-deterministic.  Scale: two window passes over the "
+        "same (user_id, event_type) shuffle partitioning (Catalyst reuses "
+        "the exchange), then a map-side-combined agg on the bounded "
+        "event_type key; the stateful streaming twin of this shape is the "
+        "applyInPandasWithState debouncer in streaming/stateful.py.",
+    driver=False,
+    sibling="ev_scd2_user_state",
+)
+def ev_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    key = ["user_id", "event_type"]
+    order = Window.partitionBy(*key).orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(order)
+    g = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(prev.isNull() | (us - prev > 60_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_head"),
+    )
+    frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = g.select(
+        "user_id", "event_type", F.sum("is_head").over(frame).alias("burst_id")
+    )
+    bursts = isl.groupBy("user_id", "event_type", "burst_id").agg(
+        F.count(F.lit(1)).alias("blen")
+    )
+    return bursts.groupBy("event_type").agg(
+        F.sum("blen").alias("n_events"),
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.max("blen").alias("max_burst_len"),
+        (F.sum("blen") - F.count(F.lit(1))).alias("n_collapsed"),
+    )
+
+
+@register(
+    "ev_cusum_changepoint",
+    oracle="""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT event_type, ts,
+         SUM(cents) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS pre,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS i,
+         SUM(cents) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), t AS (
+  SELECT event_type, ts, n,
+         abs(n * pre - i * tot) AS dev,
+         MAX(abs(n * pre - i * tot)) OVER (PARTITION BY event_type) AS mx
+  FROM w
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MAX(mx) AS BIGINT) AS max_abs_cusum_scaled,
+       MIN(CASE WHEN dev = mx THEN ts END) AS changepoint_ts
+FROM t
+GROUP BY event_type
+""",
+    doc="CUSUM changepoint detection per event_type: the classic statistic "
+        "max_i |prefix_i - i*mean| locates where the value series' level "
+        "shifts.  Multiplying through by n keeps EVERYTHING in exact "
+        "BIGINT arithmetic -- cents = value*100 via the lossless "
+        "DECIMAL(18,2) bridge, dev_i = |n*prefix_i - i*total| -- so there "
+        "is no float prefix-sum whose summation order could diverge "
+        "cross-engine (DuckDB computes windowed sums with a segment tree, "
+        "Spark sequentially; integer addition is associative, double is "
+        "not).  The scaled statistic is exact up to ~1e9 rows x 1e7 cents "
+        "per group before BIGINT overflow; beyond that, chunk per-day and "
+        "fold, or accept the double variant -- documented, not silent.  "
+        "Changepoint = earliest ts achieving the max (deterministic "
+        "tie-break).  Scale: one shuffle on event_type; the running sum "
+        "is a single sequential pass per group -- for very hot groups "
+        "pre-aggregate to per-minute cents first (same algebra).",
+    driver=False,
+    sibling="ev_ewma_smoothing",
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = (F.col("value").cast(N.DEC) * 100).cast("long")
+    e = ev.select("event_type", "ts", "event_id", cents.alias("cents"))
+    part = Window.partitionBy("event_type")
+    order = part.orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = e.select(
+        "event_type", "ts",
+        F.sum("cents").over(run).alias("pre"),
+        F.row_number().over(order).alias("i"),
+        F.sum("cents").over(part).alias("tot"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    dev = F.abs(F.col("n") * F.col("pre") - F.col("i") * F.col("tot"))
+    t = w.select(
+        "event_type", "ts", "n",
+        dev.alias("dev"),
+        F.max(dev).over(part).alias("mx"),
+    )
+    return t.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max("mx").alias("max_abs_cusum_scaled"),
+        F.min(F.when(F.col("dev") == F.col("mx"), F.col("ts"))).alias(
+            "changepoint_ts"
+        ),
+    )
+
+
+@register(
+    "ev_sliding_distinct_users",
+    oracle="""
+WITH hrs AS (
+  SELECT date_trunc('hour', ts) AS hr, user_id FROM events
+), hlist AS (
+  SELECT DISTINCT hr FROM hrs
+)
+SELECT h.hr,
+       CAST(COUNT(DISTINCT CASE WHEN e.hr = h.hr THEN e.user_id END)
+            AS BIGINT) AS hour_users,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS trailing_3h_users
+FROM hlist h
+JOIN hrs e ON e.hr BETWEEN h.hr - INTERVAL 2 HOUR AND h.hr
+GROUP BY h.hr
+""",
+    doc="Sliding-window EXACT distinct users: per hour bucket, the distinct "
+        "user count for that hour and for the trailing 3-hour window -- "
+        "the exact twin of what ev_hll_distinct_users answers with "
+        "mergeable sketches.  Spark side aggregates each hour to a "
+        "collect_set FIRST (the only per-event shuffle, map-side "
+        "combined), then a range window over epoch-second hour keys "
+        "(rangeBetween(-7200, 0)) merges the 3 bucket sets with "
+        "flatten+array_distinct -- distinct-over-window is not directly "
+        "expressible in either engine, so the set algebra is explicit.  "
+        "The unpartitioned window holds only BUCKET rows (8,760/year), "
+        "bounded by the time span, not the data volume; per-bucket set "
+        "size is bounded by the user population -- at true 100 TB scale "
+        "swap the exact sets for the HLL sibling (same plan shape, "
+        "constant-size state), which is why both are registered.  Oracle "
+        "replicates via an interval range join + conditional COUNT "
+        "DISTINCT.",
+    driver=False,
+    sibling="ev_hll_distinct_users",
+)
+def ev_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    hours = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id")
+        .groupBy("hr")
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    w = (
+        Window.orderBy(F.unix_seconds(F.col("hr")))
+        .rangeBetween(-7200, Window.currentRow)
+    )
+    return hours.select(
+        "hr",
+        F.size("users").cast("long").alias("hour_users"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+        ).cast("long").alias("trailing_3h_users"),
+    )
