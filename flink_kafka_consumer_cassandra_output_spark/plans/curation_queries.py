@@ -1458,3 +1458,129 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 1)
     )
+
+
+@register(
+    "doc_ngram_topk",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM toks WHERE len(w) >= 3
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams
+GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 100
+""",
+    doc="Corpus-level word-3-gram frequency table, top-100 -- the "
+        "n-gram-counting backbone of LM-data work (infini-gram style "
+        "lookup tables, contamination screens, boilerplate mining all "
+        "start here).  Reuses text.word_shingles (one split per row "
+        "evaluated OUTSIDE the lambda -- the measured O(tokens^2) trap "
+        "documented there), explodes, and lets a map-side-combined "
+        "count + TakeOrderedAndProject produce the top-k; tie-break on "
+        "the gram string makes the cut deterministic.  Scale: the "
+        "explode is linear in corpus tokens and the shuffle carries "
+        "only (gram, partial_count) pairs -- the classic word-count "
+        "shape Spark map-side combines; no per-doc state, no driver "
+        "collection.  Short docs (<3 tokens) are excluded on both "
+        "sides rather than emitting the whole-doc fallback shingle.",
+    driver=False,
+    sibling="doc_repeated_passages",
+)
+def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = d.where(F.size(F.split(F.col("text"), " ")) >= 3)
+    grams = d.select(
+        F.explode(TX.word_shingles(F.col("text"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(100)
+    )
+
+
+@register(
+    "doc_winsorized_stats",
+    oracle="""
+WITH d AS (
+  SELECT lang, doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
+), r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM d
+), b AS (
+  SELECT lang, MAX(n) AS n,
+         MIN(CASE WHEN rn = (n + 19) // 20 THEN n_chars END) AS lo_chars,
+         MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS hi_chars
+  FROM r GROUP BY lang
+)
+SELECT d.lang,
+       CAST(MAX(b.n) AS BIGINT) AS n_docs,
+       CAST(MAX(b.lo_chars) AS BIGINT) AS lo_chars,
+       CAST(MAX(b.hi_chars) AS BIGINT) AS hi_chars,
+       CAST(SUM(d.n_chars) AS DOUBLE) / MAX(b.n) AS raw_mean_chars,
+       CAST(SUM(LEAST(GREATEST(d.n_chars, b.lo_chars), b.hi_chars))
+            AS DOUBLE) / MAX(b.n) AS winsorized_mean_chars
+FROM d JOIN b USING (lang)
+GROUP BY d.lang
+""",
+    doc="Winsorized per-language length statistics: clip n_chars at the "
+        "5th/95th percentile before averaging, the outlier-robust mean "
+        "a corpus report should quote next to the raw one.  Percentiles "
+        "are DISCRETE order statistics picked by rank -- rank k05 = "
+        "ceil(n/20) and k95 = ceil(19n/20) computed in pure integer "
+        "arithmetic ((n+19) div 20), and the value at rank k is found "
+        "by row_number over (n_chars, doc_id) -- so bounds are exact "
+        "BIGINTs, clipped values are BIGINTs, sums are exact, and the "
+        "only float op is one final division: bit-deterministic "
+        "cross-engine with NO interpolated-percentile or float-sum "
+        "ordering hazard.  Scale: one shuffle on lang for the rank "
+        "window, one for the re-agg; the bounds table is lang-bounded "
+        "(broadcast join back).",
+    driver=False,
+    sibling="doc_corpus_report",
+)
+def doc_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars").isNotNull())
+        .select("lang", "doc_id", "n_chars")
+    )
+    part = Window.partitionBy("lang")
+    r = d.select(
+        "lang", "n_chars",
+        F.row_number().over(part.orderBy("n_chars", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    k05 = F.expr("(n + 19) div 20")
+    k95 = F.expr("(19 * n + 19) div 20")
+    b = r.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rn") == k05, F.col("n_chars"))).alias("lo_chars"),
+        F.min(F.when(F.col("rn") == k95, F.col("n_chars"))).alias("hi_chars"),
+    )
+    clipped = F.least(F.greatest(F.col("n_chars"), F.col("lo_chars")), F.col("hi_chars"))
+    return (
+        d.join(F.broadcast(b), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("lo_chars").alias("lo_chars"),
+            F.max("hi_chars").alias("hi_chars"),
+            (F.sum("n_chars").cast("double") / F.max("n")).alias(
+                "raw_mean_chars"
+            ),
+            (F.sum(clipped).cast("double") / F.max("n")).alias(
+                "winsorized_mean_chars"
+            ),
+        )
+    )
