@@ -2619,3 +2619,67 @@ def ev_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list("users").over(w)))
         ).cast("long").alias("trailing_3h_users"),
     )
+
+
+@register(
+    "ev_debounce_exact",
+    oracle="""
+WITH RECURSIVE kept AS (
+  SELECT user_id, event_type, ts, event_id FROM (
+    SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS rn
+    FROM events) WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM kept k, LATERAL (
+    SELECT e2.user_id, e2.event_type, e2.ts, e2.event_id FROM events e2
+    WHERE e2.user_id = k.user_id AND e2.event_type = k.event_type
+      AND epoch_us(e2.ts) > epoch_us(k.ts) + 60000000
+    ORDER BY e2.ts, e2.event_id LIMIT 1
+  ) e
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(event_id) AS BIGINT) AS kept_id_sum
+  FROM kept GROUP BY event_type
+), tot AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+)
+SELECT t.event_type, a.n_kept,
+       CAST(t.n_events - a.n_kept AS BIGINT) AS n_dropped,
+       a.kept_id_sum
+FROM tot t JOIN agg a USING (event_type)
+""",
+    doc="EXACT debounce per (user_id, event_type): keep an event iff it is "
+        ">60s after the last KEPT event -- semantics a lag() window cannot "
+        "express (see operators/debounce.py for the 0/40/80s "
+        "counterexample vs ev_burst_collapse's lag-based islands), so "
+        "this is a genuine applyInPandas operator: stable-sorted "
+        "sequential fold per key, O(1) state, Arrow-batched.  The oracle "
+        "is a recursive CTE chaining LATERAL next-kept lookups -- the "
+        "SQL-recursion twin of the same fold.  Output pins the kept SET "
+        "exactly via count + sum(event_id) fingerprint per event_type.  "
+        "Scale: one shuffle on the key; the per-key sequential scan is "
+        "inherent to the semantics -- the streaming deployment "
+        "(streaming/stateful.py:debounced_events) keeps last-kept-ts "
+        "state per key and never re-reads history.",
+    driver=False,
+    sibling="ev_ts_pattern_match",
+)
+def ev_debounce_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.debounce import debounce_exact
+
+    ev = _ev(spark, sf_dir)
+    kept = debounce_exact(ev).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("kept_id_sum"),
+    )
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return tot.join(kept, "event_type").select(
+        "event_type",
+        "n_kept",
+        (F.col("n_events") - F.col("n_kept")).alias("n_dropped"),
+        "kept_id_sum",
+    )

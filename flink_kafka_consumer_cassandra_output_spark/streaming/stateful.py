@@ -160,3 +160,64 @@ def running_anomaly_scores(ev: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Exact debounce (the streaming half of ev_debounce_exact)
+# --------------------------------------------------------------------------
+
+DEBOUNCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+#: State: epoch-us of the last KEPT event for this key.  O(1) per key --
+#: this is why debounce deploys as a stream at 100 TB: the batch form
+#: re-scans history, the stream never does.
+_DEBOUNCE_STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
+
+_DEBOUNCE_GAP_US = 60_000_000
+
+
+def _update_debounce(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (last_us,) = state.get if state.exists else (None,)
+    out = {c.name: [] for c in DEBOUNCE_OUT_SCHEMA.fields}
+    parts = [pdf for pdf in pdfs]
+    if parts:
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"], kind="mergesort")
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        for i, t in enumerate(us):
+            if last_us is None or int(t) - last_us > _DEBOUNCE_GAP_US:
+                last_us = int(t)
+                out["user_id"].append(key[0])
+                out["event_type"].append(key[1])
+                out["ts"].append(pdf["ts"].iloc[i])
+                out["event_id"].append(pdf["event_id"].iloc[i])
+    if last_us is not None:
+        state.update((last_us,))
+    yield pd.DataFrame(out)
+
+
+def debounced_events(ev: DataFrame) -> DataFrame:
+    """Kept events under exact 60s debounce per (user_id, event_type), the
+    streaming twin of operators/debounce.py:debounce_exact.  PRECONDITION
+    (same as running_anomaly_scores): micro-batches arrive in event-time
+    order per key -- in a real deployment the upstream is watermark-sorted;
+    the tests construct time-ordered chunks to model that.  Under that
+    precondition stream==batch kept sets are identical row-for-row
+    (pinned in tests/test_stateful.py)."""
+    return ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_debounce,
+        DEBOUNCE_OUT_SCHEMA,
+        _DEBOUNCE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,109 @@
+"""Exact debounce: batch operator ground truth + stream==batch pin.
+
+The defining counterexample (operators/debounce.py docstring): events at
+t=0s, 40s, 80s with a 60s gap.  A lag-based filter keeps only t=0; exact
+debounce keeps t=0 AND t=80.  The first test pins that distinction; the
+second pins the stateful streaming twin to the batch operator row-for-row
+across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+from flink_kafka_consumer_cassandra_output_spark.operators.debounce import debounce_exact
+from flink_kafka_consumer_cassandra_output_spark.streaming import pipeline as sp
+from flink_kafka_consumer_cassandra_output_spark.streaming.stateful import debounced_events
+
+from .test_streaming import N_CHUNKS, _drop
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_debounce_keeps_relative_to_last_kept(spark):
+    """t=0,40,80: exact debounce keeps {0, 80}; lag-based would keep {0}."""
+    rows = [
+        (1, _ts(0), 7, "click"),
+        (2, _ts(40), 7, "click"),
+        (3, _ts(80), 7, "click"),
+        # second key: exactly-60s and just-under gaps are NOT kept
+        # (strict >, measured from the last KEPT event at t=0)
+        (4, _ts(0), 8, "click"),
+        (5, _ts(60), 8, "click"),
+        (6, _ts(59.999999), 8, "click"),
+        (7, _ts(121), 8, "click"),
+    ]
+    ev = spark.createDataFrame(rows, _SCHEMA)
+    kept = {
+        r.event_id for r in debounce_exact(ev).collect()
+    }
+    assert kept == {1, 3, 4, 7}
+
+
+def test_debounce_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful streaming debouncer equals the batch applyInPandas
+    operator row-for-row when micro-batches are time-ordered (the
+    documented precondition)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    chunks = [
+        tbl.slice(i * (tbl.num_rows // N_CHUNKS + 1), tbl.num_rows // N_CHUNKS + 1)
+        for i in range(N_CHUNKS)
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(chunks, input_dir, 0, N_CHUNKS)
+
+    ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        debounced_events(ev)
+        .writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_deb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.sql(
+        "SELECT user_id, event_type, ts, event_id FROM debounced "
+        "ORDER BY user_id, event_type, ts, event_id"
+    ).toPandas()
+
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    batch = (
+        debounce_exact(tables.load(spark, sf_dir, "events"))
+        .toPandas()
+        .sort_values(["user_id", "event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    for col in ["user_id", "event_type", "ts", "event_id"]:
+        assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col
+    # cross-batch state is exercised: some key must have kept events in
+    # more than one micro-batch (time-sliced chunks guarantee it at this sf)
+    first_chunk_max_ts = pa.compute.max(chunks[0].column("ts")).as_py()
+    assert (batch["ts"] > first_chunk_max_ts).any()
