@@ -1584,3 +1584,150 @@ def doc_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT unnest(w) AS tok FROM toks
+), ucnt AS (
+  SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok
+), nu AS (
+  SELECT COUNT(*) AS n FROM uni
+), big AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks WHERE len(w) >= 2
+), bcnt AS (
+  SELECT gram, COUNT(*) AS cxy FROM big GROUP BY gram
+), nb AS (
+  SELECT COUNT(*) AS n FROM big
+), scored AS (
+  SELECT b.gram,
+         CAST(b.cxy AS BIGINT) AS n_cooccur,
+         (CAST(b.cxy AS DOUBLE) * CAST(nu.n AS DOUBLE)
+            * CAST(nu.n AS DOUBLE))
+          / (CAST(nb.n AS DOUBLE) * CAST(cx.c AS DOUBLE)
+             * CAST(cy.c AS DOUBLE)) AS ratio
+  FROM bcnt b
+  JOIN ucnt cx ON cx.tok = string_split(b.gram, ' ')[1]
+  JOIN ucnt cy ON cy.tok = string_split(b.gram, ' ')[2]
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.cxy >= 5
+)
+SELECT gram, n_cooccur, ln(ratio) AS pmi
+FROM scored
+ORDER BY ratio DESC, gram
+LIMIT 50
+""",
+    doc="Word-association mining: pointwise mutual information of adjacent "
+        "word pairs, top-50 with a min-support-5 floor -- the collocation "
+        "detector of word2vec-style phrase merging (king of 'New York' -> "
+        "'New_York' preprocessing).  PMI = ln(p(xy)/(p(x)p(y))) with "
+        "p(xy) over the bigram space and p(x) over the unigram space; "
+        "every count is an exact BIGINT and the probability RATIO is one "
+        "mirrored double expression (casts, two products, one division "
+        "-- no overflow path because products happen in double).  The "
+        "top-50 cut orders on the ratio, NOT the ln: ln is monotone, so "
+        "the ranking is identical, the cut needs no transcendental at "
+        "all, and the one ln that appears in the OUTPUT runs through the "
+        "Arrow-batched libm crossing on exactly 50 rows (doc_bm25_topk's "
+        "documented JVM-Math.log-vs-libm 1-ulp precedent) with the "
+        "oracle ordering on the same ratio expression.  Scale: two linear "
+        "explodes (unigrams, bigrams), shuffles keyed on token/gram "
+        "strings (word-count shape, map-side combined), two equi-joins "
+        "of bigram counts against the vocab table (unbounded -> no "
+        "broadcast hint, AQE decides), one 1-row totals broadcast.",
+    driver=False,
+    sibling="doc_repeated_passages",
+)
+def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    w = F.split(F.col("text"), " ")
+    uni = d.select(F.explode(w).alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    big = d.where(F.size(w) >= 2).select(
+        F.explode(TX.word_shingles(F.col("text"), 2)).alias("gram")
+    )
+    bcnt = big.groupBy("gram").agg(F.count(F.lit(1)).alias("cxy"))
+    totals = uni.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
+        big.agg(F.count(F.lit(1)).alias("nb"))
+    )
+    parts = F.split(F.col("gram"), " ")
+    b = (
+        bcnt.where(F.col("cxy") >= 5)
+        .withColumn("x", parts.getItem(0))
+        .withColumn("y", parts.getItem(1))
+        .join(ucnt.withColumnRenamed("tok", "x").withColumnRenamed("c", "cx"), "x")
+        .join(ucnt.withColumnRenamed("tok", "y").withColumnRenamed("c", "cy"), "y")
+        .crossJoin(F.broadcast(totals))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    ratio = (dbl("cxy") * dbl("nu") * dbl("nu")) / (
+        dbl("nb") * dbl("cx") * dbl("cy")
+    )
+
+    # libm ln on the 50 surviving rows only (see doc_bm25_topk's crossing
+    # note: JVM Math.log diverges from DuckDB's libm ln by 1 ulp).
+    @F.pandas_udf("double")
+    def _ln_libm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else math.log(v))
+
+    return (
+        b.select("gram", F.col("cxy").alias("n_cooccur"), ratio.alias("ratio"))
+        .orderBy(F.desc("ratio"), F.asc("gram"))
+        .limit(50)
+        .select("gram", "n_cooccur", _ln_libm(F.col("ratio")).alias("pmi"))
+    )
+
+
+@register(
+    "doc_k_anonymity",
+    oracle="""
+SELECT lang,
+       n_chars // 100 AS chars_bucket,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct_sources,
+       COUNT(*) >= 5 AS k_anonymous,
+       COUNT(DISTINCT source) >= 2 AS l_diverse
+FROM documents
+WHERE n_chars IS NOT NULL
+GROUP BY lang, n_chars // 100
+""",
+    doc="Privacy-release audit over the quasi-identifier pair (lang, "
+        "100-char length bucket): k-anonymity (every QI group must "
+        "contain >=5 records, else the group re-identifies individuals) "
+        "and l-diversity (>=2 distinct values of the sensitive 'source' "
+        "attribute per group, else membership leaks it) -- the standard "
+        "pre-publication gate next to doc_pii_redaction, which scrubs "
+        "values but not group-size leakage.  Exact arithmetic "
+        "throughout: integer bucket division, counts, one COUNT "
+        "DISTINCT, boolean flags.  Scale: a single map-side-combined "
+        "groupBy; the COUNT DISTINCT expands to Spark's two-phase "
+        "distinct-aggregate on the same key -- no second scan.",
+    driver=False,
+    sibling="doc_pii_redaction",
+)
+def doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("n_chars").isNotNull())
+    return (
+        d.select(
+            "lang",
+            F.expr("n_chars div 100").alias("chars_bucket"),
+            "source",
+        )
+        .groupBy("lang", "chars_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("source").alias("n_distinct_sources"),
+        )
+        .select(
+            "lang", "chars_bucket", "group_size", "n_distinct_sources",
+            (F.col("group_size") >= 5).alias("k_anonymous"),
+            (F.col("n_distinct_sources") >= 2).alias("l_diverse"),
+        )
+    )

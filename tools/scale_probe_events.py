@@ -52,7 +52,21 @@ QUERIES = (
     "ev_range_interval_join",
     "ev_heavy_hitters_cms",
     "ev_ts_pattern_match",
+    # round 10 additions.  ev_cusum_changepoint partitions by event_type
+    # (5 groups): replication grows the sequential per-group prefix scan
+    # by k with parallelism capped at 5 -- the honest hot-group shape;
+    # the others key on user_id or hour buckets and must stay ~linear.
+    "ev_quota_flagging",
+    "ev_burst_collapse",
+    "ev_cusum_changepoint",
+    "ev_sliding_distinct_users",
+    "ev_debounce_exact",
 )
+
+# Optional subset, e.g. SPARK_GRAFT_PROBE_QUERIES=ev_debounce_exact,ev_acf_lags
+_SUBSET = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+if _SUBSET:
+    QUERIES = tuple(q for q in _SUBSET.split(",") if q)
 
 
 def build_probe_dir(spark: SparkSession, k: int) -> str:
