@@ -2683,3 +2683,145 @@ def ev_debounce_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") - F.col("n_kept")).alias("n_dropped"),
         "kept_id_sum",
     )
+
+
+@register(
+    "ev_seasonality_profile",
+    oracle="""
+WITH e AS (
+  SELECT dayofweek(ts) AS dow,
+         extract(hour FROM ts) AS hour_of_day,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), slot AS (
+  SELECT dow, hour_of_day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(cents) AS sc
+  FROM e GROUP BY dow, hour_of_day
+), tot AS (
+  SELECT COUNT(*) AS tn, SUM(cents) AS tc FROM e
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(hour_of_day AS BIGINT) AS hour_of_day,
+       n_events,
+       CAST(sc AS BIGINT) AS revenue_cents,
+       (CAST(sc AS DOUBLE) / n_events) / (CAST(tc AS DOUBLE) / tn)
+         AS seasonality_index
+FROM slot, tot
+""",
+    doc="Hour-of-week seasonality profile: per (day-of-week, hour-of-day) "
+        "slot, event count, exact cents revenue, and the seasonality "
+        "index = slot mean value / overall mean value -- the 168-cell "
+        "fingerprint behind staffing curves, anomaly baselines and "
+        "forecast seasonal terms.  Day-of-week conventions differ "
+        "cross-engine (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday), so "
+        "Spark emits dayofweek-1 -- pinned here rather than discovered "
+        "by the hash gate.  Sums are exact DECIMAL->BIGINT cents; the "
+        "index is a 3-op mirrored double tree over exact integers.  "
+        "Scale: one map-side-combined groupBy on a 168-value key plus a "
+        "1-row totals broadcast -- nothing grows with data volume except "
+        "the scan.",
+    driver=False,
+    sibling="ev_ewma_smoothing",
+)
+def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = (F.col("value").cast(N.DEC) * 100).cast("long")
+    e = ev.select(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        cents.alias("cents"),
+    )
+    slot = e.groupBy("dow", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sc"),
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).alias("tn"), F.sum("cents").alias("tc")
+    )
+    idx = (F.col("sc").cast("double") / F.col("n_events")) / (
+        F.col("tc").cast("double") / F.col("tn")
+    )
+    return slot.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour_of_day", "n_events",
+        F.col("sc").alias("revenue_cents"),
+        idx.alias("seasonality_index"),
+    )
+
+
+@register(
+    "ev_cohort_revenue_curve",
+    oracle="""
+WITH f AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT e.user_id, f.cohort_week,
+         datediff('day', f.cohort_week,
+                  date_trunc('week', e.ts)) // 7 AS age_week,
+         CASE WHEN e.event_type = 'purchase' AND e.value IS NOT NULL
+              THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END AS cents
+  FROM events e JOIN f USING (user_id)
+), g AS (
+  SELECT cohort_week, age_week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+         SUM(cents) AS rev
+  FROM j GROUP BY cohort_week, age_week
+)
+SELECT cohort_week, CAST(age_week AS BIGINT) AS age_week, n_active_users,
+       CAST(rev AS BIGINT) AS revenue_cents,
+       CAST(SUM(rev) OVER (
+         PARTITION BY cohort_week ORDER BY age_week
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_revenue_cents
+FROM g
+""",
+    doc="Cohort LTV triangle: users cohorted by signup week (first event), "
+        "then per (cohort_week, age_week) the active-user count, the "
+        "purchase revenue in exact cents, and the CUMULATIVE revenue "
+        "curve along cohort age -- the table under every LTV/payback "
+        "chart, complementing ev_user_retention_cohorts (presence) and "
+        "ev_growth_accounting (flows) with money.  Week truncation and "
+        "day arithmetic are Monday-anchored and integer on both engines; "
+        "revenue is DECIMAL->BIGINT cents so the running sum is exact "
+        "integer (no float window-fold ordering hazard).  Scale: one "
+        "shuffle on user_id for the cohort map (re-used by the join), "
+        "one agg on the bounded (cohort, age) grid, and a running sum "
+        "over age within cohort -- the window partition is one cohort's "
+        "WEEKS (bounded by calendar), never raw events.",
+    driver=False,
+    sibling="ev_scd2_asof_lookup",
+)
+def ev_cohort_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cents = F.when(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        (F.col("value").cast(N.DEC) * 100).cast("long"),
+    ).otherwise(F.lit(0))
+    j = ev.join(f, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            / 7
+        ).cast("long").alias("age_week"),
+        cents.alias("cents"),
+    )
+    g = j.groupBy("cohort_week", "age_week").agg(
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.sum("cents").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort_week", "age_week", "n_active_users",
+        F.col("rev").alias("revenue_cents"),
+        F.sum("rev").over(w).alias("cum_revenue_cents"),
+    )
