@@ -2981,3 +2981,85 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) == 1).cast("long").alias("keep"),
         )
     )
+
+
+@register(
+    "emb_knn_classifier",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb, label AS true_label
+  FROM embeddings WHERE vec_id < 50
+), nn AS (
+  SELECT * FROM (
+    SELECT q.query_id, q.true_label, e.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS('q.query_emb', 'e.embedding')} DESC, e.vec_id
+           ) AS rank
+    FROM q JOIN embeddings e ON e.vec_id >= 50
+  ) WHERE rank <= 10
+), votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM nn GROUP BY query_id, true_label, label
+)
+SELECT query_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       label = true_label AS correct
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, label
+      ) AS r FROM votes)
+WHERE r = 1
+""",
+    doc="k-NN classification eval: the 50 held-out vectors (vec_id < 50) "
+        "are labeled by majority vote of their 10 nearest corpus "
+        "neighbors by cosine -- the standard embedding-quality probe "
+        "(kNN accuracy) run entirely as a declarative plan.  The "
+        "held-out/corpus split prevents self-match leakage; the cosine "
+        "is the deterministic per-row sequential array fold "
+        "(functions/vectors.py), ranks tie-break on vec_id, votes "
+        "tie-break on the smaller label -- every cut deterministic.  "
+        "Per-query verdict rows (not just the accuracy scalar) so the "
+        "hash gate pins each prediction.  Scale: the bounded query set "
+        "broadcasts, the corpus scans once with NO shuffle before the "
+        "per-query top-k (TakeOrdered shape); vote counting is a "
+        "(50 x labels)-row aggregate.  kNN over 1e9 corpus rows is the "
+        "same plan with the ANN shortlist (emb_ann_ivf_trained / "
+        "emb_pq_adc) replacing the brute-force scan.",
+    driver=False,
+    sibling="emb_ann_ivf_trained",
+)
+def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.filter(F.col("vec_id") >= 50).select("vec_id", "embedding", "label")
+    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nn = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "true_label", "label", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .where(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
