@@ -3063,3 +3063,104 @@ def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@register(
+    "emb_cluster_diversity",
+    oracle="""
+WITH e AS (
+  SELECT label, vec_id, vec_id % 8 AS bucket,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), sq AS (
+  SELECT label, bucket, vec_id, emb,
+         list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b) AS sqn
+  FROM e
+), l1 AS (
+  SELECT label, bucket,
+         list_reduce(list(emb ORDER BY vec_id),
+           (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])) AS sv,
+         list_reduce(list(sqn ORDER BY vec_id), (a, b) -> a + b) AS ssq,
+         COUNT(*) AS n1
+  FROM sq GROUP BY label, bucket
+), l2 AS (
+  SELECT label,
+         list_reduce(list(sv ORDER BY bucket),
+           (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])) AS s,
+         list_reduce(list(ssq ORDER BY bucket), (a, b) -> a + b) AS sq_tot,
+         SUM(n1) AS n
+  FROM l1 GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(n AS BIGINT) AS n_vecs,
+       (list_reduce(list_transform(s, x -> x * x), (a, b) -> a + b) - sq_tot)
+         / NULLIF(CAST(n * (n - 1) AS DOUBLE), 0.0) AS mean_pairwise_dot,
+       sq_tot / CAST(n AS DOUBLE) AS mean_sq_norm
+FROM l2
+""",
+    doc="Intra-cluster diversity WITHOUT the quadratic pair join: mean "
+        "pairwise dot product per label via the moment identity "
+        "sum_pairs<u,v> = (||S||^2 - sum||v||^2) / (n(n-1)) with S = "
+        "sum of vectors -- O(n) where the naive self-join is O(n^2); "
+        "the diversity/collapse probe run after SemDeDup-style pruning.  "
+        "Float determinism: vector sums use the HUB-SAFE two-level "
+        "sequential fold (sub-fold per vec_id%%8 bucket in vec_id order, "
+        "then fold the bucket sums in bucket order) -- the same "
+        "row-width-bounded pattern the r9 PageRank fix established, "
+        "mirrored exactly by the DuckDB list_reduce pipeline, so every "
+        "double is bit-identical.  Scale: two map-side-combinable "
+        "aggregations (per-bucket width = group/8 vectors, bounded by "
+        "raising the bucket count), no pair materialization anywhere.",
+    driver=False,
+    sibling="emb_ann_ivf_trained",
+)
+def emb_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "label",
+        "vec_id",
+        (F.col("vec_id") % 8).alias("bucket"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("emb"),
+    )
+
+    def fold_add(arr):
+        # DuckDB list_reduce semantics: first element is the init, fold
+        # left over the rest -- NOT a 0.0-init fold (0+x == x for the
+        # values here, but mirroring exactly costs nothing).
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: a + b,
+        )
+
+    def fold_vec(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+        )
+
+    sqn = fold_add(F.transform(F.col("emb"), lambda x: x * x))
+    sq = e.withColumn("sqn", sqn)
+    vs = F.array_sort(F.collect_list(F.struct("vec_id", "emb", "sqn")))
+    l1 = sq.groupBy("label", "bucket").agg(vs.alias("vs"))
+    l1 = l1.select(
+        "label", "bucket",
+        fold_vec(F.transform(F.col("vs"), lambda s: s["emb"])).alias("sv"),
+        fold_add(F.transform(F.col("vs"), lambda s: s["sqn"])).alias("ssq"),
+        F.size("vs").cast("long").alias("n1"),
+    )
+    bs = F.array_sort(F.collect_list(F.struct("bucket", "sv", "ssq")))
+    l2 = l1.groupBy("label").agg(bs.alias("bs"), F.sum("n1").alias("n"))
+    l2 = l2.select(
+        "label", "n",
+        fold_vec(F.transform(F.col("bs"), lambda b: b["sv"])).alias("s"),
+        fold_add(F.transform(F.col("bs"), lambda b: b["ssq"])).alias("sq_tot"),
+    )
+    dotss = fold_add(F.transform(F.col("s"), lambda x: x * x))
+    denom = F.nullif((F.col("n") * (F.col("n") - 1)).cast("double"), F.lit(0.0))
+    return l2.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").alias("n_vecs"),
+        ((dotss - F.col("sq_tot")) / denom).alias("mean_pairwise_dot"),
+        (F.col("sq_tot") / F.col("n").cast("double")).alias("mean_sq_norm"),
+    )
