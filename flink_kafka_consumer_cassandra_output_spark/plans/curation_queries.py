@@ -1731,3 +1731,125 @@ def doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_distinct_sources") >= 2).alias("l_diverse"),
         )
     )
+
+
+@register(
+    "doc_zipf_fit",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT unnest(w) AS tok FROM toks
+), ucnt AS (
+  SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+  FROM (SELECT tok, c FROM ucnt ORDER BY c DESC, tok LIMIT 1000)
+), t AS (
+  SELECT rank,
+         ln(CAST(rank AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM top
+), f AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+         list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy,
+         list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx,
+         list_reduce(list(y * y ORDER BY rank), (a, b) -> a + b) AS syy
+  FROM t
+), m AS (
+  SELECT n_terms, nd, sx, sy,
+         (nd * sxy - sx * sy) AS num,
+         (nd * sxx - sx * sx) AS denx,
+         (nd * syy - sy * sy) AS deny
+  FROM f
+)
+SELECT n_terms,
+       num / denx AS zipf_slope,
+       (sy - (num / denx) * sx) / nd AS intercept,
+       (num * num) / (denx * deny) AS r_squared
+FROM m
+""",
+    doc="Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency) "
+        "on ln(rank) for the top-1000 terms -- the slope (~-1 on natural "
+        "corpora, ~0 on degenerate/template text) is a one-number corpus "
+        "health check next to doc_corpus_report, and its drift flags "
+        "boilerplate floods.  Determinism plumbing: the top-1000 cut is "
+        "a TakeOrdered on the exact (count DESC, term) order (never a "
+        "full-vocab single-partition rank); both ln columns run through "
+        "the Arrow-batched libm crossing on that bounded 1000-row frame "
+        "(JVM Math.log 1-ulp divergence, the doc_bm25_topk precedent); "
+        "the five OLS sums are SEQUENTIAL folds in rank order over a "
+        "bounded sorted-collect (DuckDB list_reduce mirrored by "
+        "first-element-init F.aggregate), so slope/intercept/r2 doubles "
+        "are bit-identical.  Scale: the only unbounded work is the "
+        "word-count aggregate; everything after operates on <=1000 rows.",
+    driver=False,
+    sibling="doc_corpus_report",
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    uni = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        ucnt.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(1000)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("tok"))
+            ),
+        )
+    )
+
+    @F.pandas_udf("double")
+    def _ln_libm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else math.log(v))
+
+    t = top.select(
+        "rank",
+        _ln_libm(F.col("rank").cast("double")).alias("x"),
+        _ln_libm(F.col("c").cast("double")).alias("y"),
+    )
+
+    def fold_add(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: a + b,
+        )
+
+    arr = F.array_sort(F.collect_list(F.struct("rank", "x", "y")))
+    f = t.agg(arr.alias("arr")).select(
+        F.size("arr").cast("long").alias("n_terms"),
+        F.size("arr").cast("double").alias("nd"),
+        fold_add(F.transform(F.col("arr"), lambda s: s["x"])).alias("sx"),
+        fold_add(F.transform(F.col("arr"), lambda s: s["y"])).alias("sy"),
+        fold_add(
+            F.transform(F.col("arr"), lambda s: s["x"] * s["y"])
+        ).alias("sxy"),
+        fold_add(
+            F.transform(F.col("arr"), lambda s: s["x"] * s["x"])
+        ).alias("sxx"),
+        fold_add(
+            F.transform(F.col("arr"), lambda s: s["y"] * s["y"])
+        ).alias("syy"),
+    )
+    m = f.select(
+        "n_terms", "nd", "sx", "sy",
+        (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    slope = F.col("num") / F.col("denx")
+    return m.select(
+        "n_terms",
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("nd")).alias("intercept"),
+        ((F.col("num") * F.col("num")) / (F.col("denx") * F.col("deny"))).alias(
+            "r_squared"
+        ),
+    )

@@ -1937,3 +1937,84 @@ def part_itemsim_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "cust_interpurchase_gaps",
+    oracle="""
+WITH o AS (
+  SELECT c.c_mktsegment AS segment,
+         datediff('day',
+                  lag(o.o_orderdate) OVER (
+                    PARTITION BY o.o_custkey
+                    ORDER BY o.o_orderdate, o.o_orderkey
+                  ),
+                  o.o_orderdate) AS gap
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), g AS (
+  SELECT segment, gap FROM o WHERE gap IS NOT NULL
+), r AS (
+  SELECT segment, gap,
+         row_number() OVER (PARTITION BY segment ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM g
+)
+SELECT segment,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+         AS median_gap_days,
+       CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS BIGINT)
+         AS p90_gap_days
+FROM r GROUP BY segment
+""",
+    doc="Inter-purchase cadence by market segment: per customer the days "
+        "between consecutive orders (lag over the total (o_orderdate, "
+        "o_orderkey) key), then the DISCRETE median and p90 gap per "
+        "segment by rank selection -- the purchase-frequency half of the "
+        "RFM picture (cust_rfm_segmentation buckets recency; this "
+        "measures the rhythm).  Same integer discipline as "
+        "doc_winsorized_stats: rank k = (n+1) div 2 / ceil(9n/10) in "
+        "pure integer arithmetic, order statistics picked by "
+        "row_number, day gaps are exact integers -- no interpolation, "
+        "no float.  Scale: one shuffle on o_custkey for the lag, one on "
+        "the bounded segment key for the rank window; the customer join "
+        "is an equi-join AQE sizes.",
+    driver=False,
+    sibling="cust_rfm_segmentation",
+)
+def cust_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(c, "o_custkey")
+        .select(
+            "segment",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    part = Window.partitionBy("segment")
+    r = g.select(
+        "segment", "gap",
+        F.row_number().over(part.orderBy("gap")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    med_k = F.expr("(n + 1) div 2")
+    p90_k = F.expr("(9 * n + 9) div 10")
+    return r.groupBy("segment").agg(
+        F.max("n").alias("n_gaps"),
+        F.min(F.when(F.col("rn") == med_k, F.col("gap"))).cast("long").alias(
+            "median_gap_days"
+        ),
+        F.min(F.when(F.col("rn") == p90_k, F.col("gap"))).cast("long").alias(
+            "p90_gap_days"
+        ),
+    )
