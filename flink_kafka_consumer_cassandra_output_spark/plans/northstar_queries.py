@@ -3164,3 +3164,120 @@ def emb_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((dotss - F.col("sq_tot")) / denom).alias("mean_pairwise_dot"),
         (F.col("sq_tot") / F.col("n").cast("double")).alias("mean_sq_norm"),
     )
+
+
+@register(
+    "emb_outlier_centroid_dist",
+    oracle="""
+WITH e AS (
+  SELECT label, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), l1 AS (
+  SELECT label, vec_id % 8 AS bucket,
+         list_reduce(list(emb ORDER BY vec_id),
+           (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])) AS sv,
+         COUNT(*) AS n1
+  FROM e GROUP BY label, vec_id % 8
+), cent AS (
+  SELECT label,
+         list_transform(
+           list_reduce(list(sv ORDER BY bucket),
+             (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])),
+           x -> x / CAST(SUM(n1) AS DOUBLE)) AS c
+  FROM l1 GROUP BY label
+), d AS (
+  SELECT e.label, e.vec_id,
+         list_reduce(
+           list_transform(list_zip(e.emb, cent.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (a, b) -> a + b) AS d2
+  FROM e JOIN cent USING (label)
+), r AS (
+  SELECT label, vec_id, d2,
+         row_number() OVER (
+           PARTITION BY label ORDER BY d2 DESC, vec_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM d
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id, d2 AS sq_dist,
+       CAST(rn AS BIGINT) AS outlier_rank
+FROM r WHERE rn <= (5 * n + 99) // 100
+""",
+    doc="Embedding outlier / mislabel detection: per label, the top-5% "
+        "vectors by squared L2 distance to their OWN label centroid -- "
+        "the QC pass that surfaces mislabeled or degenerate vectors "
+        "before contrastive training (complement of emb_hard_negatives, "
+        "which mines CROSS-label closeness).  Centroids use the hub-safe "
+        "two-level sequential fold (emb_cluster_diversity's pattern); "
+        "each distance is a per-row zip/fold in index order; the 5% cut "
+        "is the integer rank formula (5n+99) div 100 with (d2 DESC, "
+        "vec_id) total order -- every double and every cut "
+        "bit-deterministic cross-engine.  Scale: one bounded-width "
+        "aggregate pair for centroids, a label-bounded broadcast back, "
+        "one rank window per label.",
+    driver=False,
+    sibling="emb_ann_ivf_trained",
+)
+def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "label", "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("emb"),
+    )
+
+    def fold_vec(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+        )
+
+    vs = F.array_sort(F.collect_list(F.struct("vec_id", "emb")))
+    l1 = (
+        e.withColumn("bucket", F.col("vec_id") % 8)
+        .groupBy("label", "bucket")
+        .agg(vs.alias("vs"))
+        .select(
+            "label", "bucket",
+            fold_vec(F.transform(F.col("vs"), lambda s: s["emb"])).alias("sv"),
+            F.size("vs").cast("long").alias("n1"),
+        )
+    )
+    bs = F.array_sort(F.collect_list(F.struct("bucket", "sv")))
+    cent = (
+        l1.groupBy("label")
+        .agg(bs.alias("bs"), F.sum("n1").alias("n"))
+        .select(
+            "label",
+            F.transform(
+                fold_vec(F.transform(F.col("bs"), lambda b: b["sv"])),
+                lambda x: x / F.col("n").cast("double"),
+            ).alias("c"),
+        )
+    )
+    diff = F.zip_with(
+        F.col("emb"), F.col("c"), lambda a, b: (a - b) * (a - b)
+    )
+    d2 = F.aggregate(
+        F.slice(diff, 2, F.size(diff) - 1),
+        F.element_at(diff, 1),
+        lambda a, b: a + b,
+    )
+    d = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    part = Window.partitionBy("label")
+    r = d.select(
+        "label", "vec_id", "d2",
+        F.row_number().over(part.orderBy(F.desc("d2"), F.asc("vec_id"))).alias(
+            "rn"
+        ),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    return r.where(F.col("rn") <= F.expr("(5 * n + 99) div 100")).select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.col("d2").alias("sq_dist"),
+        F.col("rn").cast("long").alias("outlier_rank"),
+    )

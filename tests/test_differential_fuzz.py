@@ -1168,3 +1168,133 @@ def test_random_asof_join_cross_engine_equivalence(spark, plan):
         _run_asof_both(spark, con, plan)
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Rank-selected discrete percentile / winsorization grammar (round 10):
+# the integer-exact order-statistic pattern doc_winsorized_stats and
+# cust_interpurchase_gaps pin at single points, swept across grouping
+# keys, percentile levels, value columns, sampling slices, and the
+# winsorized-mean composition.
+# --------------------------------------------------------------------------
+
+
+@st.composite
+def _pct_plan(draw):
+    group = draw(
+        st.sampled_from([None, "l_returnflag", "l_linestatus", "l_linenumber"])
+    )
+    p_lo = draw(st.sampled_from([1, 5, 10, 25]))
+    mod = draw(st.sampled_from([1, 3, 7]))
+    off = draw(st.integers(0, 2))
+    use_price = draw(st.booleans())
+    winsorize = draw(st.booleans())
+    return group, p_lo, mod, off, use_price, winsorize
+
+
+def _run_pct_both(spark, con, plan):
+    from pyspark.sql import Window
+
+    group, p_lo, mod, off, use_price, winsorize = plan
+    p_hi = 100 - p_lo
+
+    li = tables.load(spark, SF_DIR, "lineitem").filter(
+        F.col("l_orderkey") % mod == off
+    )
+    if use_price:
+        val = (F.col("l_extendedprice").cast(N.DEC) * 100).cast("long")
+        val_sql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    else:
+        val = F.col("l_quantity").cast("long")
+        val_sql = "CAST(l_quantity AS BIGINT)"
+    gcols = [group] if group else []
+    base = li.select(*gcols, val.alias("v"))
+
+    part = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    r = base.select(
+        *gcols, "v",
+        F.row_number().over(part.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    klo = F.expr(f"({p_lo} * n + 99) div 100")
+    khi = F.expr(f"({p_hi} * n + 99) div 100")
+    b = r.groupBy(*gcols).agg(
+        F.max("n").alias("n_rows"),
+        F.min(F.when(F.col("rn") == klo, F.col("v"))).alias("lo_v"),
+        F.min(F.when(F.col("rn") == khi, F.col("v"))).alias("hi_v"),
+    )
+    if winsorize:
+        joined = base.join(b, gcols) if gcols else base.crossJoin(F.broadcast(b))
+        clipped = F.least(F.greatest(F.col("v"), F.col("lo_v")), F.col("hi_v"))
+        sdf = joined.groupBy(*gcols).agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("lo_v").alias("lo_v"),
+            F.max("hi_v").alias("hi_v"),
+            (F.sum(clipped).cast("double") / F.max("n_rows")).alias("wins_mean"),
+        )
+    else:
+        sdf = b
+
+    gsel = f"{group}, " if group else ""
+    gby = f"GROUP BY {group}" if group else ""
+    partition = f"PARTITION BY {group}" if group else ""
+    over_n = f"OVER ({partition})" if group else "OVER ()"
+    sql_b = f"""
+WITH base AS (
+  SELECT {gsel}{val_sql} AS v
+  FROM lineitem WHERE l_orderkey % {mod} = {off}
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER ({partition + (' ' if partition else '')}ORDER BY v) AS rn,
+         COUNT(*) {over_n} AS n
+  FROM base
+), b AS (
+  SELECT {gsel}CAST(MAX(n) AS BIGINT) AS n_rows,
+         MIN(CASE WHEN rn = ({p_lo} * n + 99) // 100 THEN v END) AS lo_v,
+         MIN(CASE WHEN rn = ({p_hi} * n + 99) // 100 THEN v END) AS hi_v
+  FROM r {gby}
+)
+"""
+    if winsorize:
+        jcond = f"USING ({group})" if group else "ON TRUE"
+        gsel_b = f"b.{group}, " if group else ""
+        gby_w = f"GROUP BY b.{group}" if group else ""
+        sql = sql_b + f"""
+SELECT {gsel_b}
+       CAST(MAX(b.n_rows) AS BIGINT) AS n_rows,
+       MAX(b.lo_v) AS lo_v,
+       MAX(b.hi_v) AS hi_v,
+       CAST(SUM(LEAST(GREATEST(base.v, b.lo_v), b.hi_v)) AS DOUBLE)
+         / MAX(b.n_rows) AS wins_mean
+FROM base JOIN b {jcond}
+{gby_w}
+"""
+    else:
+        sql = sql_b + "SELECT * FROM b"
+    odf = con.execute(sql).fetchdf()
+    label = (
+        f"fuzzpct[{group} | p={p_lo}/{p_hi} | mod={mod}+{off} | "
+        f"{'price' if use_price else 'qty'} | wins={winsorize}]"
+    )
+    compare_frames(sdf.toPandas(), odf, label)
+
+
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_pct_plan())
+def test_random_percentile_cross_engine_equivalence(spark, plan):
+    """Discrete-percentile family differential coverage: rank-selected
+    order statistics ((p*n+99) div 100 in pure integer arithmetic) and
+    the winsorized-mean composition must agree between engines across
+    grouping keys, percentile levels, both value domains (integer
+    quantity, exact price cents), and sampling slices -- including the
+    empty-input and tiny-group edges where rank formulas clamp to 1."""
+    con = duck_connection(SF_DIR)
+    try:
+        _run_pct_both(spark, con, plan)
+    finally:
+        con.close()
