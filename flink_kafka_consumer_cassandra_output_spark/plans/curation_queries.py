@@ -1853,3 +1853,111 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_squared"
         ),
     )
+
+
+@register(
+    "doc_lexical_diversity",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT unnest(w) AS tok FROM toks
+), u AS (
+  SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok
+), t AS (
+  SELECT tok, c,
+         ascii(substr(tok, 1, 1)) % 16 AS bucket,
+         CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS term
+  FROM u
+), l1 AS (
+  SELECT bucket,
+         list_reduce(list(term ORDER BY tok), (a, b) -> a + b) AS s1,
+         SUM(c) AS n1, COUNT(*) AS v1,
+         COUNT(CASE WHEN c = 1 THEN 1 END) AS h1
+  FROM t GROUP BY bucket
+), l2 AS (
+  SELECT list_reduce(list(s1 ORDER BY bucket), (a, b) -> a + b) AS s,
+         SUM(n1) AS n, SUM(v1) AS v, SUM(h1) AS h
+  FROM l1
+)
+SELECT CAST(v AS BIGINT) AS vocab_size,
+       CAST(n AS BIGINT) AS total_tokens,
+       CAST(h AS BIGINT) AS hapax_count,
+       CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS type_token_ratio,
+       ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE) AS entropy_nats
+FROM l2
+""",
+    doc="Corpus lexical-diversity scorecard: vocabulary size, token count, "
+        "hapax-legomena count, type-token ratio, and unigram Shannon "
+        "entropy in nats via H = ln(N) - (sum c*ln c)/N -- the "
+        "degenerate-corpus tripwire (template floods crater entropy and "
+        "TTR long before dedup notices).  The entropy sum runs over the "
+        "UNBOUNDED vocabulary, so it uses the hub-safe two-level "
+        "sequential fold keyed by a cross-engine-deterministic bucket "
+        "(ascii of the first character mod 16; NOT engine hash) -- "
+        "per-bucket fold in token order, bucket results folded in "
+        "bucket order -- and both ln sites go through the Arrow-batched "
+        "libm crossing (vocab-linear, the doc_bm25_topk precedent).  "
+        "Integer counts are order-free; every double is bit-identical "
+        "cross-engine.  Scale: word-count shuffle + two bounded-width "
+        "aggregations; nothing quadratic, no driver collection.",
+    driver=False,
+    sibling="doc_corpus_report",
+)
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    u = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    @F.pandas_udf("double")
+    def _ln_libm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else math.log(v))
+
+    t = u.select(
+        "tok", "c",
+        (F.ascii(F.substring("tok", 1, 1)) % 16).alias("bucket"),
+        (F.col("c").cast("double") * _ln_libm(F.col("c").cast("double"))).alias(
+            "term"
+        ),
+    )
+
+    def fold_add(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: a + b,
+        )
+
+    arr = F.array_sort(F.collect_list(F.struct("tok", "term")))
+    l1 = t.groupBy("bucket").agg(
+        arr.alias("arr"),
+        F.sum("c").alias("n1"),
+        F.count(F.lit(1)).alias("v1"),
+        F.count(F.when(F.col("c") == 1, F.lit(1))).alias("h1"),
+    ).select(
+        "bucket",
+        fold_add(F.transform(F.col("arr"), lambda s: s["term"])).alias("s1"),
+        "n1", "v1", "h1",
+    )
+    arr2 = F.array_sort(F.collect_list(F.struct("bucket", "s1")))
+    l2 = l1.agg(
+        arr2.alias("arr2"),
+        F.sum("n1").alias("n"),
+        F.sum("v1").alias("v"),
+        F.sum("h1").alias("h"),
+    ).select(
+        fold_add(F.transform(F.col("arr2"), lambda s: s["s1"])).alias("s"),
+        "n", "v", "h",
+    )
+    nd = F.col("n").cast("double")
+    return l2.select(
+        F.col("v").alias("vocab_size"),
+        F.col("n").alias("total_tokens"),
+        F.col("h").alias("hapax_count"),
+        (F.col("v").cast("double") / nd).alias("type_token_ratio"),
+        (_ln_libm(nd) - F.col("s") / nd).alias("entropy_nats"),
+    )
