@@ -2306,11 +2306,13 @@ WITH stats AS (
   GROUP BY event_type
 )
 SELECT event_type, n_a, n_b,
-       sa / n_a AS mean_a,
-       sb / n_b AS mean_b,
-       (sb / n_b - sa / n_a)
-         / sqrt(((qa - sa * sa / n_a) / (n_a - 1)) / n_a
-                + ((qb - sb * sb / n_b) / (n_b - 1)) / n_b) AS welch_z
+       sa / NULLIF(n_a, 0) AS mean_a,
+       sb / NULLIF(n_b, 0) AS mean_b,
+       (sb / NULLIF(n_b, 0) - sa / NULLIF(n_a, 0))
+         / sqrt(((qa - sa * sa / NULLIF(n_a, 0)) / NULLIF(n_a - 1, 0))
+                  / NULLIF(n_a, 0)
+                + ((qb - sb * sb / NULLIF(n_b, 0)) / NULLIF(n_b - 1, 0))
+                  / NULLIF(n_b, 0)) AS welch_z
 FROM stats
 """,
     doc="A/B experiment readout: Welch's z-statistic on the value metric "
@@ -2347,15 +2349,20 @@ def ev_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, val * val)).cast("double").alias("qa"),
         F.sum(F.when(is_b, val * val)).cast("double").alias("qb"),
     )
-    mean_a = F.col("sa") / F.col("n_a")
-    mean_b = F.col("sb") / F.col("n_b")
-    var_a = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a")) / (
-        F.col("n_a") - 1
+    # NULLIF guards (mirrored in the oracle): a degenerate slice with an
+    # empty arm or a 1-row arm yields NULL means/z, not DIVIDE_BY_ZERO
+    # under ANSI mode (caught by the degenerate-events sweep).
+    na = F.nullif(F.col("n_a"), F.lit(0))
+    nb = F.nullif(F.col("n_b"), F.lit(0))
+    mean_a = F.col("sa") / na
+    mean_b = F.col("sb") / nb
+    var_a = (F.col("qa") - F.col("sa") * F.col("sa") / na) / F.nullif(
+        F.col("n_a") - 1, F.lit(0)
     )
-    var_b = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b")) / (
-        F.col("n_b") - 1
+    var_b = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / F.nullif(
+        F.col("n_b") - 1, F.lit(0)
     )
-    z = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    z = (mean_b - mean_a) / F.sqrt(var_a / na + var_b / nb)
     return stats.select(
         "event_type", "n_a", "n_b",
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),

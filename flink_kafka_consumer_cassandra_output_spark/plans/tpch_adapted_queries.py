@@ -1979,8 +1979,11 @@ FROM r GROUP BY segment
         "no float.  Scale: one shuffle on o_custkey for the lag, one on "
         "the bounded segment key for the rank window; the customer join "
         "is an equi-join AQE sizes.",
+    # sibling: q13 anchors the customer purchase-frequency family on the
+    # driver surface (cust_rfm_segmentation is itself local-only until
+    # the r11 rotation promotes it).
     driver=False,
-    sibling="cust_rfm_segmentation",
+    sibling="q13_customer_distribution",
 )
 def cust_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -2017,4 +2020,64 @@ def cust_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == p90_k, F.col("gap"))).cast("long").alias(
             "p90_gap_days"
         ),
+    )
+
+
+@register(
+    "supplier_delivery_scorecard",
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(CASE WHEN datediff('day', o_orderdate, l_shipdate) >= 90
+                         THEN 1 END) AS BIGINT) AS n_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_suppkey
+  HAVING COUNT(*) >= 10
+)
+SELECT l_suppkey, n_lines, n_late,
+       CAST(n_late AS DOUBLE) / n_lines AS late_rate
+FROM s
+ORDER BY late_rate DESC, l_suppkey
+LIMIT 20
+""",
+    doc="Supplier delivery-reliability scorecard: the 20 worst late-"
+        "delivery rates (ship >=90 days after order, the adapted Q12 "
+        "lag convention -- the fixture carries no receipt/commit dates) "
+        "among suppliers with >=10 shipped lines -- the "
+        "minimum-volume HAVING is what keeps a 1-for-1 supplier from "
+        "topping the board.  One map-side-combined aggregate over "
+        "l_suppkey, one conditional count, a single-division double "
+        "(exact integers in, deterministic out), TakeOrderedAndProject "
+        "for the cut with the suppkey tie-break.  Scale: one equi-join "
+        "AQE sizes plus the supplier-keyed agg -- the scorecard pattern "
+        "at 100 TB is 'join narrow, reduce first, rank the "
+        "reduction'.",
+    driver=False,
+    sibling="q21_waiting_supplier",
+)
+def supplier_delivery_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 90
+    s = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(late, F.lit(1))).alias("n_late"),
+        )
+        .where(F.col("n_lines") >= 10)
+    )
+    return (
+        s.select(
+            "l_suppkey", "n_lines", "n_late",
+            (F.col("n_late").cast("double") / F.col("n_lines")).alias(
+                "late_rate"
+            ),
+        )
+        .orderBy(F.desc("late_rate"), F.asc("l_suppkey"))
+        .limit(20)
     )
