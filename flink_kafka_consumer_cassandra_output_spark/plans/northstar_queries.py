@@ -3281,3 +3281,117 @@ def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("sq_dist"),
         F.col("rn").cast("long").alias("outlier_rank"),
     )
+
+
+def _ann_recall_oracle(k: int = 16) -> str:
+    """Recall@5 of the trained IVF at nprobe = 1, 2, 4 against the exact
+    brute-force top-5 -- the training CTE chain shared with
+    emb_ann_ivf_trained, probes kept to rank<=4 once, then one ranked
+    candidate CTE per nprobe."""
+    iters = SIM.IVF_TRAIN_ITERS
+    ctes = _ivf_train_ctes(k)
+    ctes.append("""q AS (
+  SELECT vec_id AS query_id, embedding AS query_emb
+  FROM e WHERE vec_id < 10
+)""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, query_emb, cent_id AS bucket, rn AS probe_rank FROM (
+    SELECT q.query_id, q.query_emb, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS('q.query_emb', 'c.cent_emb')} DESC, c.cent_id
+           ) AS rn
+    FROM q CROSS JOIN cent{iters} c
+  ) WHERE rn <= 4
+)""")
+    for np in (1, 2, 4):
+        ctes.append(f"""ivf{np} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {_COS('p.query_emb', 'a.embedding')} DESC, a.vec_id
+           ) AS rank
+    FROM (SELECT * FROM probes WHERE probe_rank <= {np}) p
+    JOIN a{iters} a ON a.bucket = p.bucket AND a.vec_id != p.query_id
+  ) WHERE rank <= 5
+)""")
+    ctes.append(f"""exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS('q.query_emb', 'e.embedding')} DESC, e.vec_id
+           ) AS rank
+    FROM q JOIN e ON e.vec_id != q.query_id
+  ) WHERE rank <= 5
+)""")
+    joined = ",\n".join(ctes)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {np} AS nprobe, (SELECT COUNT(*) FROM q) AS nq,
+       (SELECT COUNT(*) FROM ivf{np} i JOIN exact x
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id)
+         AS hits"""
+        for np in (1, 2, 4)
+    )
+    return f"""WITH {joined}
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       CAST(nq AS BIGINT) AS n_queries,
+       CAST(hits AS BIGINT) AS n_hits,
+       CAST(hits AS DOUBLE) / CAST(5 * nq AS DOUBLE) AS recall_at_5
+FROM ({arms})"""
+
+
+@register(
+    "emb_ann_recall_curve",
+    oracle=_ann_recall_oracle(),
+    doc="ANN quality certificate as a QUERY: recall@5 of the Lloyd-trained "
+        "IVF at nprobe = 1, 2, 4 against the exact brute-force top-5 -- "
+        "the accuracy/cost curve an operator must publish before anyone "
+        "swaps the exact scan for the index (MinHash has the same "
+        "discipline in doc_minhash_estimate_certificate).  Counts are "
+        "intersections of deterministically-tie-broken top-5 sets; the "
+        "only float output is one mirrored division.  Scale: the probed "
+        "search touches ~nprobe/16 of the corpus per arm and the exact "
+        "arm is the one honest full scan; at production scale the exact "
+        "baseline runs on a SAMPLE of queries (same plan, sampled q) -- "
+        "the curve is still unbiased.  The codebook/assignment lineage "
+        "is shared across arms (cache it on a real cluster; recomputed "
+        "lazily here).",
+    driver=False,
+    sibling="emb_ann_ivf_trained",
+)
+def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    corpus = e.select("vec_id", "embedding")
+    cent = SIM.ivf_train(corpus, k=16)
+    c = corpus.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    assigned = SIM.ivf_assign(c, cent)
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    exact = SIM.brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
+    arms = None
+    for np in (1, 2, 4):
+        ivf = SIM.ivf_topk(q, assigned, cent, k=5, nprobe=np).select(
+            "query_id", "neighbor_id"
+        )
+        hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        arm = hits.crossJoin(q.agg(F.count(F.lit(1)).alias("nq"))).select(
+            F.lit(np).cast("long").alias("nprobe"),
+            F.col("nq").alias("n_queries"),
+            F.col("hits").alias("n_hits"),
+            (
+                F.col("hits").cast("double")
+                / (5 * F.col("nq")).cast("double")
+            ).alias("recall_at_5"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms

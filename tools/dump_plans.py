@@ -63,6 +63,12 @@ QUERIES = [
     ("ev_max_concurrent_sessions", "interval sweep: day-clipped +1/-1 boundaries, per-day partitioned running sum"),
     ("ev_cdc_apply_changelog", "CDC apply: one user exchange serving row_number + count windows"),
     ("doc_graph_bfs_hops", "bounded BFS: frontier equi-join + visited anti-join per level (materialized rounds)"),
+    ("ev_debounce_exact", "exact debounce: repartition-by-key + sortWithinPartitions + ONE mapInPandas partition fold"),
+    ("ev_cusum_changepoint", "CUSUM: one event_type exchange serving running-sum, rank, total and argmax windows, all-BIGINT"),
+    ("ev_sliding_distinct_users", "sliding exact distinct: per-hour collect_set, then a bucket-row range window merging 3 sets"),
+    ("doc_bigram_pmi", "PMI collocations: two linear explodes, vocab equi-joins (no broadcast hint), ratio-ordered top-50, ln on 50 rows"),
+    ("emb_cluster_diversity", "O(n) diversity identity: two-level bucketed sequential fold, no pair join anywhere"),
+    ("doc_zipf_fit", "Zipf fit: word-count shuffle, TakeOrdered top-1000, bounded sorted-collect OLS folds"),
 ]
 
 
