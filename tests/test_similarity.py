@@ -931,3 +931,28 @@ def test_label_propagation_fixed_rounds_deterministic_on_oscillator(spark):
     assert r3a == {1: 2, 2: 1}
     r2 = {r.v: r.lbl for r in label_propagation(nodes, edges, 2).collect()}
     assert r2 == {1: 1, 2: 2}
+
+
+def test_ann_recall_curve_monotone_and_bounded(spark, sf_dir):
+    """The recall@5 curve must be monotone non-decreasing in nprobe (more
+    probed buckets can only add candidates under a fixed deterministic
+    re-rank) and each arm bounded by [0, 1] with hits <= 5 * queries."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+
+    rows = {
+        r.nprobe: r
+        for r in all_specs()["emb_ann_recall_curve"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    prev = -1.0
+    for np in (1, 2, 4):
+        r = rows[np]
+        assert 0 <= r.n_hits <= 5 * r.n_queries
+        assert abs(r.recall_at_5 - r.n_hits / (5 * r.n_queries)) == 0.0
+        assert r.recall_at_5 >= prev, f"recall dropped at nprobe={np}"
+        prev = r.recall_at_5
+    # nprobe=4 probes a quarter of the 16-bucket codebook; on this fixture
+    # it must find at least half of the true neighbors
+    assert rows[4].recall_at_5 >= 0.5
