@@ -2832,3 +2832,101 @@ def ev_cohort_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").alias("revenue_cents"),
         F.sum("rev").over(w).alias("cum_revenue_cents"),
     )
+
+
+def cusum_alarm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level one-sided CUSUM monitor (shared by the registered
+    aggregate query and the stream==batch test): per event_type, the
+    standard alarm recursion S_i = max(0, S_{i-1} + d_i) with reference =
+    mean + allowance (allowance = mean/2), kept in PURE scaled BIGINTs:
+    d_i = 2n*cents_i - 3*tot, computed via the window identity
+    S_i = P_i - min(0, running_min(P_i)) -- the max(0,..) recursion is
+    exactly prefix-minus-clamped-running-min, which both engines express
+    as two sequential window passes over the same (ts, event_id) total
+    order.  Alarm when S > 10*tot (calibrated to the ~1-2%% tail on the
+    fixture)."""
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = (F.col("value").cast(N.DEC) * 100).cast("long")
+    e = ev.select("event_type", "ts", "event_id", cents.alias("cents"))
+    t = e.groupBy("event_type").agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    part = Window.partitionBy("event_type")
+    order = part.orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = e.join(F.broadcast(t), "event_type").select(
+        "event_type", "ts", "event_id", "tot", "n",
+        (
+            2 * F.col("n") * F.sum("cents").over(run)
+            - 3 * F.row_number().over(order) * F.col("tot")
+        ).alias("p"),
+    )
+    s = F.col("p") - F.least(F.min("p").over(run), F.lit(0))
+    return w.select(
+        "event_type", "ts", "event_id", "tot", "n", s.alias("s")
+    )
+
+
+@register(
+    "ev_cusum_alarm",
+    oracle="""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT event_type, SUM(cents) AS tot, COUNT(*) AS n
+  FROM e GROUP BY event_type
+), w AS (
+  SELECT e.event_type, e.ts, e.event_id, t.tot,
+         2 * t.n * SUM(e.cents) OVER (
+           PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+           ROWS UNBOUNDED PRECEDING
+         ) - 3 * ROW_NUMBER() OVER (
+           PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+         ) * t.tot AS p
+  FROM e JOIN t USING (event_type)
+), s AS (
+  SELECT event_type, ts, tot,
+         p - LEAST(MIN(p) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ), 0) AS s
+  FROM w
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN s > 10 * tot THEN 1 END) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_s_scaled,
+       MIN(CASE WHEN s > 10 * tot THEN ts END) AS first_alarm_ts
+FROM s GROUP BY event_type
+""",
+    doc="One-sided CUSUM ALARM monitor (Page's test): per event_type, the "
+        "classic reset recursion S_i = max(0, S_{i-1} + x_i - (mean + "
+        "allowance)) with allowance = mean/2, alarming when S exceeds "
+        "10x the per-type cents total -- the ONLINE complement of "
+        "ev_cusum_changepoint (which localizes one offline shift; this "
+        "one fires and RESETS, the form a monitor deploys).  The "
+        "max(0,..) recursion is not a window aggregate, but it has an "
+        "exact window form: S_i = P_i - min(0, min_{j<=i} P_j) over the "
+        "drift-corrected prefix P -- two sequential window passes, "
+        "everything in scaled BIGINTs (d_i = 2n*cents_i - 3*tot), so no "
+        "float and no recursion.  Same overflow envelope as the "
+        "changepoint query (documented there).  The streaming twin "
+        "(streaming/stateful.py:cusum_alarm_monitor) runs the O(1) "
+        "recursion directly against frozen (n, tot) reference "
+        "parameters -- stream==batch pinned in tests/test_stateful.py.  "
+        "Scale: one event_type exchange reused by both window passes "
+        "plus a bounded totals broadcast.",
+    driver=False,
+    sibling="ev_ewma_smoothing",
+)
+def ev_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = cusum_alarm_rows(spark, sf_dir)
+    alarm = F.col("s") > 10 * F.col("tot")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(alarm, F.lit(1))).alias("n_alarms"),
+        F.max("s").alias("max_s_scaled"),
+        F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
+    )

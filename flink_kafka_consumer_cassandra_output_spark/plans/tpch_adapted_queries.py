@@ -2081,3 +2081,78 @@ def supplier_delivery_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("late_rate"), F.asc("l_suppkey"))
         .limit(20)
     )
+
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+WITH p AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(rev) OVER () AS tot
+  FROM p
+), c AS (
+  SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+              THEN 'A'
+              WHEN CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+              THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev, tot
+  FROM r
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+       CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS revenue_share
+FROM c GROUP BY abc_class
+""",
+    doc="ABC (Pareto 80/95) inventory classification: parts ranked by "
+        "exact DECIMAL revenue, cumulative share along the (rev DESC, "
+        "partkey) total order, class A up to 80%%, B to 95%%, C the tail "
+        "-- the working-capital cut behind every stocking policy.  The "
+        "cumulative sum is exact decimal over an explicit ROWS frame on "
+        "a total order; each share is ONE double division of exact "
+        "decimals, so the class boundary is bit-deterministic "
+        "cross-engine.  Scale: one part-keyed aggregate collapses the "
+        "fact table, then the rank window runs over PARTS (bounded by "
+        "catalog size, not order volume); the global window is the "
+        "documented single-partition pass over that bounded table -- "
+        "range-partition by revenue bucket if the catalog itself is "
+        "huge.",
+    driver=False,
+    sibling="q18_large_volume_customers",
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(N.DEC)).alias("rev")
+    )
+    order = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    whole = Window.partitionBy()
+    r = p.select(
+        "rev",
+        F.sum("rev").over(order).alias("cum_rev"),
+        F.sum("rev").over(whole).alias("tot"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("tot").cast("double")
+    c = r.select(
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "rev",
+        "tot",
+    )
+    return c.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+        (F.sum("rev").cast("double") / F.max("tot").cast("double")).alias(
+            "revenue_share"
+        ),
+    )

@@ -221,3 +221,72 @@ def debounced_events(ev: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# One-sided CUSUM alarm monitor (the streaming half of ev_cusum_alarm)
+# --------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("s", T.LongType()),
+    ]
+)
+
+#: State: the scaled CUSUM statistic S (O(1) -- the whole point of
+#: deploying Page's test as a stream instead of re-scanning history).
+_CUSUM_STATE_SCHEMA = T.StructType([T.StructField("s", T.LongType())])
+
+
+def make_cusum_alarm_update(ref: dict[str, tuple[int, int]]):
+    """Update fn factory: ``ref`` maps event_type -> (n, tot), the FROZEN
+    reference parameters (computed from history, exactly how a deployed
+    CUSUM is configured).  d_i = 2n*cents_i - 3*tot mirrors the batch
+    query's scaled integers bit-for-bit; emits rows where S > 10*tot."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else (0,)
+        n, tot = ref[key[0]]
+        out = {c.name: [] for c in CUSUM_OUT_SCHEMA.fields}
+        parts = [pdf for pdf in pdfs]
+        if parts:
+            pdf = pd.concat(parts)
+            pdf = pdf[pdf["value"].notna()].sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            for ts, eid, val in zip(
+                pdf["ts"], pdf["event_id"], pdf["value"]
+            ):
+                cents = int(round(val * 100))
+                s = max(0, s + 2 * n * cents - 3 * tot)
+                if s > 10 * tot:
+                    out["event_type"].append(key[0])
+                    out["ts"].append(ts)
+                    out["event_id"].append(int(eid))
+                    out["s"].append(s)
+        state.update((s,))
+        yield pd.DataFrame(out)
+
+    return _update
+
+
+def cusum_alarm_monitor(ev: DataFrame, ref: dict[str, tuple[int, int]]) -> DataFrame:
+    """Streaming Page's-test monitor keyed by event_type with frozen
+    (n, tot) reference parameters.  PRECONDITION (as running_anomaly_scores
+    / debounced_events): micro-batches arrive in event-time order per key.
+    Under that precondition the emitted alarm rows equal the batch
+    window-identity form row-for-row (tests/test_stateful.py)."""
+    return ev.groupBy("event_type").applyInPandasWithState(
+        make_cusum_alarm_update(ref),
+        CUSUM_OUT_SCHEMA,
+        _CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -140,3 +140,69 @@ def test_online_anomaly_stream_matches_batch_query(spark, sf_dir, tmp_path):
     assert any(h in last_chunk_hours for h in streamed["hour_ts"]), (
         "no emission from the final micro-batch; cross-batch state untested"
     )
+
+
+def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The O(1) streaming Page's-test recursion (max(0, S + d)) must emit
+    the EXACT alarm rows of the batch window-identity form
+    (S = P - min(0, running_min P)) when fed the same frozen reference
+    parameters -- the identity the batch query's doc claims, pinned."""
+    import duckdb
+
+    from flink_kafka_consumer_cassandra_output_spark.plans.events_queries import (
+        cusum_alarm_rows,
+    )
+    from flink_kafka_consumer_cassandra_output_spark.streaming.stateful import (
+        cusum_alarm_monitor,
+    )
+
+    batch_rows = cusum_alarm_rows(spark, sf_dir)
+    ref = {
+        r.event_type: (r.n, r.tot)
+        for r in batch_rows.select("event_type", "n", "tot").distinct().collect()
+    }
+    expected = (
+        batch_rows.where(F.col("s") > 10 * F.col("tot"))
+        .select("event_type", "ts", "event_id", "s")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    chunks = [
+        tbl.slice(i * (tbl.num_rows // N_CHUNKS + 1), tbl.num_rows // N_CHUNKS + 1)
+        for i in range(N_CHUNKS)
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(chunks, input_dir, 0, N_CHUNKS)
+
+    ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        cusum_alarm_monitor(ev, ref)
+        .writeStream.format("memory")
+        .queryName("cusum_alarms")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.sql(
+        "SELECT event_type, ts, event_id, s FROM cusum_alarms "
+        "ORDER BY event_type, ts, event_id"
+    ).toPandas()
+    assert len(streamed) == len(expected), (
+        f"alarm rows: stream {len(streamed)} vs batch {len(expected)}"
+    )
+    assert len(expected) > 0, "fixture produced no alarms; threshold drifted"
+    for col in ["event_type", "ts", "event_id", "s"]:
+        assert (streamed[col].to_numpy() == expected[col].to_numpy()).all(), col
