@@ -66,7 +66,24 @@ QUERIES = (
     "doc_token_lift",
     "doc_bpe_merge_candidates",
     "doc_decontamination_bloom",
+    # round-10 additions, all sound under unchanged-text replication:
+    # ngram/bigram-PMI counts grow k while their top-k rankings (count
+    # ratios) are scale-invariant; winsorized stats / k-anonymity are
+    # bounded-group aggregates whose group sizes grow k; zipf counts grow
+    # k (slope invariant); lexical diversity has fixed vocab with k-grown
+    # counts (entropy invariant).
+    "doc_ngram_topk",
+    "doc_winsorized_stats",
+    "doc_bigram_pmi",
+    "doc_k_anonymity",
+    "doc_zipf_fit",
+    "doc_lexical_diversity",
 )
+
+# Optional subset, e.g. SPARK_GRAFT_PROBE_QUERIES=doc_ngram_topk
+_SUBSET = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+if _SUBSET:
+    QUERIES = tuple(q for q in _SUBSET.split(",") if q)
 
 #: Queries probed against the TAGGED replication (every token suffixed with
 #: its replica id, so vocab is disjoint across replicas).  Unchanged-text
@@ -77,6 +94,9 @@ QUERIES = (
 #: engine cost requires replica-disjoint vocab, under which matches stay
 #: within-replica and must grow exactly k.
 TAGGED_QUERIES = ("doc_decontamination_ngram",)
+if _SUBSET:
+    TAGGED_QUERIES = tuple(q for q in TAGGED_QUERIES if q in QUERIES)
+    QUERIES = tuple(q for q in QUERIES if q not in TAGGED_QUERIES)
 
 
 def write_replicated(spark, k: int, out_dir: str, tagged: bool = False) -> int:
