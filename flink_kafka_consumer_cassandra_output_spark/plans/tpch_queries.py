@@ -1125,3 +1125,50 @@ def cust_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.levenshtein("probe_name", "c_name").cast("long").alias("distance"),
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WHERE o_orderkey % 10 = 0
+WINDOW w AS (
+  PARTITION BY o_orderpriority
+  ORDER BY o_totalprice, o_orderkey
+)
+""",
+    doc="The remaining window-rank surface in one query: rank, dense_rank, "
+        "percent_rank, cume_dist and ntile(4) over the same "
+        "(o_totalprice, o_orderkey)-totally-ordered priority partitions "
+        "-- the five functions the curated suite had not yet pinned "
+        "cross-engine (row_number and integer running sums are covered "
+        "elsewhere; ntile's uneven-bucket rule -- first n%%4 buckets get "
+        "the extra row -- and percent_rank's (rank-1)/(n-1) and "
+        "cume_dist's rn/n single divisions are all standard-specified "
+        "and bit-deterministic over a total order).  Scale: one shuffle "
+        "on the bounded priority key; all five functions share one "
+        "window frame and one sort.",
+    driver=False,
+    sibling="window_functions_extended",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
