@@ -3395,3 +3395,173 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         arms = arm if arms is None else arms.unionByName(arm)
     return arms
+
+
+def _pca_power_oracle(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled power-iteration oracle (the IVF-training precedent): one
+    (score, weighted-sum, normalize) CTE triple per iteration, every
+    float fold sequential in (vec_id | bucket) order."""
+    vecsum = (
+        "(a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])"
+    )
+    ctes = [
+        """e AS (
+  SELECT vec_id, vec_id % 8 AS bucket,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"""x0 AS (
+  SELECT list_transform(range(1, {dim + 1}),
+           i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END) AS x
+)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""s{k} AS (
+  SELECT e.vec_id, e.bucket, e.v,
+         list_reduce(list_transform(list_zip(e.v, x.x), p -> p[1] * p[2]),
+                     (a, b) -> a + b) AS s
+  FROM e, x{k - 1} x
+)""")
+        ctes.append(f"""l1_{k} AS (
+  SELECT bucket,
+         list_reduce(list(list_transform(v, c -> c * s) ORDER BY vec_id),
+                     {vecsum}) AS sv
+  FROM s{k} GROUP BY bucket
+)""")
+        ctes.append(f"""y{k} AS (
+  SELECT list_reduce(list(sv ORDER BY bucket), {vecsum}) AS y
+  FROM l1_{k}
+)""")
+        ctes.append(f"""x{k} AS (
+  SELECT list_transform(y, c -> c / sqrt(
+           list_reduce(list_transform(y, c2 -> c2 * c2), (a, b) -> a + b)
+         )) AS x
+  FROM y{k}
+)""")
+    ctes.append(f"""sf AS (
+  SELECT e.vec_id, e.bucket,
+         list_reduce(list_transform(list_zip(e.v, x.x), p -> p[1] * p[2]),
+                     (a, b) -> a + b) AS s
+  FROM e, x{iters} x
+)""")
+    ctes.append("""r1 AS (
+  SELECT bucket, list_reduce(list(s * s ORDER BY vec_id), (a, b) -> a + b) AS q1
+  FROM sf GROUP BY bucket
+)""")
+    ctes.append("""r2 AS (
+  SELECT list_reduce(list(q1 ORDER BY bucket), (a, b) -> a + b) AS lam
+  FROM r1
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT r2.lam AS eigenvalue_estimate,
+       x.x[1] AS x1, x.x[2] AS x2, x.x[3] AS x3, x.x[4] AS x4,
+       list_reduce(list_transform(x.x, c -> c * c), (a, b) -> a + b)
+         AS x_norm_sq
+FROM r2, x{iters} x"""
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle=_pca_power_oracle(),
+    doc="Iterative linear algebra as a DECLARATIVE plan: three power-"
+        "iteration steps toward the corpus's top singular direction "
+        "(x <- normalize(A^T (A x)) from the e_1 seed), entirely in "
+        "DataFrame expressions -- per-row dot via index-ordered fold, "
+        "the A^T weighted-sum via the hub-safe two-level bucketed fold "
+        "(emb_cluster_diversity's pattern), normalization one IEEE sqrt "
+        "(correctly rounded by the standard, hence cross-engine exact) "
+        "and one division per component; the oracle unrolls the loop in "
+        "SQL exactly like the Lloyd-trained IVF.  Output pins the "
+        "Rayleigh-quotient eigenvalue estimate, the first four "
+        "eigenvector components, and the unit-norm check -- every "
+        "double bit-identical cross-engine.  Scale: each iteration is "
+        "one corpus scan + a bounded-width two-level aggregate + a "
+        "1-row broadcast back; no Gram matrix, no collect, no "
+        "driver-side linear algebra -- the shape distributed PCA "
+        "actually uses, with the convergence loop unrolled a fixed "
+        "number of steps (checkpoint x between steps on a real "
+        "cluster, exactly the IVF codebook posture).",
+    driver=False,
+    sibling="emb_ann_ivf_trained",
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        (F.col("vec_id") % 8).alias("bucket"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
+    )
+
+    def fold_add(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: a + b,
+        )
+
+    def fold_vec(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: F.zip_with(a, b, lambda p, q: p + q),
+        )
+
+    def dot(a, b):
+        return fold_add(F.zip_with(a, b, lambda p, q: p * q))
+
+    xdf = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("x")
+    )
+    for _ in range(3):
+        s = e.crossJoin(F.broadcast(xdf)).select(
+            "vec_id", "bucket", "v", dot(F.col("v"), F.col("x")).alias("s")
+        )
+        w = s.select(
+            "vec_id", "bucket",
+            F.transform(F.col("v"), lambda c: c * F.col("s")).alias("wv"),
+        )
+        l1 = (
+            w.groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("vec_id", "wv"))).alias("arr"))
+            .select(
+                "bucket",
+                fold_vec(F.transform(F.col("arr"), lambda t: t["wv"])).alias("sv"),
+            )
+        )
+        y = l1.agg(
+            F.array_sort(F.collect_list(F.struct("bucket", "sv"))).alias("arr2")
+        ).select(fold_vec(F.transform(F.col("arr2"), lambda t: t["sv"])).alias("y"))
+        norm = F.sqrt(fold_add(F.transform(F.col("y"), lambda c: c * c)))
+        xdf = y.select(
+            F.transform(F.col("y"), lambda c: c / norm).alias("x")
+        )
+    sf = e.crossJoin(F.broadcast(xdf.withColumnRenamed("x", "xf"))).select(
+        "vec_id", "bucket", dot(F.col("v"), F.col("xf")).alias("s")
+    )
+    r1 = (
+        sf.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "s"))).alias("arr"))
+        .select(
+            "bucket",
+            fold_add(
+                F.transform(F.col("arr"), lambda t: t["s"] * t["s"])
+            ).alias("q1"),
+        )
+    )
+    r2 = r1.agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "q1"))).alias("arr2")
+    ).select(
+        fold_add(F.transform(F.col("arr2"), lambda t: t["q1"])).alias("lam")
+    )
+    return r2.crossJoin(F.broadcast(xdf)).select(
+        F.col("lam").alias("eigenvalue_estimate"),
+        F.element_at("x", 1).alias("x1"),
+        F.element_at("x", 2).alias("x2"),
+        F.element_at("x", 3).alias("x3"),
+        F.element_at("x", 4).alias("x4"),
+        fold_add(F.transform(F.col("x"), lambda c: c * c)).alias("x_norm_sq"),
+    )
