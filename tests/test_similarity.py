@@ -956,3 +956,37 @@ def test_ann_recall_curve_monotone_and_bounded(spark, sf_dir):
     # nprobe=4 probes a quarter of the 16-bucket codebook; on this fixture
     # it must find at least half of the true neighbors
     assert rows[4].recall_at_5 >= 0.5
+
+
+def test_pca_power_iteration_against_numpy(spark, sf_dir):
+    """External ground truth: the Rayleigh-quotient estimate after three
+    declarative power steps must be positive, unit-norm-backed, and
+    bounded above by numpy's true top eigenvalue of A^T A (the Rayleigh
+    bound holds for ANY unit vector, so this is exact, not statistical)."""
+    import numpy as np
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    row = (
+        all_specs()["emb_pca_power_iteration"].builder(spark, sf_dir).collect()[0]
+    )
+    A = np.array(
+        [
+            r.embedding
+            for r in tables.load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    lam_max = float(np.linalg.eigvalsh(A.T @ A).max())
+    assert abs(row.x_norm_sq - 1.0) < 1e-9
+    assert 0.0 < row.eigenvalue_estimate <= lam_max * (1 + 1e-9), (
+        row.eigenvalue_estimate,
+        lam_max,
+    )
+    # three steps from e_1 on real data must capture a nontrivial share
+    # of the top eigenvalue (trace/d is the isotropic floor)
+    floor = float(np.trace(A.T @ A)) / A.shape[1]
+    assert row.eigenvalue_estimate >= floor * 0.9
