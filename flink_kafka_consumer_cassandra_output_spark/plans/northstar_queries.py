@@ -3139,7 +3139,11 @@ def emb_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
         )
 
-    sqn = fold_add(F.transform(F.col("emb"), lambda x: x * x))
+    # guard the PER-ROW fold: a degenerate empty vector would make
+    # slice(arr, 2, -1) throw under ANSI (caught by the degenerate-
+    # embeddings sweep); when() evaluates branches lazily per row.
+    sq_arr = F.transform(F.col("emb"), lambda x: x * x)
+    sqn = F.when(F.size(sq_arr) > 0, fold_add(sq_arr))
     sq = e.withColumn("sqn", sqn)
     vs = F.array_sort(F.collect_list(F.struct("vec_id", "emb", "sqn")))
     l1 = sq.groupBy("label", "bucket").agg(vs.alias("vs"))
