@@ -61,6 +61,12 @@ QUERIES = (
     "ev_cusum_changepoint",
     "ev_sliding_distinct_users",
     "ev_debounce_exact",
+    # late round-10: 168-slot seasonality (bounded key), cohort LTV
+    # (user-keyed cohort map + bounded grid), CUSUM alarm (same
+    # event_type-keyed hot-group shape as the changepoint)
+    "ev_seasonality_profile",
+    "ev_cohort_revenue_curve",
+    "ev_cusum_alarm",
 )
 
 # Optional subset, e.g. SPARK_GRAFT_PROBE_QUERIES=ev_debounce_exact,ev_acf_lags
