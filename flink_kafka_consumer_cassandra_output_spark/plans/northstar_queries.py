@@ -2628,7 +2628,11 @@ def _pr_d(v: float) -> str:
     return f"CAST('{v!r}' AS DOUBLE)"
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle(pairs_ctes: str | None = None) -> str:
+    """Unrolled PageRank oracle over a ``pairs(id_a, id_b)`` CTE; the
+    pairs prefix defaults to the dup-graph's verified near-dup pairs and
+    is parameterized so other graphs (part_copurchase_pagerank) reuse
+    the identical two-level-fold chain."""
     ctes = [f"""edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
@@ -2662,7 +2666,8 @@ def _pagerank_oracle() -> str:
   ) t, nv
 )""")
     joined = ",\n".join(ctes)
-    return f"""WITH {_PREFIX_FILTER_CTES},
+    prefix = pairs_ctes if pairs_ctes is not None else _PREFIX_FILTER_CTES
+    return f"""WITH {prefix},
 {joined}
 SELECT r.v AS doc_id, d.deg, r.rank AS pagerank
 FROM r{PR_ITERS} r JOIN deg d ON d.src = r.v"""
@@ -3569,3 +3574,53 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("x", 4).alias("x4"),
         fold_add(F.transform(F.col("x"), lambda c: c * c)).alias("x_norm_sq"),
     )
+
+
+_COPURCHASE_PAIRS_CTES = """ip AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY l_orderkey, l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM ip a JOIN ip b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)"""
+
+
+@register(
+    "part_copurchase_pagerank",
+    oracle=_pagerank_oracle(_COPURCHASE_PAIRS_CTES),
+    doc="PageRank over the part co-purchase graph (edges = part pairs "
+        "bought together in >=2 orders, basket_copurchase_lift's "
+        "candidate generation): the items-as-graph view of the same "
+        "signal item-item CF scores pairwise -- central parts anchor "
+        "cross-sell assortments.  The operator is "
+        "operators/similarity.py:pagerank_from_pairs UNCHANGED on a "
+        "second graph, and the oracle reuses the identical unrolled "
+        "two-level-fold CTE chain with only the pairs prefix swapped -- "
+        "the point of a graph-GENERIC implementation (dedup docs, ER "
+        "records, parts: one code path, one determinism argument).  "
+        "Scale: pair generation is C(items,2) per order with bounded "
+        "basket size (never |parts|^2); each PageRank round is "
+        "O(edges) with hub-safe bounded row widths.",
+    driver=False,
+    sibling="doc_dup_graph_pagerank",
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    ip = li.select("l_orderkey", "l_partkey").distinct()
+    a = ip.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_a")
+    )
+    b = ip.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("id_a", "id_b")
+    )
+    return pagerank_from_pairs(materialize(pairs))

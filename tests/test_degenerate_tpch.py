@@ -33,6 +33,13 @@ _NAMES = [
     "cust_survivorship_golden",
     "orders_skyline_pareto",
     "basket_copurchase_lift",
+    # round 10
+    "cust_rfm_segmentation",
+    "part_itemsim_cf",
+    "cust_interpurchase_gaps",
+    "supplier_delivery_scorecard",
+    "orders_abc_classification",
+    "part_copurchase_pagerank",
 ]
 
 _O_SCHEMA = T.StructType(
