@@ -2383,14 +2383,18 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id,
-       CAST(COUNT(CASE WHEN rn <= 3 THEN 1 END) AS BIGINT) AS n_allowed,
-       CAST(COUNT(CASE WHEN rn > 3 THEN 1 END) AS BIGINT) AS n_throttled,
+       CAST(COUNT(CASE WHEN rn <= 1 THEN 1 END) AS BIGINT) AS n_allowed,
+       CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_throttled,
        CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_active_hours
 FROM ranked
 GROUP BY user_id
 """,
     doc="Per-user rate-limit audit: within each calendar hour a user may "
-        "emit 3 events; the rest are throttled.  row_number over the "
+        "emit ONE event; the rest are throttled (quota=1 so both "
+        "branches are exercised at every fixture scale -- the max "
+        "events-per-user-hour is 2 at sf0.001 and 3 at sf0.01, so a "
+        "quota of 3 would never throttle and the gate would pass "
+        "vacuously).  row_number over the "
         "(user_id, hour) partition ordered by the total (ts, event_id) key "
         "assigns deterministic arrival ranks, then one conditional "
         "aggregate splits allowed vs throttled per user.  The reference "
@@ -2412,8 +2416,8 @@ def ev_quota_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(w)
     )
     return ranked.groupBy("user_id").agg(
-        F.count(F.when(F.col("rn") <= 3, F.lit(1))).alias("n_allowed"),
-        F.count(F.when(F.col("rn") > 3, F.lit(1))).alias("n_throttled"),
+        F.count(F.when(F.col("rn") <= 1, F.lit(1))).alias("n_allowed"),
+        F.count(F.when(F.col("rn") > 1, F.lit(1))).alias("n_throttled"),
         F.countDistinct("hr").alias("n_active_hours"),
     )
 

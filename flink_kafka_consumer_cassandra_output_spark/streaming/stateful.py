@@ -290,3 +290,68 @@ def cusum_alarm_monitor(ev: DataFrame, ref: dict[str, tuple[int, int]]) -> DataF
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Hourly quota enforcement (the streaming half of ev_quota_flagging)
+# --------------------------------------------------------------------------
+
+QUOTA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("allowed", T.BooleanType()),
+    ]
+)
+
+#: State: (current hour bucket in epoch-us, events seen in it).  O(1) per
+#: USER -- the hour key lives in the value, so state never grows with
+#: time, only with the user population (vs keying state by (user, hour),
+#: which leaks an entry per hour forever).
+_QUOTA_STATE_SCHEMA = T.StructType(
+    [T.StructField("hour_us", T.LongType()), T.StructField("n", T.LongType())]
+)
+
+_QUOTA_PER_HOUR = 1
+_HOUR_US = 3_600_000_000
+
+
+def _update_quota(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    hour_us, n = state.get if state.exists else (-1, 0)
+    out = {c.name: [] for c in QUOTA_OUT_SCHEMA.fields}
+    parts = [pdf for pdf in pdfs]
+    if parts:
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"], kind="mergesort")
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        for i in range(len(pdf)):
+            h = (int(us[i]) // _HOUR_US) * _HOUR_US
+            if h != hour_us:
+                hour_us, n = h, 0
+            n += 1
+            out["user_id"].append(key[0])
+            out["ts"].append(pdf["ts"].iloc[i])
+            out["event_id"].append(int(pdf["event_id"].iloc[i]))
+            out["allowed"].append(n <= _QUOTA_PER_HOUR)
+    state.update((hour_us, n))
+    yield pd.DataFrame(out)
+
+
+def quota_enforced_events(ev: DataFrame) -> DataFrame:
+    """Per-event allow/throttle decisions under the 1-per-(user, hour)
+    quota, the ONLINE form of the batch audit ev_quota_flagging.
+    PRECONDITION (as the other stateful twins): micro-batches arrive in
+    event-time order per key.  Under that precondition the decision per
+    event equals the batch row_number gate exactly
+    (tests/test_stateful.py)."""
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_quota,
+        QUOTA_OUT_SCHEMA,
+        _QUOTA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -206,3 +206,67 @@ def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(expected) > 0, "fixture produced no alarms; threshold drifted"
     for col in ["event_type", "ts", "event_id", "s"]:
         assert (streamed[col].to_numpy() == expected[col].to_numpy()).all(), col
+
+
+def test_quota_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The O(1)-per-user streaming quota enforcer must produce the exact
+    allow/throttle decision the batch (user, hour) row_number gate
+    assigns to every event."""
+    import duckdb
+
+    from pyspark.sql import Window
+
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+    from flink_kafka_consumer_cassandra_output_spark.streaming.stateful import (
+        quota_enforced_events,
+    )
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    chunks = [
+        tbl.slice(i * (tbl.num_rows // N_CHUNKS + 1), tbl.num_rows // N_CHUNKS + 1)
+        for i in range(N_CHUNKS)
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(chunks, input_dir, 0, N_CHUNKS)
+
+    ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        quota_enforced_events(ev)
+        .writeStream.format("memory")
+        .queryName("quota_decisions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_quota"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.sql(
+        "SELECT user_id, ts, event_id, allowed FROM quota_decisions "
+        "ORDER BY user_id, ts, event_id"
+    ).toPandas()
+
+    b = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    batch = (
+        b.select(
+            "user_id", "ts", "event_id",
+            (F.row_number().over(w) <= 1).alias("allowed"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    assert (~batch["allowed"]).any(), "fixture never throttles; quota untested"
+    for col in ["user_id", "ts", "event_id", "allowed"]:
+        assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col
