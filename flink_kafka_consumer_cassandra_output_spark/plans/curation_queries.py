@@ -230,7 +230,7 @@ FROM ranked
         "agg_exact_percentiles.",
     # r10 driver-slot rotation: token-frequency scoring family keeps BM25.
     driver=False,
-    sibling="doc_bm25_topk",
+    sibling="doc_ngram_topk",
 )
 def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -360,6 +360,10 @@ FROM ranked WHERE rank <= {_TOPK}
         "per-document expression stays JVM-side).  Large dynamic query sets "
         "route through the posting-list explode+equi-join form instead "
         "(the machinery doc_tfidf_top_terms already exercises).",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="doc_ngram_topk",
 )
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -462,6 +466,10 @@ LIMIT {_PASSAGE_TOPK}
         "per-partition top-k then merge, no single-task sort).  The "
         "suffix-array literature's exact-substring dedup reduced to the "
         "n-gram explode Spark executes as two keyed shuffles.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="doc_ngram_topk",
 )
 def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -743,7 +751,7 @@ LIMIT 20
         "aggregate joined back, N rides along as a broadcast scalar -- "
         "the same shape doc_tfidf_top_terms uses.",
     driver=False,  # r8 rotation candidate
-    sibling="doc_chunking",
+    sibling="doc_ngram_topk",
 )
 def doc_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -878,7 +886,7 @@ FROM scored
     # r9 driver-slot rotation: lexicon scoring exercised by the rarity machinery.
     driver=False,
     # r10 sibling re-point: lexicon/token scoring family, driver-checked there.
-    sibling="doc_bm25_topk",
+    sibling="doc_corpus_report",
 )
 def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -943,6 +951,10 @@ FROM summed
         "float fold is identical in both engines.  The weight table is "
         "|sources| rows -- broadcast-sized by construction; downstream "
         "sampling joins it to the corpus on the source key.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="doc_weighted_sample",
 )
 def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1251,7 +1263,7 @@ GROUP BY split, source
         "|splits| x |sources| key space.",
     driver=False,  # r8 rotation candidate
     # r8 sibling re-point: deterministic hash-assignment family, driver-checked there.
-    sibling="doc_temperature_mixing",
+    sibling="doc_weighted_sample",
 )
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1490,8 +1502,7 @@ LIMIT 100
         "shape Spark map-side combines; no per-doc state, no driver "
         "collection.  Short docs (<3 tokens) are excluded on both "
         "sides rather than emitting the whole-doc fallback shingle.",
-    driver=False,
-    sibling="doc_repeated_passages",
+    # r11 driver-slot rotation: promoted -- corpus n-gram frequency table, first driver check.
 )
 def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -1546,8 +1557,7 @@ GROUP BY d.lang
         "ordering hazard.  Scale: one shuffle on lang for the rank "
         "window, one for the re-agg; the bounds table is lang-bounded "
         "(broadcast join back).",
-    driver=False,
-    sibling="doc_corpus_report",
+    # r11 driver-slot rotation: promoted -- discrete-percentile robust stats, first driver check.
 )
 def doc_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
@@ -1643,7 +1653,7 @@ LIMIT 50
         "of bigram counts against the vocab table (unbounded -> no "
         "broadcast hint, AQE decides), one 1-row totals broadcast.",
     driver=False,
-    sibling="doc_repeated_passages",
+    sibling="doc_ngram_topk",
 )
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())

@@ -170,7 +170,7 @@ GROUP BY user_id, session_id
     # r7 driver-slot rotation: top-sessions COMPOSES this sessionization, checked transitively.
     driver=False,
     # r8 sibling re-point: per-user event grouping family, driver-checked there; sessionization itself driver-green r7.
-    sibling="ev_heavy_hitters_cms",
+    sibling="ev_debounce_exact",
 )
 def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -340,7 +340,7 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
         "order.",
     # r8 driver-slot rotation: time-window step matching IS a range join, driver-checked there.
     driver=False,
-    sibling="ev_range_interval_join",
+    sibling="ev_conversion_funnel",
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
@@ -442,7 +442,7 @@ LIMIT 20
         "aggregate; TakeOrderedAndProject does the global top-20.",
     # r8 driver-slot rotation: per-key frequency ranking family, driver-checked there.
     driver=False,
-    sibling="ev_heavy_hitters_cms",
+    sibling="ev_debounce_exact",
 )
 def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -579,6 +579,10 @@ GROUP BY e.event_id, e.user_id
         "optimization (binned interval join): at 100 TB the naive form is "
         "a per-user cross product, the bucketed form shuffles both sides "
         "once on (user, bucket) with bounded per-bucket fan-in.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="ev_scd2_asof_lookup",
 )
 def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -662,6 +666,10 @@ GROUP BY p.user_id, p.exact_cnt
         "(row, bucket), the probe an equi-join against a broadcast-sized "
         "table.  w < |keys| by design so collisions make estimates "
         "overestimate (CMS guarantee: never under).",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="agg_histogram_quantile_sketch",
 )
 def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1346,6 +1354,10 @@ FROM corrected
         "bit-identical results (tests/test_streaming.py).  n_exact and "
         "rel_err are carried alongside so the estimate's quality is "
         "visible in the output (|rel_err| pinned in tests).",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="ev_sliding_distinct_users",
 )
 def ev_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1901,8 +1913,7 @@ FROM sums
         "spine broadcast, one map-side-combined count shuffle, one "
         "event_type exchange for the row_number, one tiny per-type "
         "aggregate; parallelism grows with the number of series.",
-    driver=False,
-    sibling="ev_anomaly_zscore_online",
+    # r11 driver-slot rotation: promoted -- closed-form OLS sufficient stats, first driver check.
 )
 def ev_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("event_type").orderBy("hour")
@@ -2092,8 +2103,7 @@ GROUP BY day, status
         "serving both the lag and the lead, and a tiny (day, status) "
         "aggregate -- the same shape ev_user_retention_cohorts rides, "
         "completing the retention family's day-over-day axis.",
-    driver=False,
-    sibling="ev_ts_pattern_match",
+    # r11 driver-slot rotation: promoted -- DAU new/retained/resurrected/churned, first driver check.
 )
 def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2171,8 +2181,7 @@ FROM counts
         "so at 100 TB the whole chain rides ONE exchange of the events "
         "table (AQE reuses the partitioning) plus two tiny per-stage "
         "joins; the final counts frame is <= 3 rows.",
-    driver=False,
-    sibling="ev_ts_pattern_match",
+    # r11 driver-slot rotation: promoted -- ordered multi-step funnel, first driver check.
 )
 def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2329,8 +2338,7 @@ FROM stats
         "event_type key -- sufficient-statistics reduction is THE "
         "pattern for experiment analysis at 100 TB (never collect "
         "per-user frames to the driver).",
-    driver=False,
-    sibling="ev_acf_lags",
+    # r11 driver-slot rotation: promoted -- sufficient-statistics experiment readout, first driver check.
 )
 def ev_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2406,7 +2414,7 @@ GROUP BY user_id
         "per-user volume -- a user with 1e9 events still windows in "
         "hour-sized slices.",
     driver=False,
-    sibling="window_functions_extended",
+    sibling="window_rank_family",
 )
 def ev_quota_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2545,8 +2553,7 @@ GROUP BY event_type
         "tie-break).  Scale: one shuffle on event_type; the running sum "
         "is a single sequential pass per group -- for very hot groups "
         "pre-aggregate to per-minute cents first (same algebra).",
-    driver=False,
-    sibling="ev_ewma_smoothing",
+    # r11 driver-slot rotation: promoted -- integer-exact changepoint statistic, first driver check.
 )
 def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
@@ -2609,8 +2616,7 @@ GROUP BY h.hr
         "constant-size state), which is why both are registered.  Oracle "
         "replicates via an interval range join + conditional COUNT "
         "DISTINCT.",
-    driver=False,
-    sibling="ev_hll_distinct_users",
+    # r11 driver-slot rotation: promoted -- bucket-set range-window exact distinct, first driver check.
 )
 def ev_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2676,8 +2682,7 @@ FROM tot t JOIN agg a USING (event_type)
         "inherent to the semantics -- the streaming deployment "
         "(streaming/stateful.py:debounced_events) keeps last-kept-ts "
         "state per key and never re-reads history.",
-    driver=False,
-    sibling="ev_ts_pattern_match",
+    # r11 driver-slot rotation: promoted -- sequential fold + recursive-CTE oracle, first driver check.
 )
 def ev_debounce_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.debounce import debounce_exact

@@ -289,7 +289,7 @@ FROM documents
         "fingerprint); per-row fold, no shuffle, exact int64 parity",
     # r7 driver-slot rotation: sliding token-window op family, driver-checked there.
     driver=False,
-    sibling="doc_chunking",
+    sibling="doc_ngram_topk",
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -606,7 +606,7 @@ WHERE rank <= 3
         "driver-side collect",
     # r7 driver-slot rotation: tokenize+explode+window family, driver-checked there.
     driver=False,
-    sibling="doc_chunking",
+    sibling="doc_ngram_topk",
 )
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -653,7 +653,7 @@ WHERE rank <= 10
         "aren't required",
     # r8 driver-slot rotation: per-source deterministic sampling family, driver-checked there.
     driver=False,
-    sibling="doc_temperature_mixing",
+    sibling="doc_weighted_sample",
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1575,6 +1575,10 @@ LEFT JOIN dup_of d ON d.vec_id = a.vec_id"""
         "therefore quadratic in UNIQUE vectors per bucket, not rows -- "
         "the skewed-replica probe (SCALING.md table 5c) pins sec/k flat "
         "when one cluster holds half the corpus.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="emb_ann_ivf_trained",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1879,6 +1883,10 @@ FROM s
         "partition sizing, which maxPartitionBytes already governs.  "
         "Determinism: whitespace split and slice arithmetic are identical "
         "cross-engine; chunk_id = start DIV stride needs no tiebreak.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="doc_ngram_topk",
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -2908,8 +2916,7 @@ FROM lbl{rounds}"""
         "vertex id; the frequency table is O(degree) ROWS per vertex, "
         "never a collected array -- hub-safe, unlike a collect_list "
         "fold.".format(r=SIM.LPA_ROUNDS),
-    driver=False,
-    sibling="doc_dup_graph_pagerank",
+    # r11 driver-slot rotation: promoted -- frequency-LPA community detection, first driver check.
 )
 def doc_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -2961,8 +2968,7 @@ FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
         "row_number (bounded by cluster size); singleton clusters pass "
         "through keep=1.  Composes the driver-checked doc_dedup_clusters "
         "chain, adding only the argmax.",
-    driver=False,
-    sibling="doc_dedup_clusters",
+    # r11 driver-slot rotation: promoted -- quality-ranked cluster representative, first driver check.
 )
 def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)

@@ -178,7 +178,7 @@ GROUP BY 1
     doc="O22: the 18-code MessageType taxonomy applied and re-extracted from "
         "the stanza (MessageType.java:7-24); regexp hot path (stanza_type_fast)",
     driver=False,  # the CASE-chain classify is driver-checked over ALL 19
-    sibling="msg_taxonomy_all_codes",
+    sibling="msg_detail_encrypted_verified",
     # names by msg_taxonomy_all_codes, and the stanza regexp + grouped count
     # by msg_taxonomy_lookup_join; this CASE-over-stanza form stays local.
 )
@@ -205,7 +205,7 @@ FROM messages
         "XmppPacketReader.java:308-435; 20x cheaper than per-field xpath)",
     # r9 driver-slot rotation: stanza parse exercised transitively by the taxonomy CASE.
     driver=False,
-    sibling="msg_taxonomy_all_codes",
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_stanza_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -302,7 +302,7 @@ GROUP BY t.type_name
         "taxonomy; BHJ, no shuffle of the fact side)",
     # r7 driver-slot rotation: same 18-code taxonomy, CASE form driver-checked there.
     driver=False,
-    sibling="msg_taxonomy_all_codes",
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -330,6 +330,10 @@ FROM messages
         "Arrow-batched mapInPandas pass: the bytes never leave the python "
         "worker, so the harness costs one python hop and no join (the r7 "
         "two-pass+equi-join form was 4x the msg-family bench band).",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -432,6 +436,10 @@ FROM names n LEFT JOIN dim d USING (type_name)
         "lookup-join forms must agree code-for-code, including the "
         "PHOTO/IMAGE->P and CAPS_MEME/CAPS->M aliases (MessageType.java:7-24) "
         "and NULL for unknown names",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_taxonomy_all_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = ", ".join(f"('{n}')" for n in _ALL_TYPE_NAMES)

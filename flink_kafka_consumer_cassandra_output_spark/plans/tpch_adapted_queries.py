@@ -94,7 +94,7 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
         "non-ANSI division yields NULL where DuckDB yields +inf.",
     # r10 driver-slot rotation: correlated scalar-subquery threshold family keeps q22.
     driver=False,
-    sibling="q22_dormant_accounts",
+    sibling="q21_waiting_supplier",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -192,7 +192,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         "whose cost IS the pruned scan.",
     # r10 driver-slot rotation: single-table filter+agg revenue family keeps q19.
     driver=False,
-    sibling="q19_disjunctive_revenue",
+    sibling="q18_large_volume_customers",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -242,7 +242,7 @@ GROUP BY supp_nation, cust_nation, l_year
     # r9 driver-slot rotation: multi-dim join-agg family keeps q8/q9.
     driver=False,
     # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
-    sibling="q9_product_profit",
+    sibling="q21_waiting_supplier",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -316,7 +316,7 @@ GROUP BY o_year
         "pass, one divide of exact sums at the end.",
     # r10 driver-slot rotation: multi-dim join-agg family keeps q9.
     driver=False,
-    sibling="q9_product_profit",
+    sibling="q21_waiting_supplier",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -395,6 +395,10 @@ GROUP BY n_name, o_year
         "overflow behavior differs between engines.  Plan: part pruned by "
         "the name filter before the fact join; supplier|x|nation broadcast; "
         "orders joined only for the year column.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="q21_waiting_supplier",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -515,7 +519,7 @@ WHERE pv * (SELECT COUNT(*) FROM v) > (SELECT SUM(pv) FROM v) * 2
         "the OUTPUT column is surfaced as double.",
     # r10 driver-slot rotation: global scalar-subquery HAVING threshold family keeps q22.
     driver=False,
-    sibling="q22_dormant_accounts",
+    sibling="q21_waiting_supplier",
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -566,7 +570,7 @@ GROUP BY lag_class
     driver=False,
     # r9 sibling re-point: date-range + priority bucketing family, driver-checked there.
     # r10 sibling re-point: CASE-bucketed conditional aggregation family, driver-checked there.
-    sibling="q19_disjunctive_revenue",
+    sibling="q18_large_volume_customers",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -610,6 +614,10 @@ GROUP BY c_count
         "Plan: the filter lives IN the join condition (a WHERE would turn "
         "the outer join inner and drop the zero bucket); first agg "
         "shuffles on c_custkey, second on the tiny c_count domain.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="q18_large_volume_customers",
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -752,7 +760,7 @@ WHERE p_brand = 'Brand#5'
     # r8 driver-slot rotation: per-group scalar-subquery threshold family, driver-checked there.
     driver=False,
     # r9 sibling re-point: per-group scalar-subquery threshold family, driver-checked there.
-    sibling="q22_dormant_accounts",
+    sibling="q21_waiting_supplier",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -855,6 +863,10 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
         "(BHJ/SMJ by size) with the disjunction as a post-join filter; "
         "Catalyst additionally pushes the derivable single-side bounds "
         "(p_size <= 35, l_quantity <= 35) down to both scans.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="q18_large_volume_customers",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -908,7 +920,7 @@ WHERE n_name = 'NATION_7'
         "on the small side, never duplicating suppliers.",
     # r9 driver-slot rotation: nested-subquery family keeps q22.
     driver=False,
-    sibling="q22_dormant_accounts",
+    sibling="q21_waiting_supplier",
 )
 def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
@@ -1032,6 +1044,10 @@ GROUP BY c_mktsegment
         "average balance; the date cutoff), the dormancy test a LEFT ANTI "
         "against the recent-orders custkey projection (date filter + "
         "2-column pruned scan); final agg over 5 segments.",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="q21_waiting_supplier",
 )
 def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -1734,8 +1750,7 @@ WHERE o.o_totalprice = r.mx
         "date's max AND strictly beats every prior date's.  Same "
         "three-step plan on both engines; pure comparisons on the "
         "2-dp-clean price, bit-exact parity.",
-    driver=False,
-    sibling="q18_large_volume_customers",
+    # r11 driver-slot rotation: promoted -- decomposed skyline, first driver check.
 )
 def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1814,8 +1829,7 @@ FROM base CROSS JOIN thr
         "decimal sum, comparisons and the small-integer adds are "
         "exact.  Customers with zero orders are out of scope (RFM is "
         "defined on purchasers).",
-    driver=False,
-    sibling="agg_histogram_quantile_sketch",
+    # r11 driver-slot rotation: promoted -- quintile segmentation, first driver check.
 )
 def cust_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1901,8 +1915,7 @@ LIMIT 20
         "pair generation is the bounded per-order self-join (never "
         "all-pairs across parts), min-support prunes the tail before "
         "the frequency joins, and the top-k is TakeOrderedAndProject.",
-    driver=False,
-    sibling="q18_large_volume_customers",
+    # r11 driver-slot rotation: promoted -- item-item cosine collaborative filter, first driver check.
 )
 def part_itemsim_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1983,7 +1996,7 @@ FROM r GROUP BY segment
     # driver surface (cust_rfm_segmentation is itself local-only until
     # the r11 rotation promotes it).
     driver=False,
-    sibling="q13_customer_distribution",
+    sibling="cust_rfm_segmentation",
 )
 def cust_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(

@@ -206,7 +206,7 @@ GROUP BY l_returnflag
     # r7 driver-slot rotation: distinct-part counting, driver-checked exactly there.
     driver=False,
     # r9 sibling re-point: approximate-distinct family proper, promoted this round.
-    sibling="ev_hll_distinct_users",
+    sibling="ev_sliding_distinct_users",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -242,7 +242,7 @@ FROM o
         "the semantics a user silently relies on when switching engines",
     # r7 driver-slot rotation: LEFT-OUTER null counting semantics, driver-checked there.
     driver=False,
-    sibling="q13_customer_distribution",
+    sibling="q18_large_volume_customers",
 )
 def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -598,7 +598,7 @@ GROUP BY n_name
     driver=False,
     # r9 sibling re-point: multi-dim join-agg family, driver-checked there.
     # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
-    sibling="q9_product_profit",
+    sibling="q21_waiting_supplier",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -652,7 +652,7 @@ GROUP BY ship_month
         "cross-engine parity is exact",
     # r7 driver-slot rotation: part|x|lineitem conditional revenue, driver-checked there.
     driver=False,
-    sibling="q19_disjunctive_revenue",
+    sibling="q18_large_volume_customers",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -771,7 +771,7 @@ WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')} FROM customer)
     # r7 driver-slot rotation: scalar-subquery HAVING threshold, driver-checked there.
     driver=False,
     # r10 sibling re-point: the same AVG-threshold scalar subquery, driver-checked there.
-    sibling="q22_dormant_accounts",
+    sibling="q21_waiting_supplier",
 )
 def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -804,7 +804,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         "an explicit ROWS frame; one shuffle on o_custkey serves all three "
         "(same window spec). Order total: (o_orderdate, unique o_orderkey)",
     driver=False,  # the window family is driver-checked 3 ways already
-    sibling="window_functions_extended",
+    sibling="window_rank_family",
     # (window_functions_extended: 6 functions incl. a ROWS frame;
     # window_trailing_90d_revenue: RANGE frame; topk_orders_per_customer:
     # rank-filter); this starter trio stays oracle-checked locally.
@@ -880,7 +880,7 @@ FROM orders
     # r7 driver-slot rotation: running-window cumsum family, driver-checked there (inverse of its old mapping).
     driver=False,
     # r8 sibling re-point: range-frame window family, driver-checked there.
-    sibling="window_functions_extended",
+    sibling="window_rank_family",
 )
 def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -920,6 +920,10 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         "first_value, percent_rank, and a sliding ROWS-frame decimal-exact "
         "average -- all over ONE window spec, so Catalyst plans a single "
         "shuffle + sort on o_custkey for every function",
+    # r11 driver-slot rotation: multi-round driver-green veteran demoted
+    # to drain the never-checked backlog; family anchor stays driver-side.
+    driver=False,
+    sibling="window_rank_family",
 )
 def window_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -963,7 +967,7 @@ WHERE rn = 1
     # r7 driver-slot rotation: funnel COMPOSES the as-of match, checked transitively.
     driver=False,
     # r8 sibling re-point: as-of IS the interval-join special case, driver-checked there.
-    sibling="ev_range_interval_join",
+    sibling="ev_scd2_asof_lookup",
 )
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
@@ -1028,7 +1032,7 @@ SELECT 'done_only' AS activity, o_custkey FROM (SELECT * FROM done_c EXCEPT SELE
         "by order-status activity; distinct key sets keep inputs small",
     # r7 driver-slot rotation: customer-activity set membership, driver-checked there.
     driver=False,
-    sibling="q22_dormant_accounts",
+    sibling="q21_waiting_supplier",
 )
 def set_ops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1155,8 +1159,7 @@ WINDOW w AS (
         "and bit-deterministic over a total order).  Scale: one shuffle "
         "on the bounded priority key; all five functions share one "
         "window frame and one sort.",
-    driver=False,
-    sibling="window_functions_extended",
+    # r11 driver-slot rotation: promoted -- all-5-rank-functions window anchor (replaces window_functions_extended as the family's driver anchor).
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
