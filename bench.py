@@ -31,8 +31,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flink_kafka_consumer_cassandra_output_spark.materialize import (  # noqa: E402
+    SESSION_MEMO_BUILD_SECONDS,
+)
 from flink_kafka_consumer_cassandra_output_spark.plans import all_specs  # noqa: E402
 from flink_kafka_consumer_cassandra_output_spark.session import local_session  # noqa: E402
+
+#: Fixed calibration query: measured (min-of-3) at sweep start AND end,
+#: with the 1-minute load average at each point.  Round-over-round trend
+#: adjudication divides by the control instead of requiring a manual
+#: quiet-machine re-measure (the r9->r10 CPU-steal flags each cost a full
+#: re-adjudication cycle).  q6 is the judge's own control query: tiny,
+#: stable, exercises scan+filter+agg.
+CONTROL_QUERY = "q6_forecast_revenue"
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -59,10 +70,14 @@ def main() -> None:
     if only:
         names = [n for n in names if n in set(only.split(","))]
 
-    # Warm-up: run the full smallest-footprint path once so JIT/codegen and
-    # the parquet footer cache don't bill the first measured query.
+    # Warm-up: run one small NON-MEMOIZED query so JIT/codegen and the
+    # parquet footer cache don't bill the first measured query.  The
+    # control query (never session_memo-backed) is used so cold-JVM cost
+    # can't leak into the shared-stage billing: a memo-consumer warm-up
+    # would trigger the one-time shared builds while the JVM is coldest.
     try:
-        materialize(specs[names[0]].builder(spark, sf_dir))
+        warm = CONTROL_QUERY if CONTROL_QUERY in specs else names[0]
+        materialize(specs[warm].builder(spark, sf_dir))
     except Exception:
         pass
 
@@ -70,9 +85,8 @@ def main() -> None:
     # 3, not 2: the container shows multi-second CPU-steal stalls (the same
     # untouched query measured 0.9s and 7.9s across two sweeps); min-of-3
     # keeps one stalled repeat from poisoning a query's number.
-    timings: dict[str, float] = {}
-    failures: dict[str, str] = {}
-    for name in names:
+
+    def _measure(name: str) -> tuple[float | None, str | None]:
         best = None
         err = None
         for _ in range(max(1, repeats)):
@@ -84,16 +98,47 @@ def main() -> None:
                 continue
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        return best, err
+
+    control_start = (
+        _measure(CONTROL_QUERY)[0] if CONTROL_QUERY in specs else None
+    )
+    load_start = os.getloadavg()[0]
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        best, err = _measure(name)
         if best is not None:
             timings[name] = round(best, 3)
         else:
             failures[name] = err or "no successful repeat"
 
+    control_end = (
+        _measure(CONTROL_QUERY)[0] if CONTROL_QUERY in specs else None
+    )
+    load_end = os.getloadavg()[0]
+
+    # Shared stages (session_memo) build ONCE per sweep; their cost lands
+    # in the first consumer's first repeat, which min-of-N then drops.
+    # Bill it explicitly so memoization can't silently deflate the total.
+    shared = round(sum(SESSION_MEMO_BUILD_SECONDS.values()), 3)
     out = {
         "metric": "total_query_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings.values()) + shared, 3),
         "unit": "sec",
         "queries": timings,
+        "shared_stage_seconds": shared,
+        "shared_stages": {
+            k: round(v, 3) for k, v in sorted(SESSION_MEMO_BUILD_SECONDS.items())
+        },
+        "control": {
+            "query": CONTROL_QUERY,
+            "start_s": None if control_start is None else round(control_start, 3),
+            "end_s": None if control_end is None else round(control_end, 3),
+            "load_start": round(load_start, 2),
+            "load_end": round(load_end, 2),
+        },
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,
         "n_queries": len(timings),

@@ -23,6 +23,7 @@ one doubles its lineage).  Three modes, one call site:
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -59,6 +60,81 @@ def materialize(df: DataFrame) -> DataFrame:
         staged._spark_graft_stage_path = path
         return staged
     return df.localCheckpoint(eager=True)
+
+
+#: (applicationId, tag, staging dir, schema-only?) -> materialized frame.
+#: Keyed so a mode flip (tests toggle STAGING_ENV mid-session) or a new
+#: session never sees a stale entry; dead-application entries are inert
+#: DataFrame handles, not held executor memory.
+_SESSION_MEMO: dict[tuple, DataFrame] = {}
+
+#: tag -> wall seconds spent building+materializing the memoized frame.
+#: bench.py reads this to bill shared stages honestly: min-of-N repeat
+#: timing would otherwise drop the one-time build from the sweep total.
+SESSION_MEMO_BUILD_SECONDS: dict[str, float] = {}
+
+
+def session_memo(spark, tag: str, build) -> DataFrame:
+    """Materialize-once-per-session for an intermediate SHARED ACROSS
+    registered queries (e.g. the PPJoin -> connected-components label
+    stage consumed by both doc_dedup_clusters and doc_dedup_keep_best).
+
+    Spark shares no common subplans across separately-built DataFrames,
+    and the driver/bench sweeps build every query in one session -- so
+    without this, a stage shared by N queries executes N times per sweep.
+    ``build`` is called lazily, its result wrapped in ``materialize``
+    (inheriting the localCheckpoint/staging-table/schema-only mode
+    selection), and the handle reused for the rest of the session.  This
+    is the cross-query face of the staging-table mode: at cluster scale
+    the first query stages the table, the rest read it back.
+    """
+    key = (
+        spark.sparkContext.applicationId,
+        tag,
+        os.environ.get(STAGING_ENV, ""),
+        schema_only_builds(),
+    )
+    got = _SESSION_MEMO.get(key)
+    if got is None:
+        t0 = time.perf_counter()
+        got = materialize(build())
+        SESSION_MEMO_BUILD_SECONDS[tag] = (
+            SESSION_MEMO_BUILD_SECONDS.get(tag, 0.0)
+            + (time.perf_counter() - t0)
+        )
+        _SESSION_MEMO[key] = got
+    return got
+
+
+def rebroadcast_small(df: DataFrame, max_rows: int = 4096) -> DataFrame:
+    """Collect a BOUNDED-SMALL frame to the driver and rebuild it as a
+    zero-lineage local DataFrame (the codebook collect-and-rebroadcast
+    pattern: ``operators/similarity.py:ivf_train`` docstring).
+
+    For frames whose size is bounded by a constant (a k x dim codebook,
+    an LSH plane set) this beats ``materialize``: the deep training
+    lineage executes exactly once, and every downstream consumer sees a
+    zero-lineage ``Scan ExistingRDD`` -- no checkpoint blocks to lose
+    under executor preemption, no staging table.  Note the rebuilt frame
+    carries NO size statistics (ExistingRDD defaults pessimistic), so
+    consumers must keep their explicit ``F.broadcast(...)`` hints -- the
+    IVF/LSH call sites already do.  NEVER use it on data-proportional
+    frames; ``max_rows`` is a
+    hard guard against that driver-OOM misuse.  Values round-trip
+    exactly (Spark doubles <-> Python floats are both IEEE binary64), so
+    oracle determinism is unaffected.  Schema-only mode returns the
+    frame untouched, like ``materialize``.
+    """
+    if schema_only_builds():
+        return df
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"rebroadcast_small: frame exceeds {max_rows} rows -- this "
+            "helper is for constant-bounded small sides only; use "
+            "materialize() for data-proportional intermediates"
+        )
+    return df.sparkSession.createDataFrame(rows, schema=df.schema)
 
 
 def drop_stage(df: DataFrame) -> None:

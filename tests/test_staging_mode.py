@@ -95,3 +95,38 @@ def test_iterative_staging_reclaims_dead_rounds(spark, tmp_path):
     # a ~7-round convergence materializes ~21 stage tables; without
     # reclamation they would ALL survive to teardown
     assert len(leftover) <= 2, leftover
+
+
+def test_rebroadcast_small_roundtrip_and_guard(spark):
+    """rebroadcast_small must round-trip doubles bit-exactly (the codebook
+    pattern depends on it for oracle determinism) and refuse frames above
+    its bound (the driver-OOM guard)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_consumer_cassandra_output_spark.materialize import (
+        rebroadcast_small,
+    )
+
+    df = spark.range(8).select(
+        F.col("id"),
+        F.array(
+            (F.col("id") / F.lit(3.0)),
+            F.lit(math.pi),
+            (F.lit(1.0) / (F.col("id") + F.lit(7.0))),
+        ).alias("v"),
+    )
+    back = rebroadcast_small(df)
+    assert back.schema == df.schema
+    orig = sorted((r.id, tuple(r.v)) for r in df.collect())
+    got = sorted((r.id, tuple(r.v)) for r in back.collect())
+    assert got == orig  # exact ==, no tolerance: IEEE binary64 round-trip
+    # zero-lineage: the rebuilt plan is a bare ExistingRDD scan with no
+    # trace of the original source lineage
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "Range" not in plan and "Project" not in plan
+
+    with pytest.raises(ValueError, match="exceeds"):
+        rebroadcast_small(spark.range(100), max_rows=16)
