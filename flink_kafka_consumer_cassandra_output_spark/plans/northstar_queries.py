@@ -935,6 +935,70 @@ def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_headers(_docs(spark, sf_dir))
 
 
+@register(
+    "mm_pixel_stats",
+    oracle="""
+WITH img AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+         CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+         CAST((7 * doc_id) % 16 + 1 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 3 < 2
+),
+pix AS (
+  SELECT i.doc_id, i.fmt, i.width, i.height,
+         (i.doc_id + x.x + y.y) % 256 AS r,
+         (3 * i.doc_id + 7 * x.x) % 256 AS g,
+         (5 * y.y + i.doc_id) % 256 AS b
+  FROM img i,
+       UNNEST(range(0, CAST(i.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(i.height AS BIGINT))) AS y(y)
+),
+img_stats AS (
+  SELECT doc_id, fmt, width, height,
+         CAST(3 * width * height AS BIGINT) AS n_values,
+         CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+         CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+         CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+  FROM pix GROUP BY doc_id, fmt, width, height
+),
+wav AS (
+  SELECT d.doc_id, 'wav_pcm' AS fmt,
+         CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+         CAST(d.doc_id % 64 + 1 AS BIGINT) AS n_values,
+         CAST(SUM(((7 * d.doc_id + 13 * s.i) % 65536) - 32768) AS BIGINT)
+           AS sum_values,
+         CAST(MIN(((7 * d.doc_id + 13 * s.i) % 65536) - 32768) AS INTEGER)
+           AS min_value,
+         CAST(MAX(((7 * d.doc_id + 13 * s.i) % 65536) - 32768) AS INTEGER)
+           AS max_value
+  FROM documents d,
+       UNNEST(range(0, d.doc_id % 64 + 1)) AS s(i)
+  WHERE d.doc_id % 3 = 2
+  GROUP BY d.doc_id
+)
+SELECT * FROM img_stats UNION ALL SELECT * FROM wav
+""",
+    doc="north-star multimodal REAL pixel/sample decode (r11: converts "
+        "the decode_media stub into a gated operator for the formats a "
+        "pure-Python decoder honestly covers): a 24-bit BMP, binary PPM, "
+        "or 16-bit PCM WAV is synthesized per document and decoded BACK "
+        "from raw bytes -- BMP bottom-up row order + 4-byte padding, PPM "
+        "header tokenization, RIFF chunk walk + signed int16 samples -- "
+        "with exact integer stats over the decoded values.  The oracle "
+        "re-derives every stat arithmetically from range() cross "
+        "products, so the hash gate proves decode(synth(x)) == x per "
+        "row.  Compressed codecs (PNG/JPEG/GIF/MP4 payloads) stay behind "
+        "the loud NotImplementedError.  Scale: narrow Arrow-batched "
+        "mapInPandas; O(1)-width stats cross back to the JVM, never "
+        "pixels",
+    driver=False,
+    sibling="mm_media_headers",
+)
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.pixel_stats(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------

@@ -214,3 +214,97 @@ def test_mp4_mvhd_version1_64bit_fields():
         b"moov", box(b"mvhd", mvhd)
     )
     assert mm.parse_media_header(blob) == {"fmt": "mp4", "duration_ms": 7_500_000}
+
+
+# ---------------------------------------------------------------------------
+# r11: real uncompressed decode (BMP / PPM / WAV-PCM)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_decode_roundtrip_with_row_padding():
+    """width=5 -> 15-byte rows padded to 16: the padding and the bottom-up
+    flip must both be honored for pixels to come back in synth order."""
+    d = mm.decode_bmp(mm.synth_bmp(5, 3, doc_id=7))
+    assert (d["width"], d["height"]) == (5, 3)
+    expect = [
+        ((7 + x + y) % 256, (21 + 7 * x) % 256, (5 * y + 7) % 256)
+        for y in range(3)
+        for x in range(5)
+    ]
+    assert d["pixels"] == expect
+
+
+def test_bmp_top_down_negative_height():
+    """A top-down BMP (negative height) must decode to the SAME top-down
+    pixel list as the bottom-up encoding of the same image."""
+    blob = bytearray(mm.synth_bmp(4, 2, doc_id=3))
+    bottom_up = mm.decode_bmp(bytes(blob))
+    # flip to top-down: negate height, reverse the two 12-byte rows
+    # (width 4 -> stride 12, no padding)
+    blob[22:26] = (-2).to_bytes(4, "little", signed=True)
+    px = blob[54:]
+    blob[54:] = px[12:24] + px[0:12]
+    top_down = mm.decode_bmp(bytes(blob))
+    assert top_down["pixels"] == bottom_up["pixels"]
+
+
+def test_ppm_header_comments_and_whitespace():
+    raw = b"P6\n# a comment\n 4\t2 # trailing\n255\n" + bytes(range(24))
+    d = mm.decode_ppm(raw)
+    assert (d["width"], d["height"]) == (4, 2)
+    assert d["pixels"][0] == (0, 1, 2) and d["pixels"][-1] == (21, 22, 23)
+
+
+def test_ppm_matches_bmp_pixels():
+    assert (
+        mm.decode_ppm(mm.synth_ppm(6, 4, doc_id=11))["pixels"]
+        == mm.decode_bmp(mm.synth_bmp(6, 4, doc_id=11))["pixels"]
+    )
+
+
+def test_wav_pcm_decode_signed_samples_and_chunk_alignment():
+    samples = [-32768, -1, 0, 1, 32767]
+    pcm = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+    d = mm.decode_wav_pcm(mm.synth_wav(2, 44100, 16, pcm))
+    assert d["samples"] == samples
+    assert (d["channels"], d["sample_rate"], d["bits"]) == (2, 44100, 16)
+    # odd-sized data chunk: the RIFF walk must word-align past it and the
+    # sample decode must ignore the trailing half-sample byte
+    d2 = mm.decode_wav_pcm(mm.synth_wav(1, 8000, 16, pcm + b"\x7f"))
+    assert d2["samples"] == samples
+
+
+@pytest.mark.parametrize(
+    "blob, decoder",
+    [
+        (b"BMxx", "decode_bmp"),  # truncated header
+        (b"P6\n4 2\n65535\n" + bytes(48), "decode_ppm"),  # 16-bit maxval
+        (b"RIFF\x00\x00\x00\x00WAVE", "decode_wav_pcm"),  # no fmt/data
+    ],
+)
+def test_uncompressed_decoders_raise_on_malformed(blob, decoder):
+    with pytest.raises(ValueError):
+        getattr(mm, decoder)(blob)
+
+
+def test_decode_media_dispatches_on_magic_not_label():
+    assert mm.decode_media(mm.synth_bmp(2, 2, 1), "audio/wav")["fmt"] == "bmp"
+    assert mm.decode_media(mm.synth_ppm(2, 2, 1), "image/png")["fmt"] == "ppm"
+    pcm = (12345).to_bytes(2, "little", signed=True)
+    assert (
+        mm.decode_media(mm.synth_wav(1, 8000, 16, pcm), "x")["fmt"] == "wav_pcm"
+    )
+    # compressed containers still yield header-only metadata
+    assert mm.decode_media(mm.synth_png(3, 4), "x") == {
+        "fmt": "png", "width": 3, "height": 4,
+    }
+
+
+def test_decode_media_non_pcm_wav_falls_back_to_header():
+    """A float-format WAV (format=3) can't be sample-decoded by the PCM
+    path but must still return header metadata, not raise."""
+    blob = bytearray(mm.synth_wav(1, 8000, 16, bytes(4)))
+    fmt_off = blob.index(b"fmt ") + 8
+    blob[fmt_off : fmt_off + 2] = (3).to_bytes(2, "little")
+    hd = mm.decode_media(bytes(blob), "x")
+    assert hd["fmt"] == "wav" and "samples" not in hd
