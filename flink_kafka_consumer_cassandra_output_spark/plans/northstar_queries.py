@@ -2726,7 +2726,9 @@ def _pr_d(v: float) -> str:
     return f"CAST('{v!r}' AS DOUBLE)"
 
 
-def _pagerank_oracle(pairs_ctes: str | None = None) -> str:
+def _pagerank_oracle(
+    pairs_ctes: str | None = None, vertex_col: str = "doc_id"
+) -> str:
     """Unrolled PageRank oracle over a ``pairs(id_a, id_b)`` CTE; the
     pairs prefix defaults to the dup-graph's verified near-dup pairs and
     is parameterized so other graphs (part_copurchase_pagerank) reuse
@@ -2767,7 +2769,7 @@ def _pagerank_oracle(pairs_ctes: str | None = None) -> str:
     prefix = pairs_ctes if pairs_ctes is not None else _PREFIX_FILTER_CTES
     return f"""WITH {prefix},
 {joined}
-SELECT r.v AS doc_id, d.deg, r.rank AS pagerank
+SELECT r.v AS {vertex_col}, d.deg, r.rank AS pagerank
 FROM r{PR_ITERS} r JOIN deg d ON d.src = r.v"""
 
 
@@ -2799,14 +2801,20 @@ def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = materialize(
         _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
     )
-    return pagerank_from_pairs(pairs)
+    return pagerank_from_pairs(pairs).select(
+        F.col("v").alias("doc_id"), "deg", "pagerank"
+    )
 
 
 def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
     """The PageRank iteration proper over an undirected pair list
     ``(id_a, id_b)`` -- factored out of the registered builder so the
     star-graph hub probe (tools/scale_probe_graph.py) exercises the REAL
-    fold on synthetic edges.  Returns (doc_id, deg, pagerank)."""
+    fold on synthetic edges.  Returns a GENERIC vertex column
+    ``(v, deg, pagerank)``; each registered caller aliases ``v`` to
+    its graph's key (doc_id for the dup graph, part_key for
+    co-purchase), mirrored by its oracle's vertex_col (r10 ADVICE: a
+    lineitem/parts graph must not ship a doc_id column)."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -2876,7 +2884,7 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
             ((F.lit(1.0 - PR_D) / n_d) + F.lit(PR_D) * s).alias("rank"),
         )
     return r.join(deg, r["v"] == deg["src"]).select(
-        F.col("v").alias("doc_id"), "deg", F.col("rank").alias("pagerank")
+        "v", "deg", F.col("rank").alias("pagerank")
     )
 
 
@@ -3685,7 +3693,7 @@ _COPURCHASE_PAIRS_CTES = """ip AS (
 
 @register(
     "part_copurchase_pagerank",
-    oracle=_pagerank_oracle(_COPURCHASE_PAIRS_CTES),
+    oracle=_pagerank_oracle(_COPURCHASE_PAIRS_CTES, vertex_col="part_key"),
     doc="PageRank over the part co-purchase graph (edges = part pairs "
         "bought together in >=2 orders, basket_copurchase_lift's "
         "candidate generation): the items-as-graph view of the same "
@@ -3719,4 +3727,6 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 2)
         .select("id_a", "id_b")
     )
-    return pagerank_from_pairs(materialize(pairs))
+    return pagerank_from_pairs(materialize(pairs)).select(
+        F.col("v").alias("part_key"), "deg", "pagerank"
+    )

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators import debounce as _batch_debounce
+
 #: Output: one row per key per batch in which the key appeared.
 RUNNING_COUNT_SCHEMA = T.StructType(
     [
@@ -166,21 +168,18 @@ def running_anomaly_scores(ev: DataFrame) -> DataFrame:
 # Exact debounce (the streaming half of ev_debounce_exact)
 # --------------------------------------------------------------------------
 
-DEBOUNCE_OUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("event_id", T.LongType()),
-    ]
-)
+# Output schema and gap constant are IMPORTED from the batch operator, not
+# redeclared: the stream==batch guarantee depends on both sides sharing one
+# definition, and a one-sided edit would only surface if the fixture
+# happened to exercise the changed boundary (r10 ADVICE).
+DEBOUNCE_OUT_SCHEMA = _batch_debounce.DEBOUNCE_SCHEMA
 
 #: State: epoch-us of the last KEPT event for this key.  O(1) per key --
 #: this is why debounce deploys as a stream at 100 TB: the batch form
 #: re-scans history, the stream never does.
 _DEBOUNCE_STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
 
-_DEBOUNCE_GAP_US = 60_000_000
+_DEBOUNCE_GAP_US = _batch_debounce.GAP_US
 
 
 def _update_debounce(
@@ -314,6 +313,13 @@ _QUOTA_STATE_SCHEMA = T.StructType(
 )
 
 _QUOTA_PER_HOUR = 1
+#: Hour bucketing is EPOCH-INTEGER (us // _HOUR_US), i.e. UTC hours.  The
+#: batch gate this twin is pinned against buckets with
+#: date_trunc('hour', ts) in the SESSION timezone; the two conventions
+#: agree because session.py pins spark.sql.session.timeZone=UTC (any
+#: whole-hour offset would also agree; a :30/:45-offset zone would NOT).
+#: tests/test_stateful.py asserts the UTC pin next to the twin so the
+#: dependency is executable, not prose (r10 ADVICE).
 _HOUR_US = 3_600_000_000
 
 

@@ -253,6 +253,11 @@ def test_quota_stream_matches_batch(spark, sf_dir, tmp_path):
         "ORDER BY user_id, ts, event_id"
     ).toPandas()
 
+    # The stream buckets hours as epoch-us integers; this batch gate uses
+    # date_trunc in the session timezone.  They agree only under a
+    # whole-hour-offset zone -- assert the UTC pin so a conf drift fails
+    # here instead of silently diverging stream vs batch.
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     b = tables.load(spark, sf_dir, "events")
     w = Window.partitionBy(
         "user_id", F.date_trunc("hour", F.col("ts"))
