@@ -53,6 +53,7 @@ GAP_US = 60_000_000  # 60s, integer microseconds (no interval semantics)
 
 def _debounce_partition(
     batches: Iterator[pd.DataFrame],
+    gap_us: int = GAP_US,
 ) -> Iterator[pd.DataFrame]:
     # State carried ACROSS Arrow batches of one sorted partition: the key
     # whose run is in progress and the epoch-us of its last kept event.
@@ -72,14 +73,15 @@ def _debounce_partition(
                 cur_key = key
                 last_us = t
                 keep.append(i)
-            elif t - last_us > GAP_US:
+            elif t - last_us > gap_us:
                 last_us = t
                 keep.append(i)
         yield pdf.iloc[keep][["user_id", "event_type", "ts", "event_id"]]
 
 
-def debounce_exact(ev: DataFrame) -> DataFrame:
-    """Kept events under exact 60s debounce per (user_id, event_type).
+def debounce_exact(ev: DataFrame, gap_us: int = GAP_US) -> DataFrame:
+    """Kept events under exact ``gap_us`` (default 60s) debounce per
+    (user_id, event_type).
 
     Deterministic: rows are hash-partitioned by the key and sorted within
     partitions on the total (key, ts, event_id) order before the fold, so
@@ -91,4 +93,6 @@ def debounce_exact(ev: DataFrame) -> DataFrame:
         .repartition("user_id", "event_type")
         .sortWithinPartitions("user_id", "event_type", "ts", "event_id")
     )
-    return prepared.mapInPandas(_debounce_partition, DEBOUNCE_SCHEMA)
+    return prepared.mapInPandas(
+        lambda it: _debounce_partition(it, gap_us), DEBOUNCE_SCHEMA
+    )

@@ -182,30 +182,40 @@ _DEBOUNCE_STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
 _DEBOUNCE_GAP_US = _batch_debounce.GAP_US
 
 
-def _update_debounce(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (last_us,) = state.get if state.exists else (None,)
-    out = {c.name: [] for c in DEBOUNCE_OUT_SCHEMA.fields}
-    parts = [pdf for pdf in pdfs]
-    if parts:
-        pdf = pd.concat(parts).sort_values(["ts", "event_id"], kind="mergesort")
-        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        for i, t in enumerate(us):
-            if last_us is None or int(t) - last_us > _DEBOUNCE_GAP_US:
-                last_us = int(t)
-                out["user_id"].append(key[0])
-                out["event_type"].append(key[1])
-                out["ts"].append(pdf["ts"].iloc[i])
-                out["event_id"].append(pdf["event_id"].iloc[i])
-    if last_us is not None:
-        state.update((last_us,))
-    yield pd.DataFrame(out)
+def make_debounce_update(gap_us: int):
+    """Update fn factory (the CUSUM factory pattern): ``gap_us`` is the
+    debounce window; the default twin uses the batch operator's GAP_US and
+    the adversarial twin tests pin stream==batch at the fixture's median
+    inter-event gap, where >- vs >=-boundary bugs actually fire."""
+
+    def _update_debounce(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (last_us,) = state.get if state.exists else (None,)
+        out = {c.name: [] for c in DEBOUNCE_OUT_SCHEMA.fields}
+        parts = [pdf for pdf in pdfs]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["ts", "event_id"], kind="mergesort")
+            us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            for i, t in enumerate(us):
+                if last_us is None or int(t) - last_us > gap_us:
+                    last_us = int(t)
+                    out["user_id"].append(key[0])
+                    out["event_type"].append(key[1])
+                    out["ts"].append(pdf["ts"].iloc[i])
+                    out["event_id"].append(pdf["event_id"].iloc[i])
+        if last_us is not None:
+            state.update((last_us,))
+        yield pd.DataFrame(out)
+
+    return _update_debounce
 
 
-def debounced_events(ev: DataFrame) -> DataFrame:
+def debounced_events(
+    ev: DataFrame, gap_us: int = _DEBOUNCE_GAP_US
+) -> DataFrame:
     """Kept events under exact 60s debounce per (user_id, event_type), the
     streaming twin of operators/debounce.py:debounce_exact.  PRECONDITION
     (same as running_anomaly_scores): micro-batches arrive in event-time
@@ -214,7 +224,7 @@ def debounced_events(ev: DataFrame) -> DataFrame:
     precondition stream==batch kept sets are identical row-for-row
     (pinned in tests/test_stateful.py)."""
     return ev.groupBy("user_id", "event_type").applyInPandasWithState(
-        _update_debounce,
+        make_debounce_update(gap_us),
         DEBOUNCE_OUT_SCHEMA,
         _DEBOUNCE_STATE_SCHEMA,
         "update",
@@ -323,31 +333,41 @@ _QUOTA_PER_HOUR = 1
 _HOUR_US = 3_600_000_000
 
 
-def _update_quota(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    hour_us, n = state.get if state.exists else (-1, 0)
-    out = {c.name: [] for c in QUOTA_OUT_SCHEMA.fields}
-    parts = [pdf for pdf in pdfs]
-    if parts:
-        pdf = pd.concat(parts).sort_values(["ts", "event_id"], kind="mergesort")
-        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        for i in range(len(pdf)):
-            h = (int(us[i]) // _HOUR_US) * _HOUR_US
-            if h != hour_us:
-                hour_us, n = h, 0
-            n += 1
-            out["user_id"].append(key[0])
-            out["ts"].append(pdf["ts"].iloc[i])
-            out["event_id"].append(int(pdf["event_id"].iloc[i]))
-            out["allowed"].append(n <= _QUOTA_PER_HOUR)
-    state.update((hour_us, n))
-    yield pd.DataFrame(out)
+def make_quota_update(quota_per_hour: int):
+    """Update fn factory: ``quota_per_hour`` defaults to 1 in the
+    registered twin (exercising the throttle branch at every fixture
+    scale); the adversarial twin test pins stream==batch at the fixture's
+    MAX per-(user, hour) count, where every decision is an allow."""
+
+    def _update_quota(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hour_us, n = state.get if state.exists else (-1, 0)
+        out = {c.name: [] for c in QUOTA_OUT_SCHEMA.fields}
+        parts = [pdf for pdf in pdfs]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["ts", "event_id"], kind="mergesort")
+            us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            for i in range(len(pdf)):
+                h = (int(us[i]) // _HOUR_US) * _HOUR_US
+                if h != hour_us:
+                    hour_us, n = h, 0
+                n += 1
+                out["user_id"].append(key[0])
+                out["ts"].append(pdf["ts"].iloc[i])
+                out["event_id"].append(int(pdf["event_id"].iloc[i]))
+                out["allowed"].append(n <= quota_per_hour)
+        state.update((hour_us, n))
+        yield pd.DataFrame(out)
+
+    return _update_quota
 
 
-def quota_enforced_events(ev: DataFrame) -> DataFrame:
+def quota_enforced_events(
+    ev: DataFrame, quota_per_hour: int = _QUOTA_PER_HOUR
+) -> DataFrame:
     """Per-event allow/throttle decisions under the 1-per-(user, hour)
     quota, the ONLINE form of the batch audit ev_quota_flagging.
     PRECONDITION (as the other stateful twins): micro-batches arrive in
@@ -355,7 +375,7 @@ def quota_enforced_events(ev: DataFrame) -> DataFrame:
     event equals the batch row_number gate exactly
     (tests/test_stateful.py)."""
     return ev.groupBy("user_id").applyInPandasWithState(
-        _update_quota,
+        make_quota_update(quota_per_hour),
         QUOTA_OUT_SCHEMA,
         _QUOTA_STATE_SCHEMA,
         "update",

@@ -107,3 +107,73 @@ def test_debounce_stream_matches_batch(spark, sf_dir, tmp_path):
     # more than one micro-batch (time-sliced chunks guarantee it at this sf)
     first_chunk_max_ts = pa.compute.max(chunks[0].column("ts")).as_py()
     assert (batch["ts"] > first_chunk_max_ts).any()
+
+
+def test_debounce_stream_matches_batch_at_median_gap(spark, sf_dir, tmp_path):
+    """Adversarial parameter set (r10 VERDICT item 7): debounce window =
+    the fixture's MEDIAN inter-event gap per key, so roughly half the
+    comparisons land on each side of the threshold and the strict->
+    boundary is exercised constantly -- not just by the sparse 60s
+    default.  Stream must still equal batch row-for-row."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+        med = con.execute(
+            f"""
+            SELECT CAST(MEDIAN(gap_us) AS BIGINT) FROM (
+              SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_us
+              FROM '{sf_dir}/events.parquet'
+            ) WHERE gap_us IS NOT NULL
+            """
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert med and med > 0
+
+    chunks = [
+        tbl.slice(i * (tbl.num_rows // N_CHUNKS + 1), tbl.num_rows // N_CHUNKS + 1)
+        for i in range(N_CHUNKS)
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(chunks, input_dir, 0, N_CHUNKS)
+
+    ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        debounced_events(ev, gap_us=int(med))
+        .writeStream.format("memory")
+        .queryName("debounced_med")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_deb_med"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.sql(
+        "SELECT user_id, event_type, ts, event_id FROM debounced_med "
+        "ORDER BY user_id, event_type, ts, event_id"
+    ).toPandas()
+
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    ev_b = tables.load(spark, sf_dir, "events")
+    batch = (
+        debounce_exact(ev_b, gap_us=int(med))
+        .toPandas()
+        .sort_values(["user_id", "event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    n_events = tbl.num_rows
+    # the median gap must actually drop events AND keep multi-keeps per
+    # key, else this parameter set exercises nothing new
+    assert 0 < len(batch) < n_events
+    assert len(streamed) == len(batch)
+    for col in ["user_id", "event_type", "ts", "event_id"]:
+        assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col

@@ -275,3 +275,81 @@ def test_quota_stream_matches_batch(spark, sf_dir, tmp_path):
     assert (~batch["allowed"]).any(), "fixture never throttles; quota untested"
     for col in ["user_id", "ts", "event_id", "allowed"]:
         assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col
+
+
+def test_quota_stream_matches_batch_at_max_hourly_count(spark, sf_dir, tmp_path):
+    """Adversarial parameter set (r10 VERDICT item 7): quota = the
+    fixture's MAX per-(user, hour) event count.  Every decision is an
+    allow and at least one (user, hour) lands exactly ON the quota, so
+    the n == quota boundary is exercised -- the registered quota=1 twin
+    only ever sees the throttle side of it."""
+    import duckdb
+
+    from pyspark.sql import Window
+
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+    from flink_kafka_consumer_cassandra_output_spark.streaming.stateful import (
+        quota_enforced_events,
+    )
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+        qmax = con.execute(
+            f"""
+            SELECT MAX(c) FROM (
+              SELECT COUNT(*) AS c FROM '{sf_dir}/events.parquet'
+              GROUP BY user_id, date_trunc('hour', ts)
+            )
+            """
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert qmax and qmax >= 1
+
+    chunks = [
+        tbl.slice(i * (tbl.num_rows // N_CHUNKS + 1), tbl.num_rows // N_CHUNKS + 1)
+        for i in range(N_CHUNKS)
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(chunks, input_dir, 0, N_CHUNKS)
+
+    ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+    q = (
+        quota_enforced_events(ev, quota_per_hour=int(qmax))
+        .writeStream.format("memory")
+        .queryName("quota_decisions_max")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_quota_max"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.sql(
+        "SELECT user_id, ts, event_id, allowed FROM quota_decisions_max "
+        "ORDER BY user_id, ts, event_id"
+    ).toPandas()
+
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    b = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    batch = (
+        b.select(
+            "user_id", "ts", "event_id",
+            (F.row_number().over(w) <= int(qmax)).alias("allowed"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    for col in ["user_id", "ts", "event_id", "allowed"]:
+        assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col
+    # at quota = max, everything is allowed and the boundary is REACHED
+    assert streamed["allowed"].all()
