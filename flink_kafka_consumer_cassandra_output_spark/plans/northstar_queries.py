@@ -1162,6 +1162,35 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(q, assigned, cent, k=5, nprobe=2)
 
 
+def _ivf16(spark: SparkSession, sf_dir: str):
+    """The (codebook, assignment) pair for the k=16 Lloyd-trained IVF over
+    the embeddings fixture, shared by emb_ann_ivf_trained,
+    emb_semantic_dedup, and emb_ann_recall_curve -- three queries that all
+    train the IDENTICAL codebook.  The codebook is collect-rebroadcast
+    (constant-bounded: 16 x 64 doubles) and the corpus assignment is
+    session-memoized, so a full sweep runs the training lineage and the
+    assignment pass ONCE; at cluster scale that is a shared staging table
+    for the assignment and a driver-held codebook (the ivf_train docstring
+    pattern)."""
+    e = _emb(spark, sf_dir)
+    corpus = e.select("vec_id", "embedding")
+    cent = rebroadcast_small(
+        session_memo(
+            spark, f"ivf16_cent:{sf_dir}", lambda: SIM.ivf_train(corpus, k=16)
+        )
+    )
+    c = corpus.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    assigned = session_memo(
+        spark, f"ivf16_assigned:{sf_dir}", lambda: SIM.ivf_assign(c, cent)
+    )
+    return cent, c, assigned
+
+
 def _ivf_train_ctes(k: int = 16) -> list[str]:
     """The Lloyd-training CTE chain shared by every trained-codebook
     oracle: unrolls IVF_TRAIN_ITERS (assign, re-centroid) pairs and ends
@@ -1253,14 +1282,7 @@ WHERE rank <= 5"""
         "prunes correctly",
 )
 def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    corpus = e.select("vec_id", "embedding")
-    cent = SIM.ivf_train(corpus, k=16)
-    c = corpus.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("embedding"),
-    )
-    assigned = SIM.ivf_assign(c, cent)
+    cent, c, assigned = _ivf16(spark, sf_dir)
     q = c.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
     )
@@ -1671,17 +1693,11 @@ LEFT JOIN dup_of d ON d.vec_id = a.vec_id"""
     sibling="emb_ann_ivf_trained",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    corpus = e.select("vec_id", "embedding")
-    cent = SIM.ivf_train(corpus, k=16)
-    c = corpus.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("embedding"),
-    )
-    # Materialized: the frame feeds the pair self-join (2 subtrees) plus
-    # the final projection, and the upstream Lloyd training would
-    # otherwise re-run per subtree.
-    assigned = materialize(SIM.ivf_assign(c, cent))
+    # Shared k=16 codebook/assignment (session-memoized): the assignment
+    # frame feeds the pair self-join (2 subtrees) plus the final
+    # projection, and the memo's materialize keeps the Lloyd training
+    # from re-running per subtree or per consumer query.
+    cent, c, assigned = _ivf16(spark, sf_dir)
     # Same lesson as doc_near_dup_jaccard/simhash: the materialized frame
     # is a handful of narrow rows that AQE coalesces to ONE partition, and
     # the within-bucket cosine verify -- the quadratic part -- would run
@@ -3473,16 +3489,7 @@ FROM ({arms})"""
     sibling="emb_ann_ivf_trained",
 )
 def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    corpus = e.select("vec_id", "embedding")
-    cent = rebroadcast_small(SIM.ivf_train(corpus, k=16))
-    c = corpus.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    assigned = materialize(SIM.ivf_assign(c, cent))
+    cent, c, assigned = _ivf16(spark, sf_dir)
     q = c.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
     )
