@@ -71,7 +71,13 @@ _SESSION_MEMO: dict[tuple, DataFrame] = {}
 #: tag -> wall seconds spent building+materializing the memoized frame.
 #: bench.py reads this to bill shared stages honestly: min-of-N repeat
 #: timing would otherwise drop the one-time build from the sweep total.
+#: SELF time only: a memo build that triggers a nested memo build (the CC
+#: label stage builds on the memoized pair table) records its own wall
+#: time MINUS the child's, so summing the dict never double-bills.
 SESSION_MEMO_BUILD_SECONDS: dict[str, float] = {}
+
+#: Stack of child-build-time accumulators for nested session_memo builds.
+_MEMO_CHILD_SECONDS: list[float] = []
 
 
 def session_memo(spark, tag: str, build) -> DataFrame:
@@ -97,11 +103,17 @@ def session_memo(spark, tag: str, build) -> DataFrame:
     got = _SESSION_MEMO.get(key)
     if got is None:
         t0 = time.perf_counter()
-        got = materialize(build())
+        _MEMO_CHILD_SECONDS.append(0.0)
+        try:
+            got = materialize(build())
+        finally:
+            child = _MEMO_CHILD_SECONDS.pop()
+        elapsed = time.perf_counter() - t0
         SESSION_MEMO_BUILD_SECONDS[tag] = (
-            SESSION_MEMO_BUILD_SECONDS.get(tag, 0.0)
-            + (time.perf_counter() - t0)
+            SESSION_MEMO_BUILD_SECONDS.get(tag, 0.0) + elapsed - child
         )
+        if _MEMO_CHILD_SECONDS:
+            _MEMO_CHILD_SECONDS[-1] += elapsed
         _SESSION_MEMO[key] = got
     return got
 

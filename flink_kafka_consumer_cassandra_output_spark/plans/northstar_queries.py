@@ -449,15 +449,28 @@ pairs AS (
 )"""
 
 
-def _jaccard_verified_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard) pairs with exact Jaccard >= 0.5, candidates
-    from the lossless prefix filter -- shared by doc_near_dup_jaccard and
-    doc_dedup_clusters.  ``docs``: (doc_id, sh).
+    from the lossless prefix filter -- the verified near-dup pair relation
+    EIGHT registered queries start from (near-dup listing, CC labels,
+    triangles, k-core, clustering coefficient, PageRank, BFS, LPA).
+    Session-memoized for that reason (r11): one PPJoin + verify per sweep,
+    not eight; at cluster scale this is the staged pair table every
+    graph/dedup report reads.
 
     The candidate set is repartitioned before the verify for the same
     reason as doc_near_dup_simhash: narrow (id, id) rows get AQE-coalesced
     to ~1 partition and the array-intersect verify would run
     single-threaded."""
+
+    def build() -> DataFrame:
+        return _jaccard_verified_pairs_lazy(spark, sf_dir)
+
+    return session_memo(spark, f"jaccard_pairs:{sf_dir}", build)
+
+
+def _jaccard_verified_pairs_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
     cand = SIM.prefix_filter_pairs(docs, threshold=0.5).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -523,8 +536,7 @@ SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM pairs
     sibling="doc_dedup_clusters",
 )
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_shingled(spark, sf_dir)
-    return _jaccard_verified_pairs(spark, docs).select(
+    return _jaccard_verified_pairs(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )
 
@@ -537,8 +549,7 @@ def _dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per consumer (r10 VERDICT 'What's wrong' #2)."""
 
     def build() -> DataFrame:
-        docs = _docs_shingled(spark, sf_dir)
-        pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+        pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
         nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
         edges = pairs.select(
             F.col("id_a").alias("a"), F.col("id_b").alias("b")
@@ -2157,10 +2168,7 @@ SELECT
         "that closes them.",
 )
 def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_shingled(spark, sf_dir)
-    pairs = materialize(
-        _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
-    )
+    pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
     p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
@@ -2229,8 +2237,7 @@ LEFT JOIN alive{rounds} a ON a.v = d.doc_id"""
         "for free.",
 )
 def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_shingled(spark, sf_dir)
-    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     out = SIM.kcore_membership(nodes, edges, k=2)
@@ -2376,10 +2383,7 @@ LEFT JOIN tcnt t ON t.v = d.doc_id
     sibling="doc_dedup_clusters",
 )
 def doc_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_shingled(spark, sf_dir)
-    pairs = materialize(
-        _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
-    )
+    pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
     p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
@@ -2813,10 +2817,7 @@ FROM r{PR_ITERS} r JOIN deg d ON d.src = r.v"""
         "SCALING.md).",
 )
 def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_shingled(spark, sf_dir)
-    pairs = materialize(
-        _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
-    )
+    pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     return pagerank_from_pairs(pairs).select(
         F.col("v").alias("doc_id"), "deg", "pagerank"
     )
@@ -2962,8 +2963,7 @@ FROM documents d LEFT JOIN reach{rounds} r ON r.v = d.doc_id"""
         "parity for free.".format(m=BFS_SEED_MOD, h=SIM.BFS_UNROLL),
 )
 def doc_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_shingled(spark, sf_dir)
-    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
     seeds = _docs(spark, sf_dir).filter(
         F.col("doc_id") % BFS_SEED_MOD == 0
@@ -3033,8 +3033,7 @@ FROM lbl{rounds}"""
     # r11 driver-slot rotation: promoted -- frequency-LPA community detection, first driver check.
 )
 def doc_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_shingled(spark, sf_dir)
-    pairs = _jaccard_verified_pairs(spark, docs).select("id_a", "id_b")
+    pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("v"))
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     lbl = SIM.label_propagation(nodes, edges)

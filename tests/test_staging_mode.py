@@ -130,3 +130,43 @@ def test_rebroadcast_small_roundtrip_and_guard(spark):
 
     with pytest.raises(ValueError, match="exceeds"):
         rebroadcast_small(spark.range(100), max_rows=16)
+
+
+def test_session_memo_nested_builds_bill_self_time_only():
+    """SESSION_MEMO_BUILD_SECONDS must record SELF time per tag: a parent
+    memo build that triggers a nested child build (dedup_cc_labels builds
+    on the memoized jaccard pair table) must not double-bill the child's
+    seconds in bench.py's shared_stage_seconds sum."""
+    import time
+
+    import flink_kafka_consumer_cassandra_output_spark.materialize as M
+
+    class _SC:
+        applicationId = "memo-test-app"
+
+    class _Spark:
+        sparkContext = _SC()
+
+    sp = _Spark()
+    orig_mat = M.materialize
+    M.materialize = lambda df: df  # identity: no Spark needed
+    before = dict(M.SESSION_MEMO_BUILD_SECONDS)
+    try:
+        def child():
+            time.sleep(0.1)
+            return "c"
+
+        def parent():
+            M.session_memo(sp, "t_child", child)
+            time.sleep(0.05)
+            return "p"
+
+        M.session_memo(sp, "t_parent", parent)
+        d = M.SESSION_MEMO_BUILD_SECONDS
+        assert 0.08 < d["t_child"] < 0.3
+        # parent self-time excludes the child's 0.1s sleep
+        assert d["t_parent"] < 0.09
+    finally:
+        M.materialize = orig_mat
+        M.SESSION_MEMO_BUILD_SECONDS.clear()
+        M.SESSION_MEMO_BUILD_SECONDS.update(before)
