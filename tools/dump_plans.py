@@ -69,6 +69,9 @@ QUERIES = [
     ("doc_bigram_pmi", "PMI collocations: two linear explodes, vocab equi-joins (no broadcast hint), ratio-ordered top-50, ln on 50 rows"),
     ("emb_cluster_diversity", "O(n) diversity identity: two-level bucketed sequential fold, no pair join anywhere"),
     ("doc_zipf_fit", "Zipf fit: word-count shuffle, TakeOrdered top-1000, bounded sorted-collect OLS folds"),
+    ("mm_pixel_stats", "real BMP/PPM/WAV-PCM decode: narrow Arrow-batched mapInPandas, O(1)-width stats, zero shuffle"),
+    ("doc_dedup_keep_best", "keep-best over the session-memoized CC label stage: checkpoint scan + one quality window"),
+    ("emb_ann_recall_curve", "recall certificate over the memoized codebook/assignment: three probed arms + exact arm union"),
 ]
 
 
