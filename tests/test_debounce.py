@@ -177,3 +177,70 @@ def test_debounce_stream_matches_batch_at_median_gap(spark, sf_dir, tmp_path):
     assert len(streamed) == len(batch)
     for col in ["user_id", "event_type", "ts", "event_id"]:
         assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col
+
+
+def test_debounce_stream_restart_preserves_state(spark, sf_dir, tmp_path):
+    """Kill/restart for the applyInPandasWithState debouncer: the last-kept
+    timestamp per key must survive in the state store, so a post-restart
+    event inside the gap of a PRE-restart kept event is still suppressed.
+    The union of both phases' kept sets must equal the batch operator's
+    output exactly — no loss, no dupes, no boundary re-emission."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    chunks = [
+        tbl.slice(i * (tbl.num_rows // N_CHUNKS + 1), tbl.num_rows // N_CHUNKS + 1)
+        for i in range(N_CHUNKS)
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    cp = tmp_path / "cp_deb_restart"
+
+    # the memory sink refuses checkpoint recovery; foreachBatch -> parquet
+    # supports it (batch ids tracked in the checkpoint, idempotent append)
+    out = tmp_path / "kept"
+
+    def _phase(phase_dir):
+        dest = str(out / phase_dir)
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(dest)
+
+        ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+        q = (
+            debounced_events(ev)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(dest).select(
+            "user_id", "event_type", "ts", "event_id"
+        ).toPandas()
+
+    # phase 1: first half of the stream, then the query DIES
+    _drop(chunks, input_dir, 0, 2)
+    kept1 = _phase("phase1")
+
+    # phase 2: rest arrives; a NEW query restarts from the checkpoint
+    _drop(chunks, input_dir, 2, N_CHUNKS)
+    kept2 = _phase("phase2")
+
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    batch = debounce_exact(tables.load(spark, sf_dir, "events")).toPandas()
+    key = lambda df: {  # noqa: E731
+        (r.user_id, r.event_type, r.ts, r.event_id) for r in df.itertuples()
+    }
+    union = key(kept1) | key(kept2)
+    assert not (key(kept1) & key(kept2)), "restart re-emitted kept events"
+    assert union == key(batch)
+    assert len(kept2), "phase 2 emitted nothing; restart path untested"

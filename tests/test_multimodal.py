@@ -308,3 +308,37 @@ def test_decode_media_non_pcm_wav_falls_back_to_header():
     blob[fmt_off : fmt_off + 2] = (3).to_bytes(2, "little")
     hd = mm.decode_media(bytes(blob), "x")
     assert hd["fmt"] == "wav" and "samples" not in hd
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(
+    st.integers(1, 40), st.integers(1, 24), st.integers(0, 10**12)
+)
+def test_bmp_ppm_decode_synth_identity_fuzz(w, h, doc_id):
+    """decode(synth(x)) == x over random dimensions and ids: sweeps every
+    row-padding residue (w*3 % 4) and the channel-formula mod wraps; BMP
+    (bottom-up, padded) and PPM (top-down, unpadded) must agree exactly."""
+    b = mm.decode_bmp(mm.synth_bmp(w, h, doc_id))
+    p = mm.decode_ppm(mm.synth_ppm(w, h, doc_id))
+    assert (b["width"], b["height"]) == (w, h) == (p["width"], p["height"])
+    assert b["pixels"] == p["pixels"]
+    expect0 = (
+        doc_id % 256,
+        (3 * doc_id) % 256,
+        (5 * 0 + doc_id) % 256,
+    )
+    assert b["pixels"][0] == expect0
+    assert len(b["pixels"]) == w * h
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    st.integers(1, 8),
+    st.sampled_from([8000, 16000, 44100, 48000]),
+)
+def test_wav_pcm_decode_synth_identity_fuzz(samples, channels, rate):
+    pcm = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+    d = mm.decode_wav_pcm(mm.synth_wav(channels, rate, 16, pcm))
+    assert d["samples"] == samples
+    assert (d["channels"], d["sample_rate"], d["bits"]) == (channels, rate, 16)
