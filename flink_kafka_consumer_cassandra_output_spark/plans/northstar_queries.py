@@ -3717,22 +3717,15 @@ _COPURCHASE_PAIRS_CTES = """ip AS (
     sibling="doc_dup_graph_pagerank",
 )
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = tables.load(spark, sf_dir, "lineitem")
-    ip = li.select("l_orderkey", "l_partkey").distinct()
-    a = ip.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_a")
+    # Function-level import on purpose: a module-level one would register
+    # tpch_adapted's queries mid-northstar and break the lint-pinned
+    # registration order.  The shared pair stage's min-support filter
+    # (BASKET_MIN_SUPPORT = 2) is exactly this query's n >= 2 edge rule.
+    from .tpch_adapted_queries import _copurchase_pair_counts
+
+    pairs = _copurchase_pair_counts(spark, sf_dir).select(
+        F.col("part_a").alias("id_a"), F.col("part_b").alias("id_b")
     )
-    b = ip.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_b")
-    )
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("id_a", "id_b")
-    )
-    return pagerank_from_pairs(materialize(pairs)).select(
+    return pagerank_from_pairs(pairs).select(
         F.col("v").alias("part_key"), "deg", "pagerank"
     )

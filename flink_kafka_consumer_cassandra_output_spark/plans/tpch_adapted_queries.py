@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import numeric as N
+from ..materialize import session_memo
 from .registry import register
 from .tpch_queries import _DEC8, _t, _ts
 
@@ -1451,6 +1452,47 @@ def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 BASKET_MIN_SUPPORT = 2
 
 
+def _order_part_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) -- the basket item set THREE
+    registered queries start from (item-item CF, co-purchase lift,
+    co-purchase PageRank).  Session-memoized (r11): one distinct per
+    sweep, not three."""
+
+    def build() -> DataFrame:
+        return _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+
+    return session_memo(spark, f"order_part_items:{sf_dir}", build)
+
+
+def _copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a < part_b, supp_ab >= BASKET_MIN_SUPPORT) co-purchase pair
+    counts over the memoized basket items -- the bounded per-order pair
+    self-join all three basket queries share.  Scale: the self-join is
+    keyed on l_orderkey and bounded by basket size (never |parts|^2);
+    memoizing it makes a sweep pay that join once."""
+
+    def build() -> DataFrame:
+        items = _order_part_items(spark, sf_dir)
+        a = items.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+        )
+        b = items.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+        )
+        return (
+            a.join(b, ["ok"])
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("supp_ab"))
+            .filter(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
+        )
+
+    return session_memo(spark, f"copurchase_pairs:{sf_dir}", build)
+
+
+
 @register(
     "basket_copurchase_lift",
     oracle=f"""
@@ -1495,25 +1537,12 @@ LIMIT 100
         "TakeOrderedAndProject.".format(m=BASKET_MIN_SUPPORT),
 )
 def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_part_items(spark, sf_dir)
     n = items.agg(
         F.count_distinct(F.col("l_orderkey")).alias("n_orders")
     )
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, ["ok"])
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("supp_ab"))
-        .filter(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
-    )
+    pairs = _copurchase_pair_counts(spark, sf_dir)
     sa = supp.select(
         F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
     )
@@ -1918,22 +1947,9 @@ LIMIT 20
     # r11 driver-slot rotation: promoted -- item-item cosine collaborative filter, first driver check.
 )
 def part_itemsim_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_part_items(spark, sf_dir)
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, ["ok"])
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("supp_ab"))
-        .filter(F.col("supp_ab") >= BASKET_MIN_SUPPORT)
-    )
+    pairs = _copurchase_pair_counts(spark, sf_dir)
     sa = supp.select(
         F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
     )
