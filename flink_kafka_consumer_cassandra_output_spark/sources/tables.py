@@ -74,7 +74,17 @@ def _pin_timestamp_reads(spark: SparkSession) -> None:
     warn).
     """
     def _pin(key: str, want: str, default: str) -> None:
-        have = spark.conf.get(key, default)
+        # Read WITHOUT the sentinel default: Spark validates the default
+        # argument for some confs (spark.sql.session.timeZone rejects "" with
+        # INVALID_CONF_VALUE.TIME_ZONE) even when the conf is unset, so
+        # `spark.conf.get(key, "")` crashes on a vanilla unpinned session.
+        # A no-default get returns the resolved session default (e.g.
+        # "Etc/UTC") and the mismatch path warns+overrides as documented; if
+        # even that read fails, treat it as a mismatch and pin.
+        try:
+            have = spark.conf.get(key)
+        except Exception:
+            have = default
         if have != want:
             warnings.warn(
                 f"load() is overriding {key}={have!r} -> {want!r} on this "

@@ -20,6 +20,7 @@ These tests freeze that contract against BOTH historical encodings.
 from __future__ import annotations
 
 import datetime
+import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -98,3 +99,55 @@ def test_real_fixture_timestamp_columns_are_ltz(spark):
         assert isinstance(df.schema[col].dataType, T.TimestampType), (
             f"{name}.{col} is {df.schema[col].dataType}"
         )
+
+
+def test_loader_survives_unset_timezone_conf(spark):
+    """Regression (r11 verdict What's-wrong #1): on a session where
+    spark.sql.session.timeZone was NEVER explicitly set, Spark validates the
+    sentinel default passed to conf.get, so the old
+    ``spark.conf.get(key, "")`` crashed with INVALID_CONF_VALUE.TIME_ZONE
+    before _pin could compare.  conf.unset() reproduces the unset state
+    in-process; load() must warn-and-override, not crash."""
+    spark.conf.unset("spark.sql.session.timeZone")
+    try:
+        with pytest.warns(UserWarning, match="spark.sql.session.timeZone"):
+            df = tables.load(spark, SF_DIR, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_entry_on_vanilla_foreign_session():
+    """End-to-end form of the same regression: a genuinely unpinned
+    ``SparkSession.builder.getOrCreate()`` session (fresh JVM, no engine
+    confs) must run ``entry(spark)`` successfully -- the exact smoke the
+    driver contract performs.  Subprocess because the suite's own session
+    already carries the pinned confs."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os, sys, warnings
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "2g")
+         .getOrCreate())
+import __spark_entry__ as e
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    df = e.entry(spark)
+    n = df.count()
+print("ENTRY_ROWS=%d" % n)
+spark.stop()
+"""
+    env = dict(os.environ, REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, f"stderr tail: {out.stderr[-2000:]}"
+    rows = [l for l in out.stdout.splitlines() if l.startswith("ENTRY_ROWS=")]
+    assert rows, out.stdout[-2000:]
+    assert int(rows[0].split("=")[1]) > 0
