@@ -7,7 +7,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from bench_trend import MIN_SECONDS, compare, load_run  # noqa: E402
+from bench_trend import (  # noqa: E402
+    MIN_SECONDS,
+    compare,
+    host_ratio,
+    load_run,
+)
 
 
 def test_regression_flagged():
@@ -45,8 +50,9 @@ def test_mid_object_truncated_tail_recovers(tmp_path):
         "tail": 'lineitem": 1.034, "asof": 0.82, "topk": 0.3}, '
                 '"sf": 0.1, "repeats": 3}\n',
     }))
-    queries, repeats = load_run(str(f))
+    queries, repeats, control = load_run(str(f))
     assert queries == {"asof": 0.82, "topk": 0.3} and repeats == 3
+    assert control is None
 
 
 def test_tail_truncated_past_queries_refuses(tmp_path):
@@ -93,3 +99,41 @@ def test_methodology_mismatch_disarms_gate(tmp_path):
         capture_output=True, text=True,
     )
     assert r2.returncode == 1
+
+
+def _ctl(q, s, e):
+    return {"query": q, "start_s": s, "end_s": e}
+
+
+def test_host_normalization_clears_uniform_slowdown():
+    """A 2x-slower host window shows every query 2x slower AND the control
+    2x slower; normalization must clear the phantom flags."""
+    h = host_ratio(_ctl("q6", 0.2, 0.2), _ctl("q6", 0.4, 0.4))
+    assert h == 2.0
+    cmp = compare({"a": 1.0, "b": 2.0}, {"a": 2.0, "b": 4.0}, host=h)
+    assert not cmp["regressed"]
+    assert cmp["steady"]["a"]["norm"] == 1.0 and cmp["steady"]["a"]["ratio"] == 2.0
+
+
+def test_host_normalization_keeps_real_regressions():
+    """A genuine 3x regression on a steady host (control flat) still gates."""
+    h = host_ratio(_ctl("q6", 0.2, 0.2), _ctl("q6", 0.21, 0.19))
+    cmp = compare({"a": 1.0}, {"a": 3.0}, host=h)
+    assert "a" in cmp["regressed"]
+
+
+def test_host_ratio_refuses_out_of_band_and_mismatched():
+    # control shifted 5x: more likely a control-query code change; refuse
+    assert host_ratio(_ctl("q6", 0.1, 0.1), _ctl("q6", 0.5, 0.5)) is None
+    # different control queries across runs: not comparable
+    assert host_ratio(_ctl("q6", 0.2, 0.2), _ctl("q1", 0.2, 0.2)) is None
+    # missing control on either side
+    assert host_ratio(None, _ctl("q6", 0.2, 0.2)) is None
+
+
+def test_sub_floor_regression_still_gated_on_current_side():
+    """Regression guard for the r11 orders_skyline_pareto shape: base under
+    the noise floor (0.297s) but current well above it (0.672s) -- the
+    floor applies to max(base, current), so this MUST flag."""
+    cmp = compare({"q": 0.297}, {"q": 0.672})
+    assert "q" in cmp["regressed"]

@@ -12,6 +12,15 @@ cannot silently rot between rounds.  ``--write-report`` also writes
 Noise policy: queries faster than ``MIN_SECONDS`` in BOTH runs are exempt
 from the ratio gate (at sub-300ms, scheduler jitter dominates); they are
 still listed in the report.
+
+Host-speed normalization (r11 verdict item 5): when BOTH runs carry the
+bench.py ``control`` field (the same calibration query timed at sweep start
+and end), per-query ratios are divided by the control's own ratio before
+classification, so a uniformly slower host window no longer produces a page
+of phantom flags needing manual adjudication.  The normalization is only
+applied inside a sanity band (``MAX_HOST_RATIO``): a control shift beyond
+3x either way is more likely a control-query code change than host drift,
+and normalizing by it would mask sweep-wide regressions.
 """
 
 from __future__ import annotations
@@ -23,10 +32,12 @@ import sys
 
 THRESHOLD = 1.5
 MIN_SECONDS = 0.3
+#: control-ratio band outside which normalization is refused (see module doc)
+MAX_HOST_RATIO = 3.0
 
 
-def load_run(path: str) -> tuple[dict[str, float], int]:
-    """(per-query timings, timing repeats) from a bench.py output file.
+def load_run(path: str) -> tuple[dict[str, float], int, dict | None]:
+    """(per-query timings, timing repeats, control) from a bench.py output.
 
     Accepts four shapes: a raw ``bench.py`` JSON line, the driver's
     ``BENCH_r{N}.json`` with the line under ``parsed``, the driver file
@@ -75,11 +86,42 @@ def load_run(path: str) -> tuple[dict[str, float], int]:
             }
     if "queries" not in obj:
         raise SystemExit(f"{path}: no 'queries' key (unparsed bench round?)")
-    return dict(obj["queries"]), int(obj.get("repeats", 1))
+    control = obj.get("control") if isinstance(obj.get("control"), dict) else None
+    return dict(obj["queries"]), int(obj.get("repeats", 1)), control
 
 
-def compare(base: dict[str, float], cur: dict[str, float]) -> dict:
-    """Classify every query: regressed / improved / steady / added / removed."""
+def _control_seconds(control: dict | None) -> float | None:
+    """Representative control-query wall seconds for one run: the mean of the
+    start-of-sweep and end-of-sweep measurements (smoothing within-sweep host
+    drift), falling back to whichever is present."""
+    if not control:
+        return None
+    vals = [control[k] for k in ("start_s", "end_s")
+            if isinstance(control.get(k), (int, float)) and control[k] > 0]
+    return sum(vals) / len(vals) if vals else None
+
+
+def host_ratio(base_ctl: dict | None, cur_ctl: dict | None) -> float | None:
+    """cur/base host-speed factor from the two runs' controls, or None when
+    normalization is unavailable (missing control, different control query,
+    or a shift outside the MAX_HOST_RATIO sanity band)."""
+    b, c = _control_seconds(base_ctl), _control_seconds(cur_ctl)
+    if b is None or c is None:
+        return None
+    if base_ctl.get("query") != cur_ctl.get("query"):
+        return None
+    r = c / b
+    if r > MAX_HOST_RATIO or r < 1 / MAX_HOST_RATIO:
+        return None
+    return r
+
+
+def compare(base: dict[str, float], cur: dict[str, float], host: float = 1.0) -> dict:
+    """Classify every query: regressed / improved / steady / added / removed.
+
+    ``host`` is the control-derived cur/base host-speed factor; the gate
+    classifies on ``ratio / host`` (the normalized ratio) but reports both.
+    """
     out = {"regressed": {}, "improved": {}, "steady": {}, "added": [], "removed": []}
     for name, t in sorted(cur.items()):
         if name not in base:
@@ -87,10 +129,11 @@ def compare(base: dict[str, float], cur: dict[str, float]) -> dict:
             continue
         b = base[name]
         ratio = t / b if b > 0 else float("inf")
-        entry = {"base": b, "cur": t, "ratio": round(ratio, 2)}
-        if ratio > THRESHOLD and max(b, t) >= MIN_SECONDS:
+        norm = ratio / host
+        entry = {"base": b, "cur": t, "ratio": round(ratio, 2), "norm": round(norm, 2)}
+        if norm > THRESHOLD and max(b, t) >= MIN_SECONDS:
             out["regressed"][name] = entry
-        elif ratio < 1 / THRESHOLD and max(b, t) >= MIN_SECONDS:
+        elif norm < 1 / THRESHOLD and max(b, t) >= MIN_SECONDS:
             out["improved"][name] = entry
         else:
             out["steady"][name] = entry
@@ -113,10 +156,13 @@ def report_md(base_path: str, cur_path: str, cmp: dict, methodology_note: str = 
         if not cmp[key]:
             lines.append("none\n")
         else:
-            lines.append("| query | base s | current s | ratio |")
-            lines.append("|---|---|---|---|")
-            for n, e in sorted(cmp[key].items(), key=lambda kv: -kv[1]["ratio"]):
-                lines.append(f"| {n} | {e['base']} | {e['cur']} | {e['ratio']}x |")
+            lines.append("| query | base s | current s | ratio | normalized |")
+            lines.append("|---|---|---|---|---|")
+            for n, e in sorted(cmp[key].items(), key=lambda kv: -kv[1]["norm"]):
+                lines.append(
+                    f"| {n} | {e['base']} | {e['cur']} | {e['ratio']}x "
+                    f"| {e.get('norm', e['ratio'])}x |"
+                )
             lines.append("")
     if cmp["added"]:
         lines.append(f"## New queries\n\n{', '.join(cmp['added'])}\n")
@@ -132,10 +178,19 @@ def main() -> None:
     if len(args) != 2:
         raise SystemExit(__doc__)
     base_path, cur_path = args
-    base, base_rep = load_run(base_path)
-    cur, cur_rep = load_run(cur_path)
-    cmp = compare(base, cur)
+    base, base_rep, base_ctl = load_run(base_path)
+    cur, cur_rep, cur_ctl = load_run(cur_path)
+    host = host_ratio(base_ctl, cur_ctl)
+    cmp = compare(base, cur, host=host if host is not None else 1.0)
     note = ""
+    if host is not None:
+        note = (
+            f"Host-speed normalization ACTIVE: control "
+            f"`{cur_ctl.get('query')}` ratio {host:.2f}x "
+            f"({_control_seconds(base_ctl):.3f}s -> "
+            f"{_control_seconds(cur_ctl):.3f}s); the gate classifies on "
+            "ratio/control."
+        )
     gate = bool(cmp["regressed"])
     if base_rep != cur_rep:
         # Min-of-N vs single-run timings are not comparable: the methodology
