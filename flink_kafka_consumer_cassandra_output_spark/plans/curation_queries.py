@@ -1142,6 +1142,10 @@ FROM aug
         "The redacted string itself is hash-checked (md5), so the gate "
         "pins masking byte-for-byte, not just the match counts.",
     # r8 sibling re-point: pattern-scan-over-text family, driver-checked there.
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="doc_k_anonymity",
 )
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1202,6 +1206,10 @@ LIMIT 20
         "on a pair-key space bounded by |alphabet|^2, top-20 via "
         "TakeOrderedAndProject.  Integer counts, lexicographic tiebreak: "
         "bit-exact parity for free.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="doc_ngram_topk",
 )
 def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1343,6 +1351,10 @@ FROM joined GROUP BY status
         "on doc_id -- at 100 TB both snapshots are bucketed on it and the "
         "join is co-located) and a 4-row aggregate.  md5 fingerprints + "
         "integer counts: exact parity.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="doc_corpus_report",
 )
 def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1652,8 +1664,7 @@ LIMIT 50
         "strings (word-count shape, map-side combined), two equi-joins "
         "of bigram counts against the vocab table (unbounded -> no "
         "broadcast hint, AQE decides), one 1-row totals broadcast.",
-    driver=False,
-    sibling="doc_ngram_topk",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -1719,8 +1730,7 @@ GROUP BY lang, n_chars // 100
         "DISTINCT, boolean flags.  Scale: a single map-side-combined "
         "groupBy; the COUNT DISTINCT expands to Spark's two-phase "
         "distinct-aggregate on the same key -- no second scan.",
-    driver=False,
-    sibling="doc_pii_redaction",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("n_chars").isNotNull())

@@ -79,7 +79,8 @@ GROUP BY 1, 2, 3
         "F.window's origin); decimal-exact value sums",
     # r10 driver-slot rotation: hourly time-bucketed aggregation exercised by the densified ACF spine.
     driver=False,
-    sibling="ev_acf_lags",
+    # r12 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_seasonality_profile",
 )
 def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -120,7 +121,8 @@ GROUP BY 1, 2
         "rows), then one shuffle on the bucket",
     driver=False,  # ev_tumbling_hourly driver-checks F.window's epoch
     # r10 sibling re-point: hourly time-bucketed series family, driver-checked there.
-    sibling="ev_acf_lags",
+    # r12 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_seasonality_profile",
     # alignment and ev_session_windows the gap semantics; the slide variant
     # (same operator, overlap factor 2) stays oracle-checked locally.
 )
@@ -816,7 +818,8 @@ LIMIT 50
         "user key, top-50 via TakeOrderedAndProject.",
     driver=False,  # r8 rotation candidate
     # r10 sibling re-point: its own stream==batch twin, driver-checked since r9.
-    sibling="ev_anomaly_zscore_online",
+    # r12 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_cusum_alarm",
 )
 def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -890,6 +893,10 @@ WHERE n_prior >= 3
         "against this query -- the batch plan IS the streaming truth.  "
         "One user shuffle, three window aggregates sharing one frame; "
         "integer prefix sums keep parity exact.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="ev_cusum_alarm",
 )
 def ev_anomaly_zscore_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -981,6 +988,10 @@ FROM folded WHERE n_hours >= 2
         "(hours in retention window); one user-keyed shuffle, state "
         "O(1) per step -- and the same recurrence runs incrementally in "
         "streaming/stateful.py's state model if maintained online.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="ev_cusum_alarm",
 )
 def ev_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1206,6 +1217,10 @@ FROM z GROUP BY 1
         "write path is repartitionByRange(zvalue) so parquet row-group "
         "min/max footers carry tight ranges on both dimensions -- this "
         "query IS that index build.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="doc_weighted_sample",
 )
 def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_z = _zorder_dims(_ev(spark, sf_dir))
@@ -1622,6 +1637,10 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
         "exchange every window query here rides.  The streaming twin "
         "(streaming/pipeline.py run_cdc_apply_stream) maintains the same "
         "snapshot incrementally and is pinned stream==batch.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="ev_scd2_user_state",
 )
 def ev_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1745,6 +1764,10 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
         "hour), the lag windows ride ONE event_type exchange, and "
         "parallelism grows with the number of series (the per-type "
         "window is the unit of work) -- no global sort anywhere.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="ev_ols_trend",
 )
 def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _dense_hourly_counts(_ev(spark, sf_dir))
@@ -2006,8 +2029,7 @@ FROM running GROUP BY day
         "running-sum PREFIX MULTISET is permutation-invariant within an "
         "equal (ts, delta) group, so MAX(conc) is deterministic without "
         "a per-row total order.  Integer counting end to end.",
-    driver=False,
-    sibling="ev_ts_pattern_match",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def ev_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2259,7 +2281,8 @@ GROUP BY d.event_type
         "categorical groups, with agg_histogram_quantile_sketch as the "
         "high-cardinality alternative.",
     driver=False,
-    sibling="ev_anomaly_zscore_online",
+    # r12 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_cusum_alarm",
 )
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2413,8 +2436,7 @@ GROUP BY user_id
         "user_id; hour-bounded partitions cap window state regardless of "
         "per-user volume -- a user with 1e9 events still windows in "
         "hour-sized slices.",
-    driver=False,
-    sibling="window_rank_family",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def ev_quota_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2737,8 +2759,7 @@ FROM slot, tot
         "Scale: one map-side-combined groupBy on a 168-value key plus a "
         "1-row totals broadcast -- nothing grows with data volume except "
         "the scan.",
-    driver=False,
-    sibling="ev_ewma_smoothing",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
@@ -2806,8 +2827,7 @@ FROM g
         "one agg on the bounded (cohort, age) grid, and a running sum "
         "over age within cohort -- the window partition is one cohort's "
         "WEEKS (bounded by calendar), never raw events.",
-    driver=False,
-    sibling="ev_scd2_asof_lookup",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def ev_cohort_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2927,8 +2947,7 @@ FROM s GROUP BY event_type
         "parameters -- stream==batch pinned in tests/test_stateful.py.  "
         "Scale: one event_type exchange reused by both window passes "
         "plus a bounded totals broadcast.",
-    driver=False,
-    sibling="ev_ewma_smoothing",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def ev_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = cusum_alarm_rows(spark, sf_dir)

@@ -1003,8 +1003,7 @@ SELECT * FROM img_stats UNION ALL SELECT * FROM wav
         "the loud NotImplementedError.  Scale: narrow Arrow-batched "
         "mapInPandas; O(1)-width stats cross back to the JVM, never "
         "pixels",
-    driver=False,
-    sibling="mm_media_headers",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_stats(_docs(spark, sf_dir))
@@ -1331,6 +1330,10 @@ WHERE rank <= 3
         "machinery exactly like positive neighbor search, with the label "
         "filter applied per bucket.  Sequential-fold cosine keeps the "
         "whole output hash-matched.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="emb_knn_classifier",
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1500,6 +1503,10 @@ SELECT * FROM (
         "same candidate shape as brute-force top-k; at real scale both "
         "rankers route through bucketed ANN and RRF fuses the returned "
         "lists -- fusion cost is per-query O(k), independent of corpus.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="emb_ann_recall_curve",
 )
 def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -1598,6 +1605,10 @@ FROM q
         "quality cost measured per vector, not asserted.  Zero-vector "
         "guard mirrors the cosine convention (NULL, not a fake zero "
         "error).  Pure per-row map, no shuffle.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="emb_pq_adc",
 )
 def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2166,6 +2177,10 @@ SELECT
         "a<b storage convention approximates on near-clique dup graphs, "
         "and the join never materializes open wedges beyond the shuffle "
         "that closes them.",
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="doc_graph_clustering_coeff",
 )
 def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -2379,11 +2394,26 @@ LEFT JOIN tcnt t ON t.v = d.doc_id
         "a curation pass uses to pick CLUSTER removal vs document "
         "removal.  All-integer counts plus one exact int/int division; "
         "same two-equi-join triangle plan as doc_dup_graph_triangles.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_dedup_clusters",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def doc_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    d = _docs(spark, sf_dir).select(F.col("doc_id"))
+    return clustering_coeff_from_pairs(d.select(F.col("doc_id").alias("v")), pairs).select(
+        F.col("v").alias("doc_id"), "degree", "n_tri", "clustering_coeff"
+    )
+
+
+def clustering_coeff_from_pairs(vertices: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Local clustering coefficient proper -- factored out of the registered
+    builder (mirroring ``pagerank_from_pairs``) so the differential graph
+    fuzzer (tests/test_graph_fuzz.py, r11 VERDICT item 7) can drive the REAL
+    compact-forward triangle join on arbitrary synthetic graphs.
+
+    ``vertices`` is one generic ``v`` column (the full vertex universe --
+    vertices with no edges get degree 0 / coeff 0.0); ``pairs`` is the
+    deduped a<b undirected edge list ``(id_a, id_b)``.  Returns
+    ``(v, degree, n_tri, clustering_coeff)``."""
     p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     p2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
     p3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
@@ -2410,16 +2440,13 @@ def doc_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("a").alias("v"), "degree"
     )
-    d = _docs(spark, sf_dir).select(F.col("doc_id"))
     degree = F.coalesce("degree", F.lit(0).cast("long"))
     n_tri = F.coalesce("n_tri", F.lit(0).cast("long"))
     return (
-        d.join(deg, d["doc_id"] == deg["v"], "left")
-        .drop("v")
-        .join(tcnt, d["doc_id"] == tcnt["v"], "left")
-        .drop("v")
+        vertices.join(deg, ["v"], "left")
+        .join(tcnt, ["v"], "left")
         .select(
-            "doc_id",
+            "v",
             degree.alias("degree"),
             n_tri.alias("n_tri"),
             F.when(
@@ -2961,6 +2988,10 @@ FROM documents d LEFT JOIN reach{rounds} r ON r.v = d.doc_id"""
         "past the seed eccentricity are fixed-point no-ops (mirror of "
         "the k-core unroll argument).  Pure integer hops: bit-exact "
         "parity for free.".format(m=BFS_SEED_MOD, h=SIM.BFS_UNROLL),
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="doc_graph_label_propagation",
 )
 def doc_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -3147,8 +3178,7 @@ WHERE r = 1
         "(50 x labels)-row aggregate.  kNN over 1e9 corpus rows is the "
         "same plan with the ANN shortlist (emb_ann_ivf_trained / "
         "emb_pq_adc) replacing the brute-force scan.",
-    driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -3484,8 +3514,7 @@ FROM ({arms})"""
         "shared across the three probe arms: without the truncation the "
         "3-iteration Lloyd-training lineage re-executes per arm (4x the "
         "scans at cluster scale).",
-    driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, c, assigned = _ivf16(spark, sf_dir)
@@ -3602,8 +3631,7 @@ FROM r2, x{iters} x"""
         "actually uses, with the convergence loop unrolled a fixed "
         "number of steps (checkpoint x between steps on a real "
         "cluster, exactly the IVF codebook posture).",
-    driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -3713,8 +3741,7 @@ _COPURCHASE_PAIRS_CTES = """ip AS (
         "Scale: pair generation is C(items,2) per order with bounded "
         "basket size (never |parts|^2); each PageRank round is "
         "O(edges) with hub-safe bounded row widths.",
-    driver=False,
-    sibling="doc_dup_graph_pagerank",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Function-level import on purpose: a module-level one would register

@@ -1535,6 +1535,10 @@ LIMIT 100
         "can broadcast when part is small; the 1-row order count rides "
         "an explicit bounded broadcast; top-100 is "
         "TakeOrderedAndProject.".format(m=BASKET_MIN_SUPPORT),
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="part_copurchase_pagerank",
 )
 def basket_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _order_part_items(spark, sf_dir)
@@ -1647,6 +1651,10 @@ LEFT JOIN seg_pick s ON s.cluster_id = a.cluster_id
         "O(log d) CC rounds; the vote and max aggregates ride one "
         "cluster_id shuffle over the small label "
         "table.".format(d=SURV_DRIFT, t=SURV_BAL_TOL),
+    # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for a never-checked promotion.
+    driver=False,
+    sibling="cust_entity_resolution",
 )
 def cust_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM
@@ -2082,8 +2090,7 @@ LIMIT 20
         "AQE sizes plus the supplier-keyed agg -- the scorecard pattern "
         "at 100 TB is 'join narrow, reduce first, rank the "
         "reduction'.",
-    driver=False,
-    sibling="q21_waiting_supplier",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def supplier_delivery_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -2153,8 +2160,7 @@ FROM c GROUP BY abc_class
         "documented single-partition pass over that bounded table -- "
         "range-partition by revenue bucket if the catalog itself is "
         "huge.",
-    driver=False,
-    sibling="q18_large_volume_customers",
+    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

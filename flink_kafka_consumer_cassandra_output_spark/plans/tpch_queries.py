@@ -400,7 +400,8 @@ WHERE o_orderkey % 100 = 0
     # r8 sibling re-point: date arithmetic + bucketing, driver-checked there.
     # r9 sibling re-point: date arithmetic + bucketing over orders, driver-checked there.
     # r10 sibling re-point: date_trunc/densification arithmetic is the datetime-function family's driver anchor this round.
-    sibling="ev_acf_lags",
+    # r12 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_seasonality_profile",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
