@@ -336,6 +336,13 @@ def decode_bmp(content: bytes) -> dict:
     compression = int.from_bytes(content[30:34], "little")
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    # width is signed in the spec but never legitimately <= 0; height == 0 is
+    # equally degenerate.  Without this check a negative width yields a
+    # negative stride, the truncation check vacuously passes (negative
+    # product) and the decoder would silently return width<0 with an empty
+    # pixel list instead of honoring the raise-loudly contract (r11 ADVICE).
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions (width={width}, height={height})")
     top_down = height < 0
     height = abs(height)
     stride = width * 3 + ((-(width * 3)) % 4)
@@ -378,6 +385,20 @@ def decode_ppm(content: bytes) -> dict:
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(content[start:pos]))
+    # The spec mandates EXACTLY ONE whitespace byte between maxval and the
+    # raster.  Verify it is whitespace, and reject the classic Windows
+    # text-mode corruption (CRLF after maxval): under "\r\n" the raster
+    # start is ambiguous -- a conforming writer could have used "\r" as the
+    # separator with a raster legitimately starting 0x0A -- so raise loudly
+    # rather than risk silently shifting every pixel by one byte (r11
+    # ADVICE).
+    sep = content[pos : pos + 1]
+    if not sep.isspace():
+        raise ValueError("malformed PPM: maxval not followed by whitespace")
+    if sep == b"\r" and content[pos + 1 : pos + 2] == b"\n":
+        raise ValueError(
+            "ambiguous PPM: CRLF after maxval (text-mode corrupted file?)"
+        )
     pos += 1  # single whitespace after maxval, then raster
     width, height, maxval = fields
     if maxval > 255:
