@@ -90,6 +90,13 @@ def main() -> None:
         best = None
         err = None
         for _ in range(max(1, repeats)):
+            # Shared-stage (session_memo) builds triggered inside this repeat
+            # are billed under shared_stage_seconds, NOT under this query:
+            # subtract the repeat's own memo-build delta from its timing.
+            # Without this, repeats=1 double-billed the build (once in the
+            # query's number, once in shared_stage_seconds); with repeats>=2
+            # it merely made the first repeat meaningless (r11 ADVICE).
+            m0 = sum(SESSION_MEMO_BUILD_SECONDS.values())
             t0 = time.perf_counter()
             try:
                 materialize(specs[name].builder(spark, sf_dir))
@@ -97,6 +104,7 @@ def main() -> None:
                 err = f"{type(e).__name__}: {e}"[:200]
                 continue
             dt = time.perf_counter() - t0
+            dt -= sum(SESSION_MEMO_BUILD_SECONDS.values()) - m0
             best = dt if best is None else min(best, dt)
         return best, err
 

@@ -94,12 +94,21 @@ def session_memo(spark, tag: str, build) -> DataFrame:
     is the cross-query face of the staging-table mode: at cluster scale
     the first query stages the table, the rest read it back.
     """
+    app_id = spark.sparkContext.applicationId
     key = (
-        spark.sparkContext.applicationId,
+        app_id,
         tag,
         os.environ.get(STAGING_ENV, ""),
         schema_only_builds(),
     )
+    # Evict entries from OTHER applications: they are stale handles from
+    # dead sessions (inert, but a long-lived process cycling many Spark
+    # sessions -- the pytest suite -- would otherwise accumulate them
+    # without bound; r11 ADVICE).  Same-app entries stay, whatever their
+    # mode component: mode flips within one app are a handful of keys.
+    stale = [k for k in _SESSION_MEMO if k[0] != app_id]
+    for k in stale:
+        del _SESSION_MEMO[k]
     got = _SESSION_MEMO.get(key)
     if got is None:
         t0 = time.perf_counter()
