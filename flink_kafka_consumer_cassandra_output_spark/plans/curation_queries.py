@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from ..functions import sketch as SK
 from ..functions import text as TX
 from ..sources import tables
+from ..operators.ordered import range_ordered_parts
 from .registry import register
 
 _TOKS = "string_split(text, ' ')"
@@ -251,12 +252,28 @@ def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w_all = Window.partitionBy()
-    w_rank = Window.orderBy("avg_tok_freq", "doc_id")
-    ranked = scores.select(
+    # Distributed tercile ranks (operators/ordered.py): range-partition on
+    # the (avg_tok_freq, doc_id) total order, per-slice row_number, plus a
+    # broadcast offsets table built from the one-row-per-partition counts
+    # -- integer rank arithmetic is decomposition-invariant, so this is
+    # bit-identical to the oracle's single global window without ever
+    # moving the doc-level score table to one task.
+    parts = range_ordered_parts(scores, F.asc("avg_tok_freq"), F.asc("doc_id"))
+    pcnt = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("pid")  # nparts rows: constant-size, not data-bound
+    offsets = pcnt.select(
+        "pid",
+        F.coalesce(
+            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("off"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    w_rank = Window.partitionBy("pid").orderBy("avg_tok_freq", "doc_id")
+    ranked = parts.join(F.broadcast(offsets), "pid").select(
         "doc_id", "n_tokens", "avg_tok_freq",
-        F.row_number().over(w_rank).alias("r"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+        (F.col("off") + F.row_number().over(w_rank)).alias("r"),
+        "n",
     )
     bucket = (
         F.when(F.col("r") * 3 <= F.col("n"), "tail")

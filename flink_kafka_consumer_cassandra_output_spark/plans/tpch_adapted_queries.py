@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions import numeric as N
 from ..materialize import session_memo
+from ..operators.ordered import range_ordered_parts
 from .registry import register
 from .tpch_queries import _DEC8, _t, _ts
 
@@ -2155,11 +2156,16 @@ FROM c GROUP BY abc_class
         "a total order; each share is ONE double division of exact "
         "decimals, so the class boundary is bit-deterministic "
         "cross-engine.  Scale: one part-keyed aggregate collapses the "
-        "fact table, then the rank window runs over PARTS (bounded by "
-        "catalog size, not order volume); the global window is the "
-        "documented single-partition pass over that bounded table -- "
-        "range-partition by revenue bucket if the catalog itself is "
-        "huge.",
+        "fact table, then the cumulative sum runs as a DISTRIBUTED "
+        "prefix sum over the (rev DESC, partkey) total order -- "
+        "repartitionByRange on the order key, per-partition window "
+        "sums, and a broadcast-joined offsets table built from the "
+        "TINY one-row-per-partition partial sums (the doc_weighted_"
+        "sample machinery) -- so no single-partition window ever sees "
+        "the full catalog.  Decimal addition is exact/associative, so "
+        "the decomposed cum_rev is bit-identical to the oracle's "
+        "global-window form regardless of where the sampled range "
+        "boundaries land.",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2167,14 +2173,24 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast(N.DEC)).alias("rev")
     )
-    order = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    parts = range_ordered_parts(p, F.desc("rev"), F.asc("l_partkey"))
+    psums = parts.groupBy("pid").agg(F.sum("rev").alias("psum"))
+    wo = Window.orderBy("pid")  # nparts rows: constant-size, not data-bound
+    offsets = psums.select(
+        "pid",
+        F.coalesce(
+            F.sum("psum").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast(N.DEC),
+        ).alias("offset"),
+        F.sum("psum").over(Window.partitionBy()).alias("tot"),
     )
-    whole = Window.partitionBy()
-    r = p.select(
+    win = Window.partitionBy("pid").orderBy(
+        F.desc("rev"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = parts.join(F.broadcast(offsets), "pid").select(
         "rev",
-        F.sum("rev").over(order).alias("cum_rev"),
-        F.sum("rev").over(whole).alias("tot"),
+        (F.col("offset") + F.sum("rev").over(win)).alias("cum_rev"),
+        "tot",
     )
     share = F.col("cum_rev").cast("double") / F.col("tot").cast("double")
     c = r.select(
