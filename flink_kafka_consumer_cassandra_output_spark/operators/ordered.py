@@ -25,11 +25,20 @@ value must match a specific fold order.
 ``range_ordered_parts`` handles the two sharp edges of the pattern:
 
 - the input is ``materialize``d first, so ``repartitionByRange``'s
-  boundary-sampling pass and every downstream consumer (the partial-sum
-  subtree AND the offset join subtree) read the cheap checkpointed frame
-  instead of re-running the upstream aggregation;
-- ``spark_partition_id()`` is attached inside the same plan, so the pid
-  labelling and the partial sums can never disagree about boundaries.
+  boundary-sampling pass reads a cheap checkpointed frame instead of
+  re-running the upstream aggregation;
+- the pid-labelled frame is ``materialize``d AGAIN after
+  ``spark_partition_id()`` is attached.  This second checkpoint is a
+  CORRECTNESS requirement, not an optimization: the partial-sum subtree
+  and the offset-join subtree each evaluate their input, and nothing
+  guarantees the two evaluations of a range exchange agree -- the
+  boundary sampler re-runs per evaluation, and AQE's partition coalescing
+  can merge the shuffle output differently per query plan, silently
+  changing what ``spark_partition_id()`` returns.  Found live by
+  ``tools/scale_probe_ordered.py`` at k=2: tercile buckets flipped for
+  the 45 rows adjacent to partition boundaries because the offsets table
+  described a different partitioning than the rows carried.  Pinning the
+  labels once makes every consumer read the same (row, pid) assignment.
 """
 
 from __future__ import annotations
@@ -46,6 +55,9 @@ def range_ordered_parts(df: DataFrame, *order_cols, nparts: int | None = None) -
     docstring for the prefix-aggregate recipe built on top."""
     if nparts is None:
         nparts = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    return materialize(df).repartitionByRange(nparts, *order_cols).withColumn(
+    labelled = materialize(df).repartitionByRange(nparts, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
+    # second checkpoint pins the (row, pid) assignment for ALL consumers --
+    # see module docstring, "CORRECTNESS requirement"
+    return materialize(labelled)

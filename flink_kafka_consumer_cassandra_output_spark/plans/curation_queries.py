@@ -1466,10 +1466,12 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(0)
         ).alias("weight"),
     )
-    nparts = max(2, d.sparkSession.sparkContext.defaultParallelism)
-    parts = w.repartitionByRange(nparts, "lang", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    # r12: routed through range_ordered_parts -- the bare
+    # repartitionByRange+pid form had the cross-subtree pid-consistency
+    # hazard the k=2 ordered probe caught (operators/ordered.py docstring);
+    # the checkpointed labels make psums and the offset join read the same
+    # partitioning by construction.
+    parts = range_ordered_parts(w, "lang", "doc_id")
     psums = parts.groupBy("pid", "lang").agg(F.sum("weight").alias("psum"))
     wo = Window.partitionBy("lang").orderBy("pid")
     offsets = psums.withColumn(

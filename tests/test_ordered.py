@@ -1,0 +1,84 @@
+"""Tests for the distributed total-order prefix machinery
+(operators/ordered.py, round 12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_kafka_consumer_cassandra_output_spark.operators.ordered import range_ordered_parts
+
+
+def _ranked_via_helper(parts):
+    pcnt = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("pid")
+    offsets = pcnt.select(
+        "pid",
+        F.coalesce(
+            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("off"),
+    )
+    wr = Window.partitionBy("pid").orderBy("score", "id")
+    return parts.join(F.broadcast(offsets), "pid").select(
+        "id", (F.col("off") + F.row_number().over(wr)).alias("r")
+    )
+
+
+def test_distributed_rank_matches_global_window(spark):
+    """The decomposed rank must equal the single global window exactly --
+    including heavy ties on the leading sort key, the shape where a
+    pid/offsets mismatch flips ranks (the k=2 probe failure)."""
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("score"),  # heavy ties
+    )
+    got = {r.id: r.r for r in _ranked_via_helper(
+        range_ordered_parts(df, F.asc("score"), F.asc("id"))
+    ).collect()}
+    w = Window.orderBy("score", "id")
+    want = {r.id: r.r for r in df.select(
+        "id", F.row_number().over(w).alias("r")
+    ).collect()}
+    assert got == want
+
+
+def test_pid_labels_are_pinned_across_consumers(spark):
+    """The (row, pid) assignment must be IDENTICAL for every consumer of
+    the helper's output: two independent aggregations over separately
+    planned subtrees agree per-pid.  Without the second checkpoint the
+    range exchange re-evaluates per subtree and nothing guarantees the
+    sampled boundaries or AQE coalescing agree (the bug the k=2 ordered
+    probe caught live in doc_lm_rarity)."""
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("score")
+    )
+    parts = range_ordered_parts(df, F.asc("score"), F.asc("id"))
+    a = {r.pid: r.c for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # a DIFFERENT consumer plan over the same frame (join-shaped, like the
+    # offset join in the real queries)
+    b = {
+        r.pid: r.c
+        for r in parts.select("pid", "id")
+        .join(parts.select(F.col("id").alias("id2")), F.col("id") == F.col("id2"))
+        .groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert a == b
+    assert sum(a.values()) == 20000
+    # pid ranges must be contiguous slices of the total order: max key of
+    # pid p < min key of pid p+1 (total order alignment)
+    bounds = (
+        parts.groupBy("pid")
+        .agg(F.min(F.struct("score", "id")).alias("lo"), F.max(F.struct("score", "id")).alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    for prev, nxt in zip(bounds, bounds[1:]):
+        assert (prev.hi.score, prev.hi.id) < (nxt.lo.score, nxt.lo.id)
+
+
+def test_schema_only_mode_stays_lazy(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCHEMA_ONLY", "1")
+    df = spark.range(10).select(F.col("id"), F.col("id").cast("double").alias("score"))
+    out = range_ordered_parts(df, F.asc("score"))
+    assert [f.name for f in out.schema.fields] == ["id", "score", "pid"]
