@@ -71,6 +71,8 @@ QUERIES = [
     ("doc_zipf_fit", "Zipf fit: word-count shuffle, TakeOrdered top-1000, bounded sorted-collect OLS folds"),
     ("mm_pixel_stats", "real BMP/PPM/WAV-PCM decode: narrow Arrow-batched mapInPandas, O(1)-width stats, zero shuffle"),
     ("doc_dedup_keep_best", "keep-best over the session-memoized CC label stage: checkpoint scan + one quality window"),
+    ("orders_abc_classification", "ABC classification: distributed range prefix sum (operators/ordered.py), per-slice windows + broadcast offsets"),
+    ("doc_lm_rarity", "LM rarity terciles: distributed range prefix rank over the doc score table (no global window)"),
     ("emb_ann_recall_curve", "recall certificate over the memoized codebook/assignment: three probed arms + exact arm union"),
 ]
 
