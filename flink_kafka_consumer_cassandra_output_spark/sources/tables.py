@@ -73,7 +73,7 @@ def _pin_timestamp_reads(spark: SparkSession) -> None:
     ``session.build_session`` already carry the pinned values, so they never
     warn).
     """
-    def _pin(key: str, want: str, default: str) -> None:
+    def _pin(key: str, want: str, default: str, equivalent: frozenset[str] = frozenset()) -> None:
         # Read WITHOUT the sentinel default: Spark validates the default
         # argument for some confs (spark.sql.session.timeZone rejects "" with
         # INVALID_CONF_VALUE.TIME_ZONE) even when the conf is unset, so
@@ -85,6 +85,13 @@ def _pin_timestamp_reads(spark: SparkSession) -> None:
             have = spark.conf.get(key)
         except Exception:
             have = default
+        if have in equivalent:
+            # semantically identical value (e.g. a vanilla session resolving
+            # the zone to Etc/UTC): normalize silently -- warning here would
+            # cry wolf on every driver-built session
+            if have != want:
+                spark.conf.set(key, want)
+            return
         if have != want:
             warnings.warn(
                 f"load() is overriding {key}={have!r} -> {want!r} on this "
@@ -103,7 +110,11 @@ def _pin_timestamp_reads(spark: SparkSession) -> None:
     # timestamp literal / year() / date_trunc in plans/) holds only under
     # the UTC session zone build_session pins; a foreign session in any
     # other zone would shift every date filter's boundary.
-    _pin("spark.sql.session.timeZone", "UTC", "")
+    _pin(
+        "spark.sql.session.timeZone", "UTC", "",
+        # wall-time-identical zone spellings: normalized without the warning
+        equivalent=frozenset({"UTC", "Etc/UTC", "Z", "GMT", "Etc/GMT", "+00:00"}),
+    )
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:

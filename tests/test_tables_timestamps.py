@@ -108,9 +108,14 @@ def test_loader_survives_unset_timezone_conf(spark):
     ``spark.conf.get(key, "")`` crashed with INVALID_CONF_VALUE.TIME_ZONE
     before _pin could compare.  conf.unset() reproduces the unset state
     in-process; load() must warn-and-override, not crash."""
+    import warnings as _warnings
+
     spark.conf.unset("spark.sql.session.timeZone")
     try:
-        with pytest.warns(UserWarning, match="spark.sql.session.timeZone"):
+        # the resolved default (Etc/UTC) is wall-time-identical to the pin,
+        # so the normalization must be SILENT -- no crash, no cry-wolf warn
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", UserWarning)
             df = tables.load(spark, SF_DIR, "events")
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
         assert df.count() > 0
