@@ -82,3 +82,35 @@ def test_schema_only_mode_stays_lazy(spark, monkeypatch):
     df = spark.range(10).select(F.col("id"), F.col("id").cast("double").alias("score"))
     out = range_ordered_parts(df, F.asc("score"))
     assert [f.name for f in out.schema.fields] == ["id", "score", "pid"]
+
+
+def test_distributed_rank_fuzz_matches_global_window(spark):
+    """Property fuzz over adversarial tie structures: constant keys (every
+    row ties), two-value keys, distinct keys, and skewed mixes, at sizes
+    that straddle the partition count -- the decomposed rank must equal
+    the global window on every draw."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8, deadline=None, derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.integers(1, 4000),
+        st.sampled_from([1, 2, 5, 1000000]),  # score cardinality: all-ties .. unique
+    )
+    def check(n, mod):
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") % mod).cast("double").alias("score")
+        )
+        got = {r.id: r.r for r in _ranked_via_helper(
+            range_ordered_parts(df, F.asc("score"), F.asc("id"))
+        ).collect()}
+        w = Window.orderBy("score", "id")
+        want = {r.id: r.r for r in df.select(
+            "id", F.row_number().over(w).alias("r")
+        ).collect()}
+        assert got == want
+
+    check()

@@ -23,6 +23,12 @@ from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
         # routes through materialize(), so cluster staging mode covers
         # the one loop that would otherwise keep hardcoded localCheckpoint
         "doc_dedup_clusters",
+        # r12: the distributed range prefix machinery double-materializes
+        # (input + pinned pid labels -- operators/ordered.py); staging mode
+        # must reproduce the SAME ranks even though each materialize is a
+        # parquet write+readback instead of a checkpoint
+        "orders_abc_classification",
+        "doc_lm_rarity",
     ],
 )
 def test_staging_tables_match_local_checkpoint(spark, sf_dir, tmp_path, name):
