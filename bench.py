@@ -113,14 +113,30 @@ def main() -> None:
     )
     load_start = os.getloadavg()[0]
 
+    # Mid-sweep control samples at the quarter points: a host stall that
+    # starts AND ends inside the sweep is invisible to the start/end pair
+    # (r12 lesson: a concurrent pytest run inflated 11 queries while both
+    # endpoint controls looked fine).  The trend gate normalizes by the
+    # median of all samples.
+    quarter = max(1, len(names) // 4)
+    control_samples: list[dict] = []
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in names:
+    for i, name in enumerate(names):
         best, err = _measure(name)
         if best is not None:
             timings[name] = round(best, 3)
         else:
             failures[name] = err or "no successful repeat"
+        if CONTROL_QUERY in specs and (i + 1) % quarter == 0 and (i + 1) < len(names):
+            c = _measure(CONTROL_QUERY)[0]
+            if c is not None:
+                control_samples.append({
+                    "after_n": i + 1,
+                    "sec": round(c, 3),
+                    "load": round(os.getloadavg()[0], 2),
+                })
 
     control_end = (
         _measure(CONTROL_QUERY)[0] if CONTROL_QUERY in specs else None
@@ -146,6 +162,7 @@ def main() -> None:
             "end_s": None if control_end is None else round(control_end, 3),
             "load_start": round(load_start, 2),
             "load_end": round(load_end, 2),
+            "samples": control_samples,
         },
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,

@@ -137,3 +137,22 @@ def test_sub_floor_regression_still_gated_on_current_side():
     floor applies to max(base, current), so this MUST flag."""
     cmp = compare({"q": 0.297}, {"q": 0.672})
     assert "q" in cmp["regressed"]
+
+
+def test_control_seconds_uses_sample_median():
+    """Mid-sweep samples join the endpoint pair, median-combined: a
+    transient spike in one sample (or one endpoint) must not swing the
+    normalization factor."""
+    from bench_trend import _control_seconds
+
+    ctl = {
+        "query": "q6", "start_s": 0.2, "end_s": 0.2,
+        "samples": [
+            {"after_n": 45, "sec": 0.21, "load": 2.0},
+            {"after_n": 90, "sec": 5.0, "load": 30.0},  # transient stall
+            {"after_n": 135, "sec": 0.19, "load": 2.1},
+        ],
+    }
+    assert _control_seconds(ctl) == 0.2
+    # no samples: mean-of-two becomes median-of-two (same value)
+    assert _control_seconds({"query": "q6", "start_s": 0.3, "end_s": 0.1}) == 0.2

@@ -91,14 +91,23 @@ def load_run(path: str) -> tuple[dict[str, float], int, dict | None]:
 
 
 def _control_seconds(control: dict | None) -> float | None:
-    """Representative control-query wall seconds for one run: the mean of the
-    start-of-sweep and end-of-sweep measurements (smoothing within-sweep host
-    drift), falling back to whichever is present."""
+    """Representative control-query wall seconds for one run: the MEDIAN of
+    every available measurement -- start, end, and (when the run carries
+    them) the mid-sweep quarter-point samples.  The median resists both a
+    single stalled endpoint and a transient mid-sweep spike; runs without
+    samples fall back to the start/end pair."""
     if not control:
         return None
     vals = [control[k] for k in ("start_s", "end_s")
             if isinstance(control.get(k), (int, float)) and control[k] > 0]
-    return sum(vals) / len(vals) if vals else None
+    vals += [s["sec"] for s in control.get("samples") or []
+             if isinstance(s, dict) and isinstance(s.get("sec"), (int, float))
+             and s["sec"] > 0]
+    if not vals:
+        return None
+    vals.sort()
+    mid = len(vals) // 2
+    return vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
 
 
 def host_ratio(base_ctl: dict | None, cur_ctl: dict | None) -> float | None:
