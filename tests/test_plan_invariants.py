@@ -438,3 +438,20 @@ def test_scd2_windows_share_one_user_shuffle(spark):
     # twice -- tree + detail -- so one physical exchange counts 2.)
     assert plan.count("hashpartitioning(user_id") == 1
     assert plan.count("Exchange") <= 4  # loader round-robin + user_id hash
+
+
+@pytest.mark.parametrize("name", ["orders_abc_classification", "doc_lm_rarity"])
+def test_prefix_sum_queries_never_single_partition_the_data(spark, name):
+    """r12: the cumulative pass runs as the distributed range prefix sum
+    (operators/ordered.py).  Plan signature: the big side arrives through
+    the pinned-pid checkpoint (Scan ExistingRDD, no parquet scan survives
+    into the final plan), the heavy window partitions by pid, and the ONLY
+    single-partition exchange is the constant-size offsets table (nparts
+    rows).  A revert to the global-window form would show a SinglePartition
+    exchange fed by the full frame and no pid partitioning."""
+    plan = _plan(spark, name)
+    assert "Scan ExistingRDD" in plan, "pinned-pid checkpoint missing"
+    assert plan.count("hashpartitioning(pid") >= 1, "per-slice window lost pid partitioning"
+    assert plan.count("SinglePartition") <= 1, (
+        "more than the constant-size offsets exchange runs single-partition"
+    )
