@@ -156,3 +156,20 @@ def test_control_seconds_uses_sample_median():
     assert _control_seconds(ctl) == 0.2
     # no samples: mean-of-two becomes median-of-two (same value)
     assert _control_seconds({"query": "q6", "start_s": 0.3, "end_s": 0.1}) == 0.2
+
+
+def test_control_wobble_detects_mid_sweep_load_change():
+    from bench_trend import control_wobble
+
+    steady = {"query": "q6", "start_s": 0.2, "end_s": 0.21,
+              "samples": [{"after_n": 45, "sec": 0.19, "load": 2.0}]}
+    assert control_wobble(steady) < 2.0
+    # the benign pattern: sweep starts warm (slower) and ends fast -- the
+    # max/median metric must NOT flag it
+    warm_start = {"query": "q6", "start_s": 0.38, "end_s": 0.18}
+    assert control_wobble(warm_start) < 2.0
+    stalled = {"query": "q6", "start_s": 0.2, "end_s": 0.21,
+               "samples": [{"after_n": 90, "sec": 0.9, "load": 28.0}]}
+    assert control_wobble(stalled) > 2.0
+    assert control_wobble(None) is None
+    assert control_wobble({"query": "q6", "start_s": 0.2}) is None

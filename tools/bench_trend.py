@@ -125,6 +125,30 @@ def host_ratio(base_ctl: dict | None, cur_ctl: dict | None) -> float | None:
     return r
 
 
+def control_wobble(control: dict | None) -> float | None:
+    """max/MEDIAN over the current run's control measurements (endpoints
+    plus mid-sweep samples): well above 1 means some stretch of the sweep
+    ran much slower than its typical state, which a single normalization
+    factor cannot correct for — the exact failure mode of the discarded
+    r12 sweep (a concurrent test run inflated 11 queries while both
+    endpoint controls looked fine).  Median (not min) as the denominator
+    so the benign start-warm/end-fast asymmetry of a healthy sweep never
+    trips it."""
+    if not control:
+        return None
+    vals = [control[k] for k in ("start_s", "end_s")
+            if isinstance(control.get(k), (int, float)) and control[k] > 0]
+    vals += [s["sec"] for s in control.get("samples") or []
+             if isinstance(s, dict) and isinstance(s.get("sec"), (int, float))
+             and s["sec"] > 0]
+    if len(vals) < 2:
+        return None
+    vals.sort()
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    return vals[-1] / med
+
+
 def compare(base: dict[str, float], cur: dict[str, float], host: float = 1.0) -> dict:
     """Classify every query: regressed / improved / steady / added / removed.
 
@@ -199,6 +223,15 @@ def main() -> None:
             f"({_control_seconds(base_ctl):.3f}s -> "
             f"{_control_seconds(cur_ctl):.3f}s); the gate classifies on "
             "ratio/control."
+        )
+    wobble = control_wobble(cur_ctl)
+    if wobble is not None and wobble > 2.0:
+        note = (
+            f"CONTROL WOBBLE {wobble:.1f}x across the current sweep's "
+            "control measurements: the host load varied DURING the sweep, "
+            "which a single normalization factor cannot correct — treat "
+            "per-query flags skeptically and re-measure before "
+            "adjudicating.  " + note
         )
     gate = bool(cmp["regressed"])
     if base_rep != cur_rep:
