@@ -468,3 +468,92 @@ def test_quota_stream_restart_preserves_hour_counts(spark, sf_dir, tmp_path):
     # throttled BECAUSE of pre-restart state: find a user-hour that
     # spans the phase boundary with an allow before it and a deny after
     assert (~d2["allowed"]).any(), "phase 2 denied nothing; state untested"
+
+
+def test_anomaly_stream_restart_preserves_moments(spark, sf_dir, tmp_path):
+    """Kill/restart for the stateful anomaly scorer: the per-user
+    (n, sum, sumsq) integer moments must survive in the state store, so a
+    post-restart hour's zscore is computed against ALL prior hours —
+    including pre-restart ones — and the two phases together equal the
+    batch expanding-window query row-for-row, zscore bits included."""
+    import duckdb
+    import pandas as pd
+
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+    from flink_kafka_consumer_cassandra_output_spark.streaming.stateful import (
+        running_anomaly_scores,
+    )
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    # hour-aligned chunks (the operator's documented precondition), so the
+    # phase boundary falls on an hour change and no group spans the kill
+    hours = pd.Series(tbl.column("ts").to_pandas()).dt.floor("h")
+    uniq = hours.drop_duplicates().tolist()
+    assert len(uniq) >= N_CHUNKS, "fixture too small for hour-aligned chunks"
+    per = (len(uniq) + N_CHUNKS - 1) // N_CHUNKS
+    chunks = []
+    for i in range(N_CHUNKS):
+        sel = set(uniq[i * per : (i + 1) * per])
+        chunks.append(tbl.filter(hours.isin(sel).to_numpy()))
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    cp = tmp_path / "cp_anom_restart"
+    out = tmp_path / "scores"
+
+    def _phase(phase_dir):
+        dest = str(out / phase_dir)
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(dest)
+
+        ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+        q = (
+            running_anomaly_scores(ev)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(dest).toPandas()
+
+    _drop(chunks, input_dir, 0, 2)
+    d1 = _phase("phase1")
+    _drop(chunks, input_dir, 2, N_CHUNKS)
+    d2 = _phase("phase2")
+
+    streamed = (
+        pd.concat([d1, d2])
+        .sort_values(["user_id", "hour_ts"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        all_specs()["ev_anomaly_zscore_online"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "hour_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    for col in ["user_id", "hour_ts", "n_events", "n_prior"]:
+        assert (streamed[col].to_numpy() == batch[col].to_numpy()).all(), col
+    assert (streamed["zscore"].to_numpy() == batch["zscore"].to_numpy()).all(), (
+        "zscore bits differ after restart"
+    )
+    # the restart path is only proven if some post-restart score leaned on
+    # PRE-restart state: a user seen in phase 1 whose FIRST phase-2 hour
+    # carries n_prior equal to its full phase-1 hour count (> 0)
+    p1_hours = d1.groupby("user_id").size()
+    firsts = d2.sort_values("hour_ts").groupby("user_id").first()
+    carried = [
+        u for u, row in firsts.iterrows()
+        if p1_hours.get(u, 0) > 0 and row["n_prior"] >= p1_hours[u]
+    ]
+    assert carried, "no phase-2 score depended on pre-restart moments"
