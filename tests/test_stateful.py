@@ -557,3 +557,91 @@ def test_anomaly_stream_restart_preserves_moments(spark, sf_dir, tmp_path):
         if p1_hours.get(u, 0) > 0 and row["n_prior"] >= p1_hours[u]
     ]
     assert carried, "no phase-2 score depended on pre-restart moments"
+
+
+def test_cusum_stream_restart_preserves_running_sum(spark, sf_dir, tmp_path):
+    """Kill/restart for the CUSUM monitor: the per-event_type running S
+    must survive the checkpoint, so the union of both phases' alarm rows
+    equals the batch alarm set exactly (an S reset at the restart would
+    suppress early phase-2 alarms)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_kafka_consumer_cassandra_output_spark.plans.events_queries import (
+        cusum_alarm_rows,
+    )
+    from flink_kafka_consumer_cassandra_output_spark.streaming.stateful import (
+        cusum_alarm_monitor,
+    )
+
+    batch_rows = cusum_alarm_rows(spark, sf_dir)
+    ref = {
+        r.event_type: (r.n, r.tot)
+        for r in batch_rows.select("event_type", "n", "tot").distinct().collect()
+    }
+    expected = (
+        batch_rows.where(F.col("s") > 10 * F.col("tot"))
+        .select("event_type", "ts", "event_id", "s")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    # split at the MEDIAN alarm timestamp so phase 2 provably contains
+    # alarms whose running S accumulated before the kill (a fixed
+    # quarter-chunk split left every alarm in phase 1 -- vacuous)
+    cut = expected["ts"].sort_values().iloc[len(expected) // 2]
+    ts_col = pd.Series(tbl.column("ts").to_pandas())
+    chunks = [
+        tbl.filter((ts_col < cut).to_numpy()),
+        tbl.filter((ts_col >= cut).to_numpy()),
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    cp = tmp_path / "cp_cusum_restart"
+    out = tmp_path / "alarms"
+
+    def _phase(phase_dir):
+        dest = str(out / phase_dir)
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(dest)
+
+        ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+        q = (
+            cusum_alarm_monitor(ev, ref)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(dest).select(
+            "event_type", "ts", "event_id", "s"
+        ).toPandas()
+
+    _drop(chunks, input_dir, 0, 1)
+    d1 = _phase("phase1")
+    _drop(chunks, input_dir, 1, 2)
+    d2 = _phase("phase2")
+
+    streamed = (
+        pd.concat([d1, d2])
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(expected)
+    for col in ["event_type", "ts", "event_id"]:
+        assert (streamed[col].to_numpy() == expected[col].to_numpy()).all(), col
+    assert (streamed["s"].to_numpy() == expected["s"].to_numpy()).all(), (
+        "running-sum values differ after restart"
+    )
+    assert len(d2) > 0, "phase 2 raised no alarms; restart state untested"
