@@ -645,3 +645,82 @@ def test_cusum_stream_restart_preserves_running_sum(spark, sf_dir, tmp_path):
         "running-sum values differ after restart"
     )
     assert len(d2) > 0, "phase 2 raised no alarms; restart state untested"
+
+
+def test_running_counts_restart_preserves_totals(spark, sf_dir, tmp_path):
+    """Kill/restart for the running-counter: the per-user (count, sum,
+    last_ts) state must survive the checkpoint, so each user's final
+    post-restart emission equals the full-data batch aggregate."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+    finally:
+        con.close()
+    chunks = [
+        tbl.slice(i * (tbl.num_rows // N_CHUNKS + 1), tbl.num_rows // N_CHUNKS + 1)
+        for i in range(N_CHUNKS)
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    cp = tmp_path / "cp_counts_restart"
+    out = tmp_path / "counts"
+
+    def _phase(phase_dir):
+        dest = str(out / phase_dir)
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(dest)
+
+        ev = sp.stream_events(spark, str(input_dir), max_files_per_trigger=1)
+        q = (
+            running_user_counts(ev)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(dest).toPandas()
+
+    _drop(chunks, input_dir, 0, 2)
+    d1 = _phase("phase1")
+    _drop(chunks, input_dir, 2, N_CHUNKS)
+    d2 = _phase("phase2")
+
+    final = (
+        pd.concat([d1, d2])
+        .sort_values("n_events")
+        .groupby("user_id")
+        .last()
+    )
+    batch = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        got = final.loc[uid]
+        assert got.n_events == row.n_events, f"user {uid} count"
+        assert got.sum_value_cents == row.sum_value_cents, f"user {uid} sum"
+        assert got.last_ts == row.last_ts, f"user {uid} last_ts"
+    # non-vacuous: some user in phase 2 must have accumulated counts
+    # STRICTLY greater than anything it emitted in phase 1
+    p1_max = d1.sort_values("n_events").groupby("user_id")["n_events"].max()
+    grew = [
+        u for u, row in final.iterrows()
+        if u in p1_max.index and row["n_events"] > p1_max[u]
+    ]
+    assert grew, "no user's count grew across the restart; state untested"
