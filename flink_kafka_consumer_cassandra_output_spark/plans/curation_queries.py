@@ -135,7 +135,8 @@ FROM stats
     # r9 driver-slot rotation: quality-filter family; both driver-green r8.
     driver=False,
     # r10 sibling re-point: quality-metric family, driver-checked there.
-    sibling="doc_corpus_report",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -575,7 +576,8 @@ WHERE CAST(n_shared_grams AS DOUBLE) / CAST(n_needle_grams AS DOUBLE)
         "the same one the PPJoin prefix filter bounds.",
     # r10 driver-slot rotation: decontamination family anchor moves to the promoted Bloom variant.
     driver=False,
-    sibling="doc_decontamination_bloom",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_phrase_search",
 )
 def doc_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -660,6 +662,10 @@ GROUP BY h.doc_id"""
         "probe is a broadcast join on bit position -- the corpus never "
         "shuffles, which is the whole reason production pipelines put a "
         "Bloom filter in FRONT of the exact n-gram join.",
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="doc_phrase_search",
 )
 def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import materialize
@@ -767,8 +773,7 @@ LIMIT 20
         "tiny pair-key space; document frequencies are a token-level "
         "aggregate joined back, N rides along as a broadcast scalar -- "
         "the same shape doc_tfidf_top_terms uses.",
-    driver=False,  # r8 rotation candidate
-    sibling="doc_ngram_topk",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def doc_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -837,6 +842,10 @@ GROUP BY s.source, s.lang
         "(cross-source dup exposure -- the number a mixing decision reads "
         "first).  Two combinable aggregations plus one fingerprint "
         "equi-join; every stat is exact-integer with one final division.",
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="doc_zipf_fit",
 )
 def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -903,7 +912,8 @@ FROM scored
     # r9 driver-slot rotation: lexicon scoring exercised by the rarity machinery.
     driver=False,
     # r10 sibling re-point: lexicon/token scoring family, driver-checked there.
-    sibling="doc_corpus_report",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -971,7 +981,8 @@ FROM summed
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="doc_weighted_sample",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_split_assignment",
 )
 def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1045,10 +1056,7 @@ FROM m GROUP BY ph
         "indexes store positions.  Scale: the phrase terms broadcast; "
         "each join touches only the matched terms' postings, shuffled on "
         "(doc, pos).",
-    driver=False,  # r8 rotation candidate
-    # r8 sibling re-point: positional n-gram match family, driver-checked there.
-    # r10 sibling re-point: n-gram matching family, driver-checked there.
-    sibling="doc_decontamination_bloom",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1286,9 +1294,7 @@ GROUP BY split, source
         "CMS/Bloom sketches, so DuckDB replicates it verbatim.  Scale: "
         "one narrow map + one combinable groupBy on a "
         "|splits| x |sources| key space.",
-    driver=False,  # r8 rotation candidate
-    # r8 sibling re-point: deterministic hash-assignment family, driver-checked there.
-    sibling="doc_weighted_sample",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1371,7 +1377,8 @@ FROM joined GROUP BY status
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="doc_corpus_report",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1456,6 +1463,10 @@ SELECT lang, doc_id, weight, n_copies FROM sel WHERE n_copies >= 1
         "construction.  Complements doc_stratified_sample (hash quotas: "
         "uniform within stratum) and doc_temperature_mixing (computes "
         "weights; this query consumes them).",
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="doc_split_assignment",
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1589,6 +1600,10 @@ GROUP BY d.lang
         "window, one for the re-agg; the bounds table is lang-bounded "
         "(broadcast join back).",
     # r11 driver-slot rotation: promoted -- discrete-percentile robust stats, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="doc_zipf_fit",
 )
 def doc_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
@@ -1826,8 +1841,7 @@ FROM m
         "first-element-init F.aggregate), so slope/intercept/r2 doubles "
         "are bit-identical.  Scale: the only unbounded work is the "
         "word-count aggregate; everything after operates on <=1000 rows.",
-    driver=False,
-    sibling="doc_corpus_report",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -1941,8 +1955,7 @@ FROM l2
         "Integer counts are order-free; every double is bit-identical "
         "cross-engine.  Scale: word-count shuffle + two bounded-width "
         "aggregations; nothing quadratic, no driver collection.",
-    driver=False,
-    sibling="doc_corpus_report",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())

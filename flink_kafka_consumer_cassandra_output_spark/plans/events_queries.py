@@ -342,7 +342,8 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
         "order.",
     # r8 driver-slot rotation: time-window step matching IS a range join, driver-checked there.
     driver=False,
-    sibling="ev_conversion_funnel",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_session_path_trigrams",
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
@@ -816,10 +817,7 @@ LIMIT 50
         "correctly-rounded.  Scale: one (user, hour) shuffle with map-side "
         "combine, a user-level stats aggregate joined back on the SAME "
         "user key, top-50 via TakeOrderedAndProject.",
-    driver=False,  # r8 rotation candidate
-    # r10 sibling re-point: its own stream==batch twin, driver-checked since r9.
-    # r12 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_cusum_alarm",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1082,6 +1080,10 @@ FROM islands
         "user_id, so AQE-coalesced local aggregation follows the same "
         "exchange; no per-user data ever funnels through one task wider "
         "than that user's own history.",
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="ev_scd2_state_durations",
 )
 def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1220,7 +1222,8 @@ FROM z GROUP BY 1
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="doc_weighted_sample",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_split_assignment",
 )
 def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_z = _zorder_dims(_ev(spark, sf_dir))
@@ -1577,8 +1580,7 @@ GROUP BY state
         "aggregate keyed by state.  The consumption-side triple is now "
         "complete: build (ev_scd2_user_state), point-in-time read "
         "(ev_scd2_asof_lookup), and duration analytics (this query).",
-    driver=False,
-    sibling="ev_ts_pattern_match",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def ev_scd2_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1640,7 +1642,8 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="ev_scd2_user_state",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_scd2_state_durations",
 )
 def ev_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1767,7 +1770,8 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="ev_ols_trend",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_seasonality_profile",
 )
 def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _dense_hourly_counts(_ev(spark, sf_dir))
@@ -1854,8 +1858,7 @@ LIMIT 20
         "exchange); the trigram count is a map-side-combined aggregate "
         "over at most |event-type|^3 groups and the top-20 is "
         "TakeOrderedAndProject.",
-    driver=False,
-    sibling="ev_ts_pattern_match",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def ev_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1937,6 +1940,10 @@ FROM sums
         "event_type exchange for the row_number, one tiny per-type "
         "aggregate; parallelism grows with the number of series.",
     # r11 driver-slot rotation: promoted -- closed-form OLS sufficient stats, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="ev_anomaly_zscore",
 )
 def ev_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("event_type").orderBy("hour")
@@ -2126,6 +2133,10 @@ GROUP BY day, status
         "aggregate -- the same shape ev_user_retention_cohorts rides, "
         "completing the retention family's day-over-day axis.",
     # r11 driver-slot rotation: promoted -- DAU new/retained/resurrected/churned, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="ev_cohort_revenue_curve",
 )
 def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2204,6 +2215,10 @@ FROM counts
         "table (AQE reuses the partitioning) plus two tiny per-stage "
         "joins; the final counts frame is <= 3 rows.",
     # r11 driver-slot rotation: promoted -- ordered multi-step funnel, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="ev_session_path_trigrams",
 )
 def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2280,9 +2295,7 @@ GROUP BY d.event_type
         "documented exact-percentile trade, right for bounded "
         "categorical groups, with agg_histogram_quantile_sketch as the "
         "high-cardinality alternative.",
-    driver=False,
-    # r12 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_cusum_alarm",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2362,6 +2375,10 @@ FROM stats
         "pattern for experiment analysis at 100 TB (never collect "
         "per-user frames to the driver).",
     # r11 driver-slot rotation: promoted -- sufficient-statistics experiment readout, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="ev_anomaly_zscore",
 )
 def ev_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2498,8 +2515,7 @@ GROUP BY event_type
         "the exchange), then a map-side-combined agg on the bounded "
         "event_type key; the stateful streaming twin of this shape is the "
         "applyInPandasWithState debouncer in streaming/stateful.py.",
-    driver=False,
-    sibling="ev_scd2_user_state",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def ev_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2576,6 +2592,10 @@ GROUP BY event_type
         "is a single sequential pass per group -- for very hot groups "
         "pre-aggregate to per-minute cents first (same algebra).",
     # r11 driver-slot rotation: promoted -- integer-exact changepoint statistic, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="ev_cusum_alarm",
 )
 def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())

@@ -102,7 +102,8 @@ FROM documents
     # r7 driver-slot rotation: token counting/text features drive the packer the driver now checks.
     driver=False,
     # r8 sibling re-point: token/length accounting, driver-checked there.
-    sibling="doc_corpus_report",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -136,7 +137,8 @@ GROUP BY lang, lang_pred
     driver=False,
     # r8 sibling re-point: same n-gram shingle machinery, driver-checked there.
     # r10 sibling re-point: n-gram tokenization machinery, driver-checked there.
-    sibling="doc_decontamination_bloom",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_phrase_search",
 )
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -690,7 +692,8 @@ WHERE rank <= 10
         "aren't required",
     # r8 driver-slot rotation: per-source deterministic sampling family, driver-checked there.
     driver=False,
-    sibling="doc_weighted_sample",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_split_assignment",
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -789,7 +792,8 @@ UNION ALL SELECT 'stage3_near_dedup', CAST(s3 AS BIGINT) FROM agg
     driver=False,
     # r9 sibling re-point: quality-filter composition; the scoring stage driver-checked there.
     # r10 sibling re-point: quality-metric composition family, driver-checked there.
-    sibling="doc_corpus_report",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1405,9 +1409,7 @@ FROM topk WHERE rank = 1
         "candidate shape to emb_hard_negatives (bucket machinery at real "
         "scale); the margin adds one bounded window over k rows per "
         "query.",
-    driver=False,  # r8 rotation candidate
-    # r8 sibling re-point: cosine-scored pair family, driver-checked there.
-    sibling="emb_ann_ivf_trained",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1608,7 +1610,8 @@ FROM q
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="emb_pq_adc",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_random_projection",
 )
 def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2068,7 +2071,8 @@ GROUP BY needle_src
     # r8 driver-slot rotation: same benchmark-overlap op; the web-scale n-gram route is driver-checked.
     driver=False,
     # r10 sibling re-point: decontamination family, driver-checked there.
-    sibling="doc_decontamination_bloom",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_phrase_search",
 )
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -2124,7 +2128,8 @@ FROM placed
         "doc_chunking/doc_text_stats.".format(cap=PACK_CAPACITY),
     # r8 driver-slot rotation: token-accounting family over documents, driver-checked there.
     driver=False,
-    sibling="doc_corpus_report",
+    # r13 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -2250,6 +2255,10 @@ LEFT JOIN alive{rounds} a ON a.v = d.doc_id"""
         "its fixed point, and the Spark loop raises if it ever needs more "
         "rounds than the unroll.  Integer-only output, bit-exact parity "
         "for free.",
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="doc_graph_clustering_coeff",
 )
 def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -2318,9 +2327,7 @@ FROM proj"""
         "(the executable form of the JL accuracy claim, like the MinHash "
         "certificate).  Scale: a narrow per-row map -- no shuffle at all; "
         "the sign matrix is config, not data.",
-    driver=False,  # r8 rotation candidate
-    # r10 sibling re-point: embedding projection/compression family, driver-checked there.
-    sibling="emb_pq_adc",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2651,6 +2658,10 @@ FROM (
         "exact L2 top-k is pinned in tests/test_similarity.py (0.56 "
         "measured on the isotropic fixture -- the hardest case for a "
         "quantizer; clustered real embeddings quantize far tighter).",
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="emb_random_projection",
 )
 def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -3261,8 +3272,7 @@ FROM l2
         "double is bit-identical.  Scale: two map-side-combinable "
         "aggregations (per-bucket width = group/8 vectors, bounded by "
         "raising the bucket count), no pair materialization anywhere.",
-    driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def emb_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -3371,8 +3381,7 @@ FROM r WHERE rn <= (5 * n + 99) // 100
         "bit-deterministic cross-engine.  Scale: one bounded-width "
         "aggregate pair for centroids, a label-bounded broadcast back, "
         "one rank window per label.",
-    driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(

@@ -1789,6 +1789,10 @@ WHERE o.o_totalprice = r.mx
         "three-step plan on both engines; pure comparisons on the "
         "2-dp-clean price, bit-exact parity.",
     # r11 driver-slot rotation: promoted -- decomposed skyline, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="orders_abc_classification",
 )
 def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1868,6 +1872,10 @@ FROM base CROSS JOIN thr
         "exact.  Customers with zero orders are out of scope (RFM is "
         "defined on purchasers).",
     # r11 driver-slot rotation: promoted -- quintile segmentation, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="cust_interpurchase_gaps",
 )
 def cust_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1954,6 +1962,10 @@ LIMIT 20
         "all-pairs across parts), min-support prunes the tail before "
         "the frequency joins, and the top-k is TakeOrderedAndProject.",
     # r11 driver-slot rotation: promoted -- item-item cosine collaborative filter, first driver check.
+    # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
+    # driver-green veteran; slot freed for the final backlog tranche.
+    driver=False,
+    sibling="part_copurchase_pagerank",
 )
 def part_itemsim_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _order_part_items(spark, sf_dir)
@@ -2017,11 +2029,7 @@ FROM r GROUP BY segment
         "no float.  Scale: one shuffle on o_custkey for the lag, one on "
         "the bounded segment key for the rank window; the customer join "
         "is an equi-join AQE sizes.",
-    # sibling: q13 anchors the customer purchase-frequency family on the
-    # driver surface (cust_rfm_segmentation is itself local-only until
-    # the r11 rotation promotes it).
-    driver=False,
-    sibling="cust_rfm_segmentation",
+    # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def cust_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
