@@ -385,25 +385,39 @@ def decode_ppm(content: bytes) -> dict:
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(content[start:pos]))
-    # The spec mandates EXACTLY ONE whitespace byte between maxval and the
-    # raster.  Verify it is whitespace, and reject the classic Windows
-    # text-mode corruption (CRLF after maxval): under "\r\n" the raster
-    # start is ambiguous -- a conforming writer could have used "\r" as the
-    # separator with a raster legitimately starting 0x0A -- so raise loudly
-    # rather than risk silently shifting every pixel by one byte (r11
-    # ADVICE).
     sep = content[pos : pos + 1]
     if not sep.isspace():
         raise ValueError("malformed PPM: maxval not followed by whitespace")
-    if sep == b"\r" and content[pos + 1 : pos + 2] == b"\n":
-        raise ValueError(
-            "ambiguous PPM: CRLF after maxval (text-mode corrupted file?)"
-        )
     pos += 1  # single whitespace after maxval, then raster
     width, height, maxval = fields
+    # Width/height come from int() over arbitrary header tokens, so "-3" is
+    # representable; a negative product makes the truncation check below
+    # vacuously pass and the decoder would silently return negative dims
+    # with an empty pixel list -- same raise-loudly contract as the BMP
+    # degenerate-dimension guard (r12 ADVICE).
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PPM dimensions (width={width}, height={height})")
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     need = width * height * 3
+    if sep == b"\r" and content[pos : pos + 1] == b"\n":
+        # "\r\n" after maxval is ambiguous: a conforming writer may have used
+        # "\r" as the single separator with a raster legitimately starting
+        # 0x0A, or the file went through Windows text-mode translation and
+        # the real separator is the two-byte CRLF.  The exact raster size
+        # disambiguates -- at most one of the two candidate offsets leaves
+        # exactly width*height*3 bytes -- so decode the decodable files and
+        # raise only when the size check cannot tell them apart (r12 ADVICE
+        # refinement of the r11 hard-reject).
+        lone_cr = len(content) == pos + need        # raster starts with 0x0A
+        crlf = len(content) == pos + 1 + need       # separator was CRLF
+        if lone_cr == crlf:
+            raise ValueError(
+                "ambiguous PPM: CRLF after maxval and raster size cannot "
+                "disambiguate (text-mode corrupted file?)"
+            )
+        if crlf:
+            pos += 1
     if len(content) < pos + need:
         raise ValueError("truncated PPM raster")
     raster = content[pos : pos + need]

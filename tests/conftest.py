@@ -2,8 +2,18 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import pytest
+
+# Pin the process (and therefore JVM-default) timezone before any
+# SparkSession starts: test_loader_survives_unset_timezone_conf asserts the
+# unset-conf path resolves to a UTC-equivalent zone and normalizes SILENTLY,
+# which is only host-independent if the JVM default zone is pinned (r12
+# ADVICE -- on a non-UTC host the legitimate override warning would fail
+# the silent-path assertion).
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -50,9 +50,10 @@ def test_mid_object_truncated_tail_recovers(tmp_path):
         "tail": 'lineitem": 1.034, "asof": 0.82, "topk": 0.3}, '
                 '"sf": 0.1, "repeats": 3}\n',
     }))
-    queries, repeats, control = load_run(str(f))
+    queries, repeats, control, meta = load_run(str(f))
     assert queries == {"asof": 0.82, "topk": 0.3} and repeats == 3
     assert control is None
+    assert meta == {"sf": 0.1}
 
 
 def test_tail_truncated_past_queries_refuses(tmp_path):
@@ -173,3 +174,103 @@ def test_control_wobble_detects_mid_sweep_load_change():
     assert control_wobble(stalled) > 2.0
     assert control_wobble(None) is None
     assert control_wobble({"query": "q6", "start_s": 0.2}) is None
+
+
+def test_truncated_tail_recovers_control_and_meta(tmp_path):
+    """r12 verdict What's-wrong #1: the head-truncated driver files carry
+    the full trailing control object (samples included) plus sf/cpus, but
+    the re-bracing path rebuilt only {queries, repeats} -- silently
+    disabling host normalization for driver-vs-driver comparisons.
+    load_run must recover all of it."""
+    import json
+
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps({
+        "parsed": None,
+        "tail": 'lineitem": 1.034, "asof": 0.82}, '
+                '"control": {"query": "q6_forecast_revenue", "start_s": 0.49, '
+                '"end_s": 0.21, "load_start": 7.9, "load_end": 3.1, '
+                '"samples": [{"after_n": 44, "sec": 0.22, "load": 14.5}]}, '
+                '"sf": 0.1, "cpus": 32, "n_queries": 179, "repeats": 3}\n',
+    }))
+    queries, repeats, control, meta = load_run(str(f))
+    assert queries == {"asof": 0.82} and repeats == 3
+    assert control is not None
+    assert control["query"] == "q6_forecast_revenue"
+    assert control["samples"][0]["sec"] == 0.22
+    assert meta == {"sf": 0.1, "cpus": 32}
+
+
+def test_real_driver_bench_tail_recovers_control():
+    """The actual BENCH_r12.json shipped by the driver is head-truncated
+    with parsed=null; its tail contains the full control object.  Pin the
+    recovery against the real artifact so the fixture above can't drift
+    from the production shape."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "BENCH_r12.json"
+    if not path.exists():
+        import pytest
+
+        pytest.skip("BENCH_r12.json not present")
+    raw = json.loads(path.read_text())
+    if not (raw.get("parsed") is None and isinstance(raw.get("tail"), str)):
+        import pytest
+
+        pytest.skip("BENCH_r12.json not the truncated shape")
+    queries, repeats, control, meta = load_run(str(path))
+    # the head truncation eats most of the queries object; only the tail
+    # survives — the point of THIS test is the trailing control/meta
+    assert len(queries) > 10 and repeats == 3
+    assert control is not None and control.get("query")
+    assert meta.get("cpus") == 32
+
+
+def test_control_regression_escalates_to_gate(tmp_path):
+    """r12 ADVICE: a control ratio beyond THRESHOLD (but inside the 3x
+    normalization band) used to normalize a sweep-wide regression into
+    'steady' with only an informational note.  With identical cpus/sf
+    metadata the tool must now FAIL the gate; with differing metadata it
+    warns loudly but exits 0."""
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    tool = Path(__file__).resolve().parents[1] / "tools" / "bench_trend.py"
+
+    def run(base_obj, cur_obj):
+        b, c = tmp_path / "b.json", tmp_path / "c.json"
+        b.write_text(json.dumps(base_obj))
+        c.write_text(json.dumps(cur_obj))
+        return subprocess.run(
+            [_sys.executable, str(tool), str(b), str(c)],
+            capture_output=True, text=True,
+        )
+
+    ctl_base = {"query": "q6", "start_s": 0.2, "end_s": 0.2}
+    ctl_cur = {"query": "q6", "start_s": 0.4, "end_s": 0.4}  # 2x > THRESHOLD
+    base = {"queries": {"a": 1.0, "b": 2.0}, "repeats": 3,
+            "control": ctl_base, "sf": 0.1, "cpus": 32}
+    # every query 2x slower AND the control 2x slower: pre-fix this was
+    # all-steady, note-only, exit 0
+    cur = {"queries": {"a": 2.0, "b": 4.0}, "repeats": 3,
+           "control": ctl_cur, "sf": 0.1, "cpus": 32}
+    r = run(base, cur)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "CONTROL REGRESSED" in r.stdout
+
+    # different cpus: host drift is plausible; warn but do not gate
+    cur_other_host = dict(cur, cpus=8)
+    r2 = run(base, cur_other_host)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "CONTROL REGRESSED" in r2.stdout
+
+    # control inside the threshold: plain normalization note, no escalation
+    cur_ok = {"queries": {"a": 1.1, "b": 2.2}, "repeats": 3,
+              "control": {"query": "q6", "start_s": 0.22, "end_s": 0.22},
+              "sf": 0.1, "cpus": 32}
+    r3 = run(base, cur_ok)
+    assert r3.returncode == 0, r3.stdout + r3.stderr
+    assert "CONTROL REGRESSED" not in r3.stdout

@@ -384,17 +384,43 @@ def test_bmp_degenerate_dimensions_raise():
         mm.decode_bmp(bytes(blob))
 
 
-def test_ppm_crlf_after_maxval_raises():
-    """r11 ADVICE: CRLF after maxval (Windows text-mode corruption) shifted
-    the raster start by one byte and silently corrupted every pixel; the
-    decoder must refuse the ambiguous separator loudly."""
+def test_ppm_degenerate_dimensions_raise():
+    """r12 ADVICE: the PPM header tokenizer accepts "-4" as a width token,
+    making need = width*height*3 negative so the truncation check vacuously
+    passed and the decoder silently returned negative dims with an empty
+    pixel list -- the same raise-loudly violation the BMP guard fixed."""
+    import pytest
+
+    for hdr in (b"P6\n-4 3\n255\n", b"P6\n4 -3\n255\n", b"P6\n0 3\n255\n"):
+        with pytest.raises(ValueError, match="degenerate"):
+            mm.decode_ppm(hdr + bytes(36))
+
+
+def test_ppm_crlf_after_maxval_disambiguates_by_raster_size():
+    """r11 ADVICE found CRLF after maxval silently shifting every pixel;
+    r12 ADVICE refined the hard-reject: the exact raster size tells a
+    Windows text-mode-translated file (separator = CRLF) apart from a
+    conforming lone-\\r file whose raster legitimately begins 0x0A, so
+    both decodable classes decode and only the truly ambiguous case
+    (trailing bytes defeat the size check) raises."""
     import pytest
 
     good = mm.synth_ppm(2, 2, 5)
+    want = mm.decode_ppm(good)["pixels"]
     hdr_end = good.index(b"255\n") + 3
+    # Windows text-mode translation: "\n" -> "\r\n"; size pins CRLF-separator.
     crlf = good[:hdr_end] + b"\r\n" + good[hdr_end + 1 :]
-    with pytest.raises(ValueError, match="CRLF"):
-        mm.decode_ppm(crlf)
+    assert mm.decode_ppm(crlf)["pixels"] == want
+    # Conforming lone-\r separator with a raster that happens to start 0x0A:
+    # size pins the one-byte separator; the 0x0A is pixel data.
+    raster = good[hdr_end + 1 :]
+    lone_cr = good[:hdr_end] + b"\r" + b"\n" + raster[1:]
+    d = mm.decode_ppm(lone_cr)
+    assert d["pixels"][0][0] == 0x0A
+    assert d["pixels"][1:] == want[1:]
+    # Trailing junk defeats the exact-size disambiguation: raise loudly.
+    with pytest.raises(ValueError, match="ambiguous"):
+        mm.decode_ppm(crlf + b"junk")
     # a non-whitespace separator is equally malformed (the tokenizer folds
     # it into the maxval token, so the raise comes from int(), not the
     # separator check -- either way it is a loud ValueError)

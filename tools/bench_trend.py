@@ -36,8 +36,32 @@ MIN_SECONDS = 0.3
 MAX_HOST_RATIO = 3.0
 
 
-def load_run(path: str) -> tuple[dict[str, float], int, dict | None]:
-    """(per-query timings, timing repeats, control) from a bench.py output.
+def _rebrace_object(text: str, key: str) -> dict | None:
+    """Extract the JSON object following ``"key": `` from a text fragment by
+    brace matching (the object may nest, e.g. control.samples), or None.
+    Safe here because bench.py output never puts brace characters inside
+    strings (query names and the control query name are identifiers)."""
+    m = re.search(rf'"{key}": \{{', text)
+    if not m:
+        return None
+    start, depth = m.end() - 1, 0
+    for i in range(start, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    return json.loads(text[start : i + 1])
+                except json.JSONDecodeError:
+                    return None
+    return None
+
+
+def load_run(path: str) -> tuple[dict[str, float], int, dict | None, dict]:
+    """(per-query timings, timing repeats, control, run metadata) from a
+    bench.py output.  ``metadata`` carries the host-comparability facts the
+    control-regression escalation reads (cpus, sf) when present.
 
     Accepts four shapes: a raw ``bench.py`` JSON line, the driver's
     ``BENCH_r{N}.json`` with the line under ``parsed``, the driver file
@@ -84,10 +108,23 @@ def load_run(path: str) -> tuple[dict[str, float], int, dict | None]:
                 "queries": queries,
                 "repeats": int(r.group(1)) if r else 1,
             }
+            # The tail is cut from the FRONT, so the trailing control/sf/cpus
+            # fields survive whenever queries did; recover them too --
+            # dropping control here silently disabled host normalization for
+            # exactly the driver-vs-driver comparisons that need it most
+            # (r12 verdict What's-wrong #1).
+            ctl = _rebrace_object(tail, "control")
+            if ctl is not None:
+                obj["control"] = ctl
+            for key in ("sf", "cpus"):
+                km = re.search(rf'"{key}": ([0-9.]+)', tail)
+                if km:
+                    obj[key] = float(km.group(1)) if "." in km.group(1) else int(km.group(1))
     if "queries" not in obj:
         raise SystemExit(f"{path}: no 'queries' key (unparsed bench round?)")
     control = obj.get("control") if isinstance(obj.get("control"), dict) else None
-    return dict(obj["queries"]), int(obj.get("repeats", 1)), control
+    meta = {k: obj[k] for k in ("sf", "cpus") if k in obj}
+    return dict(obj["queries"]), int(obj.get("repeats", 1)), control, meta
 
 
 def _control_seconds(control: dict | None) -> float | None:
@@ -211,11 +248,12 @@ def main() -> None:
     if len(args) != 2:
         raise SystemExit(__doc__)
     base_path, cur_path = args
-    base, base_rep, base_ctl = load_run(base_path)
-    cur, cur_rep, cur_ctl = load_run(cur_path)
+    base, base_rep, base_ctl, base_meta = load_run(base_path)
+    cur, cur_rep, cur_ctl, cur_meta = load_run(cur_path)
     host = host_ratio(base_ctl, cur_ctl)
     cmp = compare(base, cur, host=host if host is not None else 1.0)
     note = ""
+    control_gate = False
     if host is not None:
         note = (
             f"Host-speed normalization ACTIVE: control "
@@ -224,6 +262,35 @@ def main() -> None:
             f"{_control_seconds(cur_ctl):.3f}s); the gate classifies on "
             "ratio/control."
         )
+        if host > THRESHOLD:
+            # A control slower than the gate threshold is indistinguishable
+            # from a sweep-wide regression viewed from inside the data
+            # (r12 ADVICE): normalizing by it would classify a genuine
+            # shared-path slowdown 'steady'.  When the two runs declare the
+            # same cpus/sf the host-drift explanation loses its footing, so
+            # escalate to a failing gate demanding old-tree adjudication;
+            # with differing or absent metadata it stays a loud warning.
+            same_host = (
+                base_meta.get("cpus") is not None
+                and base_meta.get("cpus") == cur_meta.get("cpus")
+                and base_meta.get("sf") == cur_meta.get("sf")
+            )
+            control_gate = same_host
+            note = (
+                f"CONTROL REGRESSED {host:.2f}x (> gate threshold "
+                f"{THRESHOLD}x): a sweep-wide slowdown and host drift are "
+                "indistinguishable from inside the data — adjudicate by "
+                "re-timing an untouched old tree on the current host "
+                "before trusting any 'steady' classification.  "
+                + (
+                    "Runs declare IDENTICAL cpus/sf, so host drift is NOT "
+                    "assumed: gate FAILS pending adjudication.  "
+                    if same_host
+                    else "Runs declare different or missing cpus/sf "
+                    "metadata; not gating, but do not skip adjudication.  "
+                )
+                + note
+            )
     wobble = control_wobble(cur_ctl)
     if wobble is not None and wobble > 2.0:
         note = (
@@ -233,7 +300,7 @@ def main() -> None:
             "per-query flags skeptically and re-measure before "
             "adjudicating.  " + note
         )
-    gate = bool(cmp["regressed"])
+    gate = bool(cmp["regressed"]) or control_gate
     if base_rep != cur_rep:
         # Min-of-N vs single-run timings are not comparable: the methodology
         # change alone shifts values more than the gate threshold, masking
@@ -244,7 +311,8 @@ def main() -> None:
             f"METHODOLOGY CHANGED (timing repeats {base_rep} -> {cur_rep}): "
             "ratios are apples-to-oranges this round — improvements are "
             "partly measurement artifacts and the regression gate is NOT "
-            "armed.  It re-arms when both runs use the same repeats."
+            "armed.  It re-arms when both runs use the same repeats.  "
+            + note
         )
         gate = False
     md = report_md(base_path, cur_path, cmp, note)
