@@ -127,17 +127,27 @@ def _update_running_anomaly(
         counts = ts.dt.floor("h").value_counts().sort_index()
         for hr, c in counts.items():
             c = int(c)
+            # Every closed hour is EMITTED (the monitoring consumer gets the
+            # observed count even while the baseline is warming up); zscore
+            # is null until >=3 prior hours with positive variance.  The
+            # complete emission stream therefore reconstructs the full
+            # (user, hour, count) table, which is what lets the twin test
+            # certify this operator against the driver-checked
+            # ev_anomaly_zscore batch query, not just the oracle-checked
+            # online form (r12 VERDICT task 5).
+            zscore = None
             if n >= 3:
                 # expression tree mirrored from ev_anomaly_zscore_online:
                 # double div, E[x^2]-mean^2, clamp, IEEE sqrt -- exact parity
                 mean = s / n
                 std = math.sqrt(max(ssq / n - mean * mean, 0.0))
                 if std > 0.0:
-                    out["user_id"].append(key[0])
-                    out["hour_ts"].append(hr)
-                    out["n_events"].append(c)
-                    out["n_prior"].append(n)
-                    out["zscore"].append((float(c) - mean) / std)
+                    zscore = (float(c) - mean) / std
+            out["user_id"].append(key[0])
+            out["hour_ts"].append(hr)
+            out["n_events"].append(c)
+            out["n_prior"].append(n)
+            out["zscore"].append(zscore)
             n += 1
             s += c
             ssq += c * c
@@ -152,9 +162,13 @@ def running_anomaly_scores(ev: DataFrame) -> DataFrame:
     hour-aligned per user (no (user, hour) split across batches) -- in a
     real deployment the upstream is a watermarked hourly window aggregate
     that emits each bucket exactly once; the tests construct hour-aligned
-    chunks to model that.  Equivalence with the batch expanding-window
-    query ev_anomaly_zscore_online is row-for-row exact (integer state,
-    mirrored float tree) -- pinned in tests/test_stateful.py."""
+    chunks to model that.  EVERY closed hour is emitted; ``zscore`` is
+    null while the user's baseline is warming up (<3 prior hours or zero
+    variance).  The scored subset equals the batch expanding-window query
+    ev_anomaly_zscore_online row-for-row (integer state, mirrored float
+    tree), and the full emission set reconstructs the hourly table the
+    driver-checked ev_anomaly_zscore aggregates -- both pinned in
+    tests/test_stateful.py."""
     return ev.groupBy("user_id").applyInPandasWithState(
         _update_running_anomaly,
         ANOMALY_SCHEMA,

@@ -108,6 +108,40 @@ def test_debounce_stream_matches_batch(spark, sf_dir, tmp_path):
     first_chunk_max_ts = pa.compute.max(chunks[0].column("ts")).as_py()
     assert (batch["ts"] > first_chunk_max_ts).any()
 
+    # Close the loop to the driver-facing surface (r12 VERDICT task 5, the
+    # ev_quota_flagging pattern): fingerprinting the STREAMED kept set per
+    # event_type -- count, sum(event_id), and drops against the raw input
+    # counts -- must reproduce the registered (driver-checked)
+    # ev_debounce_exact output exactly, so the external DuckDB gate on that
+    # query indirectly certifies this stateful streaming path.
+    from flink_kafka_consumer_cassandra_output_spark.plans.registry import get as get_spec
+
+    totals = (
+        tbl.select(["event_type"])
+        .to_pandas()["event_type"]
+        .value_counts()
+    )
+    agg = (
+        streamed.groupby("event_type")
+        .agg(n_kept=("event_id", "size"), kept_id_sum=("event_id", "sum"))
+        .reset_index()
+    )
+    agg["n_dropped"] = agg["event_type"].map(totals) - agg["n_kept"]
+    agg = (
+        agg[["event_type", "n_kept", "n_dropped", "kept_id_sum"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    reg = (
+        get_spec("ev_debounce_exact").builder(spark, sf_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(agg) == len(reg)
+    for col in ["event_type", "n_kept", "n_dropped", "kept_id_sum"]:
+        assert (agg[col].to_numpy() == reg[col].to_numpy()).all(), col
+
 
 def test_debounce_stream_matches_batch_at_median_gap(spark, sf_dir, tmp_path):
     """Adversarial parameter set (r10 VERDICT item 7): debounce window =

@@ -440,7 +440,12 @@ def test_scd2_windows_share_one_user_shuffle(spark):
     assert plan.count("Exchange") <= 4  # loader round-robin + user_id hash
 
 
-@pytest.mark.parametrize("name", ["orders_abc_classification", "doc_lm_rarity"])
+@pytest.mark.parametrize(
+    # EVERY registered query whose builder calls range_ordered_parts (r12
+    # VERDICT task 6) -- grep the helper's call sites when adding consumers
+    "name",
+    ["orders_abc_classification", "doc_lm_rarity", "doc_weighted_sample"],
+)
 def test_prefix_sum_queries_never_single_partition_the_data(spark, name):
     """r12: the cumulative pass runs as the distributed range prefix sum
     (operators/ordered.py).  Plan signature: the big side arrives through

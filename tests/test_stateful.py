@@ -114,9 +114,12 @@ def test_online_anomaly_stream_matches_batch_query(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
 
-    streamed = spark.sql(
+    all_emitted = spark.sql(
         "SELECT * FROM online_anomaly ORDER BY user_id, hour_ts"
     ).toPandas()
+    # warming-up hours are emitted with null zscore; the SCORED subset is
+    # the online expanding-window query's exact row set
+    streamed = all_emitted[all_emitted["zscore"].notna()].reset_index(drop=True)
     batch = (
         all_specs()["ev_anomaly_zscore_online"]
         .builder(spark, sf_dir)
@@ -139,6 +142,53 @@ def test_online_anomaly_stream_matches_batch_query(spark, sf_dir, tmp_path):
     )
     assert any(h in last_chunk_hours for h in streamed["hour_ts"]), (
         "no emission from the final micro-batch; cross-batch state untested"
+    )
+
+    # Close the loop to the driver-facing surface (r12 VERDICT task 5, the
+    # ev_quota_flagging pattern): the COMPLETE emission set -- every closed
+    # hour, scored or warming up -- IS the per-(user, hour) count table, so
+    # re-deriving the retrospective full-baseline z-score top-50 from the
+    # streamed counts must reproduce the registered (driver-checked)
+    # ev_anomaly_zscore output exactly, floats included.  The re-derivation
+    # below is the bridge: if it or the streamed counts were wrong, this
+    # comparison against the externally DuckDB-verified output would fail.
+    import math
+
+    hourly = all_emitted[["user_id", "hour_ts", "n_events"]]
+    rows = []
+    for uid, grp in hourly.groupby("user_id"):
+        cs = grp["n_events"].to_numpy()
+        n = len(cs)
+        if n < 3:
+            continue
+        s, ssq = int(cs.sum()), int((cs.astype(object) ** 2).sum())
+        mean = s / n
+        std = math.sqrt(max(ssq / n - mean * mean, 0.0))
+        if std <= 0.0:
+            continue
+        for hr, c in zip(grp["hour_ts"], cs):
+            rows.append((uid, hr, int(c), (float(c) - mean) / std))
+    derived = (
+        pd.DataFrame(rows, columns=["user_id", "hour_ts", "n_events", "zscore"])
+        .sort_values(
+            ["zscore", "user_id", "hour_ts"],
+            key=lambda s: -s.abs() if s.name == "zscore" else s,
+        )
+        .head(50)
+        .reset_index(drop=True)
+    )
+    reg = (
+        all_specs()["ev_anomaly_zscore"]
+        .builder(spark, sf_dir)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(derived) == len(reg)
+    for col in ["user_id", "hour_ts", "n_events"]:
+        assert (derived[col].to_numpy() == reg[col].to_numpy()).all(), col
+    assert (derived["zscore"].to_numpy() == reg["zscore"].to_numpy()).all(), (
+        "full-baseline zscore derived from streamed counts diverges from "
+        "the driver-checked batch query"
     )
 
 
@@ -206,6 +256,42 @@ def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(expected) > 0, "fixture produced no alarms; threshold drifted"
     for col in ["event_type", "ts", "event_id", "s"]:
         assert (streamed[col].to_numpy() == expected[col].to_numpy()).all(), col
+
+    # Close the loop to the driver-facing surface (r12 VERDICT task 5, the
+    # ev_quota_flagging pattern): aggregating the STREAMED alarms per
+    # event_type must reproduce the alarm-derived columns of the registered
+    # (driver-checked) ev_cusum_alarm output exactly.  For any event_type
+    # with >=1 alarm the query's max_s_scaled is attained AT an alarm row
+    # (the global max exceeds the threshold iff some row does), so the
+    # alarm-only max equals it; n_events is the only column a pure alarm
+    # stream cannot carry.
+    from flink_kafka_consumer_cassandra_output_spark.plans.registry import get as get_spec
+
+    agg = (
+        streamed.groupby("event_type")
+        .agg(
+            n_alarms=("s", "size"),
+            max_s_scaled=("s", "max"),
+            first_alarm_ts=("ts", "min"),
+        )
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    reg = (
+        get_spec("ev_cusum_alarm").builder(spark, sf_dir)
+        .toPandas()
+    )
+    reg_alarmed = (
+        reg[reg["n_alarms"] > 0]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(agg) == len(reg_alarmed), (
+        "streamed alarm event_types differ from the registered query's"
+    )
+    for col in ["event_type", "n_alarms", "max_s_scaled", "first_alarm_ts"]:
+        assert (agg[col].to_numpy() == reg_alarmed[col].to_numpy()).all(), col
 
 
 def test_quota_stream_matches_batch(spark, sf_dir, tmp_path):
@@ -531,6 +617,8 @@ def test_anomaly_stream_restart_preserves_moments(spark, sf_dir, tmp_path):
 
     streamed = (
         pd.concat([d1, d2])
+        .loc[lambda df: df["zscore"].notna()]  # scored subset (warming-up
+        # hours now emit with null zscore; the online query has no nulls)
         .sort_values(["user_id", "hour_ts"])
         .reset_index(drop=True)
     )
