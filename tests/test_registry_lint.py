@@ -71,6 +71,30 @@ def test_every_local_only_query_names_a_driver_checked_sibling():
         )
 
 
+def test_never_driver_checked_entries_hold_a_driver_slot():
+    """Freshness-era rule (r13, tools/r14_rotation_plan.md): the
+    never-driver-checked backlog drained to 0 and must STAY empty — any
+    entry that has never appeared in a CORRECTNESS_r*.json sweep must be
+    driver=True so its first round faces the external oracle.  New
+    registrations therefore take a driver slot immediately; rotations may
+    demote them only after their first green sweep lands."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for r in range(1, 100):
+        path = os.path.join(root, f"CORRECTNESS_r{r:02d}.json")
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)))
+    assert checked, "no CORRECTNESS files found; lint cannot run"
+    never = [n for n, s in all_specs().items() if n not in checked and not s.driver]
+    assert not never, (
+        f"never-driver-checked entries without a driver slot: {never} — "
+        "new registrations must be driver=True in their first round"
+    )
+
+
 def test_register_rejects_local_only_without_sibling():
     with pytest.raises(ValueError, match="sibling"):
         register("zz_lint_fixture_no_sibling", driver=False)(lambda spark, sf: None)
