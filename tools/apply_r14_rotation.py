@@ -37,7 +37,11 @@ R13_FIRST_TIMERS = [
 
 # oldest-green-first (staleness.py ranking at r13 build time): everything
 # last checked r2-r4 (14 entries) + the registration-order-first age-7
-# entry (doc_exact_dedup) to fill the 15th slot
+# entry (doc_text_stats) to fill the 15th slot.  msg_detail_encrypted is
+# oracle=None (no AES in DuckDB), so its driver check is rows-only — the
+# strongest gate available for it, and the freshness rule is applied
+# without cherry-picking around it; its ciphertext stays pinned by the
+# decrypt-verified twin regardless.
 PROMOTE = [
     "emb_ann_ivf",                                   # last r2
     "window_order_running_total", "orderby_limit_top20_orders",  # r3...
@@ -46,7 +50,7 @@ PROMOTE = [
     "ev_sliding_hourly_30m", "ev_pivot_user_type_counts",
     "doc_simhash", "agg_cube_orders",                # ...r3
     "msg_detail_encrypted", "emb_cosine_topk_arrow",  # r4
-    "doc_exact_dedup",                               # r6, tie-break rule
+    "doc_text_stats",                                # r6, tie-break rule
 ]
 
 # demoted name -> new sibling (driver=True post-flip); freshest multi-round
@@ -83,7 +87,8 @@ REPOINT = {
     "emb_semantic_dedup": "emb_ann_ivf",
     "emb_ann_lsh": "emb_ann_ivf",
     "emb_top_similar_pairs": "emb_cosine_topk_arrow",
-    # doc_dedup_clusters dependents (2 promote; 4 re-point)
+    # doc_dedup_clusters dependents (1 promotes; 5 re-point)
+    "doc_exact_dedup": "doc_dedup_keep_best",
     "doc_near_dup_simhash": "doc_simhash",
     "doc_near_dup_minhash_lsh": "doc_simhash",
     "doc_near_dup_jaccard": "doc_simhash",
