@@ -317,8 +317,20 @@ def main() -> None:
         gate = False
     md = report_md(base_path, cur_path, cmp, note)
     if "--write-report" in sys.argv:
+        # Prepend the fresh report, preserving prior rounds' adjudication
+        # narratives under an archive rule instead of overwriting them (the
+        # r13 overwrite silently dropped the judge-cited r12 incident notes
+        # and they had to be restored from git).
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(root, "BENCH_TREND.md"), "w") as f:
+        path = os.path.join(root, "BENCH_TREND.md")
+        old = ""
+        if os.path.exists(path):
+            with open(path) as f:
+                old = f.read()
+        if old.strip():
+            first = old.splitlines()[0].lstrip("# ").strip()
+            md = md + f"\n---\n\n# Archive — prior report ({first})\n\n" + old
+        with open(path, "w") as f:
             f.write(md)
     print(md)
     if gate:
