@@ -3,7 +3,8 @@
 Prints exactly ONE JSON line on stdout:
 
     {"metric": "total_query_seconds", "value": <sum>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>, "cpus": <n>, "rows": {...}}
+     "queries": {"<name>": <sec>, ...}, "control": {...}, "controls":
+     {"<family>": {...}}, "sf": <sf>, "cpus": <n>, ...}
 
 Configuration (env):
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
@@ -44,6 +45,20 @@ from flink_kafka_consumer_cassandra_output_spark.session import local_session  #
 #: re-adjudication cycle).  q6 is the judge's own control query: tiny,
 #: stable, exercises scan+filter+agg.
 CONTROL_QUERY = "q6_forecast_revenue"
+
+#: Per-table-family controls (r13 lesson: the whole events/documents region
+#: ran 40-70% slower in one sweep window while the lineitem control was
+#: FASTER -- a single control is provably blind to table-family-specific
+#: host drift, and 17 flags needed manual old-tree adjudication).  One
+#: cheap, session_memo-FREE query per base table family; the trend gate
+#: normalizes each query by its own family's control.  q6 stays the
+#: primary (and the legacy "control" output field) for old tooling.
+CONTROL_QUERIES = {
+    "lineitem": CONTROL_QUERY,
+    "events": "ev_json_props_typed",
+    "documents": "doc_rolling_hash",
+    "embeddings": "emb_int8_quantization",
+}
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -108,9 +123,28 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best, err
 
-    control_start = (
-        _measure(CONTROL_QUERY)[0] if CONTROL_QUERY in specs else None
-    )
+    controls = {
+        fam: {"query": q, "start_s": None, "end_s": None, "samples": []}
+        for fam, q in CONTROL_QUERIES.items()
+        if q in specs
+    }
+
+    def _sample_controls(key: str, after_n: int | None = None) -> None:
+        for fam, ctl in controls.items():
+            c = _measure(ctl["query"])[0]
+            if c is None:
+                continue
+            if key == "sample":
+                ctl["samples"].append({
+                    "after_n": after_n,
+                    "sec": round(c, 3),
+                    "load": round(os.getloadavg()[0], 2),
+                })
+            else:
+                ctl[key] = round(c, 3)
+
+    _sample_controls("start_s")
+    control_start = controls.get("lineitem", {}).get("start_s")
     load_start = os.getloadavg()[0]
 
     # Mid-sweep control samples at the quarter points: a host stall that
@@ -119,7 +153,6 @@ def main() -> None:
     # endpoint controls looked fine).  The trend gate normalizes by the
     # median of all samples.
     quarter = max(1, len(names) // 4)
-    control_samples: list[dict] = []
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -129,18 +162,11 @@ def main() -> None:
             timings[name] = round(best, 3)
         else:
             failures[name] = err or "no successful repeat"
-        if CONTROL_QUERY in specs and (i + 1) % quarter == 0 and (i + 1) < len(names):
-            c = _measure(CONTROL_QUERY)[0]
-            if c is not None:
-                control_samples.append({
-                    "after_n": i + 1,
-                    "sec": round(c, 3),
-                    "load": round(os.getloadavg()[0], 2),
-                })
+        if (i + 1) % quarter == 0 and (i + 1) < len(names):
+            _sample_controls("sample", after_n=i + 1)
 
-    control_end = (
-        _measure(CONTROL_QUERY)[0] if CONTROL_QUERY in specs else None
-    )
+    _sample_controls("end_s")
+    control_end = controls.get("lineitem", {}).get("end_s")
     load_end = os.getloadavg()[0]
 
     # Shared stages (session_memo) build ONCE per sweep; their cost lands
@@ -156,14 +182,17 @@ def main() -> None:
         "shared_stages": {
             k: round(v, 3) for k, v in sorted(SESSION_MEMO_BUILD_SECONDS.items())
         },
+        # legacy single-control shape (the lineitem/primary control) kept
+        # for old tooling and the driver-file tail recovery
         "control": {
             "query": CONTROL_QUERY,
-            "start_s": None if control_start is None else round(control_start, 3),
-            "end_s": None if control_end is None else round(control_end, 3),
+            "start_s": control_start,
+            "end_s": control_end,
             "load_start": round(load_start, 2),
             "load_end": round(load_end, 2),
-            "samples": control_samples,
+            "samples": controls.get("lineitem", {}).get("samples", []),
         },
+        "controls": controls,
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,
         "n_queries": len(timings),

@@ -274,3 +274,61 @@ def test_control_regression_escalates_to_gate(tmp_path):
     r3 = run(base, cur_ok)
     assert r3.returncode == 0, r3.stdout + r3.stderr
     assert "CONTROL REGRESSED" not in r3.stdout
+
+
+def test_family_normalization_catches_family_specific_drift():
+    """r13 lesson encoded: events queries 2x slower while the lineitem
+    control is steady.  Single-control normalization would flag them all;
+    per-family normalization clears the events family (its own control
+    also slowed 2x) while still flagging a genuine lineitem regression."""
+    from bench_trend import compare, family_host_ratios, family_of
+
+    assert family_of("ev_funnel_conversion") == "events"
+    assert family_of("msg_detail") == "events"
+    assert family_of("doc_phrase_search") == "documents"
+    assert family_of("mm_pixel_stats") == "documents"
+    assert family_of("emb_cosine_topk") == "embeddings"
+    assert family_of("q9_product_profit") == "lineitem"
+
+    base_meta = {"controls": {
+        "lineitem": _ctl("q6", 0.2, 0.2),
+        "events": _ctl("ev_json_props_typed", 0.3, 0.3),
+    }}
+    cur_meta = {"controls": {
+        "lineitem": _ctl("q6", 0.2, 0.2),             # lineitem host steady
+        "events": _ctl("ev_json_props_typed", 0.6, 0.6),  # events 2x slower
+    }}
+    fams = family_host_ratios(base_meta, cur_meta)
+    assert fams == {"lineitem": 1.0, "events": 2.0}
+    cmp = compare(
+        {"ev_funnel_conversion": 1.0, "q9_product_profit": 1.0},
+        {"ev_funnel_conversion": 2.0, "q9_product_profit": 2.0},
+        host=1.0, family_hosts=fams,
+    )
+    # events 2x rides its family's 2x host factor: steady
+    assert "ev_funnel_conversion" in cmp["steady"]
+    # lineitem 2x against a steady lineitem control: real regression
+    assert "q9_product_profit" in cmp["regressed"]
+
+
+def test_truncated_tail_recovers_family_controls(tmp_path):
+    """The multi-control 'controls' map must survive the head-truncated
+    driver-file recovery path alongside the legacy 'control'."""
+    import json
+
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps({
+        "parsed": None,
+        "tail": 'x": 1.0, "y": 2.0}, '
+                '"control": {"query": "q6", "start_s": 0.2, "end_s": 0.2, '
+                '"samples": []}, '
+                '"controls": {"lineitem": {"query": "q6", "start_s": 0.2, '
+                '"end_s": 0.2, "samples": []}, "events": {"query": '
+                '"ev_json_props_typed", "start_s": 0.3, "end_s": 0.31, '
+                '"samples": [{"after_n": 4, "sec": 0.29, "load": 2.0}]}}, '
+                '"sf": 0.1, "cpus": 32, "repeats": 3}\n',
+    }))
+    queries, repeats, control, meta = load_run(str(f))
+    assert control["query"] == "q6"
+    assert set(meta["controls"]) == {"lineitem", "events"}
+    assert meta["controls"]["events"]["samples"][0]["sec"] == 0.29

@@ -116,6 +116,9 @@ def load_run(path: str) -> tuple[dict[str, float], int, dict | None, dict]:
             ctl = _rebrace_object(tail, "control")
             if ctl is not None:
                 obj["control"] = ctl
+            ctls = _rebrace_object(tail, "controls")
+            if ctls is not None:
+                obj["controls"] = ctls
             for key in ("sf", "cpus"):
                 km = re.search(rf'"{key}": ([0-9.]+)', tail)
                 if km:
@@ -124,6 +127,8 @@ def load_run(path: str) -> tuple[dict[str, float], int, dict | None, dict]:
         raise SystemExit(f"{path}: no 'queries' key (unparsed bench round?)")
     control = obj.get("control") if isinstance(obj.get("control"), dict) else None
     meta = {k: obj[k] for k in ("sf", "cpus") if k in obj}
+    if isinstance(obj.get("controls"), dict):
+        meta["controls"] = obj["controls"]
     return dict(obj["queries"]), int(obj.get("repeats", 1)), control, meta
 
 
@@ -162,6 +167,35 @@ def host_ratio(base_ctl: dict | None, cur_ctl: dict | None) -> float | None:
     return r
 
 
+def family_of(query: str) -> str:
+    """Base-table family a query's runtime is dominated by, for per-family
+    host normalization (r13 lesson: one sweep window ran the events and
+    documents families 40-70% slower while the lineitem control got
+    FASTER — a single control cannot see family-specific drift).  msg_*
+    derives from events (messages_from_events); mm_* synthesizes media
+    from documents; everything else reads the TPC-H tables."""
+    if query.startswith(("ev_", "msg_")):
+        return "events"
+    if query.startswith(("doc_", "mm_")):
+        return "documents"
+    if query.startswith("emb_"):
+        return "embeddings"
+    return "lineitem"
+
+
+def family_host_ratios(base_meta: dict, cur_meta: dict) -> dict[str, float]:
+    """Per-family cur/base host factors from the two runs' ``controls``
+    maps (bench.py r13+); empty when either side predates multi-controls.
+    Same sanity rules as host_ratio."""
+    b, c = base_meta.get("controls") or {}, cur_meta.get("controls") or {}
+    out: dict[str, float] = {}
+    for fam in set(b) & set(c):
+        r = host_ratio(b.get(fam), c.get(fam))
+        if r is not None:
+            out[fam] = r
+    return out
+
+
 def control_wobble(control: dict | None) -> float | None:
     """max/MEDIAN over the current run's control measurements (endpoints
     plus mid-sweep samples): well above 1 means some stretch of the sweep
@@ -186,10 +220,17 @@ def control_wobble(control: dict | None) -> float | None:
     return vals[-1] / med
 
 
-def compare(base: dict[str, float], cur: dict[str, float], host: float = 1.0) -> dict:
+def compare(
+    base: dict[str, float],
+    cur: dict[str, float],
+    host: float = 1.0,
+    family_hosts: dict[str, float] | None = None,
+) -> dict:
     """Classify every query: regressed / improved / steady / added / removed.
 
-    ``host`` is the control-derived cur/base host-speed factor; the gate
+    ``host`` is the primary control's cur/base host-speed factor; when
+    ``family_hosts`` carries a factor for a query's table family, that
+    factor is used instead (per-family normalization).  The gate
     classifies on ``ratio / host`` (the normalized ratio) but reports both.
     """
     out = {"regressed": {}, "improved": {}, "steady": {}, "added": [], "removed": []}
@@ -199,7 +240,8 @@ def compare(base: dict[str, float], cur: dict[str, float], host: float = 1.0) ->
             continue
         b = base[name]
         ratio = t / b if b > 0 else float("inf")
-        norm = ratio / host
+        h = (family_hosts or {}).get(family_of(name), host)
+        norm = ratio / h
         entry = {"base": b, "cur": t, "ratio": round(ratio, 2), "norm": round(norm, 2)}
         if norm > THRESHOLD and max(b, t) >= MIN_SECONDS:
             out["regressed"][name] = entry
@@ -251,18 +293,28 @@ def main() -> None:
     base, base_rep, base_ctl, base_meta = load_run(base_path)
     cur, cur_rep, cur_ctl, cur_meta = load_run(cur_path)
     host = host_ratio(base_ctl, cur_ctl)
-    cmp = compare(base, cur, host=host if host is not None else 1.0)
+    fam_hosts = family_host_ratios(base_meta, cur_meta)
+    cmp = compare(
+        base, cur,
+        host=host if host is not None else 1.0,
+        family_hosts=fam_hosts,
+    )
     note = ""
     control_gate = False
-    if host is not None:
+    if fam_hosts:
         note = (
-            f"Host-speed normalization ACTIVE: control "
-            f"`{cur_ctl.get('query')}` ratio {host:.2f}x "
-            f"({_control_seconds(base_ctl):.3f}s -> "
-            f"{_control_seconds(cur_ctl):.3f}s); the gate classifies on "
-            "ratio/control."
+            "Per-family host normalization ACTIVE: "
+            + ", ".join(f"{f}={r:.2f}x" for f, r in sorted(fam_hosts.items()))
+            + "; each query classifies on ratio/its-family-control.  "
         )
-        if host > THRESHOLD:
+    if host is not None:
+        note += (
+            f"Primary control `{cur_ctl.get('query')}` ratio {host:.2f}x "
+            f"({_control_seconds(base_ctl):.3f}s -> "
+            f"{_control_seconds(cur_ctl):.3f}s)."
+        )
+        worst = max([host, *fam_hosts.values()])
+        if worst > THRESHOLD:
             # A control slower than the gate threshold is indistinguishable
             # from a sweep-wide regression viewed from inside the data
             # (r12 ADVICE): normalizing by it would classify a genuine
@@ -277,7 +329,7 @@ def main() -> None:
             )
             control_gate = same_host
             note = (
-                f"CONTROL REGRESSED {host:.2f}x (> gate threshold "
+                f"CONTROL REGRESSED {worst:.2f}x (> gate threshold "
                 f"{THRESHOLD}x): a sweep-wide slowdown and host drift are "
                 "indistinguishable from inside the data — adjudicate by "
                 "re-timing an untouched old tree on the current host "
@@ -291,7 +343,10 @@ def main() -> None:
                 )
                 + note
             )
-    wobble = control_wobble(cur_ctl)
+    wobbles = [control_wobble(cur_ctl)] + [
+        control_wobble(c) for c in (cur_meta.get("controls") or {}).values()
+    ]
+    wobble = max((w for w in wobbles if w is not None), default=None)
     if wobble is not None and wobble > 2.0:
         note = (
             f"CONTROL WOBBLE {wobble:.1f}x across the current sweep's "
