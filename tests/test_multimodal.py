@@ -364,6 +364,47 @@ def test_wav_ieee_float_fuzz_falls_back_to_header(channels, rate, n_frames):
     assert "samples" not in hd and "pixels" not in hd
 
 
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 20), st.integers(1, 12), st.integers(0, 10**9))
+def test_bmp_top_down_decode_fuzz(w, h, doc_id):
+    """A top-down BMP (negative height, rows already in display order)
+    must decode pixel-identical to its bottom-up twin — the branch the
+    identity fuzz never reaches because synth_bmp always writes
+    bottom-up."""
+    bottom_up = mm.synth_bmp(w, h, doc_id)
+    want = mm.decode_bmp(bottom_up)
+    stride = w * 3 + ((-(w * 3)) % 4)
+    px = bottom_up[54:]
+    rows = [px[i * stride : (i + 1) * stride] for i in range(h)]
+    td = bytearray(bottom_up[:54])
+    td[22:26] = (-h).to_bytes(4, "little", signed=True)
+    got = mm.decode_bmp(bytes(td) + b"".join(reversed(rows)))
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 20), st.integers(1, 12), st.integers(0, 10**6))
+def test_ppm_crlf_disambiguation_fuzz(w, h, seed):
+    """Both decodable CRLF-adjacent classes across random dimensions:
+    the Windows text-mode CRLF separator decodes to the original pixels,
+    and a conforming lone-\\r file whose raster legitimately begins 0x0A
+    (pixel formula: red = doc_id % 256, so doc_id = 10 mod 256) decodes
+    with the 0x0A as pixel data."""
+    good = mm.synth_ppm(w, h, seed)
+    want = mm.decode_ppm(good)["pixels"]
+    hdr_end = good.index(b"255\n") + 3
+    crlf = good[:hdr_end] + b"\r\n" + good[hdr_end + 1 :]
+    assert mm.decode_ppm(crlf)["pixels"] == want
+
+    doc2 = seed - seed % 256 + 10  # forces raster[0] == 0x0A
+    g2 = mm.synth_ppm(w, h, doc2)
+    hdr2 = g2.index(b"255\n") + 3
+    lone = g2[:hdr2] + b"\r" + g2[hdr2 + 1 :]
+    d = mm.decode_ppm(lone)
+    assert d["pixels"] == mm.decode_ppm(g2)["pixels"]
+    assert d["pixels"][0][0] == 0x0A
+
+
 def test_bmp_degenerate_dimensions_raise():
     """r11 ADVICE: negative width gave stride<0, a vacuously-passing
     truncation check and a silent empty-pixels result; the decoder must
