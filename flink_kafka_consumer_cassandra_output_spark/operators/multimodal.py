@@ -401,23 +401,23 @@ def decode_ppm(content: bytes) -> dict:
         raise ValueError("16-bit PPM not supported")
     need = width * height * 3
     if sep == b"\r" and content[pos : pos + 1] == b"\n":
-        # "\r\n" after maxval is ambiguous: a conforming writer may have used
-        # "\r" as the single separator with a raster legitimately starting
-        # 0x0A, or the file went through Windows text-mode translation and
-        # the real separator is the two-byte CRLF.  The exact raster size
-        # disambiguates -- at most one of the two candidate offsets leaves
-        # exactly width*height*3 bytes -- so decode the decodable files and
-        # raise only when the size check cannot tell them apart (r12 ADVICE
-        # refinement of the r11 hard-reject).
-        lone_cr = len(content) == pos + need        # raster starts with 0x0A
-        crlf = len(content) == pos + 1 + need       # separator was CRLF
-        if lone_cr == crlf:
+        # "\r\n" after maxval: either a conforming writer used "\r" as the
+        # single separator with a raster legitimately starting 0x0A, or the
+        # file went through Windows text-mode translation and the real
+        # separator is the two-byte CRLF.  Only the first case is ever
+        # provably unambiguous: when len == pos + need exactly, the CRLF
+        # reading would be truncated, so the lone-\r decode is safe.  The
+        # converse (len == pos + 1 + need, the "clean Windows file" the r12
+        # ADVICE hoped to decode) COLLIDES with a lone-\r file whose writer
+        # appended one trailing newline -- decoding it as CRLF silently
+        # shifts every pixel by one byte, the exact corruption the r11 fix
+        # exists to prevent (found by review re-test) -- so everything but
+        # the exact lone-\r size raises loudly.
+        if len(content) != pos + need:
             raise ValueError(
-                "ambiguous PPM: CRLF after maxval and raster size cannot "
-                "disambiguate (text-mode corrupted file?)"
+                "ambiguous PPM: CRLF after maxval (text-mode corrupted "
+                "file, or lone-CR separator with trailing bytes?)"
             )
-        if crlf:
-            pos += 1
     if len(content) < pos + need:
         raise ValueError("truncated PPM raster")
     raster = content[pos : pos + need]

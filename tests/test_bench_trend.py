@@ -332,3 +332,90 @@ def test_truncated_tail_recovers_family_controls(tmp_path):
     assert control["query"] == "q6"
     assert set(meta["controls"]) == {"lineitem", "events"}
     assert meta["controls"]["events"]["samples"][0]["sec"] == 0.29
+
+
+def test_family_escalation_fires_without_a_primary_control(tmp_path):
+    """Review finding: the family-control escalation was nested under the
+    primary-control branch, so a rotated/missing primary control silently
+    disabled it while family normalization still classified a sweep-wide
+    family regression 'steady'.  With the primary incomparable (different
+    control query) but the events family control 2x slower under identical
+    cpus/sf, the gate must FAIL with the CONTROL REGRESSED warning."""
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    tool = Path(__file__).resolve().parents[1] / "tools" / "bench_trend.py"
+    base = {"queries": {"ev_a": 1.0}, "repeats": 3, "sf": 0.1, "cpus": 32,
+            "control": _ctl("q6", 0.2, 0.2),
+            "controls": {"lineitem": _ctl("q6", 0.2, 0.2),
+                         "events": _ctl("ev_json_props_typed", 0.3, 0.3)}}
+    cur = {"queries": {"ev_a": 2.0}, "repeats": 3, "sf": 0.1, "cpus": 32,
+           "control": _ctl("q6b", 0.2, 0.2),  # primary rotated: incomparable
+           "controls": {"lineitem": _ctl("q6b", 0.2, 0.2),
+                        "events": _ctl("ev_json_props_typed", 0.6, 0.6)}}
+    b, c = tmp_path / "b.json", tmp_path / "c.json"
+    b.write_text(json.dumps(base))
+    c.write_text(json.dumps(cur))
+    r = subprocess.run([_sys.executable, str(tool), str(b), str(c)],
+                       capture_output=True, text=True)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "CONTROL REGRESSED" in r.stdout
+
+
+def test_methodology_change_suppresses_control_escalation(tmp_path):
+    """Review finding: a repeats change disarmed the gate AFTER the
+    escalation note was built, printing 'gate FAILS pending adjudication'
+    while exiting 0.  Under differing repeats the control ratio is as
+    incomparable as the query ratios, so the escalation text must not
+    appear at all."""
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    tool = Path(__file__).resolve().parents[1] / "tools" / "bench_trend.py"
+    base = {"queries": {"q": 1.0}, "repeats": 1, "sf": 0.1, "cpus": 32,
+            "control": _ctl("q6", 0.2, 0.2)}
+    cur = {"queries": {"q": 2.0}, "repeats": 3, "sf": 0.1, "cpus": 32,
+           "control": _ctl("q6", 0.4, 0.4)}  # 2x > THRESHOLD, same cpus/sf
+    b, c = tmp_path / "b.json", tmp_path / "c.json"
+    b.write_text(json.dumps(base))
+    c.write_text(json.dumps(cur))
+    r = subprocess.run([_sys.executable, str(tool), str(b), str(c)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "METHODOLOGY CHANGED" in r.stdout
+    assert "CONTROL REGRESSED" not in r.stdout
+    assert "gate FAILS" not in r.stdout
+
+
+def test_write_report_archives_in_file_but_prints_one_report(tmp_path, monkeypatch):
+    """Review finding: --write-report printed the whole cumulative archive
+    to stdout.  The file accumulates; stdout carries only the fresh
+    report."""
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    # run the tool from a COPY of the repo layout so we don't clobber the
+    # real BENCH_TREND.md: point it at a temp root via a copied tool dir
+    root = tmp_path / "repo"
+    (root / "tools").mkdir(parents=True)
+    tool_src = Path(__file__).resolve().parents[1] / "tools" / "bench_trend.py"
+    (root / "tools" / "bench_trend.py").write_text(tool_src.read_text())
+    (root / "BENCH_TREND.md").write_text("# OLD REPORT\n\nprior narrative\n")
+    b, c = tmp_path / "b.json", tmp_path / "c.json"
+    b.write_text(json.dumps({"queries": {"q": 1.0}, "repeats": 3}))
+    c.write_text(json.dumps({"queries": {"q": 1.0}, "repeats": 3}))
+    r = subprocess.run(
+        [_sys.executable, str(root / "tools" / "bench_trend.py"),
+         str(b), str(c), "--write-report"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "prior narrative" not in r.stdout          # stdout: fresh only
+    written = (root / "BENCH_TREND.md").read_text()
+    assert "prior narrative" in written               # file: archived
+    assert written.index("BENCH_TREND") < written.index("prior narrative")

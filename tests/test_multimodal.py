@@ -385,16 +385,20 @@ def test_bmp_top_down_decode_fuzz(w, h, doc_id):
 @settings(max_examples=40, deadline=None, derandomize=True)
 @given(st.integers(1, 20), st.integers(1, 12), st.integers(0, 10**6))
 def test_ppm_crlf_disambiguation_fuzz(w, h, seed):
-    """Both decodable CRLF-adjacent classes across random dimensions:
-    the Windows text-mode CRLF separator decodes to the original pixels,
-    and a conforming lone-\\r file whose raster legitimately begins 0x0A
-    (pixel formula: red = doc_id % 256, so doc_id = 10 mod 256) decodes
-    with the 0x0A as pixel data."""
+    """CRLF-adjacent classes across random dimensions: the Windows
+    text-mode CRLF separator RAISES (it collides byte-for-byte with a
+    lone-\\r file carrying one trailing newline — decoding would risk a
+    silent one-byte pixel shift), while a conforming exact-size lone-\\r
+    file whose raster legitimately begins 0x0A (pixel formula: red =
+    doc_id % 256, so doc_id = 10 mod 256) decodes with the 0x0A as pixel
+    data."""
+    import pytest
+
     good = mm.synth_ppm(w, h, seed)
-    want = mm.decode_ppm(good)["pixels"]
     hdr_end = good.index(b"255\n") + 3
     crlf = good[:hdr_end] + b"\r\n" + good[hdr_end + 1 :]
-    assert mm.decode_ppm(crlf)["pixels"] == want
+    with pytest.raises(ValueError, match="ambiguous"):
+        mm.decode_ppm(crlf)
 
     doc2 = seed - seed % 256 + 10  # forces raster[0] == 0x0A
     g2 = mm.synth_ppm(w, h, doc2)
@@ -403,6 +407,8 @@ def test_ppm_crlf_disambiguation_fuzz(w, h, seed):
     d = mm.decode_ppm(lone)
     assert d["pixels"] == mm.decode_ppm(g2)["pixels"]
     assert d["pixels"][0][0] == 0x0A
+    with pytest.raises(ValueError, match="ambiguous"):
+        mm.decode_ppm(lone + b"\n")  # the collision input itself
 
 
 def test_bmp_degenerate_dimensions_raise():
@@ -437,29 +443,38 @@ def test_ppm_degenerate_dimensions_raise():
             mm.decode_ppm(hdr + bytes(36))
 
 
-def test_ppm_crlf_after_maxval_disambiguates_by_raster_size():
-    """r11 ADVICE found CRLF after maxval silently shifting every pixel;
-    r12 ADVICE refined the hard-reject: the exact raster size tells a
-    Windows text-mode-translated file (separator = CRLF) apart from a
-    conforming lone-\\r file whose raster legitimately begins 0x0A, so
-    both decodable classes decode and only the truly ambiguous case
-    (trailing bytes defeat the size check) raises."""
+def test_ppm_crlf_after_maxval_only_exact_lone_cr_decodes():
+    """r11 ADVICE found CRLF after maxval silently shifting every pixel.
+    The r12-ADVICE size disambiguation turned out to have a collision
+    (review re-test): a lone-\\r file whose writer appended ONE trailing
+    newline exact-matches the "clean Windows CRLF" size and would decode
+    with every pixel shifted.  Semantics now: with "\\r\\n" after maxval,
+    ONLY the provably-unambiguous case decodes — exact lone-\\r size,
+    where the CRLF reading would be truncated — and every other length
+    raises loudly, including the Windows-translated file itself."""
     import pytest
 
     good = mm.synth_ppm(2, 2, 5)
     want = mm.decode_ppm(good)["pixels"]
     hdr_end = good.index(b"255\n") + 3
-    # Windows text-mode translation: "\n" -> "\r\n"; size pins CRLF-separator.
+    # Windows text-mode translation ("\n" -> "\r\n"): collides with a
+    # lone-\r writer that appended a trailing newline; must raise.
     crlf = good[:hdr_end] + b"\r\n" + good[hdr_end + 1 :]
-    assert mm.decode_ppm(crlf)["pixels"] == want
-    # Conforming lone-\r separator with a raster that happens to start 0x0A:
-    # size pins the one-byte separator; the 0x0A is pixel data.
+    with pytest.raises(ValueError, match="ambiguous"):
+        mm.decode_ppm(crlf)
+    # Conforming lone-\r separator with a raster that happens to start
+    # 0x0A: the CRLF reading would be truncated, so this decodes.
     raster = good[hdr_end + 1 :]
     lone_cr = good[:hdr_end] + b"\r" + b"\n" + raster[1:]
     d = mm.decode_ppm(lone_cr)
     assert d["pixels"][0][0] == 0x0A
     assert d["pixels"][1:] == want[1:]
-    # Trailing junk defeats the exact-size disambiguation: raise loudly.
+    # The collision input itself (lone-\r + raster-0x0A + one trailing
+    # byte): byte-identical to some Windows file; must raise, never
+    # silently shift.
+    with pytest.raises(ValueError, match="ambiguous"):
+        mm.decode_ppm(lone_cr + b"\n")
+    # Trailing junk: raise loudly.
     with pytest.raises(ValueError, match="ambiguous"):
         mm.decode_ppm(crlf + b"junk")
     # a non-whitespace separator is equally malformed (the tokenizer folds

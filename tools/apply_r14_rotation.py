@@ -18,13 +18,10 @@ every name resolves).
 """
 from __future__ import annotations
 
-import json
-import re
 import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
-PLANS = ROOT / "flink_kafka_consumer_cassandra_output_spark" / "plans"
 
 #: the 15 r13 promotions whose first external check gates this rotation
 R13_FIRST_TIMERS = [
@@ -146,6 +143,10 @@ REPOINT = {
     "doc_bpe_merge_candidates": "doc_bigram_pmi",
 }
 
+PROMOTE_COMMENT = (
+    "    # r14 rotation: promoted for stale re-verification "
+    "(tools/r14_rotation_plan.md).\n"
+)
 DEMOTE_COMMENT = (
     "    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness\n"
     "    # cycle -- multi-round veteran sits out for a stale re-verification.\n"
@@ -153,137 +154,22 @@ DEMOTE_COMMENT = (
 REPOINT_COMMENT = "    # r14 sibling re-point: prior anchor demoted this rotation.\n"
 
 
-def check_precondition() -> None:
-    path = ROOT / "CORRECTNESS_r13.json"
-    if not path.exists():
-        raise SystemExit(
-            "PRECONDITION FAILED: CORRECTNESS_r13.json not present -- do NOT "
-            "pre-apply the r14 rotation before the r13 surface is externally "
-            "verified (rounds 9-13 discipline)."
-        )
-    data = json.loads(path.read_text())
-    bad = {
-        n: v for n, v in data.items()
-        if not (isinstance(v, dict) and v.get("rows_match")
-                and v.get("schema_match") is not False
-                and (v.get("hash_match") or v.get("hash_match") is None)
-                and not v.get("err"))
-    }
-    if bad:
-        raise SystemExit(f"PRECONDITION FAILED: non-green r13 entries: {sorted(bad)}")
-    missing = [n for n in R13_FIRST_TIMERS if n not in data]
-    if missing:
-        raise SystemExit(
-            f"PRECONDITION FAILED: r13 first-timers absent from the sweep: {missing}"
-        )
-
-
-def validate_mapping() -> None:
-    """Re-validate the mapping against the LIVE registry (names resolve,
-    post-flip driver surface is exactly 50, every post-flip sibling edge
-    points at a driver=True entry) before touching any file."""
-    sys.path.insert(0, str(ROOT))
-    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
-
-    specs = all_specs()
-    for name in [*PROMOTE, *DEMOTE, *DEMOTE.values(), *REPOINT, *REPOINT.values()]:
-        if name not in specs:
-            raise SystemExit(f"VALIDATE FAILED: unknown query name {name!r}")
-    for name in PROMOTE:
-        if specs[name].driver:
-            raise SystemExit(f"VALIDATE FAILED: promote target {name} already driver")
-    for name in DEMOTE:
-        if not specs[name].driver:
-            raise SystemExit(f"VALIDATE FAILED: demote target {name} not driver")
-    post_driver = {n for n, s in specs.items() if s.driver}
-    post_driver -= set(DEMOTE)
-    post_driver |= set(PROMOTE)
-    if len(post_driver) != 50:
-        raise SystemExit(f"VALIDATE FAILED: post-flip driver count {len(post_driver)}")
-    for src, dst in {**DEMOTE, **REPOINT}.items():
-        if dst not in post_driver:
-            raise SystemExit(
-                f"VALIDATE FAILED: sibling target {dst} (for {src}) not driver post-flip"
-            )
-    # every dependent of a demoted anchor must be promoted or re-pointed
-    for n, s in specs.items():
-        if not s.driver and s.sibling in DEMOTE:
-            if n not in PROMOTE and n not in REPOINT:
-                raise SystemExit(
-                    f"VALIDATE FAILED: {n} still points at demoted {s.sibling}"
-                )
-
-
-def blocks(text: str):
-    for m in re.finditer(r"^@register\(\n    \"([a-z0-9_]+)\",", text, re.M):
-        close = re.compile(r"^\)\n(?=def |@)", re.M).search(text, m.end())
-        yield m.start(), close.end(), m.group(1)
-
-
-def rewrite(path: Path) -> bool:
-    text = path.read_text()
-    out, changed = text, False
-    for start, end, name in sorted(blocks(text), key=lambda t: -t[0]):
-        block = out[start:end]
-        new = block
-        if name in PROMOTE:
-            lines, keep, buf = new.split("\n"), [], []
-            for ln in lines:
-                s = ln.strip()
-                if s.startswith("#"):
-                    buf.append(ln)
-                    continue
-                if re.match(r"driver=False\b", s) or re.match(r"sibling=", s):
-                    buf = []
-                    continue
-                keep.extend(buf)
-                buf = []
-                keep.append(ln)
-            keep.extend(buf)
-            new = "\n".join(keep)
-            assert new.endswith(")\n"), name
-            new = (new[:-2]
-                   + "    # r14 rotation: promoted for stale re-verification "
-                   "(tools/r14_rotation_plan.md).\n)\n")
-        elif name in DEMOTE:
-            assert new.endswith(")\n"), name
-            new = (new[:-2] + DEMOTE_COMMENT + "    driver=False,\n"
-                   + f'    sibling="{DEMOTE[name]}",\n' + ")\n")
-        elif name in REPOINT:
-            new2 = re.sub(r'^(    sibling=)"[a-z0-9_]+",$',
-                          REPOINT_COMMENT + rf'\1"{REPOINT[name]}",',
-                          new, count=1, flags=re.M)
-            if new2 == new:
-                raise SystemExit(f"repoint failed for {name} in {path}")
-            new = new2
-        if new != block:
-            out = out[:start] + new + out[end:]
-            changed = True
-    if changed:
-        path.write_text(out)
-    return changed
-
-
 def main() -> None:
-    check_precondition()
+    import rotation_lib as lib
+
     assert len(PROMOTE) == len(DEMOTE) == 15
-    validate_mapping()
+    # --validate-only checks the mapping against the live registry without
+    # the CORRECTNESS_r13 precondition (it writes nothing, so dry-running
+    # it mid-r13 is safe and is how the mapping was validated at build time)
+    lib.validate_mapping(PROMOTE, DEMOTE, REPOINT)
     if "--validate-only" in sys.argv:
         print("mapping valid against the live registry; no files written")
         return
-    hits = set()
-    for path in sorted(PLANS.glob("*.py")):
-        for _, _, name in blocks(path.read_text()):
-            if name in PROMOTE or name in DEMOTE or name in REPOINT:
-                hits.add(name)
-        if rewrite(path):
-            print("rewrote", path.name)
-    want = set(PROMOTE) | set(DEMOTE) | set(REPOINT)
-    missing = want - hits
-    if missing:
-        raise SystemExit(f"blocks not found: {sorted(missing)}")
-    print("applied; now run registry lint + both parity sweeps before committing")
+    lib.check_correctness_green(13, R13_FIRST_TIMERS)
+    lib.apply(PROMOTE, DEMOTE, REPOINT,
+              PROMOTE_COMMENT, DEMOTE_COMMENT, REPOINT_COMMENT)
 
 
 if __name__ == "__main__":
+    sys.path.insert(0, str(ROOT / "tools"))
     main()

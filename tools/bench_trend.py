@@ -313,7 +313,15 @@ def main() -> None:
             f"({_control_seconds(base_ctl):.3f}s -> "
             f"{_control_seconds(cur_ctl):.3f}s)."
         )
-        worst = max([host, *fam_hosts.values()])
+    methodology_changed = base_rep != cur_rep
+    # The escalation reads EVERY available control ratio (primary plus
+    # per-family), not just the primary: a rotated/missing primary control
+    # must not silently disable the family-regression check (review
+    # finding).  Skipped entirely under a methodology change, where the
+    # control ratio is as incomparable as the query ratios.
+    ratios = [r for r in (host, *fam_hosts.values()) if r is not None]
+    if ratios and not methodology_changed:
+        worst = max(ratios)
         if worst > THRESHOLD:
             # A control slower than the gate threshold is indistinguishable
             # from a sweep-wide regression viewed from inside the data
@@ -356,7 +364,7 @@ def main() -> None:
             "adjudicating.  " + note
         )
     gate = bool(cmp["regressed"]) or control_gate
-    if base_rep != cur_rep:
+    if methodology_changed:
         # Min-of-N vs single-run timings are not comparable: the methodology
         # change alone shifts values more than the gate threshold, masking
         # real regressions and fabricating improvements.  Report ratios for
@@ -382,11 +390,13 @@ def main() -> None:
         if os.path.exists(path):
             with open(path) as f:
                 old = f.read()
+        file_md = md
         if old.strip():
+            # archive goes to the FILE only; stdout stays one fresh report
             first = old.splitlines()[0].lstrip("# ").strip()
-            md = md + f"\n---\n\n# Archive — prior report ({first})\n\n" + old
+            file_md = md + f"\n---\n\n# Archive — prior report ({first})\n\n" + old
         with open(path, "w") as f:
-            f.write(md)
+            f.write(file_md)
     print(md)
     if gate:
         sys.exit(1)
