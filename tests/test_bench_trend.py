@@ -174,6 +174,14 @@ def test_control_wobble_detects_mid_sweep_load_change():
     assert control_wobble(stalled) > 2.0
     assert control_wobble(None) is None
     assert control_wobble({"query": "q6", "start_s": 0.2}) is None
+    # the r13b phantom: warm start (0.417) + uniformly fast interior
+    # (0.178-0.196) is a HEALTHY sweep; the max must span only the
+    # interior so this stays under the gate
+    r13b_shape = {"query": "q6", "start_s": 0.417, "end_s": 0.178,
+                  "samples": [{"after_n": n, "sec": s, "load": 1.0}
+                              for n, s in [(44, 0.196), (88, 0.182),
+                                           (132, 0.191), (176, 0.196)]]}
+    assert control_wobble(r13b_shape) < 2.0
 
 
 def test_truncated_tail_recovers_control_and_meta(tmp_path):

@@ -197,27 +197,36 @@ def family_host_ratios(base_meta: dict, cur_meta: dict) -> dict[str, float]:
 
 
 def control_wobble(control: dict | None) -> float | None:
-    """max/MEDIAN over the current run's control measurements (endpoints
-    plus mid-sweep samples): well above 1 means some stretch of the sweep
-    ran much slower than its typical state, which a single normalization
-    factor cannot correct for — the exact failure mode of the discarded
-    r12 sweep (a concurrent test run inflated 11 queries while both
-    endpoint controls looked fine).  Median (not min) as the denominator
-    so the benign start-warm/end-fast asymmetry of a healthy sweep never
-    trips it."""
+    """max(interior)/MEDIAN(all) over the current run's control
+    measurements: well above 1 means some stretch of the sweep ran much
+    slower than its typical state, which a single normalization factor
+    cannot correct for — the exact failure mode of the discarded r12
+    sweep (a concurrent test run inflated 11 queries while both endpoint
+    controls looked fine).  The max spans only the INTERIOR measurements
+    (mid-sweep samples + the end point): the start measurement is
+    structurally warm (taken right after session start), and with
+    several fast quarter-point samples the median sits near the fast
+    values, so including the start in the max flagged every healthy
+    warm-start/fast-interior sweep (2.2x phantom observed on the r13b
+    record).  The median still includes the start so a sweep that is
+    slow throughout can't hide behind one fast sample."""
     if not control:
         return None
-    vals = [control[k] for k in ("start_s", "end_s")
-            if isinstance(control.get(k), (int, float)) and control[k] > 0]
-    vals += [s["sec"] for s in control.get("samples") or []
-             if isinstance(s, dict) and isinstance(s.get("sec"), (int, float))
-             and s["sec"] > 0]
-    if len(vals) < 2:
+    interior = [control["end_s"]] if (
+        isinstance(control.get("end_s"), (int, float)) and control["end_s"] > 0
+    ) else []
+    interior += [s["sec"] for s in control.get("samples") or []
+                 if isinstance(s, dict) and isinstance(s.get("sec"), (int, float))
+                 and s["sec"] > 0]
+    vals = list(interior)
+    if isinstance(control.get("start_s"), (int, float)) and control["start_s"] > 0:
+        vals.append(control["start_s"])
+    if not interior or len(vals) < 2:
         return None
     vals.sort()
     mid = len(vals) // 2
     med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
-    return vals[-1] / med
+    return max(interior) / med
 
 
 def compare(
