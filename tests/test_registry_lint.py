@@ -95,6 +95,24 @@ def test_never_driver_checked_entries_hold_a_driver_slot():
     )
 
 
+def test_driver_queries_carry_oracles_except_documented_aes():
+    """A driver slot spent on an oracle=None entry buys only a rows-only
+    check, so promotions must not silently downgrade the gate: every
+    driver-facing query carries DuckDB oracle SQL, with the one documented
+    exception (msg_detail_encrypted: AES not expressible in DuckDB; its
+    ciphertext is pinned row-for-row by the decrypt-verified twin and the
+    r14 plan promotes it knowingly)."""
+    allowed_rows_only = {"msg_detail_encrypted"}
+    bad = [
+        n for n, s in all_specs().items()
+        if s.driver and s.oracle is None and n not in allowed_rows_only
+    ]
+    assert not bad, (
+        f"driver-facing queries without an oracle: {bad} — add the DuckDB "
+        "SQL or document the exception here with its compensating gate"
+    )
+
+
 def test_register_rejects_local_only_without_sibling():
     with pytest.raises(ValueError, match="sibling"):
         register("zz_lint_fixture_no_sibling", driver=False)(lambda spark, sf: None)
