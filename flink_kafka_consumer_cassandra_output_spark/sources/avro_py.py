@@ -83,6 +83,12 @@ def encode_message(
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     u = shift = 0
     while True:
+        if pos >= len(buf):
+            # raise the codec's own error class, not a bare IndexError: a
+            # truncated record surfacing through the Arrow-batched decode
+            # must read as wire corruption, not a code bug (found by the
+            # truncation fuzz in tests/test_avro_py.py)
+            raise ValueError("truncated Avro record: varint runs past the buffer")
         b = buf[pos]
         pos += 1
         u |= (b & 0x7F) << shift
@@ -98,6 +104,8 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 def _read_str(buf: bytes, pos: int) -> tuple[str, int]:
     n, pos = _read_long(buf, pos)
+    if n < 0 or pos + n > len(buf):
+        raise ValueError("truncated Avro record: string runs past the buffer")
     return buf[pos : pos + n].decode("utf-8"), pos + n
 
 

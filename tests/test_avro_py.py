@@ -41,3 +41,44 @@ def test_trailing_garbage_rejected():
     b = avro_py.encode_message("m", "u", "j", 1, "s") + b"\x00"
     with pytest.raises(ValueError, match="trailing"):
         avro_py.decode_message_bytes(b)
+
+
+def test_roundtrip_fuzz():
+    """Hypothesis round-trip over the full field domain: arbitrary unicode
+    strings (including surrogete-free astral planes, empties, and
+    whitespace) and the whole signed-64 long range — decode(encode(x))
+    must equal x bit-for-bit, and every encoding must decode without
+    trailing bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # no surrogates
+        max_size=60,
+    )
+
+    @settings(max_examples=120, deadline=None, derandomize=True)
+    @given(text, text, text, st.integers(-(2**63), 2**63 - 1), text)
+    def check(m, u, j, n, s):
+        b = avro_py.encode_message(m, u, j, n, s)
+        assert avro_py.decode_message_bytes(b) == (m, u, j, n, s)
+
+    check()
+
+
+def test_truncation_always_raises_fuzz():
+    """Every strict prefix of a valid encoding must raise, never silently
+    return a record — the wire-corruption half of the round-trip
+    property."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(st.integers(-(2**62), 2**62), st.integers(0, 10**9))
+    def check(n, cutseed):
+        b = avro_py.encode_message("msg", "user", "j@host", n, "stanza-body")
+        cut = cutseed % (len(b) - 1) if len(b) > 1 else 0
+        with pytest.raises(ValueError):
+            avro_py.decode_message_bytes(b[:cut])
+
+    check()
