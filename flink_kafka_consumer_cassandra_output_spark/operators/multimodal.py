@@ -442,6 +442,14 @@ def decode_wav_pcm(content: bytes) -> dict:
         cid = content[pos : pos + 4]
         size = int.from_bytes(content[pos + 4 : pos + 8], "little")
         body = content[pos + 8 : pos + 8 + size]
+        # a declared chunk size running past the buffer silently yielded a
+        # SHORTENED body (fewer samples, no error) -- the same silent-
+        # truncation class the Avro codec fuzz caught; raise loudly instead
+        if len(body) < size:
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

@@ -485,3 +485,19 @@ def test_ppm_crlf_after_maxval_only_exact_lone_cr_decodes():
         mm.decode_ppm(junk)
     # the conforming single-\n file still round-trips
     assert mm.decode_ppm(good)["pixels"] == mm.decode_bmp(mm.synth_bmp(2, 2, 5))["pixels"]
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 4), st.integers(1, 200), st.integers(0, 10**9))
+def test_wav_truncation_always_raises_fuzz(channels, n_frames, cutseed):
+    """Every strict prefix of a valid PCM WAV must raise, never silently
+    return fewer samples (the chunk walker used to tolerate a declared
+    chunk size running past the buffer — found by porting the Avro
+    truncation fuzz here)."""
+    import pytest
+
+    pcm = bytes((i * 7) % 256 for i in range(2 * channels * n_frames))
+    blob = mm.synth_wav(channels, 8000, 16, pcm)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm(blob[:cut])
