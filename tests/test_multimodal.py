@@ -501,3 +501,19 @@ def test_wav_truncation_always_raises_fuzz(channels, n_frames, cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_wav_pcm(blob[:cut])
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 12), st.integers(1, 8), st.integers(0, 10**9))
+def test_bmp_ppm_truncation_always_raises_fuzz(w, h, cutseed):
+    """Strict-prefix property for the pixel decoders, completing the set
+    (Avro and WAV have the same pin): any prefix of a valid BMP/PPM must
+    raise ValueError, never return a silently short or shifted pixel
+    list."""
+    import pytest
+
+    for blob, decode in ((mm.synth_bmp(w, h, 7), mm.decode_bmp),
+                         (mm.synth_ppm(w, h, 7), mm.decode_ppm)):
+        cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+        with pytest.raises(ValueError):
+            decode(blob[:cut])
