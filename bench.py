@@ -60,6 +60,29 @@ CONTROL_QUERIES = {
     "embeddings": "emb_int8_quantization",
 }
 
+#: Load gate (VERDICT r13 task 3): the r13 sweep ran at 1-minute load 9-13
+#: on a 32-cpu box and cost a 17-flag manual adjudication pass.  A family
+#: whose control-window load samples exceed cpus * LOAD_GATE_FACTOR is
+#: marked invalid and its queries re-timed once at sweep end; if the rerun
+#: window is also loaded, the family stays marked so the trend gate knows
+#: these numbers were recorded under contention instead of flagging them.
+LOAD_GATE_FACTOR = 0.25
+
+
+def load_flagged_families(
+    controls: dict, cpus: int, factor: float = LOAD_GATE_FACTOR
+) -> list[str]:
+    """Families whose control window saw a 1-minute load sample above
+    ``cpus * factor`` (start/mid/end samples all count)."""
+    thr = cpus * factor
+    out = []
+    for fam, ctl in controls.items():
+        loads = [s.get("load") for s in ctl.get("samples", [])]
+        loads += [ctl.get("load_start"), ctl.get("load_end")]
+        if any(ld is not None and ld > thr for ld in loads):
+            out.append(fam)
+    return sorted(out)
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -101,10 +124,10 @@ def main() -> None:
     # untouched query measured 0.9s and 7.9s across two sweeps); min-of-3
     # keeps one stalled repeat from poisoning a query's number.
 
-    def _measure(name: str) -> tuple[float | None, str | None]:
+    def _measure(name: str, reps: int | None = None) -> tuple[float | None, str | None]:
         best = None
         err = None
-        for _ in range(max(1, repeats)):
+        for _ in range(max(1, reps if reps is not None else repeats)):
             # Shared-stage (session_memo) builds triggered inside this repeat
             # are billed under shared_stage_seconds, NOT under this query:
             # subtract the repeat's own memo-build delta from its timing.
@@ -131,7 +154,11 @@ def main() -> None:
 
     def _sample_controls(key: str, after_n: int | None = None) -> None:
         for fam, ctl in controls.items():
-            c = _measure(ctl["query"])[0]
+            # Mid-sweep samples are SINGLE-SHOT (ADVICE r13): min-of-repeats
+            # suppresses exactly the transient-stall signal the wobble gate
+            # reads -- a stall had to poison all 3 repeats to surface.  The
+            # start/end normalization points keep min-of-N.
+            c = _measure(ctl["query"], reps=1 if key == "sample" else None)[0]
             if c is None:
                 continue
             if key == "sample":
@@ -142,6 +169,7 @@ def main() -> None:
                 })
             else:
                 ctl[key] = round(c, 3)
+                ctl[f"load_{key.removesuffix('_s')}"] = round(os.getloadavg()[0], 2)
 
     _sample_controls("start_s")
     control_start = controls.get("lineitem", {}).get("start_s")
@@ -169,6 +197,45 @@ def main() -> None:
     control_end = controls.get("lineitem", {}).get("end_s")
     load_end = os.getloadavg()[0]
 
+    # Load gate (VERDICT r13 task 3): families whose control windows saw
+    # contention get ONE re-timing pass; a rerun under an idle window
+    # replaces the contended numbers, otherwise the family is reported
+    # invalid rather than recorded as if it were a clean measurement.
+    thr = cpus * LOAD_GATE_FACTOR
+    flagged = load_flagged_families(controls, cpus)
+    recovered, invalid = [], []
+    if flagged:
+        from tools.bench_trend import family_of
+        fam_of = {n: family_of(n) for n in names}
+        for fam in flagged:
+            members = [n for n in names if fam_of[n] == fam]
+            pre_load = os.getloadavg()[0]
+            retimed = {}
+            for n in members:
+                best, _err = _measure(n)
+                if best is not None:
+                    retimed[n] = round(best, 3)
+            post_load = os.getloadavg()[0]
+            ctl = controls.get(fam)
+            if ctl is not None:
+                c = _measure(ctl["query"], reps=1)[0]
+                if c is not None:
+                    ctl["samples"].append({
+                        "after_n": "rerun",
+                        "sec": round(c, 3),
+                        "load": round(post_load, 2),
+                    })
+            if max(pre_load, post_load) <= thr:
+                timings.update(retimed)
+                recovered.append(fam)
+            else:
+                invalid.append(fam)
+        print(
+            f"bench: load gate flagged {flagged}; rerun recovered "
+            f"{recovered}, still invalid {invalid}",
+            file=sys.stderr,
+        )
+
     # Shared stages (session_memo) build ONCE per sweep; their cost lands
     # in the first consumer's first repeat, which min-of-N then drops.
     # Bill it explicitly so memoization can't silently deflate the total.
@@ -193,6 +260,12 @@ def main() -> None:
             "samples": controls.get("lineitem", {}).get("samples", []),
         },
         "controls": controls,
+        "load_gate": {
+            "threshold": round(cpus * LOAD_GATE_FACTOR, 2),
+            "flagged": flagged,
+            "rerun_recovered": recovered,
+            "invalid": invalid,
+        },
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,
         "n_queries": len(timings),

@@ -455,6 +455,17 @@ def decode_wav_pcm(content: bytes) -> dict:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
+    # Strict-prefix closure (ADVICE r13): a prefix cutting 1-7 bytes into
+    # the NEXT chunk header exits the loop silently -- 0 < remainder < 8
+    # is never a valid RIFF tail, so raise like the Avro trailing-bytes
+    # check.  pos may legitimately land at len (exact) or len+1 (final
+    # odd-sized chunk whose writer omitted the pad byte -- common in the
+    # wild, and body completeness is already enforced above).
+    if pos < len(content):
+        raise ValueError(
+            f"truncated WAV: {len(content) - pos} trailing bytes form a "
+            "partial chunk header"
+        )
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")

@@ -232,7 +232,8 @@ FROM ranked
         "agg_exact_percentiles.",
     # r10 driver-slot rotation: token-frequency scoring family keeps BM25.
     driver=False,
-    sibling="doc_ngram_topk",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_token_lift",
 )
 def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -381,7 +382,8 @@ FROM ranked WHERE rank <= {_TOPK}
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="doc_ngram_topk",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_token_lift",
 )
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -487,7 +489,8 @@ LIMIT {_PASSAGE_TOPK}
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="doc_ngram_topk",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_phrase_search",
 )
 def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1234,7 +1237,8 @@ LIMIT 20
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="doc_ngram_topk",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_bigram_pmi",
 )
 def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1545,6 +1549,10 @@ LIMIT 100
         "collection.  Short docs (<3 tokens) are excluded on both "
         "sides rather than emitting the whole-doc fallback shingle.",
     # r11 driver-slot rotation: promoted -- corpus n-gram frequency table, first driver check.
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_token_lift",
 )
 def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())

@@ -52,7 +52,8 @@ FROM events
         "surface); typed struct field access, not string re-parsing per key",
     # r10 driver-slot rotation: events-table typed extraction green 8 consecutive rounds; from_json stays parity- and streaming-test-gated.
     driver=False,
-    sibling="ev_ts_pattern_match",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_session_path_trigrams",
 )
 def ev_json_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -119,12 +120,9 @@ GROUP BY 1, 2
         "overlapping buckets; the oracle materializes both bucket starts "
         "explicitly. Scale: Spark's window expand is a per-row flatMap (x2 "
         "rows), then one shuffle on the bucket",
-    driver=False,  # ev_tumbling_hourly driver-checks F.window's epoch
-    # r10 sibling re-point: hourly time-bucketed series family, driver-checked there.
-    # r12 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_seasonality_profile",
     # alignment and ev_session_windows the gap semantics; the slide variant
     # (same operator, overlap factor 2) stays oracle-checked locally.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def ev_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -209,12 +207,9 @@ GROUP BY user_id
         "NULL on both engines (SUM over empty CASE).  Oracle SUMs are cast to "
         "BIGINT: DuckDB SUM yields HUGEINT, and the driver's value hash is "
         "type-sensitive even when values are identical",
-    driver=False,  # ev_unpivot_roundtrip COMPOSES this pivot and its oracle
-    # r9 sibling re-point: wide/long reshaping family, driver-checked there.
-    # r10 sibling re-point: wide/long multi-dim aggregation family, driver-checked there.
-    sibling="sql_grouping_sets",
     # is the plain GROUP BY, so a wrong pivot cell cannot pass the driver's
     # roundtrip gate; the wide form itself stays oracle-checked locally.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def ev_pivot_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -240,7 +235,8 @@ GROUP BY user_id, event_type
     # r9 driver-slot rotation: wide/long reshaping green r7+r8; the JSON anchor stays.
     driver=False,
     # r10 sibling re-point: wide/long multi-dim aggregation family, driver-checked there.
-    sibling="sql_grouping_sets",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="agg_cube_orders",
 )
 def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = ev_pivot_user_type_counts(spark, sf_dir)
@@ -285,7 +281,8 @@ GROUP BY cohort_week, week_offset
         "dimension-sized by construction.",
     # r9 driver-slot rotation: per-user ordered-window family keeps two anchors.
     driver=False,
-    sibling="ev_ts_pattern_match",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_cohort_revenue_curve",
 )
 def ev_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -402,7 +399,8 @@ GROUP BY prev_type, next_type
         "window never re-shuffles an already user-partitioned stream.",
     # r8 driver-slot rotation: lag/lead transition detection generalized there, driver-checked.
     driver=False,
-    sibling="ev_ts_pattern_match",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_session_path_trigrams",
 )
 def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -522,7 +520,8 @@ FROM grid
         "never emits leading NULLs.",
     # r8 driver-slot rotation: ordered event-time sequence family, driver-checked there.
     driver=False,
-    sibling="ev_ts_pattern_match",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_sliding_hourly_30m",
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -585,7 +584,8 @@ GROUP BY e.event_id, e.user_id
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="ev_scd2_asof_lookup",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_scd2_state_durations",
 )
 def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -672,7 +672,8 @@ GROUP BY p.user_id, p.exact_cnt
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="agg_histogram_quantile_sketch",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_sliding_distinct_users",
 )
 def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -734,6 +735,10 @@ LIMIT 20
         "every subsequence (collect over a bounded 8-row frame -- state "
         "is O(pattern), not O(series)).  Integer weights keep the whole "
         "query float-free, so parity is exact by construction.",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="ev_session_path_trigrams",
 )
 def ev_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(TS_PATTERN)
@@ -1492,6 +1497,10 @@ FROM probes p JOIN dim d
         "arithmetic is integer epoch-us division, never float seconds.".format(
             n=SCD2_PROBES
         ),
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="ev_scd2_state_durations",
 )
 def ev_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)

@@ -99,11 +99,7 @@ FROM documents
     doc="north-star text analysis: whitespace + BPE-ish token counts, "
         "distinct tokens, stopword/punct counts, composite quality score -- "
         "all pure Column expressions (functions/text.py), zero Python UDFs",
-    # r7 driver-slot rotation: token counting/text features drive the packer the driver now checks.
-    driver=False,
-    # r8 sibling re-point: token/length accounting, driver-checked there.
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_zipf_fit",
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -162,11 +158,9 @@ FROM h
     doc="north-star SimHash (16-bit) document sketch: per-bit majority vote "
         "over 16-bit md5 token hashes; per-row fold, no shuffle, and the "
         "integer bit-sums are order-insensitive so parity is exact",
-    driver=False,  # doc_near_dup_simhash driver-checks the same sketch
-    # r8 sibling re-point: sketch-based near-dup family; clusters compose verified pairs.
-    sibling="doc_dedup_clusters",
     # construction end-to-end at 32 bits (hash-exact oracle); the bare
     # 16-bit sketch column stays oracle-checked locally.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -233,7 +227,8 @@ WHERE hamming <= {SIM.SIMHASH_RADIUS} AND jaccard >= 0.5
         "candidates only",
     # r8 driver-slot rotation: banded-sketch near-dup family; clusters compose the verified pairs.
     driver=False,
-    sibling="doc_dedup_clusters",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_simhash",
 )
 def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -291,7 +286,8 @@ FROM documents
         "fingerprint); per-row fold, no shuffle, exact int64 parity",
     # r7 driver-slot rotation: sliding token-window op family, driver-checked there.
     driver=False,
-    sibling="doc_ngram_topk",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_phrase_search",
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -324,7 +320,8 @@ GROUP BY fingerprint
     driver=False,
     # r8 sibling re-point: hash-fingerprint equi-join family, driver-checked there.
     # r10 sibling re-point: dedup family proper, driver-checked there.
-    sibling="doc_dedup_clusters",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_dedup_keep_best",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -389,7 +386,8 @@ WHERE jaccard >= 0.5
     driver=False,
     # r8 sibling re-point: the SAME MinHash sketch, its estimates driver-certified there.
     # r9 sibling re-point: the verified-pair chain composing this op is driver-checked there.
-    sibling="doc_dedup_clusters",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_simhash",
 )
 def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -535,7 +533,8 @@ SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM pairs
         "tests/test_similarity.py",
     # r7 driver-slot rotation: clusters COMPOSE this exact pair graph, so its hash is checked transitively.
     driver=False,
-    sibling="doc_dedup_clusters",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_simhash",
 )
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verified_pairs(spark, sf_dir).select(
@@ -595,6 +594,10 @@ FROM lbl
         "hash-matched driver row for a genuinely iterative algorithm.  "
         "Scale: each round is one equi-join + one shuffle on vertex id; "
         "dup clusters are near-cliques so rounds stay ~2-3",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_dedup_keep_best",
 )
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _dedup_labels(spark, sf_dir)
@@ -645,7 +648,8 @@ WHERE rank <= 3
         "driver-side collect",
     # r7 driver-slot rotation: tokenize+explode+window family, driver-checked there.
     driver=False,
-    sibling="doc_ngram_topk",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_token_lift",
 )
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -874,7 +878,8 @@ WHERE ks.k * 256 < length(d.text)
         "logic and works on any binary",
     # r7 driver-slot rotation: Arrow-batched mapInPandas media plumbing, driver-checked there.
     driver=False,
-    sibling="mm_media_headers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="mm_pixel_stats",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -903,7 +908,8 @@ FROM documents
         "but the batch plumbing is oracle-checked via header-level features",
     # r7 driver-slot rotation: same media-parse operator, driver-checked there.
     driver=False,
-    sibling="mm_media_headers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="mm_pixel_stats",
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -945,6 +951,10 @@ FROM documents
         "bytes), so the hash gate proves parse(synth(x)) == x per row; "
         "malformed-input behavior (return None, never raise) is pinned "
         "in tests/test_multimodal.py",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="mm_pixel_stats",
 )
 def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_headers(_docs(spark, sf_dir))
@@ -1044,7 +1054,8 @@ WHERE rank <= 5
         "once with no shuffle; the only wide op is the per-query top-k",
     # r8 driver-slot rotation: IVF's verify step computes the same exact-cosine fold on candidates.
     driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1079,9 +1090,6 @@ SELECT query_id, neighbor_id FROM (
 )
 WHERE rank <= 5
 """,
-    driver=False,
-    # r8 sibling re-point: exact-cosine fold family (Arrow twin), driver-checked there.
-    sibling="emb_ann_ivf_trained",
     doc="north-star similarity search via the Arrow-vectorized Python path: "
         "salted corpus chunks cogroup with the broadcast-replicated query "
         "DataFrame (no driver-side query bootstrap), one BLAS matmul "
@@ -1098,6 +1106,7 @@ WHERE rank <= 5
         "OPERATOR (similarity.brute_force_topk_arrow) for consumers; the "
         "registry projection drops it so the driver can hash-match the "
         "neighbor membership instead of recording rows-only",
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1159,10 +1168,9 @@ WHERE rank <= 5
         "is exact; recall vs brute force is pinned separately in "
         "tests/test_similarity.py.  100 TB shape: assignment is a broadcast "
         "join vs the codebook; search touches ~nprobe/C of the corpus",
-    driver=False,  # emb_ann_ivf_trained driver-checks the same ivf_assign +
-    sibling="emb_ann_ivf_trained",
     # ivf_topk machinery PLUS Lloyd training; the seed-codebook variant
     # stays oracle-checked locally (and anchors the recall pin).
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1294,6 +1302,10 @@ WHERE rank <= 5"""
         "balance -- what Lloyd optimizes -- but not neighbor recall; on "
         "clustered real-scale data the trained codebook is the one that "
         "prunes correctly",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="emb_ann_ivf",
 )
 def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, c, assigned = _ivf16(spark, sf_dir)
@@ -1715,7 +1727,8 @@ LEFT JOIN dup_of d ON d.vec_id = a.vec_id"""
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_ann_ivf",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared k=16 codebook/assignment (session-memoized): the assignment
@@ -1872,7 +1885,8 @@ SELECT * FROM (
         "corpus per query",
     # r10 driver-slot rotation: ANN family keeps IVF + PQ-ADC driver anchors.
     driver=False,
-    sibling="emb_ann_ivf_trained",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_ann_ivf",
 )
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1952,7 +1966,8 @@ LIMIT 100
     # r7 driver-slot rotation: bucketed cosine scoring, driver-checked there.
     driver=False,
     # r8 sibling re-point: exact-cosine pair family, driver-checked there.
-    sibling="emb_ann_ivf_trained",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2017,7 +2032,8 @@ FROM s
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="doc_ngram_topk",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -2518,7 +2534,8 @@ FROM (
         "executable, not prose.",
     # r9 driver-slot rotation: certificate green r8; minhash anchored by the dedup chain.
     driver=False,
-    sibling="doc_dedup_clusters",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_simhash",
 )
 def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -2853,6 +2870,10 @@ FROM r{PR_ITERS} r JOIN deg d ON d.src = r.v"""
         "vertex cannot blow a single row up to its full in-degree (the "
         "r8 single-level fold's hazard; star-graph width probe in "
         "SCALING.md).",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="part_copurchase_pagerank",
 )
 def doc_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -3002,7 +3023,8 @@ FROM documents d LEFT JOIN reach{rounds} r ON r.v = d.doc_id"""
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="doc_graph_label_propagation",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_graph_clustering_coeff",
 )
 def doc_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -3073,6 +3095,10 @@ FROM lbl{rounds}"""
         "never a collected array -- hub-safe, unlike a collect_list "
         "fold.".format(r=SIM.LPA_ROUNDS),
     # r11 driver-slot rotation: promoted -- frequency-LPA community detection, first driver check.
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_graph_clustering_coeff",
 )
 def doc_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_verified_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -3641,6 +3667,12 @@ FROM r2, x{iters} x"""
         "number of steps (checkpoint x between steps on a real "
         "cluster, exactly the IVF codebook posture).",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
+    # r14 rotation amendment (VERDICT r13 task 2): sits out in place of
+    # msg_detail_encrypted_verified so the AES family keeps a hash-checked
+    # driver gate; green r12+r13, zero sibling dependents, family anchored
+    # by emb_knn_classifier / emb_ann_ivf on the surface.
+    driver=False,
+    sibling="emb_knn_classifier",
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(

@@ -43,7 +43,8 @@ WHERE stanza IS NOT NULL
     # r7 driver-slot rotation: same pipeline prefix (O5/O6/O9), driver-checked there.
     driver=False,
     # r10 sibling re-point: the decrypt-verified superset of the same projection.
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_detail_encrypted",
 )
 def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=False).drop("stanza")
@@ -53,15 +54,7 @@ def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "msg_detail_encrypted",
     oracle=None,  # AES not expressible in DuckDB; rows-only even locally.
     doc="O7+O9+O12: full detail rows incl. AES-CBC ciphertext (Encryptor.java:15-28)",
-    # The driver could only count rows here (no DuckDB AES), BUT the
-    # ciphertext column is pinned row-for-row by the decrypt-side twin
-    # msg_detail_encrypted_verified (same table, cipher column decrypted
-    # in Spark and hash-matched against the oracle's plaintext), and the
-    # AES wire format itself is driver-checked via msg_crypto_roundtrip
-    # with Java-parity golden KATs in tests/test_crypto_golden.py.
-    driver=False,
-    # r9 sibling re-point: the promoted decrypt-verified gate is the same projection, pinned row-for-row.
-    sibling="msg_detail_encrypted_verified",
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def msg_detail_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=True)
@@ -90,6 +83,12 @@ WHERE stanza IS NOT NULL
         "golden KATs (tests/test_crypto_golden.py) that pin the wire "
         "format itself, this is the strongest gate available without AES "
         "in DuckDB (Encryptor.java:15-28).",
+    # r14 rotation amendment (VERDICT r13 task 2): the pre-written plan
+    # demoted this entry, but its promoted sibling msg_detail_encrypted is
+    # the registry's only rows-only (oracle=None) entry -- demoting the
+    # verified twin would leave the AES family with no hash-checked driver
+    # gate for the round.  Kept driver-side; emb_pca_power_iteration
+    # (2 greens, zero dependents) sits out instead.
 )
 def msg_detail_encrypted_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = mp.detail_table(_msgs(spark, sf_dir), encrypt=True)
@@ -115,7 +114,8 @@ FROM messages
         "equality on the Spark side), so any cipher divergence hash-mismatches",
     # r9 driver-slot rotation: the promoted gate decrypt-verifies the same surface + golden KATs.
     driver=False,
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_detail_encrypted",
 )
 def msg_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -140,7 +140,8 @@ FROM messages
         "(CassandraOutputFormat.java:95-108)",
     # r10 driver-slot rotation: same decode->project->partition-key pipeline, detail side pinned row-for-row; 9 consecutive driver-green rounds.
     driver=False,
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_summary_first",
 )
 def msg_summary_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.summary_distinct(_msgs(spark, sf_dir))
@@ -157,10 +158,8 @@ GROUP BY username, jid
 """,
     doc="O11 'first month' variant implied by the column name "
         "first_date_partition (CassandraOutputFormat.java:95)",
-    driver=False,  # O11's grain-true distinct-set form (msg_summary_distinct)
-    # r10 sibling re-point: same decode->project pipeline, detail side pinned row-for-row.
-    sibling="msg_detail_encrypted_verified",
     # holds the driver slot; the min() variant stays oracle-checked locally.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def msg_summary_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.summary_first(_msgs(spark, sf_dir))
@@ -177,10 +176,9 @@ GROUP BY 1
 """,
     doc="O22: the 18-code MessageType taxonomy applied and re-extracted from "
         "the stanza (MessageType.java:7-24); regexp hot path (stanza_type_fast)",
-    driver=False,  # the CASE-chain classify is driver-checked over ALL 19
-    sibling="msg_detail_encrypted_verified",
     # names by msg_taxonomy_all_codes, and the stanza regexp + grouped count
     # by msg_taxonomy_lookup_join; this CASE-over-stanza form stays local.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def msg_type_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -205,7 +203,8 @@ FROM messages
         "XmppPacketReader.java:308-435; 20x cheaper than per-field xpath)",
     # r9 driver-slot rotation: stanza parse exercised transitively by the taxonomy CASE.
     driver=False,
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_detail_encrypted",
 )
 def msg_stanza_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -230,7 +229,8 @@ WHERE sent_ts >= TIMESTAMP '2024-01-15 00:00:00'
     # r9 driver-slot rotation: retention also pytest-gated (tests/test_retention.py).
     driver=False,
     # r10 sibling re-point: partition-lifecycle deletion family, driver-checked there.
-    sibling="msg_user_erasure",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_detail_encrypted",
 )
 def msg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -262,7 +262,8 @@ SELECT
     # r7 driver-slot rotation: the summary sink IS one of its two sinks, driver-checked there.
     driver=False,
     # r10 sibling re-point: detail sink side pinned row-for-row there; dual-sink consistency also one-pass streaming-test-gated.
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_summary_first",
 )
 def msg_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -302,7 +303,8 @@ GROUP BY t.type_name
         "taxonomy; BHJ, no shuffle of the fact side)",
     # r7 driver-slot rotation: same 18-code taxonomy, CASE form driver-checked there.
     driver=False,
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_type_taxonomy",
 )
 def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -333,7 +335,8 @@ FROM messages
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_detail_encrypted",
 )
 def msg_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -374,11 +377,9 @@ GROUP BY ROLLUP (date_partition, username)
         "-> per month -> grand total in ONE pass (Expand + single hash "
         "aggregate) -- the continuous-aggregate view a reader of the "
         "detail table (CassandraOutputFormat.java:87-89) would maintain",
-    driver=False,  # ROLLUP is driver-checked by agg_rollup_lineitem and
-    # r9 sibling re-point: rollup-hierarchy agg family, driver-checked there.
-    sibling="sql_grouping_sets",
     # multi-COUNT(DISTINCT) by distinct_agg_lineitem; the messages-stream
     # composition of the two stays oracle-checked locally.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def msg_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -439,7 +440,8 @@ FROM names n LEFT JOIN dim d USING (type_name)
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="msg_detail_encrypted_verified",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="msg_type_taxonomy",
 )
 def msg_taxonomy_all_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = ", ".join(f"('{n}')" for n in _ALL_TYPE_NAMES)
@@ -508,6 +510,10 @@ SELECT 'summary',
         "erasure set is request-sized); at 100 TB the detail table "
         "additionally prunes to the user's partitions.  All-integer "
         "output, exact parity.",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="msg_detail_encrypted",
 )
 def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import materialize

@@ -194,7 +194,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         "whose cost IS the pruned scan.",
     # r10 driver-slot rotation: single-table filter+agg revenue family keeps q19.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -461,7 +462,8 @@ LIMIT 20
         "ties deterministically).",
     # r9 driver-slot rotation: top-k family keeps q18 + sql_q3.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -572,7 +574,8 @@ GROUP BY lag_class
     driver=False,
     # r9 sibling re-point: date-range + priority bucketing family, driver-checked there.
     # r10 sibling re-point: CASE-bucketed conditional aggregation family, driver-checked there.
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -619,7 +622,8 @@ GROUP BY c_count
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -664,7 +668,8 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         "TPC-H spec's multi-winner semantics), so no tiebreak is needed.",
     # r8 driver-slot rotation: aggregate-threshold top-group family, driver-checked there.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -708,7 +713,8 @@ GROUP BY p_brand, p_type, p_size
         "fact join; COUNT DISTINCT expands to a two-phase aggregate.",
     # r9 driver-slot rotation: count-distinct agg family, driver-checked there.
     driver=False,
-    sibling="sql_grouping_sets",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="agg_cube_orders",
 )
 def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -816,6 +822,10 @@ LIMIT 20
         "few qualifying orderkeys join onward -- at 100 TB the big-order "
         "set is tiny, so both downstream joins broadcast it; top-20 via "
         "TakeOrderedAndProject with the o_orderkey tiebreak.",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="orderby_limit_top20_orders",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -868,7 +878,8 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1132,6 +1143,10 @@ SELECT constraint_name, metric, satisfied FROM (
         "100 TB costs two scans regardless of how many constraints the "
         "suite declares.  The 1-row x 1-row combine is a "
         "BroadcastNestedLoopJoin over scalars, not a data cross product.",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="supplier_delivery_scorecard",
 )
 def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -1249,6 +1264,10 @@ FROM pick p JOIN exact e ON e.q = p.q
         "tests -- the one-bucket error bound IS the sketch's contract.  "
         "Float bucket/edge expressions are mirrored node-for-node; the "
         "cum window runs over exactly 64 rows regardless of data size.",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="ev_sliding_distinct_users",
 )
 def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (

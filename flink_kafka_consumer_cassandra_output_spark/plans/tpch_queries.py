@@ -65,7 +65,8 @@ GROUP BY l_returnflag, l_linestatus
     # r7 driver-slot rotation: decimal-exact lineitem aggregate family, driver-checked there.
     driver=False,
     # r10 sibling re-point: multi-aggregate groupBy over lineitem, driver-checked there.
-    sibling="sql_grouping_sets",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="agg_cube_orders",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-02"))
@@ -98,7 +99,8 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
         "to one Expand + single hash aggregate, no extra shuffle per level",
     # r9 driver-slot rotation: the grouping-sets superset covers rollup.
     driver=False,
-    sibling="sql_grouping_sets",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="agg_cube_orders",
 )
 def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -118,9 +120,8 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="CUBE over two low-cardinality dims (all 2^2 grouping combinations)",
-    driver=False,  # CUBE is a GROUPING SETS special case; sql_grouping_sets
-    sibling="sql_grouping_sets",
     # and agg_rollup_lineitem hold the driver slots for the Expand family.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -144,6 +145,10 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     oracle=_GROUPING_SETS_SQL,
     doc="GROUPING SETS via the spark.sql parser surface -- the same ANSI text "
         "runs verbatim on both engines (SURVEY.md section 2: SQL parser row)",
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="agg_cube_orders",
 )
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
@@ -242,7 +247,8 @@ FROM o
         "the semantics a user silently relies on when switching engines",
     # r7 driver-slot rotation: LEFT-OUTER null counting semantics, driver-checked there.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -346,7 +352,8 @@ FROM s
     # r7 driver-slot rotation: order/dispersion statistics family, driver-checked there.
     driver=False,
     # r10 sibling re-point: distribution-summary agg family, driver-checked there.
-    sibling="agg_histogram_quantile_sketch",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="agg_cube_orders",
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -454,7 +461,8 @@ GROUP BY o_orderstatus
     # r7 driver-slot rotation: percentile family: the exact sort-based form is driver-checked.
     driver=False,
     # r10 sibling re-point: approximate-quantile family proper, driver-checked there.
-    sibling="agg_histogram_quantile_sketch",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_sliding_distinct_users",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
@@ -559,7 +567,8 @@ GROUP BY l_returnflag
     # r7 driver-slot rotation: multi-COUNT-DISTINCT, driver-checked there.
     driver=False,
     # r9 sibling re-point: multi-COUNT-DISTINCT agg family, driver-checked there.
-    sibling="sql_grouping_sets",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="agg_cube_orders",
 )
 def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -653,7 +662,8 @@ GROUP BY ship_month
         "cross-engine parity is exact",
     # r7 driver-slot rotation: part|x|lineitem conditional revenue, driver-checked there.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -700,7 +710,8 @@ LIMIT 10
         "identical ANSI text on both engines",
     # r10 driver-slot rotation: top-k-over-join-agg family keeps q18.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="q21_waiting_supplier",
 )
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
@@ -720,10 +731,8 @@ WHERE EXISTS (
     doc="LEFT SEMI join: customers with at least one >400k order "
         "(EXISTS form in the oracle). Scale: semi join never duplicates the "
         "probe side, so output is bounded by |customer|",
-    driver=False,  # sql_correlated_exists driver-checks the left-semi plan
-    # r10 sibling re-point: semi/anti EXISTS family, driver-checked there.
-    sibling="q21_waiting_supplier",
     # (EXISTS decorrelates to exactly this join); DataFrame form stays local.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -746,10 +755,8 @@ WHERE NOT EXISTS (
 """,
     doc="LEFT ANTI join: customers with no orders in 2001+ (NOT EXISTS form). "
         "The build side is date-pruned before the join",
-    driver=False,  # sql_correlated_exists driver-checks the left-anti plan
-    # r10 sibling re-point: semi/anti EXISTS family, driver-checked there.
-    sibling="q21_waiting_supplier",
     # (NOT EXISTS decorrelates to exactly this join); DataFrame form is local.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def join_anti_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -804,11 +811,10 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     doc="window functions: row_number + lag + running decimal-exact sum with "
         "an explicit ROWS frame; one shuffle on o_custkey serves all three "
         "(same window spec). Order total: (o_orderdate, unique o_orderkey)",
-    driver=False,  # the window family is driver-checked 3 ways already
-    sibling="window_rank_family",
     # (window_functions_extended: 6 functions incl. a ROWS frame;
     # window_trailing_90d_revenue: RANGE frame; topk_orders_per_customer:
     # rank-filter); this starter trio stays oracle-checked locally.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def window_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -842,7 +848,8 @@ WHERE rk <= 3
         "once on the group key; no global sort",
     # r7 driver-slot rotation: per-key top-k/threshold family, driver-checked there.
     driver=False,
-    sibling="q18_large_volume_customers",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="orderby_limit_top20_orders",
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -881,7 +888,8 @@ FROM orders
     # r7 driver-slot rotation: running-window cumsum family, driver-checked there (inverse of its old mapping).
     driver=False,
     # r8 sibling re-point: range-frame window family, driver-checked there.
-    sibling="window_rank_family",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="window_order_running_total",
 )
 def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -924,7 +932,8 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="window_rank_family",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="window_order_running_total",
 )
 def window_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -968,7 +977,8 @@ WHERE rn = 1
     # r7 driver-slot rotation: funnel COMPOSES the as-of match, checked transitively.
     driver=False,
     # r8 sibling re-point: as-of IS the interval-join special case, driver-checked there.
-    sibling="ev_scd2_asof_lookup",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_scd2_state_durations",
 )
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
@@ -1003,11 +1013,9 @@ LIMIT 20
     doc="global top-20 by price (unique-key tiebreak). Scale: Spark plans "
         "TakeOrderedAndProject -- per-partition top-20 then a 20-row merge on "
         "the driver, never a full global sort",
-    driver=False,  # sql_q3_shipping_priority driver-checks global ORDER BY +
-    # r10 sibling re-point: top-k with total-order tiebreak, driver-checked there.
-    sibling="q18_large_volume_customers",
     # LIMIT (same TakeOrderedAndProject node); the bare form stays local and
     # keeps the plan-invariant gate in tests/test_plan_invariants.py.
+    # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
 )
 def orderby_limit_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1069,7 +1077,8 @@ GROUP BY o_orderpriority
         "documented alternative.",
     # r10 driver-slot rotation: quantile family keeps the sketch anchor (exact side pytest-pinned).
     driver=False,
-    sibling="agg_histogram_quantile_sketch",
+    # r14 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_anomaly_mad",
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1161,6 +1170,10 @@ WINDOW w AS (
         "on the bounded priority key; all five functions share one "
         "window frame and one sort.",
     # r11 driver-slot rotation: promoted -- all-5-rank-functions window anchor (replaces window_functions_extended as the family's driver anchor).
+    # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="window_order_running_total",
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)

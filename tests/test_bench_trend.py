@@ -319,6 +319,28 @@ def test_family_normalization_catches_family_specific_drift():
     assert "q9_product_profit" in cmp["regressed"]
 
 
+def test_family_of_derived_from_oracle_table_reads():
+    """ADVICE r13: family_of must derive from the registry oracle's ACTUAL
+    table references, not name prefixes.  Cross-family queries classify by
+    their largest referenced base table; unknown names fall back to the
+    prefix heuristic."""
+    from bench_trend import _registry_family_map, family_of
+
+    m = _registry_family_map()
+    assert len(m) > 150  # registry import worked; not the prefix fallback
+    # cross-family: events JOIN orders -- orders (150k) dominates events
+    # (100k), so it normalizes by the TPC-H control, now provably from reads
+    assert family_of("asof_last_order_before_event") == "lineitem"
+    # despite the agg_ prefix, its oracle reads only orders
+    assert family_of("agg_exact_percentiles") == "lineitem"
+    # the oracle=None entry (msg_detail_encrypted) uses the prefix fallback
+    assert "msg_detail_encrypted" not in m
+    assert family_of("msg_detail_encrypted") == "events"
+    # unknown names still resolve via prefixes
+    assert family_of("ev_not_a_real_query") == "events"
+    assert family_of("some_new_tpch_thing") == "lineitem"
+
+
 def test_truncated_tail_recovers_family_controls(tmp_path):
     """The multi-control 'controls' map must survive the head-truncated
     driver-file recovery path alongside the legacy 'control'."""

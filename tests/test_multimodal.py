@@ -504,6 +504,31 @@ def test_wav_truncation_always_raises_fuzz(channels, n_frames, cutseed):
 
 
 @settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 4), st.integers(1, 50), st.integers(1, 7))
+def test_wav_partial_trailing_chunk_header_raises(channels, n_frames, cut):
+    """ADVICE r13 gap: a prefix cutting 1-7 bytes into a chunk header
+    AFTER complete fmt/data chunks used to exit the walker silently (the
+    earlier fuzz only passed because synth_wav places data last).  Append
+    a LIST chunk after data and cut inside its 8-byte header."""
+    import pytest
+
+    pcm = bytes((i * 7) % 256 for i in range(2 * channels * n_frames))
+    base = bytearray(mm.synth_wav(channels, 8000, 16, pcm))
+    trailing = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    blob = bytes(base) + trailing[:cut]
+    # patch the RIFF size so only the trailing header is the defect
+    blob = (
+        blob[:4] + (len(blob) - 8).to_bytes(4, "little") + blob[8:]
+    )
+    with pytest.raises(ValueError, match="partial chunk header"):
+        mm.decode_wav_pcm(blob)
+    # the complete-trailing-chunk form still decodes fine
+    whole = bytes(base) + trailing
+    whole = whole[:4] + (len(whole) - 8).to_bytes(4, "little") + whole[8:]
+    assert mm.decode_wav_pcm(whole)["samples"] == mm.decode_wav_pcm(bytes(base))["samples"]
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(st.integers(1, 12), st.integers(1, 8), st.integers(0, 10**9))
 def test_bmp_ppm_truncation_always_raises_fuzz(w, h, cutseed):
     """Strict-prefix property for the pixel decoders, completing the set

@@ -167,13 +167,61 @@ def host_ratio(base_ctl: dict | None, cur_ctl: dict | None) -> float | None:
     return r
 
 
+#: control family per base table; the TPC-H tables share the lineitem control
+_FAMILY_BY_TABLE = {
+    "events": "events", "documents": "documents", "embeddings": "embeddings",
+    "lineitem": "lineitem", "orders": "lineitem", "customer": "lineitem",
+    "part": "lineitem", "supplier": "lineitem", "nation": "lineitem",
+    "region": "lineitem",
+}
+#: sf-proportional base-table row counts (sf0.1 figures; only the ORDER
+#: matters): a multi-family query normalizes by the family whose base
+#: table dominates its scan cost
+_TABLE_ROWS = {
+    "lineitem": 600_000, "orders": 150_000, "events": 100_000,
+    "part": 20_000, "customer": 15_000, "documents": 5_000,
+    "embeddings": 2_000, "supplier": 1_000, "nation": 25, "region": 5,
+}
+
+_family_map: dict[str, str] | None = None
+
+
+def _registry_family_map() -> dict[str, str]:
+    """query name -> family, derived from each spec's oracle SQL's ACTUAL
+    table references (ADVICE r13: the name-prefix heuristic misclassified
+    cross-family queries like asof_last_order_before_event).  Lazy + cached;
+    empty map (prefix fallback) if the registry can't import here."""
+    global _family_map
+    if _family_map is None:
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+            m: dict[str, str] = {}
+            for name, spec in all_specs().items():
+                words = set(re.findall(r"[a-z_]+", (spec.oracle or "").lower()))
+                tables = [t for t in _TABLE_ROWS if t in words]
+                if tables:
+                    dom = max(tables, key=lambda t: _TABLE_ROWS[t])
+                    m[name] = _FAMILY_BY_TABLE[dom]
+            _family_map = m
+        except Exception:
+            _family_map = {}
+    return _family_map
+
+
 def family_of(query: str) -> str:
     """Base-table family a query's runtime is dominated by, for per-family
     host normalization (r13 lesson: one sweep window ran the events and
     documents families 40-70% slower while the lineitem control got
-    FASTER — a single control cannot see family-specific drift).  msg_*
-    derives from events (messages_from_events); mm_* synthesizes media
-    from documents; everything else reads the TPC-H tables."""
+    FASTER — a single control cannot see family-specific drift).
+
+    Primary source: the registry oracle's actual table reads (largest
+    referenced base table wins).  Prefix fallback for names outside the
+    registry or the one oracle=None entry: msg_* derives from events
+    (messages_from_events); mm_* synthesizes media from documents."""
+    fam = _registry_family_map().get(query)
+    if fam is not None:
+        return fam
     if query.startswith(("ev_", "msg_")):
         return "events"
     if query.startswith(("doc_", "mm_")):

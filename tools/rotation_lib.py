@@ -27,6 +27,20 @@ ROOT = Path(__file__).resolve().parent.parent
 PLANS = ROOT / "flink_kafka_consumer_cassandra_output_spark" / "plans"
 
 
+def entry_is_green(v) -> bool:
+    """Per-entry green predicate shared by the rotation precondition and
+    the staleness audit (ADVICE r13: a red/errored sweep row must NOT
+    count as a fresh check).  hash_match is None only for the rows-only
+    oracle=None entries, where rows_match is the strongest gate."""
+    return (
+        isinstance(v, dict)
+        and bool(v.get("rows_match"))
+        and v.get("schema_match") is not False
+        and (v.get("hash_match") or v.get("hash_match") is None)
+        and not v.get("err")
+    )
+
+
 def check_correctness_green(round_n: int, first_timers: list[str]) -> None:
     """Refuse to proceed unless CORRECTNESS_r{round_n}.json exists, every
     entry is green, and all of ``first_timers`` appear in the sweep."""
@@ -38,13 +52,7 @@ def check_correctness_green(round_n: int, first_timers: list[str]) -> None:
             "surface is externally verified (rounds 9-13 discipline)."
         )
     data = json.loads(path.read_text())
-    bad = {
-        n: v for n, v in data.items()
-        if not (isinstance(v, dict) and v.get("rows_match")
-                and v.get("schema_match") is not False
-                and (v.get("hash_match") or v.get("hash_match") is None)
-                and not v.get("err"))
-    }
+    bad = {n: v for n, v in data.items() if not entry_is_green(v)}
     if bad:
         raise SystemExit(
             f"PRECONDITION FAILED: non-green r{round_n} entries: {sorted(bad)}"

@@ -25,6 +25,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flink_kafka_consumer_cassandra_output_spark.plans import all_specs  # noqa: E402
+from tools.rotation_lib import entry_is_green  # noqa: E402
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -41,8 +42,10 @@ def last_checked(current_round: int) -> dict[str, int]:
         path = os.path.join(ROOT, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(path):
             continue
-        for name in json.load(open(path)):
-            if name in specs:
+        for name, v in json.load(open(path)).items():
+            # only a GREEN sweep row counts as a check (ADVICE r13: a
+            # red/errored entry must not evade re-promotion for a budget)
+            if name in specs and entry_is_green(v):
                 last[name] = r
     for name, spec in specs.items():
         if spec.driver:
