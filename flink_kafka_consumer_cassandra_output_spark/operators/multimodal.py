@@ -404,22 +404,35 @@ def decode_ppm(content: bytes) -> dict:
         # "\r\n" after maxval: either a conforming writer used "\r" as the
         # single separator with a raster legitimately starting 0x0A, or the
         # file went through Windows text-mode translation and the real
-        # separator is the two-byte CRLF.  Only the first case is ever
-        # provably unambiguous: when len == pos + need exactly, the CRLF
-        # reading would be truncated, so the lone-\r decode is safe.  The
-        # converse (len == pos + 1 + need, the "clean Windows file" the r12
-        # ADVICE hoped to decode) COLLIDES with a lone-\r file whose writer
-        # appended one trailing newline -- decoding it as CRLF silently
-        # shifts every pixel by one byte, the exact corruption the r11 fix
-        # exists to prevent (found by review re-test) -- so everything but
-        # the exact lone-\r size raises loudly.
-        if len(content) != pos + need:
+        # separator is the two-byte CRLF.  Under the decoder's strict
+        # no-trailing-bytes contract (below -- same posture as the Avro and
+        # WAV decoders), the exact-size check disambiguates (r13 VERDICT
+        # item 7): exactly one of the two readings can account for every
+        # byte.  len == pos + need => lone-\r (raster starts at the 0x0A);
+        # len == pos + 1 + need => CRLF (raster starts after it).  The one
+        # remaining theoretical collision -- a lone-\r writer that ALSO
+        # appended a trailing newline to a raster starting 0x0A -- is
+        # byte-identical to the CRLF file and invalid under the strict
+        # contract, so the CRLF reading wins; a genuinely text-mode-
+        # corrupted file whose RASTER contains 0x0A bytes grew by more
+        # than one byte, fails both exact-size checks, and still raises.
+        if len(content) == pos + 1 + need:
+            pos += 1  # CRLF separator: skip the \n
+        elif len(content) != pos + need:
             raise ValueError(
-                "ambiguous PPM: CRLF after maxval (text-mode corrupted "
-                "file, or lone-CR separator with trailing bytes?)"
+                "ambiguous PPM: CRLF after maxval and neither the lone-CR "
+                "nor the CRLF reading matches the raster size exactly "
+                "(text-mode corrupted raster, truncation, or trailing bytes)"
             )
     if len(content) < pos + need:
         raise ValueError("truncated PPM raster")
+    if len(content) > pos + need:
+        # strict contract: a binary P6 raster is exact-size; trailing bytes
+        # mean a malformed writer or the wrong dimensions -- raise rather
+        # than silently ignore (the same class the Avro/WAV decoders pin)
+        raise ValueError(
+            f"trailing bytes after PPM raster ({len(content) - pos - need})"
+        )
     raster = content[pos : pos + need]
     return {
         "fmt": "ppm",

@@ -385,20 +385,21 @@ def test_bmp_top_down_decode_fuzz(w, h, doc_id):
 @settings(max_examples=40, deadline=None, derandomize=True)
 @given(st.integers(1, 20), st.integers(1, 12), st.integers(0, 10**6))
 def test_ppm_crlf_disambiguation_fuzz(w, h, seed):
-    """CRLF-adjacent classes across random dimensions: the Windows
-    text-mode CRLF separator RAISES (it collides byte-for-byte with a
-    lone-\\r file carrying one trailing newline — decoding would risk a
-    silent one-byte pixel shift), while a conforming exact-size lone-\\r
-    file whose raster legitimately begins 0x0A (pixel formula: red =
-    doc_id % 256, so doc_id = 10 mod 256) decodes with the 0x0A as pixel
-    data."""
+    """CRLF-adjacent classes across random dimensions (r13 VERDICT item 7:
+    exact-size disambiguation under the strict no-trailing-bytes
+    contract).  A clean Windows text-mode file (only the header separator
+    translated) now DECODES pixel-identical to the original; a conforming
+    exact-size lone-\\r file whose raster legitimately begins 0x0A (pixel
+    formula: red = doc_id % 256, so doc_id = 10 mod 256) still decodes
+    with the 0x0A as pixel data; a file matching NEITHER exact size still
+    raises."""
     import pytest
 
     good = mm.synth_ppm(w, h, seed)
     hdr_end = good.index(b"255\n") + 3
     crlf = good[:hdr_end] + b"\r\n" + good[hdr_end + 1 :]
-    with pytest.raises(ValueError, match="ambiguous"):
-        mm.decode_ppm(crlf)
+    # the recovered class: CRLF reading is the unique exact-size parse
+    assert mm.decode_ppm(crlf)["pixels"] == mm.decode_ppm(good)["pixels"]
 
     doc2 = seed - seed % 256 + 10  # forces raster[0] == 0x0A
     g2 = mm.synth_ppm(w, h, doc2)
@@ -407,8 +408,33 @@ def test_ppm_crlf_disambiguation_fuzz(w, h, seed):
     d = mm.decode_ppm(lone)
     assert d["pixels"] == mm.decode_ppm(g2)["pixels"]
     assert d["pixels"][0][0] == 0x0A
+    # the documented residual collision: lone-\r PLUS a trailing newline is
+    # byte-identical to a CRLF file, invalid under the strict contract, and
+    # decodes under the CRLF reading (first pixel is the shifted byte, not
+    # the 0x0A) -- the trade-off r13 VERDICT item 7 accepts explicitly
+    d3 = mm.decode_ppm(lone + b"\n")
+    shifted = g2[hdr2 + 2 :] + b"\n"  # the CRLF reading's raster bytes
+    assert d3["pixels"] == [
+        (shifted[i], shifted[i + 1], shifted[i + 2])
+        for i in range(0, len(shifted), 3)
+    ]
+    # two bytes of slack match neither reading: still a loud error
     with pytest.raises(ValueError, match="ambiguous"):
-        mm.decode_ppm(lone + b"\n")  # the collision input itself
+        mm.decode_ppm(lone + b"\n\n")
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 20), st.integers(1, 12), st.integers(0, 10**6))
+def test_ppm_trailing_bytes_raise(w, h, seed):
+    """Strict no-trailing-bytes contract (the disambiguation above relies
+    on it): any bytes after the exact raster raise, same as Avro/WAV."""
+    import pytest
+
+    good = mm.synth_ppm(w, h, seed)
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_ppm(good + b"x")
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_ppm(good + bytes(7))
 
 
 def test_bmp_degenerate_dimensions_raise():
@@ -443,37 +469,35 @@ def test_ppm_degenerate_dimensions_raise():
             mm.decode_ppm(hdr + bytes(36))
 
 
-def test_ppm_crlf_after_maxval_only_exact_lone_cr_decodes():
-    """r11 ADVICE found CRLF after maxval silently shifting every pixel.
-    The r12-ADVICE size disambiguation turned out to have a collision
-    (review re-test): a lone-\\r file whose writer appended ONE trailing
-    newline exact-matches the "clean Windows CRLF" size and would decode
-    with every pixel shifted.  Semantics now: with "\\r\\n" after maxval,
-    ONLY the provably-unambiguous case decodes — exact lone-\\r size,
-    where the CRLF reading would be truncated — and every other length
-    raises loudly, including the Windows-translated file itself."""
+def test_ppm_crlf_after_maxval_exact_size_disambiguates():
+    """r11 ADVICE found CRLF after maxval silently shifting every pixel;
+    r12 hard-rejected the Windows file because its size collides with a
+    lone-\\r writer that appended ONE trailing newline.  r13 VERDICT item
+    7 resolves the ambiguity via the strict no-trailing-bytes contract:
+    exactly one reading accounts for every byte.  Exact lone-\\r size
+    decodes with the 0x0A as pixel data; exact CRLF size decodes as the
+    translated Windows file (the trailing-newline lone-\\r file is
+    byte-identical and invalid under the strict contract); any other
+    length still raises loudly."""
     import pytest
 
     good = mm.synth_ppm(2, 2, 5)
     want = mm.decode_ppm(good)["pixels"]
     hdr_end = good.index(b"255\n") + 3
-    # Windows text-mode translation ("\n" -> "\r\n"): collides with a
-    # lone-\r writer that appended a trailing newline; must raise.
+    # Windows text-mode translation ("\n" -> "\r\n") of a raster with no
+    # 0x0A bytes: exact under the CRLF reading only -- decodes clean.
     crlf = good[:hdr_end] + b"\r\n" + good[hdr_end + 1 :]
-    with pytest.raises(ValueError, match="ambiguous"):
-        mm.decode_ppm(crlf)
+    assert mm.decode_ppm(crlf)["pixels"] == want
     # Conforming lone-\r separator with a raster that happens to start
-    # 0x0A: the CRLF reading would be truncated, so this decodes.
+    # 0x0A: exact under the lone-\r reading only -- decodes.
     raster = good[hdr_end + 1 :]
     lone_cr = good[:hdr_end] + b"\r" + b"\n" + raster[1:]
     d = mm.decode_ppm(lone_cr)
     assert d["pixels"][0][0] == 0x0A
     assert d["pixels"][1:] == want[1:]
-    # The collision input itself (lone-\r + raster-0x0A + one trailing
-    # byte): byte-identical to some Windows file; must raise, never
-    # silently shift.
+    # Neither reading exact: still a loud error.
     with pytest.raises(ValueError, match="ambiguous"):
-        mm.decode_ppm(lone_cr + b"\n")
+        mm.decode_ppm(lone_cr + b"\n\n")
     # Trailing junk: raise loudly.
     with pytest.raises(ValueError, match="ambiguous"):
         mm.decode_ppm(crlf + b"junk")

@@ -114,6 +114,11 @@ def main() -> None:
         ("cusum (type; hot-key bound)", lambda ev: st.cusum_alarm_monitor(ev, ref)),
     ]
 
+    only = os.environ.get("SPARK_GRAFT_PROBE_OPS")
+    if only:
+        keep = {o.strip() for o in only.split(",")}
+        OPS = [(n, b) for n, b in OPS if n.split()[0] in keep]
+
     def noop_batch(df, _bid):
         df.write.format("noop").mode("overwrite").save()
 
