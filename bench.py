@@ -60,26 +60,44 @@ CONTROL_QUERIES = {
     "embeddings": "emb_int8_quantization",
 }
 
-#: Load gate (VERDICT r13 task 3): the r13 sweep ran at 1-minute load 9-13
-#: on a 32-cpu box and cost a 17-flag manual adjudication pass.  A family
-#: whose control-window load samples exceed cpus * LOAD_GATE_FACTOR is
-#: marked invalid and its queries re-timed once at sweep end; if the rerun
-#: window is also loaded, the family stays marked so the trend gate knows
-#: these numbers were recorded under contention instead of flagging them.
+#: Contention gate (VERDICT r13 task 3): the r13 sweep ran concurrently
+#: with another workload and cost a 17-flag manual adjudication pass.
+#: Two-part design, because raw in-sweep load CANNOT be the per-family
+#: signal on a local[n] runner: an r14 calibration sweep on a verifiably
+#: idle 32-cpu box (load 0.35 one minute after it finished) recorded its
+#: OWN 1-minute load at 10-19 -- the sweep's 32 executor threads are the
+#: load, so any in-sweep threshold either always trips or never does.
+#:
+#: (a) PRE-SWEEP: 1-minute load sampled before the Spark session exists.
+#:     Above cpus * LOAD_GATE_FACTOR the machine is already busy and the
+#:     whole sweep is marked busy_at_start -- the caller should rerun on
+#:     an idle window rather than adjudicate flags later.
+#: (b) IN-SWEEP, per family: the single-shot quarter-point control samples
+#:     are compared to the family's own min(start_s, end_s) timing; a
+#:     sample more than CONTROL_STALL_RATIO slower marks that family's
+#:     window contended.  Timing-based, so self-load cancels out.  Marked
+#:     families get ONE re-time pass at sweep end; if the rerun window's
+#:     control sample is still inflated the family is reported invalid
+#:     instead of recorded as a clean measurement.
 LOAD_GATE_FACTOR = 0.25
+CONTROL_STALL_RATIO = 2.0
 
 
-def load_flagged_families(
-    controls: dict, cpus: int, factor: float = LOAD_GATE_FACTOR
+def control_stalled_families(
+    controls: dict, ratio: float = CONTROL_STALL_RATIO
 ) -> list[str]:
-    """Families whose control window saw a 1-minute load sample above
-    ``cpus * factor`` (start/mid/end samples all count)."""
-    thr = cpus * factor
+    """Families with a mid-sweep control sample more than ``ratio`` times
+    slower than the family's own min(start_s, end_s) -- the timing-based
+    contention signal (load-independent; see module comment above)."""
     out = []
     for fam, ctl in controls.items():
-        loads = [s.get("load") for s in ctl.get("samples", [])]
-        loads += [ctl.get("load_start"), ctl.get("load_end")]
-        if any(ld is not None and ld > thr for ld in loads):
+        ends = [t for t in (ctl.get("start_s"), ctl.get("end_s")) if t]
+        if not ends:
+            continue
+        base = min(ends)
+        secs = [s.get("sec") for s in ctl.get("samples", [])
+                if s.get("after_n") != "rerun"]
+        if any(sec is not None and sec > ratio * base for sec in secs):
             out.append(fam)
     return sorted(out)
 
@@ -102,6 +120,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    # pre-sweep load, read BEFORE the Spark session exists (gate part (a))
+    pre_sweep_load = os.getloadavg()[0]
+    busy_at_start = pre_sweep_load > cpus * LOAD_GATE_FACTOR
+    if busy_at_start:
+        print(
+            f"bench: WARNING machine busy at sweep start (1-min load "
+            f"{pre_sweep_load:.1f} > {cpus * LOAD_GATE_FACTOR:.0f}); sweep "
+            "will be marked busy_at_start -- prefer rerunning on an idle window",
+            file=sys.stderr,
+        )
     spark = local_session(cores=cpus)
     specs = all_specs()
     names = sorted(specs)
@@ -197,41 +225,42 @@ def main() -> None:
     control_end = controls.get("lineitem", {}).get("end_s")
     load_end = os.getloadavg()[0]
 
-    # Load gate (VERDICT r13 task 3): families whose control windows saw
-    # contention get ONE re-timing pass; a rerun under an idle window
-    # replaces the contended numbers, otherwise the family is reported
-    # invalid rather than recorded as if it were a clean measurement.
-    thr = cpus * LOAD_GATE_FACTOR
-    flagged = load_flagged_families(controls, cpus)
+    # Contention gate part (b) (VERDICT r13 task 3): families whose control
+    # windows saw a timing stall get ONE re-timing pass; a rerun whose own
+    # control sample comes back clean replaces the contended numbers,
+    # otherwise the family is reported invalid rather than recorded as if
+    # it were a clean measurement.
+    flagged = control_stalled_families(controls)
     recovered, invalid = [], []
     if flagged:
         from tools.bench_trend import family_of
         fam_of = {n: family_of(n) for n in names}
         for fam in flagged:
             members = [n for n in names if fam_of[n] == fam]
-            pre_load = os.getloadavg()[0]
             retimed = {}
             for n in members:
                 best, _err = _measure(n)
                 if best is not None:
                     retimed[n] = round(best, 3)
-            post_load = os.getloadavg()[0]
             ctl = controls.get(fam)
+            rerun_clean = False
             if ctl is not None:
                 c = _measure(ctl["query"], reps=1)[0]
                 if c is not None:
                     ctl["samples"].append({
                         "after_n": "rerun",
                         "sec": round(c, 3),
-                        "load": round(post_load, 2),
+                        "load": round(os.getloadavg()[0], 2),
                     })
-            if max(pre_load, post_load) <= thr:
+                    ends = [t for t in (ctl.get("start_s"), ctl.get("end_s")) if t]
+                    rerun_clean = bool(ends) and c <= CONTROL_STALL_RATIO * min(ends)
+            if rerun_clean:
                 timings.update(retimed)
                 recovered.append(fam)
             else:
                 invalid.append(fam)
         print(
-            f"bench: load gate flagged {flagged}; rerun recovered "
+            f"bench: contention gate flagged {flagged}; rerun recovered "
             f"{recovered}, still invalid {invalid}",
             file=sys.stderr,
         )
@@ -261,7 +290,10 @@ def main() -> None:
         },
         "controls": controls,
         "load_gate": {
-            "threshold": round(cpus * LOAD_GATE_FACTOR, 2),
+            "pre_sweep_load": round(pre_sweep_load, 2),
+            "pre_sweep_threshold": round(cpus * LOAD_GATE_FACTOR, 2),
+            "busy_at_start": busy_at_start,
+            "stall_ratio": CONTROL_STALL_RATIO,
             "flagged": flagged,
             "rerun_recovered": recovered,
             "invalid": invalid,
