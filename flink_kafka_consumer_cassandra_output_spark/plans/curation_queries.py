@@ -2021,3 +2021,175 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v").cast("double") / nd).alias("type_token_ratio"),
         (_ln_libm(nd) - F.col("s") / nd).alias("entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-distribution KL gibberish scorer (new r14; freshness-era rule:
+# new registrations take a driver slot in their first round)
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_char_kl_gibberish",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), ch AS (
+  SELECT doc_id, L, unicode(ch) AS code, COUNT(*) AS c
+  FROM (SELECT doc_id, L, unnest(string_split(text, '')) AS ch FROM d)
+  GROUP BY doc_id, L, code
+), corp AS (
+  SELECT code, SUM(c) AS cc FROM ch GROUP BY code
+), tot AS (
+  SELECT SUM(cc) AS t FROM corp
+), ints AS (
+  SELECT DISTINCT v FROM (
+    SELECT c AS v FROM ch
+    UNION SELECT L FROM d
+    UNION SELECT cc FROM corp
+    UNION SELECT t FROM tot
+  )
+), lns AS (
+  SELECT v, ln(CAST(v AS DOUBLE)) AS lv FROM ints
+), terms AS (
+  SELECT ch.doc_id, ch.L, ch.code,
+         (CAST(ch.c AS DOUBLE) / CAST(ch.L AS DOUBLE))
+           * (((lc.lv - ll.lv) - lcc.lv) + lt.lv) AS term
+  FROM ch
+  JOIN corp USING (code)
+  CROSS JOIN tot
+  JOIN lns lc ON lc.v = ch.c
+  JOIN lns ll ON ll.v = ch.L
+  JOIN lns lcc ON lcc.v = corp.cc
+  JOIN lns lt ON lt.v = tot.t
+), k AS (
+  SELECT doc_id, MAX(L) AS n_chars, COUNT(*) AS distinct_chars,
+         list_reduce(list(term ORDER BY code), (a, b) -> a + b) AS kl_nats
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(distinct_chars AS BIGINT) AS distinct_chars,
+       kl_nats
+FROM k
+ORDER BY kl_nats DESC, doc_id
+LIMIT 20
+""",
+    doc="CCNet/RefinedWeb-style gibberish detector: per-document "
+        "character-distribution KL divergence from the corpus character "
+        "distribution (nats), top-20 outliers.  KL(doc||corpus) = sum over "
+        "the doc's chars of (c/L) * [(ln c - ln L) - (ln C + - ln T)] -- "
+        "every ln argument is a POSITIVE INTEGER (a char count, a doc "
+        "length, a corpus count), so the libm crossing runs over the "
+        "DISTINCT integer values only (bounded by the doc-length cap plus "
+        "the charset, NOT by corpus size; rebroadcast_small's 4096-row "
+        "guard enforces the bound loudly) and is joined back broadcast -- "
+        "per-row work is multiply/divide only (IEEE-exact per op), and "
+        "the per-doc sum folds in char-code order on both engines "
+        "(F.aggregate over array_sort vs list_reduce(list(... ORDER BY "
+        "code))).  Scale: one Arrow-batched mapInPandas counting pass "
+        "(output <= |charset| rows per doc, pixels-never-cross-a-shuffle "
+        "posture), two bounded re-reads for the corpus histogram and the "
+        "distinct-int frame, one shuffle on doc_id with <= |charset| rows "
+        "per key, TakeOrdered top-20.  No per-row Python, no "
+        "transcendentals on data-proportional rows, no global window.",
+)
+def doc_char_kl_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import rebroadcast_small
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+
+    def _count_chars(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = {"doc_id": [], "code": [], "c": [], "doc_len": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = Counter(text)
+                for chch, n in counts.items():
+                    out["doc_id"].append(doc_id)
+                    out["code"].append(ord(chch))
+                    out["c"].append(n)
+                    out["doc_len"].append(len(text))
+            yield pd.DataFrame(out)
+
+    long = d.mapInPandas(
+        _count_chars, "doc_id long, code int, c long, doc_len long"
+    )
+
+    # corpus char histogram + total: charset-bounded (and 1-row) frames;
+    # rebroadcast so the counting lineage executes once per consumer
+    corp = rebroadcast_small(long.groupBy("code").agg(F.sum("c").alias("cc")))
+    tot = rebroadcast_small(corp.agg(F.sum("cc").alias("t")))
+
+    # distinct ln arguments: every value is an integer bounded by the
+    # doc-length cap / corpus charset -- NOT corpus-size-proportional
+    ints = rebroadcast_small(
+        long.select(F.col("c").alias("v"))
+        .union(long.select(F.col("doc_len").alias("v")))
+        .union(corp.select(F.col("cc").alias("v")))
+        .union(tot.select(F.col("t").alias("v")))
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def _ln_libm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else math.log(v))
+
+    lns = rebroadcast_small(
+        ints.select("v", _ln_libm(F.col("v").cast("double")).alias("lv"))
+    )
+
+    def _ln_of(col):
+        return F.broadcast(lns.select(
+            F.col("v").alias(f"_v_{col}"), F.col("lv").alias(f"ln_{col}")
+        ))
+
+    terms = (
+        long
+        .join(F.broadcast(corp), "code")
+        .crossJoin(F.broadcast(tot))
+        .join(_ln_of("c"), F.col("c") == F.col("_v_c"))
+        .join(_ln_of("L"), F.col("doc_len") == F.col("_v_L"))
+        .join(_ln_of("cc"), F.col("cc") == F.col("_v_cc"))
+        .join(_ln_of("t"), F.col("t") == F.col("_v_t"))
+        .select(
+            "doc_id", "doc_len", "code",
+            (
+                (F.col("c").cast("double") / F.col("doc_len").cast("double"))
+                * (
+                    ((F.col("ln_c") - F.col("ln_L")) - F.col("ln_cc"))
+                    + F.col("ln_t")
+                )
+            ).alias("term"),
+        )
+    )
+
+    def fold_add(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: a + b,
+        )
+
+    arr = F.array_sort(F.collect_list(F.struct("code", "term")))
+    k = terms.groupBy("doc_id").agg(
+        F.max("doc_len").alias("n_chars"),
+        arr.alias("arr"),
+    )
+    return (
+        k.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.size("arr").cast("long").alias("distinct_chars"),
+            fold_add(F.transform(F.col("arr"), lambda s: s["term"])).alias(
+                "kl_nats"
+            ),
+        )
+        .orderBy(F.desc("kl_nats"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -2305,6 +2305,13 @@ GROUP BY d.event_type
         "categorical groups, with agg_histogram_quantile_sketch as the "
         "high-cardinality alternative.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r14 interim demote: the new doc_char_kl_gibberish registration must
+    # take a driver slot in its first round (freshness-era lint rule), so
+    # the freshest eligible veteran sits out -- green r13+r14-surface, one
+    # dependent, and the anomaly family keeps its stateful batch anchor
+    # ev_anomaly_zscore driver-side.
+    driver=False,
+    sibling="ev_anomaly_zscore",
 )
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)

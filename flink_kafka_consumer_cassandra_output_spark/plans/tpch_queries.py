@@ -1078,7 +1078,10 @@ GROUP BY o_orderpriority
     # r10 driver-slot rotation: quantile family keeps the sketch anchor (exact side pytest-pinned).
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_anomaly_mad",
+    # r14 interim re-point: ev_anomaly_mad sits out for the new
+    # doc_char_kl_gibberish registration; the exact-percentile anchor
+    # moves to the zscore sibling (same percentile() determinism story).
+    sibling="ev_anomaly_zscore",
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
