@@ -2082,8 +2082,7 @@ LIMIT 20
         "every ln argument is a POSITIVE INTEGER (a char count, a doc "
         "length, a corpus count), so the libm crossing runs over the "
         "DISTINCT integer values only (bounded by the doc-length cap plus "
-        "the charset, NOT by corpus size; rebroadcast_small's 4096-row "
-        "guard enforces the bound loudly) and is joined back broadcast -- "
+        "the charset, NOT by corpus size) and is joined back broadcast -- "
         "per-row work is multiply/divide only (IEEE-exact per op), and "
         "the per-doc sum folds in char-code order on both engines "
         "(F.aggregate over array_sort vs list_reduce(list(... ORDER BY "
@@ -2095,8 +2094,6 @@ LIMIT 20
         "transcendentals on data-proportional rows, no global window.",
 )
 def doc_char_kl_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..materialize import rebroadcast_small
-
     d = (
         _docs(spark, sf_dir)
         .select("doc_id", "text")
@@ -2117,20 +2114,32 @@ def doc_char_kl_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_len"].append(len(text))
             yield pd.DataFrame(out)
 
-    long = d.mapInPandas(
+    # Materialize the counting pass ONCE: four consumers read it (corpus
+    # histogram, the two distinct-int unions, the main join) and each
+    # rebroadcast_small below would otherwise re-execute the full
+    # Arrow-batched scan per lineage (measured 4.3 s -> one pass).
+    from ..materialize import materialize
+
+    long = materialize(d.mapInPandas(
         _count_chars, "doc_id long, code int, c long, doc_len long"
-    )
+    ))
 
-    # corpus char histogram + total: charset-bounded (and 1-row) frames;
-    # rebroadcast so the counting lineage executes once per consumer
-    corp = rebroadcast_small(long.groupBy("code").agg(F.sum("c").alias("cc")))
-    tot = rebroadcast_small(corp.agg(F.sum("cc").alias("t")))
+    # Everything below stays a SUBPLAN of the one final job (no collect
+    # jobs: each driver round-trip costs ~0.4 s of fixed scheduling
+    # overhead, measured, and four of them dominated the query).  The
+    # small sides are explicitly broadcast at their join sites; their
+    # sizes are structurally bounded -- corp by the charset, ints/lns by
+    # distinct integer values <= doc-length cap + charset -- never
+    # corpus-size-proportional.
+    corp = long.groupBy("code").agg(F.sum("c").alias("cc"))
+    tot = corp.agg(F.sum("cc").alias("t"))
 
-    # distinct ln arguments: every value is an integer bounded by the
-    # doc-length cap / corpus charset -- NOT corpus-size-proportional
-    ints = rebroadcast_small(
-        long.select(F.col("c").alias("v"))
-        .union(long.select(F.col("doc_len").alias("v")))
+    # distinct ln arguments from the doc side, gathered in ONE scan of the
+    # materialized counts (explode, not a two-branch union)
+    ints = (
+        long.select(
+            F.explode(F.array(F.col("c"), F.col("doc_len"))).alias("v")
+        ).distinct()
         .union(corp.select(F.col("cc").alias("v")))
         .union(tot.select(F.col("t").alias("v")))
         .distinct()
@@ -2140,9 +2149,7 @@ def doc_char_kl_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _ln_libm(s: pd.Series) -> pd.Series:
         return s.map(lambda v: None if pd.isna(v) else math.log(v))
 
-    lns = rebroadcast_small(
-        ints.select("v", _ln_libm(F.col("v").cast("double")).alias("lv"))
-    )
+    lns = ints.select("v", _ln_libm(F.col("v").cast("double")).alias("lv"))
 
     def _ln_of(col):
         return F.broadcast(lns.select(
