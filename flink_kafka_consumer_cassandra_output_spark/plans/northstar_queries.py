@@ -1623,7 +1623,10 @@ FROM q
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_random_projection",
+    # r14 interim re-point: emb_random_projection sits out for the new
+    # MMR registration; the quantization/compression anchor moves to the
+    # refreshed IVF entry.
+    sibling="emb_ann_ivf",
 )
 def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2344,6 +2347,13 @@ FROM proj"""
         "certificate).  Scale: a narrow per-row map -- no shuffle at all; "
         "the sign matrix is config, not data.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r14 interim demote: the new emb_mmr_diversified_topk registration
+    # must take a driver slot in its first round (freshness-era lint
+    # rule) and the non-anchor veteran pool is reserved by the r15 plan;
+    # once-green is the rule-1 minimum.  Sibling: the vector-indexing /
+    # compression family anchor, refreshed this round.
+    driver=False,
+    sibling="emb_ann_ivf",
 )
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2678,7 +2688,9 @@ FROM (
     # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for the final backlog tranche.
     driver=False,
-    sibling="emb_random_projection",
+    # r14 interim re-point: emb_random_projection sits out for the new
+    # MMR registration; the PQ anchor moves to the refreshed IVF entry.
+    sibling="emb_ann_ivf",
 )
 def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -3797,3 +3809,165 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_from_pairs(pairs).select(
         F.col("v").alias("part_key"), "deg", "pagerank"
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval (new r14; freshness-era rule: new registrations
+# take a driver slot in their first round)
+# --------------------------------------------------------------------------
+
+_MMR_CAND = 12   #: relevance candidates fed to the greedy selection
+_MMR_K = 5       #: diversified picks
+_MMR_LAM = "0.7"  #: relevance weight (literal text: both engines parse the
+#: same decimal to the same IEEE double)
+_MMR_OML = "0.3"  #: diversity weight, as a LITERAL on both sides -- never
+#: computed as (1.0 - 0.7): DuckDB folds that in exact DECIMAL (= 0.3)
+#: while Spark folds it in doubles (= 0.30000000000000004), a last-ulp
+#: divergence that flipped score bits at sf0.01 (found by parity)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB, expression-for-expression with the
+    Spark builder: step 1 maximizes lambda*rel - (1-lam)*0.0; step t
+    maximizes lambda*rel - (1-lam)*max(sim to the t-1 picks); every argmax
+    tie-breaks on vec_id ascending."""
+    cos_q = V.cosine_sql("q.qe", "e.embedding")
+    cos_ab = V.cosine_sql("a.emb", "b.emb")
+    lam, oml = _MMR_LAM, _MMR_OML
+    parts = [f"""
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id, e.embedding AS emb, {cos_q} AS rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0 AND {cos_q} IS NOT NULL
+  ORDER BY {cos_q} DESC, e.vec_id
+  LIMIT {_MMR_CAND}
+), pair AS (
+  SELECT a.vec_id AS av, b.vec_id AS bv, {cos_ab} AS sim
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+), p1 AS (
+  SELECT vec_id, rel, (({lam} * rel) - ({oml} * 0.0)) AS score
+  FROM cand ORDER BY (({lam} * rel) - ({oml} * 0.0)) DESC, vec_id LIMIT 1
+), s1 AS (SELECT vec_id FROM p1)"""]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""", m{t} AS (
+  SELECT av AS vec_id, MAX(sim) AS ms
+  FROM pair WHERE bv IN (SELECT vec_id FROM s{t - 1}) GROUP BY av
+), p{t} AS (
+  SELECT c.vec_id, c.rel, (({lam} * c.rel) - ({oml} * m{t}.ms)) AS score
+  FROM cand c JOIN m{t} ON m{t}.vec_id = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{t - 1})
+  ORDER BY (({lam} * c.rel) - ({oml} * m{t}.ms)) DESC, c.vec_id LIMIT 1
+), s{t} AS (SELECT vec_id FROM s{t - 1} UNION ALL SELECT vec_id FROM p{t})""")
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS pick_order, vec_id, rel, score FROM p{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY pick_order")
+    return "".join(parts)
+
+
+@register(
+    "emb_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diversified retrieval: greedy "
+        "selection of 5 results from the brute-force cosine top-12 for "
+        "query vector 0, score = lambda*relevance - (1-lambda)*max "
+        "similarity to the already-picked set (lambda=0.7) -- the "
+        "standard redundancy-suppression reranker between ANN retrieval "
+        "and training-example selection.  Determinism: cosines use the "
+        "shared sequential-fold twins (functions/vectors.py), MAX and "
+        "comparisons are exact, the score is two multiplies and one "
+        "subtract mirrored node-for-node, and every argmax tie-breaks on "
+        "vec_id; the greedy loop is UNROLLED a fixed K steps in both "
+        "engines (the PCA/IVF posture).  Scale: one corpus scan for the "
+        "candidate TakeOrdered (no global window), then every step "
+        "operates on the rebroadcast 12-row candidate frame and its "
+        "132-row pairwise-sim table -- constant-bounded, zero further "
+        "corpus contact, no collect beyond the guarded codebook pattern.",
+)
+def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    rel = V.cosine(F.col("qe"), F.col("embedding"))
+
+    # Candidate GENERATION is distributed (one corpus scan, TakeOrdered);
+    # the greedy SELECTION runs on the 12-row candidate set in a single
+    # Arrow-batched crossing.  A first cut unrolled the K steps as
+    # DataFrame ops: correct, but each step's tiny joins/aggregates cost
+    # ~1 s of plan overhead on 12 rows (measured 5.2 s total) -- the
+    # bounded greedy loop belongs in one batch, like the BM25 idf
+    # crossing, with the SAME sequential-fold cosine as the SQL twin
+    # (acc=0.0 then += x*y in index order; 0.0+p1 == p1 exactly, so the
+    # fold equals list_reduce's first-element init bit-for-bit).
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.col("embedding").alias("emb"), rel.alias("rel"))
+        .filter(F.col("rel").isNotNull())
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+    )
+    one = cand.agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "rel", "emb"))).alias("cs")
+    )
+
+    lam, oml, k = float(_MMR_LAM), float(_MMR_OML), _MMR_K
+
+    def _greedy(batches):
+        import math
+
+        import pandas as pd
+
+        def cos(u, v):
+            d = 0.0
+            for x, y in zip(u, v):
+                d += x * y
+            na = 0.0
+            for x in u:
+                na += x * x
+            nb = 0.0
+            for y in v:
+                nb += y * y
+            den = math.sqrt(na) * math.sqrt(nb)
+            return d / den if den != 0.0 else None
+
+        for pdf in batches:
+            for cs in pdf["cs"]:
+                cands = [
+                    (int(r["vec_id"]), float(r["rel"]),
+                     [float(x) for x in r["emb"]])
+                    for r in cs
+                ]
+                sims = {}
+                for vi, _, eu in cands:
+                    for vj, _, ev in cands:
+                        if vi != vj:
+                            sims[(vi, vj)] = cos(eu, ev)
+                remaining = {v: r for v, r, _ in cands}
+                sel: list[int] = []
+                out = {"pick_order": [], "vec_id": [], "rel": [], "score": []}
+                for t in range(1, k + 1):
+                    best = None
+                    # ascending vec_id iteration + strict > comparison =
+                    # smallest vec_id wins ties, same as ORDER BY score
+                    # DESC, vec_id in the oracle
+                    for v in sorted(remaining):
+                        r = remaining[v]
+                        ms = max((sims[(v, s)] for s in sel), default=0.0)
+                        sc = (lam * r) - (oml * ms)
+                        if best is None or sc > best[0]:
+                            best = (sc, v, r)
+                    sc, v, r = best
+                    out["pick_order"].append(t)
+                    out["vec_id"].append(v)
+                    out["rel"].append(r)
+                    out["score"].append(sc)
+                    sel.append(v)
+                    del remaining[v]
+                yield pd.DataFrame(out)
+
+    return one.mapInPandas(
+        _greedy, "pick_order int, vec_id long, rel double, score double"
+    ).orderBy("pick_order")
