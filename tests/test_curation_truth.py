@@ -118,3 +118,38 @@ def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
     # own grams, so it must be reported with n_true_hits > 0
     srcs = {r.doc_id for r in rows if r.n_true_hits > 0}
     assert any(d % 100 == 7 for d in srcs)
+
+
+def test_char_kl_gibberish_by_hand(spark, tmp_path_factory):
+    """A single-character flood must rank first with a hand-computable KL:
+    its only term is (c/L)*(((ln c - ln L) - ln C) + ln T) with c = L, so
+    kl = (ln L - ln L - ln C) + ln T reproduced op-for-op in Python (libm
+    on both sides)."""
+    import math
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a normal english sentence with usual letters",
+        3: "z" * 20,
+    }
+    out = tmp_path_factory.mktemp("char_kl_truth_sf")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()], _SCHEMA
+    ).coalesce(1).write.parquet(os.path.join(str(out), "documents.parquet"))
+
+    rows = {
+        r["doc_id"]: r
+        for r in _rows(spark, "doc_char_kl_gibberish", str(out))
+    }
+    assert set(rows) == {1, 2, 3}
+    flood = rows[3]
+    assert flood["n_chars"] == 20 and flood["distinct_chars"] == 1
+    ranked = sorted(rows.values(), key=lambda r: -r["kl_nats"])
+    assert ranked[0]["doc_id"] == 3, "the flood must be the top outlier"
+    # hand-computed KL, same expression tree and libm ln as the engine
+    total = sum(len(t) for t in texts.values())
+    c_z = float(sum(t.count("z") for t in texts.values()))  # incl. "lazy"
+    expect = 1.0 * (
+        ((math.log(20.0) - math.log(20.0)) - math.log(c_z)) + math.log(float(total))
+    )
+    assert flood["kl_nats"] == expect

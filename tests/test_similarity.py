@@ -990,3 +990,24 @@ def test_pca_power_iteration_against_numpy(spark, sf_dir):
     # of the top eigenvalue (trace/d is the isotropic floor)
     floor = float(np.trace(A.T @ A)) / A.shape[1]
     assert row.eigenvalue_estimate >= floor * 0.9
+
+
+def test_mmr_diversifies_versus_plain_topk(spark):
+    """The MMR reranker must (a) pick the globally most-relevant vector
+    first, (b) pick 5 distinct vectors, and (c) actually trade relevance
+    for diversity on the sf0.01 fixture -- its pick set differs from the
+    plain relevance top-5 (if it never differed, the diversity term would
+    be dead weight)."""
+    from flink_kafka_consumer_cassandra_output_spark.plans.registry import get
+
+    sf = "/root/testdata/sf0.01"
+    mmr = get("emb_mmr_diversified_topk").builder(spark, sf).toPandas()
+    assert list(mmr["pick_order"]) == [1, 2, 3, 4, 5]
+    assert mmr["vec_id"].nunique() == 5
+    # first pick is pure relevance (score = 0.7 * rel at step 1)
+    assert mmr.iloc[0]["rel"] == mmr["rel"].max()
+    top5 = set(
+        get("emb_cosine_topk").builder(spark, sf)
+        .filter("query_id = 0").toPandas()["neighbor_id"]
+    )
+    assert set(mmr["vec_id"]) != top5, "MMR degenerated to plain top-k"
