@@ -78,6 +78,12 @@ QUERIES = (
     "doc_k_anonymity",
     "doc_zipf_fit",
     "doc_lexical_diversity",
+    # round-14 addition, sound under unchanged-text replication: char
+    # counts (per-doc AND corpus) grow k, so every p_doc/p_corpus ratio --
+    # hence every KL -- is invariant and the top-20 ranking is stable;
+    # the distinct-int ln frame grows only with new count VALUES (k*c),
+    # still bounded by doc-length-cap * k's value set, never by rows.
+    "doc_char_kl_gibberish",
 )
 
 # Optional subset, e.g. SPARK_GRAFT_PROBE_QUERIES=doc_ngram_topk
