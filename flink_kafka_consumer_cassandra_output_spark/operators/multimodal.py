@@ -7,11 +7,14 @@ extensions); required by the project brief: image/audio/video as opaque
 JVM-only policy, because codec work is inherently Python/native-library
 territory.
 
-Decode coverage (r11): pixel/sample decode is REAL for the uncompressed
+Decode coverage (r11, extended r14): pixel/sample decode is REAL for the
 formats a pure-Python decoder honestly covers -- 24-bit BMP, binary PPM,
 16-bit PCM WAV (:func:`decode_bmp`/:func:`decode_ppm`/
-:func:`decode_wav_pcm`, oracle-gated end to end by ``mm_pixel_stats``).
-Entropy-coded payloads (PNG/JPEG/GIF/MP4) remain a loud stub
+:func:`decode_wav_pcm`) and, since r14, 8-bit RGB/RGBA non-interlaced
+PNG (:func:`decode_png`: the "codec" is stdlib zlib inflate + the five
+spec filters in pure integer math, so no external library is needed) --
+all oracle-gated end to end by ``mm_pixel_stats``.  The remaining
+entropy-coded payloads (JPEG/GIF/MP4) stay a loud stub
 (:func:`decode_media` raises ``NotImplementedError``: no PIL/ffmpeg in
 this container); their container HEADERS are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
@@ -319,6 +322,46 @@ def synth_ppm(width: int, height: int, doc_id: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(px)
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + ctype + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def synth_png_rgb(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL PNG (8-bit RGB, non-interlaced, filter 0 rows, correct
+    CRCs, zlib-compressed IDAT) with the same pixel pattern as
+    :func:`synth_bmp` -- unlike :func:`synth_png`, which wraps an opaque
+    payload for header-parser tests, this one round-trips through
+    :func:`decode_png`."""
+    import zlib
+
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        for x in range(width):
+            raw += bytes(
+                (
+                    (doc_id + x + y) % 256,
+                    (3 * doc_id + 7 * x) % 256,
+                    (5 * y + doc_id) % 256,
+                )
+            )
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes((8, 2, 0, 0, 0))
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_bmp(content: bytes) -> dict:
     """Pure-Python pixel decode of an uncompressed 24-bit BMP.
 
@@ -501,20 +544,145 @@ def decode_wav_pcm(content: bytes) -> dict:
     }
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor per the PNG spec (pure integer, deterministic)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(content: bytes) -> dict:
+    """Pure-Python pixel decode of an 8-bit RGB/RGBA non-interlaced PNG.
+
+    No external codec library: the PNG "codec" is DEFLATE (stdlib
+    ``zlib``) plus the five spec filters (None/Sub/Up/Average/Paeth),
+    which are pure integer math.  Strict by the house contract: every
+    chunk CRC is verified, a truncated chunk/CRC raises, trailing bytes
+    after IEND raise, the inflated length must equal (stride+1)*height
+    exactly, and unsupported features (bit depth != 8, palette/gray,
+    interlacing) raise rather than guess.  Output ``pixels`` is
+    row-major top-down tuples -- (r, g, b) for color type 2, (r, g, b, a)
+    for color type 6."""
+    import zlib
+
+    if not content.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_MAGIC)
+    ihdr: bytes | None = None
+    idat = bytearray()
+    ended = False
+    while not ended:
+        if pos + 8 > len(content):
+            raise ValueError("truncated PNG: partial chunk header")
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError(
+                f"truncated PNG: chunk {ctype!r} declares {ln} bytes, "
+                f"{len(body)} present"
+            )
+        crc = content[pos + 8 + ln : pos + 12 + ln]
+        if len(crc) < 4:
+            raise ValueError(f"truncated PNG: chunk {ctype!r} missing CRC")
+        if int.from_bytes(crc, "big") != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+        pos += 12 + ln
+    if pos != len(content):
+        raise ValueError(
+            f"trailing bytes after PNG IEND ({len(content) - pos})"
+        )
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing or malformed IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PNG dimensions ({width}x{height})")
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}); "
+            "only 8-bit RGB/RGBA decode here"
+        )
+    if compression != 0 or filter_method != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    bpp = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG raster size mismatch: inflated {len(raw)} bytes, "
+            f"IHDR implies {(stride + 1) * height}"
+        )
+    prior = bytes(stride)
+    pixels = []
+    for r in range(height):
+        off = r * (stride + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                line[i] = (line[i] + (line[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prior[i], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prior = bytes(line)
+        for x in range(width):
+            pixels.append(tuple(line[x * bpp : x * bpp + bpp]))
+    return {"fmt": "png", "width": width, "height": height, "pixels": pixels}
+
+
 def decode_media(content: bytes, media_type: str):
     """Decode dispatch, sniffed from bytes (labels are untrusted).
 
-    REAL pixel/sample decode for the uncompressed formats a pure-Python
-    decoder can honestly cover: 24-bit BMP, binary PPM, 16-bit PCM WAV.
-    Compressed containers (PNG/JPEG/GIF/MP4) return header metadata only
-    -- their entropy-coded payloads are codec territory (PIL/ffmpeg, not
-    in this container), and faking pixel output would be worse than
-    refusing, so anything unrecognized still raises loudly.
+    REAL pixel/sample decode for the formats a pure-Python decoder can
+    honestly cover: 24-bit BMP, binary PPM, 16-bit PCM WAV, and 8-bit
+    RGB/RGBA non-interlaced PNG (stdlib zlib is the whole codec).
+    The remaining compressed containers (JPEG/GIF/MP4) return header
+    metadata only -- their entropy-coded payloads are codec territory
+    (PIL/ffmpeg, not in this container), and faking pixel output would
+    be worse than refusing, so anything unrecognized still raises
+    loudly.  A PNG that decode_png rejects (unsupported color type,
+    interlaced, or a header-only synthetic container) falls through to
+    header metadata, mirroring the non-PCM WAV path.
     """
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content.startswith(_PNG_MAGIC):
+        try:
+            return decode_png(content)
+        except ValueError:
+            pass  # unsupported/synthetic PNG: fall through to header metadata
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         try:
             return decode_wav_pcm(content)
@@ -717,9 +885,11 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def pixel_stats(docs: DataFrame) -> DataFrame:
     """REAL pixel/sample decode, oracle-checked: synth a 24-bit BMP,
-    binary PPM, or 16-bit PCM WAV per document (fmt cycles on doc_id % 3)
-    and run the bytes back through :func:`decode_media`, emitting exact
-    integer statistics over the DECODED values.
+    binary PPM, 16-bit PCM WAV, or real zlib-compressed PNG per document
+    (fmt cycles on doc_id % 4; PNG added r14 -- its IDAT inflate +
+    unfilter path is gated by the same hash) and run the bytes back
+    through :func:`decode_media`, emitting exact integer statistics over
+    the DECODED values.
 
     Like :func:`media_headers`, the synthesized content is a
     deterministic arithmetic function of ``doc_id`` -- image pixels
@@ -740,12 +910,14 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                kind = did % 3
+                kind = did % 4
                 w, h = did % 16 + 1, (7 * did) % 16 + 1
                 if kind == 0:
                     blob = synth_bmp(w, h, did)
                 elif kind == 1:
                     blob = synth_ppm(w, h, did)
+                elif kind == 3:
+                    blob = synth_png_rgb(w, h, did)
                 else:
                     n = did % 64 + 1
                     pcm = b"".join(
@@ -756,7 +928,7 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
                     )
                     blob = synth_wav(1, 8000, 16, pcm)
                 d = decode_media(blob, "application/octet-stream")
-                if d["fmt"] in ("bmp", "ppm"):
+                if d["fmt"] in ("bmp", "ppm", "png"):
                     vals = [v for px in d["pixels"] for v in px]
                     width, height = d["width"], d["height"]
                 else:

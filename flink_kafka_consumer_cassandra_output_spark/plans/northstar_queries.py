@@ -965,10 +965,12 @@ def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH img AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+         CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+              WHEN doc_id % 4 = 1 THEN 'ppm'
+              ELSE 'png' END AS fmt,
          CAST(doc_id % 16 + 1 AS INTEGER) AS width,
          CAST((7 * doc_id) % 16 + 1 AS INTEGER) AS height
-  FROM documents WHERE doc_id % 3 < 2
+  FROM documents WHERE doc_id % 4 != 2
 ),
 pix AS (
   SELECT i.doc_id, i.fmt, i.width, i.height,
@@ -999,24 +1001,26 @@ wav AS (
            AS max_value
   FROM documents d,
        UNNEST(range(0, d.doc_id % 64 + 1)) AS s(i)
-  WHERE d.doc_id % 3 = 2
+  WHERE d.doc_id % 4 = 2
   GROUP BY d.doc_id
 )
 SELECT * FROM img_stats UNION ALL SELECT * FROM wav
 """,
     doc="north-star multimodal REAL pixel/sample decode (r11: converts "
         "the decode_media stub into a gated operator for the formats a "
-        "pure-Python decoder honestly covers): a 24-bit BMP, binary PPM, "
-        "or 16-bit PCM WAV is synthesized per document and decoded BACK "
-        "from raw bytes -- BMP bottom-up row order + 4-byte padding, PPM "
-        "header tokenization, RIFF chunk walk + signed int16 samples -- "
-        "with exact integer stats over the decoded values.  The oracle "
-        "re-derives every stat arithmetically from range() cross "
-        "products, so the hash gate proves decode(synth(x)) == x per "
-        "row.  Compressed codecs (PNG/JPEG/GIF/MP4 payloads) stay behind "
-        "the loud NotImplementedError.  Scale: narrow Arrow-batched "
-        "mapInPandas; O(1)-width stats cross back to the JVM, never "
-        "pixels",
+        "pure-Python decoder honestly covers; r14 adds PNG): a 24-bit "
+        "BMP, binary PPM, 16-bit PCM WAV, or REAL zlib-compressed PNG "
+        "is synthesized per document (fmt cycles on doc_id % 4) and "
+        "decoded BACK from raw bytes -- BMP bottom-up row order + "
+        "4-byte padding, PPM header tokenization, RIFF chunk walk + "
+        "signed int16 samples, PNG chunk walk + CRC verify + DEFLATE "
+        "inflate + spec unfiltering -- with exact integer stats over "
+        "the decoded values.  The oracle re-derives every stat "
+        "arithmetically from range() cross products, so the hash gate "
+        "proves decode(synth(x)) == x per row.  The remaining "
+        "compressed codecs (JPEG/GIF/MP4 payloads) stay behind the loud "
+        "NotImplementedError.  Scale: narrow Arrow-batched mapInPandas; "
+        "O(1)-width stats cross back to the JVM, never pixels",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

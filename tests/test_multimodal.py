@@ -566,3 +566,147 @@ def test_bmp_ppm_truncation_always_raises_fuzz(w, h, cutseed):
         cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
         with pytest.raises(ValueError):
             decode(blob[:cut])
+
+
+# ---- PNG decode (r14: real inflate + unfilter, stdlib zlib only) ----------
+
+def _png_from_rows(rows, color_type=2, bit_depth=8, interlace=0):
+    """Assemble a PNG from pre-filtered scanlines (each: filter byte +
+    filtered data) -- the test-side encoder for exercising specific
+    filter types."""
+    import zlib
+
+    h = len(rows)
+    bpp = 3 if color_type == 2 else 4
+    w = (len(rows[0]) - 1) // bpp
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes((bit_depth, color_type, 0, 0, interlace))
+    )
+    return (
+        mm._PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"".join(bytes(r) for r in rows)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 16), st.integers(1, 12), st.integers(0, 10**6))
+def test_png_roundtrip_matches_bmp_pattern(w, h, doc_id):
+    """decode(synth_png_rgb(x)) must equal the BMP decode of the same
+    pixel pattern -- the cross-format identity that pins the whole
+    inflate + unfilter path."""
+    d = mm.decode_png(mm.synth_png_rgb(w, h, doc_id))
+    assert d["fmt"] == "png" and (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == mm.decode_bmp(mm.synth_bmp(w, h, doc_id))["pixels"]
+
+
+def test_png_all_filter_types_by_hand():
+    """Filters 1-4 unfiltered against hand-forward-filtered scanlines of
+    a known 3x3 image (the test filters FORWARD, production unfilters --
+    independent directions)."""
+    w = h = 3
+    img = [
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(15, 25, 35), (45, 55, 65), (75, 85, 95)],
+        [(200, 210, 220), (230, 240, 250), (5, 15, 25)],
+    ]
+    flat = [bytes(v for px in row for v in px) for row in img]
+
+    def fwd(ft, cur, prior):
+        out = bytearray([ft])
+        for i in range(len(cur)):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prior[i]
+            c = prior[i - 3] if i >= 3 else 0
+            if ft == 0:
+                out.append(cur[i])
+            elif ft == 1:
+                out.append((cur[i] - a) & 0xFF)
+            elif ft == 2:
+                out.append((cur[i] - b) & 0xFF)
+            elif ft == 3:
+                out.append((cur[i] - ((a + b) >> 1)) & 0xFF)
+            else:
+                out.append((cur[i] - mm._paeth(a, b, c)) & 0xFF)
+        return out
+
+    want = [px for row in img for px in row]
+    for f1, f2, f3 in [(1, 2, 3), (4, 1, 4), (2, 4, 3), (3, 3, 1)]:
+        prior = bytes(3 * w)
+        rows = []
+        for ft, cur in zip((f1, f2, f3), flat):
+            rows.append(fwd(ft, cur, prior))
+            prior = cur
+        d = mm.decode_png(_png_from_rows(rows))
+        assert d["pixels"] == want, (f1, f2, f3)
+
+
+def test_png_rgba_roundtrip():
+    import zlib  # noqa: F401  (used by _png_from_rows)
+
+    rows = [
+        bytearray([0]) + bytes((1, 2, 3, 255, 4, 5, 6, 128)),
+        bytearray([0]) + bytes((7, 8, 9, 0, 10, 11, 12, 64)),
+    ]
+    d = mm.decode_png(_png_from_rows(rows, color_type=6))
+    assert d["width"] == 2 and d["height"] == 2
+    assert d["pixels"] == [(1, 2, 3, 255), (4, 5, 6, 128),
+                           (7, 8, 9, 0), (10, 11, 12, 64)]
+
+
+def test_png_strictness_rejections():
+    import pytest
+
+    good = mm.synth_png_rgb(4, 3, 7)
+    # trailing bytes after IEND
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_png(good + b"x")
+    # CRC corruption (flip one bit inside the IDAT body)
+    blob = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    blob[idat_at + 6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(blob))
+    # interlaced: rebuild IHDR with interlace=1 (fresh CRC, so only the
+    # interlace flag is the defect)
+    rows = [bytearray([0]) + bytes(12)]
+    with pytest.raises(ValueError, match="interlace"):
+        mm.decode_png(_png_from_rows(rows, interlace=1))
+    # unsupported bit depth / color type
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_png(_png_from_rows(rows, bit_depth=16))
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_png(_png_from_rows([bytearray([0]) + bytes(4)], color_type=3))
+    # inflated size vs IHDR mismatch
+    import zlib as _z
+    short = (
+        mm._PNG_MAGIC
+        + mm._png_chunk(b"IHDR", (4).to_bytes(4, "big") + (3).to_bytes(4, "big")
+                        + bytes((8, 2, 0, 0, 0)))
+        + mm._png_chunk(b"IDAT", _z.compress(bytes(5)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        mm.decode_png(short)
+    # header-only synthetic container falls through to header metadata in
+    # decode_media but raises in decode_png
+    hdr_only = mm.synth_png(10, 20, b"garbage")
+    with pytest.raises(ValueError):
+        mm.decode_png(hdr_only)
+    assert mm.decode_media(hdr_only, "x") == {"fmt": "png", "width": 10, "height": 20}
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(st.integers(1, 12), st.integers(1, 8), st.integers(0, 10**9))
+def test_png_truncation_always_raises_fuzz(w, h, cutseed):
+    """Strict-prefix property, same pin as Avro/WAV/BMP/PPM: any prefix
+    of a valid PNG must raise ValueError (partial chunk header, missing
+    CRC, truncated body, or missing IEND), never return pixels."""
+    import pytest
+
+    blob = mm.synth_png_rgb(w, h, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_png(blob[:cut])
