@@ -544,6 +544,264 @@ def decode_wav_pcm(content: bytes) -> dict:
     }
 
 
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]:
+    """GIF-variant LZW decode (variable-width codes, LSB-first, clear +
+    end codes, 12-bit cap).  Strict: a truncated stream, a code past the
+    table, or a pixel-count mismatch raises ``ValueError``."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    base = {i: (i,) for i in range(clear)}
+    table: dict[int, tuple[int, ...]] = dict(base)
+    next_code = end + 1
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    pos, nbits = 0, len(data) * 8
+    while True:
+        if pos + width > nbits:
+            raise ValueError("truncated GIF: LZW stream ends mid-code")
+        b0 = pos // 8
+        chunk = int.from_bytes(data[b0 : b0 + 3], "little")
+        code = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = dict(base)
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError(f"corrupt GIF: first LZW code {code} not a literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF: LZW code {code} past table end {next_code}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        if len(out) > expected:
+            raise ValueError(
+                f"corrupt GIF: LZW yields more than the {expected} raster pixels"
+            )
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"corrupt GIF: LZW yielded {len(out)} pixels, raster needs {expected}"
+        )
+    return out
+
+
+def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """GIF-variant LZW encode, the exact inverse of :func:`_lzw_decode`.
+
+    Width schedule subtlety: the decoder learns each table entry ONE
+    CODE LATER than the encoder assigns it (it reconstructs the entry
+    while processing the following code), so the emit width must track a
+    SIMULATED decoder counter, not the encoder's own table size --
+    bumping on the encoder's counter desyncs the bit stream one code
+    early (found by the round-trip fuzz)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    enc_next = end + 1   # encoder table assignments
+    dec_next = end + 1   # simulated decoder table size, drives the width
+    n_symbol_codes = 0
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def emit_symbol(code: int) -> None:
+        nonlocal width, dec_next, n_symbol_codes
+        emit(code, width)
+        n_symbol_codes += 1
+        # the decoder adds an entry while processing every symbol code
+        # AFTER the first, and bumps its read width when its table fills
+        # the current width -- affecting the NEXT code it reads
+        if n_symbol_codes >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for idx in indices:
+        grown = seq + (int(idx),)
+        if grown in table:
+            seq = grown
+            continue
+        emit_symbol(table[seq])
+        if enc_next < 4096:
+            table[grown] = enc_next
+            enc_next += 1
+        seq = (int(idx),)
+    if seq:
+        emit_symbol(table[seq])
+    emit(end, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synth_gif_indexed(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL GIF89a (16-color global palette, genuinely LZW-compressed,
+    non-interlaced) -- unlike :func:`synth_gif`, which wraps an opaque
+    payload for header-parser tests, this one round-trips through
+    :func:`decode_gif`.  Palette color k is ((11k+d)%256, (7k+3d)%256,
+    (5k+d)%256); pixel (x, y) uses index (x + y*width + d) % 16."""
+    gct = bytearray()
+    for k in range(16):
+        gct += bytes(
+            ((11 * k + doc_id) % 256, (7 * k + 3 * doc_id) % 256,
+             (5 * k + doc_id) % 256)
+        )
+    indices = [
+        (x + y * width + doc_id) % 16
+        for y in range(height)
+        for x in range(width)
+    ]
+    lzw = _lzw_encode(4, indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks += bytes((len(part),)) + part
+    blocks += b"\x00"
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        + bytes((0x80 | 0x03, 0, 0))  # GCT present, 16 entries
+        + bytes(gct)
+        + b"\x2c" + bytes(4)  # image descriptor at (0, 0)
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        + b"\x00"  # no local table, not interlaced
+        + bytes((4,))  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(content: bytes) -> dict:
+    """Pure-Python pixel decode of a non-interlaced single-image GIF
+    (global or local palette): header + logical screen descriptor,
+    extension-block skipping, sub-block reassembly, and the variable-
+    width LZW inflate -- no external codec library.  Strict by the house
+    contract: truncations, corrupt LZW codes, pixel-count mismatches,
+    interlaced images, and trailing bytes after the trailer all raise."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated GIF: no logical screen descriptor")
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = content[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF: global color table cut short")
+        pos += 3 * n
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated GIF: no image descriptor or trailer")
+        block = content[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(content):
+                raise ValueError("truncated GIF: extension cut at label")
+            pos += 1
+            while True:
+                if pos >= len(content):
+                    raise ValueError("truncated GIF: extension sub-blocks cut")
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                if pos + ln > len(content):
+                    raise ValueError("truncated GIF: extension sub-block cut")
+                pos += ln
+        elif block == 0x2C:  # image descriptor
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+    if pos + 9 > len(content):
+        raise ValueError("truncated GIF: image descriptor cut short")
+    width = int.from_bytes(content[pos + 4 : pos + 6], "little")
+    height = int.from_bytes(content[pos + 6 : pos + 8], "little")
+    ipacked = content[pos + 8]
+    pos += 9
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate GIF dimensions ({width}x{height})")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    palette = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        palette = content[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated GIF: local color table cut short")
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("GIF has neither global nor local color table")
+    if pos >= len(content):
+        raise ValueError("truncated GIF: missing LZW minimum code size")
+    min_code_size = content[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"corrupt GIF: LZW minimum code size {min_code_size}")
+    data = bytearray()
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated GIF: image sub-blocks cut short")
+        ln = content[pos]
+        pos += 1
+        if ln == 0:
+            break
+        chunk = content[pos : pos + ln]
+        if len(chunk) < ln:
+            raise ValueError("truncated GIF: image sub-block cut short")
+        data += chunk
+        pos += ln
+    if pos >= len(content) or content[pos] != 0x3B:
+        raise ValueError("GIF missing trailer after image data")
+    pos += 1
+    if pos != len(content):
+        raise ValueError(
+            f"trailing bytes after GIF trailer ({len(content) - pos})"
+        )
+    indices = _lzw_decode(min_code_size, bytes(data), width * height)
+    n_colors = len(palette) // 3
+    pixels = []
+    for idx in indices:
+        if idx >= n_colors:
+            raise ValueError(
+                f"corrupt GIF: pixel index {idx} outside the {n_colors}-color palette"
+            )
+        pixels.append(
+            (palette[3 * idx], palette[3 * idx + 1], palette[3 * idx + 2])
+        )
+    return {"fmt": "gif", "width": width, "height": height, "pixels": pixels}
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PaethPredictor per the PNG spec (pure integer, deterministic)."""
     p = a + b - c
@@ -683,6 +941,11 @@ def decode_media(content: bytes, media_type: str):
             return decode_png(content)
         except ValueError:
             pass  # unsupported/synthetic PNG: fall through to header metadata
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_gif(content)
+        except ValueError:
+            pass  # unsupported/synthetic GIF: fall through to header metadata
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         try:
             return decode_wav_pcm(content)
@@ -885,9 +1148,10 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def pixel_stats(docs: DataFrame) -> DataFrame:
     """REAL pixel/sample decode, oracle-checked: synth a 24-bit BMP,
-    binary PPM, 16-bit PCM WAV, or real zlib-compressed PNG per document
-    (fmt cycles on doc_id % 4; PNG added r14 -- its IDAT inflate +
-    unfilter path is gated by the same hash) and run the bytes back
+    binary PPM, 16-bit PCM WAV, real zlib-compressed PNG, or real
+    LZW-compressed GIF per document (fmt cycles on doc_id % 5; PNG and
+    GIF added r14 -- the DEFLATE inflate + unfilter and variable-width
+    LZW paths are gated by the same hash) and run the bytes back
     through :func:`decode_media`, emitting exact integer statistics over
     the DECODED values.
 
@@ -910,7 +1174,7 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                kind = did % 4
+                kind = did % 5
                 w, h = did % 16 + 1, (7 * did) % 16 + 1
                 if kind == 0:
                     blob = synth_bmp(w, h, did)
@@ -918,6 +1182,8 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
                     blob = synth_ppm(w, h, did)
                 elif kind == 3:
                     blob = synth_png_rgb(w, h, did)
+                elif kind == 4:
+                    blob = synth_gif_indexed(w, h, did)
                 else:
                     n = did % 64 + 1
                     pcm = b"".join(
@@ -928,7 +1194,7 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
                     )
                     blob = synth_wav(1, 8000, 16, pcm)
                 d = decode_media(blob, "application/octet-stream")
-                if d["fmt"] in ("bmp", "ppm", "png"):
+                if d["fmt"] in ("bmp", "ppm", "png", "gif"):
                     vals = [v for px in d["pixels"] for v in px]
                     width, height = d["width"], d["height"]
                 else:

@@ -965,12 +965,12 @@ def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH img AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 4 = 0 THEN 'bmp'
-              WHEN doc_id % 4 = 1 THEN 'ppm'
+         CASE WHEN doc_id % 5 = 0 THEN 'bmp'
+              WHEN doc_id % 5 = 1 THEN 'ppm'
               ELSE 'png' END AS fmt,
          CAST(doc_id % 16 + 1 AS INTEGER) AS width,
          CAST((7 * doc_id) % 16 + 1 AS INTEGER) AS height
-  FROM documents WHERE doc_id % 4 != 2
+  FROM documents WHERE doc_id % 5 IN (0, 1, 3)
 ),
 pix AS (
   SELECT i.doc_id, i.fmt, i.width, i.height,
@@ -1001,26 +1001,52 @@ wav AS (
            AS max_value
   FROM documents d,
        UNNEST(range(0, d.doc_id % 64 + 1)) AS s(i)
-  WHERE d.doc_id % 4 = 2
+  WHERE d.doc_id % 5 = 2
   GROUP BY d.doc_id
+),
+gifpix AS (
+  SELECT g.doc_id, g.width, g.height,
+         (11 * ((x.x + y.y * g.width + g.doc_id) % 16) + g.doc_id) % 256 AS r,
+         (7 * ((x.x + y.y * g.width + g.doc_id) % 16) + 3 * g.doc_id) % 256 AS g2,
+         (5 * ((x.x + y.y * g.width + g.doc_id) % 16) + g.doc_id) % 256 AS b
+  FROM (
+    SELECT doc_id,
+           CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+           CAST((7 * doc_id) % 16 + 1 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 5 = 4
+  ) g,
+       UNNEST(range(0, CAST(g.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(g.height AS BIGINT))) AS y(y)
+),
+gif_stats AS (
+  SELECT doc_id, 'gif' AS fmt, width, height,
+         CAST(3 * width * height AS BIGINT) AS n_values,
+         CAST(SUM(r + g2 + b) AS BIGINT) AS sum_values,
+         CAST(MIN(LEAST(r, g2, b)) AS INTEGER) AS min_value,
+         CAST(MAX(GREATEST(r, g2, b)) AS INTEGER) AS max_value
+  FROM gifpix GROUP BY doc_id, width, height
 )
-SELECT * FROM img_stats UNION ALL SELECT * FROM wav
+SELECT * FROM img_stats
+UNION ALL SELECT * FROM wav
+UNION ALL SELECT * FROM gif_stats
 """,
     doc="north-star multimodal REAL pixel/sample decode (r11: converts "
         "the decode_media stub into a gated operator for the formats a "
-        "pure-Python decoder honestly covers; r14 adds PNG): a 24-bit "
-        "BMP, binary PPM, 16-bit PCM WAV, or REAL zlib-compressed PNG "
-        "is synthesized per document (fmt cycles on doc_id % 4) and "
-        "decoded BACK from raw bytes -- BMP bottom-up row order + "
-        "4-byte padding, PPM header tokenization, RIFF chunk walk + "
-        "signed int16 samples, PNG chunk walk + CRC verify + DEFLATE "
-        "inflate + spec unfiltering -- with exact integer stats over "
-        "the decoded values.  The oracle re-derives every stat "
-        "arithmetically from range() cross products, so the hash gate "
-        "proves decode(synth(x)) == x per row.  The remaining "
-        "compressed codecs (JPEG/GIF/MP4 payloads) stay behind the loud "
-        "NotImplementedError.  Scale: narrow Arrow-batched mapInPandas; "
-        "O(1)-width stats cross back to the JVM, never pixels",
+        "pure-Python decoder honestly covers; r14 adds PNG and GIF): a "
+        "24-bit BMP, binary PPM, 16-bit PCM WAV, REAL zlib-compressed "
+        "PNG, or REAL LZW-compressed GIF is synthesized per document "
+        "(fmt cycles on doc_id % 5) and decoded BACK from raw bytes -- "
+        "BMP bottom-up row order + 4-byte padding, PPM header "
+        "tokenization, RIFF chunk walk + signed int16 samples, PNG "
+        "chunk walk + CRC verify + DEFLATE inflate + spec unfiltering, "
+        "GIF extension-skip + sub-block reassembly + variable-width LZW "
+        "-- with exact integer stats over the decoded values.  The "
+        "oracle re-derives every stat arithmetically from range() cross "
+        "products, so the hash gate proves decode(synth(x)) == x per "
+        "row.  The remaining compressed codecs (JPEG/MP4 payloads) stay "
+        "behind the loud NotImplementedError.  Scale: narrow "
+        "Arrow-batched mapInPandas; O(1)-width stats cross back to the "
+        "JVM, never pixels",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

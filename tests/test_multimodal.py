@@ -710,3 +710,98 @@ def test_png_truncation_always_raises_fuzz(w, h, cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_png(blob[:cut])
+
+
+# ---- GIF decode (r14: real variable-width LZW, pure Python) ---------------
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 16), st.integers(1, 12), st.integers(0, 10**6))
+def test_gif_roundtrip_matches_palette_pattern(w, h, doc_id):
+    d = mm.decode_gif(mm.synth_gif_indexed(w, h, doc_id))
+    assert d["fmt"] == "gif" and (d["width"], d["height"]) == (w, h)
+    want = []
+    for y in range(h):
+        for x in range(w):
+            k = (x + y * w + doc_id) % 16
+            want.append(
+                ((11 * k + doc_id) % 256, (7 * k + 3 * doc_id) % 256,
+                 (5 * k + doc_id) % 256)
+            )
+    assert d["pixels"] == want
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 400), st.integers(2, 8), st.integers(0, 10**9))
+def test_lzw_roundtrip_fuzz(n, mcs, seed):
+    """The LZW codec pair round-trips across code sizes, including the
+    width-growth schedule (the encoder must simulate the DECODER's
+    table counter -- bumping on its own counter desyncs one code early,
+    the bug this fuzz originally caught)."""
+    import random
+
+    rng = random.Random(seed)
+    idx = [rng.randrange(1 << mcs) for _ in range(n)]
+    assert mm._lzw_decode(mcs, mm._lzw_encode(mcs, idx), n) == idx
+
+
+def test_lzw_twelve_bit_cap():
+    idx = [i % 4 for i in range(30000)]
+    assert mm._lzw_decode(2, mm._lzw_encode(2, idx), len(idx)) == idx
+
+
+def test_gif_spec_vector_from_the_wild():
+    """The ubiquitous 1x1 transparent GIF, byte-for-byte as published --
+    external validation that the decoder speaks real GIF (including the
+    graphics-control extension skip), not just its own encoder's
+    dialect."""
+    one = bytes.fromhex(
+        "47494638396101000100800000000000ffffff"
+        "21f90401000000002c00000000010001000002024401003b"
+    )
+    d = mm.decode_gif(one)
+    assert (d["width"], d["height"]) == (1, 1)
+    assert d["pixels"] == [(0, 0, 0)]
+
+
+def test_gif_strictness_rejections():
+    import pytest
+
+    good = mm.synth_gif_indexed(4, 3, 7)
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_gif(good + b"x")
+    # interlace flag set in the image descriptor
+    blob = bytearray(good)
+    desc = good.index(b"\x2c")
+    blob[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlace"):
+        mm.decode_gif(bytes(blob))
+    # corrupt LZW: flip a bit mid-stream (after descriptor + min code size
+    # + first sub-block length byte)
+    blob = bytearray(good)
+    blob[desc + 12] ^= 0x10
+    with pytest.raises(ValueError):
+        mm.decode_gif(bytes(blob))
+    # no palette at all: clear the GCT flag and splice the table out
+    headless = bytearray(good)
+    headless[10] &= 0x7F
+    headless = headless[:13] + headless[13 + 48:]
+    with pytest.raises(ValueError, match="color table"):
+        mm.decode_gif(bytes(headless))
+    # header-only synthetic container decodes via fallthrough in
+    # decode_media but raises in decode_gif
+    hdr_only = mm.synth_gif(10, 20, b"garbage")
+    with pytest.raises(ValueError):
+        mm.decode_gif(hdr_only)
+    assert mm.decode_media(hdr_only, "x") == {"fmt": "gif", "width": 10, "height": 20}
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(st.integers(1, 12), st.integers(1, 8), st.integers(0, 10**9))
+def test_gif_truncation_always_raises_fuzz(w, h, cutseed):
+    """Strict-prefix property, completing the Avro/WAV/BMP/PPM/PNG set."""
+    import pytest
+
+    blob = mm.synth_gif_indexed(w, h, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_gif(blob[:cut])
