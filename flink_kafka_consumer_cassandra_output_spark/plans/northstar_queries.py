@@ -866,16 +866,19 @@ SELECT d.doc_id,
 FROM documents d CROSS JOIN ks
 WHERE ks.k * 256 < length(d.text)
 """,
-    doc="north-star multimodal frame sampling: every 4th 64-byte frame (max "
-        "8) of the binary media column, one output row per sampled frame -- "
-        "the 1->N Arrow-batched mapInPandas shape with a binary column in "
-        "the operator contract (FRAME_SAMPLE_SCHEMA), oracle-checked "
-        "byte-for-byte.  The registered query projects the bytes as "
-        "unchunked base64 (driver-hash-safe; Spark base64 MIME-chunks past "
-        "57 bytes, stripped like the crypto path); the oracle slices TEXT "
-        "and re-encodes, valid because the synthesized media content is "
-        "UTF-8 of ASCII fixture text -- the operator itself is pure byte "
-        "logic and works on any binary",
+    doc="north-star multimodal frame sampling, through a REAL container "
+        "demux since r14: each document's bytes are muxed into a "
+        "structurally-real ISO-BMFF file (full stsz/stsc/stco/stss "
+        "sample tables over 64-byte samples in 4-sample chunks, sync "
+        "samples every 4th) and the keyframes extracted back by WALKING "
+        "those tables (operators/multimodal.py:demux_mp4_samples) -- the "
+        "exact pre-codec step a video pipeline runs, replacing the "
+        "earlier raw byte slicing.  Same 1->N Arrow-batched mapInPandas "
+        "shape (FRAME_SAMPLE_SCHEMA), max 8 keyframes/doc, oracle "
+        "unchanged because the sync-sample layout lands the same frames: "
+        "the bytes project as unchunked base64 (driver-hash-safe) and "
+        "the oracle slices TEXT at k*256, valid because the media "
+        "content is UTF-8 of ASCII fixture text.",
     # r7 driver-slot rotation: Arrow-batched mapInPandas media plumbing, driver-checked there.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
@@ -883,7 +886,7 @@ WHERE ks.k * 256 < length(d.text)
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
-    frames = MM.sample_frames(media)
+    frames = MM.sample_frames_mp4(media)
     b64 = F.regexp_replace(F.base64(F.col("frame_bytes")), "[\r\n]", "")
     return frames.select(
         "doc_id", "sample_idx", "frame_offset",

@@ -805,3 +805,64 @@ def test_gif_truncation_always_raises_fuzz(w, h, cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_gif(blob[:cut])
+
+
+# ---- MP4 sample-table demux (r14: real container-level frame sampling) ----
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 2100))
+def test_mp4_demux_roundtrip_all_boundary_sizes(n):
+    """mux -> demux must yield exactly the payload's every-4th-64-byte
+    keyframes, including the 0/63/64/255/256 chunk boundaries the
+    integer range covers."""
+    payload = bytes((i * 7) % 256 for i in range(n))
+    frames = mm.demux_mp4_samples(mm.synth_mp4_samples(payload))
+    exp, k = [], 0
+    while k * 256 < n and k < 8:
+        exp.append((k, k * 256, payload[k * 256 : k * 256 + 64]))
+        k += 1
+    assert frames == exp
+    # the mvhd header still parses on the same blob
+    assert mm.parse_media_header(mm.synth_mp4_samples(payload))["fmt"] == "mp4"
+
+
+def test_mp4_demux_strictness():
+    import pytest
+
+    blob = mm.synth_mp4_samples(bytes(600))
+    # truncation anywhere raises (box walk or table cut)
+    for cut in (10, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(ValueError):
+            mm.demux_mp4_samples(blob[:cut])
+    # a missing stss is a loud error, not silent no-frames
+    at = blob.index(b"stss")
+    broken = blob[: at] + b"free" + blob[at + 4 :]
+    with pytest.raises(ValueError, match="missing sample tables"):
+        mm.demux_mp4_samples(broken)
+    # an stco offset pointing outside mdat raises
+    at = blob.index(b"stco")
+    bad = bytearray(blob)
+    bad[at + 12 : at + 16] = (len(blob) + 99).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="outside mdat"):
+        mm.demux_mp4_samples(bytes(bad))
+    # stsc/stsz disagreement raises (declare one fewer sample)
+    at = blob.index(b"stsz")
+    bad = bytearray(blob)
+    n = int.from_bytes(blob[at + 12 : at + 16], "big")
+    bad[at + 12 : at + 16] = (n - 1).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mm.demux_mp4_samples(bytes(bad))
+
+
+def test_mp4_demux_matches_byte_slicer_on_fixture(spark, sf_dir):
+    """The registered query's demux path must reproduce the byte-slicer
+    operator frame-for-frame on the real fixture (shared oracle
+    justification)."""
+    from flink_kafka_consumer_cassandra_output_spark.operators import multimodal as M
+
+    media = M.media_from_documents(
+        __import__("flink_kafka_consumer_cassandra_output_spark.sources.tables", fromlist=["load"]).load(spark, sf_dir, "documents")
+    )
+    a = M.sample_frames(media).orderBy("doc_id", "sample_idx").collect()
+    b = M.sample_frames_mp4(media).orderBy("doc_id", "sample_idx").collect()
+    assert a == b and len(a) > 0
