@@ -544,6 +544,330 @@ def decode_wav_pcm(content: bytes) -> dict:
     }
 
 
+def _zigzag() -> list[tuple[int, int]]:
+    """The JPEG zigzag scan order as (row, col) pairs, generated
+    algorithmically: diagonals of constant row+col, direction
+    alternating, clamped at the 8x8 boundary."""
+    out = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        out.extend(diag if s % 2 else list(reversed(diag)))
+    return out
+
+
+_ZIGZAG = _zigzag()
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC coefficient magnitude category (bit length of |v|)."""
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):  # MSB first, per the spec
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-fill
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+#: canonical Huffman tables the synthesizer writes into DHT (the decoder
+#: reads whatever DHT declares -- these are just OUR choice): DC symbols
+#: 0..11 all at code length 4; AC has the single EOB symbol at length 2.
+_DC_LENGTHS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS = list(range(12))
+_AC_LENGTHS = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMBOLS = [0x00]
+
+
+def _canonical_codes(lengths: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits) per the JPEG canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for nbits in range(1, 17):
+        for _ in range(lengths[nbits - 1]):
+            out[symbols[k]] = (code, nbits)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def synth_jpeg_gray(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL baseline JFIF (grayscale, all-ones quant table, our own
+    DHT tables, every 8x8 block a CONSTANT value
+    ``(31*doc_id + 7*bx + 13*by) % 256``) -- unlike :func:`synth_jpeg`
+    (header-only), this round-trips through :func:`decode_jpeg_gray`
+    EXACTLY: a constant block's FDCT is DC-only with the DC a multiple
+    of 8, so the float IDCT is exact in IEEE doubles and the decode is
+    bit-for-bit.  width/height must be multiples of 8 (no partial-MCU
+    padding here)."""
+    if width % 8 or height % 8:
+        raise ValueError("synth_jpeg_gray needs multiple-of-8 dimensions")
+    dc_codes = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_LENGTHS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            v = (31 * doc_id + 7 * bx + 13 * by) % 256
+            dc = 8 * (v - 128)  # DC-only FDCT of a constant block
+            diff = dc - prev_dc
+            prev_dc = dc
+            t = _jpeg_category(diff)
+            code, nbits = dc_codes[t]
+            bw.write(code, nbits)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, nbits = ac_codes[0x00]  # EOB: all 63 ACs zero
+            bw.write(code, nbits)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_LENGTHS) + bytes(_AC_SYMBOLS))
+    )
+    sof0 = seg(
+        0xC0,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG: dangling 0xFF in scan")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02x} inside entropy data"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
+    code, nbits = 0, 0
+    while nbits < 17:
+        code = (code << 1) | br.bit()
+        nbits += 1
+        sym = table.get((code, nbits))
+        if sym is not None:
+            return sym
+    raise ValueError("corrupt JPEG: Huffman code longer than 16 bits")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map t raw bits back to the signed coefficient."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_gray(content: bytes) -> dict:
+    """Pure-Python baseline JPEG decode for single-component (grayscale)
+    non-progressive images: marker walk, DQT/DHT table parsing (the
+    tables COME FROM THE FILE, not from constants), Huffman entropy
+    decode with byte-unstuffing, zigzag dequantization, float IDCT, and
+    level shift.  The general AC path is implemented; the engine's hash
+    gate runs it on DC-only constant-block images where the float IDCT
+    is EXACT in IEEE doubles (DC a multiple of 8), so the gated output
+    is bit-deterministic.  Strict: truncations, unexpected markers,
+    missing tables, and trailing bytes after EOI raise ``ValueError``."""
+    import math
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    scan_at = None
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: marker walk ran out")
+        if content[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: lost marker sync at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before any scan")
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: segment length cut")
+        ln = int.from_bytes(content[pos : pos + 2], "big")
+        body = content[pos + 2 : pos + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise ValueError("truncated JPEG: segment body cut")
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                if at + 65 > len(body):
+                    raise ValueError("truncated JPEG: DQT cut")
+                qt[tq] = list(body[at + 1 : at + 65])
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0x0F
+                lengths = list(body[at + 1 : at + 17])
+                nsym = sum(lengths)
+                symbols = list(body[at + 17 : at + 17 + nsym])
+                if len(symbols) < nsym:
+                    raise ValueError("truncated JPEG: DHT cut")
+                codes = _canonical_codes(lengths, symbols)
+                huff[(tc, th)] = {(c, n): s for s, (c, n) in codes.items()}
+                at += 17 + nsym
+        elif marker == 0xC0:
+            sof = body
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x}) not supported")
+        elif marker == 0xDA:
+            scan_at = pos + ln
+            sos = body
+            break
+        pos += ln
+    if sof is None:
+        raise ValueError("JPEG missing SOF0")
+    precision = sof[0]
+    height = int.from_bytes(sof[1:3], "big")
+    width = int.from_bytes(sof[3:5], "big")
+    ncomp = sof[5]
+    if precision != 8 or ncomp != 1:
+        raise ValueError(
+            f"unsupported JPEG (precision={precision}, components={ncomp}); "
+            "only 8-bit grayscale decode here"
+        )
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise ValueError(
+            f"unsupported JPEG dimensions {width}x{height} (partial MCUs "
+            "not implemented)"
+        )
+    comp_q = sof[8]
+    if comp_q not in qt:
+        raise ValueError(f"JPEG references missing quant table {comp_q}")
+    if sos[0] != 1:
+        raise ValueError("multi-component scan not supported")
+    dc_id, ac_id = sos[2] >> 4, sos[2] & 0x0F
+    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("JPEG scan references missing Huffman tables")
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    q = qt[comp_q]
+
+    # locate EOI: entropy data runs to the 0xFFD9 marker (0xFF00 is data)
+    end = scan_at
+    while True:
+        if end + 1 >= len(content):
+            raise ValueError("truncated JPEG: no EOI")
+        if content[end] == 0xFF and content[end + 1] == 0xD9:
+            break
+        end += 1
+    if end + 2 != len(content):
+        raise ValueError(
+            f"trailing bytes after JPEG EOI ({len(content) - end - 2})"
+        )
+    br = _BitReader(content[scan_at:end])
+
+    cos_tab = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    c_norm = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    rows = [[0] * width for _ in range(height)]
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            coeffs = [0] * 64
+            t = _huff_decode(br, dc_tab)
+            diff = _extend(br.bits(t), t) if t else 0
+            prev_dc += diff
+            coeffs[0] = prev_dc * q[0]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"corrupt JPEG: AC symbol {sym:02x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("corrupt JPEG: AC run past block end")
+                coeffs[k] = _extend(br.bits(size), size) * q[k]
+                k += 1
+            # de-zigzag into the 8x8 frequency block
+            block = [[0.0] * 8 for _ in range(8)]
+            for k2, (r, c) in enumerate(_ZIGZAG):
+                block[r][c] = float(coeffs[k2])
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            if block[v][u] != 0.0:
+                                s += (
+                                    c_norm[u] * c_norm[v] * block[v][u]
+                                    * cos_tab[x][u] * cos_tab[y][v]
+                                )
+                    val = int(round(s / 4.0)) + 128
+                    rows[8 * by + y][8 * bx + x] = min(255, max(0, val))
+    pixels = [v for row in rows for v in row]
+    return {"fmt": "jpeg_gray", "width": width, "height": height, "pixels": pixels}
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     return (8 + len(body)).to_bytes(4, "big") + btype + body
 
@@ -1118,6 +1442,11 @@ def decode_media(content: bytes, media_type: str):
             return decode_gif(content)
         except ValueError:
             pass  # unsupported/synthetic GIF: fall through to header metadata
+    if content[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg_gray(content)
+        except ValueError:
+            pass  # color/progressive/synthetic JPEG: header metadata
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         try:
             return decode_wav_pcm(content)
@@ -1357,12 +1686,14 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def pixel_stats(docs: DataFrame) -> DataFrame:
     """REAL pixel/sample decode, oracle-checked: synth a 24-bit BMP,
-    binary PPM, 16-bit PCM WAV, real zlib-compressed PNG, or real
-    LZW-compressed GIF per document (fmt cycles on doc_id % 5; PNG and
-    GIF added r14 -- the DEFLATE inflate + unfilter and variable-width
-    LZW paths are gated by the same hash) and run the bytes back
-    through :func:`decode_media`, emitting exact integer statistics over
-    the DECODED values.
+    binary PPM, 16-bit PCM WAV, real zlib-compressed PNG, real
+    LZW-compressed GIF, or real Huffman-coded baseline grayscale JPEG
+    per document (fmt cycles on doc_id % 6; PNG/GIF/JPEG added r14 --
+    the DEFLATE inflate + unfilter, variable-width LZW, and Huffman +
+    IDCT paths are gated by the same hash; the JPEG images are
+    constant-block DC-only so the float IDCT is exact) and run the bytes
+    back through :func:`decode_media`, emitting exact integer statistics
+    over the DECODED values.
 
     Like :func:`media_headers`, the synthesized content is a
     deterministic arithmetic function of ``doc_id`` -- image pixels
@@ -1383,7 +1714,7 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                kind = did % 5
+                kind = did % 6
                 w, h = did % 16 + 1, (7 * did) % 16 + 1
                 if kind == 0:
                     blob = synth_bmp(w, h, did)
@@ -1393,6 +1724,9 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
                     blob = synth_png_rgb(w, h, did)
                 elif kind == 4:
                     blob = synth_gif_indexed(w, h, did)
+                elif kind == 5:
+                    w, h = 8 * (did % 2 + 1), 8 * ((7 * did) % 2 + 1)
+                    blob = synth_jpeg_gray(w, h, did)
                 else:
                     n = did % 64 + 1
                     pcm = b"".join(
@@ -1405,6 +1739,9 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
                 d = decode_media(blob, "application/octet-stream")
                 if d["fmt"] in ("bmp", "ppm", "png", "gif"):
                     vals = [v for px in d["pixels"] for v in px]
+                    width, height = d["width"], d["height"]
+                elif d["fmt"] == "jpeg_gray":
+                    vals = d["pixels"]  # grayscale: one value per pixel
                     width, height = d["width"], d["height"]
                 else:
                     vals = d["samples"]

@@ -968,12 +968,12 @@ def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH img AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0 THEN 'bmp'
-              WHEN doc_id % 5 = 1 THEN 'ppm'
+         CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+              WHEN doc_id % 6 = 1 THEN 'ppm'
               ELSE 'png' END AS fmt,
          CAST(doc_id % 16 + 1 AS INTEGER) AS width,
          CAST((7 * doc_id) % 16 + 1 AS INTEGER) AS height
-  FROM documents WHERE doc_id % 5 IN (0, 1, 3)
+  FROM documents WHERE doc_id % 6 IN (0, 1, 3)
 ),
 pix AS (
   SELECT i.doc_id, i.fmt, i.width, i.height,
@@ -1004,7 +1004,7 @@ wav AS (
            AS max_value
   FROM documents d,
        UNNEST(range(0, d.doc_id % 64 + 1)) AS s(i)
-  WHERE d.doc_id % 5 = 2
+  WHERE d.doc_id % 6 = 2
   GROUP BY d.doc_id
 ),
 gifpix AS (
@@ -1016,7 +1016,7 @@ gifpix AS (
     SELECT doc_id,
            CAST(doc_id % 16 + 1 AS INTEGER) AS width,
            CAST((7 * doc_id) % 16 + 1 AS INTEGER) AS height
-    FROM documents WHERE doc_id % 5 = 4
+    FROM documents WHERE doc_id % 6 = 4
   ) g,
        UNNEST(range(0, CAST(g.width AS BIGINT))) AS x(x),
        UNNEST(range(0, CAST(g.height AS BIGINT))) AS y(y)
@@ -1028,28 +1028,53 @@ gif_stats AS (
          CAST(MIN(LEAST(r, g2, b)) AS INTEGER) AS min_value,
          CAST(MAX(GREATEST(r, g2, b)) AS INTEGER) AS max_value
   FROM gifpix GROUP BY doc_id, width, height
+),
+jpegblk AS (
+  SELECT j.doc_id, j.width, j.height,
+         (31 * j.doc_id + 7 * bx.bx + 13 * by.by) % 256 AS v
+  FROM (
+    SELECT doc_id,
+           CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS width,
+           CAST(8 * ((7 * doc_id) % 2 + 1) AS INTEGER) AS height
+    FROM documents WHERE doc_id % 6 = 5
+  ) j,
+       UNNEST(range(0, CAST(j.width / 8 AS BIGINT))) AS bx(bx),
+       UNNEST(range(0, CAST(j.height / 8 AS BIGINT))) AS by(by)
+),
+jpeg_stats AS (
+  SELECT doc_id, 'jpeg_gray' AS fmt, width, height,
+         CAST(width * height AS BIGINT) AS n_values,
+         CAST(SUM(64 * v) AS BIGINT) AS sum_values,
+         CAST(MIN(v) AS INTEGER) AS min_value,
+         CAST(MAX(v) AS INTEGER) AS max_value
+  FROM jpegblk GROUP BY doc_id, width, height
 )
 SELECT * FROM img_stats
 UNION ALL SELECT * FROM wav
 UNION ALL SELECT * FROM gif_stats
+UNION ALL SELECT * FROM jpeg_stats
 """,
     doc="north-star multimodal REAL pixel/sample decode (r11: converts "
         "the decode_media stub into a gated operator for the formats a "
-        "pure-Python decoder honestly covers; r14 adds PNG and GIF): a "
-        "24-bit BMP, binary PPM, 16-bit PCM WAV, REAL zlib-compressed "
-        "PNG, or REAL LZW-compressed GIF is synthesized per document "
-        "(fmt cycles on doc_id % 5) and decoded BACK from raw bytes -- "
+        "pure-Python decoder honestly covers; r14 adds PNG, GIF and "
+        "baseline grayscale JPEG): a 24-bit BMP, binary PPM, 16-bit PCM "
+        "WAV, REAL zlib-compressed PNG, REAL LZW-compressed GIF, or "
+        "REAL Huffman-coded baseline JPEG is synthesized per document "
+        "(fmt cycles on doc_id % 6) and decoded BACK from raw bytes -- "
         "BMP bottom-up row order + 4-byte padding, PPM header "
         "tokenization, RIFF chunk walk + signed int16 samples, PNG "
         "chunk walk + CRC verify + DEFLATE inflate + spec unfiltering, "
-        "GIF extension-skip + sub-block reassembly + variable-width LZW "
-        "-- with exact integer stats over the decoded values.  The "
-        "oracle re-derives every stat arithmetically from range() cross "
-        "products, so the hash gate proves decode(synth(x)) == x per "
-        "row.  The remaining compressed codecs (JPEG/MP4 payloads) stay "
-        "behind the loud NotImplementedError.  Scale: narrow "
-        "Arrow-batched mapInPandas; O(1)-width stats cross back to the "
-        "JVM, never pixels",
+        "GIF extension-skip + sub-block reassembly + variable-width "
+        "LZW, JPEG marker walk + DHT/DQT table parse + Huffman entropy "
+        "decode + dequant + IDCT (constant-block DC-only images, where "
+        "the float IDCT is EXACT in IEEE doubles; the general AC path "
+        "is numpy-checked in tests) -- with exact integer stats over "
+        "the decoded values.  The oracle re-derives every stat "
+        "arithmetically from range() cross products, so the hash gate "
+        "proves decode(synth(x)) == x per row.  The one remaining stub "
+        "is color/progressive JPEG and codec video payloads.  Scale: "
+        "narrow Arrow-batched mapInPandas; O(1)-width stats cross back "
+        "to the JVM, never pixels",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -866,3 +866,104 @@ def test_mp4_demux_matches_byte_slicer_on_fixture(spark, sf_dir):
     a = M.sample_frames(media).orderBy("doc_id", "sample_idx").collect()
     b = M.sample_frames_mp4(media).orderBy("doc_id", "sample_idx").collect()
     assert a == b and len(a) > 0
+
+
+# ---- baseline grayscale JPEG (r14: real Huffman + IDCT, DC-exact gate) ----
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 4), st.integers(1, 3), st.integers(0, 10**6))
+def test_jpeg_gray_dc_exact_roundtrip(wb, hb, doc_id):
+    """Constant 8x8 blocks FDCT to a DC that is a multiple of 8, so the
+    float IDCT is exact in IEEE doubles and decode(synth(x)) == x
+    bit-for-bit."""
+    w, h = 8 * wb, 8 * hb
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_gray(w, h, doc_id))
+    assert (d["width"], d["height"]) == (w, h)
+    want = [
+        (31 * doc_id + 7 * (x // 8) + 13 * (y // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert d["pixels"] == want
+
+
+def test_jpeg_ac_path_against_numpy_idct():
+    """The general AC machinery (run/size symbols, EXTEND, de-zigzag,
+    dequant, full IDCT) checked against an INDEPENDENT numpy matrix-IDCT
+    on a hand-crafted single-block scan with nonzero AC coefficients."""
+    import numpy as np
+
+    # tables: DC as production; AC gets EOB, (run0,size1), (run1,size2)
+    ac_lengths = [0, 3] + [0] * 14
+    ac_symbols = [0x00, 0x01, 0x12]
+    dc_codes = mm._canonical_codes(mm._DC_LENGTHS, mm._DC_SYMBOLS)
+    ac_codes = mm._canonical_codes(ac_lengths, ac_symbols)
+    bw = mm._BitWriter()
+    # DC = 40 (diff 40, category 6); AC zigzag[1] = 1 (size 1, bit '1');
+    # then run=1 skip to zigzag[3], value = -2 (size 2, raw bits 01)
+    code, n = dc_codes[6]; bw.write(code, n); bw.write(40, 6)
+    code, n = ac_codes[0x01]; bw.write(code, n); bw.write(1, 1)
+    code, n = ac_codes[0x12]; bw.write(code, n); bw.write(0b01, 2)
+    code, n = ac_codes[0x00]; bw.write(code, n)
+    scan = bw.flush()
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes((0x00,)) + bytes([2] * 64))  # quant = 2 everywhere
+        + seg(0xC4, bytes((0x00,)) + bytes(mm._DC_LENGTHS) + bytes(mm._DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(ac_lengths) + bytes(ac_symbols))
+        + seg(0xC0, bytes((8,)) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+              + bytes((1, 1, 0x11, 0)))
+        + seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+        + scan + b"\xff\xd9"
+    )
+    got = mm.decode_jpeg_gray(blob)
+    # independent reference: orthonormal DCT matrix IDCT
+    coeffs = np.zeros((8, 8))
+    coeffs[mm._ZIGZAG[0][0]][mm._ZIGZAG[0][1]] = 40 * 2
+    coeffs[mm._ZIGZAG[1][0]][mm._ZIGZAG[1][1]] = 1 * 2
+    coeffs[mm._ZIGZAG[3][0]][mm._ZIGZAG[3][1]] = -2 * 2
+    C = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            C[u, x] = (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)) * np.cos(
+                (2 * x + 1) * u * np.pi / 16
+            )
+    ref = C.T @ coeffs @ C + 128.0
+    want = np.clip(np.round(ref), 0, 255).astype(int)
+    got_arr = np.array(got["pixels"]).reshape(8, 8)
+    # guard the comparison away from .5 rounding boundaries
+    assert np.abs(ref - np.floor(ref) - 0.5).min() > 1e-9
+    assert (got_arr == want).all(), (got_arr, want)
+
+
+def test_jpeg_strictness_rejections():
+    import pytest
+
+    good = mm.synth_jpeg_gray(16, 8, 7)
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_jpeg_gray(good + b"x")
+    # progressive SOF2 refused
+    blob = bytearray(good)
+    sof_at = good.index(b"\xff\xc0")
+    blob[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        mm.decode_jpeg_gray(bytes(blob))
+    # the header-only synthesizer (3-component, no tables) refuses loudly
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(mm.synth_jpeg(16, 8, b"opaque"))
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(st.integers(1, 3), st.integers(1, 2), st.integers(0, 10**9))
+def test_jpeg_truncation_always_raises_fuzz(wb, hb, cutseed):
+    """Strict-prefix property, completing the decoder set."""
+    import pytest
+
+    blob = mm.synth_jpeg_gray(8 * wb, 8 * hb, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
