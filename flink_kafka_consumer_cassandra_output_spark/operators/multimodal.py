@@ -11,12 +11,16 @@ Decode coverage (r11, extended r14): pixel/sample decode is REAL for the
 formats a pure-Python decoder honestly covers -- 24-bit BMP, binary PPM,
 16-bit PCM WAV (:func:`decode_bmp`/:func:`decode_ppm`/
 :func:`decode_wav_pcm`) and, since r14, 8-bit RGB/RGBA non-interlaced
-PNG (:func:`decode_png`: the "codec" is stdlib zlib inflate + the five
-spec filters in pure integer math, so no external library is needed) --
-all oracle-gated end to end by ``mm_pixel_stats``.  The remaining
-entropy-coded payloads (JPEG/GIF/MP4) stay a loud stub
-(:func:`decode_media` raises ``NotImplementedError``: no PIL/ffmpeg in
-this container); their container HEADERS are parsed for real.  Everything
+PNG (:func:`decode_png`: stdlib zlib inflate + the five spec filters),
+non-interlaced GIF (:func:`decode_gif`: pure-Python variable-width LZW),
+and baseline grayscale JPEG (:func:`decode_jpeg_gray`: real Huffman +
+IDCT, hash-gated on DC-exact images) -- all oracle-gated end to end by
+``mm_pixel_stats``; MP4 gets real container-level DEMUX
+(:func:`demux_mp4_samples`: stsz/stsc/stco/stss sample-table walk,
+gated by ``mm_frame_sample``).  The remaining stub is color/progressive
+JPEG and codec video payloads (:func:`decode_media` raises
+``NotImplementedError`` for unrecognized bytes: no PIL/ffmpeg in this
+container); container HEADERS are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
 batch iteration, the output schema contract, and header-level features
 (byte length, md5 digest, deterministic pseudo-dimensions) that are
