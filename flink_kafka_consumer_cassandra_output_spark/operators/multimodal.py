@@ -464,6 +464,23 @@ def decode_ppm(content: bytes) -> dict:
         # corrupted file whose RASTER contains 0x0A bytes grew by more
         # than one byte, fails both exact-size checks, and still raises.
         if len(content) == pos + 1 + need:
+            # ADVICE r14: the CRLF reading silently covers a conforming
+            # lone-CR file whose raster starts 0x0A AND that appended one
+            # trailing newline.  That alternative is only byte-consistent
+            # when the file's LAST byte is also 0x0A (the trailing newline
+            # itself); annotate loudly in exactly that subcase instead of
+            # decoding in silence.  Conforming CRLF files whose raster ends
+            # on any other byte stay warning-free.
+            if content[-1:] == b"\n":
+                import warnings
+
+                warnings.warn(
+                    "PPM CRLF disambiguation: decoding under the CRLF "
+                    "reading, but a lone-CR writer with a trailing newline "
+                    "would be byte-identical (raster would shift by one); "
+                    "strict no-trailing-bytes contract picks CRLF",
+                    stacklevel=2,
+                )
             pos += 1  # CRLF separator: skip the \n
         elif len(content) != pos + need:
             raise ValueError(
@@ -783,6 +800,12 @@ def decode_jpeg_gray(content: bytes) -> dict:
         pos += ln
     if sof is None:
         raise ValueError("JPEG missing SOF0")
+    # A length-consistent but short SOF0/SOS body must raise ValueError
+    # (which decode_media's strictness fallthrough catches), not IndexError
+    # (which would crash the operator) -- ADVICE r14.  A 1-component SOF0
+    # body is precision(1) + dims(4) + ncomp(1) + 3 bytes per component.
+    if len(sof) < 9:
+        raise ValueError(f"short JPEG SOF0 body ({len(sof)} bytes)")
     precision = sof[0]
     height = int.from_bytes(sof[1:3], "big")
     width = int.from_bytes(sof[3:5], "big")
@@ -800,6 +823,9 @@ def decode_jpeg_gray(content: bytes) -> dict:
     comp_q = sof[8]
     if comp_q not in qt:
         raise ValueError(f"JPEG references missing quant table {comp_q}")
+    # 1-component SOS body: Ns(1) + (id, tables)(2) + Ss/Se/AhAl(3) = 6.
+    if len(sos) < 6:
+        raise ValueError(f"short JPEG SOS body ({len(sos)} bytes)")
     if sos[0] != 1:
         raise ValueError("multi-component scan not supported")
     dc_id, ac_id = sos[2] >> 4, sos[2] & 0x0F

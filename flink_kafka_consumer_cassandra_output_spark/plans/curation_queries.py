@@ -1238,7 +1238,8 @@ LIMIT 20
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_bigram_pmi",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_tfidf_top_terms",
 )
 def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1707,6 +1708,10 @@ LIMIT 50
         "of bigram counts against the vocab table (unbounded -> no "
         "broadcast hint, AQE decides), one 1-row totals broadcast.",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_tfidf_top_terms",
 )
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -1964,6 +1969,10 @@ FROM l2
         "cross-engine.  Scale: word-count shuffle + two bounded-width "
         "aggregations; nothing quadratic, no driver collection.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_tfidf_top_terms",
 )
 def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -2101,18 +2110,37 @@ def doc_char_kl_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _count_chars(batches):
-        from collections import Counter
+        # Vectorized per batch (r14 VERDICT What's-wrong #3: the previous
+        # per-character Python Counter loop made this the most expensive
+        # stage in the sweep).  One utf-32-le encode of the concatenated
+        # batch gives the code-point array (Python str is code points, so
+        # this is EXACTLY ord() per char); a doc-index<<32|code composite
+        # key turns the whole (doc, char) histogram into a single
+        # np.unique(return_counts=True) -- exact integer counts, same
+        # tuples as Counter, no interpreter loop over characters.
+        import numpy as np
 
         for pdf in batches:
-            out = {"doc_id": [], "code": [], "c": [], "doc_len": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                counts = Counter(text)
-                for chch, n in counts.items():
-                    out["doc_id"].append(doc_id)
-                    out["code"].append(ord(chch))
-                    out["c"].append(n)
-                    out["doc_len"].append(len(text))
-            yield pd.DataFrame(out)
+            texts = pdf["text"].tolist()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            lens = np.fromiter(
+                (len(t) for t in texts), dtype=np.int64, count=len(texts)
+            )
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            # code points < 0x110000 << 2^32, so the composite never
+            # collides and stays positive in int64 for any Arrow batch size
+            key = (idx << 32) | codes
+            uk, counts = np.unique(key, return_counts=True)
+            di = uk >> 32
+            yield pd.DataFrame({
+                "doc_id": ids[di],
+                "code": (uk & 0xFFFFFFFF).astype(np.int32),
+                "c": counts.astype(np.int64),
+                "doc_len": lens[di],
+            })
 
     # Materialize the counting pass ONCE: four consumers read it (corpus
     # histogram, the two distinct-int unions, the main join) and each

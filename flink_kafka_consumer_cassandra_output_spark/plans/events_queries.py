@@ -81,7 +81,8 @@ GROUP BY 1, 2, 3
     # r10 driver-slot rotation: hourly time-bucketed aggregation exercised by the densified ACF spine.
     driver=False,
     # r12 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_seasonality_profile",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="date_functions_orders",
 )
 def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -167,10 +168,7 @@ GROUP BY user_id, session_id
         "the oracle is the classic gaps-and-islands rewrite (lag -> running "
         "sum of session starts).  Spark session semantics: start = first "
         "event, end = last event + gap",
-    # r7 driver-slot rotation: top-sessions COMPOSES this sessionization, checked transitively.
-    driver=False,
-    # r8 sibling re-point: per-user event grouping family, driver-checked there; sessionization itself driver-green r7.
-    sibling="ev_debounce_exact",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -210,6 +208,10 @@ GROUP BY user_id
     # is the plain GROUP BY, so a wrong pivot cell cannot pass the driver's
     # roundtrip gate; the wide form itself stays oracle-checked locally.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="agg_cube_orders",
 )
 def ev_pivot_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -673,7 +675,8 @@ GROUP BY p.user_id, p.exact_cnt
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_sliding_distinct_users",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_distinct_parts",
 )
 def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1380,7 +1383,8 @@ FROM corrected
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="ev_sliding_distinct_users",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_distinct_parts",
 )
 def ev_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1780,7 +1784,8 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_seasonality_profile",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="date_functions_orders",
 )
 def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _dense_hourly_counts(_ev(spark, sf_dir))
@@ -2532,6 +2537,10 @@ GROUP BY event_type
         "event_type key; the stateful streaming twin of this shape is the "
         "applyInPandasWithState debouncer in streaming/stateful.py.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="ev_session_windows",
 )
 def ev_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2675,6 +2684,10 @@ GROUP BY h.hr
         "replicates via an interval range join + conditional COUNT "
         "DISTINCT.",
     # r11 driver-slot rotation: promoted -- bucket-set range-window exact distinct, first driver check.
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="approx_distinct_parts",
 )
 def ev_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2796,6 +2809,10 @@ FROM slot, tot
         "1-row totals broadcast -- nothing grows with data volume except "
         "the scan.",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="date_functions_orders",
 )
 def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())

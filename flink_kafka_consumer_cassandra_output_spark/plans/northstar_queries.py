@@ -129,12 +129,7 @@ GROUP BY lang, lang_pred
 """,
     doc="north-star language-ID: marker-lexicon argmax (deterministic "
         "tiebreak) cross-tabulated against the declared lang column",
-    # r7 driver-slot rotation: same n-gram machinery, driver-checked there.
-    driver=False,
-    # r8 sibling re-point: same n-gram shingle machinery, driver-checked there.
-    # r10 sibling re-point: n-gram tokenization machinery, driver-checked there.
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_phrase_search",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -161,6 +156,10 @@ FROM h
     # construction end-to-end at 32 bits (hash-exact oracle); the bare
     # 16-bit sketch column stays oracle-checked locally.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_near_dup_minhash_lsh",
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -228,7 +227,8 @@ WHERE hamming <= {SIM.SIMHASH_RADIUS} AND jaccard >= 0.5
     # r8 driver-slot rotation: banded-sketch near-dup family; clusters compose the verified pairs.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_simhash",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_near_dup_minhash_lsh",
 )
 def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -284,10 +284,7 @@ FROM documents
     doc="north-star rolling-hash document fingerprint (Rabin-Karp fold over "
         "the token stream, order-sensitive — complements the md5 "
         "fingerprint); per-row fold, no shuffle, exact int64 parity",
-    # r7 driver-slot rotation: sliding token-window op family, driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_phrase_search",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -316,12 +313,7 @@ GROUP BY fingerprint
         "double-ingested corpus (the union simulates re-crawling the same "
         "snapshot); converges to one representative (min doc_id) per "
         "fingerprint with n_copies=2. Scale: one shuffle on the digest",
-    # r7 driver-slot rotation: hash-fingerprint equi-join dedup family, driver-checked there.
-    driver=False,
-    # r8 sibling re-point: hash-fingerprint equi-join family, driver-checked there.
-    # r10 sibling re-point: dedup family proper, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_dedup_keep_best",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -382,12 +374,7 @@ WHERE jaccard >= 0.5
         "3-word shingles.  Never all-pairs: candidates come from the "
         "(band_id, band_value) equi-join; exact Jaccard touches candidates "
         "only.  Recall vs brute force pinned in tests/test_similarity.py",
-    # r7 driver-slot rotation: banded-sketch near-dup family, driver-checked there.
-    driver=False,
-    # r8 sibling re-point: the SAME MinHash sketch, its estimates driver-certified there.
-    # r9 sibling re-point: the verified-pair chain composing this op is driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_simhash",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -531,10 +518,7 @@ SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM pairs
         "the ones rarest-first ordering excludes from every prefix.  "
         "Equality with brute-force all-pairs pinned in "
         "tests/test_similarity.py",
-    # r7 driver-slot rotation: clusters COMPOSE this exact pair graph, so its hash is checked transitively.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_simhash",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verified_pairs(spark, sf_dir).select(
@@ -646,10 +630,7 @@ WHERE rank <= 3
         "the term dimension is orders of magnitude smaller than the corpus "
         "and the n_docs scalar rides along as a broadcast, never a "
         "driver-side collect",
-    # r7 driver-slot rotation: tokenize+explode+window family, driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_token_lift",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -879,10 +860,7 @@ WHERE ks.k * 256 < length(d.text)
         "the bytes project as unchunked base64 (driver-hash-safe) and "
         "the oracle slices TEXT at k*256, valid because the media "
         "content is UTF-8 of ASCII fixture text.",
-    # r7 driver-slot rotation: Arrow-batched mapInPandas media plumbing, driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="mm_pixel_stats",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -909,10 +887,7 @@ FROM documents
         "Arrow-batched mapInPandas (the engine's one deliberate Python "
         "path); the real codec decode is stubbed (operators/multimodal.py), "
         "but the batch plumbing is oracle-checked via header-level features",
-    # r7 driver-slot rotation: same media-parse operator, driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="mm_pixel_stats",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -957,7 +932,8 @@ FROM documents
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="mm_pixel_stats",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="mm_media_features",
 )
 def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_headers(_docs(spark, sf_dir))
@@ -1076,6 +1052,10 @@ UNION ALL SELECT * FROM jpeg_stats
         "narrow Arrow-batched mapInPandas; O(1)-width stats cross back "
         "to the JVM, never pixels",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="mm_frame_sample",
 )
 def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_stats(_docs(spark, sf_dir))
@@ -1407,7 +1387,8 @@ WHERE rank <= 3
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="emb_knn_classifier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_top_similar_pairs",
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1480,6 +1461,10 @@ FROM topk WHERE rank = 1
         "scale); the margin adds one bounded window over k rows per "
         "query.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="emb_top_similar_pairs",
 )
 def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1578,7 +1563,8 @@ SELECT * FROM (
     # r12 driver-slot rotation (tools/r12_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
-    sibling="emb_ann_recall_curve",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_ann_ivf",
 )
 def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -2024,11 +2010,7 @@ LIMIT 100
         "the most-similar same-label vectors (top-100 global).  The label "
         "equi-join is the IVF-style bucketing -- pairs never cross buckets, "
         "so the join co-partitions on label instead of a corpus cross join",
-    # r7 driver-slot rotation: bucketed cosine scoring, driver-checked there.
-    driver=False,
-    # r8 sibling re-point: exact-cosine pair family, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_cosine_topk_arrow",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2603,7 +2585,8 @@ FROM (
     # r9 driver-slot rotation: certificate green r8; minhash anchored by the dedup chain.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_simhash",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_near_dup_minhash_lsh",
 )
 def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -3286,6 +3269,10 @@ WHERE r = 1
         "same plan with the ANN shortlist (emb_ann_ivf_trained / "
         "emb_pq_adc) replacing the brute-force scan.",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="emb_top_similar_pairs",
 )
 def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -3369,6 +3356,10 @@ FROM l2
         "aggregations (per-bucket width = group/8 vectors, bounded by "
         "raising the bucket count), no pair materialization anywhere.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="emb_outlier_centroid_dist",
 )
 def emb_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -3620,6 +3611,10 @@ FROM ({arms})"""
         "3-iteration Lloyd-training lineage re-executes per arm (4x the "
         "scans at cluster scale).",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="emb_ann_ivf",
 )
 def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, c, assigned = _ivf16(spark, sf_dir)
@@ -3742,7 +3737,8 @@ FROM r2, x{iters} x"""
     # driver gate; green r12+r13, zero sibling dependents, family anchored
     # by emb_knn_classifier / emb_ann_ivf on the surface.
     driver=False,
-    sibling="emb_knn_classifier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_top_similar_pairs",
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -4007,6 +4003,12 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sel: list[int] = []
                 out = {"pick_order": [], "vec_id": [], "rel": [], "score": []}
                 for t in range(1, k + 1):
+                    if not remaining:
+                        # Fewer than k candidates survived the relevance
+                        # filter (tiny/degenerate fixtures): emit fewer
+                        # picks, mirroring the oracle's recursive CTE
+                        # which simply stops producing rows (ADVICE r14).
+                        break
                     best = None
                     # ascending vec_id iteration + strict > comparison =
                     # smallest vec_id wins ties, same as ORDER BY score

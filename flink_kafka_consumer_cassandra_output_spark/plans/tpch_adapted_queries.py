@@ -96,7 +96,8 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
         "non-ANSI division yields NULL where DuckDB yields +inf.",
     # r10 driver-slot rotation: correlated scalar-subquery threshold family keeps q22.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -155,7 +156,8 @@ GROUP BY o_orderpriority
         "prune reaches the orders scan (PushedFilters).",
     # r9 driver-slot rotation: EXISTS family keeps q21 + sql_correlated_exists.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -195,7 +197,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     # r10 driver-slot rotation: single-table filter+agg revenue family keeps q19.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -245,7 +248,8 @@ GROUP BY supp_nation, cust_nation, l_year
     # r9 driver-slot rotation: multi-dim join-agg family keeps q8/q9.
     driver=False,
     # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -319,7 +323,8 @@ GROUP BY o_year
         "pass, one divide of exact sums at the end.",
     # r10 driver-slot rotation: multi-dim join-agg family keeps q9.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -401,7 +406,8 @@ GROUP BY n_name, o_year
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -463,7 +469,8 @@ LIMIT 20
     # r9 driver-slot rotation: top-k family keeps q18 + sql_q3.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -523,7 +530,8 @@ WHERE pv * (SELECT COUNT(*) FROM v) > (SELECT SUM(pv) FROM v) * 2
         "the OUTPUT column is surfaced as double.",
     # r10 driver-slot rotation: global scalar-subquery HAVING threshold family keeps q22.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -575,7 +583,8 @@ GROUP BY lag_class
     # r9 sibling re-point: date-range + priority bucketing family, driver-checked there.
     # r10 sibling re-point: CASE-bucketed conditional aggregation family, driver-checked there.
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -623,7 +632,8 @@ GROUP BY c_count
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -669,7 +679,8 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     # r8 driver-slot rotation: aggregate-threshold top-group family, driver-checked there.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -768,7 +779,8 @@ WHERE p_brand = 'Brand#5'
     # r8 driver-slot rotation: per-group scalar-subquery threshold family, driver-checked there.
     driver=False,
     # r9 sibling re-point: per-group scalar-subquery threshold family, driver-checked there.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -879,7 +891,8 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -933,7 +946,8 @@ WHERE n_name = 'NATION_7'
         "on the small side, never duplicating suppliers.",
     # r9 driver-slot rotation: nested-subquery family keeps q22.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
@@ -985,6 +999,10 @@ GROUP BY s_name
         "orderkey shuffles against the same lineitem projection, no "
         "correlated re-execution.  The nation+status prunes shrink l1 "
         "before either.",
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="q1_pricing_summary",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1060,7 +1078,8 @@ GROUP BY c_mktsegment
     # r11 driver-slot rotation: multi-round driver-green veteran demoted
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -1267,7 +1286,8 @@ FROM pick p JOIN exact e ON e.q = p.q
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="ev_sliding_distinct_users",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_distinct_parts",
 )
 def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
@@ -1811,7 +1831,8 @@ WHERE o.o_totalprice = r.mx
     # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for the final backlog tranche.
     driver=False,
-    sibling="orders_abc_classification",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="window_order_running_total",
 )
 def orders_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -2194,6 +2215,10 @@ FROM c GROUP BY abc_class
         "global-window form regardless of where the sampled range "
         "boundaries land.",
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="window_order_running_total",
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

@@ -62,11 +62,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
     doc="TPC-H Q1 pricing summary: multi-aggregate hash aggregation with "
         "decimal-exact sums/avgs; map-side partial agg into a 6-group shuffle",
-    # r7 driver-slot rotation: decimal-exact lineitem aggregate family, driver-checked there.
-    driver=False,
-    # r10 sibling re-point: multi-aggregate groupBy over lineitem, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="agg_cube_orders",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-02"))
@@ -208,10 +204,7 @@ GROUP BY l_returnflag
         "fails the driver's value hash; raw sketch accuracy stays pinned by "
         "tests/test_approx.py.  The exact column exists FOR the certificate "
         "-- production users keep only the sketch and skip that pass",
-    # r7 driver-slot rotation: distinct-part counting, driver-checked exactly there.
-    driver=False,
-    # r9 sibling re-point: approximate-distinct family proper, promoted this round.
-    sibling="ev_sliding_distinct_users",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -245,10 +238,7 @@ FROM o
         "round-trip, conditional-count FILTER.  The fixtures have no NULL "
         "cells, so NULLIF manufactures them in-query -- these are exactly "
         "the semantics a user silently relies on when switching engines",
-    # r7 driver-slot rotation: LEFT-OUTER null counting semantics, driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -296,7 +286,8 @@ AND NOT EXISTS (
         "at scale instead of per-row re-execution",
     # r10 driver-slot rotation: EXISTS/NOT EXISTS family keeps the harder q21 self-join plan.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
@@ -349,11 +340,7 @@ FROM s
         "Scale: "
         "this is also the 100 TB-correct formulation -- one pass, map-side "
         "partial sums, no second pass for the mean",
-    # r7 driver-slot rotation: order/dispersion statistics family, driver-checked there.
-    driver=False,
-    # r10 sibling re-point: distribution-summary agg family, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="agg_cube_orders",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -402,13 +389,7 @@ WHERE o_orderkey % 100 = 0
         "JVM built-ins; Spark dayofweek is 1=Sunday vs DuckDB dow 0=Sunday, "
         "reconciled explicitly (dayofweek - 1), the kind of off-by-one "
         "convention divergence the oracle gate exists to pin",
-    # r7 driver-slot rotation: date arithmetic + bucketing, driver-checked there.
-    driver=False,
-    # r8 sibling re-point: date arithmetic + bucketing, driver-checked there.
-    # r9 sibling re-point: date arithmetic + bucketing over orders, driver-checked there.
-    # r10 sibling re-point: date_trunc/densification arithmetic is the datetime-function family's driver anchor this round.
-    # r12 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_seasonality_profile",
+    # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -462,7 +443,8 @@ GROUP BY o_orderstatus
     driver=False,
     # r10 sibling re-point: approximate-quantile family proper, driver-checked there.
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_sliding_distinct_users",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_distinct_parts",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
@@ -608,7 +590,8 @@ GROUP BY n_name
     driver=False,
     # r9 sibling re-point: multi-dim join-agg family, driver-checked there.
     # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -663,7 +646,8 @@ GROUP BY ship_month
     # r7 driver-slot rotation: part|x|lineitem conditional revenue, driver-checked there.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -711,7 +695,8 @@ LIMIT 10
     # r10 driver-slot rotation: top-k-over-join-agg family keeps q18.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
@@ -733,6 +718,10 @@ WHERE EXISTS (
         "probe side, so output is bounded by |customer|",
     # (EXISTS decorrelates to exactly this join); DataFrame form stays local.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="join_anti_quiet_customers",
 )
 def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -779,7 +768,8 @@ WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')} FROM customer)
     # r7 driver-slot rotation: scalar-subquery HAVING threshold, driver-checked there.
     driver=False,
     # r10 sibling re-point: the same AVG-threshold scalar subquery, driver-checked there.
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -1041,7 +1031,8 @@ SELECT 'done_only' AS activity, o_custkey FROM (SELECT * FROM done_c EXCEPT SELE
         "by order-status activity; distinct key sets keep inputs small",
     # r7 driver-slot rotation: customer-activity set membership, driver-checked there.
     driver=False,
-    sibling="q21_waiting_supplier",
+    # r15 sibling re-point: prior anchor demoted this rotation.
+    sibling="q1_pricing_summary",
 )
 def set_ops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

@@ -449,3 +449,59 @@ def test_write_report_archives_in_file_but_prints_one_report(tmp_path, monkeypat
     written = (root / "BENCH_TREND.md").read_text()
     assert "prior narrative" in written               # file: archived
     assert written.index("BENCH_TREND") < written.index("prior narrative")
+
+
+def test_sql_table_refs_ignore_comments_and_strings():
+    """ADVICE r14: family classification must not match table names that
+    only appear in SQL comments or string literals; only FROM/JOIN
+    positions count."""
+    from bench_trend import _sql_table_refs
+
+    sql = (
+        "-- orders mentioned in a comment\n"
+        "SELECT d.doc_id, 'orders literal' AS tag /* lineitem */\n"
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id\n"
+        "WHERE d.lang <> 'events'"
+    )
+    refs = _sql_table_refs(sql)
+    assert "documents" in refs and "embeddings" in refs
+    assert "orders" not in refs and "lineitem" not in refs and "events" not in refs
+    # comma-separated FROM lists still resolve
+    assert {"orders", "lineitem"} <= _sql_table_refs(
+        "SELECT 1 FROM orders, lineitem WHERE o_orderkey = l_orderkey"
+    )
+
+
+def test_contention_invalid_families_exempt_from_trend():
+    """ADVICE r14: queries whose family the contention gate marked invalid
+    in EITHER run must not gate (their timings are contended) and must be
+    listed separately rather than silently counted steady."""
+    base = {"q1_pricing_summary": 1.0, "ev_funnel_conversion": 1.0}
+    cur = {"q1_pricing_summary": 1.1, "ev_funnel_conversion": 2.5}
+    cmp = compare(base, cur, exempt_families={"events"})
+    assert "ev_funnel_conversion" in cmp["exempt"]
+    assert not cmp["regressed"]
+    assert "q1_pricing_summary" in cmp["steady"]
+
+
+def test_load_run_recovers_load_gate(tmp_path):
+    """load_gate.invalid must survive both the parsed and truncated-tail
+    record shapes so the exemption can key off it."""
+    import json
+
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps({
+        "queries": {"q": 1.0}, "repeats": 3, "sf": 0.1,
+        "load_gate": {"flagged": ["events"], "invalid": ["events"]},
+    }))
+    _, _, _, meta = load_run(str(f))
+    assert meta["load_gate"]["invalid"] == ["events"]
+
+    t = tmp_path / "t.json"
+    t.write_text(json.dumps({
+        "parsed": None,
+        "tail": 'x": 0.5, "q": 1.0}, "sf": 0.1, "repeats": 3, '
+                '"load_gate": {"flagged": [], "invalid": ["documents"]}}\n',
+    }))
+    _, _, _, meta = load_run(str(t))
+    assert meta["load_gate"]["invalid"] == ["documents"]

@@ -967,3 +967,61 @@ def test_jpeg_truncation_always_raises_fuzz(wb, hb, cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_short_sof_sos_bodies_raise_valueerror_not_indexerror():
+    """ADVICE r14: a length-consistent but SHORT SOF0/SOS body must raise
+    ValueError (caught by decode_media's strictness fallthrough), never
+    IndexError (which would crash the operator)."""
+    import pytest
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    good = mm.synth_jpeg_gray(8, 8, 3)
+    dqt_at = good.index(b"\xff\xdb")
+    sof_at = good.index(b"\xff\xc0")
+    sos_at = good.index(b"\xff\xda")
+    prelude = good[:sof_at]  # SOI + DQT + both DHTs, all real
+
+    # 5-byte SOF0 body (precision + dims only, no component spec)
+    short_sof = seg(0xC0, bytes((8,)) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big"))
+    blob = prelude + short_sof + good[sos_at:]
+    with pytest.raises(ValueError, match="short JPEG SOF0"):
+        mm.decode_jpeg_gray(blob)
+
+    # 2-byte SOS body (Ns + half a component pair, no Ss/Se/AhAl)
+    scan_end = good.index(b"\xff\xd9")
+    real_sos_end = sos_at + 2 + int.from_bytes(good[sos_at + 2 : sos_at + 4], "big")
+    short_sos = seg(0xDA, bytes((1, 1)))
+    blob2 = good[:sos_at] + short_sos + good[real_sos_end:scan_end] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="short JPEG SOS"):
+        mm.decode_jpeg_gray(blob2)
+    assert dqt_at > 0  # sanity: the synth blob had the expected layout
+
+
+def test_ppm_crlf_residual_collision_now_warns():
+    """ADVICE r14: the documented lone-CR-plus-trailing-newline collision
+    decodes under the CRLF reading but must be LOUD (a warning), and the
+    warning must fire only when the file's last byte is 0x0A (the only
+    byte-consistent ambiguous subcase)."""
+    import warnings
+
+    g2 = mm.synth_ppm(2, 2, 10)  # doc_id=10 -> raster[0] == 0x0A
+    hdr2 = g2.index(b"255\n") + 3
+    lone = g2[:hdr2] + b"\r" + g2[hdr2 + 1 :]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mm.decode_ppm(lone + b"\n")
+    assert any("CRLF disambiguation" in str(x.message) for x in w)
+
+    # a conforming CRLF file whose raster does NOT end 0x0A stays quiet
+    good = mm.synth_ppm(2, 2, 3)
+    hdr = good.index(b"255\n") + 3
+    crlf = good[:hdr] + b"\r\n" + good[hdr + 1 :]
+    assert crlf[-1:] != b"\n"
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out = mm.decode_ppm(crlf)
+    assert out["pixels"] == mm.decode_ppm(good)["pixels"]
+    assert not [x for x in w2 if "CRLF" in str(x.message)]

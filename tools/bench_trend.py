@@ -119,6 +119,9 @@ def load_run(path: str) -> tuple[dict[str, float], int, dict | None, dict]:
             ctls = _rebrace_object(tail, "controls")
             if ctls is not None:
                 obj["controls"] = ctls
+            lg = _rebrace_object(tail, "load_gate")
+            if lg is not None:
+                obj["load_gate"] = lg
             for key in ("sf", "cpus"):
                 km = re.search(rf'"{key}": ([0-9.]+)', tail)
                 if km:
@@ -129,6 +132,8 @@ def load_run(path: str) -> tuple[dict[str, float], int, dict | None, dict]:
     meta = {k: obj[k] for k in ("sf", "cpus") if k in obj}
     if isinstance(obj.get("controls"), dict):
         meta["controls"] = obj["controls"]
+    if isinstance(obj.get("load_gate"), dict):
+        meta["load_gate"] = obj["load_gate"]
     return dict(obj["queries"]), int(obj.get("repeats", 1)), control, meta
 
 
@@ -186,11 +191,33 @@ _TABLE_ROWS = {
 _family_map: dict[str, str] | None = None
 
 
+def _sql_table_refs(sql: str) -> set[str]:
+    """Base-table names a SQL statement actually reads: strip comments and
+    string literals first, then take only identifiers that follow FROM /
+    JOIN / comma-in-from positions (ADVICE r14: bare word-presence matched
+    table names inside comments and string literals, reclassifying e.g. a
+    query whose oracle mentions 'orders' in a doc comment)."""
+    s = sql.lower()
+    s = re.sub(r"--[^\n]*", " ", s)          # line comments
+    s = re.sub(r"/\*.*?\*/", " ", s, flags=re.S)  # block comments
+    s = re.sub(r"'(?:[^']|'')*'", " ", s)    # string literals ('' escape)
+    refs: set[str] = set()
+    # FROM a, b JOIN c ... — capture the identifier list after FROM and
+    # each identifier after JOIN.  CTE/subquery parens yield no match.
+    for m in re.finditer(r"\bfrom\s+([a-z_][a-z_0-9]*(?:\s*,\s*[a-z_][a-z_0-9]*)*)", s):
+        refs.update(t.strip() for t in m.group(1).split(","))
+    for m in re.finditer(r"\bjoin\s+([a-z_][a-z_0-9]*)", s):
+        refs.add(m.group(1))
+    return refs
+
+
 def _registry_family_map() -> dict[str, str]:
     """query name -> family, derived from each spec's oracle SQL's ACTUAL
     table references (ADVICE r13: the name-prefix heuristic misclassified
-    cross-family queries like asof_last_order_before_event).  Lazy + cached;
-    empty map (prefix fallback) if the registry can't import here."""
+    cross-family queries like asof_last_order_before_event).  Matching is
+    restricted to FROM/JOIN positions with comments/strings stripped
+    (ADVICE r14).  Lazy + cached; empty map (prefix fallback) with a
+    stderr warning if the registry can't import here."""
     global _family_map
     if _family_map is None:
         try:
@@ -198,13 +225,18 @@ def _registry_family_map() -> dict[str, str]:
             from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
             m: dict[str, str] = {}
             for name, spec in all_specs().items():
-                words = set(re.findall(r"[a-z_]+", (spec.oracle or "").lower()))
-                tables = [t for t in _TABLE_ROWS if t in words]
+                refs = _sql_table_refs(spec.oracle or "")
+                tables = [t for t in _TABLE_ROWS if t in refs]
                 if tables:
                     dom = max(tables, key=lambda t: _TABLE_ROWS[t])
                     m[name] = _FAMILY_BY_TABLE[dom]
             _family_map = m
-        except Exception:
+        except Exception as exc:  # pragma: no cover - environment-specific
+            print(
+                f"bench_trend: WARNING registry import failed ({exc!r}); "
+                "falling back to the name-prefix family heuristic",
+                file=sys.stderr,
+            )
             _family_map = {}
     return _family_map
 
@@ -282,6 +314,7 @@ def compare(
     cur: dict[str, float],
     host: float = 1.0,
     family_hosts: dict[str, float] | None = None,
+    exempt_families: set[str] | None = None,
 ) -> dict:
     """Classify every query: regressed / improved / steady / added / removed.
 
@@ -289,18 +322,31 @@ def compare(
     ``family_hosts`` carries a factor for a query's table family, that
     factor is used instead (per-family normalization).  The gate
     classifies on ``ratio / host`` (the normalized ratio) but reports both.
+
+    ``exempt_families`` are families EITHER run's contention gate marked
+    invalid (``load_gate.invalid`` in the bench JSON): their recorded
+    timings are contended, so a comparison against or from them would
+    either fabricate improvements or bake a poisoned baseline into a
+    clean-looking trend (ADVICE r14).  Such queries are reported under
+    ``exempt`` and neither gate nor count as steady.
     """
-    out = {"regressed": {}, "improved": {}, "steady": {}, "added": [], "removed": []}
+    out = {
+        "regressed": {}, "improved": {}, "steady": {},
+        "exempt": {}, "added": [], "removed": [],
+    }
     for name, t in sorted(cur.items()):
         if name not in base:
             out["added"].append(name)
             continue
         b = base[name]
         ratio = t / b if b > 0 else float("inf")
-        h = (family_hosts or {}).get(family_of(name), host)
+        fam = family_of(name)
+        h = (family_hosts or {}).get(fam, host)
         norm = ratio / h
         entry = {"base": b, "cur": t, "ratio": round(ratio, 2), "norm": round(norm, 2)}
-        if norm > THRESHOLD and max(b, t) >= MIN_SECONDS:
+        if exempt_families and fam in exempt_families:
+            out["exempt"][name] = entry
+        elif norm > THRESHOLD and max(b, t) >= MIN_SECONDS:
             out["regressed"][name] = entry
         elif norm < 1 / THRESHOLD and max(b, t) >= MIN_SECONDS:
             out["improved"][name] = entry
@@ -333,6 +379,16 @@ def report_md(base_path: str, cur_path: str, cmp: dict, methodology_note: str = 
                     f"| {e.get('norm', e['ratio'])}x |"
                 )
             lines.append("")
+    if cmp.get("exempt"):
+        lines.append(
+            "## Exempt (family contention-gated in one of the runs — "
+            "timings not comparable)\n"
+        )
+        lines.append("| query | base s | current s | ratio |")
+        lines.append("|---|---|---|---|")
+        for n, e in sorted(cmp["exempt"].items()):
+            lines.append(f"| {n} | {e['base']} | {e['cur']} | {e['ratio']}x |")
+        lines.append("")
     if cmp["added"]:
         lines.append(f"## New queries\n\n{', '.join(cmp['added'])}\n")
     if cmp["removed"]:
@@ -351,12 +407,26 @@ def main() -> None:
     cur, cur_rep, cur_ctl, cur_meta = load_run(cur_path)
     host = host_ratio(base_ctl, cur_ctl)
     fam_hosts = family_host_ratios(base_meta, cur_meta)
+    # Families either run's contention gate could not recover stay out of
+    # the trend entirely (ADVICE r14: a poisoned sweep must not become a
+    # clean-looking baseline next round).
+    exempt_fams = set()
+    for m in (base_meta, cur_meta):
+        exempt_fams.update((m.get("load_gate") or {}).get("invalid") or [])
     cmp = compare(
         base, cur,
         host=host if host is not None else 1.0,
         family_hosts=fam_hosts,
+        exempt_families=exempt_fams,
     )
     note = ""
+    if exempt_fams:
+        note += (
+            f"Families {sorted(exempt_fams)} were contention-gate INVALID "
+            "in at least one run: their queries are exempt from this "
+            "comparison (listed separately) and the affected run must NOT "
+            "serve as their baseline.  "
+        )
     control_gate = False
     if fam_hosts:
         note = (

@@ -31,10 +31,27 @@ def entry_is_green(v) -> bool:
     """Per-entry green predicate shared by the rotation precondition and
     the staleness audit (ADVICE r13: a red/errored sweep row must NOT
     count as a fresh check).  hash_match is None only for the rows-only
-    oracle=None entries, where rows_match is the strongest gate."""
+    oracle=None entries, where rows_match is the strongest gate.
+
+    Two recording shapes exist for rows-only entries:
+
+    - the local parity harness records ``rows_match: true, err: null``
+      (it still counts rows against the Spark re-run);
+    - the DRIVER records ``err: 'no_oracle'`` with every *_match field
+      None and only ``spark_rows`` populated (first observed when
+      ``msg_detail_encrypted`` took a driver slot in r14; the r14 judge
+      adjudicated that shape as the contract's allowed rows-only green).
+
+    Both count as green; any other ``err`` value stays red.
+    """
+    if not isinstance(v, dict):
+        return False
+    if v.get("err") == "no_oracle":
+        # Driver-side rows-only shape: the query RAN (spark_rows is a
+        # real count); there is simply no DuckDB oracle by design.
+        return isinstance(v.get("spark_rows"), int) and v["spark_rows"] >= 0
     return (
-        isinstance(v, dict)
-        and bool(v.get("rows_match"))
+        bool(v.get("rows_match"))
         and v.get("schema_match") is not False
         and (v.get("hash_match") or v.get("hash_match") is None)
         and not v.get("err")
