@@ -100,6 +100,13 @@ FROM documents
         "distinct tokens, stopword/punct counts, composite quality score -- "
         "all pure Column expressions (functions/text.py), zero Python UDFs",
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r15 interim edit: sits out so the new mm_jpeg_ac_stats takes a
+    # first-round driver slot at a constant 50-entry surface (the r14
+    # precedent: ev_anomaly_mad sat out for doc_char_kl_gibberish).
+    # Freshest multi-round veteran (6 greens, re-checked r14); the
+    # documents family keeps 10+ driver anchors.
+    driver=False,
+    sibling="doc_zipf_fit",
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1059,6 +1066,50 @@ UNION ALL SELECT * FROM jpeg_stats
 )
 def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "mm_jpeg_ac_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+         CAST(8 * ((5 * doc_id) % 3 + 1) AS INTEGER) AS height
+  FROM documents
+), blk AS (
+  SELECT j.doc_id, j.width, j.height,
+         (17 * j.doc_id + 5 * bx.bx + 11 * by.by) % 129 - 64 AS m,
+         (7 * j.doc_id + 3 * bx.bx + by.by) % 27 AS n
+  FROM j,
+       UNNEST(range(0, CAST(j.width / 8 AS BIGINT))) AS bx(bx),
+       UNNEST(range(0, CAST(j.height / 8 AS BIGINT))) AS by(by)
+)
+SELECT doc_id, 'jpeg_gray' AS fmt, width, height,
+       CAST(width * height AS BIGINT) AS n_values,
+       CAST(SUM(64 * (128 + m)) AS BIGINT) AS sum_values,
+       CAST(MIN(128 + m - n) AS INTEGER) AS min_value,
+       CAST(MAX(128 + m + n) AS INTEGER) AS max_value
+FROM blk GROUP BY doc_id, width, height
+""",
+    doc="JPEG AC-path external gate (r14 VERDICT What's-wrong #1: the "
+        "DC-only mm_pixel_stats arm never pushed the Huffman AC decode "
+        "across the oracle).  Every document synthesizes a REAL baseline "
+        "grayscale JFIF whose every 8x8 block carries F(0,0)=8m and a "
+        "nonzero F(4,4)=8n behind a 38-zero run (two ZRL codes + a run-6 "
+        "symbol), then decodes it back -- the (4,4) basis is exactly "
+        "+-1/2 per sample, so the true reconstruction is the integer "
+        "128+m+-n and round() certifies the float IDCT.  The oracle "
+        "re-derives per-block stats arithmetically (block sum 64*(128+m) "
+        "because the +-n halves cancel over the 32/32 sign split; "
+        "min/max 128+m-+n), so the hash proves AC entropy decode + ZRL + "
+        "non-DC dequant + full IDCT per row.  Scale: narrow Arrow-batched "
+        "mapInPandas; O(1)-width stats cross to the JVM, never pixels.",
+    # New registration (r15): takes a driver slot in its first round per
+    # the freshness-era lint rule; doc_text_stats sits out to hold the
+    # surface at 50.
+)
+def mm_jpeg_ac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_ac_stats(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

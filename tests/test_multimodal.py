@@ -1025,3 +1025,55 @@ def test_ppm_crlf_residual_collision_now_warns():
         out = mm.decode_ppm(crlf)
     assert out["pixels"] == mm.decode_ppm(good)["pixels"]
     assert not [x for x in w2 if "CRLF" in str(x.message)]
+
+
+def _expected_ac_pixels(doc_id, w, h):
+    sgn = lambda x: 1 if x % 4 in (0, 3) else -1  # noqa: E731
+    rows = [[0] * w for _ in range(h)]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            m = (17 * doc_id + 5 * bx + 11 * by) % 129 - 64
+            n = (7 * doc_id + 3 * bx + by) % 27
+            for y in range(8):
+                for x in range(8):
+                    rows[8 * by + y][8 * bx + x] = 128 + m + n * sgn(x) * sgn(y)
+    return [v for r in rows for v in r]
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 10**9))
+def test_jpeg_ac_decode_synth_identity_fuzz(wb, hb, doc_id):
+    """The AC image class is integer-certifiable: decode(synth_ac(x)) must
+    equal the closed-form 128 + m + n*s(x)*s(y) raster exactly (the (4,4)
+    basis is +-1/2 per sample), across block counts and doc ids -- this is
+    the local twin of the mm_jpeg_ac_stats external hash gate."""
+    w, h = 8 * wb, 8 * hb
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_gray_ac(w, h, doc_id))
+    assert d["width"] == w and d["height"] == h
+    assert d["pixels"] == _expected_ac_pixels(doc_id, w, h)
+
+
+def test_jpeg_ac_scan_really_carries_zrl_and_ac_symbols():
+    """Guards against a synth regression that silently degrades to DC-only
+    (which would still round-trip): with n != 0 somewhere, the AC image
+    must differ from the DC-only image of the same params, and its pixels
+    must not be blockwise-constant."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_gray_ac(8, 8, 1))  # n = 7 for block (0,0)
+    assert len(set(d["pixels"])) > 1
+    # blockwise non-constant: the two AC half-populations both present
+    m = (17 * 1) % 129 - 64
+    n = 7 * 1 % 27
+    assert {128 + m + n, 128 + m - n} <= set(d["pixels"])
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(st.integers(1, 2), st.integers(1, 2), st.integers(0, 10**9))
+def test_jpeg_ac_truncation_always_raises_fuzz(wb, hb, cutseed):
+    """Strict-prefix property for the AC synthesizer, same contract as the
+    DC-only one."""
+    import pytest
+
+    blob = mm.synth_jpeg_gray_ac(8 * wb, 8 * hb, 11)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
