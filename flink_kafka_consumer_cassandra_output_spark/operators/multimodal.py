@@ -13,14 +13,18 @@ formats a pure-Python decoder honestly covers -- 24-bit BMP, binary PPM,
 :func:`decode_wav_pcm`) and, since r14, 8-bit RGB/RGBA non-interlaced
 PNG (:func:`decode_png`: stdlib zlib inflate + the five spec filters),
 non-interlaced GIF (:func:`decode_gif`: pure-Python variable-width LZW),
-and baseline grayscale JPEG (:func:`decode_jpeg_gray`: real Huffman +
-IDCT, hash-gated on DC-exact images) -- all oracle-gated end to end by
-``mm_pixel_stats``; MP4 gets real container-level DEMUX
-(:func:`demux_mp4_samples`: stsz/stsc/stco/stss sample-table walk,
-gated by ``mm_frame_sample``).  The remaining stub is color/progressive
-JPEG and codec video payloads (:func:`decode_media` raises
-``NotImplementedError`` for unrecognized bytes: no PIL/ffmpeg in this
-container); container HEADERS are parsed for real.  Everything
+and baseline JPEG -- grayscale AND 3-component 4:4:4 color
+(:func:`decode_jpeg_gray` / :func:`decode_jpeg_baseline`: real Huffman +
+IDCT with per-component tables and interleaved MCUs, plus libjpeg
+integer fixed-point YCbCr->RGB; hash-gated on DC-exact images by
+``mm_pixel_stats``, on AC-bearing images by ``mm_jpeg_ac_stats``, and
+on color by ``mm_jpeg_color_stats``); MP4 gets real container-level
+DEMUX (:func:`demux_mp4_samples`: stsz/stsc/stco/stss sample-table
+walk, gated by ``mm_frame_sample``).  The remaining stub is
+chroma-subsampled/progressive JPEG, interlaced PNG/GIF, and codec video
+payloads (:func:`decode_media` raises ``NotImplementedError`` for
+unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
+are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
 batch iteration, the output schema contract, and header-level features
 (byte length, md5 digest, deterministic pseudo-dimensions) that are
@@ -763,6 +767,101 @@ def synth_jpeg_gray_ac(width: int, height: int, doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
 
 
+#: chroma-side tables for the color synthesizer, at DIFFERENT code
+#: lengths (5) from the luma tables (4): a decoder that selects the wrong
+#: table per component desynchronizes immediately instead of accidentally
+#: decoding.
+_DC_CHROMA_LENGTHS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_RUN6_CHROMA_LENGTHS = [0, 0, 0, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def synth_jpeg_color(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL baseline 3-component 4:4:4 JFIF (r14 VERDICT task 4): every
+    8x8 block of every component is the integer-certifiable AC class of
+    :func:`synth_jpeg_gray_ac` -- ``F(0,0)=8m, F(4,4)=8n`` -- with
+    per-component formulas
+
+    - Y:  ``m = (17d+5bx+11by)%129-64``, ``n = (7d+3bx+by)%27``
+    - Cb: ``m = (13d+7bx+3by)%101-50``, ``n = (11d+bx+5by)%23``
+    - Cr: ``m = (19d+3bx+7by)%101-50``, ``n = (5d+9bx+by)%23``
+
+    so every decoded component sample is exactly ``128+m+n*s(x)*s(y)``
+    (within [38, 218]: no component clamp) and the libjpeg fixed-point
+    integer YCbCr->RGB in the decoder is SQL-reproducible.  The file is
+    built to make wrong-table decoding loud: chroma uses its own Huffman
+    tables at a different code length AND a dequant table of 2s with the
+    coefficients stored HALVED (4m/4n), so picking the luma table for
+    either lookup desynchronizes or halves the chroma plane.  Cb and Cr
+    share tables but carry independent DC predictors, exercising the
+    spec's per-component PRED."""
+    if width % 8 or height % 8:
+        raise ValueError("synth_jpeg_color needs multiple-of-8 dimensions")
+    dc_y = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    ac_y = _canonical_codes(_AC_RUN6_LENGTHS, _AC_RUN6_SYMBOLS)
+    dc_c = _canonical_codes(_DC_CHROMA_LENGTHS, _DC_SYMBOLS)
+    ac_c = _canonical_codes(_AC_RUN6_CHROMA_LENGTHS, _AC_RUN6_SYMBOLS)
+
+    def mn(ci: int, bx: int, by: int) -> tuple[int, int]:
+        d = doc_id
+        if ci == 0:
+            return (17 * d + 5 * bx + 11 * by) % 129 - 64, (7 * d + 3 * bx + by) % 27
+        if ci == 1:
+            return (13 * d + 7 * bx + 3 * by) % 101 - 50, (11 * d + bx + 5 * by) % 23
+        return (19 * d + 3 * bx + 7 * by) % 101 - 50, (5 * d + 9 * bx + by) % 23
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci in range(3):
+                dc_codes, ac_codes = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
+                scale = 8 if ci == 0 else 4  # chroma stored halved, q=2
+                m, n = mn(ci, bx, by)
+                dc = scale * m
+                diff = dc - prev[ci]
+                prev[ci] = dc
+                t = _jpeg_category(diff)
+                code, nbits = dc_codes[t]
+                bw.write(code, nbits)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                if n:
+                    zcode, znb = ac_codes[0xF0]
+                    bw.write(zcode, znb)
+                    bw.write(zcode, znb)
+                    ac = scale * n
+                    s = _jpeg_category(ac)
+                    code, nbits = ac_codes[(6 << 4) | s]
+                    bw.write(code, nbits)
+                    bw.write(ac, s)
+                code, nbits = ac_codes[0x00]
+                bw.write(code, nbits)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64)) + seg(
+        0xDB, bytes((0x01,)) + bytes([2] * 64)
+    )
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_RUN6_LENGTHS) + bytes(_AC_RUN6_SYMBOLS))
+        + seg(0xC4, bytes((0x01,)) + bytes(_DC_CHROMA_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(
+            0xC4,
+            bytes((0x11,)) + bytes(_AC_RUN6_CHROMA_LENGTHS) + bytes(_AC_RUN6_SYMBOLS),
+        )
+    )
+    sof0 = seg(
+        0xC0,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)),
+    )
+    sos = seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -815,15 +914,19 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_gray(content: bytes) -> dict:
-    """Pure-Python baseline JPEG decode for single-component (grayscale)
-    non-progressive images: marker walk, DQT/DHT table parsing (the
-    tables COME FROM THE FILE, not from constants), Huffman entropy
-    decode with byte-unstuffing, zigzag dequantization, float IDCT, and
-    level shift.  The general AC path is implemented; the engine's hash
-    gate runs it on DC-only constant-block images where the float IDCT
-    is EXACT in IEEE doubles (DC a multiple of 8), so the gated output
-    is bit-deterministic.  Strict: truncations, unexpected markers,
-    missing tables, and trailing bytes after EOI raise ``ValueError``."""
+    """Pure-Python baseline JPEG decode for non-progressive 1-component
+    (grayscale) and 3-component 4:4:4 (color, r15) images: marker walk,
+    DQT/DHT table parsing (the tables COME FROM THE FILE, not from
+    constants), per-component table selection, interleaved-MCU Huffman
+    entropy decode with byte-unstuffing and per-component DC predictors,
+    zigzag dequantization, float IDCT, level shift, and -- for color --
+    libjpeg's 16-bit fixed-point integer YCbCr->RGB (jdcolor.c
+    constants), which an external SQL oracle reproduces bit-for-bit.
+    The AC path is hash-gated by ``mm_jpeg_ac_stats``.  Chroma
+    subsampling (anything but 1x1 factors) and progressive scans raise.
+    Strict: truncations, unexpected markers, missing tables, and
+    trailing bytes after EOI raise ``ValueError``.  (The name predates
+    color support; ``decode_jpeg_baseline`` is the accurate alias.)"""
     import math
 
     if content[:2] != b"\xff\xd8":
@@ -892,29 +995,47 @@ def decode_jpeg_gray(content: bytes) -> dict:
     height = int.from_bytes(sof[1:3], "big")
     width = int.from_bytes(sof[3:5], "big")
     ncomp = sof[5]
-    if precision != 8 or ncomp != 1:
+    if precision != 8 or ncomp not in (1, 3):
         raise ValueError(
             f"unsupported JPEG (precision={precision}, components={ncomp}); "
-            "only 8-bit grayscale decode here"
+            "only 8-bit 1- or 3-component baseline decode here"
         )
+    # SOF0 body: precision(1) + dims(4) + ncomp(1) + 3 bytes/component.
+    if len(sof) < 6 + 3 * ncomp:
+        raise ValueError(f"short JPEG SOF0 body ({len(sof)} bytes)")
     if width <= 0 or height <= 0 or width % 8 or height % 8:
         raise ValueError(
             f"unsupported JPEG dimensions {width}x{height} (partial MCUs "
             "not implemented)"
         )
-    comp_q = sof[8]
-    if comp_q not in qt:
-        raise ValueError(f"JPEG references missing quant table {comp_q}")
-    # 1-component SOS body: Ns(1) + (id, tables)(2) + Ss/Se/AhAl(3) = 6.
-    if len(sos) < 6:
+    comps = []  # (component id, dequant table)
+    for i in range(ncomp):
+        cid, samp, qid = sof[6 + 3 * i], sof[7 + 3 * i], sof[8 + 3 * i]
+        if samp != 0x11:
+            raise ValueError(
+                f"unsupported JPEG sampling 0x{samp:02x}; only 4:4:4 "
+                "(1x1 factors, no chroma subsampling) decoded here"
+            )
+        if qid not in qt:
+            raise ValueError(f"JPEG references missing quant table {qid}")
+        comps.append((cid, qt[qid]))
+    # SOS body: Ns(1) + (id, tables)(2) per component + Ss/Se/AhAl(3).
+    if len(sos) < 4 + 2 * ncomp:
         raise ValueError(f"short JPEG SOS body ({len(sos)} bytes)")
-    if sos[0] != 1:
-        raise ValueError("multi-component scan not supported")
-    dc_id, ac_id = sos[2] >> 4, sos[2] & 0x0F
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("JPEG scan references missing Huffman tables")
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-    q = qt[comp_q]
+    if sos[0] != ncomp:
+        raise ValueError(
+            "SOS component count must match SOF (single interleaved "
+            "baseline scan only)"
+        )
+    tabs = []  # (dc table, ac table) per component, in SOF order
+    for i in range(ncomp):
+        sid, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        if sid != comps[i][0]:
+            raise ValueError("SOS component order must match SOF")
+        dc_id, ac_id = tt >> 4, tt & 0x0F
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG scan references missing Huffman tables")
+        tabs.append((huff[(0, dc_id)], huff[(1, ac_id)]))
 
     # locate EOI: entropy data runs to the 0xFFD9 marker (0xFF00 is data)
     end = scan_at
@@ -935,49 +1056,93 @@ def decode_jpeg_gray(content: bytes) -> dict:
         for x in range(8)
     ]
     c_norm = [1.0 / math.sqrt(2.0)] + [1.0] * 7
-    rows = [[0] * width for _ in range(height)]
-    prev_dc = 0
+
+    def read_block(dc_tab, ac_tab, q, prev_dc):
+        coeffs = [0] * 64
+        t = _huff_decode(br, dc_tab)
+        diff = _extend(br.bits(t), t) if t else 0
+        prev_dc += diff
+        coeffs[0] = prev_dc * q[0]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(br, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError(f"corrupt JPEG: AC symbol {sym:02x}")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k >= 64:
+                raise ValueError("corrupt JPEG: AC run past block end")
+            coeffs[k] = _extend(br.bits(size), size) * q[k]
+            k += 1
+        # de-zigzag into the 8x8 frequency block, then IDCT + level shift
+        block = [[0.0] * 8 for _ in range(8)]
+        for k2, (r, c) in enumerate(_ZIGZAG):
+            block[r][c] = float(coeffs[k2])
+        spatial = [[0] * 8 for _ in range(8)]
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        if block[v][u] != 0.0:
+                            s += (
+                                c_norm[u] * c_norm[v] * block[v][u]
+                                * cos_tab[x][u] * cos_tab[y][v]
+                            )
+                val = int(round(s / 4.0)) + 128
+                spatial[y][x] = min(255, max(0, val))
+        return spatial, prev_dc
+
+    # Interleaved MCU scan: at 4:4:4 one 8x8 block per component per MCU,
+    # in SOF component order, with an independent DC predictor per
+    # component (the spec's per-component PRED).
+    planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
+    prev = [0] * ncomp
     for by in range(height // 8):
         for bx in range(width // 8):
-            coeffs = [0] * 64
-            t = _huff_decode(br, dc_tab)
-            diff = _extend(br.bits(t), t) if t else 0
-            prev_dc += diff
-            coeffs[0] = prev_dc * q[0]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"corrupt JPEG: AC symbol {sym:02x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("corrupt JPEG: AC run past block end")
-                coeffs[k] = _extend(br.bits(size), size) * q[k]
-                k += 1
-            # de-zigzag into the 8x8 frequency block
-            block = [[0.0] * 8 for _ in range(8)]
-            for k2, (r, c) in enumerate(_ZIGZAG):
-                block[r][c] = float(coeffs[k2])
-            for y in range(8):
-                for x in range(8):
-                    s = 0.0
-                    for u in range(8):
-                        for v in range(8):
-                            if block[v][u] != 0.0:
-                                s += (
-                                    c_norm[u] * c_norm[v] * block[v][u]
-                                    * cos_tab[x][u] * cos_tab[y][v]
-                                )
-                    val = int(round(s / 4.0)) + 128
-                    rows[8 * by + y][8 * bx + x] = min(255, max(0, val))
-    pixels = [v for row in rows for v in row]
-    return {"fmt": "jpeg_gray", "width": width, "height": height, "pixels": pixels}
+            for ci in range(ncomp):
+                dc_tab, ac_tab = tabs[ci]
+                spatial, prev[ci] = read_block(dc_tab, ac_tab, comps[ci][1], prev[ci])
+                for y in range(8):
+                    prow = planes[ci][8 * by + y]
+                    srow = spatial[y]
+                    for x in range(8):
+                        prow[8 * bx + x] = srow[x]
+    if ncomp == 1:
+        pixels = [v for row in planes[0] for v in row]
+        return {
+            "fmt": "jpeg_gray", "width": width, "height": height,
+            "pixels": pixels,
+        }
+    # JFIF YCbCr -> RGB in libjpeg's 16-bit fixed point (jdcolor.c
+    # constants FIX(1.40200)=91881, FIX(0.34414)=22554, FIX(0.71414)=
+    # 46802, FIX(1.77200)=116130; >> on a Python int is a floor shift,
+    # same as libjpeg's DESCALE): pure INTEGER arithmetic, so an external
+    # SQL oracle can reproduce the conversion bit-for-bit.
+    pixels = []
+    yp, cbp, crp = planes
+    for y in range(height):
+        yr, cbr, crr = yp[y], cbp[y], crp[y]
+        for x in range(width):
+            yy, cb, cr = yr[x], cbr[x] - 128, crr[x] - 128
+            r = yy + ((91881 * cr + 32768) >> 16)
+            g = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
+            b = yy + ((116130 * cb + 32768) >> 16)
+            pixels.append((
+                min(255, max(0, r)),
+                min(255, max(0, g)),
+                min(255, max(0, b)),
+            ))
+    return {"fmt": "jpeg_rgb", "width": width, "height": height, "pixels": pixels}
+
+
+#: accurate name for the 1-or-3-component baseline decoder above
+decode_jpeg_baseline = decode_jpeg_gray
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -1530,15 +1695,15 @@ def decode_media(content: bytes, media_type: str):
     """Decode dispatch, sniffed from bytes (labels are untrusted).
 
     REAL pixel/sample decode for the formats a pure-Python decoder can
-    honestly cover: 24-bit BMP, binary PPM, 16-bit PCM WAV, and 8-bit
-    RGB/RGBA non-interlaced PNG (stdlib zlib is the whole codec).
-    The remaining compressed containers (JPEG/GIF/MP4) return header
-    metadata only -- their entropy-coded payloads are codec territory
-    (PIL/ffmpeg, not in this container), and faking pixel output would
-    be worse than refusing, so anything unrecognized still raises
-    loudly.  A PNG that decode_png rejects (unsupported color type,
-    interlaced, or a header-only synthetic container) falls through to
-    header metadata, mirroring the non-PCM WAV path.
+    honestly cover: 24-bit BMP, binary PPM, 16-bit PCM WAV, 8-bit
+    RGB/RGBA non-interlaced PNG (stdlib zlib is the whole codec),
+    non-interlaced GIF, and baseline JPEG (grayscale and 4:4:4 color).
+    The remaining payload classes (chroma-subsampled/progressive JPEG,
+    interlaced PNG/GIF, codec video) return header metadata only --
+    faking pixel output would be worse than refusing, so anything
+    unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
+    rejects (unsupported variant or a header-only synthetic container)
+    falls through to header metadata, mirroring the non-PCM WAV path.
     """
     if content[:2] == b"BM":
         return decode_bmp(content)
@@ -1558,7 +1723,7 @@ def decode_media(content: bytes, media_type: str):
         try:
             return decode_jpeg_gray(content)
         except ValueError:
-            pass  # color/progressive/synthetic JPEG: header metadata
+            pass  # subsampled/progressive/synthetic JPEG: header metadata
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         try:
             return decode_wav_pcm(content)
@@ -1907,6 +2072,52 @@ def jpeg_ac_stats(docs: DataFrame) -> DataFrame:
                         "entropy decode must not silently degrade"
                     )
                 vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_color_stats(docs: DataFrame) -> DataFrame:
+    """Color (3-component 4:4:4) twin of :func:`jpeg_ac_stats`: every
+    document synthesizes a :func:`synth_jpeg_color` image -- per-component
+    Huffman/dequant tables, interleaved MCUs, independent DC predictors,
+    AC coefficients in every block -- decodes it back through
+    :func:`decode_media`, and emits exact integer stats over the flattened
+    RGB values.  The decoder's YCbCr->RGB is libjpeg's integer fixed
+    point, so the DuckDB oracle reproduces every channel value
+    bit-for-bit (floor division by 65536 is exact: a power-of-two float
+    division of a < 2^24 integer).  Scale posture identical to
+    pixel_stats: narrow Arrow-batched mapInPandas, O(1)-width stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 * (did % 3 + 1), 8 * ((5 * did) % 3 + 1)
+                d = decode_media(
+                    synth_jpeg_color(w, h, did), "application/octet-stream"
+                )
+                if d["fmt"] != "jpeg_rgb" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_color_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the color decode must not silently degrade"
+                    )
+                vals = [v for px in d["pixels"] for v in px]
                 rows.append(
                     (
                         did,

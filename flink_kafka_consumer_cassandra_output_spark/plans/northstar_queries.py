@@ -1112,6 +1112,67 @@ def mm_jpeg_ac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_ac_stats(_docs(spark, sf_dir))
 
 
+@register(
+    "mm_jpeg_color_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+         CAST(8 * ((5 * doc_id) % 3 + 1) AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         CAST(floor(x.x / 8) AS BIGINT) AS bx,
+         CAST(floor(y.y / 8) AS BIGINT) AS by,
+         (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS ss
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), comp AS (
+  SELECT doc_id, width, height,
+         128 + ((17 * doc_id + 5 * bx + 11 * by) % 129 - 64)
+             + ((7 * doc_id + 3 * bx + by) % 27) * ss AS yv,
+         ((13 * doc_id + 7 * bx + 3 * by) % 101 - 50)
+             + ((11 * doc_id + bx + 5 * by) % 23) * ss AS cb,
+         ((19 * doc_id + 3 * bx + 7 * by) % 101 - 50)
+             + ((5 * doc_id + 9 * bx + by) % 23) * ss AS cr
+  FROM px
+), rgb AS (
+  SELECT doc_id, width, height,
+         GREATEST(0, LEAST(255, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+         GREATEST(0, LEAST(255, yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+         GREATEST(0, LEAST(255, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM comp
+)
+SELECT doc_id, 'jpeg_rgb' AS fmt, width, height,
+       CAST(3 * width * height AS BIGINT) AS n_values,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+       CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+       CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+FROM rgb GROUP BY doc_id, width, height
+""",
+    doc="Color baseline JPEG external gate (r14 VERDICT task 4): every "
+        "document synthesizes a REAL 3-component 4:4:4 JFIF (interleaved "
+        "MCUs, per-component Huffman AND dequant tables -- chroma tables "
+        "at a different code length with coefficients stored halved "
+        "against a dequant of 2s, so any wrong-table pick desyncs or "
+        "halves a plane -- independent DC predictors, the (4,4) AC class "
+        "in every block of every component), decodes it back, and emits "
+        "exact integer stats over the flattened RGB.  The decoder's "
+        "YCbCr->RGB is libjpeg's 16-bit integer fixed point, so the "
+        "oracle recomputes every channel bit-for-bit: floor((c*k + "
+        "32768)/65536.0) is exact because the dividend is < 2^24 and the "
+        "divisor a power of two.  Scale: narrow Arrow-batched "
+        "mapInPandas; O(1)-width stats cross to the JVM, never pixels.",
+    # New registration (r15): takes a driver slot in its first round per
+    # the freshness-era lint rule; msg_monthly_rollup sits out to hold
+    # the surface at 50.
+)
+def mm_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_color_stats(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------

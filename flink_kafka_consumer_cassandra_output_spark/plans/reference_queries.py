@@ -380,6 +380,12 @@ GROUP BY ROLLUP (date_partition, username)
     # multi-COUNT(DISTINCT) by distinct_agg_lineitem; the messages-stream
     # composition of the two stays oracle-checked locally.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r15 interim edit: sits out so the new mm_jpeg_color_stats takes a
+    # first-round driver slot at a constant 50-entry surface (fresh r14
+    # green, no sibling dependents; the msg family keeps
+    # msg_summary_first / msg_type_taxonomy / both AES entries driver-side).
+    driver=False,
+    sibling="msg_summary_first",
 )
 def msg_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)

@@ -1077,3 +1077,69 @@ def test_jpeg_ac_truncation_always_raises_fuzz(wb, hb, cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(blob[:cut])
+
+
+def _expected_color_pixels(d, w, h):
+    sgn = lambda x: 1 if x % 4 in (0, 3) else -1  # noqa: E731
+    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+    out = []
+    for y in range(h):
+        for x in range(w):
+            bx, by = x // 8, y // 8
+            ss = sgn(x % 8) * sgn(y % 8)
+            yv = 128 + ((17*d + 5*bx + 11*by) % 129 - 64) + ((7*d + 3*bx + by) % 27) * ss
+            cb = ((13*d + 7*bx + 3*by) % 101 - 50) + ((11*d + bx + 5*by) % 23) * ss
+            cr = ((19*d + 3*bx + 7*by) % 101 - 50) + ((5*d + 9*bx + by) % 23) * ss
+            out.append((
+                clamp(yv + ((91881 * cr + 32768) >> 16)),
+                clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+                clamp(yv + ((116130 * cb + 32768) >> 16)),
+            ))
+    return out
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 10**9))
+def test_jpeg_color_decode_synth_identity_fuzz(wb, hb, doc_id):
+    """3-component 4:4:4 decode(synth(x)) == closed form: interleaved
+    MCUs, per-component table selection (chroma tables at a different
+    code length, dequant 2s on halved coefficients), independent DC
+    predictors, and the libjpeg fixed-point YCbCr->RGB -- all integer-
+    certifiable (the local twin of the mm_jpeg_color_stats hash gate)."""
+    w, h = 8 * wb, 8 * hb
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_color(w, h, doc_id))
+    assert d["fmt"] == "jpeg_rgb" and d["width"] == w and d["height"] == h
+    assert d["pixels"] == _expected_color_pixels(doc_id, w, h)
+
+
+def test_jpeg_color_is_not_grayscale_degenerate():
+    """The color class must actually exercise the chroma math: some pixel
+    has R != G or G != B (a grayscale-in-color-container fixture would
+    leave the conversion untested)."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_color(24, 24, 5))
+    assert any(r != g or g != b for r, g, b in d["pixels"])
+
+
+def test_jpeg_color_subsampled_raises():
+    """Anything but 1x1 sampling factors must refuse loudly (chroma
+    upsampling is not implemented), per the strictness contract."""
+    import pytest
+
+    blob = bytearray(mm.synth_jpeg_color(8, 8, 3))
+    sof_at = bytes(blob).index(b"\xff\xc0")
+    # component 1's sampling byte: SOF0 body starts at sof_at+4;
+    # precision(1)+dims(4)+ncomp(1) -> comp0 id at +6, sampling at +7
+    blob[sof_at + 4 + 7] = 0x22  # 2x2 luma sampling (4:2:0 layout)
+    with pytest.raises(ValueError, match="sampling"):
+        mm.decode_jpeg_gray(bytes(blob))
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 2), st.integers(1, 2), st.integers(0, 10**9))
+def test_jpeg_color_truncation_always_raises_fuzz(wb, hb, cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_color(8 * wb, 8 * hb, 13)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
