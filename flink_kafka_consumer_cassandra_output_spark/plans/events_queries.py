@@ -124,6 +124,12 @@ GROUP BY 1, 2
     # alignment and ev_session_windows the gap semantics; the slide variant
     # (same operator, overlap factor 2) stays oracle-checked locally.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r15 interim edit: sits out so the new ev_cusum_alarm_minute takes a
+    # first-round driver slot at a constant 50-entry surface (fresh r14
+    # green; ev_session_windows -- the r15-promoted time-window anchor --
+    # covers the window-assignment machinery driver-side).
+    driver=False,
+    sibling="ev_session_windows",
 )
 def ev_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -522,8 +528,9 @@ FROM grid
         "never emits leading NULLs.",
     # r8 driver-slot rotation: ordered event-time sequence family, driver-checked there.
     driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_sliding_hourly_30m",
+    # r15 sibling re-point: prior anchor sat out for ev_cusum_alarm_minute;
+    # ev_session_windows is the driver-side time-window anchor.
+    sibling="ev_session_windows",
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -3010,4 +3017,121 @@ def ev_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(alarm, F.lit(1))).alias("n_alarms"),
         F.max("s").alias("max_s_scaled"),
         F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
+    )
+
+
+def cusum_minute_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-granularity CUSUM monitor rows (shared by the registered
+    aggregate query and the two-stage streaming pipeline's stream==batch
+    test): the r13/r14 SCALING.md hot-key mitigation made real.  Events
+    pre-aggregate to per-(event_type, minute) ``(sum cents, count)``
+    partials -- on a stream this is a JVM windowed aggregation with
+    map-side partial combine, so the volume reaching the per-key stateful
+    fold is bounded by MINUTES per batch, not rows -- and Page's
+    recursion folds once per minute with the same scaled-integer algebra:
+    ``d_minute = 2n*sum(cents) - 3*tot*count`` (the sum over the minute's
+    per-event d_i).  Same window identity, same frozen (n, tot) reference
+    parameters as :func:`cusum_alarm_rows`; the alarm statistic is
+    evaluated at minute granularity (a coarser, deliberately different
+    operator than the per-event monitor -- both are registered)."""
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = (F.col("value").cast(N.DEC) * 100).cast("long")
+    e = ev.select(
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
+        cents.alias("cents"),
+    )
+    t = e.groupBy("event_type").agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    g = e.groupBy("event_type", "minute_ts").agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("c")
+    )
+    part = Window.partitionBy("event_type")
+    order = part.orderBy("minute_ts")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = g.join(F.broadcast(t), "event_type").select(
+        "event_type", "minute_ts", "tot", "n", "sc", "c",
+        (
+            2 * F.col("n") * F.sum("sc").over(run)
+            - 3 * F.col("tot") * F.sum("c").over(run)
+        ).alias("p"),
+    )
+    s = F.col("p") - F.least(F.min("p").over(run), F.lit(0))
+    return w.select(
+        "event_type", "minute_ts", "tot", "n", "sc", "c", s.alias("s")
+    )
+
+
+@register(
+    "ev_cusum_alarm_minute",
+    oracle="""
+WITH e AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute_ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT event_type, SUM(cents) AS tot, COUNT(*) AS n
+  FROM e GROUP BY event_type
+), g AS (
+  SELECT event_type, minute_ts, SUM(cents) AS sc, COUNT(*) AS c
+  FROM e GROUP BY event_type, minute_ts
+), w AS (
+  SELECT g.event_type, g.minute_ts, t.tot,
+         2 * t.n * SUM(g.sc) OVER (
+           PARTITION BY g.event_type ORDER BY g.minute_ts
+           ROWS UNBOUNDED PRECEDING
+         ) - 3 * t.tot * SUM(g.c) OVER (
+           PARTITION BY g.event_type ORDER BY g.minute_ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS p
+  FROM g JOIN t USING (event_type)
+), s AS (
+  SELECT event_type, minute_ts, tot,
+         p - LEAST(MIN(p) OVER (
+           PARTITION BY event_type ORDER BY minute_ts
+           ROWS UNBOUNDED PRECEDING
+         ), 0) AS s
+  FROM w
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_minutes,
+       CAST(COUNT(CASE WHEN s > 10 * tot THEN 1 END) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_s_scaled,
+       MIN(CASE WHEN s > 10 * tot THEN minute_ts END) AS first_alarm_minute
+FROM s GROUP BY event_type
+""",
+    doc="Minute-granularity CUSUM alarm monitor -- the r13/r14 SCALING.md "
+        "hot-key mitigation, registered: events pre-aggregate to "
+        "per-(event_type, minute) (sum cents, count) partials and Page's "
+        "recursion folds once per MINUTE (d = 2n*sum_cents - 3*tot*count, "
+        "the sum of the per-event d_i over the minute), so the per-key "
+        "serial/transfer volume is bounded by the stream's time span "
+        "regardless of event volume -- the property the per-event "
+        "ev_cusum_alarm structurally lacks on a bounded key vocabulary "
+        "(SCALING.md Table 12 k=32).  Same scaled-BIGINT window identity, "
+        "same frozen reference parameters; deliberately a coarser "
+        "statistic (a minute's net drift folds atomically, so intra-"
+        "minute reflections at 0 are absorbed).  The streaming deployment "
+        "is the TWO-STAGE pipeline (streaming/pipeline.py:"
+        "run_cusum_minute_pipeline): JVM windowed agg in append mode -> "
+        "staging parquet -> per-key stateful fold over closed minutes "
+        "(Spark disallows applyInPandasWithState directly after a "
+        "streaming aggregation; the staged form is the standard "
+        "production shape and keeps exactly-once via per-stage "
+        "checkpoints).  Scale: one (type, minute) shuffle with map-side "
+        "combine, a bounded totals broadcast, both window passes on one "
+        "event_type exchange.",
+    # New registration (r15): takes a driver slot in its first round per
+    # the freshness-era lint rule; ev_sliding_hourly_30m sits out to hold
+    # the surface at 50.
+)
+def ev_cusum_alarm_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = cusum_minute_rows(spark, sf_dir)
+    alarm = F.col("s") > 10 * F.col("tot")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.count(F.when(alarm, F.lit(1))).alias("n_alarms"),
+        F.max("s").alias("max_s_scaled"),
+        F.min(F.when(alarm, F.col("minute_ts"))).alias("first_alarm_minute"),
     )

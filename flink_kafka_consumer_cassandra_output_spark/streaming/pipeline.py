@@ -379,6 +379,137 @@ def run_windowed_stream(
 
 
 # --------------------------------------------------------------------------
+# Two-stage minute-CUSUM pipeline (the SCALING.md Table 12 hot-key
+# mitigation, deployed)
+# --------------------------------------------------------------------------
+
+#: Schema of the staged per-minute partials (stage 1 -> stage 2 contract).
+MINUTE_PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("minute_ts", T.TimestampType()),
+        T.StructField("sc", T.LongType()),
+        T.StructField("c", T.LongType()),
+    ]
+)
+
+
+def minute_cents_partials(ev: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Stage 1 of the minute-CUSUM pipeline: per-(event_type, minute)
+    ``(sum cents, count)`` partials as a watermarked 1-minute tumbling
+    aggregation.  This is the operator that REMOVES the per-event
+    monitor's hot-key bound: the JVM does map-side partial aggregation
+    before the (type, minute) shuffle, so no single task ever receives a
+    key's raw rows, and downstream volume is bounded by minutes, not
+    events.  The watermark is declared BEFORE the value filter so a
+    NULL-value sentinel row can advance event time (and flush the final
+    windows of a bounded drain) without contributing to any partial.
+    Cents use the same decimal cast as the batch twin
+    (plans/events_queries.py:cusum_minute_rows)."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        ev.withWatermark("ts", watermark)
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(F.sum(cents).alias("sc"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("minute_ts"),
+            "sc",
+            "c",
+        )
+    )
+
+
+def run_cusum_minute_stage1(
+    spark: SparkSession,
+    input_dir: str,
+    stage_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Drain stage 1: events -> per-minute partials -> append-mode parquet
+    staging sink.  Windows flush when the watermark passes them; a bounded
+    drain flushes its tail via a sentinel row (ts beyond the last real
+    minute, value NULL) appended by the driver harness -- the standard
+    punctuation pattern for finite replays of an unbounded design."""
+    ev = stream_events(spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+    return (
+        minute_cents_partials(ev)
+        .writeStream.format("parquet")
+        .option("path", stage_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("cusum_minute_partials")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_cusum_minute_stage2(
+    spark: SparkSession,
+    stage_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ref: dict[str, tuple[int, int]],
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Drain stage 2: staged minute partials -> per-event_type stateful
+    Page's-test fold -> parquet alarm sink.  Exactly-once end to end:
+    stage 1's file-sink commit log is the source-of-truth the stage-2
+    file source reads, and stage 2 checkpoints independently (same
+    recovery story as the detail/summary dual sink)."""
+    from . import stateful as st
+
+    reader = spark.readStream.schema(MINUTE_PARTIALS_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    minutes = reader.parquet(stage_dir)
+    return (
+        st.cusum_minute_alarm_monitor(minutes, ref)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("cusum_minute_alarms")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_cusum_minute_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    ref: dict[str, tuple[int, int]],
+    max_files_per_trigger: int = 1,
+) -> None:
+    """One bounded drain of both stages in sequence (stage 1 fully drains,
+    then stage 2 consumes everything it staged).  In a live deployment the
+    two queries run CONCURRENTLY against the same directories -- the file
+    sink/source pair decouples them; this helper is the availableNow replay
+    used by tests and probes."""
+    q1 = run_cusum_minute_stage1(
+        spark, input_dir, f"{work_dir}/stage", f"{work_dir}/cp1",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    q1.awaitTermination()
+    q2 = run_cusum_minute_stage2(
+        spark, f"{work_dir}/stage", f"{work_dir}/out", f"{work_dir}/cp2", ref
+    )
+    q2.awaitTermination()
+
+
+def read_cusum_minute_alarms(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Batch read-back of the stage-2 alarm sink."""
+    return spark.read.schema(
+        "event_type string, minute_ts timestamp, s long"
+    ).parquet(out_dir)
+
+
+# --------------------------------------------------------------------------
 # North-star x streaming: incremental curation funnel
 # --------------------------------------------------------------------------
 

@@ -340,6 +340,113 @@ def cusum_alarm_monitor(ev: DataFrame, ref: dict[str, tuple[int, int]]) -> DataF
 
 
 # --------------------------------------------------------------------------
+# Minute-granularity CUSUM monitor (the streaming half of
+# ev_cusum_alarm_minute -- the SCALING.md Table 12 hot-key mitigation)
+# --------------------------------------------------------------------------
+
+CUSUM_MINUTE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("minute_ts", T.TimestampType()),
+        T.StructField("s", T.LongType()),
+    ]
+)
+
+#: State: the scaled statistic S plus the last folded minute (epoch ns) --
+#: the monotonicity guard that makes the closed-minutes input contract
+#: ENFORCED rather than documented.
+_CUSUM_MINUTE_STATE_SCHEMA = T.StructType(
+    [T.StructField("s", T.LongType()), T.StructField("last_ns", T.LongType())]
+)
+
+
+def make_cusum_minute_update(ref: dict[str, tuple[int, int]]):
+    """Update fn factory over CLOSED per-(event_type, minute) partials
+    ``(minute_ts, sc, c)``: Page's recursion folds once per minute with
+    ``d = 2n*sc - 3*tot*c`` (the sum of the per-event d_i over the
+    minute), via the same vectorized reflected-walk identity as the
+    per-event monitor.  Emits (event_type, minute_ts, s) where
+    S > 10*tot.  Raises if a minute arrives at or before the last folded
+    one (a re-emitted or out-of-order window: upstream stage-1 must be an
+    append-mode watermarked aggregation)."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (s, last_ns) = state.get if state.exists else (0, None)
+        n, tot = ref[key[0]]
+        parts = [pdf for pdf in pdfs]
+        frames = []
+        if parts:
+            pdf = pd.concat(parts).sort_values("minute_ts", kind="mergesort")
+            ns = pdf["minute_ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+            if len(ns):
+                if last_ns is not None and int(ns[0]) <= last_ns:
+                    raise ValueError(
+                        f"cusum_minute[{key[0]}]: minute "
+                        f"{pdf['minute_ts'].iloc[0]} at or before the last "
+                        "folded minute -- stage 1 re-emitted or reordered a "
+                        "window (append-mode watermarked agg required)"
+                    )
+                if (np.diff(ns) <= 0).any():
+                    raise ValueError(
+                        f"cusum_minute[{key[0]}]: duplicate minute within a "
+                        "batch -- stage 1 emitted a window twice"
+                    )
+                d = (
+                    2 * n * pdf["sc"].to_numpy(dtype=np.int64)
+                    - 3 * tot * pdf["c"].to_numpy(dtype=np.int64)
+                )
+                q = np.cumsum(d)
+                m = np.minimum(np.minimum.accumulate(q), -s)
+                sv = q - m
+                mask = sv > 10 * tot
+                if mask.any():
+                    frames.append(pd.DataFrame({
+                        "event_type": key[0],
+                        "minute_ts": pdf["minute_ts"].to_numpy()[mask],
+                        "s": sv[mask],
+                    }))
+                s = int(sv[-1])
+                last_ns = int(ns[-1])
+        state.update((s, last_ns))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {c.name: [] for c in CUSUM_MINUTE_OUT_SCHEMA.fields}
+            )
+
+    return _update
+
+
+def cusum_minute_alarm_monitor(
+    minutes: DataFrame, ref: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Stage 2 of the two-stage minute-CUSUM pipeline: a per-event_type
+    stateful fold over CLOSED minute partials.  The hot-key bound of the
+    per-event monitor (SCALING.md Table 12 k=32: a bounded key vocabulary
+    means each key's task folds and TRANSFERS k x the rows) does not apply
+    here -- per key, at most one row per minute reaches this operator
+    regardless of event volume, because stage 1 (a JVM windowed
+    aggregation with map-side combine) collapsed the rows before the
+    key shuffle."""
+    return minutes.groupBy("event_type").applyInPandasWithState(
+        make_cusum_minute_update(ref),
+        CUSUM_MINUTE_OUT_SCHEMA,
+        _CUSUM_MINUTE_STATE_SCHEMA,
+        # "append": alarm rows are final on emission (never updated), and
+        # the stage-2 parquet sink requires append output mode
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
 # Hourly quota enforcement (the streaming half of ev_quota_flagging)
 # --------------------------------------------------------------------------
 

@@ -812,3 +812,107 @@ def test_running_counts_restart_preserves_totals(spark, sf_dir, tmp_path):
         if u in p1_max.index and row["n_events"] > p1_max[u]
     ]
     assert grew, "no user's count grew across the restart; state untested"
+
+
+def _minute_expected_and_ref(spark, sf_dir):
+    from flink_kafka_consumer_cassandra_output_spark.plans.events_queries import (
+        cusum_minute_rows,
+    )
+
+    rows = cusum_minute_rows(spark, sf_dir)
+    ref = {
+        r.event_type: (r.n, r.tot)
+        for r in rows.select("event_type", "n", "tot").distinct().collect()
+    }
+    expected = (
+        rows.where(F.col("s") > 10 * F.col("tot"))
+        .select("event_type", "minute_ts", "s")
+        .toPandas()
+        .sort_values(["event_type", "minute_ts"])
+        .reset_index(drop=True)
+    )
+    return expected, ref
+
+
+def _events_chunks_and_sentinel(sf_dir, n_chunks):
+    """Event chunks ordered by (ts, event_id) plus the flush sentinel: one
+    row past the last real minute with value NULL -- it advances the
+    stage-1 watermark (declared BEFORE the value filter) without entering
+    any partial, flushing the final windows of a bounded drain."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM '{sf_dir}/events.parquet' ORDER BY ts, event_id"
+        ).arrow()
+        sentinel = con.execute(
+            "SELECT CAST(-1 AS BIGINT) AS event_id, "
+            "       max(ts) + INTERVAL 2 MINUTE AS ts, "
+            "       CAST(-1 AS BIGINT) AS user_id, "
+            "       'sentinel' AS event_type, "
+            "       CAST(NULL AS DOUBLE) AS value, "
+            "       CAST(NULL AS VARCHAR) AS props "
+            f"FROM '{sf_dir}/events.parquet'"
+        ).arrow().select(tbl.column_names)
+    finally:
+        con.close()
+    step = tbl.num_rows // n_chunks + 1
+    return [tbl.slice(i * step, step) for i in range(n_chunks)], sentinel
+
+
+def test_cusum_minute_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """The two-stage minute-CUSUM pipeline (JVM windowed pre-agg -> staged
+    parquet -> stateful fold over closed minutes) must emit the EXACT
+    alarm rows of the batch window-identity form, across arbitrary
+    (non-minute-aligned) chunking -- the straddled minutes merge in
+    stage 1's state before they ever reach the fold."""
+    expected, ref = _minute_expected_and_ref(spark, sf_dir)
+    assert len(expected) > 0, "fixture produced no minute alarms"
+
+    chunks, sentinel = _events_chunks_and_sentinel(sf_dir, N_CHUNKS)
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _drop(chunks + [sentinel], input_dir, 0, N_CHUNKS + 1)
+
+    work = tmp_path / "work"
+    sp.run_cusum_minute_pipeline(spark, str(input_dir), str(work), ref)
+
+    got = (
+        sp.read_cusum_minute_alarms(spark, str(work / "out"))
+        .toPandas()
+        .sort_values(["event_type", "minute_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected), (len(got), len(expected))
+    for col in ["event_type", "minute_ts", "s"]:
+        assert (got[col].to_numpy() == expected[col].to_numpy()).all(), col
+
+
+def test_cusum_minute_pipeline_restart_preserves_state(spark, sf_dir, tmp_path):
+    """Kill/restart across BOTH stages: phase 1 drains half the chunks
+    through stage 1 + stage 2, phase 2 adds the rest plus the sentinel and
+    re-drains against the SAME checkpoints.  Stage 1's open windows
+    (including any minute straddling the cut) and stage 2's running S must
+    both survive; the accumulated alarm sink equals the batch set."""
+    expected, ref = _minute_expected_and_ref(spark, sf_dir)
+    chunks, sentinel = _events_chunks_and_sentinel(sf_dir, N_CHUNKS)
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    work = tmp_path / "work"
+
+    _drop(chunks, input_dir, 0, N_CHUNKS // 2)
+    sp.run_cusum_minute_pipeline(spark, str(input_dir), str(work), ref)
+
+    _drop(chunks + [sentinel], input_dir, N_CHUNKS // 2, N_CHUNKS + 1)
+    sp.run_cusum_minute_pipeline(spark, str(input_dir), str(work), ref)
+
+    got = (
+        sp.read_cusum_minute_alarms(spark, str(work / "out"))
+        .toPandas()
+        .sort_values(["event_type", "minute_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected), (len(got), len(expected))
+    for col in ["event_type", "minute_ts", "s"]:
+        assert (got[col].to_numpy() == expected[col].to_numpy()).all(), col

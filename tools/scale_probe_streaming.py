@@ -124,6 +124,51 @@ def main() -> None:
 
     print(f"| k | operator | rows | seconds | sec/k |")
     print("|---|---|---|---|---|")
+
+    # Two-stage minute-CUSUM pipeline (the Table 12 hot-key mitigation):
+    # timed as the full stage1+stage2 drain.  Needs a flush sentinel past
+    # the last real minute (value NULL, dropped after the chunks).
+    if not only or "cusum-minute" in {o.strip() for o in only.split(",")}:
+        con = duckdb.connect()
+        try:
+            sentinel = con.execute(
+                "SELECT CAST(-1 AS BIGINT) AS event_id, "
+                "       max(ts) + INTERVAL 2 MINUTE AS ts, "
+                "       CAST(-1 AS BIGINT) AS user_id, "
+                "       'sentinel' AS event_type, "
+                "       CAST(NULL AS DOUBLE) AS value, "
+                "       CAST(NULL AS VARCHAR) AS props "
+                f"FROM '{SF_DIR}/events.parquet'"
+            ).arrow()
+        finally:
+            con.close()
+        path = f"{in_dir}/chunk_sentinel.parquet"
+        pq.write_table(sentinel, path)
+        mt = max(os.path.getmtime(f"{in_dir}/{f}") for f in os.listdir(in_dir))
+        os.utime(path, (mt + 1, mt + 1))
+        best = float("inf")
+        best_split = (0.0, 0.0)
+        for rep in range(REPEATS):
+            work = f"{root}/mwork_{rep}"
+            t0 = time.monotonic()
+            q1 = sp.run_cusum_minute_stage1(spark, in_dir, f"{work}/stage", f"{work}/cp1")
+            q1.awaitTermination()
+            t1 = time.monotonic()
+            q2 = sp.run_cusum_minute_stage2(
+                spark, f"{work}/stage", f"{work}/out", f"{work}/cp2", ref
+            )
+            q2.awaitTermination()
+            t2 = time.monotonic()
+            if t2 - t0 < best:
+                best = t2 - t0
+                best_split = (t1 - t0, t2 - t1)
+        print(
+            f"| {k} | cusum-minute (two-stage pre-agg) | {n_rows} "
+            f"| {best:.2f} | {best / k:.2f} |"
+            f"  <!-- stage1 {best_split[0]:.2f}s, stage2 {best_split[1]:.2f}s -->"
+        )
+        os.remove(path)
+
     for name, build in OPS:
         best = float("inf")
         for rep in range(REPEATS):
