@@ -1149,21 +1149,43 @@ def _box(btype: bytes, body: bytes) -> bytes:
     return (8 + len(body)).to_bytes(4, "big") + btype + body
 
 
-def synth_mp4_samples(payload: bytes) -> bytes:
+def synth_mp4_samples(
+    payload: bytes,
+    *,
+    co64: bool = False,
+    largesize_mdat: bool = False,
+    per_chunk: list[int] | None = None,
+) -> bytes:
     """A structurally-REAL ISO-BMFF file around ``payload``: full
     ``moov/trak/mdia/minf/stbl`` sample tables (stsz per-sample sizes,
-    stsc samples-per-chunk runs, stco absolute chunk offsets, stss sync
-    samples marking every 4th sample) over an mdat that carries the
-    payload as 64-byte samples in 4-sample chunks.  Unlike
-    :func:`synth_mp4` (mvhd-only, for header-parser tests), this one
-    round-trips through :func:`demux_mp4_samples` -- the container-level
-    demux a video pipeline runs BEFORE any codec touches a frame."""
+    stsc samples-per-chunk runs, stco/co64 absolute chunk offsets, stss
+    sync samples marking every 4th sample) over an mdat that carries the
+    payload as contiguous 64-byte samples.  Unlike :func:`synth_mp4`
+    (mvhd-only, for header-parser tests), this one round-trips through
+    :func:`demux_mp4_samples` -- the container-level demux a video
+    pipeline runs BEFORE any codec touches a frame.
+
+    Variants real muxers emit (r14 VERDICT task 8; all demux to IDENTICAL
+    (sample_idx, payload_offset, bytes) because samples stay contiguous):
+
+    - ``co64=True``: 64-bit chunk offsets in a co64 box instead of stco;
+    - ``largesize_mdat=True``: mdat written with the 32-bit size escape
+      (size field 1 + 64-bit largesize);
+    - ``per_chunk``: explicit samples-per-chunk list (must sum to the
+      sample count) -- its run-length encoding becomes the stsc runs, so
+      irregular lists exercise multi-run stsc walks.  Default: chunks of
+      4 (one tail run when the last chunk is short)."""
     n_samples = (len(payload) + 63) // 64
     sizes = [
         min(64, len(payload) - 64 * i) for i in range(n_samples)
     ]
-    n_chunks = (n_samples + 3) // 4
-    rem = n_samples - 4 * (n_chunks - 1) if n_chunks else 0
+    if per_chunk is None:
+        n_chunks = (n_samples + 3) // 4
+        per_chunk = [4] * (n_chunks - 1) + [n_samples - 4 * (n_chunks - 1)] \
+            if n_chunks else []
+    if sum(per_chunk) != n_samples or any(c < 1 for c in per_chunk):
+        raise ValueError("per_chunk must be positive and sum to the samples")
+    n_chunks = len(per_chunk)
 
     def full32(entries: list[int]) -> bytes:
         return b"".join(e.to_bytes(4, "big") for e in entries)
@@ -1173,12 +1195,11 @@ def synth_mp4_samples(payload: bytes) -> bytes:
         bytes(4) + (0).to_bytes(4, "big") + n_samples.to_bytes(4, "big")
         + full32(sizes),
     )
-    if n_chunks <= 1:
-        stsc_entries = [(1, max(rem, 0), 1)] if n_chunks else []
-    elif rem == 4:
-        stsc_entries = [(1, 4, 1)]
-    else:
-        stsc_entries = [(1, 4, 1), (n_chunks, rem, 1)]
+    # run-length encode per_chunk into stsc (first_chunk, spc, desc) runs
+    stsc_entries: list[tuple[int, int, int]] = []
+    for j, spc in enumerate(per_chunk, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((j, spc, 1))
     stsc = _box(
         b"stsc",
         bytes(4) + len(stsc_entries).to_bytes(4, "big")
@@ -1189,13 +1210,27 @@ def synth_mp4_samples(payload: bytes) -> bytes:
         b"stss", bytes(4) + len(sync).to_bytes(4, "big") + full32(sync)
     )
 
-    def build(chunk_offsets: list[int]) -> bytes:
-        stco = _box(
-            b"stco",
-            bytes(4) + len(chunk_offsets).to_bytes(4, "big")
-            + full32(chunk_offsets),
-        )
-        stbl = _box(b"stbl", stsz + stsc + stco + stss)
+    def chunk_offsets(mdat_body: int) -> list[int]:
+        out, at, si = [], mdat_body, 0
+        for spc in per_chunk:
+            out.append(at)
+            at += sum(sizes[si : si + spc])
+            si += spc
+        return out
+
+    def build(offsets: list[int]) -> bytes:
+        if co64:
+            co_box = _box(
+                b"co64",
+                bytes(4) + len(offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(8, "big") for o in offsets),
+            )
+        else:
+            co_box = _box(
+                b"stco",
+                bytes(4) + len(offsets).to_bytes(4, "big") + full32(offsets),
+            )
+        stbl = _box(b"stbl", stsz + stsc + co_box + stss)
         mvhd_body = (
             bytes(12) + (600).to_bytes(4, "big")
             + n_samples.to_bytes(4, "big") + bytes(80)
@@ -1208,10 +1243,18 @@ def synth_mp4_samples(payload: bytes) -> bytes:
         return moov
 
     ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
-    moov_len = len(build([0] * n_chunks))  # offsets are fixed-width u32
-    mdat_body = len(ftyp) + moov_len + 8
-    moov = build([mdat_body + 256 * j for j in range(n_chunks)])
-    return ftyp + moov + _box(b"mdat", payload)
+    hdr = 16 if largesize_mdat else 8
+    moov_len = len(build([0] * n_chunks))  # offsets are fixed-width
+    mdat_body = len(ftyp) + moov_len + hdr
+    moov = build(chunk_offsets(mdat_body))
+    if largesize_mdat:
+        mdat = (
+            (1).to_bytes(4, "big") + b"mdat"
+            + (16 + len(payload)).to_bytes(8, "big") + payload
+        )
+    else:
+        mdat = _box(b"mdat", payload)
+    return ftyp + moov + mdat
 
 
 def demux_mp4_samples(content: bytes, max_keyframes: int = 8) -> list[tuple]:
@@ -1235,24 +1278,49 @@ def demux_mp4_samples(content: bytes, max_keyframes: int = 8) -> list[tuple]:
                 raise ValueError("truncated MP4: partial box header")
             ln = int.from_bytes(content[pos : pos + 4], "big")
             btype = content[pos + 4 : pos + 8]
-            if ln < 8 or pos + ln > hi:
+            body_at = pos + 8
+            if ln == 1:
+                # 64-bit largesize (the spec's escape for >4 GiB boxes --
+                # real muxers emit it for mdat): size follows the type.
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4: partial largesize header")
+                ln = int.from_bytes(content[pos + 8 : pos + 16], "big")
+                body_at = pos + 16
+                if ln < 16:
+                    raise ValueError(
+                        f"corrupt MP4: largesize box {btype!r} declares {ln}"
+                    )
+            elif ln == 0:
+                # size-0: box extends to the end of the enclosing container
+                ln = hi - pos
+                if ln < 8:
+                    raise ValueError("truncated MP4: size-0 box too short")
+            elif ln < 8:
+                raise ValueError(
+                    f"corrupt MP4: box {btype!r} declares {ln} bytes"
+                )
+            if pos + ln > hi:
                 raise ValueError(
                     f"truncated MP4: box {btype!r} declares {ln} bytes"
                 )
             if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(pos + 8, pos + ln, depth + 1)
-            elif btype in (b"stsz", b"stsc", b"stco", b"stss"):
-                tables[btype] = content[pos + 8 : pos + ln]
+                walk(body_at, pos + ln, depth + 1)
+            elif btype in (b"stsz", b"stsc", b"stco", b"co64", b"stss"):
+                tables[btype] = content[body_at : pos + ln]
             elif btype == b"mdat":
-                mdat_span.append((pos + 8, pos + ln))
+                mdat_span.append((body_at, pos + ln))
             pos += ln
 
     if content[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF file (no ftyp)")
     walk(0, len(content), 0)
-    missing = [t for t in (b"stsz", b"stsc", b"stco", b"stss") if t not in tables]
+    missing = [t for t in (b"stsz", b"stsc", b"stss") if t not in tables]
     if missing:
         raise ValueError(f"MP4 missing sample tables: {missing}")
+    if b"stco" in tables and b"co64" in tables:
+        raise ValueError("corrupt MP4: both stco and co64 present")
+    if b"stco" not in tables and b"co64" not in tables:
+        raise ValueError("MP4 missing sample tables: [b'stco'/b'co64']")
     if not mdat_span:
         raise ValueError("MP4 missing mdat")
     mdat_lo, mdat_hi = mdat_span[0]
@@ -1273,9 +1341,19 @@ def demux_mp4_samples(content: bytes, max_keyframes: int = 8) -> list[tuple]:
     sizes = (
         [fixed] * n_samples if fixed else u32s(sz, 12, n_samples, "stsz")
     )
-    co = tables[b"stco"]
-    n_chunks = int.from_bytes(co[4:8], "big")
-    offsets = u32s(co, 8, n_chunks, "stco")
+    if b"stco" in tables:
+        co = tables[b"stco"]
+        n_chunks = int.from_bytes(co[4:8], "big")
+        offsets = u32s(co, 8, n_chunks, "stco")
+    else:
+        co = tables[b"co64"]
+        n_chunks = int.from_bytes(co[4:8], "big")
+        if 8 + 8 * n_chunks > len(co):
+            raise ValueError("truncated MP4: co64 table cut short")
+        offsets = [
+            int.from_bytes(co[8 + 8 * i : 16 + 8 * i], "big")
+            for i in range(n_chunks)
+        ]
     sc = tables[b"stsc"]
     n_runs = int.from_bytes(sc[4:8], "big")
     runs = [tuple(u32s(sc, 8 + 12 * i, 3, "stsc")) for i in range(n_runs)]
@@ -1814,8 +1892,13 @@ def sample_frames_mp4(media: DataFrame, max_frames: int = 8) -> DataFrame:
     (every 4th 64-byte sample) reproduces the same frames as the byte
     slicer, so the two operators share one oracle; the demux path adds
     box-tree walking, table reconciliation, and extent checking to the
-    gated surface.  Scale posture identical: 1->N Arrow-batched
-    mapInPandas, output bounded by ``max_frames`` per document."""
+    gated surface.  The mux VARIANT cycles on doc_id (r15): stco /
+    co64 64-bit offsets / largesize mdat / an irregular multi-run stsc
+    chunking -- demuxed output is invariant across them (samples stay
+    contiguous in mdat), so the single oracle externally gates every
+    box-format branch real muxers emit.  Scale posture identical: 1->N
+    Arrow-batched mapInPandas, output bounded by ``max_frames`` per
+    document."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1826,7 +1909,24 @@ def sample_frames_mp4(media: DataFrame, max_frames: int = 8) -> DataFrame:
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 if content is None:
                     continue
-                blob = synth_mp4_samples(bytes(content))
+                did, raw = int(doc_id), bytes(content)
+                n_samples = (len(raw) + 63) // 64
+                if did % 4 == 1:
+                    blob = synth_mp4_samples(raw, co64=True)
+                elif did % 4 == 2:
+                    blob = synth_mp4_samples(raw, largesize_mdat=True)
+                elif did % 4 == 3 and n_samples >= 3:
+                    # irregular chunking -> multi-run stsc: alternate
+                    # 1-sample and 2-sample chunks over the sample count
+                    pc = []
+                    left = n_samples
+                    while left:
+                        take = 1 if len(pc) % 2 == 0 else min(2, left)
+                        pc.append(min(take, left))
+                        left -= pc[-1]
+                    blob = synth_mp4_samples(raw, per_chunk=pc)
+                else:
+                    blob = synth_mp4_samples(raw)
                 for k, off, frame in demux_mp4_samples(blob, max_frames):
                     out["doc_id"].append(doc_id)
                     out["sample_idx"].append(k)

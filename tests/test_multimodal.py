@@ -1143,3 +1143,85 @@ def test_jpeg_color_truncation_always_raises_fuzz(wb, hb, cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(blob[:cut])
+
+
+def _multirun_per_chunk(n_samples):
+    pc, left = [], n_samples
+    while left:
+        take = 1 if len(pc) % 2 == 0 else min(2, left)
+        pc.append(min(take, left))
+        left -= pc[-1]
+    return pc
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 2000), st.integers(0, 3))
+def test_mp4_demux_variant_invariance_fuzz(nbytes, variant):
+    """co64 64-bit offsets, largesize mdat, and irregular multi-run stsc
+    chunking (the box-format variants real muxers emit -- r14 VERDICT
+    task 8) must demux to EXACTLY the default-stco output: samples stay
+    contiguous in mdat, so (sample_idx, payload_offset, bytes) is
+    invariant by construction."""
+    payload = bytes((7 * i) % 256 for i in range(nbytes))
+    base = mm.demux_mp4_samples(mm.synth_mp4_samples(payload))
+    n = (nbytes + 63) // 64
+    if variant == 0:
+        blob = mm.synth_mp4_samples(payload, co64=True)
+    elif variant == 1:
+        blob = mm.synth_mp4_samples(payload, largesize_mdat=True)
+    elif variant == 2:
+        blob = mm.synth_mp4_samples(payload, co64=True, largesize_mdat=True)
+    else:
+        if n < 3:
+            return
+        blob = mm.synth_mp4_samples(payload, per_chunk=_multirun_per_chunk(n))
+    assert mm.demux_mp4_samples(blob) == base
+
+
+def test_mp4_demux_multirun_stsc_really_multirun():
+    """Guard the fuzz against a degenerate pattern: the irregular chunking
+    must actually produce >= 3 stsc runs in the file."""
+    payload = bytes(64 * 9)
+    blob = mm.synth_mp4_samples(payload, per_chunk=_multirun_per_chunk(9))
+    at = blob.index(b"stsc") + 4
+    n_runs = int.from_bytes(blob[at + 4 : at + 8], "big")
+    assert n_runs >= 3, n_runs
+
+
+def test_mp4_demux_stco_co64_conflict_and_absence_raise():
+    import pytest
+
+    blob = mm.synth_mp4_samples(bytes(300))
+    co64_blob = mm.synth_mp4_samples(bytes(300), co64=True)
+    # splice the co64 box from the variant next to the stco file's stbl:
+    # simplest conflict construction -- append a second moov carrying co64
+    at = co64_blob.index(b"moov") - 4
+    ln = int.from_bytes(co64_blob[at : at + 4], "big")
+    second_moov = co64_blob[at : at + ln]
+    with pytest.raises(ValueError, match="both stco and co64"):
+        mm.demux_mp4_samples(blob + second_moov)
+    # neither offset table: excise stco by renaming the box type
+    broken = blob.replace(b"stco", b"xxco")
+    with pytest.raises(ValueError, match="stco"):
+        mm.demux_mp4_samples(broken)
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(st.integers(0, 3), st.integers(0, 10**9))
+def test_mp4_demux_variant_truncation_always_raises_fuzz(variant, cutseed):
+    """Strict-prefix property across every mux variant, including the
+    largesize header path."""
+    import pytest
+
+    payload = bytes(64 * 6 + 5)
+    if variant == 0:
+        blob = mm.synth_mp4_samples(payload)
+    elif variant == 1:
+        blob = mm.synth_mp4_samples(payload, co64=True)
+    elif variant == 2:
+        blob = mm.synth_mp4_samples(payload, largesize_mdat=True)
+    else:
+        blob = mm.synth_mp4_samples(payload, per_chunk=_multirun_per_chunk(7))
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.demux_mp4_samples(blob[:cut])
