@@ -13,16 +13,18 @@ formats a pure-Python decoder honestly covers -- 24-bit BMP, binary PPM,
 :func:`decode_wav_pcm`) and, since r14, 8-bit RGB/RGBA non-interlaced
 PNG (:func:`decode_png`: stdlib zlib inflate + the five spec filters),
 non-interlaced GIF (:func:`decode_gif`: pure-Python variable-width LZW),
-and baseline JPEG -- grayscale AND 3-component 4:4:4 color
-(:func:`decode_jpeg_gray` / :func:`decode_jpeg_baseline`: real Huffman +
-IDCT with per-component tables and interleaved MCUs, plus libjpeg
+and baseline JPEG -- grayscale, 3-component 4:4:4 color, AND
+chroma-subsampled 4:2:0/4:2:2 (:func:`decode_jpeg_gray` /
+:func:`decode_jpeg_baseline`: real Huffman + IDCT with per-component
+tables, sampling-factor MCU walks, replication upsampling, and libjpeg
 integer fixed-point YCbCr->RGB; hash-gated on DC-exact images by
-``mm_pixel_stats``, on AC-bearing images by ``mm_jpeg_ac_stats``, and
-on color by ``mm_jpeg_color_stats``); MP4 gets real container-level
-DEMUX (:func:`demux_mp4_samples`: stsz/stsc/stco/stss sample-table
-walk, gated by ``mm_frame_sample``).  The remaining stub is
-chroma-subsampled/progressive JPEG, interlaced PNG/GIF, and codec video
-payloads (:func:`decode_media` raises ``NotImplementedError`` for
+``mm_pixel_stats``, on AC-bearing images by ``mm_jpeg_ac_stats``, on
+4:4:4 color by ``mm_jpeg_color_stats``, and on 4:2:0 by
+``mm_jpeg_420_stats``); MP4 gets real container-level DEMUX
+(:func:`demux_mp4_samples`: stsz/stsc/stco/co64/stss sample-table
+walk incl. largesize boxes, gated by ``mm_frame_sample``).  The
+remaining stub is progressive JPEG, partial MCUs, interlaced PNG/GIF,
+and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
@@ -862,6 +864,97 @@ def synth_jpeg_color(width: int, height: int, doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
 
 
+def _color_block_mn(ci: int, doc_id: int, bx: int, by: int) -> tuple[int, int]:
+    """Per-component (m, n) block formulas shared by the 4:4:4 and 4:2:0
+    color synthesizers and their SQL oracles: block coordinates are in the
+    COMPONENT's own block grid (full-res for Y, half-res for subsampled
+    chroma)."""
+    d = doc_id
+    if ci == 0:
+        return (17 * d + 5 * bx + 11 * by) % 129 - 64, (7 * d + 3 * bx + by) % 27
+    if ci == 1:
+        return (13 * d + 7 * bx + 3 * by) % 101 - 50, (11 * d + bx + 5 * by) % 23
+    return (19 * d + 3 * bx + 7 * by) % 101 - 50, (5 * d + 9 * bx + by) % 23
+
+
+def synth_jpeg_color_420(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL baseline 4:2:0 JFIF (r15): Y at 0x22 sampling (four 8x8
+    blocks per 16x16 MCU), chroma at half resolution (one block each per
+    MCU), every block the integer-certifiable AC class with the SAME
+    per-component formulas as :func:`synth_jpeg_color` -- chroma block
+    coordinates live in the half-res grid, so a decoded pixel reads
+    chroma from block ``(x//2//8, y//2//8)`` at in-block position
+    ``((x//2)%8, (y//2)%8)`` under replication upsampling, all exactly
+    SQL-expressible.  Same wrong-table-loudness construction: chroma
+    tables at length 5, dequant 2s over halved coefficients.  Dimensions
+    must be multiples of 16 (no partial MCUs)."""
+    if width % 16 or height % 16:
+        raise ValueError("synth_jpeg_color_420 needs multiple-of-16 dimensions")
+    dc_y = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    ac_y = _canonical_codes(_AC_RUN6_LENGTHS, _AC_RUN6_SYMBOLS)
+    dc_c = _canonical_codes(_DC_CHROMA_LENGTHS, _DC_SYMBOLS)
+    ac_c = _canonical_codes(_AC_RUN6_CHROMA_LENGTHS, _AC_RUN6_SYMBOLS)
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+
+    def put_block(ci: int, bx: int, by: int) -> None:
+        dc_codes, ac_codes = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
+        scale = 8 if ci == 0 else 4
+        m, n = _color_block_mn(ci, doc_id, bx, by)
+        dc = scale * m
+        diff = dc - prev[ci]
+        prev[ci] = dc
+        t = _jpeg_category(diff)
+        code, nbits = dc_codes[t]
+        bw.write(code, nbits)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        if n:
+            zcode, znb = ac_codes[0xF0]
+            bw.write(zcode, znb)
+            bw.write(zcode, znb)
+            ac = scale * n
+            s = _jpeg_category(ac)
+            code, nbits = ac_codes[(6 << 4) | s]
+            bw.write(code, nbits)
+            bw.write(ac, s)
+        code, nbits = ac_codes[0x00]
+        bw.write(code, nbits)
+
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for dy in range(2):           # four Y blocks, dx fastest
+                for dx in range(2):
+                    put_block(0, 2 * mx + dx, 2 * my + dy)
+            put_block(1, mx, my)          # one Cb block (half-res grid)
+            put_block(2, mx, my)          # one Cr block
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64)) + seg(
+        0xDB, bytes((0x01,)) + bytes([2] * 64)
+    )
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_RUN6_LENGTHS) + bytes(_AC_RUN6_SYMBOLS))
+        + seg(0xC4, bytes((0x01,)) + bytes(_DC_CHROMA_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(
+            0xC4,
+            bytes((0x11,)) + bytes(_AC_RUN6_CHROMA_LENGTHS) + bytes(_AC_RUN6_SYMBOLS),
+        )
+    )
+    sof0 = seg(
+        0xC0,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)),
+    )
+    sos = seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -915,7 +1008,9 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg_gray(content: bytes) -> dict:
     """Pure-Python baseline JPEG decode for non-progressive 1-component
-    (grayscale) and 3-component 4:4:4 (color, r15) images: marker walk,
+    (grayscale) and 3-component color images -- 4:4:4 (r15) and
+    subsampled 4:2:0/4:2:2/4:4:0 with factors in 1-2 (r15, replication
+    upsampling) -- via: marker walk,
     DQT/DHT table parsing (the tables COME FROM THE FILE, not from
     constants), per-component table selection, interleaved-MCU Huffman
     entropy decode with byte-unstuffing and per-component DC predictors,
@@ -1003,22 +1098,37 @@ def decode_jpeg_gray(content: bytes) -> dict:
     # SOF0 body: precision(1) + dims(4) + ncomp(1) + 3 bytes/component.
     if len(sof) < 6 + 3 * ncomp:
         raise ValueError(f"short JPEG SOF0 body ({len(sof)} bytes)")
-    if width <= 0 or height <= 0 or width % 8 or height % 8:
-        raise ValueError(
-            f"unsupported JPEG dimensions {width}x{height} (partial MCUs "
-            "not implemented)"
-        )
-    comps = []  # (component id, dequant table)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
+    comps = []  # (component id, dequant table, h factor, v factor)
     for i in range(ncomp):
         cid, samp, qid = sof[6 + 3 * i], sof[7 + 3 * i], sof[8 + 3 * i]
-        if samp != 0x11:
+        hs, vs = samp >> 4, samp & 0x0F
+        if hs not in (1, 2) or vs not in (1, 2):
             raise ValueError(
-                f"unsupported JPEG sampling 0x{samp:02x}; only 4:4:4 "
-                "(1x1 factors, no chroma subsampling) decoded here"
+                f"unsupported JPEG sampling 0x{samp:02x}; factors beyond "
+                "1-2 not decoded here"
+            )
+        if ncomp == 1 and samp != 0x11:
+            raise ValueError(
+                f"unsupported JPEG sampling 0x{samp:02x} for grayscale"
             )
         if qid not in qt:
             raise ValueError(f"JPEG references missing quant table {qid}")
-        comps.append((cid, qt[qid]))
+        comps.append((cid, qt[qid], hs, vs))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if any(hmax % c[2] or vmax % c[3] for c in comps):
+        raise ValueError(
+            "unsupported JPEG sampling: factors must divide the maxima "
+            "(integral replication upsampling only)"
+        )
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    if width % mcu_w or height % mcu_h:
+        raise ValueError(
+            f"unsupported JPEG dimensions {width}x{height} (partial "
+            f"{mcu_w}x{mcu_h} MCUs not implemented)"
+        )
     # SOS body: Ns(1) + (id, tables)(2) per component + Ss/Se/AhAl(3).
     if len(sos) < 4 + 2 * ncomp:
         raise ValueError(f"short JPEG SOS body ({len(sos)} bytes)")
@@ -1098,21 +1208,34 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 spatial[y][x] = min(255, max(0, val))
         return spatial, prev_dc
 
-    # Interleaved MCU scan: at 4:4:4 one 8x8 block per component per MCU,
-    # in SOF component order, with an independent DC predictor per
-    # component (the spec's per-component PRED).
-    planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
+    # Interleaved MCU scan: per MCU each component contributes h*v 8x8
+    # blocks in raster order (dx fastest), in SOF component order, with an
+    # independent DC predictor per component (the spec's per-component
+    # PRED).  Component i's plane is (width*h/hmax) x (height*v/vmax);
+    # subsampled planes are upsampled by sample REPLICATION afterwards
+    # (nearest-neighbor -- the simple conformant choice; JFIF leaves the
+    # upsampling filter to the decoder), which keeps the whole decode
+    # integer-certifiable.
+    pw = [width * c[2] // hmax for c in comps]
+    ph = [height * c[3] // vmax for c in comps]
+    planes = [
+        [[0] * pw[ci] for _ in range(ph[ci])] for ci in range(ncomp)
+    ]
     prev = [0] * ncomp
-    for by in range(height // 8):
-        for bx in range(width // 8):
+    for my in range(height // mcu_h):
+        for mx in range(width // mcu_w):
             for ci in range(ncomp):
+                _cid, q, hs, vs = comps[ci]
                 dc_tab, ac_tab = tabs[ci]
-                spatial, prev[ci] = read_block(dc_tab, ac_tab, comps[ci][1], prev[ci])
-                for y in range(8):
-                    prow = planes[ci][8 * by + y]
-                    srow = spatial[y]
-                    for x in range(8):
-                        prow[8 * bx + x] = srow[x]
+                for dy in range(vs):
+                    for dx in range(hs):
+                        spatial, prev[ci] = read_block(dc_tab, ac_tab, q, prev[ci])
+                        oy, ox = 8 * (my * vs + dy), 8 * (mx * hs + dx)
+                        for y in range(8):
+                            prow = planes[ci][oy + y]
+                            srow = spatial[y]
+                            for x in range(8):
+                                prow[ox + x] = srow[x]
     if ncomp == 1:
         pixels = [v for row in planes[0] for v in row]
         return {
@@ -1123,13 +1246,17 @@ def decode_jpeg_gray(content: bytes) -> dict:
     # constants FIX(1.40200)=91881, FIX(0.34414)=22554, FIX(0.71414)=
     # 46802, FIX(1.77200)=116130; >> on a Python int is a floor shift,
     # same as libjpeg's DESCALE): pure INTEGER arithmetic, so an external
-    # SQL oracle can reproduce the conversion bit-for-bit.
+    # SQL oracle can reproduce the conversion bit-for-bit.  Subsampled
+    # chroma reads via replication indexing (x // rx, y // ry).
     pixels = []
     yp, cbp, crp = planes
+    rx0, ry0 = hmax // comps[0][2], vmax // comps[0][3]
+    rx1, ry1 = hmax // comps[1][2], vmax // comps[1][3]
+    rx2, ry2 = hmax // comps[2][2], vmax // comps[2][3]
     for y in range(height):
-        yr, cbr, crr = yp[y], cbp[y], crp[y]
+        yr, cbr, crr = yp[y // ry0], cbp[y // ry1], crp[y // ry2]
         for x in range(width):
-            yy, cb, cr = yr[x], cbr[x] - 128, crr[x] - 128
+            yy, cb, cr = yr[x // rx0], cbr[x // rx1] - 128, crr[x // rx2] - 128
             r = yy + ((91881 * cr + 32768) >> 16)
             g = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
             b = yy + ((116130 * cb + 32768) >> 16)
@@ -1775,8 +1902,9 @@ def decode_media(content: bytes, media_type: str):
     REAL pixel/sample decode for the formats a pure-Python decoder can
     honestly cover: 24-bit BMP, binary PPM, 16-bit PCM WAV, 8-bit
     RGB/RGBA non-interlaced PNG (stdlib zlib is the whole codec),
-    non-interlaced GIF, and baseline JPEG (grayscale and 4:4:4 color).
-    The remaining payload classes (chroma-subsampled/progressive JPEG,
+    non-interlaced GIF, and baseline JPEG (grayscale, 4:4:4 color, and
+    4:2:0/4:2:2 chroma-subsampled via replication upsampling).
+    The remaining payload classes (progressive JPEG, partial MCUs,
     interlaced PNG/GIF, codec video) return header metadata only --
     faking pixel output would be worse than refusing, so anything
     unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
@@ -2216,6 +2344,49 @@ def jpeg_color_stats(docs: DataFrame) -> DataFrame:
                         f"jpeg_color_stats: decode fell back to header "
                         f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
                         "the color decode must not silently degrade"
+                    )
+                vals = [v for px in d["pixels"] for v in px]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_420_stats(docs: DataFrame) -> DataFrame:
+    """Chroma-subsampled (4:2:0) twin of :func:`jpeg_color_stats`: Y at
+    2x2 sampling (four blocks per 16x16 MCU), chroma at half resolution,
+    replication upsampling in the decoder -- the sampling-factor walk,
+    multi-block-per-MCU interleave, and upsample indexing all cross the
+    external oracle, which recomputes every channel from the half-res
+    chroma block grid (chroma block = (x//16, y//16), in-block position
+    ((x//2)%8, (y//2)%8)).  Scale posture identical to pixel_stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 16 * (did % 2 + 1), 16 * ((3 * did) % 2 + 1)
+                d = decode_media(
+                    synth_jpeg_color_420(w, h, did), "application/octet-stream"
+                )
+                if d["fmt"] != "jpeg_rgb" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_420_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the subsampled decode must not silently degrade"
                     )
                 vals = [v for px in d["pixels"] for v in px]
                 rows.append(

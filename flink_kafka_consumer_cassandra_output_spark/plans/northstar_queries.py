@@ -1173,6 +1173,69 @@ def mm_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_color_stats(_docs(spark, sf_dir))
 
 
+@register(
+    "mm_jpeg_420_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(16 * (doc_id % 2 + 1) AS INTEGER) AS width,
+         CAST(16 * ((3 * doc_id) % 2 + 1) AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         CAST(floor(x.x / 8) AS BIGINT) AS ybx,
+         CAST(floor(y.y / 8) AS BIGINT) AS yby,
+         CAST(floor(x.x / 16) AS BIGINT) AS cbx,
+         CAST(floor(y.y / 16) AS BIGINT) AS cby,
+         (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS ss,
+         (CASE WHEN (CAST(floor(x.x / 2) AS BIGINT) % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (CAST(floor(y.y / 2) AS BIGINT) % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS cs
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), comp AS (
+  SELECT doc_id, width, height,
+         128 + ((17 * doc_id + 5 * ybx + 11 * yby) % 129 - 64)
+             + ((7 * doc_id + 3 * ybx + yby) % 27) * ss AS yv,
+         ((13 * doc_id + 7 * cbx + 3 * cby) % 101 - 50)
+             + ((11 * doc_id + cbx + 5 * cby) % 23) * cs AS cb,
+         ((19 * doc_id + 3 * cbx + 7 * cby) % 101 - 50)
+             + ((5 * doc_id + 9 * cbx + cby) % 23) * cs AS cr
+  FROM px
+), rgb AS (
+  SELECT doc_id, width, height,
+         GREATEST(0, LEAST(255, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+         GREATEST(0, LEAST(255, yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+         GREATEST(0, LEAST(255, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM comp
+)
+SELECT doc_id, 'jpeg_rgb' AS fmt, width, height,
+       CAST(3 * width * height AS BIGINT) AS n_values,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+       CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+       CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+FROM rgb GROUP BY doc_id, width, height
+""",
+    doc="Chroma-subsampled (4:2:0) baseline JPEG external gate (r15, "
+        "extending the r14-task-4 color work): Y at 0x22 sampling -- four "
+        "8x8 blocks per 16x16 MCU, dx-fastest raster order -- chroma at "
+        "half resolution with one block each per MCU, decoded with "
+        "replication (nearest-neighbor) upsampling, which keeps every "
+        "channel integer-certifiable: the oracle reads chroma from block "
+        "(x//16, y//16) at in-block position ((x//2)%8, (y//2)%8) and "
+        "recomputes libjpeg's fixed-point YCbCr->RGB exactly.  Same "
+        "wrong-table-loudness construction as mm_jpeg_color_stats.  The "
+        "remaining JPEG stub is now progressive scans and partial MCUs.  "
+        "Scale: narrow Arrow-batched mapInPandas; O(1)-width stats.",
+    # New registration (r15): takes a driver slot in its first round per
+    # the freshness-era lint rule; cust_interpurchase_gaps sits out to
+    # hold the surface at 50.
+)
+def mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_420_stats(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------

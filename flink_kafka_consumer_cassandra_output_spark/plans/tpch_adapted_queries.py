@@ -1915,7 +1915,8 @@ FROM base CROSS JOIN thr
     # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for the final backlog tranche.
     driver=False,
-    sibling="cust_interpurchase_gaps",
+    # r15 sibling re-point: prior anchor sat out for mm_jpeg_420_stats.
+    sibling="cust_entity_resolution",
 )
 def cust_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -2070,6 +2071,12 @@ FROM r GROUP BY segment
         "the bounded segment key for the rank window; the customer join "
         "is an equi-join AQE sizes.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r15 interim edit: sits out so the new mm_jpeg_420_stats takes a
+    # first-round driver slot at a constant 50-entry surface (fresh
+    # r13+r14 greens; cust_entity_resolution anchors the customer-
+    # analytics family driver-side).
+    driver=False,
+    sibling="cust_entity_resolution",
 )
 def cust_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(

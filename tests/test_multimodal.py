@@ -1120,17 +1120,23 @@ def test_jpeg_color_is_not_grayscale_degenerate():
     assert any(r != g or g != b for r, g, b in d["pixels"])
 
 
-def test_jpeg_color_subsampled_raises():
-    """Anything but 1x1 sampling factors must refuse loudly (chroma
-    upsampling is not implemented), per the strictness contract."""
+def test_jpeg_color_unsupported_sampling_raises():
+    """Sampling factors beyond 1-2 must refuse loudly, per the strictness
+    contract (1x1 and 2x2/2x1/1x2 mixes decode via replication since the
+    4:2:0 work; 3+ would need the general fractional upsampler)."""
     import pytest
 
     blob = bytearray(mm.synth_jpeg_color(8, 8, 3))
     sof_at = bytes(blob).index(b"\xff\xc0")
     # component 1's sampling byte: SOF0 body starts at sof_at+4;
     # precision(1)+dims(4)+ncomp(1) -> comp0 id at +6, sampling at +7
-    blob[sof_at + 4 + 7] = 0x22  # 2x2 luma sampling (4:2:0 layout)
+    blob[sof_at + 4 + 7] = 0x33  # 3x3 sampling: out of decode scope
     with pytest.raises(ValueError, match="sampling"):
+        mm.decode_jpeg_gray(bytes(blob))
+    # 2x2 Y on an 8x8 image is structurally valid sampling but the dims
+    # are not 16x16-MCU multiples: the partial-MCU refusal fires instead
+    blob[sof_at + 4 + 7] = 0x22
+    with pytest.raises(ValueError, match="MCU"):
         mm.decode_jpeg_gray(bytes(blob))
 
 
@@ -1225,3 +1231,78 @@ def test_mp4_demux_variant_truncation_always_raises_fuzz(variant, cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.demux_mp4_samples(blob[:cut])
+
+
+def _expected_420_pixels(d, w, h):
+    sgn = lambda x: 1 if x % 4 in (0, 3) else -1  # noqa: E731
+    clamp = lambda v: min(255, max(0, v))  # noqa: E731
+    out = []
+    for y in range(h):
+        for x in range(w):
+            my, ny = mm._color_block_mn(0, d, x // 8, y // 8)
+            cx, cy = x // 2, y // 2
+            mb, nb = mm._color_block_mn(1, d, cx // 8, cy // 8)
+            mr, nr = mm._color_block_mn(2, d, cx // 8, cy // 8)
+            yv = 128 + my + ny * sgn(x % 8) * sgn(y % 8)
+            cb = mb + nb * sgn(cx % 8) * sgn(cy % 8)
+            cr = mr + nr * sgn(cx % 8) * sgn(cy % 8)
+            out.append((
+                clamp(yv + ((91881 * cr + 32768) >> 16)),
+                clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+                clamp(yv + ((116130 * cb + 32768) >> 16)),
+            ))
+    return out
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.integers(1, 2), st.integers(1, 2), st.integers(0, 10**9))
+def test_jpeg_420_decode_synth_identity_fuzz(wb, hb, doc_id):
+    """4:2:0 decode(synth(x)) == closed form: the 2x2-sampled Y walk (four
+    blocks per MCU, dx fastest), half-res chroma with replication
+    upsampling, per-component tables and predictors -- the local twin of
+    the mm_jpeg_420_stats hash gate."""
+    w, h = 16 * wb, 16 * hb
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_color_420(w, h, doc_id))
+    assert d["fmt"] == "jpeg_rgb" and d["width"] == w and d["height"] == h
+    assert d["pixels"] == _expected_420_pixels(doc_id, w, h)
+
+
+def test_jpeg_420_chroma_actually_half_resolution():
+    """Adjacent full-res pixels sharing a chroma sample must differ only
+    through Y when their chroma coordinates coincide -- a full-res chroma
+    decode (wrong sampling walk) would break this for some doc."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_color_420(16, 16, 9))
+    px = d["pixels"]
+    # pixels (0,0) and (1,0) share chroma (0,0): their (r-y, g-y, b-y)
+    # offsets must match exactly
+    exp = _expected_420_pixels(9, 16, 16)
+    assert px == exp
+    # and the file is genuinely non-4:4:4: chroma blob count per MCU is 6
+    blob = mm.synth_jpeg_color_420(16, 16, 9)
+    sof_at = blob.index(b"\xff\xc0")
+    assert blob[sof_at + 4 + 7] == 0x22  # Y sampling byte
+
+
+def test_jpeg_partial_mcu_dimensions_raise():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.synth_jpeg_color_420(8, 16, 1)  # synth refuses non-16 multiple
+    # decoder refuses a 4:2:0 SOF whose dims are not MCU multiples: craft
+    # by patching the height of a valid file to 8 (declared < one MCU)
+    blob = bytearray(mm.synth_jpeg_color_420(16, 16, 1))
+    sof_at = bytes(blob).index(b"\xff\xc0")
+    blob[sof_at + 5 : sof_at + 7] = (8).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="MCU"):
+        mm.decode_jpeg_gray(bytes(blob))
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_420_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_color_420(16, 16, 11)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
