@@ -10,9 +10,9 @@ territory.
 Decode coverage (r11, extended r14): pixel/sample decode is REAL for the
 formats a pure-Python decoder honestly covers -- 24-bit BMP, binary PPM,
 16-bit PCM WAV (:func:`decode_bmp`/:func:`decode_ppm`/
-:func:`decode_wav_pcm`) and, since r14, 8-bit RGB/RGBA non-interlaced
+:func:`decode_wav_pcm`) and, since r14, 8-bit RGB/RGBA
 PNG (:func:`decode_png`: stdlib zlib inflate + the five spec filters),
-non-interlaced GIF (:func:`decode_gif`: pure-Python variable-width LZW),
+GIF (:func:`decode_gif`: pure-Python variable-width LZW),
 and baseline JPEG -- grayscale, 3-component 4:4:4 color, AND
 chroma-subsampled 4:2:0/4:2:2 (:func:`decode_jpeg_gray` /
 :func:`decode_jpeg_baseline`: real Huffman + IDCT with per-component
@@ -22,8 +22,11 @@ integer fixed-point YCbCr->RGB; hash-gated on DC-exact images by
 4:4:4 color by ``mm_jpeg_color_stats``, and on 4:2:0 by
 ``mm_jpeg_420_stats``); MP4 gets real container-level DEMUX
 (:func:`demux_mp4_samples`: stsz/stsc/stco/co64/stss sample-table
-walk incl. largesize boxes, gated by ``mm_frame_sample``).  The
-remaining stub is progressive JPEG, partial MCUs, interlaced PNG/GIF,
+walk incl. largesize boxes, gated by ``mm_frame_sample``).  PNG decodes
+sequential AND Adam7-interlaced layouts; GIF decodes the four-pass
+interlace (both r15, gated through the unchanged ``mm_pixel_stats``
+oracle since deinterlacing restores the identical raster).  The
+remaining stub is progressive JPEG, partial MCUs,
 and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
@@ -341,28 +344,45 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def synth_png_rgb(width: int, height: int, doc_id: int) -> bytes:
-    """A REAL PNG (8-bit RGB, non-interlaced, filter 0 rows, correct
-    CRCs, zlib-compressed IDAT) with the same pixel pattern as
+def synth_png_rgb(
+    width: int, height: int, doc_id: int, *, interlaced: bool = False
+) -> bytes:
+    """A REAL PNG (8-bit RGB, filter 0 rows, correct CRCs,
+    zlib-compressed IDAT) with the same pixel pattern as
     :func:`synth_bmp` -- unlike :func:`synth_png`, which wraps an opaque
     payload for header-parser tests, this one round-trips through
-    :func:`decode_png`."""
+    :func:`decode_png`.  ``interlaced=True`` (r15) lays the same pixels
+    out as the seven concatenated Adam7 passes (empty passes contribute
+    nothing) with interlace method 1 in IHDR -- the decoded raster is
+    identical, so both layouts share one oracle."""
     import zlib
 
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type None
-        for x in range(width):
-            raw += bytes(
-                (
-                    (doc_id + x + y) % 256,
-                    (3 * doc_id + 7 * x) % 256,
-                    (5 * y + doc_id) % 256,
-                )
+    def px(x: int, y: int) -> bytes:
+        return bytes(
+            (
+                (doc_id + x + y) % 256,
+                (3 * doc_id + 7 * x) % 256,
+                (5 * y + doc_id) % 256,
             )
+        )
+
+    raw = bytearray()
+    if not interlaced:
+        for y in range(height):
+            raw.append(0)  # filter type None
+            for x in range(width):
+                raw += px(x, y)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            for y in range(y0, height, dy):
+                if x0 >= width:
+                    break  # zero-width pass: no bytes at all
+                raw.append(0)
+                for x in range(x0, width, dx):
+                    raw += px(x, y)
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
-        + bytes((8, 2, 0, 0, 0))
+        + bytes((8, 2, 0, 0, 1 if interlaced else 0))
     )
     return (
         _PNG_MAGIC
@@ -1639,21 +1659,40 @@ def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
     return bytes(out)
 
 
-def synth_gif_indexed(width: int, height: int, doc_id: int) -> bytes:
-    """A REAL GIF89a (16-color global palette, genuinely LZW-compressed,
-    non-interlaced) -- unlike :func:`synth_gif`, which wraps an opaque
-    payload for header-parser tests, this one round-trips through
+#: GIF interlace row passes: (start row, step), spec order.
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    """Source-row order of an interlaced GIF raster: rows arrive in the
+    four-pass sequence; element k is the IMAGE row the k-th transmitted
+    row belongs to."""
+    return [y for start, step in _GIF_PASSES for y in range(start, height, step)]
+
+
+def synth_gif_indexed(
+    width: int, height: int, doc_id: int, *, interlaced: bool = False
+) -> bytes:
+    """A REAL GIF89a (16-color global palette, genuinely LZW-compressed)
+    -- unlike :func:`synth_gif`, which wraps an opaque payload for
+    header-parser tests, this one round-trips through
     :func:`decode_gif`.  Palette color k is ((11k+d)%256, (7k+3d)%256,
-    (5k+d)%256); pixel (x, y) uses index (x + y*width + d) % 16."""
+    (5k+d)%256); pixel (x, y) uses index (x + y*width + d) % 16.
+    ``interlaced=True`` (r15) transmits the rows in the GIF four-pass
+    order with the interlace flag set -- the decoded raster is
+    identical, so both layouts share one oracle."""
     gct = bytearray()
     for k in range(16):
         gct += bytes(
             ((11 * k + doc_id) % 256, (7 * k + 3 * doc_id) % 256,
              (5 * k + doc_id) % 256)
         )
+    row_order = (
+        _gif_interlace_order(height) if interlaced else list(range(height))
+    )
     indices = [
         (x + y * width + doc_id) % 16
-        for y in range(height)
+        for y in row_order
         for x in range(width)
     ]
     lzw = _lzw_encode(4, indices)
@@ -1669,7 +1708,7 @@ def synth_gif_indexed(width: int, height: int, doc_id: int) -> bytes:
         + bytes(gct)
         + b"\x2c" + bytes(4)  # image descriptor at (0, 0)
         + width.to_bytes(2, "little") + height.to_bytes(2, "little")
-        + b"\x00"  # no local table, not interlaced
+        + (b"\x40" if interlaced else b"\x00")  # no local table
         + bytes((4,))  # LZW min code size
         + bytes(blocks)
         + b"\x3b"
@@ -1729,8 +1768,7 @@ def decode_gif(content: bytes) -> dict:
     pos += 9
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate GIF dimensions ({width}x{height})")
-    if ipacked & 0x40:
-        raise ValueError("interlaced GIF not supported")
+    interlaced = bool(ipacked & 0x40)
     palette = gct
     if ipacked & 0x80:
         n = 2 << (ipacked & 0x07)
@@ -1767,6 +1805,14 @@ def decode_gif(content: bytes) -> dict:
             f"trailing bytes after GIF trailer ({len(content) - pos})"
         )
     indices = _lzw_decode(min_code_size, bytes(data), width * height)
+    if interlaced:
+        # De-interlace (r15): transmitted row k belongs to image row
+        # order[k] of the four-pass sequence.
+        order = _gif_interlace_order(height)
+        rows: list = [None] * height
+        for k, y in enumerate(order):
+            rows[y] = indices[k * width : (k + 1) * width]
+        indices = [v for row in rows for v in row]
     n_colors = len(palette) // 3
     pixels = []
     for idx in indices:
@@ -1791,18 +1837,70 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> list:
+    """Reverse the five PNG scanline filters over an exact-size raster
+    ((stride+1)*height bytes); returns rows of pixel tuples.  Shared by
+    the sequential path and each Adam7 pass (a pass is its own
+    independently-filtered sub-image per the spec)."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} bytes for "
+            f"{width}x{height}x{bpp}"
+        )
+    prior = bytes(stride)
+    rows = []
+    for r in range(height):
+        off = r * (stride + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                line[i] = (line[i] + (line[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prior[i], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prior = bytes(line)
+        rows.append(
+            [tuple(line[x * bpp : x * bpp + bpp]) for x in range(width)]
+        )
+    return rows
+
+
+#: Adam7 pass geometry: (x origin, y origin, x step, y step), spec order.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(content: bytes) -> dict:
-    """Pure-Python pixel decode of an 8-bit RGB/RGBA non-interlaced PNG.
+    """Pure-Python pixel decode of an 8-bit RGB/RGBA PNG, sequential OR
+    Adam7-interlaced (r15: each of the 7 passes is an independently
+    filtered sub-image; unfilter per pass, scatter by the pass geometry).
 
     No external codec library: the PNG "codec" is DEFLATE (stdlib
     ``zlib``) plus the five spec filters (None/Sub/Up/Average/Paeth),
     which are pure integer math.  Strict by the house contract: every
     chunk CRC is verified, a truncated chunk/CRC raises, trailing bytes
-    after IEND raise, the inflated length must equal (stride+1)*height
-    exactly, and unsupported features (bit depth != 8, palette/gray,
-    interlacing) raise rather than guess.  Output ``pixels`` is
-    row-major top-down tuples -- (r, g, b) for color type 2, (r, g, b, a)
-    for color type 6."""
+    after IEND raise, the inflated length must equal the raster size
+    exactly (summed over passes when interlaced), and unsupported
+    features (bit depth != 8, palette/gray) raise rather than guess.
+    Output ``pixels`` is row-major top-down tuples -- (r, g, b) for
+    color type 2, (r, g, b, a) for color type 6."""
     import zlib
 
     if not content.startswith(_PNG_MAGIC):
@@ -1852,47 +1950,51 @@ def decode_png(content: bytes) -> dict:
         )
     if compression != 0 or filter_method != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     bpp = 3 if color_type == 2 else 4
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = width * bpp
-    if len(raw) != (stride + 1) * height:
+    if interlace == 0:
+        stride = width * bpp
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(
+                f"PNG raster size mismatch: inflated {len(raw)} bytes, "
+                f"IHDR implies {(stride + 1) * height}"
+            )
+        rows = _png_unfilter(raw, width, height, bpp)
+        pixels = [px for row in rows for px in row]
+        return {"fmt": "png", "width": width, "height": height, "pixels": pixels}
+    # Adam7: seven independently-filtered sub-images, concatenated in the
+    # one zlib stream; empty passes (zero width or height) contribute no
+    # bytes, not even filter bytes, per the spec.
+    img: list[list] = [[None] * width for _ in range(height)]
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        phh = (height - y0 + dy - 1) // dy
+        if pw <= 0 or phh <= 0:
+            continue
+        need = (pw * bpp + 1) * phh
+        sub = raw[off : off + need]
+        if len(sub) < need:
+            raise ValueError(
+                "PNG raster size mismatch: interlaced stream ends "
+                f"mid-pass ({len(raw) - off} bytes left, pass needs {need})"
+            )
+        off += need
+        for j, row in enumerate(_png_unfilter(sub, pw, phh, bpp)):
+            orow = img[y0 + j * dy]
+            for i, px in enumerate(row):
+                orow[x0 + i * dx] = px
+    if off != len(raw):
         raise ValueError(
-            f"PNG raster size mismatch: inflated {len(raw)} bytes, "
-            f"IHDR implies {(stride + 1) * height}"
+            f"PNG raster size mismatch: {len(raw) - off} bytes after the "
+            "final Adam7 pass"
         )
-    prior = bytes(stride)
-    pixels = []
-    for r in range(height):
-        off = r * (stride + 1)
-        ft = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for i in range(stride):
-                line[i] = (line[i] + (line[i - bpp] if i >= bpp else 0)) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prior[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prior[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prior[i], c)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        prior = bytes(line)
-        for x in range(width):
-            pixels.append(tuple(line[x * bpp : x * bpp + bpp]))
+    pixels = [px for row in img for px in row]
     return {"fmt": "png", "width": width, "height": height, "pixels": pixels}
 
 
@@ -1902,10 +2004,11 @@ def decode_media(content: bytes, media_type: str):
     REAL pixel/sample decode for the formats a pure-Python decoder can
     honestly cover: 24-bit BMP, binary PPM, 16-bit PCM WAV, 8-bit
     RGB/RGBA non-interlaced PNG (stdlib zlib is the whole codec),
-    non-interlaced GIF, and baseline JPEG (grayscale, 4:4:4 color, and
-    4:2:0/4:2:2 chroma-subsampled via replication upsampling).
+    GIF (sequential or four-pass interlaced), and baseline JPEG
+    (grayscale, 4:4:4 color, and 4:2:0/4:2:2 chroma-subsampled via
+    replication upsampling); PNG covers sequential and Adam7 layouts.
     The remaining payload classes (progressive JPEG, partial MCUs,
-    interlaced PNG/GIF, codec video) return header metadata only --
+    codec video) return header metadata only --
     faking pixel output would be worse than refusing, so anything
     unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
     rejects (unsupported variant or a header-only synthetic container)
@@ -2226,9 +2329,13 @@ def pixel_stats(docs: DataFrame) -> DataFrame:
                 elif kind == 1:
                     blob = synth_ppm(w, h, did)
                 elif kind == 3:
-                    blob = synth_png_rgb(w, h, did)
+                    # alternate sequential / Adam7 layouts (r15): the
+                    # decoded raster is identical, so the one oracle gates
+                    # the interlaced reconstruction too
+                    blob = synth_png_rgb(w, h, did, interlaced=did % 12 >= 6)
                 elif kind == 4:
-                    blob = synth_gif_indexed(w, h, did)
+                    # same trick for the GIF four-pass interlace
+                    blob = synth_gif_indexed(w, h, did, interlaced=did % 12 >= 6)
                 elif kind == 5:
                     w, h = 8 * (did % 2 + 1), 8 * ((7 * did) % 2 + 1)
                     blob = synth_jpeg_gray(w, h, did)

@@ -769,12 +769,20 @@ def test_gif_strictness_rejections():
     good = mm.synth_gif_indexed(4, 3, 7)
     with pytest.raises(ValueError, match="trailing"):
         mm.decode_gif(good + b"x")
-    # interlace flag set in the image descriptor
+    # interlace flag flipped on sequentially-laid-out data (r15: the flag
+    # is SUPPORTED now, so this is no longer an error -- the decoder
+    # faithfully de-interlaces, yielding the row-permuted raster)
     blob = bytearray(good)
     desc = good.index(b"\x2c")
     blob[desc + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlace"):
-        mm.decode_gif(bytes(blob))
+    scrambled = mm.decode_gif(bytes(blob))
+    base = mm.decode_gif(good)
+    rows = [base["pixels"][y * 4:(y + 1) * 4] for y in range(3)]
+    order = mm._gif_interlace_order(3)
+    expect = [None] * 3
+    for k, y in enumerate(order):
+        expect[y] = rows[k]
+    assert scrambled["pixels"] == [p for r in expect for p in r]
     # corrupt LZW: flip a bit mid-stream (after descriptor + min code size
     # + first sub-block length byte)
     blob = bytearray(good)
@@ -1306,3 +1314,75 @@ def test_jpeg_420_truncation_always_raises_fuzz(cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(blob[:cut])
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 17), st.integers(1, 17), st.integers(0, 10**9))
+def test_png_adam7_and_gif_interlace_invariance_fuzz(w, h, doc_id):
+    """Adam7 PNG and four-pass-interlaced GIF must decode to EXACTLY the
+    sequential layout's raster (deinterlacing restores it), across every
+    small-dimension edge case -- widths/heights below the pass origins
+    produce empty Adam7 passes that contribute zero bytes."""
+    a = mm.decode_png(mm.synth_png_rgb(w, h, doc_id))
+    b = mm.decode_png(mm.synth_png_rgb(w, h, doc_id, interlaced=True))
+    assert a == b
+    g1 = mm.decode_gif(mm.synth_gif_indexed(w, h, doc_id))
+    g2 = mm.decode_gif(mm.synth_gif_indexed(w, h, doc_id, interlaced=True))
+    assert g1 == g2
+
+
+def test_png_adam7_is_really_interlaced_on_the_wire():
+    """The two layouts must differ as BYTES (else the fuzz is vacuous),
+    and the interlaced file must declare method 1 in IHDR."""
+    seq = mm.synth_png_rgb(9, 9, 5)
+    adam = mm.synth_png_rgb(9, 9, 5, interlaced=True)
+    assert seq != adam
+    assert adam[len(mm._PNG_MAGIC) + 8 + 12] == 1  # IHDR interlace byte
+    gif_i = mm.synth_gif_indexed(9, 9, 5, interlaced=True)
+    desc_at = 6 + 7 + 48  # header + LSD + 16-color GCT
+    assert gif_i[desc_at] == 0x2C and gif_i[desc_at + 9] & 0x40
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_png_adam7_truncation_always_raises_fuzz(cutseed):
+    """Strict-prefix property for the interlaced layout: a cut anywhere
+    (chunk framing, CRC, or mid-pass after inflate) still raises."""
+    import pytest
+
+    blob = mm.synth_png_rgb(11, 7, 13, interlaced=True)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_png(blob[:cut])
+
+
+def test_png_adam7_mid_pass_cut_raises():
+    """A VALID zlib stream that ends mid-pass (re-deflated truncation)
+    must raise the size-mismatch error, not silently scatter a partial
+    image."""
+    import zlib
+
+    import pytest
+
+    blob = mm.synth_png_rgb(11, 7, 13, interlaced=True)
+    # rebuild with the inflated raster cut short but re-deflated whole
+    at = len(mm._PNG_MAGIC) + 8 + 13 + 4  # past IHDR chunk
+    raw = b""
+    pos = len(mm._PNG_MAGIC)
+    while pos < len(blob):
+        ln = int.from_bytes(blob[pos:pos + 4], "big")
+        ctype = blob[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            raw = zlib.decompress(blob[pos + 8:pos + 8 + ln])
+        pos += 12 + ln
+    cut_idat = zlib.compress(raw[:-5])
+    ihdr_body = (11).to_bytes(4, "big") + (7).to_bytes(4, "big") + bytes((8, 2, 0, 0, 1))
+    rebuilt = (
+        mm._PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr_body)
+        + mm._png_chunk(b"IDAT", cut_idat)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="raster size|mid-pass"):
+        mm.decode_png(rebuilt)
+    assert at > 0
