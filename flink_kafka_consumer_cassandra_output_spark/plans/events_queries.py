@@ -3041,11 +3041,15 @@ def cusum_minute_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
         cents.alias("cents"),
     )
-    t = e.groupBy("event_type").agg(
-        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n")
-    )
     g = e.groupBy("event_type", "minute_ts").agg(
         F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("c")
+    )
+    # Frozen (n, tot) derive FROM the minute partials (sum of per-minute
+    # sums == sum over rows, exactly, in scaled integers), so the whole
+    # query reads events ONCE -- the r15 plan audit showed a second full
+    # scan feeding the totals branch.
+    t = g.groupBy("event_type").agg(
+        F.sum("sc").alias("tot"), F.sum("c").alias("n")
     )
     part = Window.partitionBy("event_type")
     order = part.orderBy("minute_ts")
