@@ -25,8 +25,9 @@ integer fixed-point YCbCr->RGB; hash-gated on DC-exact images by
 walk incl. largesize boxes, gated by ``mm_frame_sample``).  PNG decodes
 sequential AND Adam7-interlaced layouts; GIF decodes the four-pass
 interlace (both r15, gated through the unchanged ``mm_pixel_stats``
-oracle since deinterlacing restores the identical raster).  The
-remaining stub is progressive JPEG, partial MCUs,
+oracle since deinterlacing restores the identical raster).  Partial MCUs decode via
+pad-to-ceil-grid + crop, gated by ``mm_jpeg_partial_mcu_stats``.  The
+remaining stub is progressive JPEG
 and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
@@ -667,16 +668,15 @@ def synth_jpeg_gray(width: int, height: int, doc_id: int) -> bytes:
     (header-only), this round-trips through :func:`decode_jpeg_gray`
     EXACTLY: a constant block's FDCT is DC-only with the DC a multiple
     of 8, so the float IDCT is exact in IEEE doubles and the decode is
-    bit-for-bit.  width/height must be multiples of 8 (no partial-MCU
-    padding here)."""
-    if width % 8 or height % 8:
-        raise ValueError("synth_jpeg_gray needs multiple-of-8 dimensions")
+    bit-for-bit.  Non-multiple-of-8 dimensions (r15) pad to the MCU grid
+    per the spec -- the decoder crops, and the per-block value formula
+    makes the cropped raster the same per-pixel expression."""
     dc_codes = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_LENGTHS, _AC_SYMBOLS)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
             v = (31 * doc_id + 7 * bx + 13 * by) % 256
             dc = 8 * (v - 128)  # DC-only FDCT of a constant block
             diff = dc - prev_dc
@@ -735,15 +735,15 @@ def synth_jpeg_gray_ac(width: int, height: int, doc_id: int) -> bytes:
     IDCT.  Pixel range ``128 + m +- n`` stays inside [38, 218]: the
     clamp never engages, so the oracle needs no CASE.  ``n == 0`` blocks
     degrade to DC-only (EOB straight after DC), keeping the mixed-block
-    path honest."""
-    if width % 8 or height % 8:
-        raise ValueError("synth_jpeg_gray_ac needs multiple-of-8 dimensions")
+    path honest.  Non-multiple-of-8 dimensions (r15) pad to the MCU grid
+    per the spec; the decoder crops, and each cropped pixel keeps the
+    same closed form ``128 + m(x//8, y//8) + n(x//8, y//8)*s(x)*s(y)``."""
     dc_codes = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_RUN6_LENGTHS, _AC_RUN6_SYMBOLS)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
             m = (17 * doc_id + 5 * bx + 11 * by) % 129 - 64
             n = (7 * doc_id + 3 * bx + by) % 27
             dc = 8 * m
@@ -816,8 +816,7 @@ def synth_jpeg_color(width: int, height: int, doc_id: int) -> bytes:
     either lookup desynchronizes or halves the chroma plane.  Cb and Cr
     share tables but carry independent DC predictors, exercising the
     spec's per-component PRED."""
-    if width % 8 or height % 8:
-        raise ValueError("synth_jpeg_color needs multiple-of-8 dimensions")
+    # non-multiple-of-8 dims (r15) pad to the MCU grid; the decoder crops
     dc_y = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
     ac_y = _canonical_codes(_AC_RUN6_LENGTHS, _AC_RUN6_SYMBOLS)
     dc_c = _canonical_codes(_DC_CHROMA_LENGTHS, _DC_SYMBOLS)
@@ -833,8 +832,8 @@ def synth_jpeg_color(width: int, height: int, doc_id: int) -> bytes:
 
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for by in range(height // 8):
-        for bx in range(width // 8):
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
             for ci in range(3):
                 dc_codes, ac_codes = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
                 scale = 8 if ci == 0 else 4  # chroma stored halved, q=2
@@ -908,8 +907,8 @@ def synth_jpeg_color_420(width: int, height: int, doc_id: int) -> bytes:
     SQL-expressible.  Same wrong-table-loudness construction: chroma
     tables at length 5, dequant 2s over halved coefficients.  Dimensions
     must be multiples of 16 (no partial MCUs)."""
-    if width % 16 or height % 16:
-        raise ValueError("synth_jpeg_color_420 needs multiple-of-16 dimensions")
+    # non-multiple-of-16 dims (r15) pad to the 16x16 MCU grid; the
+    # decoder crops
     dc_y = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
     ac_y = _canonical_codes(_AC_RUN6_LENGTHS, _AC_RUN6_SYMBOLS)
     dc_c = _canonical_codes(_DC_CHROMA_LENGTHS, _DC_SYMBOLS)
@@ -942,8 +941,8 @@ def synth_jpeg_color_420(width: int, height: int, doc_id: int) -> bytes:
         code, nbits = ac_codes[0x00]
         bw.write(code, nbits)
 
-    for my in range(height // 16):
-        for mx in range(width // 16):
+    for my in range((height + 15) // 16):
+        for mx in range((width + 15) // 16):
             for dy in range(2):           # four Y blocks, dx fastest
                 for dx in range(2):
                     put_block(0, 2 * mx + dx, 2 * my + dy)
@@ -1144,11 +1143,11 @@ def decode_jpeg_gray(content: bytes) -> dict:
             "(integral replication upsampling only)"
         )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    if width % mcu_w or height % mcu_h:
-        raise ValueError(
-            f"unsupported JPEG dimensions {width}x{height} (partial "
-            f"{mcu_w}x{mcu_h} MCUs not implemented)"
-        )
+    # Partial MCUs (r15): the scan always carries a WHOLE number of MCUs
+    # (the encoder pads the image to the MCU grid per the spec); the
+    # decoder decodes the ceil grid and crops to the declared dimensions.
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
     # SOS body: Ns(1) + (id, tables)(2) per component + Ss/Se/AhAl(3).
     if len(sos) < 4 + 2 * ncomp:
         raise ValueError(f"short JPEG SOS body ({len(sos)} bytes)")
@@ -1236,14 +1235,14 @@ def decode_jpeg_gray(content: bytes) -> dict:
     # (nearest-neighbor -- the simple conformant choice; JFIF leaves the
     # upsampling filter to the decoder), which keeps the whole decode
     # integer-certifiable.
-    pw = [width * c[2] // hmax for c in comps]
-    ph = [height * c[3] // vmax for c in comps]
+    pw = [mcus_x * 8 * c[2] for c in comps]  # PADDED plane dims (MCU grid)
+    ph = [mcus_y * 8 * c[3] for c in comps]
     planes = [
         [[0] * pw[ci] for _ in range(ph[ci])] for ci in range(ncomp)
     ]
     prev = [0] * ncomp
-    for my in range(height // mcu_h):
-        for mx in range(width // mcu_w):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci in range(ncomp):
                 _cid, q, hs, vs = comps[ci]
                 dc_tab, ac_tab = tabs[ci]
@@ -1257,7 +1256,8 @@ def decode_jpeg_gray(content: bytes) -> dict:
                             for x in range(8):
                                 prow[ox + x] = srow[x]
     if ncomp == 1:
-        pixels = [v for row in planes[0] for v in row]
+        # crop the padded MCU-grid plane to the declared dimensions
+        pixels = [v for row in planes[0][:height] for v in row[:width]]
         return {
             "fmt": "jpeg_gray", "width": width, "height": height,
             "pixels": pixels,
@@ -2007,7 +2007,8 @@ def decode_media(content: bytes, media_type: str):
     GIF (sequential or four-pass interlaced), and baseline JPEG
     (grayscale, 4:4:4 color, and 4:2:0/4:2:2 chroma-subsampled via
     replication upsampling); PNG covers sequential and Adam7 layouts.
-    The remaining payload classes (progressive JPEG, partial MCUs,
+    Partial-MCU dimensions decode via pad + crop.
+    The remaining payload classes (progressive JPEG,
     codec video) return header metadata only --
     faking pixel output would be worse than refusing, so anything
     unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
@@ -2453,6 +2454,63 @@ def jpeg_color_stats(docs: DataFrame) -> DataFrame:
                         "the color decode must not silently degrade"
                     )
                 vals = [v for px in d["pixels"] for v in px]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_partial_mcu_stats(docs: DataFrame) -> DataFrame:
+    """Partial-MCU twin of the JPEG gates (r15): dimensions deliberately
+    NOT multiples of the MCU size, so the decoder must decode the padded
+    ceil grid and CROP.  Two arms cycle on doc_id: even docs decode a
+    grayscale AC image at 3..15 x 3..13 (8x8 MCUs, most partial), odd
+    docs a 4:2:0 color image at 5..23 x 5..21 (16x16 MCUs, most
+    partial).  Every cropped pixel keeps the closed per-block form, so
+    the DuckDB oracle enumerates pixels and the hash gate proves the
+    pad-decode-crop path exactly.  Scale posture identical to
+    pixel_stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did % 2 == 0:
+                    w, h = did % 13 + 3, (5 * did) % 11 + 3
+                    d = decode_media(
+                        synth_jpeg_gray_ac(w, h, did), "application/octet-stream"
+                    )
+                    if d["fmt"] != "jpeg_gray" or "pixels" not in d:
+                        raise ValueError(
+                            f"jpeg_partial_mcu_stats: gray decode degraded "
+                            f"for doc {did} (fmt={d.get('fmt')!r})"
+                        )
+                    vals = d["pixels"]
+                else:
+                    w, h = did % 19 + 5, (3 * did) % 17 + 5
+                    d = decode_media(
+                        synth_jpeg_color_420(w, h, did),
+                        "application/octet-stream",
+                    )
+                    if d["fmt"] != "jpeg_rgb" or "pixels" not in d:
+                        raise ValueError(
+                            f"jpeg_partial_mcu_stats: color decode degraded "
+                            f"for doc {did} (fmt={d.get('fmt')!r})"
+                        )
+                    vals = [v for px in d["pixels"] for v in px]
                 rows.append(
                     (
                         did,

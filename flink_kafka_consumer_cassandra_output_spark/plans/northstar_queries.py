@@ -1236,6 +1236,86 @@ def mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_420_stats(_docs(spark, sf_dir))
 
 
+@register(
+    "mm_jpeg_partial_mcu_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id, doc_id % 2 AS arm,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 13 + 3
+              ELSE doc_id % 19 + 5 END AS INTEGER) AS width,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN (5 * doc_id) % 11 + 3
+              ELSE (3 * doc_id) % 17 + 5 END AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.arm, j.width, j.height, x.x, y.y,
+         CAST(floor(x.x / 8) AS BIGINT) AS ybx,
+         CAST(floor(y.y / 8) AS BIGINT) AS yby,
+         CAST(floor(floor(x.x / 2) / 8) AS BIGINT) AS cbx,
+         CAST(floor(floor(y.y / 2) / 8) AS BIGINT) AS cby,
+         (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS ss,
+         (CASE WHEN (CAST(floor(x.x / 2) AS BIGINT) % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (CAST(floor(y.y / 2) AS BIGINT) % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS cs
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), gray AS (
+  SELECT doc_id, 'jpeg_gray' AS fmt, width, height,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         CAST(SUM(v) AS BIGINT) AS sum_values,
+         CAST(MIN(v) AS INTEGER) AS min_value,
+         CAST(MAX(v) AS INTEGER) AS max_value
+  FROM (
+    SELECT doc_id, width, height,
+           128 + ((17 * doc_id + 5 * ybx + 11 * yby) % 129 - 64)
+               + ((7 * doc_id + 3 * ybx + yby) % 27) * ss AS v
+    FROM px WHERE arm = 0
+  ) GROUP BY doc_id, width, height
+), color AS (
+  SELECT doc_id, 'jpeg_rgb' AS fmt, width, height,
+         CAST(3 * width * height AS BIGINT) AS n_values,
+         CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+         CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+         CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+  FROM (
+    SELECT doc_id, width, height,
+           GREATEST(0, LEAST(255, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+           GREATEST(0, LEAST(255, yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+           GREATEST(0, LEAST(255, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+    FROM (
+      SELECT doc_id, width, height,
+             128 + ((17 * doc_id + 5 * ybx + 11 * yby) % 129 - 64)
+                 + ((7 * doc_id + 3 * ybx + yby) % 27) * ss AS yv,
+             ((13 * doc_id + 7 * cbx + 3 * cby) % 101 - 50)
+                 + ((11 * doc_id + cbx + 5 * cby) % 23) * cs AS cb,
+             ((19 * doc_id + 3 * cbx + 7 * cby) % 101 - 50)
+                 + ((5 * doc_id + 9 * cbx + cby) % 23) * cs AS cr
+      FROM px WHERE arm = 1
+    )
+  ) GROUP BY doc_id, width, height
+)
+SELECT * FROM gray UNION ALL SELECT * FROM color
+""",
+    doc="Partial-MCU baseline JPEG external gate (r15, closing the "
+        "second-to-last JPEG stub item): dimensions deliberately NOT "
+        "multiples of the MCU size force the decoder down the "
+        "pad-to-ceil-grid + CROP path -- even docs decode grayscale AC "
+        "images at 3..15 x 3..13 (8x8 MCUs), odd docs 4:2:0 color at "
+        "5..23 x 5..21 (16x16 MCUs).  Every cropped pixel keeps the "
+        "closed per-block form, so the oracle enumerates pixels "
+        "arithmetically; sums no longer cancel per block at the cropped "
+        "edges, which is exactly what makes this gate sensitive to a "
+        "wrong crop.  The remaining JPEG stub is progressive scans "
+        "only.  Scale: narrow Arrow-batched mapInPandas, O(1)-width "
+        "stats.",
+    # New registration (r15): takes a driver slot in its first round per
+    # the freshness-era lint rule; emb_outlier_centroid_dist sits out to
+    # hold the surface at 50.
+)
+def mm_jpeg_partial_mcu_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_partial_mcu_stats(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -3534,7 +3614,8 @@ FROM l2
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="emb_outlier_centroid_dist",
+    # r15 sibling re-point: prior anchor sat out for mm_jpeg_partial_mcu_stats.
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -3644,6 +3725,11 @@ FROM r WHERE rn <= (5 * n + 99) // 100
         "aggregate pair for centroids, a label-bounded broadcast back, "
         "one rank window per label.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r15 interim edit: sits out so the new mm_jpeg_partial_mcu_stats takes
+    # a first-round driver slot at a constant 50-entry surface (fresh
+    # r13+r14 greens; emb_cosine_topk_arrow anchors the embeddings family).
+    driver=False,
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(

@@ -1141,10 +1141,12 @@ def test_jpeg_color_unsupported_sampling_raises():
     blob[sof_at + 4 + 7] = 0x33  # 3x3 sampling: out of decode scope
     with pytest.raises(ValueError, match="sampling"):
         mm.decode_jpeg_gray(bytes(blob))
-    # 2x2 Y on an 8x8 image is structurally valid sampling but the dims
-    # are not 16x16-MCU multiples: the partial-MCU refusal fires instead
+    # 2x2 Y on an 8x8 image is structurally valid since the partial-MCU
+    # work (pad + crop), but this FILE was encoded 4:4:4 -- the
+    # reinterpreted scan runs out of entropy data mid-MCU and the
+    # strictness contract still raises
     blob[sof_at + 4 + 7] = 0x22
-    with pytest.raises(ValueError, match="MCU"):
+    with pytest.raises(ValueError):
         mm.decode_jpeg_gray(bytes(blob))
 
 
@@ -1291,18 +1293,18 @@ def test_jpeg_420_chroma_actually_half_resolution():
     assert blob[sof_at + 4 + 7] == 0x22  # Y sampling byte
 
 
-def test_jpeg_partial_mcu_dimensions_raise():
-    import pytest
-
-    with pytest.raises(ValueError):
-        mm.synth_jpeg_color_420(8, 16, 1)  # synth refuses non-16 multiple
-    # decoder refuses a 4:2:0 SOF whose dims are not MCU multiples: craft
-    # by patching the height of a valid file to 8 (declared < one MCU)
+def test_jpeg_partial_mcu_crop_is_a_prefix_of_the_padded_image():
+    """Since the r15 partial-MCU work, a declared height SMALLER than the
+    encoded MCU grid decodes to the cropped prefix (the spec's padding
+    semantics), not an error -- pin that the crop is exactly the first
+    rows of the full decode."""
+    full = mm.decode_jpeg_gray(mm.synth_jpeg_color_420(16, 16, 1))
     blob = bytearray(mm.synth_jpeg_color_420(16, 16, 1))
     sof_at = bytes(blob).index(b"\xff\xc0")
     blob[sof_at + 5 : sof_at + 7] = (8).to_bytes(2, "big")
-    with pytest.raises(ValueError, match="MCU"):
-        mm.decode_jpeg_gray(bytes(blob))
+    cropped = mm.decode_jpeg_gray(bytes(blob))
+    assert cropped["height"] == 8 and cropped["width"] == 16
+    assert cropped["pixels"] == full["pixels"][: 16 * 8]
 
 
 @settings(max_examples=60, deadline=None, derandomize=True)
@@ -1386,3 +1388,44 @@ def test_png_adam7_mid_pass_cut_raises():
     with pytest.raises(ValueError, match="raster size|mid-pass"):
         mm.decode_png(rebuilt)
     assert at > 0
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 10**9))
+def test_jpeg_partial_mcu_gray_identity_fuzz(w, h, doc_id):
+    """Arbitrary (non-multiple-of-8) dims: the decoder pads to the MCU
+    grid and crops; every cropped pixel keeps the closed per-block form
+    (local twin of the mm_jpeg_partial_mcu_stats gray arm)."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_gray_ac(w, h, doc_id))
+    assert d["width"] == w and d["height"] == h
+    assert d["pixels"] == [
+        128
+        + ((17 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 129 - 64)
+        + ((7 * doc_id + 3 * (x // 8) + (y // 8)) % 27)
+        * (1 if x % 8 % 4 in (0, 3) else -1)
+        * (1 if y % 8 % 4 in (0, 3) else -1)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.integers(1, 35), st.integers(1, 35), st.integers(0, 10**9))
+def test_jpeg_partial_mcu_420_identity_fuzz(w, h, doc_id):
+    """4:2:0 at arbitrary dims: 16x16 MCU padding + crop + half-res
+    chroma replication all compose exactly (local twin of the gate's
+    color arm)."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_color_420(w, h, doc_id))
+    assert d["width"] == w and d["height"] == h
+    assert d["pixels"] == _expected_420_pixels(doc_id, w, h)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_partial_mcu_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_color_420(21, 13, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
