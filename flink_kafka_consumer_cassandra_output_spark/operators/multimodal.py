@@ -1184,9 +1184,20 @@ def decode_jpeg_gray(content: bytes) -> dict:
         [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
         for x in range(8)
     ]
-    c_norm = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    import numpy as np
 
-    def read_block(dc_tab, ac_tab, q, prev_dc):
+    c_norm = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    # IDCT basis matrix M[y][v] = C(v) * cos((2y+1) v pi / 16): the 2-D
+    # IDCT of a block B (indexed [v][u]) is (M @ B @ M.T) / 4, computed
+    # batched over all blocks of a component in one einsum -- the numpy
+    # sum order differs from a nested loop only in the last ulps, far
+    # below the 0.5 rounding margin of the integer-certifiable image
+    # classes the gates decode (and of any real image's quantized DCT).
+    m_basis = np.array(
+        [[c_norm[v] * cos_tab[y][v] for v in range(8)] for y in range(8)]
+    )
+
+    def read_coeffs(dc_tab, ac_tab, q, prev_dc):
         coeffs = [0] * 64
         t = _huff_decode(br, dc_tab)
         diff = _extend(br.bits(t), t) if t else 0
@@ -1208,38 +1219,26 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 raise ValueError("corrupt JPEG: AC run past block end")
             coeffs[k] = _extend(br.bits(size), size) * q[k]
             k += 1
-        # de-zigzag into the 8x8 frequency block, then IDCT + level shift
-        block = [[0.0] * 8 for _ in range(8)]
+        # de-zigzag into the 8x8 frequency block
+        block = np.zeros((8, 8))
         for k2, (r, c) in enumerate(_ZIGZAG):
-            block[r][c] = float(coeffs[k2])
-        spatial = [[0] * 8 for _ in range(8)]
-        for y in range(8):
-            for x in range(8):
-                s = 0.0
-                for u in range(8):
-                    for v in range(8):
-                        if block[v][u] != 0.0:
-                            s += (
-                                c_norm[u] * c_norm[v] * block[v][u]
-                                * cos_tab[x][u] * cos_tab[y][v]
-                            )
-                val = int(round(s / 4.0)) + 128
-                spatial[y][x] = min(255, max(0, val))
-        return spatial, prev_dc
+            if coeffs[k2]:
+                block[r][c] = float(coeffs[k2])
+        return block, prev_dc
 
     # Interleaved MCU scan: per MCU each component contributes h*v 8x8
     # blocks in raster order (dx fastest), in SOF component order, with an
     # independent DC predictor per component (the spec's per-component
-    # PRED).  Component i's plane is (width*h/hmax) x (height*v/vmax);
-    # subsampled planes are upsampled by sample REPLICATION afterwards
-    # (nearest-neighbor -- the simple conformant choice; JFIF leaves the
-    # upsampling filter to the decoder), which keeps the whole decode
-    # integer-certifiable.
+    # PRED).  Entropy decode stays bit-serial Python (inherently
+    # sequential); the IDCT + round + clamp runs as ONE batched numpy
+    # einsum per component afterwards.  Component i's plane is padded to
+    # the MCU grid and cropped at emission; subsampled planes are
+    # upsampled by sample REPLICATION (nearest-neighbor -- the simple
+    # conformant choice; JFIF leaves the upsampling filter to the
+    # decoder), which keeps the whole decode integer-certifiable.
     pw = [mcus_x * 8 * c[2] for c in comps]  # PADDED plane dims (MCU grid)
     ph = [mcus_y * 8 * c[3] for c in comps]
-    planes = [
-        [[0] * pw[ci] for _ in range(ph[ci])] for ci in range(ncomp)
-    ]
+    blocks: list[list] = [[] for _ in range(ncomp)]  # (oy, ox, coeff block)
     prev = [0] * ncomp
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -1248,43 +1247,48 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 dc_tab, ac_tab = tabs[ci]
                 for dy in range(vs):
                     for dx in range(hs):
-                        spatial, prev[ci] = read_block(dc_tab, ac_tab, q, prev[ci])
-                        oy, ox = 8 * (my * vs + dy), 8 * (mx * hs + dx)
-                        for y in range(8):
-                            prow = planes[ci][oy + y]
-                            srow = spatial[y]
-                            for x in range(8):
-                                prow[ox + x] = srow[x]
+                        blk, prev[ci] = read_coeffs(dc_tab, ac_tab, q, prev[ci])
+                        blocks[ci].append(
+                            (8 * (my * vs + dy), 8 * (mx * hs + dx), blk)
+                        )
+    planes = []
+    for ci in range(ncomp):
+        plane = np.zeros((ph[ci], pw[ci]), dtype=np.int64)
+        if blocks[ci]:
+            b = np.stack([t[2] for t in blocks[ci]])
+            spat = np.einsum("yv,nvu,xu->nyx", m_basis, b, m_basis)
+            vals = np.clip(np.round(spat / 4.0).astype(np.int64) + 128, 0, 255)
+            for (oy, ox, _), sp in zip(blocks[ci], vals):
+                plane[oy : oy + 8, ox : ox + 8] = sp
+        planes.append(plane)
     if ncomp == 1:
         # crop the padded MCU-grid plane to the declared dimensions
-        pixels = [v for row in planes[0][:height] for v in row[:width]]
+        pixels = planes[0][:height, :width].ravel().tolist()
         return {
             "fmt": "jpeg_gray", "width": width, "height": height,
             "pixels": pixels,
         }
     # JFIF YCbCr -> RGB in libjpeg's 16-bit fixed point (jdcolor.c
     # constants FIX(1.40200)=91881, FIX(0.34414)=22554, FIX(0.71414)=
-    # 46802, FIX(1.77200)=116130; >> on a Python int is a floor shift,
-    # same as libjpeg's DESCALE): pure INTEGER arithmetic, so an external
-    # SQL oracle can reproduce the conversion bit-for-bit.  Subsampled
-    # chroma reads via replication indexing (x // rx, y // ry).
-    pixels = []
-    yp, cbp, crp = planes
-    rx0, ry0 = hmax // comps[0][2], vmax // comps[0][3]
-    rx1, ry1 = hmax // comps[1][2], vmax // comps[1][3]
-    rx2, ry2 = hmax // comps[2][2], vmax // comps[2][3]
-    for y in range(height):
-        yr, cbr, crr = yp[y // ry0], cbp[y // ry1], crp[y // ry2]
-        for x in range(width):
-            yy, cb, cr = yr[x // rx0], cbr[x // rx1] - 128, crr[x // rx2] - 128
-            r = yy + ((91881 * cr + 32768) >> 16)
-            g = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
-            b = yy + ((116130 * cb + 32768) >> 16)
-            pixels.append((
-                min(255, max(0, r)),
-                min(255, max(0, g)),
-                min(255, max(0, b)),
-            ))
+    # 46802, FIX(1.77200)=116130; >> on int64 is an arithmetic (floor)
+    # shift in numpy exactly as on a Python int, same as libjpeg's
+    # DESCALE): pure INTEGER arithmetic, so an external SQL oracle can
+    # reproduce the conversion bit-for-bit.  Subsampled chroma reads via
+    # replication index grids (x // rx, y // ry), vectorized.
+    xs = np.arange(width)
+    ys = np.arange(height)
+
+    def up(ci: int) -> "np.ndarray":
+        rx, ry = hmax // comps[ci][2], vmax // comps[ci][3]
+        return planes[ci][(ys // ry)[:, None], (xs // rx)[None, :]]
+
+    yy = up(0)
+    cb = up(1) - 128
+    cr = up(2) - 128
+    r = np.clip(yy + ((91881 * cr + 32768) >> 16), 0, 255)
+    g = np.clip(yy - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
+    b = np.clip(yy + ((116130 * cb + 32768) >> 16), 0, 255)
+    pixels = list(zip(r.ravel().tolist(), g.ravel().tolist(), b.ravel().tolist()))
     return {"fmt": "jpeg_rgb", "width": width, "height": height, "pixels": pixels}
 
 
