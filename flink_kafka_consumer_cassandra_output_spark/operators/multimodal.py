@@ -26,8 +26,10 @@ walk incl. largesize boxes, gated by ``mm_frame_sample``).  PNG decodes
 sequential AND Adam7-interlaced layouts; GIF decodes the four-pass
 interlace (both r15, gated through the unchanged ``mm_pixel_stats``
 oracle since deinterlacing restores the identical raster).  Partial MCUs decode via
-pad-to-ceil-grid + crop, gated by ``mm_jpeg_partial_mcu_stats``.  The
-remaining stub is progressive JPEG
+pad-to-ceil-grid + crop, gated by ``mm_jpeg_partial_mcu_stats``;
+progressive (SOF2) spectral-selection scans decode via multi-scan
+coefficient accumulation, gated by ``mm_jpeg_progressive_stats``.  The
+remaining stub is successive-approximation refinement scans (Ah > 0)
 and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
@@ -883,6 +885,114 @@ def synth_jpeg_color(width: int, height: int, doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
 
 
+#: AC tables for the progressive synthesizer: EOBn run symbols (r<<4 for
+#: r 0..4), ZRL, and run-0 magnitude symbols for categories 1..9 -- 15
+#: codes at length 4 (luma) / 5 (chroma), canonical-valid.
+_AC_PROG_SYMBOLS = [0x00, 0x10, 0x20, 0x30, 0x40, 0xF0] + list(range(0x01, 0x0A))
+_AC_PROG_LENGTHS = [0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_CHROMA_LENGTHS = [0, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def synth_jpeg_progressive(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL progressive (SOF2) 4:4:4 JFIF (r15), spectral-selection
+    script: one interleaved DC scan (Ah=Al=0), then per component an AC
+    scan over band 1..38 (all-zero for the AC class: a single EOBn code
+    run-length-covers every block) and an AC scan over band 39..63
+    carrying the (4,4) coefficient behind a run-0 magnitude symbol with
+    EOBRUN terminators that extend across consecutive blocks.  Same
+    per-component (m, n) class, dequant tables (1s / halved-coefficient
+    2s), and wrong-table-loudness construction as
+    :func:`synth_jpeg_color`, so the decoded raster is IDENTICAL to
+    ``synth_jpeg_color(width, height, doc_id)``'s -- one oracle gates
+    both entropy organizations.  Dimensions should be multiples of 8
+    (the gate uses 8-multiples; the decoder itself handles partial
+    grids)."""
+    dc_y = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    dc_c = _canonical_codes(_DC_CHROMA_LENGTHS, _DC_SYMBOLS)
+    ac_y = _canonical_codes(_AC_PROG_LENGTHS, _AC_PROG_SYMBOLS)
+    ac_c = _canonical_codes(_AC_PROG_CHROMA_LENGTHS, _AC_PROG_SYMBOLS)
+    bh, bwid = (height + 7) // 8, (width + 7) // 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    # scan 1: interleaved DC (decoder order: MCU raster, components inner)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(3):
+                dc_codes = dc_y if ci == 0 else dc_c
+                scale = 8 if ci == 0 else 4
+                m, _n = _color_block_mn(ci, doc_id, bx, by)
+                dc = scale * m
+                diff = dc - prev[ci]
+                prev[ci] = dc
+                t = _jpeg_category(diff)
+                code, nbits = dc_codes[t]
+                bw.write(code, nbits)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    dc_scan = seg(0xDA, bytes((3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0))) + bw.flush()
+
+    def eob_flush(bw: _BitWriter, ac_codes, run: int) -> None:
+        if not run:
+            return
+        r = run.bit_length() - 1
+        code, nbits = ac_codes[(r << 4) | 0]
+        bw.write(code, nbits)
+        if r:
+            bw.write(run - (1 << r), r)
+
+    ac_scans = b""
+    for ci in range(3):
+        ac_codes = ac_y if ci == 0 else ac_c
+        ac_id = 0 if ci == 0 else 1
+        scale = 8 if ci == 0 else 4
+        cid = ci + 1
+        # band 1..38: every block all-zero -> one EOBn covers the grid
+        bw = _BitWriter()
+        eob_flush(bw, ac_codes, bh * bwid)
+        ac_scans += seg(0xDA, bytes((1, cid, ac_id, 1, 38, 0))) + bw.flush()
+        # band 39..63: run-0 coefficient at 39, EOBRUN terminators
+        bw = _BitWriter()
+        pending = 0
+        for by in range(bh):
+            for bx in range(bwid):
+                _m, n = _color_block_mn(ci, doc_id, bx, by)
+                if n == 0:
+                    pending += 1
+                    continue
+                eob_flush(bw, ac_codes, pending)
+                ac = scale * n
+                s = _jpeg_category(ac)
+                code, nbits = ac_codes[s]  # (0 << 4) | s
+                bw.write(code, nbits)
+                bw.write(ac, s)
+                pending = 1  # this block's terminator, extendable
+        eob_flush(bw, ac_codes, pending)
+        ac_scans += seg(0xDA, bytes((1, cid, ac_id, 39, 63, 0))) + bw.flush()
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64)) + seg(
+        0xDB, bytes((0x01,)) + bytes([2] * 64)
+    )
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_PROG_LENGTHS) + bytes(_AC_PROG_SYMBOLS))
+        + seg(0xC4, bytes((0x01,)) + bytes(_DC_CHROMA_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(
+            0xC4,
+            bytes((0x11,)) + bytes(_AC_PROG_CHROMA_LENGTHS) + bytes(_AC_PROG_SYMBOLS),
+        )
+    )
+    sof2 = seg(
+        0xC2,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)),
+    )
+    return b"\xff\xd8" + dqt + dht + sof2 + dc_scan + ac_scans + b"\xff\xd9"
+
+
 def _color_block_mn(ci: int, doc_id: int, bx: int, by: int) -> tuple[int, int]:
     """Per-component (m, n) block formulas shared by the 4:4:4 and 4:2:0
     color synthesizers and their SQL oracles: block coordinates are in the
@@ -1089,7 +1199,10 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 at += 17 + nsym
         elif marker == 0xC0:
             sof = body
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:
+            # progressive DCT (r15): dedicated multi-scan decoder
+            return _decode_jpeg_progressive(content)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x}) not supported")
         elif marker == 0xDA:
@@ -1180,22 +1293,9 @@ def decode_jpeg_gray(content: bytes) -> dict:
         )
     br = _BitReader(content[scan_at:end])
 
-    cos_tab = [
-        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
-        for x in range(8)
-    ]
+    # the batched-einsum IDCT + emission live in _jpeg_emit (shared with
+    # the progressive decoder)
     import numpy as np
-
-    c_norm = [1.0 / math.sqrt(2.0)] + [1.0] * 7
-    # IDCT basis matrix M[y][v] = C(v) * cos((2y+1) v pi / 16): the 2-D
-    # IDCT of a block B (indexed [v][u]) is (M @ B @ M.T) / 4, computed
-    # batched over all blocks of a component in one einsum -- the numpy
-    # sum order differs from a nested loop only in the last ulps, far
-    # below the 0.5 rounding margin of the integer-certifiable image
-    # classes the gates decode (and of any real image's quantized DCT).
-    m_basis = np.array(
-        [[c_norm[v] * cos_tab[y][v] for v in range(8)] for y in range(8)]
-    )
 
     def read_coeffs(dc_tab, ac_tab, q, prev_dc):
         coeffs = [0] * 64
@@ -1251,6 +1351,33 @@ def decode_jpeg_gray(content: bytes) -> dict:
                         blocks[ci].append(
                             (8 * (my * vs + dy), 8 * (mx * hs + dx), blk)
                         )
+    return _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height)
+
+
+def _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height) -> dict:
+    """Shared tail of the baseline and progressive decoders: batched IDCT
+    over each component's de-zigzagged DEQUANTIZED blocks, level shift,
+    clamp, padded-plane scatter, crop, and (for 3 components) libjpeg's
+    16-bit fixed-point integer YCbCr->RGB (jdcolor.c constants
+    FIX(1.40200)=91881, FIX(0.34414)=22554, FIX(0.71414)=46802,
+    FIX(1.77200)=116130; >> on int64 is an arithmetic floor shift in
+    numpy exactly as on a Python int, same as libjpeg's DESCALE -- pure
+    INTEGER arithmetic, so an external SQL oracle reproduces the
+    conversion bit-for-bit).  Subsampled chroma reads via replication
+    index grids (x // rx, y // ry), vectorized."""
+    import math
+
+    import numpy as np
+
+    ncomp = len(comps)
+    c_norm = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    cos_tab = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    m_basis = np.array(
+        [[c_norm[v] * cos_tab[y][v] for v in range(8)] for y in range(8)]
+    )
     planes = []
     for ci in range(ncomp):
         plane = np.zeros((ph[ci], pw[ci]), dtype=np.int64)
@@ -1268,13 +1395,6 @@ def decode_jpeg_gray(content: bytes) -> dict:
             "fmt": "jpeg_gray", "width": width, "height": height,
             "pixels": pixels,
         }
-    # JFIF YCbCr -> RGB in libjpeg's 16-bit fixed point (jdcolor.c
-    # constants FIX(1.40200)=91881, FIX(0.34414)=22554, FIX(0.71414)=
-    # 46802, FIX(1.77200)=116130; >> on int64 is an arithmetic (floor)
-    # shift in numpy exactly as on a Python int, same as libjpeg's
-    # DESCALE): pure INTEGER arithmetic, so an external SQL oracle can
-    # reproduce the conversion bit-for-bit.  Subsampled chroma reads via
-    # replication index grids (x // rx, y // ry), vectorized.
     xs = np.arange(width)
     ys = np.arange(height)
 
@@ -1294,6 +1414,273 @@ def decode_jpeg_gray(content: bytes) -> dict:
 
 #: accurate name for the 1-or-3-component baseline decoder above
 decode_jpeg_baseline = decode_jpeg_gray
+
+
+def _decode_jpeg_progressive(content: bytes) -> dict:
+    """Progressive (SOF2) JPEG decode, spectral-selection profile (r15):
+    multiple scans accumulate the coefficient arrays -- an interleaved DC
+    scan (or per-component non-interleaved DC scans), then per-component
+    AC scans over ``Ss..Se`` bands with EOBRUN run-length coding across
+    blocks, ZRL, and the ``Al`` point transform on first scans -- then
+    one dequantization + batched IDCT + emission through the same
+    :func:`_jpeg_emit` tail as the baseline decoder.
+
+    Honest subset boundaries, refused LOUDLY: successive-approximation
+    REFINEMENT scans (Ah > 0 -- the correction-bit algorithm) and restart
+    intervals (DRI != 0).  Everything else is the real T.81 progressive
+    model.  Strictness contract as baseline: truncations, missing
+    tables, band violations, trailing bytes after EOI raise."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qid, h, v)
+    coeffs: list = []  # per comp: np (blocks_y, blocks_x, 64) raw values
+    hmax = vmax = mcus_x = mcus_y = width = height = 0
+    saw_scan = False
+
+    def parse_sof(body: bytes) -> None:
+        nonlocal sof, comps, coeffs, hmax, vmax, mcus_x, mcus_y, width, height
+        if sof is not None:
+            raise ValueError("corrupt JPEG: multiple SOF markers")
+        sof = body
+        if len(body) < 6:
+            raise ValueError(f"short JPEG SOF2 body ({len(body)} bytes)")
+        precision = body[0]
+        height = int.from_bytes(body[1:3], "big")
+        width = int.from_bytes(body[3:5], "big")
+        ncomp = body[5]
+        if precision != 8 or ncomp not in (1, 3):
+            raise ValueError(
+                f"unsupported progressive JPEG (precision={precision}, "
+                f"components={ncomp})"
+            )
+        if len(body) < 6 + 3 * ncomp:
+            raise ValueError(f"short JPEG SOF2 body ({len(body)} bytes)")
+        if width <= 0 or height <= 0:
+            raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
+        for i in range(ncomp):
+            cid, samp, qid = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+            hs, vs = samp >> 4, samp & 0x0F
+            if hs not in (1, 2) or vs not in (1, 2):
+                raise ValueError(f"unsupported JPEG sampling 0x{samp:02x}")
+            comps.append((cid, qid, hs, vs))
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        if any(hmax % c[2] or vmax % c[3] for c in comps):
+            raise ValueError("unsupported JPEG sampling: non-dividing factors")
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        coeffs = [
+            np.zeros((mcus_y * c[3], mcus_x * c[2], 64), dtype=np.int64)
+            for c in comps
+        ]
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        """Non-interleaved scan block grid: ceil of the COMPONENT's sample
+        dims over 8 (T.81 A.2.2), which can be smaller than the padded
+        interleaved MCU grid when dimensions are partial."""
+        _cid, _qid, hs, vs = comps[ci]
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def do_scan(body: bytes, data: bytes) -> None:
+        if len(body) < 1:
+            raise ValueError("short JPEG SOS body (0 bytes)")
+        ns = body[0]
+        if len(body) < 4 + 2 * ns:
+            raise ValueError(f"short JPEG SOS body ({len(body)} bytes)")
+        sel = []
+        for i in range(ns):
+            sid, tt = body[1 + 2 * i], body[2 + 2 * i]
+            try:
+                ci = next(j for j, c in enumerate(comps) if c[0] == sid)
+            except StopIteration:
+                raise ValueError(f"JPEG scan references unknown component {sid}")
+            sel.append((ci, tt >> 4, tt & 0x0F))
+        ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        if ah != 0:
+            raise ValueError(
+                "progressive successive-approximation refinement (Ah > 0) "
+                "not supported; spectral-selection profile only"
+            )
+        if ss > se or se > 63:
+            raise ValueError(f"corrupt JPEG: scan band {ss}..{se}")
+        br = _BitReader(data)
+        if ss == 0:
+            # DC scan: Se must be 0; interleaved when Ns == ncomp, else a
+            # single-component non-interleaved walk
+            if se != 0:
+                raise ValueError("corrupt JPEG: DC scan with Se != 0")
+            for ci, dc_id, _ac in sel:
+                if (0, dc_id) not in huff:
+                    raise ValueError("JPEG scan references missing DC table")
+            prev = {ci: 0 for ci, _, _ in sel}
+            if ns == len(comps):
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci, dc_id, _ac in sel:
+                            _cid, _qid, hs, vs = comps[ci]
+                            tab = huff[(0, dc_id)]
+                            for dy in range(vs):
+                                for dx in range(hs):
+                                    t = _huff_decode(br, tab)
+                                    diff = _extend(br.bits(t), t) if t else 0
+                                    prev[ci] += diff
+                                    coeffs[ci][my * vs + dy][mx * hs + dx][0] = (
+                                        prev[ci] << al
+                                    )
+            elif ns == 1:
+                ci, dc_id, _ac = sel[0]
+                gh, gw = comp_grid(ci)
+                tab = huff[(0, dc_id)]
+                for by in range(gh):
+                    for bx in range(gw):
+                        t = _huff_decode(br, tab)
+                        diff = _extend(br.bits(t), t) if t else 0
+                        prev[ci] += diff
+                        coeffs[ci][by][bx][0] = prev[ci] << al
+            else:
+                raise ValueError(
+                    "unsupported progressive DC scan component subset"
+                )
+        else:
+            # AC scan: single component, non-interleaved, EOBRUN coding
+            if ns != 1:
+                raise ValueError("corrupt JPEG: interleaved AC scan")
+            ci, _dc, ac_id = sel[0]
+            if (1, ac_id) not in huff:
+                raise ValueError("JPEG scan references missing AC table")
+            tab = huff[(1, ac_id)]
+            gh, gw = comp_grid(ci)
+            eobrun = 0
+            for by in range(gh):
+                for bx in range(gw):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    blk = coeffs[ci][by][bx]
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode(br, tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) + (br.bits(r) if r else 0) - 1
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError(
+                                "corrupt JPEG: AC run past the scan band"
+                            )
+                        blk[k] = _extend(br.bits(s), s) << al
+                        k += 1
+        # trailing full bytes after the final code desync the next scan's
+        # framing silently; refuse.  Legitimate slack: the final partially
+        # consumed padding byte, plus its stuffing 0x00 when the 1-fill
+        # landed on 0xFF.
+        slack = len(data) - br.pos
+        if slack > 1 and not (slack == 2 and data[-2:] == b"\xff\x00"):
+            raise ValueError(f"trailing bytes in JPEG scan ({slack})")
+
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: marker walk ran out")
+        if content[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: lost marker sync at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: segment length cut")
+        ln = int.from_bytes(content[pos : pos + 2], "big")
+        body = content[pos + 2 : pos + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise ValueError("truncated JPEG: segment body cut")
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                if at + 65 > len(body):
+                    raise ValueError("truncated JPEG: DQT cut")
+                qt[tq] = list(body[at + 1 : at + 65])
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0x0F
+                lengths = list(body[at + 1 : at + 17])
+                nsym = sum(lengths)
+                symbols = list(body[at + 17 : at + 17 + nsym])
+                if len(symbols) < nsym:
+                    raise ValueError("truncated JPEG: DHT cut")
+                codes = _canonical_codes(lengths, symbols)
+                huff[(tc, th)] = {(c, n): s for s, (c, n) in codes.items()}
+                at += 17 + nsym
+        elif marker == 0xC2:
+            parse_sof(body)
+        elif marker == 0xDD:
+            if int.from_bytes(body[:2], "big") != 0:
+                raise ValueError(
+                    "progressive JPEG restart intervals not supported"
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("corrupt JPEG: mixed SOF markers")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG scan before SOF2")
+            # entropy data runs to the next non-stuffing, non-RST marker
+            end = pos + ln
+            while True:
+                if end + 1 >= len(content):
+                    raise ValueError("truncated JPEG: scan without terminator")
+                if content[end] == 0xFF and content[end + 1] != 0x00:
+                    if 0xD0 <= content[end + 1] <= 0xD7:
+                        raise ValueError(
+                            "progressive JPEG restart markers not supported"
+                        )
+                    break
+                end += 1
+            do_scan(body, content[pos + ln : end])
+            saw_scan = True
+            pos = end
+            continue
+        pos += ln
+    if pos != len(content):
+        raise ValueError(
+            f"trailing bytes after JPEG EOI ({len(content) - pos})"
+        )
+    if sof is None or not saw_scan:
+        raise ValueError("progressive JPEG missing SOF2 or scans")
+    # dequantize + de-zigzag + shared IDCT/emission
+    blocks: list[list] = [[] for _ in comps]
+    for ci, (_cid, qid, hs, vs) in enumerate(comps):
+        if qid not in qt:
+            raise ValueError(f"JPEG references missing quant table {qid}")
+        q = np.array(qt[qid], dtype=np.int64)
+        arr = coeffs[ci] * q  # (by, bx, 64) dequantized, zigzag order
+        dez = np.zeros(arr.shape[:2] + (8, 8))
+        for k2, (r, c) in enumerate(_ZIGZAG):
+            dez[:, :, r, c] = arr[:, :, k2]
+        for by in range(arr.shape[0]):
+            for bx in range(arr.shape[1]):
+                blocks[ci].append((8 * by, 8 * bx, dez[by][bx]))
+    pw = [mcus_x * 8 * c[2] for c in comps]
+    ph = [mcus_y * 8 * c[3] for c in comps]
+    emit_comps = [(c[0], None, c[2], c[3]) for c in comps]
+    return _jpeg_emit(blocks, emit_comps, hmax, vmax, pw, ph, width, height)
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -2012,8 +2399,9 @@ def decode_media(content: bytes, media_type: str):
     (grayscale, 4:4:4 color, and 4:2:0/4:2:2 chroma-subsampled via
     replication upsampling); PNG covers sequential and Adam7 layouts.
     Partial-MCU dimensions decode via pad + crop.
-    The remaining payload classes (progressive JPEG,
-    codec video) return header metadata only --
+    Progressive (SOF2) spectral-selection scans decode for real.
+    The remaining payload classes (successive-approximation refinement
+    scans, codec video) return header metadata only --
     faking pixel output would be worse than refusing, so anything
     unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
     rejects (unsupported variant or a header-only synthetic container)
@@ -2515,6 +2903,52 @@ def jpeg_partial_mcu_stats(docs: DataFrame) -> DataFrame:
                             f"for doc {did} (fmt={d.get('fmt')!r})"
                         )
                     vals = [v for px in d["pixels"] for v in px]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
+    """Progressive-scan twin of :func:`jpeg_color_stats`: every document
+    synthesizes a :func:`synth_jpeg_progressive` image (SOF2, interleaved
+    DC scan + per-component spectral-selection AC scans with EOBRUN
+    coding) and decodes it back through :func:`decode_media` -- the
+    multi-scan coefficient accumulation, the EOBRUN run-length walk, and
+    the non-interleaved per-component grids all cross the external
+    oracle, which is IDENTICAL to mm_jpeg_color_stats's because the
+    pixel class is: one oracle, two entropy organizations.  Scale
+    posture identical to pixel_stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 * (did % 3 + 1), 8 * ((5 * did) % 3 + 1)
+                d = decode_media(
+                    synth_jpeg_progressive(w, h, did),
+                    "application/octet-stream",
+                )
+                if d["fmt"] != "jpeg_rgb" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_progressive_stats: decode fell back to "
+                        f"header metadata for doc {did} "
+                        f"(fmt={d.get('fmt')!r})"
+                    )
+                vals = [v for px in d["pixels"] for v in px]
                 rows.append(
                     (
                         did,

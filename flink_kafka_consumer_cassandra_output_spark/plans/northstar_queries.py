@@ -1235,6 +1235,67 @@ FROM rgb GROUP BY doc_id, width, height
 def mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_420_stats(_docs(spark, sf_dir))
 
+@register(
+    "mm_jpeg_progressive_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+         CAST(8 * ((5 * doc_id) % 3 + 1) AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         CAST(floor(x.x / 8) AS BIGINT) AS bx,
+         CAST(floor(y.y / 8) AS BIGINT) AS by,
+         (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS ss
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), comp AS (
+  SELECT doc_id, width, height,
+         128 + ((17 * doc_id + 5 * bx + 11 * by) % 129 - 64)
+             + ((7 * doc_id + 3 * bx + by) % 27) * ss AS yv,
+         ((13 * doc_id + 7 * bx + 3 * by) % 101 - 50)
+             + ((11 * doc_id + bx + 5 * by) % 23) * ss AS cb,
+         ((19 * doc_id + 3 * bx + 7 * by) % 101 - 50)
+             + ((5 * doc_id + 9 * bx + by) % 23) * ss AS cr
+  FROM px
+), rgb AS (
+  SELECT doc_id, width, height,
+         GREATEST(0, LEAST(255, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+         GREATEST(0, LEAST(255, yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+         GREATEST(0, LEAST(255, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM comp
+)
+SELECT doc_id, 'jpeg_rgb' AS fmt, width, height,
+       CAST(3 * width * height AS BIGINT) AS n_values,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+       CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+       CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+FROM rgb GROUP BY doc_id, width, height
+""",
+    doc="Progressive (SOF2) JPEG external gate (r15, retiring the last "
+        "JPEG stub item short of successive-approximation refinement): "
+        "every document synthesizes a REAL progressive 4:4:4 JFIF -- one "
+        "interleaved DC scan, then per-component spectral-selection AC "
+        "scans (band 1..38 all-zero, covered by a single EOBn run; band "
+        "39..63 carrying the (4,4) coefficient behind run-0 magnitude "
+        "symbols with EOBRUN terminators extending across blocks) -- and "
+        "decodes it back through the multi-scan coefficient-accumulation "
+        "decoder.  The pixel class and dims equal mm_jpeg_color_stats's, "
+        "so the SAME oracle gates both entropy organizations; a "
+        "mis-accumulated scan, a wrong EOBRUN count, or a band violation "
+        "cannot hash-match.  Refused loudly (documented subset): Ah>0 "
+        "refinement scans and restart intervals.  Scale: narrow "
+        "Arrow-batched mapInPandas; O(1)-width stats.",
+    # New registration (r15): takes a driver slot in its first round per
+    # the freshness-era lint rule; orderby_limit_top20_orders sits out to
+    # hold the surface at 50.
+)
+def mm_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_progressive_stats(_docs(spark, sf_dir))
+
 
 @register(
     "mm_jpeg_partial_mcu_stats",

@@ -837,7 +837,8 @@ LIMIT 20
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="orderby_limit_top20_orders",
+    # r15 sibling re-point: prior anchor sat out for mm_jpeg_progressive_stats.
+    sibling="window_order_running_total",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

@@ -838,8 +838,8 @@ WHERE rk <= 3
         "once on the group key; no global sort",
     # r7 driver-slot rotation: per-key top-k/threshold family, driver-checked there.
     driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="orderby_limit_top20_orders",
+    # r15 sibling re-point: prior anchor sat out for mm_jpeg_progressive_stats.
+    sibling="window_order_running_total",
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1006,6 +1006,11 @@ LIMIT 20
     # LIMIT (same TakeOrderedAndProject node); the bare form stays local and
     # keeps the plan-invariant gate in tests/test_plan_invariants.py.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r15 interim edit: sits out so the new mm_jpeg_progressive_stats takes
+    # a first-round driver slot at a constant 50-entry surface (fresh r14
+    # green; window_order_running_total anchors the ordering family).
+    driver=False,
+    sibling="window_order_running_total",
 )
 def orderby_limit_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

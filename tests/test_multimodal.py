@@ -954,11 +954,13 @@ def test_jpeg_strictness_rejections():
     good = mm.synth_jpeg_gray(16, 8, 7)
     with pytest.raises(ValueError, match="trailing"):
         mm.decode_jpeg_gray(good + b"x")
-    # progressive SOF2 refused
+    # a BASELINE-encoded scan relabeled SOF2 routes to the progressive
+    # decoder (SOF2 is supported since r15) and fails ITS validation:
+    # the baseline SOS declares band 0..63, illegal for a DC scan
     blob = bytearray(good)
     sof_at = good.index(b"\xff\xc0")
     blob[sof_at + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         mm.decode_jpeg_gray(bytes(blob))
     # the header-only synthesizer (3-component, no tables) refuses loudly
     with pytest.raises(ValueError):
@@ -1426,6 +1428,67 @@ def test_jpeg_partial_mcu_truncation_always_raises_fuzz(cutseed):
     import pytest
 
     blob = mm.synth_jpeg_color_420(21, 13, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 10**9))
+def test_jpeg_progressive_matches_baseline_fuzz(wb, hb, doc_id):
+    """The progressive (SOF2) file carries the SAME pixel class as the
+    baseline color synth, so both must decode identically: multi-scan
+    coefficient accumulation + EOBRUN + spectral banding against the
+    single-scan baseline (the local twin of the mm_jpeg_progressive_stats
+    gate, whose oracle is mm_jpeg_color_stats's verbatim)."""
+    w, h = 8 * wb, 8 * hb
+    base = mm.decode_jpeg_gray(mm.synth_jpeg_color(w, h, doc_id))
+    prog = mm.decode_jpeg_gray(mm.synth_jpeg_progressive(w, h, doc_id))
+    assert prog == base
+
+
+def test_jpeg_progressive_refusals_are_loud():
+    import pytest
+
+    blob = bytearray(mm.synth_jpeg_progressive(16, 16, 3))
+    # Ah > 0 (successive-approximation refinement): patch the last scan's
+    # approximation byte.  SOS body layout: Ns, (id, tables)*Ns, Ss, Se, AhAl
+    sos_positions = []
+    i = 0
+    while True:
+        i = bytes(blob).find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos_positions.append(i)
+        i += 2
+    assert len(sos_positions) == 7  # DC + 3x2 AC scans
+    last = sos_positions[-1]
+    ln = int.from_bytes(blob[last + 2:last + 4], "big")
+    blob2 = bytearray(blob)
+    blob2[last + 2 + ln - 1] = 0x10  # Ah=1, Al=0
+    with pytest.raises(ValueError, match="refinement"):
+        mm.decode_jpeg_gray(bytes(blob2))
+    # DRI with a nonzero interval refuses
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    at = bytes(blob).find(b"\xff\xc2")
+    blob3 = bytes(blob[:at]) + dri + bytes(blob[at:])
+    with pytest.raises(ValueError, match="restart"):
+        mm.decode_jpeg_gray(blob3)
+    # a DC scan with Se != 0 is corrupt
+    first = sos_positions[0]
+    ln0 = int.from_bytes(blob[first + 2:first + 4], "big")
+    blob4 = bytearray(blob)
+    blob4[first + 2 + ln0 - 2] = 5  # Se=5 on the DC scan
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(bytes(blob4))
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_progressive_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_progressive(16, 16, 11)
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(blob[:cut])

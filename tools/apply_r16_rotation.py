@@ -3,9 +3,9 @@ freshness rotation, retiring the r6-cohort staleness debt at the 10-round
 budget edge.
 
 Refuses to run until CORRECTNESS_r15.json exists and is fully green
-including the 15 r15 stale promotes AND the five r15 first-timers
+including the 15 r15 stale promotes AND the six r15 first-timers
 (mm_jpeg_ac_stats, mm_jpeg_color_stats, ev_cusum_alarm_minute,
-mm_jpeg_420_stats, mm_jpeg_partial_mcu_stats).  After
+mm_jpeg_420_stats, mm_jpeg_partial_mcu_stats, mm_jpeg_progressive_stats).  After
 applying, run:
 
     python -m pytest tests/test_registry_lint.py -q
@@ -26,7 +26,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 #: r15 surface entries whose green gates this rotation: the 15 stale
-#: promotes plus the five first-round driver slots taken by the r15
+#: promotes plus the six first-round driver slots taken by the r15
 #: registrations.
 R15_PROMOTES = [
     "doc_lang_confusion", "doc_rolling_hash", "doc_exact_dedup",
@@ -36,6 +36,7 @@ R15_PROMOTES = [
     "null_semantics_orders", "agg_stats_moments", "date_functions_orders",
     "mm_jpeg_ac_stats", "mm_jpeg_color_stats", "ev_cusum_alarm_minute",
     "mm_jpeg_420_stats", "mm_jpeg_partial_mcu_stats",
+    "mm_jpeg_progressive_stats",
 ]
 
 # oldest-green-first: the REMAINING 13 of the r6 cohort (age 10 at r16 --
