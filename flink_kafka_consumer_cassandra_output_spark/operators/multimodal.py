@@ -27,10 +27,12 @@ sequential AND Adam7-interlaced layouts; GIF decodes the four-pass
 interlace (both r15, gated through the unchanged ``mm_pixel_stats``
 oracle since deinterlacing restores the identical raster).  Partial MCUs decode via
 pad-to-ceil-grid + crop, gated by ``mm_jpeg_partial_mcu_stats``;
-progressive (SOF2) spectral-selection scans decode via multi-scan
-coefficient accumulation, gated by ``mm_jpeg_progressive_stats``.  The
-remaining stub is successive-approximation refinement scans (Ah > 0)
-and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
+progressive (SOF2) scans -- spectral selection AND
+successive-approximation refinement -- decode via multi-scan
+coefficient accumulation, gated by ``mm_jpeg_progressive_stats``.
+JPEG is decode-complete for the sequential + progressive Huffman
+family; the remaining stub is restart intervals, arithmetic-coded /
+hierarchical JPEG (exotic), and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
@@ -993,6 +995,142 @@ def synth_jpeg_progressive(width: int, height: int, doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + dht + sof2 + dc_scan + ac_scans + b"\xff\xd9"
 
 
+def _refined_block_mn(doc_id: int, bx: int, by: int) -> tuple[int, int]:
+    """Block class of the successive-approximation gate: ODD DC value
+    ``m`` in [-59, 59]; AC value ``n`` odd in [1, 25] on two of every
+    three blocks (0 = no AC, extending EOB runs).  With quant 8 on both
+    positions the decoded pixel is EXACTLY ``128 + m + n*s(x)*s(y)`` --
+    and every refinement/correction bit is worth a FULL pixel step, so a
+    decoder that skips or mis-applies any single bit cannot hash-match
+    (unlike a +-1/8 design, where refinement hides inside rounding)."""
+    d = doc_id
+    m = 2 * ((17 * d + 5 * bx + 11 * by) % 60) - 59
+    n = 0 if (d + bx + by) % 3 == 0 else 2 * ((7 * d + 3 * bx + by) % 13) + 1
+    return m, n
+
+
+def synth_jpeg_progressive_refined(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL progressive GRAYSCALE JFIF with SUCCESSIVE-APPROXIMATION
+    refinement (r15, the last JPEG entropy organization): raw
+    coefficients are the ODD values of :func:`_refined_block_mn` under
+    all-8 quant tables, so the Al=1 first scans carry the exact halves
+    (``m >> 1``, floor) and the refinement scans restore the odd low
+    bits -- DC refinement as one raw bit per block (all 1s), AC
+    refinement via the T.81 correction-bit algorithm where ``n >= 3``
+    blocks consume a correction bit (1), ``n == 1`` blocks introduce a
+    NEWLY-nonzero +-1 coefficient through the run/sign path, and
+    AC-free blocks ride EOB runs that still frame their neighbours'
+    corrections.  Every bit is pixel-DECISIVE (quant 8 makes a raw unit
+    one full pixel step).  Script: non-interleaved DC first (Al=1) ->
+    DC refinement -> AC band 1..38 first (all-zero EOBn) -> AC band
+    39..63 first (halves) -> AC 1..38 refinement (EOBn only) -> AC
+    39..63 refinement (corrections + new coefficients + EOB runs)."""
+    dc_y = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    ac_y = _canonical_codes(_AC_PROG_LENGTHS, _AC_PROG_SYMBOLS)
+    bh, bwid = (height + 7) // 8, (width + 7) // 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def eob_flush(bw: _BitWriter, run: int) -> None:
+        if not run:
+            return
+        r = run.bit_length() - 1
+        code, nbits = ac_y[(r << 4) | 0]
+        bw.write(code, nbits)
+        if r:
+            bw.write(run - (1 << r), r)
+
+    # scan 1: DC first at Al=1 -- diffs of m >> 1 (floor; m odd)
+    bw = _BitWriter()
+    prev = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            m, _n = _refined_block_mn(doc_id, bx, by)
+            half = m >> 1
+            diff = half - prev
+            prev = half
+            t = _jpeg_category(diff)
+            code, nbits = dc_y[t]
+            bw.write(code, nbits)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scans = seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x01))) + bw.flush()
+    # scan 2: DC refinement -- one raw bit per block, all 1 (m odd)
+    bw = _BitWriter()
+    for _ in range(bh * bwid):
+        bw.write(1, 1)
+    scans += seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x10))) + bw.flush()
+    # scan 3: AC band 1..38 first at Al=1 -- all zero, one EOBn
+    bw = _BitWriter()
+    eob_flush(bw, bh * bwid)
+    scans += seg(0xDA, bytes((1, 1, 0x00, 1, 38, 0x01))) + bw.flush()
+    # scan 4: AC band 39..63 first at Al=1 -- halves; n <= 1 rides EOBn
+    bw = _BitWriter()
+    pending = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            _m, n = _refined_block_mn(doc_id, bx, by)
+            if n < 3:
+                pending += 1
+                continue
+            eob_flush(bw, pending)
+            half = n >> 1
+            t = _jpeg_category(half)
+            code, nbits = ac_y[t]
+            bw.write(code, nbits)
+            bw.write(half, t)
+            pending = 1
+    eob_flush(bw, pending)
+    scans += seg(0xDA, bytes((1, 1, 0x00, 39, 63, 0x01))) + bw.flush()
+    # scan 5: AC band 1..38 refinement -- no history, no new -> EOBn only
+    bw = _BitWriter()
+    eob_flush(bw, bh * bwid)
+    scans += seg(0xDA, bytes((1, 1, 0x00, 1, 38, 0x10))) + bw.flush()
+    # scan 6: AC band 39..63 refinement.  Bit layout mirrors the decoder:
+    # an EOBn code, then the covered blocks' correction bits in block
+    # order (one bit per nonzero-history coefficient); a block that
+    # introduces a NEW coefficient (n == 1) breaks the run with the
+    # (run 0, size 1) symbol + sign bit, then starts the next run as its
+    # own EOB terminator.
+    bw = _BitWriter()
+    pending = 0
+    pend_bits: list[int] = []
+    for by in range(bh):
+        for bx in range(bwid):
+            _m, n = _refined_block_mn(doc_id, bx, by)
+            if n >= 3:
+                pending += 1
+                pend_bits.append(1)  # correction bit: n odd, history even
+            elif n == 0:
+                pending += 1  # no nonzero history: no correction bit
+            else:  # n == 1: newly nonzero coefficient
+                eob_flush(bw, pending)
+                for b in pend_bits:
+                    bw.write(b, 1)
+                pend_bits = []
+                code, nbits = ac_y[0x01]  # run 0, size 1
+                bw.write(code, nbits)
+                bw.write(1, 1)  # sign: positive -> +(1 << Al)
+                pending = 1  # this block's own EOB terminator
+    eob_flush(bw, pending)
+    for b in pend_bits:
+        bw.write(b, 1)
+    scans += seg(0xDA, bytes((1, 1, 0x00, 39, 63, 0x10))) + bw.flush()
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([8] * 64))
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_PROG_LENGTHS) + bytes(_AC_PROG_SYMBOLS))
+    )
+    sof2 = seg(
+        0xC2,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    return b"\xff\xd8" + dqt + dht + sof2 + scans + b"\xff\xd9"
+
+
 def _color_block_mn(ci: int, doc_id: int, bx: int, by: int) -> tuple[int, int]:
     """Per-component (m, n) block formulas shared by the 4:4:4 and 4:2:0
     color synthesizers and their SQL oracles: block coordinates are in the
@@ -1425,11 +1563,15 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
     one dequantization + batched IDCT + emission through the same
     :func:`_jpeg_emit` tail as the baseline decoder.
 
-    Honest subset boundaries, refused LOUDLY: successive-approximation
-    REFINEMENT scans (Ah > 0 -- the correction-bit algorithm) and restart
-    intervals (DRI != 0).  Everything else is the real T.81 progressive
-    model.  Strictness contract as baseline: truncations, missing
-    tables, band violations, trailing bytes after EOI raise."""
+    Successive-approximation refinement scans (Ah > 0) decode too
+    (r15): DC refinement reads one raw bit per block into position Al;
+    AC refinement runs the T.81 G.1.2.3 correction-bit algorithm (new
+    +-(1<<Al) placements among zero-history positions, correction bits
+    for every nonzero-history coefficient passed over, EOBRUN-covered
+    blocks still consuming their corrections).  Refused loudly: restart
+    intervals (DRI != 0) and non-decrementing approximation sequences.
+    Strictness contract as baseline: truncations, missing tables, band
+    violations, trailing bytes after EOI raise."""
     import numpy as np
 
     if content[:2] != b"\xff\xd8":
@@ -1505,15 +1647,101 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
             sel.append((ci, tt >> 4, tt & 0x0F))
         ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
         ah, al = a >> 4, a & 0x0F
-        if ah != 0:
+        if ah != 0 and ah != al + 1:
             raise ValueError(
-                "progressive successive-approximation refinement (Ah > 0) "
-                "not supported; spectral-selection profile only"
+                f"corrupt JPEG: refinement approximation Ah={ah} Al={al}"
             )
         if ss > se or se > 63:
             raise ValueError(f"corrupt JPEG: scan band {ss}..{se}")
         br = _BitReader(data)
-        if ss == 0:
+        if ss == 0 and ah > 0:
+            # DC REFINEMENT scan (T.81 G.1.2.1): one raw bit per block,
+            # ORed into the coefficient at position Al.  No Huffman.
+            if se != 0:
+                raise ValueError("corrupt JPEG: DC scan with Se != 0")
+            if ns == len(comps):
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci, _dc, _ac in sel:
+                            _cid, _qid, hs, vs = comps[ci]
+                            for dy in range(vs):
+                                for dx in range(hs):
+                                    if br.bits(1):
+                                        coeffs[ci][my * vs + dy][mx * hs + dx][0] |= (
+                                            1 << al
+                                        )
+            elif ns == 1:
+                ci = sel[0][0]
+                gh, gw = comp_grid(ci)
+                for by in range(gh):
+                    for bx in range(gw):
+                        if br.bits(1):
+                            coeffs[ci][by][bx][0] |= 1 << al
+            else:
+                raise ValueError(
+                    "unsupported progressive DC scan component subset"
+                )
+        elif ss > 0 and ah > 0:
+            # AC REFINEMENT scan (T.81 G.1.2.3 / libjpeg
+            # decode_mcu_AC_refine): per block, run/size symbols place NEW
+            # +-(1<<Al) coefficients among ZERO-history positions while a
+            # correction bit is read for every nonzero-history coefficient
+            # passed over; EOBn starts a run whose covered blocks still
+            # consume correction bits for their nonzero coefficients.
+            if ns != 1:
+                raise ValueError("corrupt JPEG: interleaved AC scan")
+            ci, _dc, ac_id = sel[0]
+            if (1, ac_id) not in huff:
+                raise ValueError("JPEG scan references missing AC table")
+            tab = huff[(1, ac_id)]
+            gh, gw = comp_grid(ci)
+            p1, n1 = 1 << al, -1 << al
+            eobrun = 0
+
+            def correct(blk, k):
+                c = int(blk[k])
+                if br.bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else n1)
+
+            for by in range(gh):
+                for bx in range(gw):
+                    blk = coeffs[ci][by][bx]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _huff_decode(br, tab)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) + (br.bits(r) if r else 0)
+                                    break
+                                val = 0  # ZRL: skip 16 zero-history slots
+                            elif s == 1:
+                                val = p1 if br.bits(1) else n1
+                            else:
+                                raise ValueError(
+                                    "corrupt JPEG: refinement magnitude > 1"
+                                )
+                            while k <= se:
+                                if blk[k]:
+                                    correct(blk, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # finish this block under the EOB run: corrections
+                        # only, for every nonzero-history coefficient left
+                        while k <= se:
+                            if blk[k]:
+                                correct(blk, k)
+                            k += 1
+                        eobrun -= 1
+        elif ss == 0:
             # DC scan: Se must be 0; interleaved when Ns == ncomp, else a
             # single-component non-interleaved walk
             if se != 0:
@@ -2399,9 +2627,10 @@ def decode_media(content: bytes, media_type: str):
     (grayscale, 4:4:4 color, and 4:2:0/4:2:2 chroma-subsampled via
     replication upsampling); PNG covers sequential and Adam7 layouts.
     Partial-MCU dimensions decode via pad + crop.
-    Progressive (SOF2) spectral-selection scans decode for real.
-    The remaining payload classes (successive-approximation refinement
-    scans, codec video) return header metadata only --
+    Progressive (SOF2) scans decode for real, including
+    successive-approximation refinement.  The remaining payload classes
+    (arithmetic-coded/hierarchical JPEG, codec video) return header
+    metadata only --
     faking pixel output would be worse than refusing, so anything
     unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
     rejects (unsupported variant or a header-only synthetic container)
@@ -2921,15 +3150,17 @@ def jpeg_partial_mcu_stats(docs: DataFrame) -> DataFrame:
 
 
 def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
-    """Progressive-scan twin of :func:`jpeg_color_stats`: every document
-    synthesizes a :func:`synth_jpeg_progressive` image (SOF2, interleaved
-    DC scan + per-component spectral-selection AC scans with EOBRUN
-    coding) and decodes it back through :func:`decode_media` -- the
-    multi-scan coefficient accumulation, the EOBRUN run-length walk, and
-    the non-interleaved per-component grids all cross the external
-    oracle, which is IDENTICAL to mm_jpeg_color_stats's because the
-    pixel class is: one oracle, two entropy organizations.  Scale
-    posture identical to pixel_stats."""
+    """Progressive-scan twin of :func:`jpeg_color_stats`, cycling BOTH
+    progressive entropy organizations on doc_id: even docs a
+    :func:`synth_jpeg_progressive` spectral-selection 4:4:4 color script
+    (interleaved DC scan + per-component banded AC scans with EOBRUN
+    coding) whose pixels equal :func:`synth_jpeg_color`'s; odd docs a
+    :func:`synth_jpeg_progressive_refined` grayscale
+    successive-approximation script where every DC-refinement bit,
+    AC-correction bit, and newly-nonzero placement is worth a FULL pixel
+    step (quant 8).  The oracle carries both arms; a decoder that skips
+    or mis-applies any refinement bit cannot hash-match.  Scale posture
+    identical to pixel_stats."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
@@ -2938,17 +3169,26 @@ def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 w, h = 8 * (did % 3 + 1), 8 * ((5 * did) % 3 + 1)
+                synth = (
+                    synth_jpeg_progressive
+                    if did % 2 == 0
+                    else synth_jpeg_progressive_refined
+                )
+                want_fmt = "jpeg_rgb" if did % 2 == 0 else "jpeg_gray"
                 d = decode_media(
-                    synth_jpeg_progressive(w, h, did),
+                    synth(w, h, did),
                     "application/octet-stream",
                 )
-                if d["fmt"] != "jpeg_rgb" or "pixels" not in d:
+                if d["fmt"] != want_fmt or "pixels" not in d:
                     raise ValueError(
                         f"jpeg_progressive_stats: decode fell back to "
                         f"header metadata for doc {did} "
                         f"(fmt={d.get('fmt')!r})"
                     )
-                vals = [v for px in d["pixels"] for v in px]
+                if did % 2 == 0:
+                    vals = [v for px in d["pixels"] for v in px]
+                else:
+                    vals = d["pixels"]
                 rows.append(
                     (
                         did,

@@ -1239,12 +1239,12 @@ def mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_jpeg_progressive_stats",
     oracle="""
 WITH j AS (
-  SELECT doc_id,
+  SELECT doc_id, doc_id % 2 AS arm,
          CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
          CAST(8 * ((5 * doc_id) % 3 + 1) AS INTEGER) AS height
   FROM documents
 ), px AS (
-  SELECT j.doc_id, j.width, j.height,
+  SELECT j.doc_id, j.arm, j.width, j.height,
          CAST(floor(x.x / 8) AS BIGINT) AS bx,
          CAST(floor(y.y / 8) AS BIGINT) AS by,
          (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
@@ -1252,42 +1252,57 @@ WITH j AS (
   FROM j,
        UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
        UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
-), comp AS (
-  SELECT doc_id, width, height,
-         128 + ((17 * doc_id + 5 * bx + 11 * by) % 129 - 64)
-             + ((7 * doc_id + 3 * bx + by) % 27) * ss AS yv,
-         ((13 * doc_id + 7 * bx + 3 * by) % 101 - 50)
-             + ((11 * doc_id + bx + 5 * by) % 23) * ss AS cb,
-         ((19 * doc_id + 3 * bx + 7 * by) % 101 - 50)
-             + ((5 * doc_id + 9 * bx + by) % 23) * ss AS cr
-  FROM px
-), rgb AS (
-  SELECT doc_id, width, height,
-         GREATEST(0, LEAST(255, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
-         GREATEST(0, LEAST(255, yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
-         GREATEST(0, LEAST(255, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
-  FROM comp
+), color AS (
+  SELECT doc_id, 'jpeg_rgb' AS fmt, width, height,
+         CAST(3 * width * height AS BIGINT) AS n_values,
+         CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+         CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+         CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+  FROM (
+    SELECT doc_id, width, height,
+           GREATEST(0, LEAST(255, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+           GREATEST(0, LEAST(255, yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+           GREATEST(0, LEAST(255, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+    FROM (
+      SELECT doc_id, width, height,
+             128 + ((17 * doc_id + 5 * bx + 11 * by) % 129 - 64)
+                 + ((7 * doc_id + 3 * bx + by) % 27) * ss AS yv,
+             ((13 * doc_id + 7 * bx + 3 * by) % 101 - 50)
+                 + ((11 * doc_id + bx + 5 * by) % 23) * ss AS cb,
+             ((19 * doc_id + 3 * bx + 7 * by) % 101 - 50)
+                 + ((5 * doc_id + 9 * bx + by) % 23) * ss AS cr
+      FROM px WHERE arm = 0
+    )
+  ) GROUP BY doc_id, width, height
+), refined AS (
+  SELECT doc_id, 'jpeg_gray' AS fmt, width, height,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         CAST(SUM(v) AS BIGINT) AS sum_values,
+         CAST(MIN(v) AS INTEGER) AS min_value,
+         CAST(MAX(v) AS INTEGER) AS max_value
+  FROM (
+    SELECT doc_id, width, height,
+           128 + (2 * ((17 * doc_id + 5 * bx + 11 * by) % 60) - 59)
+               + (CASE WHEN (doc_id + bx + by) % 3 = 0 THEN 0
+                  ELSE 2 * ((7 * doc_id + 3 * bx + by) % 13) + 1 END) * ss AS v
+    FROM px WHERE arm = 1
+  ) GROUP BY doc_id, width, height
 )
-SELECT doc_id, 'jpeg_rgb' AS fmt, width, height,
-       CAST(3 * width * height AS BIGINT) AS n_values,
-       CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
-       CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
-       CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
-FROM rgb GROUP BY doc_id, width, height
+SELECT * FROM color UNION ALL SELECT * FROM refined
 """,
-    doc="Progressive (SOF2) JPEG external gate (r15, retiring the last "
-        "JPEG stub item short of successive-approximation refinement): "
-        "every document synthesizes a REAL progressive 4:4:4 JFIF -- one "
-        "interleaved DC scan, then per-component spectral-selection AC "
-        "scans (band 1..38 all-zero, covered by a single EOBn run; band "
-        "39..63 carrying the (4,4) coefficient behind run-0 magnitude "
-        "symbols with EOBRUN terminators extending across blocks) -- and "
-        "decodes it back through the multi-scan coefficient-accumulation "
-        "decoder.  The pixel class and dims equal mm_jpeg_color_stats's, "
-        "so the SAME oracle gates both entropy organizations; a "
-        "mis-accumulated scan, a wrong EOBRUN count, or a band violation "
-        "cannot hash-match.  Refused loudly (documented subset): Ah>0 "
-        "refinement scans and restart intervals.  Scale: narrow "
+    doc="Progressive (SOF2) JPEG external gate (r15, retiring the "
+        "progressive stub entirely): even docs synthesize a REAL "
+        "spectral-selection 4:4:4 script (interleaved DC scan, "
+        "per-component banded AC scans, EOBRUN coding) whose pixels "
+        "equal mm_jpeg_color_stats's class; odd docs a REAL grayscale "
+        "SUCCESSIVE-APPROXIMATION script (Al=1 first scans carrying "
+        "exact halves of odd coefficients under quant 8, then DC-bit "
+        "and AC-correction refinement scans, newly-nonzero +-1 "
+        "placements, and EOB runs that frame their covered blocks' "
+        "correction bits) where EVERY refinement bit is worth a full "
+        "pixel step -- a decoder that skips, mis-orders, or mis-applies "
+        "one bit cannot hash-match.  Refused loudly: restart intervals "
+        "and arithmetic-coded/hierarchical JPEG.  Scale: narrow "
         "Arrow-batched mapInPandas; O(1)-width stats.",
     # New registration (r15): takes a driver slot in its first round per
     # the freshness-era lint rule; orderby_limit_top20_orders sits out to

@@ -1464,10 +1464,18 @@ def test_jpeg_progressive_refusals_are_loud():
     assert len(sos_positions) == 7  # DC + 3x2 AC scans
     last = sos_positions[-1]
     ln = int.from_bytes(blob[last + 2:last + 4], "big")
+    # relabeling a FIRST AC scan as a refinement scan (Ah=1, Al=0) is
+    # structurally valid since r15, but its data stream then carries
+    # magnitude categories > 1, which refinement forbids -- still loud
     blob2 = bytearray(blob)
     blob2[last + 2 + ln - 1] = 0x10  # Ah=1, Al=0
-    with pytest.raises(ValueError, match="refinement"):
+    with pytest.raises(ValueError, match="refinement magnitude"):
         mm.decode_jpeg_gray(bytes(blob2))
+    # a non-decrementing approximation sequence (Ah=2, Al=0) is corrupt
+    blob5 = bytearray(blob)
+    blob5[last + 2 + ln - 1] = 0x20
+    with pytest.raises(ValueError, match="approximation"):
+        mm.decode_jpeg_gray(bytes(blob5))
     # DRI with a nonzero interval refuses
     dri = b"\xff\xdd\x00\x04\x00\x08"
     at = bytes(blob).find(b"\xff\xc2")
@@ -1489,6 +1497,57 @@ def test_jpeg_progressive_truncation_always_raises_fuzz(cutseed):
     import pytest
 
     blob = mm.synth_jpeg_progressive(16, 16, 11)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def _expected_refined_pixels(d, w, h):
+    sgn = lambda x: 1 if x % 4 in (0, 3) else -1  # noqa: E731
+    return [
+        128 + mm._refined_block_mn(d, x // 8, y // 8)[0]
+        + mm._refined_block_mn(d, x // 8, y // 8)[1] * sgn(x % 8) * sgn(y % 8)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 10**9))
+def test_jpeg_progressive_refined_identity_fuzz(wb, hb, doc_id):
+    """Successive-approximation refinement: odd raw coefficients under
+    quant 8 make the decoded raster EXACTLY 128 + m + n*s(x)*s(y) with
+    every refinement/correction bit worth a full pixel step -- the local
+    twin of the mm_jpeg_progressive_stats refined arm."""
+    w, h = 8 * wb, 8 * hb
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_progressive_refined(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray" and d["width"] == w and d["height"] == h
+    assert d["pixels"] == _expected_refined_pixels(doc_id, w, h)
+
+
+def test_jpeg_refinement_bits_are_load_bearing():
+    """Flipping ONE DC-refinement bit must change the decoded raster by
+    exactly one pixel step in one block -- proves the refinement path is
+    consumed AND applied, not skipped (quant 8 makes the bit decisive)."""
+    blob = mm.synth_jpeg_progressive_refined(8, 8, 3)
+    base = mm.decode_jpeg_gray(blob)
+    # second SOS is the DC refinement scan; its entropy data starts right
+    # after the header (2 marker + declared length)
+    i = blob.find(b"\xff\xda", blob.find(b"\xff\xda") + 2)
+    data_at = i + 2 + int.from_bytes(blob[i + 2:i + 4], "big")
+    patched = bytearray(blob)
+    patched[data_at] ^= 0x80  # first block's DC refinement bit 1 -> 0
+    got = mm.decode_jpeg_gray(bytes(patched))
+    diffs = [a - b for a, b in zip(base["pixels"], got["pixels"])]
+    assert set(diffs) == {1}  # whole 8x8 block dropped by exactly 1
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_progressive_refined_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_progressive_refined(16, 16, 11)
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(blob[:cut])
