@@ -1239,7 +1239,8 @@ LIMIT 20
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_tfidf_top_terms",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1711,7 +1712,8 @@ LIMIT 50
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_tfidf_top_terms",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -1972,7 +1974,8 @@ FROM l2
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_tfidf_top_terms",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_zipf_fit",
 )
 def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())

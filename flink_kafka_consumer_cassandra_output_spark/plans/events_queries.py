@@ -82,7 +82,8 @@ GROUP BY 1, 2, 3
     driver=False,
     # r12 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="date_functions_orders",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -129,7 +130,8 @@ GROUP BY 1, 2
     # green; ev_session_windows -- the r15-promoted time-window anchor --
     # covers the window-assignment machinery driver-side).
     driver=False,
-    sibling="ev_session_windows",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -175,6 +177,10 @@ GROUP BY user_id, session_id
         "sum of session starts).  Spark session semantics: start = first "
         "event, end = last event + gap",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -530,7 +536,8 @@ FROM grid
     driver=False,
     # r15 sibling re-point: prior anchor sat out for ev_cusum_alarm_minute;
     # ev_session_windows is the driver-side time-window anchor.
-    sibling="ev_session_windows",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
@@ -683,7 +690,8 @@ GROUP BY p.user_id, p.exact_cnt
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="approx_distinct_parts",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_quantiles_price",
 )
 def ev_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1391,7 +1399,8 @@ FROM corrected
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="approx_distinct_parts",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_quantiles_price",
 )
 def ev_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1792,7 +1801,8 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="date_functions_orders",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _dense_hourly_counts(_ev(spark, sf_dir))
@@ -2547,7 +2557,8 @@ GROUP BY event_type
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="ev_session_windows",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2694,7 +2705,8 @@ GROUP BY h.hr
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="approx_distinct_parts",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_quantiles_price",
 )
 def ev_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2819,7 +2831,8 @@ FROM slot, tot
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="date_functions_orders",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())

@@ -137,6 +137,10 @@ GROUP BY lang, lang_pred
     doc="north-star language-ID: marker-lexicon argmax (deterministic "
         "tiebreak) cross-tabulated against the declared lang column",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_char_kl_gibberish",
 )
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -166,7 +170,8 @@ FROM h
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_near_dup_minhash_lsh",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_near_dup_simhash",
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -231,11 +236,7 @@ WHERE hamming <= {SIM.SIMHASH_RADIUS} AND jaccard >= 0.5
         "bit sketch); recall pinned in tests/test_similarity.py.  Scale: "
         "never-all-pairs -- band equi-join candidates, verify touches "
         "candidates only",
-    # r8 driver-slot rotation: banded-sketch near-dup family; clusters compose the verified pairs.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_near_dup_minhash_lsh",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -292,6 +293,10 @@ FROM documents
         "the token stream, order-sensitive — complements the md5 "
         "fingerprint); per-row fold, no shuffle, exact int64 parity",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_near_dup_simhash",
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -321,6 +326,10 @@ GROUP BY fingerprint
         "snapshot); converges to one representative (min doc_id) per "
         "fingerprint with n_copies=2. Scale: one shuffle on the digest",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_dedup_keep_best",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -382,6 +391,10 @@ WHERE jaccard >= 0.5
         "(band_id, band_value) equi-join; exact Jaccard touches candidates "
         "only.  Recall vs brute force pinned in tests/test_similarity.py",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_near_dup_simhash",
 )
 def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -526,6 +539,10 @@ SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM pairs
         "Equality with brute-force all-pairs pinned in "
         "tests/test_similarity.py",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_near_dup_simhash",
 )
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verified_pairs(spark, sf_dir).select(
@@ -638,6 +655,10 @@ WHERE rank <= 3
         "and the n_docs scalar rides along as a broadcast, never a "
         "driver-side collect",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_zipf_fit",
 )
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -682,10 +703,7 @@ WHERE rank <= 10
         "row_number -- one shuffle on lang; at 100 TB the same pattern "
         "hash-filters WITHOUT the window (bucket < k) when exact quotas "
         "aren't required",
-    # r8 driver-slot rotation: per-source deterministic sampling family, driver-checked there.
-    driver=False,
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_split_assignment",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -868,6 +886,10 @@ WHERE ks.k * 256 < length(d.text)
         "the oracle slices TEXT at k*256, valid because the media "
         "content is UTF-8 of ASCII fixture text.",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="mm_jpeg_ac_stats",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -895,6 +917,10 @@ FROM documents
         "path); the real codec decode is stubbed (operators/multimodal.py), "
         "but the batch plumbing is oracle-checked via header-level features",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="mm_jpeg_color_stats",
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -940,7 +966,8 @@ FROM documents
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="mm_media_features",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="mm_jpeg_color_stats",
 )
 def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_headers(_docs(spark, sf_dir))
@@ -1062,7 +1089,8 @@ UNION ALL SELECT * FROM jpeg_stats
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="mm_frame_sample",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="mm_jpeg_ac_stats",
 )
 def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_stats(_docs(spark, sf_dir))
@@ -1719,7 +1747,8 @@ WHERE rank <= 3
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_top_similar_pairs",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1795,7 +1824,8 @@ FROM topk WHERE rank = 1
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="emb_top_similar_pairs",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -2342,6 +2372,10 @@ LIMIT 100
         "equi-join is the IVF-style bucketing -- pairs never cross buckets, "
         "so the join co-partitions on label instead of a corpus cross join",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2917,7 +2951,8 @@ FROM (
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_near_dup_minhash_lsh",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_near_dup_simhash",
 )
 def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -3603,7 +3638,8 @@ WHERE r = 1
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="emb_top_similar_pairs",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -3947,11 +3983,8 @@ FROM ({arms})"""
         "shared across the three probe arms: without the truncation the "
         "3-iteration Lloyd-training lineage re-executes per arm (4x the "
         "scans at cluster scale).",
-    # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
-    # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
-    # cycle -- multi-round veteran sits out for a stale re-verification.
-    driver=False,
-    sibling="emb_ann_ivf",
+    # r16 interim promote (VERDICT r15 task 6): ANN recall certificate
+    # cycles back through a driver slot (last driver-checked r9).
 )
 def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, c, assigned = _ivf16(spark, sf_dir)
@@ -4075,7 +4108,8 @@ FROM r2, x{iters} x"""
     # by emb_knn_classifier / emb_ann_ivf on the surface.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_top_similar_pairs",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk_arrow",
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -4277,6 +4311,10 @@ WITH q AS (
         "operates on the rebroadcast 12-row candidate frame and its "
         "132-row pairwise-sim table -- constant-bounded, zero further "
         "corpus contact, no collect beyond the guarded codebook pattern.",
+    # r16 interim sit-out: paired with the emb_ann_recall_curve
+    # promote (VERDICT r15 task 6); re-enters the queue at age 1.
+    driver=False,
+    sibling="emb_ann_recall_curve",
 )
 def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)

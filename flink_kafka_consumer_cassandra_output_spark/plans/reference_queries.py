@@ -40,11 +40,7 @@ WHERE stanza IS NOT NULL
 """,
     doc="O5+O6+O10: detail-row projection without the (non-SQL) cipher column "
         "(CassandraOutputFormat.java:101-132)",
-    # r7 driver-slot rotation: same pipeline prefix (O5/O6/O9), driver-checked there.
-    driver=False,
-    # r10 sibling re-point: the decrypt-verified superset of the same projection.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="msg_detail_encrypted",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=False).drop("stanza")
@@ -259,11 +255,7 @@ SELECT
         "vice versa (SURVEY.md section 5 case 5); both counts must be 0. "
         "Single-plan form: one groupBy + one full_outer join + one aggregate "
         "-- no driver-side counts, no double pipeline recompute",
-    # r7 driver-slot rotation: the summary sink IS one of its two sinks, driver-checked there.
-    driver=False,
-    # r10 sibling re-point: detail sink side pinned row-for-row there; dual-sink consistency also one-pass streaming-test-gated.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="msg_summary_first",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def msg_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -301,10 +293,7 @@ GROUP BY t.type_name
 """,
     doc="O22 as a broadcast dimension join (the lookup-DataFrame form of the "
         "taxonomy; BHJ, no shuffle of the fact side)",
-    # r7 driver-slot rotation: same 18-code taxonomy, CASE form driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="msg_type_taxonomy",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)

@@ -97,7 +97,8 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
     # r10 driver-slot rotation: correlated scalar-subquery threshold family keeps q22.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -157,7 +158,8 @@ GROUP BY o_orderpriority
     # r9 driver-slot rotation: EXISTS family keeps q21 + sql_correlated_exists.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -198,7 +200,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -249,7 +252,8 @@ GROUP BY supp_nation, cust_nation, l_year
     driver=False,
     # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -324,7 +328,8 @@ GROUP BY o_year
     # r10 driver-slot rotation: multi-dim join-agg family keeps q9.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -407,7 +412,8 @@ GROUP BY n_name, o_year
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -470,7 +476,8 @@ LIMIT 20
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -531,7 +538,8 @@ WHERE pv * (SELECT COUNT(*) FROM v) > (SELECT SUM(pv) FROM v) * 2
     # r10 driver-slot rotation: global scalar-subquery HAVING threshold family keeps q22.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -584,7 +592,8 @@ GROUP BY lag_class
     # r10 sibling re-point: CASE-bucketed conditional aggregation family, driver-checked there.
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -633,7 +642,8 @@ GROUP BY c_count
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -680,7 +690,8 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -780,7 +791,8 @@ WHERE p_brand = 'Brand#5'
     driver=False,
     # r9 sibling re-point: per-group scalar-subquery threshold family, driver-checked there.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -893,7 +905,8 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -948,7 +961,8 @@ WHERE n_name = 'NATION_7'
     # r9 driver-slot rotation: nested-subquery family keeps q22.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
@@ -1003,7 +1017,8 @@ GROUP BY s_name
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1080,7 +1095,8 @@ GROUP BY c_mktsegment
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -1288,7 +1304,8 @@ FROM pick p JOIN exact e ON e.q = p.q
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="approx_distinct_parts",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="approx_quantiles_price",
 )
 def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (

@@ -63,6 +63,10 @@ GROUP BY l_returnflag, l_linestatus
     doc="TPC-H Q1 pricing summary: multi-aggregate hash aggregation with "
         "decimal-exact sums/avgs; map-side partial agg into a 6-group shuffle",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="q5_revenue_by_nation",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-02"))
@@ -205,6 +209,10 @@ GROUP BY l_returnflag
         "tests/test_approx.py.  The exact column exists FOR the certificate "
         "-- production users keep only the sketch and skip that pass",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="approx_quantiles_price",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -239,6 +247,10 @@ FROM o
         "cells, so NULLIF manufactures them in-query -- these are exactly "
         "the semantics a user silently relies on when switching engines",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="scalar_subquery_above_avg_balance",
 )
 def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -287,7 +299,8 @@ AND NOT EXISTS (
     # r10 driver-slot rotation: EXISTS/NOT EXISTS family keeps the harder q21 self-join plan.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
@@ -341,6 +354,10 @@ FROM s
         "this is also the 100 TB-correct formulation -- one pass, map-side "
         "partial sums, no second pass for the mean",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="distinct_agg_lineitem",
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -390,6 +407,10 @@ WHERE o_orderkey % 100 = 0
         "reconciled explicitly (dayofweek - 1), the kind of off-by-one "
         "convention divergence the oracle gate exists to pin",
     # r15 rotation: promoted for stale re-verification (tools/r15_rotation_plan.md).
+    # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="asof_last_order_before_event",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -439,12 +460,7 @@ GROUP BY o_orderstatus
         "pinned by tests/test_approx.py's rank-error test.  Scale: one "
         "sketch aggregation + one broadcast-join counting pass, both "
         "shuffle-on-status",
-    # r7 driver-slot rotation: percentile family: the exact sort-based form is driver-checked.
-    driver=False,
-    # r10 sibling re-point: approximate-quantile family proper, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="approx_distinct_parts",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
@@ -513,10 +529,7 @@ FROM nation
         "SHORT strings -- titles, names -- where shingle Jaccard is too "
         "coarse; O(len^2) per pair, so at scale it only ever runs on "
         "candidate pairs, never all-pairs)",
-    # r7 driver-slot rotation: string-function family incl. edit distance, driver-checked there.
-    driver=False,
-    # r10 sibling re-point: string normalization family used by the ER blocking stage.
-    sibling="cust_entity_resolution",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def str_functions_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
@@ -546,11 +559,7 @@ GROUP BY l_returnflag
 """,
     doc="multiple exact COUNT(DISTINCT) in one aggregate (Catalyst plans one "
         "Expand + two-phase distinct aggregation, not N scans)",
-    # r7 driver-slot rotation: multi-COUNT-DISTINCT, driver-checked there.
-    driver=False,
-    # r9 sibling re-point: multi-COUNT-DISTINCT agg family, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="agg_cube_orders",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -586,12 +595,7 @@ GROUP BY n_name
         "broadcast hints; customer and supplier grow with SF (150k/10k x SF "
         "-- ~15B/1B rows at 100 TB), so AQE picks BHJ vs SMJ from runtime "
         "sizes instead of a hint that would OOM the driver at scale.",
-    # r7 driver-slot rotation: multi-way broadcast revenue join family, driver-checked there.
-    driver=False,
-    # r9 sibling re-point: multi-dim join-agg family, driver-checked there.
-    # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -643,11 +647,7 @@ GROUP BY ship_month
         "(tests/test_bucketing.py demonstrates the mechanism).  promo_pct "
         "is one double multiply + one divide of exact decimal sums, so "
         "cross-engine parity is exact",
-    # r7 driver-slot rotation: part|x|lineitem conditional revenue, driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -696,7 +696,8 @@ LIMIT 10
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 sibling re-point: prior anchor demoted this rotation.
+    sibling="q5_revenue_by_nation",
 )
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
@@ -765,11 +766,7 @@ WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')} FROM customer)
     doc="scalar-subquery predicate: customers above the global average "
         "balance (decimal-exact avg so the threshold is bit-identical); "
         "Spark side: broadcast 1-row aggregate cross join",
-    # r7 driver-slot rotation: scalar-subquery HAVING threshold, driver-checked there.
-    driver=False,
-    # r10 sibling re-point: the same AVG-threshold scalar subquery, driver-checked there.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -836,10 +833,7 @@ WHERE rk <= 3
     doc="top-k per group via row_number (k=3; o_orderkey tiebreak per the "
         "registry determinism contract). Scale: rank-then-filter shuffles "
         "once on the group key; no global sort",
-    # r7 driver-slot rotation: per-key top-k/threshold family, driver-checked there.
-    driver=False,
-    # r15 sibling re-point: prior anchor sat out for mm_jpeg_progressive_stats.
-    sibling="window_order_running_total",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -875,11 +869,7 @@ FROM orders
         "epoch seconds because Spark's rangeBetween takes numeric offsets.  "
         "Scale: one shuffle + sort per customer partition, frame evaluated "
         "by a sliding accumulator, decimal-exact sums",
-    # r7 driver-slot rotation: running-window cumsum family, driver-checked there (inverse of its old mapping).
-    driver=False,
-    # r8 sibling re-point: range-frame window family, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="window_order_running_total",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -964,11 +954,7 @@ WHERE rn = 1
         "-- the range never becomes a cross product because the equi-key "
         "partitions the join. 100 TB shape: shuffle both sides on the user "
         "key once; the window touches only each event's own matches",
-    # r7 driver-slot rotation: funnel COMPOSES the as-of match, checked transitively.
-    driver=False,
-    # r8 sibling re-point: as-of IS the interval-join special case, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_scd2_state_durations",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
@@ -1034,10 +1020,7 @@ SELECT 'done_only' AS activity, o_custkey FROM (SELECT * FROM done_c EXCEPT SELE
 """,
     doc="set operations: INTERSECT + EXCEPT + UNION ALL classifying customers "
         "by order-status activity; distinct key sets keep inputs small",
-    # r7 driver-slot rotation: customer-activity set membership, driver-checked there.
-    driver=False,
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="q1_pricing_summary",
+    # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
 )
 def set_ops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")

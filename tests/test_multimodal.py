@@ -1551,3 +1551,108 @@ def test_jpeg_progressive_refined_truncation_always_raises_fuzz(cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_jpeg_gray(blob[:cut])
+
+
+# ---------------------------------------------------------------------------
+# r16: decode_media strict mode + DRI naming (VERDICT r15 task 3, ADVICE r15)
+# ---------------------------------------------------------------------------
+
+
+def _corrupt_entropy(blob: bytes) -> bytes:
+    """Truncate a JPEG/PNG/GIF payload mid-body so the real decoder
+    rejects it but the header parser still sees valid dimensions."""
+    return blob[: len(blob) - 4]
+
+
+def test_decode_media_strict_raises_where_lenient_degrades():
+    """VERDICT r15 'What's wrong' #2: corrupt bytes in a recognized
+    container degrade to header metadata by default; strict=True raises
+    the decoder's ValueError instead."""
+    import pytest
+
+    cases = [
+        _corrupt_entropy(mm.synth_jpeg_color(16, 16, 7)),
+        _corrupt_entropy(mm.synth_png_rgb(6, 5, 3)),
+        _corrupt_entropy(mm.synth_gif_indexed(7, 4, 9)),
+    ]
+    for blob in cases:
+        lenient = mm.decode_media(blob, "x")
+        assert "pixels" not in lenient  # degraded to header metadata
+        with pytest.raises(ValueError):
+            mm.decode_media(blob, "x", strict=True)
+
+
+def test_decode_media_strict_non_pcm_wav_raises():
+    """strict mode also covers the documented non-PCM WAV fallthrough."""
+    import pytest
+
+    blob = bytearray(mm.synth_wav(1, 8000, 16, bytes(4)))
+    fmt_off = blob.index(b"fmt ") + 8
+    blob[fmt_off : fmt_off + 2] = (3).to_bytes(2, "little")
+    assert mm.decode_media(bytes(blob), "x")["fmt"] == "wav"
+    with pytest.raises(ValueError):
+        mm.decode_media(bytes(blob), "x", strict=True)
+
+
+def test_decode_media_strict_passes_clean_payloads():
+    """strict must be a no-op on payloads the real decoders accept."""
+    for blob, fmt in [
+        (mm.synth_jpeg_color(16, 16, 7), "jpeg_rgb"),
+        (mm.synth_jpeg_gray_ac(16, 8, 5), "jpeg_gray"),
+        (mm.synth_bmp(3, 2, 1), "bmp"),
+        (mm.synth_wav(1, 8000, 16, bytes(8)), "wav_pcm"),
+    ]:
+        assert mm.decode_media(blob, "x", strict=True)["fmt"] == fmt
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_decode_media_strict_truncation_fuzz(cutseed):
+    """Fuzz pin for BOTH modes: any strict-prefix cut of a color JPEG
+    either still decodes (cut inside trailing padding) or raises in
+    strict mode, while lenient mode never raises once the header parses."""
+    import pytest
+
+    blob = mm.synth_jpeg_color(16, 16, 11)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    prefix = blob[:cut]
+    try:
+        strict_result = mm.decode_media(prefix, "x", strict=True)
+        strict_raised = False
+    except (ValueError, NotImplementedError):
+        strict_raised = True
+    if not strict_raised:
+        assert "pixels" in strict_result or strict_result["fmt"] != "jpeg_rgb"
+    # lenient mode on the same prefix: header metadata or a decode,
+    # never an escape of the pixel decoder's ValueError
+    try:
+        lenient = mm.decode_media(prefix, "x")
+    except NotImplementedError:
+        pass  # cut shorter than any recognizable header: allowed
+    else:
+        assert isinstance(lenient, dict) and "fmt" in lenient
+
+
+def test_baseline_dri_zero_interval_decodes():
+    """A DRI segment with interval 0 is a legal no-op the baseline walk
+    must tolerate (ADVICE r15: previously skipped, then misattributed)."""
+    blob = mm.synth_jpeg_gray(8, 8, 3)
+    sos_at = blob.index(b"\xff\xda")
+    dri = bytes((0xFF, 0xDD, 0x00, 0x04, 0x00, 0x00))
+    patched = blob[:sos_at] + dri + blob[sos_at:]
+    d = mm.decode_jpeg_gray(patched)
+    assert d["pixels"] == mm.decode_jpeg_gray(blob)["pixels"]
+
+
+def test_baseline_dri_nonzero_interval_named_unsupported():
+    """ADVICE r15: a nonzero restart interval must be refused BY NAME at
+    the DRI segment, not misattributed as 'unexpected marker' corruption
+    at the first RST marker inside entropy data."""
+    import pytest
+
+    blob = mm.synth_jpeg_gray(8, 8, 3)
+    sos_at = blob.index(b"\xff\xda")
+    dri = bytes((0xFF, 0xDD, 0x00, 0x04, 0x00, 0x02))
+    patched = blob[:sos_at] + dri + blob[sos_at:]
+    with pytest.raises(ValueError, match="restart intervals not supported"):
+        mm.decode_jpeg_gray(patched)

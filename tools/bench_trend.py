@@ -204,8 +204,22 @@ def _sql_table_refs(sql: str) -> set[str]:
     refs: set[str] = set()
     # FROM a, b JOIN c ... — capture the identifier list after FROM and
     # each identifier after JOIN.  CTE/subquery parens yield no match.
-    for m in re.finditer(r"\bfrom\s+([a-z_][a-z_0-9]*(?:\s*,\s*[a-z_][a-z_0-9]*)*)", s):
-        refs.update(t.strip() for t in m.group(1).split(","))
+    # Each comma-list element may carry an alias ("FROM orders o,
+    # lineitem l") — capture the first identifier of each element and
+    # drop the alias (ADVICE r15: the old regex stopped the list at the
+    # first alias, keeping only the first table).
+    _kw = {"join", "where", "group", "order", "having", "limit",
+           "union", "intersect", "except", "on", "using", "qualify",
+           "window", "cross", "inner", "left", "right", "full", "natural"}
+    for m in re.finditer(
+        r"\bfrom\s+([a-z_][a-z_0-9]*(?:\s+[a-z_][a-z_0-9]*)?"
+        r"(?:\s*,\s*[a-z_][a-z_0-9]*(?:\s+[a-z_][a-z_0-9]*)?)*)",
+        s,
+    ):
+        for elem in m.group(1).split(","):
+            first = elem.split()[0] if elem.split() else ""
+            if first and first not in _kw:
+                refs.add(first)
     for m in re.finditer(r"\bjoin\s+([a-z_][a-z_0-9]*)", s):
         refs.add(m.group(1))
     return refs

@@ -49,7 +49,10 @@ def entry_is_green(v) -> bool:
     if v.get("err") == "no_oracle":
         # Driver-side rows-only shape: the query RAN (spark_rows is a
         # real count); there is simply no DuckDB oracle by design.
-        return isinstance(v.get("spark_rows"), int) and v["spark_rows"] >= 0
+        # bool is an int subclass: {'spark_rows': true} must NOT count
+        # as a real row count (ADVICE r15).
+        rows = v.get("spark_rows")
+        return isinstance(rows, int) and not isinstance(rows, bool) and rows >= 0
     return (
         bool(v.get("rows_match"))
         and v.get("schema_match") is not False
