@@ -397,6 +397,85 @@ def synth_png_rgb(
     )
 
 
+def synth_png_rgb_filtered(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL PNG exercising ALL FIVE scanline filters: row ``y`` is
+    encoded with filter type ``(y + doc_id) % 5``, the filter math applied
+    at encode time (filtered byte = raw - predictor, mod 256), so the
+    decoder must invert None/Sub/Up/Average/Paeth to recover the raster.
+    The pixel pattern is :func:`synth_bmp`'s
+    (``r=(d+x+y)%256, g=(3d+7x)%256, b=(5y+d)%256``), which makes the
+    decoded stats a closed form a SQL oracle replays without bytes --
+    the filtered encoding is an on-the-wire choice the pattern never
+    sees.  ``synth_png_rgb`` keeps filter-0 rows; this variant exists so
+    a driver gate covers the Sub/Up/Average/Paeth reconstruction paths
+    (r16: the hybrid-numpy unfilter landed; this pins it externally)."""
+    import zlib
+
+    bpp = 3
+    stride = width * bpp
+
+    def rowbytes(y: int) -> bytes:
+        out = bytearray()
+        for x in range(width):
+            out += bytes(
+                (
+                    (doc_id + x + y) % 256,
+                    (3 * doc_id + 7 * x) % 256,
+                    (5 * y + doc_id) % 256,
+                )
+            )
+        return bytes(out)
+
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        cur = rowbytes(y)
+        ft = (y + doc_id) % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += cur
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((cur[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (
+                    cur[i]
+                    - (((cur[i - bpp] if i >= bpp else 0) + prior[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = cur
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes((8, 2, 0, 0, 0))
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_bmp(content: bytes) -> dict:
     """Pure-Python pixel decode of an uncompressed 24-bit BMP.
 
@@ -3300,6 +3379,56 @@ def jpeg_420_stats(docs: DataFrame) -> DataFrame:
                         f"jpeg_420_stats: decode fell back to header "
                         f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
                         "the subsampled decode must not silently degrade"
+                    )
+                vals = [v for px in d["pixels"] for v in px]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def png_filtered_stats(docs: DataFrame) -> DataFrame:
+    """PNG scanline-filter gate (r16): every document synthesizes a
+    :func:`synth_png_rgb_filtered` image -- row ``y`` encoded with filter
+    type ``(y + doc_id) % 5``, so with ``height >= 5`` every image
+    exercises all five reconstruction paths (None/Sub/Up/Average/Paeth,
+    including the r16 hybrid-numpy Sub/Up) -- decodes it back through
+    :func:`decode_media` in strict mode, and emits exact integer stats
+    over the flattened RGB values.  The filters are an on-the-wire
+    encoding of :func:`synth_bmp`'s closed-form pixel pattern, so the
+    DuckDB oracle replays the stats arithmetically and the hash gate
+    proves the full unfilter inversion byte-for-byte.  Scale posture
+    identical to the JPEG gates: narrow Arrow-batched mapInPandas,
+    O(1)-width stats cross to the JVM, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 13 + 4, (3 * did) % 11 + 5
+                d = decode_media(
+                    synth_png_rgb_filtered(w, h, did),
+                    "application/octet-stream",
+                    strict=True,
+                )
+                if d["fmt"] != "png" or "pixels" not in d:
+                    raise ValueError(
+                        f"png_filtered_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the filtered decode must not silently degrade"
                     )
                 vals = [v for px in d["pixels"] for v in px]
                 rows.append(

@@ -1263,6 +1263,48 @@ FROM rgb GROUP BY doc_id, width, height
 def mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_420_stats(_docs(spark, sf_dir))
 
+
+@register(
+    "mm_png_filtered_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+         CAST((3 * doc_id) % 11 + 5 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         (j.doc_id + x.x + y.y) % 256 AS r,
+         (3 * j.doc_id + 7 * x.x) % 256 AS g,
+         (5 * y.y + j.doc_id) % 256 AS b
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+)
+SELECT doc_id, 'png' AS fmt, width, height,
+       CAST(3 * width * height AS BIGINT) AS n_values,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+       CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+       CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+FROM px GROUP BY doc_id, width, height
+""",
+    doc="PNG scanline-filter external gate (r16): every document "
+        "synthesizes a REAL PNG whose row y is encoded with filter type "
+        "(y + doc_id) % 5 -- the filter math applied at encode time -- so "
+        "with height >= 5 every image forces the decoder through all five "
+        "reconstruction paths (None/Sub/Up/Average/Paeth, including the "
+        "r16 hybrid-numpy Sub/Up).  The filters are an on-the-wire "
+        "encoding of the synth_bmp closed-form pattern, so the oracle "
+        "replays the stats arithmetically and the hash proves the "
+        "unfilter inversion byte-for-byte.  Scale: narrow Arrow-batched "
+        "mapInPandas; O(1)-width stats cross to the JVM, never pixels.",
+    # New registration (r16): takes a driver slot in its first round per
+    # the freshness-era lint rule; join_anti_quiet_customers sits out to
+    # hold the surface at 50.
+)
+def mm_png_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.png_filtered_stats(_docs(spark, sf_dir))
+
 @register(
     "mm_jpeg_progressive_stats",
     oracle="""

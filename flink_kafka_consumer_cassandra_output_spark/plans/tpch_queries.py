@@ -721,8 +721,10 @@ WHERE EXISTS (
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
     # r15 driver-slot rotation (tools/r15_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_png_filtered_stats registration.
     driver=False,
-    sibling="join_anti_quiet_customers",
+    sibling="set_ops_customer_activity",
 )
 def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -747,6 +749,10 @@ WHERE NOT EXISTS (
         "The build side is date-pruned before the join",
     # (NOT EXISTS decorrelates to exactly this join); DataFrame form is local.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r16 interim sit-out: paired with the new mm_png_filtered_stats
+    # first-round registration; re-enters the freshness queue at age 1.
+    driver=False,
+    sibling="set_ops_customer_activity",
 )
 def join_anti_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")

@@ -1656,3 +1656,53 @@ def test_baseline_dri_nonzero_interval_named_unsupported():
     patched = blob[:sos_at] + dri + blob[sos_at:]
     with pytest.raises(ValueError, match="restart intervals not supported"):
         mm.decode_jpeg_gray(patched)
+
+
+# ---------------------------------------------------------------------------
+# r16: filtered-PNG gate locals (mm_png_filtered_stats)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 40), st.integers(5, 24), st.integers(0, 10**12))
+def test_png_filtered_decode_identity_fuzz(w, h, doc_id):
+    """synth_png_rgb_filtered encodes row y with filter (y+doc_id)%5; the
+    decoder must invert all five reconstructions back to the synth_bmp
+    closed-form pattern exactly (h >= 5 forces every filter type)."""
+    d = mm.decode_media(mm.synth_png_rgb_filtered(w, h, doc_id), "x", strict=True)
+    assert d["fmt"] == "png" and d["width"] == w and d["height"] == h
+    exp = [
+        (
+            (doc_id + x + y) % 256,
+            (3 * doc_id + 7 * x) % 256,
+            (5 * y + doc_id) % 256,
+        )
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert d["pixels"] == exp
+
+
+def test_png_filtered_uses_all_five_filter_types():
+    """The gate's contract: with height >= 5 the encoded raster contains
+    every filter tag 0..4 (read them back out of the decompressed IDAT)."""
+    import zlib
+
+    blob = mm.synth_png_rgb_filtered(6, 7, 3)
+    idat_at = blob.index(b"IDAT")
+    ln = int.from_bytes(blob[idat_at - 4 : idat_at], "big")
+    raw = zlib.decompress(blob[idat_at + 4 : idat_at + 4 + ln])
+    stride = 6 * 3
+    tags = {raw[r * (stride + 1)] for r in range(7)}
+    assert tags == {0, 1, 2, 3, 4}
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_png_filtered_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_png_rgb_filtered(9, 8, 13)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_png(blob[:cut])
