@@ -31,7 +31,9 @@ progressive (SOF2) scans -- spectral selection AND
 successive-approximation refinement -- decode via multi-scan
 coefficient accumulation, gated by ``mm_jpeg_progressive_stats``.
 JPEG is decode-complete for the sequential + progressive Huffman
-family; the remaining stub is restart intervals, arithmetic-coded /
+family INCLUDING restart intervals (r16: baseline and progressive
+DRI/RST decode for real, gated two-arm by ``mm_jpeg_restart_stats``);
+the remaining stub is arithmetic-coded /
 hierarchical JPEG (exotic), and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
@@ -790,6 +792,71 @@ def synth_jpeg_gray(width: int, height: int, doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
 
 
+def synth_jpeg_gray_restart(
+    width: int, height: int, doc_id: int, interval: int | None = None
+) -> bytes:
+    """:func:`synth_jpeg_gray`'s image class (constant DC-only blocks,
+    value ``(31*doc_id + 7*bx + 13*by) % 256``) encoded WITH restart
+    intervals (r16): a DRI segment declares ``interval`` MCUs per
+    entropy-coded segment (default ``doc_id % 4 + 1``), each segment's
+    bitstream is independently 1-fill padded to a byte boundary, RSTn
+    markers (n cycling 0..7) separate consecutive segments, and the DC
+    predictor resets to 0 at every boundary per T.81 E.2.4 -- so a
+    decoder that ignores the reset (or the markers, or the byte
+    alignment) decodes wrong values, not merely an error.  Same closed
+    form as synth_jpeg_gray, so the two share an oracle shape."""
+    ri = interval if interval is not None else doc_id % 4 + 1
+    if ri <= 0:
+        raise ValueError("restart interval must be positive")
+    dc_codes = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_LENGTHS, _AC_SYMBOLS)
+    segments: list[bytes] = []
+    bw = _BitWriter()
+    prev_dc = 0
+    count = 0
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            if count and count % ri == 0:
+                segments.append(bw.flush())
+                bw = _BitWriter()
+                prev_dc = 0
+            v = (31 * doc_id + 7 * bx + 13 * by) % 256
+            dc = 8 * (v - 128)
+            diff = dc - prev_dc
+            prev_dc = dc
+            t = _jpeg_category(diff)
+            code, nbits = dc_codes[t]
+            bw.write(code, nbits)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, nbits = ac_codes[0x00]
+            bw.write(code, nbits)
+            count += 1
+    segments.append(bw.flush())
+    scan = bytearray()
+    for i, segdata in enumerate(segments):
+        scan += segdata
+        if i < len(segments) - 1:
+            scan += bytes((0xFF, 0xD0 + (i % 8)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_LENGTHS) + bytes(_AC_SYMBOLS))
+    )
+    sof0 = seg(
+        0xC0,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    dri = seg(0xDD, ri.to_bytes(2, "big"))
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dht + sof0 + dri + sos + bytes(scan) + b"\xff\xd9"
+
+
 #: AC table for the AC-bearing synthesizer: EOB, ZRL, and run-6 symbols
 #: for coefficient categories 1..9, all at code length 4 (11 codes, valid
 #: canonical space).  The decoder reads whatever DHT declares.
@@ -1210,6 +1277,123 @@ def synth_jpeg_progressive_refined(width: int, height: int, doc_id: int) -> byte
     return b"\xff\xd8" + dqt + dht + sof2 + scans + b"\xff\xd9"
 
 
+def synth_jpeg_progressive_restart(
+    width: int, height: int, doc_id: int, interval: int | None = None
+) -> bytes:
+    """A REAL progressive GRAYSCALE JFIF with RESTART INTERVALS (r16) in
+    every scan: a DRI segment declares ``interval`` units per segment
+    (default ``doc_id % 3 + 1``; a unit is an MCU in the interleaved DC
+    scan and a block in the AC scans -- identical counts for grayscale),
+    each scan's entropy data is split into independently byte-aligned
+    segments separated by RSTn markers cycling 0..7, the DC predictor
+    resets at every boundary, and EOB runs NEVER cross a boundary (the
+    per-segment flush is load-bearing: the decoder raises if a run
+    crosses).  Block class is :func:`_refined_block_mn` under all-8
+    quant encoded at Al=0 (no refinement), so the decoded raster is
+    EXACTLY ``128 + m + n*s(x)*s(y)`` -- the successive-approximation
+    gate's closed form, shared with its oracle.  Script: DC first ->
+    AC band 1..38 first (all-zero EOB runs, per-segment) -> AC band
+    39..63 first (``n`` at the band head, EOB terminators
+    per-segment)."""
+    ri = interval if interval is not None else doc_id % 3 + 1
+    if ri <= 0:
+        raise ValueError("restart interval must be positive")
+    dc_y = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    ac_y = _canonical_codes(_AC_PROG_LENGTHS, _AC_PROG_SYMBOLS)
+    bh, bwid = (height + 7) // 8, (width + 7) // 8
+    nblk = bh * bwid
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def eob_flush(bw: _BitWriter, run: int) -> None:
+        if not run:
+            return
+        r = run.bit_length() - 1
+        code, nbits = ac_y[(r << 4) | 0]
+        bw.write(code, nbits)
+        if r:
+            bw.write(run - (1 << r), r)
+
+    def join_segments(parts: list[bytes]) -> bytes:
+        out = bytearray()
+        for i, p in enumerate(parts):
+            out += p
+            if i < len(parts) - 1:
+                out += bytes((0xFF, 0xD0 + (i % 8)))
+        return bytes(out)
+
+    blocks = [
+        _refined_block_mn(doc_id, bx, by)
+        for by in range(bh)
+        for bx in range(bwid)
+    ]
+
+    # scan 1: DC first (Al=0) -- per-segment predictor reset
+    parts: list[bytes] = []
+    bw = _BitWriter()
+    prev = 0
+    for i, (m, _n) in enumerate(blocks):
+        if i and i % ri == 0:
+            parts.append(bw.flush())
+            bw = _BitWriter()
+            prev = 0
+        diff = m - prev
+        prev = m
+        t = _jpeg_category(diff)
+        code, nbits = dc_y[t]
+        bw.write(code, nbits)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    parts.append(bw.flush())
+    scans = seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x00))) + join_segments(parts)
+
+    # scan 2: AC band 1..38 first -- all zero; one EOBn PER SEGMENT
+    parts = []
+    for lo in range(0, nblk, ri):
+        bw = _BitWriter()
+        eob_flush(bw, min(ri, nblk - lo))
+        parts.append(bw.flush())
+    scans += seg(0xDA, bytes((1, 1, 0x00, 1, 38, 0x00))) + join_segments(parts)
+
+    # scan 3: AC band 39..63 first -- n at the band head; EOB runs flushed
+    # at every segment boundary (never crossing one)
+    parts = []
+    bw = _BitWriter()
+    pending = 0
+    for i, (_m, n) in enumerate(blocks):
+        if i and i % ri == 0:
+            eob_flush(bw, pending)
+            pending = 0
+            parts.append(bw.flush())
+            bw = _BitWriter()
+        if n == 0:
+            pending += 1
+            continue
+        eob_flush(bw, pending)
+        t = _jpeg_category(n)
+        code, nbits = ac_y[t]
+        bw.write(code, nbits)
+        bw.write(n, t)
+        pending = 1  # EOB terminator for the rest of this block's band
+    eob_flush(bw, pending)
+    parts.append(bw.flush())
+    scans += seg(0xDA, bytes((1, 1, 0x00, 39, 63, 0x00))) + join_segments(parts)
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([8] * 64))
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_PROG_LENGTHS) + bytes(_AC_PROG_SYMBOLS))
+    )
+    sof2 = seg(
+        0xC2,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    dri = seg(0xDD, ri.to_bytes(2, "big"))
+    return b"\xff\xd8" + dqt + dht + sof2 + dri + scans + b"\xff\xd9"
+
+
 def _color_block_mn(ci: int, doc_id: int, bx: int, by: int) -> tuple[int, int]:
     """Per-component (m, n) block formulas shared by the 4:4:4 and 4:2:0
     color synthesizers and their SQL oracles: block coordinates are in the
@@ -1335,6 +1519,21 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def consume_restart(self, m: int) -> None:
+        """Byte-align and consume the expected RSTm marker (T.81 E.2.4:
+        restart markers sit between entropy-coded segments on byte
+        boundaries; any partial bits before one are 1-fill padding)."""
+        self.n = 0  # discard pad bits
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG: expected restart marker")
+        got = (self.data[self.pos], self.data[self.pos + 1])
+        if got != (0xFF, 0xD0 + m):
+            raise ValueError(
+                f"corrupt JPEG: expected RST{m} at scan byte {self.pos}, "
+                f"found 0x{got[0]:02x}{got[1]:02x}"
+            )
+        self.pos += 2
+
 
 def _huff_decode(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
     code, nbits = 0, 0
@@ -1377,6 +1576,7 @@ def decode_jpeg_gray(content: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     scan_at = None
+    restart_interval = 0
     while True:
         if pos + 2 > len(content):
             raise ValueError("truncated JPEG: marker walk ran out")
@@ -1423,13 +1623,12 @@ def decode_jpeg_gray(content: bytes) -> dict:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x}) not supported")
         elif marker == 0xDD:
-            # DRI: name the unsupported feature instead of failing later
-            # with a misattributed "unexpected marker 0xFFDx" on the first
-            # RST marker in entropy data (mirrors the progressive decoder).
+            # DRI (r16): restart intervals decode for real -- the MCU
+            # loop consumes RSTn markers at segment boundaries and resets
+            # the DC predictors per T.81 E.2.4.
             if len(body) < 2:
                 raise ValueError("truncated JPEG: DRI cut")
-            if int.from_bytes(body[:2], "big") != 0:
-                raise ValueError("baseline JPEG restart intervals not supported")
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             scan_at = pos + ln
             sos = body
@@ -1565,8 +1764,14 @@ def decode_jpeg_gray(content: bytes) -> dict:
     ph = [mcus_y * 8 * c[3] for c in comps]
     blocks: list[list] = [[] for _ in range(ncomp)]  # (oy, ox, coeff block)
     prev = [0] * ncomp
+    mcu_n = 0  # MCUs decoded so far (restart bookkeeping, T.81 E.2.4)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # segment boundary: byte-align, consume RSTn (n cycles
+                # 0..7 in segment order), reset every DC predictor
+                br.consume_restart((mcu_n // restart_interval - 1) % 8)
+                prev = [0] * ncomp
             for ci in range(ncomp):
                 _cid, q, hs, vs = comps[ci]
                 dc_tab, ac_tab = tabs[ci]
@@ -1576,6 +1781,7 @@ def decode_jpeg_gray(content: bytes) -> dict:
                         blocks[ci].append(
                             (8 * (my * vs + dy), 8 * (mx * hs + dx), blk)
                         )
+            mcu_n += 1
     return _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height)
 
 
@@ -1655,8 +1861,12 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
     AC refinement runs the T.81 G.1.2.3 correction-bit algorithm (new
     +-(1<<Al) placements among zero-history positions, correction bits
     for every nonzero-history coefficient passed over, EOBRUN-covered
-    blocks still consuming their corrections).  Refused loudly: restart
-    intervals (DRI != 0) and non-decrementing approximation sequences.
+    blocks still consuming their corrections).  Restart intervals
+    decode for real (r16): RSTn markers are consumed at unit boundaries
+    (MCUs in interleaved scans, blocks in non-interleaved ones) with
+    byte re-alignment, DC predictor reset, and a loud raise when an EOB
+    run would cross a restart boundary.  Refused loudly:
+    non-decrementing approximation sequences.
     Strictness contract as baseline: truncations, missing tables, band
     violations, trailing bytes after EOI raise."""
     import numpy as np
@@ -1671,6 +1881,7 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
     coeffs: list = []  # per comp: np (blocks_y, blocks_x, 64) raw values
     hmax = vmax = mcus_x = mcus_y = width = height = 0
     saw_scan = False
+    ri_state = {"ri": 0}  # DRI restart interval (units per segment)
 
     def parse_sof(body: bytes) -> None:
         nonlocal sof, comps, coeffs, hmax, vmax, mcus_x, mcus_y, width, height
@@ -1741,6 +1952,21 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
         if ss > se or se > 63:
             raise ValueError(f"corrupt JPEG: scan band {ss}..{se}")
         br = _BitReader(data)
+        ri = ri_state["ri"]
+        rst_unit = [0]  # MCUs (interleaved scans) / blocks (non-interleaved)
+
+        def at_restart_boundary() -> bool:
+            """Call at the top of every unit: consumes the expected RSTn
+            (byte re-aligning) when this unit starts a new restart
+            segment and returns True so the caller resets per-segment
+            entropy state (T.81 E.2.4)."""
+            u = rst_unit[0]
+            rst_unit[0] = u + 1
+            if ri and u and u % ri == 0:
+                br.consume_restart((u // ri - 1) % 8)
+                return True
+            return False
+
         if ss == 0 and ah > 0:
             # DC REFINEMENT scan (T.81 G.1.2.1): one raw bit per block,
             # ORed into the coefficient at position Al.  No Huffman.
@@ -1749,6 +1975,7 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
             if ns == len(comps):
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        at_restart_boundary()  # raw bits: no state to reset
                         for ci, _dc, _ac in sel:
                             _cid, _qid, hs, vs = comps[ci]
                             for dy in range(vs):
@@ -1762,6 +1989,7 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
                 gh, gw = comp_grid(ci)
                 for by in range(gh):
                     for bx in range(gw):
+                        at_restart_boundary()  # raw bits: no state to reset
                         if br.bits(1):
                             coeffs[ci][by][bx][0] |= 1 << al
             else:
@@ -1792,6 +2020,11 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
 
             for by in range(gh):
                 for bx in range(gw):
+                    if at_restart_boundary():
+                        if eobrun:
+                            raise ValueError(
+                                "corrupt JPEG: EOB run crosses restart boundary"
+                            )
                     blk = coeffs[ci][by][bx]
                     k = ss
                     if eobrun == 0:
@@ -1845,6 +2078,9 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
             if ns == len(comps):
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        if at_restart_boundary():
+                            for c in prev:
+                                prev[c] = 0
                         for ci, dc_id, _ac in sel:
                             _cid, _qid, hs, vs = comps[ci]
                             tab = huff[(0, dc_id)]
@@ -1862,6 +2098,8 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
                 tab = huff[(0, dc_id)]
                 for by in range(gh):
                     for bx in range(gw):
+                        if at_restart_boundary():
+                            prev[ci] = 0
                         t = _huff_decode(br, tab)
                         diff = _extend(br.bits(t), t) if t else 0
                         prev[ci] += diff
@@ -1882,6 +2120,11 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
             eobrun = 0
             for by in range(gh):
                 for bx in range(gw):
+                    if at_restart_boundary():
+                        if eobrun:
+                            raise ValueError(
+                                "corrupt JPEG: EOB run crosses restart boundary"
+                            )
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -1951,10 +2194,11 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
         elif marker == 0xC2:
             parse_sof(body)
         elif marker == 0xDD:
-            if int.from_bytes(body[:2], "big") != 0:
-                raise ValueError(
-                    "progressive JPEG restart intervals not supported"
-                )
+            # DRI (r16): restart intervals decode for real in every
+            # progressive scan type.
+            if len(body) < 2:
+                raise ValueError("truncated JPEG: DRI cut")
+            ri_state["ri"] = int.from_bytes(body[:2], "big")
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("corrupt JPEG: mixed SOF markers")
@@ -1968,9 +2212,12 @@ def _decode_jpeg_progressive(content: bytes) -> dict:
                     raise ValueError("truncated JPEG: scan without terminator")
                 if content[end] == 0xFF and content[end + 1] != 0x00:
                     if 0xD0 <= content[end + 1] <= 0xD7:
-                        raise ValueError(
-                            "progressive JPEG restart markers not supported"
-                        )
+                        if not ri_state["ri"]:
+                            raise ValueError(
+                                "corrupt JPEG: restart marker without DRI"
+                            )
+                        end += 2  # interior RSTn: part of this scan's data
+                        continue
                     break
                 end += 1
             do_scan(body, content[pos + ln : end])
@@ -2753,8 +3000,11 @@ def decode_media(content: bytes, media_type: str, strict: bool = False):
     replication upsampling); PNG covers sequential and Adam7 layouts.
     Partial-MCU dimensions decode via pad + crop.
     Progressive (SOF2) scans decode for real, including
-    successive-approximation refinement.  The remaining payload classes
-    (arithmetic-coded/hierarchical JPEG, codec video) return header
+    successive-approximation refinement; restart intervals (DRI/RST)
+    decode for real in BOTH baseline and progressive streams (r16).
+    The remaining payload classes
+    (arithmetic-coded/hierarchical JPEG,
+    codec video) return header
     metadata only --
     faking pixel output would be worse than refusing, so anything
     unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
@@ -3431,6 +3681,63 @@ def png_filtered_stats(docs: DataFrame) -> DataFrame:
                         "the filtered decode must not silently degrade"
                     )
                 vals = [v for px in d["pixels"] for v in px]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_restart_stats(docs: DataFrame) -> DataFrame:
+    """Restart-interval gate (r16), two arms: even documents synthesize
+    a BASELINE :func:`synth_jpeg_gray_restart` image (DRI declaring
+    ``doc_id % 4 + 1`` MCUs per entropy segment, RSTn markers cycling
+    0..7 between independently byte-aligned segments, DC predictor reset
+    at every boundary); odd documents a PROGRESSIVE
+    :func:`synth_jpeg_progressive_restart` script with restarts in every
+    scan (DC first + two banded AC scans, EOB runs never crossing a
+    boundary).  Both decode back through :func:`decode_media` in strict
+    mode and emit exact integer stats over closed-form image classes
+    (synth_jpeg_gray's constant blocks / the successive-approximation
+    gate's ``128 + m + n*s(x)*s(y)``), so the oracle replays the stats
+    arithmetically and the hash proves marker consumption, sequence
+    checking, byte re-alignment, predictor reset, and per-segment EOB
+    framing byte-for-byte.  Dimensions cross partial-MCU crops.  Scale
+    posture identical to the other JPEG gates: narrow Arrow-batched
+    mapInPandas, O(1)-width stats cross to the JVM, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did % 2 == 0:  # baseline arm
+                    w, h = did % 21 + 4, (5 * did) % 17 + 4
+                    blob = synth_jpeg_gray_restart(w, h, did)
+                else:  # progressive arm: restarts in every scan type
+                    w, h = did % 19 + 5, (3 * did) % 15 + 5
+                    blob = synth_jpeg_progressive_restart(w, h, did)
+                d = decode_media(
+                    blob, "application/octet-stream", strict=True
+                )
+                if d["fmt"] != "jpeg_gray" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_restart_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the restart decode must not silently degrade"
+                    )
+                vals = d["pixels"]
                 rows.append(
                     (
                         did,

@@ -53,7 +53,9 @@ FROM events
     # r10 driver-slot rotation: events-table typed extraction green 8 consecutive rounds; from_json stays parity- and streaming-test-gated.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_session_path_trigrams",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_restart_stats registration.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_json_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -354,7 +356,9 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
     # r8 driver-slot rotation: time-window step matching IS a range join, driver-checked there.
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_session_path_trigrams",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_restart_stats registration.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
@@ -414,7 +418,9 @@ GROUP BY prev_type, next_type
     # r8 driver-slot rotation: lag/lead transition detection generalized there, driver-checked.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_session_path_trigrams",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_restart_stats registration.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -756,7 +762,9 @@ LIMIT 20
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="ev_session_path_trigrams",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_restart_stats registration.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(TS_PATTERN)
@@ -1890,6 +1898,10 @@ LIMIT 20
         "over at most |event-type|^3 groups and the top-20 is "
         "TakeOrderedAndProject.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r16 interim sit-out: paired with the new mm_jpeg_restart_stats
+    # first-round registration; re-enters the queue at age 1.
+    driver=False,
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -2249,7 +2261,9 @@ FROM counts
     # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for the final backlog tranche.
     driver=False,
-    sibling="ev_session_path_trigrams",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_restart_stats registration.
+    sibling="ev_max_concurrent_sessions",
 )
 def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)

@@ -1305,6 +1305,65 @@ FROM px GROUP BY doc_id, width, height
 def mm_png_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.png_filtered_stats(_docs(spark, sf_dir))
 
+
+@register(
+    "mm_jpeg_restart_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id, doc_id % 2 AS arm,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 21 + 4
+              ELSE doc_id % 19 + 5 END AS INTEGER) AS width,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN (5 * doc_id) % 17 + 4
+              ELSE (3 * doc_id) % 15 + 5 END AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.arm, j.width, j.height,
+         CAST(floor(x.x / 8) AS BIGINT) AS bx,
+         CAST(floor(y.y / 8) AS BIGINT) AS by,
+         (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS ss
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), vals AS (
+  SELECT doc_id, width, height,
+         CASE WHEN arm = 0
+              THEN (31 * doc_id + 7 * bx + 13 * by) % 256
+              ELSE 128 + (2 * ((17 * doc_id + 5 * bx + 11 * by) % 60) - 59)
+                   + (CASE WHEN (doc_id + bx + by) % 3 = 0 THEN 0
+                      ELSE 2 * ((7 * doc_id + 3 * bx + by) % 13) + 1 END) * ss
+         END AS v
+  FROM px
+)
+SELECT doc_id, 'jpeg_gray' AS fmt, width, height,
+       CAST(width * height AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_values,
+       CAST(MIN(v) AS INTEGER) AS min_value,
+       CAST(MAX(v) AS INTEGER) AS max_value
+FROM vals GROUP BY doc_id, width, height
+""",
+    doc="JPEG restart-interval external gate (r16), two arms: even "
+        "documents synthesize a BASELINE grayscale JFIF with a DRI "
+        "segment (doc_id % 4 + 1 MCUs per entropy segment), RSTn "
+        "markers cycling 0..7 between independently byte-aligned "
+        "segments, and the DC predictor reset at every boundary per "
+        "T.81 E.2.4; odd documents a PROGRESSIVE script with restarts "
+        "in every scan (DC first + banded AC scans, EOB runs flushed "
+        "at each boundary -- the decoder raises if one crosses).  A "
+        "decoder that ignores the markers, the re-alignment, the "
+        "reset, or the per-segment EOB framing decodes WRONG VALUES, "
+        "so the hash gate proves all of it.  Image classes are "
+        "synth_jpeg_gray's constant blocks and the refinement gate's "
+        "128 + m + n*s(x)*s(y), replayed arithmetically; dims cross "
+        "partial-MCU crops.  Scale: narrow Arrow-batched mapInPandas; "
+        "O(1)-width stats cross to the JVM.",
+    # New registration (r16): takes a driver slot in its first round per
+    # the freshness-era lint rule; ev_session_path_trigrams sits out to
+    # hold the surface at 50.
+)
+def mm_jpeg_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_restart_stats(_docs(spark, sf_dir))
+
 @register(
     "mm_jpeg_progressive_stats",
     oracle="""

@@ -422,9 +422,10 @@ def test_methodology_change_suppresses_control_escalation(tmp_path):
 
 
 def test_write_report_archives_in_file_but_prints_one_report(tmp_path, monkeypatch):
-    """Review finding: --write-report printed the whole cumulative archive
-    to stdout.  The file accumulates; stdout carries only the fresh
-    report."""
+    """--write-report keeps BENCH_TREND.md to exactly one fresh report and
+    moves the prior report into BENCH_TREND_ARCHIVE.md, newest first
+    (r15 VERDICT task 8: three sweeps inline pushed the operative record
+    off the head of the document); stdout carries only the fresh report."""
     import json
     import subprocess
     import sys as _sys
@@ -447,8 +448,21 @@ def test_write_report_archives_in_file_but_prints_one_report(tmp_path, monkeypat
     assert r.returncode == 0, r.stdout + r.stderr
     assert "prior narrative" not in r.stdout          # stdout: fresh only
     written = (root / "BENCH_TREND.md").read_text()
-    assert "prior narrative" in written               # file: archived
-    assert written.index("BENCH_TREND") < written.index("prior narrative")
+    assert "prior narrative" not in written           # head: fresh only
+    archived = (root / "BENCH_TREND_ARCHIVE.md").read_text()
+    assert "prior narrative" in archived              # archive file: moved
+    assert archived.startswith("# BENCH_TREND archive")
+
+    # a SECOND run must stack the new prior report ABOVE the older one
+    (root / "BENCH_TREND.md").write_text("# SECOND REPORT\n\nsecond narrative\n")
+    r2 = subprocess.run(
+        [_sys.executable, str(root / "tools" / "bench_trend.py"),
+         str(b), str(c), "--write-report"],
+        capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    archived2 = (root / "BENCH_TREND_ARCHIVE.md").read_text()
+    assert archived2.count("# BENCH_TREND archive") == 1  # header once
+    assert archived2.index("second narrative") < archived2.index("prior narrative")
 
 
 def test_sql_table_refs_ignore_comments_and_strings():

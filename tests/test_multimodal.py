@@ -1476,12 +1476,20 @@ def test_jpeg_progressive_refusals_are_loud():
     blob5[last + 2 + ln - 1] = 0x20
     with pytest.raises(ValueError, match="approximation"):
         mm.decode_jpeg_gray(bytes(blob5))
-    # DRI with a nonzero interval refuses
-    dri = b"\xff\xdd\x00\x04\x00\x08"
+    # DRI decodes for real since r16.  An interval LARGER than any scan's
+    # unit count declares segments no scan ever completes: no boundary is
+    # reached, no RST expected, and the raster is unchanged.
+    base = mm.decode_jpeg_gray(bytes(blob))
+    dri = b"\xff\xdd\x00\x04\x00\x08"  # interval 8 > 4 MCUs of 16x16
     at = bytes(blob).find(b"\xff\xc2")
     blob3 = bytes(blob[:at]) + dri + bytes(blob[at:])
-    with pytest.raises(ValueError, match="restart"):
-        mm.decode_jpeg_gray(blob3)
+    assert mm.decode_jpeg_gray(blob3)["pixels"] == base["pixels"]
+    # an interval SMALLER than the unit count demands RST markers the
+    # stream does not carry: loud, not a silent desync
+    dri_small = b"\xff\xdd\x00\x04\x00\x01"
+    blob6 = bytes(blob[:at]) + dri_small + bytes(blob[at:])
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob6)
     # a DC scan with Se != 0 is corrupt
     first = sos_positions[0]
     ln0 = int.from_bytes(blob[first + 2:first + 4], "big")
@@ -1644,18 +1652,80 @@ def test_baseline_dri_zero_interval_decodes():
     assert d["pixels"] == mm.decode_jpeg_gray(blob)["pixels"]
 
 
-def test_baseline_dri_nonzero_interval_named_unsupported():
-    """ADVICE r15: a nonzero restart interval must be refused BY NAME at
-    the DRI segment, not misattributed as 'unexpected marker' corruption
-    at the first RST marker inside entropy data."""
+# -- r16: baseline restart intervals (DRI/RST) decode for real ------------
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 41), st.integers(1, 33), st.integers(0, 10**12))
+def test_jpeg_restart_decode_identity_fuzz(w, h, doc_id):
+    """A DRI-encoded grayscale JPEG (RSTn markers every doc_id%4+1 MCUs,
+    per-segment byte alignment + DC predictor reset) must decode back to
+    synth_jpeg_gray's closed-form raster exactly -- including partial-MCU
+    dimensions and >8 segments (RST number wraparound)."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_gray_restart(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray" and d["width"] == w and d["height"] == h
+    exp = [
+        (31 * doc_id + 7 * (x // 8) + 13 * (y // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert d["pixels"] == exp
+
+
+def test_jpeg_restart_predictor_reset_is_load_bearing():
+    """The DC predictor RESET at a restart boundary is observable: the
+    synth encodes diffs against a reset predictor, so a decoder that
+    carried the predictor across the boundary would reconstruct different
+    values.  Pin by checking a boundary block's value equals the closed
+    form (which a non-resetting decoder cannot reproduce unless the
+    carried predictor happens to be 0 -- choose doc_id so block 0's DC is
+    nonzero)."""
+    # doc_id=1: block (0,0) value = 31 % 256 = 31 -> DC = 8*(31-128) != 0
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_gray_restart(16, 8, 1, interval=1))
+    assert d["pixels"][0] == 31          # block 0
+    assert d["pixels"][8] == (31 + 7) % 256  # block 1, first px after RST
+
+
+def test_jpeg_restart_wrong_sequence_number_raises():
+    """An out-of-order RSTn (T.81: n cycles 0..7 in segment order) is
+    corruption and must raise by name, not desync silently."""
     import pytest
 
-    blob = mm.synth_jpeg_gray(8, 8, 3)
-    sos_at = blob.index(b"\xff\xda")
-    dri = bytes((0xFF, 0xDD, 0x00, 0x04, 0x00, 0x02))
-    patched = blob[:sos_at] + dri + blob[sos_at:]
-    with pytest.raises(ValueError, match="restart intervals not supported"):
-        mm.decode_jpeg_gray(patched)
+    blob = bytearray(mm.synth_jpeg_gray_restart(24, 8, 3, interval=1))
+    at = blob.index(b"\xff\xd0")  # first restart marker (RST0)
+    blob[at + 1] = 0xD1  # claim RST1 where RST0 is required
+    with pytest.raises(ValueError, match="expected RST0"):
+        mm.decode_jpeg_gray(bytes(blob))
+
+
+def test_jpeg_restart_missing_marker_raises():
+    """Deleting a restart marker must raise (the aligned consume finds
+    entropy bytes instead), never decode shifted data."""
+    import pytest
+
+    blob = mm.synth_jpeg_gray_restart(24, 8, 3, interval=1)
+    at = blob.index(b"\xff\xd0")
+    cut = blob[:at] + blob[at + 2:]
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(cut)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_restart_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_gray_restart(24, 16, 7, interval=2)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_restart_strict_decode_media_accepts():
+    """decode_media(strict=True) must pass a DRI-encoded payload through
+    the real decoder (it is no longer a degradation case)."""
+    d = mm.decode_media(mm.synth_jpeg_gray_restart(16, 16, 9), "x", strict=True)
+    assert d["fmt"] == "jpeg_gray" and "pixels" in d
 
 
 # ---------------------------------------------------------------------------
@@ -1706,3 +1776,93 @@ def test_png_filtered_truncation_always_raises_fuzz(cutseed):
     cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
     with pytest.raises(ValueError):
         mm.decode_png(blob[:cut])
+
+
+def _expected_prog_restart_pixels(doc_id, w, h):
+    out = []
+    for y in range(h):
+        for x in range(w):
+            m, n = mm._refined_block_mn(doc_id, x // 8, y // 8)
+            sx = 1 if x % 4 in (0, 3) else -1
+            sy = 1 if y % 4 in (0, 3) else -1
+            out.append(128 + m + n * sx * sy)
+    return out
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 33), st.integers(1, 25), st.integers(0, 10**12))
+def test_jpeg_progressive_restart_identity_fuzz(w, h, doc_id):
+    """Progressive restarts: DRI segments every doc_id%3+1 units in ALL
+    THREE scans (DC first + two banded AC scans), per-segment byte
+    alignment, predictor reset, EOB runs never crossing a boundary -- the
+    decoded raster must equal the refinement gate's closed form."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_progressive_restart(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray" and d["width"] == w and d["height"] == h
+    assert d["pixels"] == _expected_prog_restart_pixels(doc_id, w, h)
+
+
+def test_jpeg_progressive_restart_eob_run_crossing_raises():
+    """An EOB run that crosses a restart boundary is corruption the
+    decoder must refuse by name: splice scan 2's per-segment EOB framing
+    into one long run covering blocks past the boundary."""
+    import pytest
+
+    # interval 1 on a 24x8 image (3 blocks, 2 RST markers in each scan).
+    blob = mm.synth_jpeg_progressive_restart(24, 8, 2, interval=1)
+    # scan 2 is the AC band 1..38 scan: its segments each carry EOB(1).
+    # Replace the whole scan's data with EOB(3) followed by the two RST
+    # markers (run now spans all three blocks, crossing both boundaries).
+    # EOB(3): symbol (1<<4)|0 then 1 extension bit -- build via the
+    # synth's own table by re-encoding.
+    ac_y = mm._canonical_codes(mm._AC_PROG_LENGTHS, mm._AC_PROG_SYMBOLS)
+    bw = mm._BitWriter()
+    code, nbits = ac_y[(1 << 4) | 0]
+    bw.write(code, nbits)
+    bw.write(3 - 2, 1)  # EOBn: run 3 = (1<<1) + 1
+    long_run = bw.flush()
+    # locate the second SOS (scan 2) and its entropy span
+    first = blob.index(b"\xff\xda")
+    second = blob.index(b"\xff\xda", first + 2)
+    hdr_len = int.from_bytes(blob[second + 2 : second + 4], "big")
+    data_at = second + 2 + hdr_len
+    third = blob.index(b"\xff\xda", data_at)  # scan 3 marker
+    patched = (
+        blob[:data_at] + long_run + b"\xff\xd0\xff\xd1" + blob[third:]
+    )
+    with pytest.raises(ValueError, match="EOB run crosses restart"):
+        mm.decode_jpeg_gray(patched)
+
+
+def test_jpeg_progressive_restart_wrong_sequence_raises():
+    import pytest
+
+    blob = bytearray(mm.synth_jpeg_progressive_restart(24, 8, 2, interval=1))
+    at = blob.index(b"\xff\xd0")
+    blob[at + 1] = 0xD5
+    with pytest.raises(ValueError, match="expected RST0"):
+        mm.decode_jpeg_gray(bytes(blob))
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_progressive_restart_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_progressive_restart(24, 16, 7, interval=2)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_restart_marker_without_dri_still_raises():
+    """A RST marker in entropy data with NO DRI declared stays corruption
+    (the r15 refusal shape survives for streams that never declared an
+    interval)."""
+    import pytest
+
+    blob = mm.synth_jpeg_progressive_restart(24, 8, 2, interval=1)
+    # drop the DRI segment (6 bytes: FF DD 00 04 00 01)
+    at = blob.index(b"\xff\xdd")
+    cut = blob[:at] + blob[at + 6:]
+    with pytest.raises(ValueError, match="without DRI"):
+        mm.decode_jpeg_gray(cut)

@@ -527,17 +527,34 @@ def main() -> None:
         # and they had to be restored from git).
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         path = os.path.join(root, "BENCH_TREND.md")
+        arch_path = os.path.join(root, "BENCH_TREND_ARCHIVE.md")
         old = ""
         if os.path.exists(path):
             with open(path) as f:
                 old = f.read()
-        file_md = md
         if old.strip():
-            # archive goes to the FILE only; stdout stays one fresh report
+            # Prior report moves to the archive FILE (r15 VERDICT task 8:
+            # three full sweeps inline made the head of BENCH_TREND.md
+            # scroll past the operative record); the head document always
+            # holds exactly one fresh report.  Archive is newest-first
+            # under a fixed one-line header.
+            arch_header = (
+                "# BENCH_TREND archive — prior reports, newest first "
+                "(moved by tools/bench_trend.py --write-report)\n"
+            )
+            prior = ""
+            if os.path.exists(arch_path):
+                with open(arch_path) as f:
+                    prior = f.read()
+            if prior.startswith(arch_header):
+                prior = prior[len(arch_header):]
             first = old.splitlines()[0].lstrip("# ").strip()
-            file_md = md + f"\n---\n\n# Archive — prior report ({first})\n\n" + old
+            with open(arch_path, "w") as f:
+                f.write(arch_header)
+                f.write(f"\n---\n\n# Archived report ({first})\n\n" + old)
+                f.write(prior)
         with open(path, "w") as f:
-            f.write(file_md)
+            f.write(md)
     print(md)
     if gate:
         sys.exit(1)

@@ -42,7 +42,9 @@ ID_SPACE = 10_000_000
 QUERIES = ("mm_pixel_stats", "mm_media_headers", "mm_media_features",
            # r15 JPEG gates: per-row decode cost is bounded (dims are
            # a function of doc_id % {2,3}), so sec/k must stay flat
-           "mm_jpeg_ac_stats", "mm_jpeg_color_stats", "mm_jpeg_420_stats")
+           "mm_jpeg_ac_stats", "mm_jpeg_color_stats", "mm_jpeg_420_stats",
+           # r16 PNG filter gate: dims bounded by doc_id % {13,11}
+           "mm_png_filtered_stats")
 
 
 def write_replicated(spark, k: int, out_dir: str) -> None:
