@@ -3,9 +3,10 @@ freshness rotation, retiring the r7-cohort staleness debt at the 10-round
 budget edge.
 
 Refuses to run until CORRECTNESS_r16.json exists and is fully green
-including the 15 r16 stale promotes AND the two r16 interim promotes
-(emb_ann_recall_curve, the ANN recall certificate) and the one r16
-first-round registration (mm_png_filtered_stats).  After applying, run:
+including the 15 r16 stale promotes, the r16 interim promote
+(emb_ann_recall_curve, the ANN recall certificate), and the two r16
+first-round registrations (mm_png_filtered_stats,
+mm_jpeg_restart_stats).  After applying, run:
 
     python -m pytest tests/test_registry_lint.py -q
     python -m pytest tests/test_oracle_parity.py -q
@@ -25,8 +26,8 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 #: r16 surface entries whose green gates this rotation: the 15 stale
-#: promotes, the interim ANN-certificate promote, and the one new
-#: first-round registration.
+#: promotes, the interim ANN-certificate promote, and the two new
+#: first-round registrations.
 R16_PROMOTES = [
     "approx_quantiles_price", "str_functions_nation", "distinct_agg_lineitem",
     "q5_revenue_by_nation", "q14_promo_revenue", "window_trailing_90d_revenue",
@@ -34,7 +35,7 @@ R16_PROMOTES = [
     "scalar_subquery_above_avg_balance", "msg_taxonomy_lookup_join",
     "msg_dual_sink_consistency", "msg_detail", "asof_last_order_before_event",
     "doc_near_dup_simhash", "doc_stratified_sample",
-    "emb_ann_recall_curve", "mm_png_filtered_stats",
+    "emb_ann_recall_curve", "mm_png_filtered_stats", "mm_jpeg_restart_stats",
 ]
 
 # oldest-green-first: the REMAINING 11 of the r7 cohort (age 10 at r17 --

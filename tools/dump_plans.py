@@ -70,6 +70,8 @@ QUERIES = [
     ("emb_cluster_diversity", "O(n) diversity identity: two-level bucketed sequential fold, no pair join anywhere"),
     ("doc_zipf_fit", "Zipf fit: word-count shuffle, TakeOrdered top-1000, bounded sorted-collect OLS folds"),
     ("mm_pixel_stats", "real BMP/PPM/WAV-PCM decode: narrow Arrow-batched mapInPandas, O(1)-width stats, zero shuffle"),
+    ("mm_jpeg_restart_stats", "r16 restart-interval decode gate (baseline + progressive arms): same narrow no-shuffle shape"),
+    ("mm_png_filtered_stats", "r16 all-five-PNG-filters decode gate: same narrow no-shuffle shape"),
     ("doc_dedup_keep_best", "keep-best over the session-memoized CC label stage: checkpoint scan + one quality window"),
     ("orders_abc_classification", "ABC classification: distributed range prefix sum (operators/ordered.py), per-slice windows + broadcast offsets"),
     ("doc_lm_rarity", "LM rarity terciles: distributed range prefix rank over the doc score table (no global window)"),

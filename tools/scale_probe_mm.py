@@ -44,7 +44,15 @@ QUERIES = ("mm_pixel_stats", "mm_media_headers", "mm_media_features",
            # a function of doc_id % {2,3}), so sec/k must stay flat
            "mm_jpeg_ac_stats", "mm_jpeg_color_stats", "mm_jpeg_420_stats",
            # r16 PNG filter gate: dims bounded by doc_id % {13,11}
-           "mm_png_filtered_stats")
+           "mm_png_filtered_stats",
+           # r16 restart-interval gate: dims bounded by doc_id % {21,19}
+           "mm_jpeg_restart_stats")
+
+#: comma-separated subset override (e.g. re-probing one new gate without
+#: re-timing the whole family)
+_only = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+if _only:
+    QUERIES = tuple(q for q in QUERIES if q in _only.split(","))
 
 
 def write_replicated(spark, k: int, out_dir: str) -> None:
