@@ -32,9 +32,13 @@ successive-approximation refinement -- decode via multi-scan
 coefficient accumulation, gated by ``mm_jpeg_progressive_stats``.
 JPEG is decode-complete for the sequential + progressive Huffman
 family INCLUDING restart intervals (r16: baseline and progressive
-DRI/RST decode for real, gated two-arm by ``mm_jpeg_restart_stats``);
-the remaining stub is arithmetic-coded /
-hierarchical JPEG (exotic), and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
+DRI/RST decode for real, gated two-arm by ``mm_jpeg_restart_stats``)
+and 12-bit extended sequential SOF1 (r16, gated by
+``mm_jpeg12_stats``); the remaining stub is arithmetic-coded JPEG
+(the T.81 Annex D QM-coder needs the exact 113-row Table D.3 state
+machine, not available offline -- a from-memory transcription would
+be a wrong-table decoder, worse than refusing), hierarchical JPEG
+(exotic), and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
@@ -790,6 +794,59 @@ def synth_jpeg_gray(width: int, height: int, doc_id: int) -> bytes:
     )
     sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
     return b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
+
+
+#: DC table for the 12-bit synthesizer: categories 0..15 (12-bit DC
+#: diffs reach category 15), all at code length 5 (16 of 32 slots -- no
+#: all-ones code).  The decoder reads whatever DHT declares.
+_DC12_LENGTHS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_SYMBOLS = list(range(16))
+
+
+def synth_jpeg_gray12(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL 12-bit extended sequential JFIF (SOF1, r16): grayscale,
+    all-ones quant, every 8x8 block the CONSTANT 12-bit value
+    ``(997*doc_id + 131*bx + 241*by) % 4096``.  Identical entropy
+    organization to baseline -- the 12-bit extension is only the sample
+    precision (level shift 2048, clamp 0..4095) and DC diff categories
+    reaching 15, which the synthesizer's DHT declares at length 5.  A
+    constant block's FDCT is DC-only with the DC a multiple of 8, so the
+    float IDCT is exact and the decode round-trips bit-for-bit (same
+    argument as :func:`synth_jpeg_gray`)."""
+    dc_codes = _canonical_codes(_DC12_LENGTHS, _DC12_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_LENGTHS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            v = (997 * doc_id + 131 * bx + 241 * by) % 4096
+            dc = 8 * (v - 2048)
+            diff = dc - prev_dc
+            prev_dc = dc
+            t = _jpeg_category(diff)
+            code, nbits = dc_codes[t]
+            bw.write(code, nbits)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, nbits = ac_codes[0x00]
+            bw.write(code, nbits)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC12_LENGTHS) + bytes(_DC12_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_LENGTHS) + bytes(_AC_SYMBOLS))
+    )
+    sof1 = seg(
+        0xC1,
+        bytes((12,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dht + sof1 + sos + scan + b"\xff\xd9"
 
 
 def synth_jpeg_gray_restart(
@@ -1575,6 +1632,7 @@ def decode_jpeg_gray(content: bytes) -> dict:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    sof_marker = 0xC0
     scan_at = None
     restart_interval = 0
     while True:
@@ -1614,12 +1672,15 @@ def decode_jpeg_gray(content: bytes) -> dict:
                 codes = _canonical_codes(lengths, symbols)
                 huff[(tc, th)] = {(c, n): s for s, (c, n) in codes.items()}
                 at += 17 + nsym
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1):
+            # SOF0 baseline (8-bit) or SOF1 extended sequential Huffman
+            # (8- or 12-bit, r16) -- identical entropy organization
             sof = body
+            sof_marker = marker
         elif marker == 0xC2:
             # progressive DCT (r15): dedicated multi-scan decoder
             return _decode_jpeg_progressive(content)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x}) not supported")
         elif marker == 0xDD:
@@ -1646,10 +1707,17 @@ def decode_jpeg_gray(content: bytes) -> dict:
     height = int.from_bytes(sof[1:3], "big")
     width = int.from_bytes(sof[3:5], "big")
     ncomp = sof[5]
-    if precision != 8 or ncomp not in (1, 3):
+    # SOF0 is 8-bit by definition (T.81 Table B.2); SOF1 adds 12-bit,
+    # supported here for grayscale (the fixed-point YCbCr constants are
+    # 8-bit libjpeg semantics, so 12-bit color stays refused loudly).
+    ok = (precision == 8 and ncomp in (1, 3)) or (
+        precision == 12 and sof_marker == 0xC1 and ncomp == 1
+    )
+    if not ok:
         raise ValueError(
-            f"unsupported JPEG (precision={precision}, components={ncomp}); "
-            "only 8-bit 1- or 3-component baseline decode here"
+            f"unsupported JPEG (precision={precision}, components={ncomp}, "
+            f"SOF 0x{sof_marker:02x}); 8-bit 1/3-component sequential or "
+            "12-bit grayscale SOF1 only"
         )
     # SOF0 body: precision(1) + dims(4) + ncomp(1) + 3 bytes/component.
     if len(sof) < 6 + 3 * ncomp:
@@ -1782,10 +1850,12 @@ def decode_jpeg_gray(content: bytes) -> dict:
                             (8 * (my * vs + dy), 8 * (mx * hs + dx), blk)
                         )
             mcu_n += 1
-    return _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height)
+    return _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height,
+                      precision=precision)
 
 
-def _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height) -> dict:
+def _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height,
+               precision: int = 8) -> dict:
     """Shared tail of the baseline and progressive decoders: batched IDCT
     over each component's de-zigzagged DEQUANTIZED blocks, level shift,
     clamp, padded-plane scatter, crop, and (for 3 components) libjpeg's
@@ -1815,7 +1885,11 @@ def _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height) -> dict:
         if blocks[ci]:
             b = np.stack([t[2] for t in blocks[ci]])
             spat = np.einsum("yv,nvu,xu->nyx", m_basis, b, m_basis)
-            vals = np.clip(np.round(spat / 4.0).astype(np.int64) + 128, 0, 255)
+            vals = np.clip(
+                np.round(spat / 4.0).astype(np.int64) + (1 << (precision - 1)),
+                0,
+                (1 << precision) - 1,
+            )
             for (oy, ox, _), sp in zip(blocks[ci], vals):
                 plane[oy : oy + 8, ox : ox + 8] = sp
         planes.append(plane)
@@ -1823,7 +1897,8 @@ def _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height) -> dict:
         # crop the padded MCU-grid plane to the declared dimensions
         pixels = planes[0][:height, :width].ravel().tolist()
         return {
-            "fmt": "jpeg_gray", "width": width, "height": height,
+            "fmt": "jpeg_gray" if precision == 8 else "jpeg_gray12",
+            "width": width, "height": height,
             "pixels": pixels,
         }
     xs = np.arange(width)
@@ -3001,7 +3076,8 @@ def decode_media(content: bytes, media_type: str, strict: bool = False):
     Partial-MCU dimensions decode via pad + crop.
     Progressive (SOF2) scans decode for real, including
     successive-approximation refinement; restart intervals (DRI/RST)
-    decode for real in BOTH baseline and progressive streams (r16).
+    decode for real in BOTH baseline and progressive streams, and
+    12-bit grayscale SOF1 decodes for real (r16).
     The remaining payload classes
     (arithmetic-coded/hierarchical JPEG,
     codec video) return header
@@ -3736,6 +3812,55 @@ def jpeg_restart_stats(docs: DataFrame) -> DataFrame:
                         f"jpeg_restart_stats: decode fell back to header "
                         f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
                         "the restart decode must not silently degrade"
+                    )
+                vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg12_stats(docs: DataFrame) -> DataFrame:
+    """12-bit extended-sequential gate (r16): every document synthesizes
+    a :func:`synth_jpeg_gray12` image (SOF1, precision 12, constant
+    blocks of ``(997*doc_id + 131*bx + 241*by) % 4096``), decodes it
+    back through :func:`decode_media` in strict mode, and emits exact
+    integer stats over the 12-bit samples.  The closed form is replayed
+    arithmetically by the oracle, so the hash proves the SOF1 frame
+    parse, the 12-bit level shift/clamp, and the category-15 DC decode
+    byte-for-byte.  Dimensions ``(doc_id % 21 + 4) x
+    ((3*doc_id) % 19 + 4)`` cross partial-MCU crops.  Scale posture
+    identical to the other decode gates: narrow Arrow-batched
+    mapInPandas, O(1)-width stats cross to the JVM, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 21 + 4, (3 * did) % 19 + 4
+                d = decode_media(
+                    synth_jpeg_gray12(w, h, did),
+                    "application/octet-stream",
+                    strict=True,
+                )
+                if d["fmt"] != "jpeg_gray12" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg12_stats: decode fell back to header metadata "
+                        f"for doc {did} (fmt={d.get('fmt')!r}) -- the 12-bit "
+                        "decode must not silently degrade"
                     )
                 vals = d["pixels"]
                 rows.append(

@@ -607,7 +607,9 @@ GROUP BY e.event_id, e.user_id
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_scd2_state_durations",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg12_stats registration.
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1114,7 +1116,9 @@ FROM islands
     # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for the final backlog tranche.
     driver=False,
-    sibling="ev_scd2_state_durations",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg12_stats registration.
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1528,7 +1532,9 @@ FROM probes p JOIN dim d
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="ev_scd2_state_durations",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg12_stats registration.
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1618,6 +1624,10 @@ GROUP BY state
         "complete: build (ev_scd2_user_state), point-in-time read "
         "(ev_scd2_asof_lookup), and duration analytics (this query).",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r16 interim sit-out: paired with the new mm_jpeg12_stats
+    # first-round registration; re-enters the queue at age 1.
+    driver=False,
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_scd2_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1680,7 +1690,9 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_scd2_state_durations",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg12_stats registration.
+    sibling="ev_cusum_alarm_minute",
 )
 def ev_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)

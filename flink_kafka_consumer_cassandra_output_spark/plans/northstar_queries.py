@@ -1364,6 +1364,47 @@ FROM vals GROUP BY doc_id, width, height
 def mm_jpeg_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_restart_stats(_docs(spark, sf_dir))
 
+
+@register(
+    "mm_jpeg12_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 21 + 4 AS INTEGER) AS width,
+         CAST((3 * doc_id) % 19 + 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         (997 * j.doc_id + 131 * CAST(floor(x.x / 8) AS BIGINT)
+          + 241 * CAST(floor(y.y / 8) AS BIGINT)) % 4096 AS v
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+)
+SELECT doc_id, 'jpeg_gray12' AS fmt, width, height,
+       CAST(width * height AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_values,
+       CAST(MIN(v) AS INTEGER) AS min_value,
+       CAST(MAX(v) AS INTEGER) AS max_value
+FROM px GROUP BY doc_id, width, height
+""",
+    doc="12-bit extended-sequential JPEG external gate (r16): every "
+        "document synthesizes a REAL SOF1 grayscale JFIF at precision "
+        "12 -- constant blocks of (997d + 131bx + 241by) % 4096, DC "
+        "diff categories reaching 15 under a length-5 DHT -- and "
+        "decodes it back; the hash proves the SOF1 frame parse, the "
+        "2048 level shift, the 0..4095 clamp, and the wide-category DC "
+        "decode.  12-bit color stays refused loudly (the fixed-point "
+        "YCbCr constants are 8-bit libjpeg semantics).  Dims cross "
+        "partial-MCU crops.  Scale: narrow Arrow-batched mapInPandas; "
+        "O(1)-width stats cross to the JVM.",
+    # New registration (r16): takes a driver slot in its first round per
+    # the freshness-era lint rule; ev_scd2_state_durations sits out to
+    # hold the surface at 50.
+)
+def mm_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg12_stats(_docs(spark, sf_dir))
+
 @register(
     "mm_jpeg_progressive_stats",
     oracle="""

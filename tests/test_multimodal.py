@@ -1866,3 +1866,57 @@ def test_jpeg_restart_marker_without_dri_still_raises():
     cut = blob[:at] + blob[at + 6:]
     with pytest.raises(ValueError, match="without DRI"):
         mm.decode_jpeg_gray(cut)
+
+
+# -- r16: 12-bit extended sequential (SOF1) -------------------------------
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 41), st.integers(1, 33), st.integers(0, 10**12))
+def test_jpeg12_decode_identity_fuzz(w, h, doc_id):
+    """A 12-bit SOF1 grayscale JPEG must decode back to the constant
+    block class exactly: level shift 2048, clamp 0..4095, DC diff
+    categories up to 15 under the synthesizer's length-5 DHT."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_gray12(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray12" and d["width"] == w and d["height"] == h
+    exp = [
+        (997 * doc_id + 131 * (x // 8) + 241 * (y // 8)) % 4096
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert d["pixels"] == exp
+
+
+def test_jpeg12_samples_exceed_8bit_range():
+    """The gate is vacuous unless decoded samples actually leave 0..255:
+    pin that a representative image carries values above 255."""
+    vals = mm.decode_jpeg_gray(mm.synth_jpeg_gray12(80, 80, 1))["pixels"]
+    assert max(vals) > 255 and min(vals) >= 0 and max(vals) <= 4095
+
+
+def test_jpeg12_sof0_precision_12_refused():
+    """Baseline (SOF0) is 8-bit by definition (T.81 Table B.2): the same
+    stream relabeled SOF0 must refuse by name."""
+    import pytest
+
+    blob = bytearray(mm.synth_jpeg_gray12(8, 8, 3))
+    at = blob.index(b"\xff\xc1")
+    blob[at + 1] = 0xC0
+    with pytest.raises(ValueError, match="precision=12"):
+        mm.decode_jpeg_gray(bytes(blob))
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg12_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_gray12(24, 16, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg12_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_jpeg_gray12(16, 16, 9), "x", strict=True)
+    assert d["fmt"] == "jpeg_gray12" and max(d["pixels"]) <= 4095

@@ -46,7 +46,9 @@ QUERIES = ("mm_pixel_stats", "mm_media_headers", "mm_media_features",
            # r16 PNG filter gate: dims bounded by doc_id % {13,11}
            "mm_png_filtered_stats",
            # r16 restart-interval gate: dims bounded by doc_id % {21,19}
-           "mm_jpeg_restart_stats")
+           "mm_jpeg_restart_stats",
+           # r16 12-bit SOF1 gate: dims bounded by doc_id % {21,19}
+           "mm_jpeg12_stats")
 
 #: comma-separated subset override (e.g. re-probing one new gate without
 #: re-timing the whole family)
