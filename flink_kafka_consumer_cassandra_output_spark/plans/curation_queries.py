@@ -2222,3 +2222,198 @@ def doc_char_kl_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("kl_nats"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (r16)
+# --------------------------------------------------------------------------
+
+#: bucket count for the hashed-bigram feature space.  32 keeps the
+#: generated fixed-order score expression readable while giving the
+#: log-ratio estimator enough resolution on the fixture corpus.
+_DSIR_B = 32
+
+#: bucket hash of a word bigram, expressed identically in Spark and SQL:
+#: integer arithmetic over length() and ascii() of the two words (both
+#: engines define ascii('') = 0 and ascii(s) = first code point).
+_DSIR_BUCKET_SQL = (
+    "(7 * length(w1) + 13 * length(w2) + 3 * ascii(w1) + ascii(w2)) % 32"
+)
+
+
+def _dsir_oracle() -> str:
+    b = _DSIR_B
+    ct = ",\n         ".join(
+        f"SUM(CASE WHEN bucket = {i} AND lang = 'en' THEN 1 ELSE 0 END) AS ct_{i}"
+        for i in range(b)
+    )
+    cs = ",\n         ".join(
+        f"SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS cs_{i}"
+        for i in range(b)
+    )
+    l = ",\n         ".join(
+        f"ln((CAST(ct_{i} + 1 AS DOUBLE) * CAST(ns + {b} AS DOUBLE))"
+        f" / (CAST(cs_{i} + 1 AS DOUBLE) * CAST(nt + {b} AS DOUBLE))) AS l_{i}"
+        for i in range(b)
+    )
+    m = ",\n         ".join(
+        f"SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS m_{i}"
+        for i in range(b)
+    )
+    mc = ",\n         ".join(
+        f"COALESCE(m_{i}, 0) AS m_{i}" for i in range(b)
+    )
+    score = " + ".join(f"CAST(m_{i} AS DOUBLE) * l_{i}" for i in range(b))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), g0 AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks WHERE len(w) >= 2
+), g AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           string_split(gram, ' ')[1] AS w1,
+           string_split(gram, ' ')[2] AS w2
+    FROM g0
+  ) WHERE w1 <> '' AND w2 <> ''
+), stats AS (
+  SELECT {ct},
+         {cs},
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+         COUNT(*) AS ns
+  FROM g
+), lrow AS (
+  SELECT {l}
+  FROM stats
+), perdoc AS (
+  SELECT doc_id,
+         {m},
+         COUNT(*) AS n_features
+  FROM g GROUP BY doc_id
+), alld AS (
+  SELECT d.doc_id,
+         {mc},
+         CAST(COALESCE(n_features, 0) AS BIGINT) AS n_features
+  FROM documents d LEFT JOIN perdoc USING (doc_id)
+  WHERE d.text IS NOT NULL
+)
+SELECT doc_id, n_features,
+       {score} AS log_weight,
+       ({score}) > 0.0 AS selected
+FROM alld CROSS JOIN lrow
+"""
+
+
+@register(
+    "doc_dsir_importance",
+    oracle=_dsir_oracle(),
+    doc="DSIR-style importance resampling weights (Xie et al. 2023, Data "
+        "Selection via Importance Resampling -- public method): hashed "
+        "word-bigram features (32 buckets, integer length/ascii hash "
+        "expressed identically in both engines), add-1-smoothed bucket "
+        "distributions for the TARGET (lang='en') vs the RAW pool, and a "
+        "per-document log importance weight "
+        "sum_f m_f * ln(p_target(f)/p_raw(f)) with selected = weight > 0. "
+        "Determinism: every count is an exact BIGINT; each bucket's "
+        "log-ratio is ONE ln of a mirrored double expression computed on "
+        "the single-row stats frame through the Arrow-batched libm "
+        "crossing (doc_bm25_topk's documented JVM-Math.log-vs-libm "
+        "precedent); the per-document score is a FIXED-ORDER 32-term "
+        "chain m_0*l_0 + ... + m_31*l_31 (left-associative in both "
+        "engines), so the doubles are bit-identical and the hash gate "
+        "holds.  Scale: one bigram explode (word-count shuffle shape, "
+        "map-side combined into 32+2 conditional sums), per-doc histogram "
+        "groupBy on doc_id, and a one-row broadcast of the bucket "
+        "log-ratios -- the importance model is O(B) state regardless of "
+        "corpus size, which is the point of DSIR's hashed features at "
+        "100 TB.",
+    # New registration (r16): takes a driver slot in its first round per
+    # the freshness-era lint rule; emb_ann_ivf sits out to hold the
+    # surface at 50 (ANN family anchor moves to emb_ann_recall_curve).
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _DSIR_B
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    w = F.split(F.col("text"), " ")
+    grams = d.where(F.size(w) >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(TX.word_shingles(F.col("text"), 2)).alias("gram"),
+    )
+    parts = F.split(F.col("gram"), " ")
+    w1, w2 = parts.getItem(0), parts.getItem(1)
+    g = grams.where((w1 != "") & (w2 != "")).select(
+        "doc_id",
+        "lang",
+        (
+            (
+                F.lit(7) * F.length(w1)
+                + F.lit(13) * F.length(w2)
+                + F.lit(3) * F.ascii(w1)
+                + F.ascii(w2)
+            )
+            % b
+        ).alias("bucket"),
+    )
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    stats = g.agg(
+        *[
+            F.sum(F.when(F.col("bucket") == i, is_en).otherwise(0)).alias(f"ct_{i}")
+            for i in range(b)
+        ],
+        *[
+            F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"cs_{i}")
+            for i in range(b)
+        ],
+        F.sum(is_en).alias("nt"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+
+    # JVM Math.log is a 1-ulp intrinsic that measurably diverges from
+    # libm (doc_bm25_topk precedent); the 32 log-ratios live on a ONE-ROW
+    # stats frame, so route exactly that row through an Arrow-batched
+    # CPython libm crossing.  Every per-document expression stays JVM-side.
+    @F.pandas_udf("double")
+    def _ln_libm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else math.log(v))
+
+    def _lcol(i: int):
+        num = (F.col(f"ct_{i}") + 1).cast("double") * (F.col("ns") + b).cast("double")
+        den = (F.col(f"cs_{i}") + 1).cast("double") * (F.col("nt") + b).cast("double")
+        return _ln_libm(num / den).alias(f"l_{i}")
+
+    lrow = stats.select(*[_lcol(i) for i in range(b)])
+
+    perdoc = g.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"m_{i}")
+            for i in range(b)
+        ],
+        F.count(F.lit(1)).alias("n_features"),
+    )
+    alld = (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[F.coalesce(F.col(f"m_{i}"), F.lit(0)).alias(f"m_{i}") for i in range(b)],
+            F.coalesce(F.col("n_features"), F.lit(0)).cast("long").alias("n_features"),
+        )
+    )
+    score = F.col("m_0").cast("double") * F.col("l_0")
+    for i in range(1, b):
+        score = score + F.col(f"m_{i}").cast("double") * F.col(f"l_{i}")
+    return (
+        alld.crossJoin(F.broadcast(lrow))
+        .select(
+            "doc_id",
+            "n_features",
+            score.alias("log_weight"),
+            (score > F.lit(0.0)).alias("selected"),
+        )
+    )

@@ -1710,6 +1710,10 @@ WHERE rank <= 5
     # ivf_topk machinery PLUS Lloyd training; the seed-codebook variant
     # stays oracle-checked locally (and anchors the recall pin).
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r16 interim sit-out: paired with the new doc_dsir_importance
+    # first-round registration; re-enters the queue at age 1.
+    driver=False,
+    sibling="emb_ann_recall_curve",
 )
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1844,7 +1848,9 @@ WHERE rank <= 5"""
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="emb_ann_ivf",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # doc_dsir_importance registration.
+    sibling="emb_ann_recall_curve",
 )
 def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, c, assigned = _ivf16(spark, sf_dir)
@@ -2067,7 +2073,9 @@ SELECT * FROM (
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_ann_ivf",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # doc_dsir_importance registration.
+    sibling="emb_ann_recall_curve",
 )
 def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -2173,7 +2181,9 @@ FROM q
     # r14 interim re-point: emb_random_projection sits out for the new
     # MMR registration; the quantization/compression anchor moves to the
     # refreshed IVF entry.
-    sibling="emb_ann_ivf",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # doc_dsir_importance registration.
+    sibling="emb_ann_recall_curve",
 )
 def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2278,7 +2288,9 @@ LEFT JOIN dup_of d ON d.vec_id = a.vec_id"""
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_ann_ivf",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # doc_dsir_importance registration.
+    sibling="emb_ann_recall_curve",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared k=16 codebook/assignment (session-memoized): the assignment
@@ -2436,7 +2448,9 @@ SELECT * FROM (
     # r10 driver-slot rotation: ANN family keeps IVF + PQ-ADC driver anchors.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_ann_ivf",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # doc_dsir_importance registration.
+    sibling="emb_ann_recall_curve",
 )
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2900,7 +2914,9 @@ FROM proj"""
     # once-green is the rule-1 minimum.  Sibling: the vector-indexing /
     # compression family anchor, refreshed this round.
     driver=False,
-    sibling="emb_ann_ivf",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # doc_dsir_importance registration.
+    sibling="emb_ann_recall_curve",
 )
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -3239,7 +3255,9 @@ FROM (
     driver=False,
     # r14 interim re-point: emb_random_projection sits out for the new
     # MMR registration; the PQ anchor moves to the refreshed IVF entry.
-    sibling="emb_ann_ivf",
+    # r16 sibling re-point: prior anchor sits out for the new
+    # doc_dsir_importance registration.
+    sibling="emb_ann_recall_curve",
 )
 def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")

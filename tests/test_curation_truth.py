@@ -153,3 +153,54 @@ def test_char_kl_gibberish_by_hand(spark, tmp_path_factory):
         ((math.log(20.0) - math.log(20.0)) - math.log(c_z)) + math.log(float(total))
     )
     assert flood["kl_nats"] == expect
+
+
+def test_dsir_importance_by_hand(spark, tmp_path_factory):
+    """DSIR log-weights on a corpus small enough to hand-derive the
+    direction: target (en) docs repeat bigram 'aa bb' while non-target
+    docs repeat 'xx yy', so the en-favored bucket's log-ratio is positive
+    and each doc's weight has the sign of its language -- plus the
+    no-bigram doc pins the zero-feature path (weight exactly 0.0,
+    n_features 0, not selected)."""
+    import os
+
+    out = tmp_path_factory.mktemp("dsir_truth_sf")
+    rows = [
+        (1, "aa bb aa bb aa bb", "en", "s", 17),
+        (2, "aa bb aa bb", "en", "s", 11),
+        (3, "xx yy xx yy xx yy", "de", "s", 17),
+        (4, "xx yy xx yy", "fr", "s", 11),
+        (5, "solo", "en", "s", 4),
+    ]
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(
+        os.path.join(str(out), "documents.parquet")
+    )
+    got = {r.doc_id: r for r in _rows(spark, "doc_dsir_importance", str(out))}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5].n_features == 0 and got[5].log_weight == 0.0
+    assert not got[5].selected
+    assert got[1].log_weight > 0 and got[2].log_weight > 0
+    assert got[3].log_weight < 0 and got[4].log_weight < 0
+    assert got[1].selected and not got[3].selected
+    # more repeats of the en-favored feature -> strictly larger weight
+    assert got[1].log_weight > got[2].log_weight
+    assert got[3].log_weight < got[4].log_weight
+
+
+def test_dsir_separates_target_language_on_fixture(spark, sf_dir):
+    """On the real sf0.001 corpus the estimator must separate the target
+    class in aggregate: mean log-weight of en docs above non-en."""
+    from pyspark.sql import functions as F
+
+    res = all_specs()["doc_dsir_importance"].builder(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang"
+    )
+    agg = (
+        res.join(docs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("mw"))
+        .collect()
+    )
+    by = {r.is_en: r.mw for r in agg}
+    assert by[True] > by[False]

@@ -4,9 +4,9 @@ budget edge.
 
 Refuses to run until CORRECTNESS_r16.json exists and is fully green
 including the 15 r16 stale promotes, the r16 interim promote
-(emb_ann_recall_curve, the ANN recall certificate), and the three r16
-first-round registrations (mm_png_filtered_stats,
-mm_jpeg_restart_stats, mm_jpeg12_stats).  After applying, run:
+(emb_ann_recall_curve, the ANN recall certificate), and the four r16
+first-round registrations (mm_png_filtered_stats, mm_jpeg_restart_stats,
+mm_jpeg12_stats, doc_dsir_importance).  After applying, run:
 
     python -m pytest tests/test_registry_lint.py -q
     python -m pytest tests/test_oracle_parity.py -q
@@ -26,7 +26,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 #: r16 surface entries whose green gates this rotation: the 15 stale
-#: promotes, the interim ANN-certificate promote, and the three new
+#: promotes, the interim ANN-certificate promote, and the four new
 #: first-round registrations.
 R16_PROMOTES = [
     "approx_quantiles_price", "str_functions_nation", "distinct_agg_lineitem",
@@ -36,7 +36,7 @@ R16_PROMOTES = [
     "msg_dual_sink_consistency", "msg_detail", "asof_last_order_before_event",
     "doc_near_dup_simhash", "doc_stratified_sample",
     "emb_ann_recall_curve", "mm_png_filtered_stats", "mm_jpeg_restart_stats",
-    "mm_jpeg12_stats",
+    "mm_jpeg12_stats", "doc_dsir_importance",
 ]
 
 # oldest-green-first: the REMAINING 11 of the r7 cohort (age 10 at r17 --
