@@ -193,3 +193,30 @@ def cleanup_staging(spark) -> None:
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(hpath):
         fs.delete(hpath, True)
+
+
+def collect_small(df: DataFrame, max_rows: int = 4096) -> list:
+    """Driver-side VALUES of a bounded-small frame -- the
+    literal-coefficient variant of :func:`rebroadcast_small` (same hard
+    guard, same exactness argument: Spark doubles <-> Python floats are
+    both IEEE binary64, and BIGINTs below 2^53 round-trip exactly).
+
+    Use when a constant-bounded model (a bucket-statistics row, a
+    codebook-sized table) feeds downstream expressions as LITERALS:
+    folding the coefficients into the plan removes the wide one-row
+    aggregate + crossJoin + Arrow-eval stages whose codegen dominates
+    small-model queries (doc_dsir_importance measured 2.8 -> ~1 s).
+    NEVER use on data-proportional frames; ``max_rows`` hard-guards the
+    driver-OOM misuse.  Returns ``[]`` in schema-only mode -- callers
+    must produce schema-identical fallback literals from the empty list.
+    """
+    if schema_only_builds():
+        return []
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"collect_small: frame exceeds {max_rows} rows -- this helper "
+            "is for constant-bounded small sides only; use materialize() "
+            "for data-proportional intermediates"
+        )
+    return rows

@@ -2319,19 +2319,20 @@ FROM alld CROSS JOIN lrow
         "distributions for the TARGET (lang='en') vs the RAW pool, and a "
         "per-document log importance weight "
         "sum_f m_f * ln(p_target(f)/p_raw(f)) with selected = weight > 0. "
-        "Determinism: every count is an exact BIGINT; each bucket's "
-        "log-ratio is ONE ln of a mirrored double expression computed on "
-        "the single-row stats frame through the Arrow-batched libm "
-        "crossing (doc_bm25_topk's documented JVM-Math.log-vs-libm "
-        "precedent); the per-document score is a FIXED-ORDER 32-term "
-        "chain m_0*l_0 + ... + m_31*l_31 (left-associative in both "
-        "engines), so the doubles are bit-identical and the hash gate "
-        "holds.  Scale: one bigram explode (word-count shuffle shape, "
-        "map-side combined into 32+2 conditional sums), per-doc histogram "
-        "groupBy on doc_id, and a one-row broadcast of the bucket "
-        "log-ratios -- the importance model is O(B) state regardless of "
-        "corpus size, which is the point of DSIR's hashed features at "
-        "100 TB.",
+        "Determinism: every count is an exact BIGINT; the <=32-row bucket "
+        "stats cross to the driver through the hard-guarded collect_small "
+        "(constant-bounded model, the codebook precedent) where each "
+        "log-ratio is ONE CPython-libm ln of a double expression mirrored "
+        "step for step against the oracle (exact integers < 2^53, two "
+        "products, one division -- and DuckDB's ln IS libm, so the folded "
+        "literal coefficients are bit-identical); the per-document score "
+        "is a FIXED-ORDER 32-term chain m_0*l_0 + ... + m_31*l_31 "
+        "(left-associative in both engines), so the hash gate holds.  "
+        "Scale: one narrow groupBy('bucket') model pass and one per-doc "
+        "histogram groupBy, both map-side combined over the bigram "
+        "explode; the importance model is O(B) state folded into the "
+        "plan as literals regardless of corpus size, which is the point "
+        "of DSIR's hashed features at 100 TB.",
     # New registration (r16): takes a driver slot in its first round per
     # the freshness-era lint rule; emb_ann_ivf sits out to hold the
     # surface at 50 (ANN family anchor moves to emb_ann_recall_curve).
@@ -2340,14 +2341,18 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _DSIR_B
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     w = F.split(F.col("text"), " ")
-    grams = d.where(F.size(w) >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(TX.word_shingles(F.col("text"), 2)).alias("gram"),
+    # bigram pairs as a zip of two shifted slices -- NO gram-string
+    # concat + re-split (word_shingles builds "w1 w2" strings; decoding
+    # them back costs a concat, a split, and two array indexes per gram)
+    m = F.size(w) - 1
+    zipped = F.arrays_zip(
+        F.slice(w, 1, m).alias("w1"), F.slice(w, 2, m).alias("w2")
     )
-    parts = F.split(F.col("gram"), " ")
-    w1, w2 = parts.getItem(0), parts.getItem(1)
-    g = grams.where((w1 != "") & (w2 != "")).select(
+    pairs = d.where(F.size(w) >= 2).select(
+        "doc_id", "lang", F.explode(zipped).alias("pr")
+    )
+    w1, w2 = F.col("pr.w1"), F.col("pr.w2")
+    g = pairs.where((w1 != "") & (w2 != "")).select(
         "doc_id",
         "lang",
         (
@@ -2360,34 +2365,39 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % b
         ).alias("bucket"),
     )
+    # The importance MODEL is constant-bounded (32 buckets), so train it
+    # long-shape and fold it into the plan as LITERALS: one narrow
+    # groupBy("bucket") pass (map-side combined), a hard-guarded
+    # collect_small of the <=32-row stats, driver-side CPython libm ln
+    # (the same libm DuckDB's ln is -- the doc_bm25_topk divergence is
+    # JVM Math.log, which never touches this path), and literal l_i
+    # coefficients in the fixed-order score chain.  MEASURED: the
+    # previous shape (wide 1-row aggregates + crossJoin + a 32-column
+    # Arrow-eval pandas_udf node) cost 2.8-3.8 s at sf0.1 with codegen
+    # of the 64-wide expressions dominating; materialize(g) made it
+    # WORSE (3.61 s).  Each ln argument mirrors the oracle's double
+    # expression step for step (exact BIGINTs < 2^53 cast to binary64,
+    # two products, one division), so the folded literals are
+    # bit-identical to what DuckDB computes.
+    from ..materialize import collect_small
+
     is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
-    stats = g.agg(
-        *[
-            F.sum(F.when(F.col("bucket") == i, is_en).otherwise(0)).alias(f"ct_{i}")
-            for i in range(b)
-        ],
-        *[
-            F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"cs_{i}")
-            for i in range(b)
-        ],
-        F.sum(is_en).alias("nt"),
-        F.count(F.lit(1)).alias("ns"),
+    brows = collect_small(
+        g.groupBy("bucket").agg(
+            F.sum(is_en).alias("ct"), F.count(F.lit(1)).alias("cs")
+        ),
+        max_rows=b,
     )
-
-    # JVM Math.log is a 1-ulp intrinsic that measurably diverges from
-    # libm (doc_bm25_topk precedent); the 32 log-ratios live on a ONE-ROW
-    # stats frame, so route exactly that row through an Arrow-batched
-    # CPython libm crossing.  Every per-document expression stays JVM-side.
-    @F.pandas_udf("double")
-    def _ln_libm(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: None if pd.isna(v) else math.log(v))
-
-    def _lcol(i: int):
-        num = (F.col(f"ct_{i}") + 1).cast("double") * (F.col("ns") + b).cast("double")
-        den = (F.col(f"cs_{i}") + 1).cast("double") * (F.col("nt") + b).cast("double")
-        return _ln_libm(num / den).alias(f"l_{i}")
-
-    lrow = stats.select(*[_lcol(i) for i in range(b)])
+    ct = {r["bucket"]: r["ct"] for r in brows}
+    cs = {r["bucket"]: r["cs"] for r in brows}
+    nt, ns = sum(ct.values()), sum(cs.values())
+    lvals = [
+        math.log(
+            (float(ct.get(i, 0) + 1) * float(ns + b))
+            / (float(cs.get(i, 0) + 1) * float(nt + b))
+        )
+        for i in range(b)
+    ]
 
     perdoc = g.groupBy("doc_id").agg(
         *[
@@ -2405,15 +2415,12 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_features"), F.lit(0)).cast("long").alias("n_features"),
         )
     )
-    score = F.col("m_0").cast("double") * F.col("l_0")
+    score = F.col("m_0").cast("double") * F.lit(lvals[0])
     for i in range(1, b):
-        score = score + F.col(f"m_{i}").cast("double") * F.col(f"l_{i}")
-    return (
-        alld.crossJoin(F.broadcast(lrow))
-        .select(
-            "doc_id",
-            "n_features",
-            score.alias("log_weight"),
-            (score > F.lit(0.0)).alias("selected"),
-        )
+        score = score + F.col(f"m_{i}").cast("double") * F.lit(lvals[i])
+    return alld.select(
+        "doc_id",
+        "n_features",
+        score.alias("log_weight"),
+        (score > F.lit(0.0)).alias("selected"),
     )
