@@ -1920,3 +1920,16 @@ def test_jpeg12_truncation_always_raises_fuzz(cutseed):
 def test_jpeg12_strict_decode_media_accepts():
     d = mm.decode_media(mm.synth_jpeg_gray12(16, 16, 9), "x", strict=True)
     assert d["fmt"] == "jpeg_gray12" and max(d["pixels"]) <= 4095
+
+
+def test_jpeg12_with_dri_orthogonal():
+    """12-bit SOF1 and DRI are orthogonal features of the same marker
+    walk: splicing a DRI whose interval exceeds the MCU count (no RST
+    markers required) into a 12-bit stream must decode identically."""
+    blob = mm.synth_jpeg_gray12(16, 16, 9)  # 4 MCUs
+    base = mm.decode_jpeg_gray(blob)
+    at = blob.index(b"\xff\xda")
+    dri = bytes((0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08))  # interval 8 > 4
+    patched = blob[:at] + dri + blob[at:]
+    got = mm.decode_jpeg_gray(patched)
+    assert got["fmt"] == "jpeg_gray12" and got["pixels"] == base["pixels"]
