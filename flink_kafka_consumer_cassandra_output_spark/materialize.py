@@ -209,6 +209,14 @@ def collect_small(df: DataFrame, max_rows: int = 4096) -> list:
     NEVER use on data-proportional frames; ``max_rows`` hard-guards the
     driver-OOM misuse.  Returns ``[]`` in schema-only mode -- callers
     must produce schema-identical fallback literals from the empty list.
+
+    EAGER-BUILD caveat (r16 ADVICE): a builder that calls this runs a
+    real (bounded) Spark aggregation job at DataFrame-CONSTRUCTION time,
+    not first-action time.  Consumers that only need schemas or lazy
+    plan shapes (registry lints, type sweeps) must set
+    ``SPARK_GRAFT_SCHEMA_ONLY=1``; consumers auditing the REAL physical
+    plan (tools/dump_plans.py) pay the model job by design, since the
+    folded literals are the plan.
     """
     if schema_only_builds():
         return []

@@ -46,6 +46,7 @@ Determinism notes (same contract as northstar_queries):
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -132,11 +133,7 @@ FROM stats
         "flag.  Bigram stats are array expressions (no shuffle) except the "
         "top-bigram mode, which is an explode keyed by doc_id -- the one "
         "shuffle, partitioned by document so it scales horizontally.",
-    # r9 driver-slot rotation: quality-filter family; both driver-green r8.
-    driver=False,
-    # r10 sibling re-point: quality-metric family, driver-checked there.
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_zipf_fit",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -912,11 +909,7 @@ FROM scored
         "integer division, 3-way label.  The lexicons are literal arrays "
         "here; a production lexicon becomes a broadcast join against the "
         "same counting shape (the taxonomy lookup-join pattern).",
-    # r9 driver-slot rotation: lexicon scoring exercised by the rarity machinery.
-    driver=False,
-    # r10 sibling re-point: lexicon/token scoring family, driver-checked there.
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_zipf_fit",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -2241,6 +2234,125 @@ _DSIR_BUCKET_SQL = (
 )
 
 
+def _dsir_bucket_expr(w1, w2):
+    """The bucket hash as a Spark expression over two word columns --
+    the one definition both the batch explode route and the row-wise
+    streaming scorer derive from (mirrors ``_DSIR_BUCKET_SQL``)."""
+    return (
+        F.lit(7) * F.length(w1)
+        + F.lit(13) * F.length(w2)
+        + F.lit(3) * F.ascii(w1)
+        + F.ascii(w2)
+    ) % _DSIR_B
+
+
+def _dsir_bucket_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) -- one row per non-empty word bigram.
+
+    Bigram pairs come from a zip of two shifted slices -- NO gram-string
+    concat + re-split (word_shingles builds "w1 w2" strings; decoding
+    them back costs a concat, a split, and two array indexes per gram).
+    """
+    w = F.split(F.col("text"), " ")
+    m = F.size(w) - 1
+    zipped = F.arrays_zip(
+        F.slice(w, 1, m).alias("w1"), F.slice(w, 2, m).alias("w2")
+    )
+    pairs = d.where(F.size(w) >= 2).select(
+        "doc_id", "lang", F.explode(zipped).alias("pr")
+    )
+    w1, w2 = F.col("pr.w1"), F.col("pr.w2")
+    return pairs.where((w1 != "") & (w2 != "")).select(
+        "doc_id", "lang", _dsir_bucket_expr(w1, w2).alias("bucket")
+    )
+
+
+def _dsir_lvals(g: DataFrame) -> list[float]:
+    """Train the 32-bucket importance model and return the log-ratio
+    coefficients l_i as Python floats (the literal-fold step; see the
+    register() doc for the determinism + libm platform notes).  In
+    schema-only mode ``collect_small`` returns [] and every l_i folds to
+    ln(1) = 0.0 -- schema-identical, no job."""
+    from ..materialize import collect_small
+
+    b = _DSIR_B
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    brows = collect_small(
+        g.groupBy("bucket").agg(
+            F.sum(is_en).alias("ct"), F.count(F.lit(1)).alias("cs")
+        ),
+        max_rows=b,
+    )
+    ct = {r["bucket"]: r["ct"] for r in brows}
+    cs = {r["bucket"]: r["cs"] for r in brows}
+    nt, ns = sum(ct.values()), sum(cs.values())
+    return [
+        math.log(
+            (float(ct.get(i, 0) + 1) * float(ns + b))
+            / (float(cs.get(i, 0) + 1) * float(nt + b))
+        )
+        for i in range(b)
+    ]
+
+
+def dsir_coefficients(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Public training entry for the streaming twin: the 32 frozen l_i
+    the batch ``doc_dsir_importance`` would fold for this corpus.  A
+    stream scoring micro-batches with these coefficients reproduces the
+    batch operator's rows exactly (tests/test_streaming.py)."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return _dsir_lvals(_dsir_bucket_frame(d))
+
+
+def dsir_score_rowwise(docs: DataFrame, lvals: list[float]) -> DataFrame:
+    """Score documents against FROZEN coefficients without a shuffle:
+    the per-document bucket histogram is computed row-wise with array
+    expressions (filter/size over the zipped bigram array), so the
+    operator is a pure narrow map -- streamable with no state store, no
+    watermark, and no foreachBatch shim, exactly like the decode gates.
+
+    Bit-equality with the batch route is by construction: the m_i are
+    exact integer counts of the SAME bucket hash, and the score is the
+    SAME fixed-order chain m_0*l_0 + ... + m_31*l_31 over binary64, so
+    stream == batch row-for-row (pinned in tests/test_streaming.py).
+    """
+    b = _DSIR_B
+    if len(lvals) != b:
+        raise ValueError(f"expected {b} coefficients, got {len(lvals)}")
+    w = F.split(F.col("text"), " ")
+    m = F.size(w) - 1
+    zipped = F.arrays_zip(
+        F.slice(w, 1, m).alias("w1"), F.slice(w, 2, m).alias("w2")
+    )
+    valid = F.filter(
+        zipped, lambda pr: (pr["w1"] != "") & (pr["w2"] != "")
+    )
+    buckets = F.when(
+        F.size(w) >= 2,
+        F.transform(valid, lambda pr: _dsir_bucket_expr(pr["w1"], pr["w2"])),
+    ).otherwise(F.array().cast("array<int>"))
+    d = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", buckets.alias("_bk")
+    )
+    # single-arg lambdas ONLY: pyspark's higher-order filter() inspects
+    # the lambda's arity and passes (element, index) to two-parameter
+    # lambdas, so `lambda x, i=i:` would silently bind the array INDEX
+    # over the default
+    def _eq(i: int):
+        return lambda x: x == F.lit(i)
+
+    ms = [F.size(F.filter(F.col("_bk"), _eq(i))) for i in range(b)]
+    score = ms[0].cast("double") * F.lit(lvals[0])
+    for i in range(1, b):
+        score = score + ms[i].cast("double") * F.lit(lvals[i])
+    return d.select(
+        "doc_id",
+        F.size(F.col("_bk")).cast("long").alias("n_features"),
+        score.alias("log_weight"),
+        (score > F.lit(0.0)).alias("selected"),
+    )
+
+
 def _dsir_oracle() -> str:
     b = _DSIR_B
     ct = ",\n         ".join(
@@ -2325,7 +2437,16 @@ FROM alld CROSS JOIN lrow
         "log-ratio is ONE CPython-libm ln of a double expression mirrored "
         "step for step against the oracle (exact integers < 2^53, two "
         "products, one division -- and DuckDB's ln IS libm, so the folded "
-        "literal coefficients are bit-identical); the per-document score "
+        "literal coefficients are bit-identical).  PLATFORM ASSUMPTION "
+        "(r16 ADVICE): that last step couples the hash gate to CPython "
+        "math.log and DuckDB ln resolving to the SAME libm -- true on "
+        "this glibc host (pinned by tests/test_curation_truth.py), "
+        "fragile on musl/macOS or a DuckDB built against a different "
+        "libm, where a last-ulp ln divergence would redline the gate "
+        "despite numerically correct results.  On such a host, expect a "
+        "hash mismatch with rows/schema green and per-value deltas at "
+        "the 1-ulp level; the row-count + schema checks remain the "
+        "meaningful signal there.  The per-document score "
         "is a FIXED-ORDER 32-term chain m_0*l_0 + ... + m_31*l_31 "
         "(left-associative in both engines), so the hash gate holds.  "
         "Scale: one narrow groupBy('bucket') model pass and one per-doc "
@@ -2340,31 +2461,7 @@ FROM alld CROSS JOIN lrow
 def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _DSIR_B
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    w = F.split(F.col("text"), " ")
-    # bigram pairs as a zip of two shifted slices -- NO gram-string
-    # concat + re-split (word_shingles builds "w1 w2" strings; decoding
-    # them back costs a concat, a split, and two array indexes per gram)
-    m = F.size(w) - 1
-    zipped = F.arrays_zip(
-        F.slice(w, 1, m).alias("w1"), F.slice(w, 2, m).alias("w2")
-    )
-    pairs = d.where(F.size(w) >= 2).select(
-        "doc_id", "lang", F.explode(zipped).alias("pr")
-    )
-    w1, w2 = F.col("pr.w1"), F.col("pr.w2")
-    g = pairs.where((w1 != "") & (w2 != "")).select(
-        "doc_id",
-        "lang",
-        (
-            (
-                F.lit(7) * F.length(w1)
-                + F.lit(13) * F.length(w2)
-                + F.lit(3) * F.ascii(w1)
-                + F.ascii(w2)
-            )
-            % b
-        ).alias("bucket"),
-    )
+    g = _dsir_bucket_frame(d)
     # The importance MODEL is constant-bounded (32 buckets), so train it
     # long-shape and fold it into the plan as LITERALS: one narrow
     # groupBy("bucket") pass (map-side combined), a hard-guarded
@@ -2379,25 +2476,22 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression step for step (exact BIGINTs < 2^53 cast to binary64,
     # two products, one division), so the folded literals are
     # bit-identical to what DuckDB computes.
-    from ..materialize import collect_small
+    from ..materialize import STAGING_ENV, materialize
 
-    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
-    brows = collect_small(
-        g.groupBy("bucket").agg(
-            F.sum(is_en).alias("ct"), F.count(F.lit(1)).alias("cs")
-        ),
-        max_rows=b,
-    )
-    ct = {r["bucket"]: r["ct"] for r in brows}
-    cs = {r["bucket"]: r["cs"] for r in brows}
-    nt, ns = sum(ct.values()), sum(cs.values())
-    lvals = [
-        math.log(
-            (float(ct.get(i, 0) + 1) * float(ns + b))
-            / (float(cs.get(i, 0) + 1) * float(nt + b))
-        )
-        for i in range(b)
-    ]
+    # g feeds BOTH the model pass and the per-doc histogram; Spark shares
+    # no common subplans, so unmaterialized it scans + explodes the
+    # corpus twice.  Locally that is the RIGHT call (materialize(g) via
+    # localCheckpoint measured WORSE, 3.61 s vs 2.35 s at sf0.1 -- the
+    # checkpoint write costs more than the second narrow scan saves).
+    # At 100 TB the trade inverts: two full corpus scans dominate one
+    # staged-parquet write of the compact (doc_id, lang, bucket) frame,
+    # so in cluster/staging mode (SPARK_GRAFT_STAGING_DIR set) the
+    # explode is staged once and both passes read it back
+    # (tests/test_staging_mode.py pins result equality across modes).
+    if os.environ.get(STAGING_ENV, ""):
+        g = materialize(g)
+
+    lvals = _dsir_lvals(g)
 
     perdoc = g.groupBy("doc_id").agg(
         *[

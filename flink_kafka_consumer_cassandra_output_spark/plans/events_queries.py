@@ -248,11 +248,7 @@ GROUP BY user_id, event_type
         "GROUP BY exactly -- the oracle IS that group-by, so the gate checks "
         "the pivot/unpivot round-trip, not just the melt mechanics.  NULL "
         "cells (user never produced the type) are dropped on both sides",
-    # r9 driver-slot rotation: wide/long reshaping green r7+r8; the JSON anchor stays.
-    driver=False,
-    # r10 sibling re-point: wide/long multi-dim aggregation family, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="agg_cube_orders",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def ev_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = ev_pivot_user_type_counts(spark, sf_dir)
@@ -353,12 +349,7 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
         "per stage.  Strictness under ties: the 1-preceding frame plus the "
         "explicit ts > comparison, with event_id completing the total "
         "order.",
-    # r8 driver-slot rotation: time-window step matching IS a range join, driver-checked there.
-    driver=False,
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    # r16 sibling re-point: prior anchor sits out for the new
-    # mm_jpeg_restart_stats registration.
-    sibling="ev_max_concurrent_sessions",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
@@ -415,12 +406,7 @@ GROUP BY prev_type, next_type
         "order total, aggregated to (prev, next) pairs.  Plan: one shuffle "
         "on user_id for the window sort, then a 25-group aggregate; the "
         "window never re-shuffles an already user-partitioned stream.",
-    # r8 driver-slot rotation: lag/lead transition detection generalized there, driver-checked.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    # r16 sibling re-point: prior anchor sits out for the new
-    # mm_jpeg_restart_stats registration.
-    sibling="ev_max_concurrent_sessions",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -461,9 +447,7 @@ LIMIT 20
         "event count with a (user, start) total-order tiebreak.  Plan: one "
         "user_id shuffle serves both windows AND the per-session "
         "aggregate; TakeOrderedAndProject does the global top-20.",
-    # r8 driver-slot rotation: per-key frequency ranking family, driver-checked there.
-    driver=False,
-    sibling="ev_debounce_exact",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def ev_top_sessions_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -538,12 +522,7 @@ FROM grid
         "volume, so densification cost is independent of the fact table.  "
         "The first grid hour is observed by construction, so the fill "
         "never emits leading NULLs.",
-    # r8 driver-slot rotation: ordered event-time sequence family, driver-checked there.
-    driver=False,
-    # r15 sibling re-point: prior anchor sat out for ev_cusum_alarm_minute;
-    # ev_session_windows is the driver-side time-window anchor.
-    # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="ev_max_concurrent_sessions",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())

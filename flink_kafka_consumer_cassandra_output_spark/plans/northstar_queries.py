@@ -171,7 +171,8 @@ FROM h
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_near_dup_simhash",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_minhash_estimate_certificate",
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -237,6 +238,10 @@ WHERE hamming <= {SIM.SIMHASH_RADIUS} AND jaccard >= 0.5
         "never-all-pairs -- band equi-join candidates, verify touches "
         "candidates only",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_minhash_estimate_certificate",
 )
 def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -296,7 +301,8 @@ FROM documents
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_near_dup_simhash",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_minhash_estimate_certificate",
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -329,7 +335,8 @@ GROUP BY fingerprint
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_dedup_keep_best",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_curation_funnel",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -394,7 +401,8 @@ WHERE jaccard >= 0.5
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_near_dup_simhash",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_minhash_estimate_certificate",
 )
 def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -542,7 +550,8 @@ SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM pairs
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_near_dup_simhash",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_minhash_estimate_certificate",
 )
 def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verified_pairs(spark, sf_dir).select(
@@ -605,7 +614,8 @@ FROM lbl
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_dedup_keep_best",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="doc_curation_funnel",
 )
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _dedup_labels(spark, sf_dir)
@@ -704,6 +714,10 @@ WHERE rank <= 10
         "hash-filters WITHOUT the window (bucket < k) when exact quotas "
         "aren't required",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_curation_funnel",
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -798,12 +812,7 @@ UNION ALL SELECT 'stage3_near_dedup', CAST(s3 AS BIGINT) FROM agg
         "oracle mirrors the same flags form.  The near-dup subtree is "
         "shared lineage (AQE exchange reuse deduplicates the common "
         "aggregate where possible)",
-    # r8 driver-slot rotation: the funnel's quality-filter stage is now driver-checked standalone.
-    driver=False,
-    # r9 sibling re-point: quality-filter composition; the scoring stage driver-checked there.
-    # r10 sibling re-point: quality-metric composition family, driver-checked there.
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_zipf_fit",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1591,10 +1600,7 @@ WHERE rank <= 5
     doc="north-star similarity search, exact baseline: brute-force cosine "
         "top-5 for a 10-query set.  Scale: queries broadcast, corpus scanned "
         "once with no shuffle; the only wide op is the per-query top-k",
-    # r8 driver-slot rotation: IVF's verify step computes the same exact-cosine fold on candidates.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_cosine_topk_arrow",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1646,6 +1652,10 @@ WHERE rank <= 5
         "registry projection drops it so the driver can hash-match the "
         "neighbor membership instead of recording rows-only",
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="emb_cosine_topk",
 )
 def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -1896,7 +1906,8 @@ WHERE rank <= 3
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_cosine_topk_arrow",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk",
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -1973,7 +1984,8 @@ FROM topk WHERE rank = 1
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_cosine_topk_arrow",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk",
 )
 def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
@@ -2531,7 +2543,8 @@ LIMIT 100
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="emb_cosine_topk_arrow",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk",
 )
 def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -2648,11 +2661,7 @@ GROUP BY needle_src
         "aggregation is a tiny keyed shuffle.  For needle sets too big to "
         "broadcast, the n-gram route is doc_near_dup_jaccard's prefix-"
         "filter join.",
-    # r8 driver-slot rotation: same benchmark-overlap op; the web-scale n-gram route is driver-checked.
-    driver=False,
-    # r10 sibling re-point: decontamination family, driver-checked there.
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_phrase_search",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -2706,10 +2715,7 @@ FROM placed
         "per-group cumsums parallelize across the partition key).  "
         "Token counts are whitespace tokens, consistent with "
         "doc_chunking/doc_text_stats.".format(cap=PACK_CAPACITY),
-    # r8 driver-slot rotation: token-accounting family over documents, driver-checked there.
-    driver=False,
-    # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_zipf_fit",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -3105,12 +3111,7 @@ FROM (
         "that can only be eyeballed.  tests/test_similarity.py pins the "
         "MEAN error below 0.15 on the fixture, making the accuracy claim "
         "executable, not prose.",
-    # r9 driver-slot rotation: certificate green r8; minhash anchored by the dedup chain.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_near_dup_simhash",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
@@ -3729,6 +3730,10 @@ FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
         "through keep=1.  Composes the driver-checked doc_dedup_clusters "
         "chain, adding only the argmax.",
     # r11 driver-slot rotation: promoted -- quality-ranked cluster representative, first driver check.
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="doc_curation_funnel",
 )
 def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _dedup_labels(spark, sf_dir)
@@ -3799,7 +3804,8 @@ WHERE r = 1
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_cosine_topk_arrow",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk",
 )
 def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -3887,7 +3893,8 @@ FROM l2
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
     # r15 sibling re-point: prior anchor sat out for mm_jpeg_partial_mcu_stats.
-    sibling="emb_cosine_topk_arrow",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk",
 )
 def emb_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -4001,7 +4008,8 @@ FROM r WHERE rn <= (5 * n + 99) // 100
     # a first-round driver slot at a constant 50-entry surface (fresh
     # r13+r14 greens; emb_cosine_topk_arrow anchors the embeddings family).
     driver=False,
-    sibling="emb_cosine_topk_arrow",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk",
 )
 def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
@@ -4269,7 +4277,8 @@ FROM r2, x{iters} x"""
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="emb_cosine_topk_arrow",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="emb_cosine_topk",
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(

@@ -41,6 +41,10 @@ WHERE stanza IS NOT NULL
     doc="O5+O6+O10: detail-row projection without the (non-SQL) cipher column "
         "(CassandraOutputFormat.java:101-132)",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="msg_detail_encrypted",
 )
 def msg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp.detail_table(_msgs(spark, sf_dir), encrypt=False).drop("stanza")
@@ -256,6 +260,10 @@ SELECT
         "Single-plan form: one groupBy + one full_outer join + one aggregate "
         "-- no driver-side counts, no double pipeline recompute",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="msg_summary_first",
 )
 def msg_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -294,6 +302,10 @@ GROUP BY t.type_name
     doc="O22 as a broadcast dimension join (the lookup-DataFrame form of the "
         "taxonomy; BHJ, no shuffle of the fact side)",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="msg_type_taxonomy",
 )
 def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)

@@ -98,7 +98,8 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -159,7 +160,8 @@ GROUP BY o_orderpriority
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -201,7 +203,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -253,7 +256,8 @@ GROUP BY supp_nation, cust_nation, l_year
     # r10 sibling re-point: multi-dim join-agg family, driver-checked there.
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -329,7 +333,8 @@ GROUP BY o_year
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -413,7 +418,8 @@ GROUP BY n_name, o_year
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -477,7 +483,8 @@ LIMIT 20
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -539,7 +546,8 @@ WHERE pv * (SELECT COUNT(*) FROM v) > (SELECT SUM(pv) FROM v) * 2
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -586,14 +594,7 @@ GROUP BY lag_class
         "two columns); datediff is a scan-side expression; 2-group agg.  "
         "Fixture dates are midnight-aligned so day difference is exact on "
         "both engines.",
-    # r8 driver-slot rotation: date-range + priority bucketing family, driver-checked there.
-    driver=False,
-    # r9 sibling re-point: date-range + priority bucketing family, driver-checked there.
-    # r10 sibling re-point: CASE-bucketed conditional aggregation family, driver-checked there.
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -643,7 +644,8 @@ GROUP BY c_count
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -686,12 +688,7 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         "bits).  Plan: one shuffle agg on l_suppkey; the max is a 1-row "
         "broadcast; supplier joins by broadcast.  Ties all surface (the "
         "TPC-H spec's multi-winner semantics), so no tiebreak is needed.",
-    # r8 driver-slot rotation: aggregate-threshold top-group family, driver-checked there.
-    driver=False,
-    # r14 sibling re-point: prior anchor demoted this rotation.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -787,12 +784,7 @@ WHERE p_brand = 'Brand#5'
         "Determinism: quantities are integer-valued doubles, so SUM/COUNT "
         "is exact and the 0.2x threshold is one multiply; AVG is spelled "
         "SUM/COUNT on both engines to force the same operation order.",
-    # r8 driver-slot rotation: per-group scalar-subquery threshold family, driver-checked there.
-    driver=False,
-    # r9 sibling re-point: per-group scalar-subquery threshold family, driver-checked there.
-    # r15 sibling re-point: prior anchor demoted this rotation.
-    # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -906,7 +898,8 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -962,7 +955,8 @@ WHERE n_name = 'NATION_7'
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
@@ -1018,7 +1012,8 @@ GROUP BY s_name
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1096,7 +1091,8 @@ GROUP BY c_mktsegment
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")

@@ -66,7 +66,8 @@ GROUP BY l_returnflag, l_linestatus
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-02"))
@@ -250,7 +251,8 @@ FROM o
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="scalar_subquery_above_avg_balance",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -300,7 +302,8 @@ AND NOT EXISTS (
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
@@ -357,7 +360,8 @@ FROM s
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="distinct_agg_lineitem",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="agg_cube_orders",
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -410,7 +414,8 @@ WHERE o_orderkey % 100 = 0
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="asof_last_order_before_event",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="ev_hourly_gapfill",
 )
 def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -530,6 +535,10 @@ FROM nation
         "coarse; O(len^2) per pair, so at scale it only ever runs on "
         "candidate pairs, never all-pairs)",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="cust_entity_resolution",
 )
 def str_functions_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
@@ -560,6 +569,10 @@ GROUP BY l_returnflag
     doc="multiple exact COUNT(DISTINCT) in one aggregate (Catalyst plans one "
         "Expand + two-phase distinct aggregation, not N scans)",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="agg_cube_orders",
 )
 def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -596,6 +609,10 @@ GROUP BY n_name
         "-- ~15B/1B rows at 100 TB), so AQE picks BHJ vs SMJ from runtime "
         "sizes instead of a hint that would OOM the driver at scale.",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="q15_top_supplier",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -648,6 +665,10 @@ GROUP BY ship_month
         "is one double multiply + one divide of exact decimal sums, so "
         "cross-engine parity is exact",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="q15_top_supplier",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -697,7 +718,8 @@ LIMIT 10
     # r14 sibling re-point: prior anchor demoted this rotation.
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="q5_revenue_by_nation",
+    # r17 sibling re-point: prior anchor demoted this rotation.
+    sibling="q15_top_supplier",
 )
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.register_views(spark, sf_dir)
@@ -773,6 +795,10 @@ WHERE c_acctbal > (SELECT {N.davg_expr('c_acctbal')} FROM customer)
         "balance (decimal-exact avg so the threshold is bit-identical); "
         "Spark side: broadcast 1-row aggregate cross join",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="q15_top_supplier",
 )
 def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -840,6 +866,10 @@ WHERE rk <= 3
         "registry determinism contract). Scale: rank-then-filter shuffles "
         "once on the group key; no global sort",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="window_order_running_total",
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -876,6 +906,10 @@ FROM orders
         "Scale: one shuffle + sort per customer partition, frame evaluated "
         "by a sliding accumulator, decimal-exact sums",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="window_order_running_total",
 )
 def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -961,6 +995,10 @@ WHERE rn = 1
         "partitions the join. 100 TB shape: shuffle both sides on the user "
         "key once; the window touches only each event's own matches",
     # r16 rotation: promoted for stale re-verification (tools/r16_rotation_plan.md).
+    # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
+    # cycle -- multi-round veteran sits out for a stale re-verification.
+    driver=False,
+    sibling="ev_hourly_gapfill",
 )
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)

@@ -581,6 +581,62 @@ def read_jpeg_ac_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(PIXEL_STATS_SCHEMA).parquet(out_dir)
 
 
+#: doc_dsir_importance's output schema, pinned for the streaming sink
+#: read-back (matches the batch builder column-for-column).
+DSIR_SCORE_SCHEMA = (
+    "doc_id long, n_features long, log_weight double, selected boolean"
+)
+
+
+def run_dsir_score_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    coefficients: list[float],
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Streaming twin of the batch ``doc_dsir_importance`` scorer
+    (VERDICT r16 task 5): documents arrive as files and are scored
+    against FROZEN 32-bucket model coefficients -- train once with
+    ``plans.curation_queries.dsir_coefficients`` (or load coefficients
+    persisted by an earlier batch run), then deploy the fixed chain.
+
+    This split is exactly how DSIR deploys at scale: the importance
+    model is O(32) state estimated from a (possibly historical) corpus
+    snapshot; scoring new documents against it is embarrassingly
+    parallel.  The row-wise scorer
+    (``curation_queries.dsir_score_rowwise``) computes each document's
+    bucket histogram with array expressions instead of the batch route's
+    explode + groupBy, so the streaming stage is a pure narrow map --
+    no state store, no watermark, no foreachBatch shim; the checkpointed
+    parquet sink alone gives exactly-once, the same posture as the
+    decode-gate twins.  Bit-equality with the batch operator (exact
+    integer histograms + the identical fixed-order binary64 chain) is
+    pinned row-for-row in tests/test_streaming.py.
+    """
+    from ..plans.curation_queries import dsir_score_rowwise
+
+    docs = stream_documents(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    scored = dsir_score_rowwise(docs, coefficients)
+    return (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("dsir_score_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dsir_scores(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Batch read-back of the streaming DSIR score sink, schema-pinned."""
+    return spark.read.schema(DSIR_SCORE_SCHEMA).parquet(out_dir)
+
+
 def run_curation_funnel_stream(
     spark: SparkSession,
     input_dir: str,

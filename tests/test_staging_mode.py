@@ -29,6 +29,11 @@ from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
         # parquet write+readback instead of a checkpoint
         "orders_abc_classification",
         "doc_lm_rarity",
+        # r17: DSIR stages its shared bigram explode ONLY in staging mode
+        # (the 100 TB single-corpus-scan shape); the staged run must fold
+        # the exact same literal coefficients and scores as the local
+        # double-scan shape
+        "doc_dsir_importance",
     ],
 )
 def test_staging_tables_match_local_checkpoint(spark, sf_dir, tmp_path, name):

@@ -1276,3 +1276,48 @@ def test_jpeg_ac_stats_stream_matches_batch_with_restart(
     batch = {tuple(r) for r in jpeg_ac_stats(docs).collect()}
     got = {tuple(r) for r in streamed.collect()}
     assert got == batch, f"{len(got ^ batch)} decoded stat rows differ"
+
+
+def test_dsir_score_stream_matches_batch_with_restart(
+    spark, sf_dir, doc_chunks, tmp_path
+):
+    """Streaming twin of doc_dsir_importance (VERDICT r16 task 5): the
+    32-bucket model is trained ONCE (the batch coefficients, frozen),
+    then documents streamed as files are scored by the row-wise narrow
+    map.  The stream must (a) survive a restart from the checkpoint with
+    no loss and no dupes, and (b) reproduce the batch operator's rows
+    EXACTLY -- the same exact-integer histograms folded through the same
+    fixed-order binary64 chain, so log_weight is bit-identical, not just
+    close."""
+    from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
+    from flink_kafka_consumer_cassandra_output_spark.plans.curation_queries import (
+        dsir_coefficients,
+    )
+
+    lvals = dsir_coefficients(spark, sf_dir)
+    input_dir, out, cp = tmp_path / "in", tmp_path / "dsir_scores", tmp_path / "cp_dsir"
+    input_dir.mkdir()
+
+    # phase 1: half the corpus
+    _drop(doc_chunks, input_dir, 0, 2)
+    _run(sp.run_dsir_score_stream(spark, str(input_dir), str(out), str(cp), lvals))
+    n1 = sp.read_dsir_scores(spark, str(out)).count()
+    assert n1 > 0
+
+    # phase 2: restart with NO new data -> nothing reprocessed
+    _run(sp.run_dsir_score_stream(spark, str(input_dir), str(out), str(cp), lvals))
+    assert sp.read_dsir_scores(spark, str(out)).count() == n1
+
+    # phase 3: rest arrives; restart from checkpoint
+    _drop(doc_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_dsir_score_stream(spark, str(input_dir), str(out), str(cp), lvals))
+    streamed = sp.read_dsir_scores(spark, str(out))
+
+    batch = {
+        tuple(r)
+        for r in all_specs()["doc_dsir_importance"].builder(spark, sf_dir).collect()
+    }
+    assert streamed.count() == len(batch)  # no loss
+    assert streamed.select("doc_id").distinct().count() == len(batch)  # no dupes
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch, f"{len(got ^ batch)} score rows differ"

@@ -5,7 +5,17 @@ Usage: python tools/dump_plans.py  (writes PLANS.md at the repo root)
 The selection covers one query per plan family — scan+agg, broadcast join
 chain, window, top-k, LSH candidate join, IVF, streaming-shaped session
 windows — so a reviewer can audit pushdown / broadcast / shuffle shape
-without rerunning anything.
+without rerunning the QUERIES themselves.
+
+Caveat (r16 ADVICE): "without rerunning" is not quite "without running".
+Literal-coefficient builders (doc_dsir_importance via
+``materialize.collect_small``) and session-memoized stages
+(doc_dedup_keep_best, emb_ann_recall_curve) execute REAL bounded Spark
+jobs at DataFrame-construction time — that is exactly the plan being
+audited (the folded literals / checkpoint scans ARE the physical plan),
+so this tool deliberately does NOT set ``SPARK_GRAFT_SCHEMA_ONLY``:
+schema-only mode would swap in lazy stand-in plans that never execute.
+Expect the dump to take a few minutes of real work, not milliseconds.
 """
 
 from __future__ import annotations

@@ -84,12 +84,30 @@ QUERIES = (
     # the distinct-int ln frame grows only with new count VALUES (k*c),
     # still bounded by doc-length-cap * k's value set, never by rows.
     "doc_char_kl_gibberish",
+    # r17 addition, sound under unchanged-text replication: output rows
+    # are one-per-doc (grow exactly k); bucket counts ct/cs all grow k so
+    # the add-1-smoothed l_i coefficients drift only at the smoothing
+    # term (timing-irrelevant); the model pass stays a 32-group map-side
+    # -combined aggregate whatever k is.  This probe adjudicates the
+    # in-source claim that its ~2.3 s sf0.1 cost is FIXED 64-wide-codegen
+    # plan overhead, not data-linear work (VERDICT r16 "What's missing"
+    # #3): if the claim holds, sec/k must FALL with k like the decode
+    # gates'; if sec/k is flat, the cost is data-bound and the claim dies.
+    "doc_dsir_importance",
 )
 
 # Optional subset, e.g. SPARK_GRAFT_PROBE_QUERIES=doc_ngram_topk
 _SUBSET = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
 if _SUBSET:
-    QUERIES = tuple(q for q in _SUBSET.split(",") if q)
+    _requested = tuple(q for q in _SUBSET.split(",") if q)
+    _known = set(QUERIES) | {"doc_decontamination_ngram"}
+    _unknown = sorted(set(_requested) - _known)
+    if _unknown or not _requested:
+        raise ValueError(
+            "SPARK_GRAFT_PROBE_QUERIES names not in this probe's QUERIES: "
+            f"{_unknown or '(empty)'}; known: {sorted(_known)}"
+        )
+    QUERIES = _requested
 
 #: Queries probed against the TAGGED replication (every token suffixed with
 #: its replica id, so vocab is disjoint across replicas).  Unchanged-text

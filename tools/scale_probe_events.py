@@ -72,7 +72,14 @@ QUERIES = (
 # Optional subset, e.g. SPARK_GRAFT_PROBE_QUERIES=ev_debounce_exact,ev_acf_lags
 _SUBSET = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
 if _SUBSET:
-    QUERIES = tuple(q for q in _SUBSET.split(",") if q)
+    _requested = tuple(q for q in _SUBSET.split(",") if q)
+    _unknown = sorted(set(_requested) - set(QUERIES))
+    if _unknown or not _requested:
+        raise ValueError(
+            "SPARK_GRAFT_PROBE_QUERIES names not in this probe's QUERIES: "
+            f"{_unknown or '(empty)'}; known: {sorted(QUERIES)}"
+        )
+    QUERIES = _requested
 
 
 def build_probe_dir(spark: SparkSession, k: int) -> str:

@@ -54,7 +54,14 @@ QUERIES = ("mm_pixel_stats", "mm_media_headers", "mm_media_features",
 #: re-timing the whole family)
 _only = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
 if _only:
-    QUERIES = tuple(q for q in QUERIES if q in _only.split(","))
+    _requested = tuple(q for q in _only.split(",") if q)
+    _unknown = sorted(set(_requested) - set(QUERIES))
+    if _unknown or not _requested:
+        raise ValueError(
+            "SPARK_GRAFT_PROBE_QUERIES names not in this probe's QUERIES: "
+            f"{_unknown or '(empty)'}; known: {sorted(QUERIES)}"
+        )
+    QUERIES = tuple(q for q in QUERIES if q in _requested)
 
 
 def write_replicated(spark, k: int, out_dir: str) -> None:
