@@ -33,8 +33,10 @@ coefficient accumulation, gated by ``mm_jpeg_progressive_stats``.
 JPEG is decode-complete for the sequential + progressive Huffman
 family INCLUDING restart intervals (r16: baseline and progressive
 DRI/RST decode for real, gated two-arm by ``mm_jpeg_restart_stats``)
-and 12-bit extended sequential SOF1 (r16, gated by
-``mm_jpeg12_stats``); the remaining stub is arithmetic-coded JPEG
+and 12-bit extended sequential SOF1 -- grayscale (r16, gated by
+``mm_jpeg12_stats``) AND 3-component color with 12-bit fixed-point
+YCbCr->RGB (r17, gated by ``mm_jpeg_color12_stats``); the remaining
+stub is arithmetic-coded JPEG
 (the T.81 Annex D QM-coder needs the exact 113-row Table D.3 state
 machine, not available offline -- a from-memory transcription would
 be a wrong-table decoder, worse than refusing), hierarchical JPEG
@@ -846,6 +848,108 @@ def synth_jpeg_gray12(width: int, height: int, doc_id: int) -> bytes:
         + bytes((1, 1, 0x11, 0)),
     )
     sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dht + sof1 + sos + scan + b"\xff\xd9"
+
+
+#: 12-bit chroma DC table: the 16 diff categories at length 6 (vs the
+#: luma table's length 5), so a wrong-table pick desynchronizes loudly.
+_DC12_CHROMA_LENGTHS = [0, 0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def synth_jpeg_color12(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL 12-bit extended-sequential 3-component 4:4:4 JFIF (SOF1,
+    r17) -- the "12-bit color" frontier item: every 8x8 block of every
+    component carries the integer-certifiable AC class of
+    :func:`synth_jpeg_gray_ac` (``F(0,0)=8m, F(4,4)=8n``) with 12-bit
+    per-component formulas
+
+    - Y:  ``m = (331d+17bx+29by)%3001-1500``, ``n = (7d+3bx+by)%27``
+    - Cb: ``m = (431d+23bx+41by)%2001-1000``, ``n = (11d+bx+5by)%23``
+    - Cr: ``m = (523d+31bx+37by)%2001-1000``, ``n = (5d+9bx+by)%23``
+
+    so every decoded component sample is exactly ``2048+m+n*s(x)*s(y)``
+    (Y within [522, 3574]: genuinely >8-bit, no component clamp) and the
+    12-bit fixed-point YCbCr->RGB (same libjpeg FIX() constants, center
+    2048, clamp 0..4095 -- precision changes only CENTERJSAMPLE /
+    MAXJSAMPLE, jdcolor.c semantics) is SQL-reproducible.  Wrong-table
+    decoding is loud by construction, as in :func:`synth_jpeg_color`:
+    chroma DC uses the 16 twelve-bit categories at length 6 (luma: 5),
+    chroma AC a different code length, and chroma coefficients are
+    stored HALVED against a dequant of 2s.  Luma DC diffs reach
+    category 15 (the 12-bit extension the gray gate pinned), chroma
+    category 13 under the independent per-component predictors."""
+    dc_y = _canonical_codes(_DC12_LENGTHS, _DC12_SYMBOLS)
+    ac_y = _canonical_codes(_AC_RUN6_LENGTHS, _AC_RUN6_SYMBOLS)
+    dc_c = _canonical_codes(_DC12_CHROMA_LENGTHS, _DC12_SYMBOLS)
+    ac_c = _canonical_codes(_AC_RUN6_CHROMA_LENGTHS, _AC_RUN6_SYMBOLS)
+
+    def mn(ci: int, bx: int, by: int) -> tuple[int, int]:
+        d = doc_id
+        if ci == 0:
+            return (
+                (331 * d + 17 * bx + 29 * by) % 3001 - 1500,
+                (7 * d + 3 * bx + by) % 27,
+            )
+        if ci == 1:
+            return (
+                (431 * d + 23 * bx + 41 * by) % 2001 - 1000,
+                (11 * d + bx + 5 * by) % 23,
+            )
+        return (
+            (523 * d + 31 * bx + 37 * by) % 2001 - 1000,
+            (5 * d + 9 * bx + by) % 23,
+        )
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            for ci in range(3):
+                dc_codes, ac_codes = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
+                scale = 8 if ci == 0 else 4  # chroma stored halved, q=2
+                m, n = mn(ci, bx, by)
+                dc = scale * m
+                diff = dc - prev[ci]
+                prev[ci] = dc
+                t = _jpeg_category(diff)
+                code, nbits = dc_codes[t]
+                bw.write(code, nbits)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                if n:
+                    zcode, znb = ac_codes[0xF0]
+                    bw.write(zcode, znb)
+                    bw.write(zcode, znb)
+                    ac = scale * n
+                    s = _jpeg_category(ac)
+                    code, nbits = ac_codes[(6 << 4) | s]
+                    bw.write(code, nbits)
+                    bw.write(ac, s)
+                code, nbits = ac_codes[0x00]
+                bw.write(code, nbits)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64)) + seg(
+        0xDB, bytes((0x01,)) + bytes([2] * 64)
+    )
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC12_LENGTHS) + bytes(_DC12_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_RUN6_LENGTHS) + bytes(_AC_RUN6_SYMBOLS))
+        + seg(0xC4, bytes((0x01,)) + bytes(_DC12_CHROMA_LENGTHS) + bytes(_DC12_SYMBOLS))
+        + seg(
+            0xC4,
+            bytes((0x11,)) + bytes(_AC_RUN6_CHROMA_LENGTHS) + bytes(_AC_RUN6_SYMBOLS),
+        )
+    )
+    sof1 = seg(
+        0xC1,
+        bytes((12,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)),
+    )
+    sos = seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
     return b"\xff\xd8" + dqt + dht + sof1 + sos + scan + b"\xff\xd9"
 
 
@@ -1708,16 +1812,17 @@ def decode_jpeg_gray(content: bytes) -> dict:
     width = int.from_bytes(sof[3:5], "big")
     ncomp = sof[5]
     # SOF0 is 8-bit by definition (T.81 Table B.2); SOF1 adds 12-bit,
-    # supported here for grayscale (the fixed-point YCbCr constants are
-    # 8-bit libjpeg semantics, so 12-bit color stays refused loudly).
+    # supported for grayscale (r16) AND color (r17: the fixed-point
+    # YCbCr constants are precision-independent ratios -- 12-bit libjpeg
+    # only moves CENTERJSAMPLE/MAXJSAMPLE to 2048/4095, jdcolor.c).
     ok = (precision == 8 and ncomp in (1, 3)) or (
-        precision == 12 and sof_marker == 0xC1 and ncomp == 1
+        precision == 12 and sof_marker == 0xC1 and ncomp in (1, 3)
     )
     if not ok:
         raise ValueError(
             f"unsupported JPEG (precision={precision}, components={ncomp}, "
-            f"SOF 0x{sof_marker:02x}); 8-bit 1/3-component sequential or "
-            "12-bit grayscale SOF1 only"
+            f"SOF 0x{sof_marker:02x}); 8-bit sequential or 12-bit SOF1, "
+            "1/3-component only"
         )
     # SOF0 body: precision(1) + dims(4) + ncomp(1) + 3 bytes/component.
     if len(sof) < 6 + 3 * ncomp:
@@ -1908,14 +2013,24 @@ def _jpeg_emit(blocks, comps, hmax, vmax, pw, ph, width, height,
         rx, ry = hmax // comps[ci][2], vmax // comps[ci][3]
         return planes[ci][(ys // ry)[:, None], (xs // rx)[None, :]]
 
+    # 12-bit color (r17): the FIX() constants are precision-independent
+    # ratios; libjpeg's 12-bit build changes only CENTERJSAMPLE (2048)
+    # and MAXJSAMPLE (4095), which is exactly what the level shift above
+    # already parameterized.  Products stay < 2^28, exact in binary64,
+    # so the SQL oracle's floor-division replay remains bit-for-bit.
+    center = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
     yy = up(0)
-    cb = up(1) - 128
-    cr = up(2) - 128
-    r = np.clip(yy + ((91881 * cr + 32768) >> 16), 0, 255)
-    g = np.clip(yy - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
-    b = np.clip(yy + ((116130 * cb + 32768) >> 16), 0, 255)
+    cb = up(1) - center
+    cr = up(2) - center
+    r = np.clip(yy + ((91881 * cr + 32768) >> 16), 0, maxv)
+    g = np.clip(yy - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, maxv)
+    b = np.clip(yy + ((116130 * cb + 32768) >> 16), 0, maxv)
     pixels = list(zip(r.ravel().tolist(), g.ravel().tolist(), b.ravel().tolist()))
-    return {"fmt": "jpeg_rgb", "width": width, "height": height, "pixels": pixels}
+    return {
+        "fmt": "jpeg_rgb" if precision == 8 else "jpeg_rgb12",
+        "width": width, "height": height, "pixels": pixels,
+    }
 
 
 #: accurate name for the 1-or-3-component baseline decoder above
@@ -3863,6 +3978,57 @@ def jpeg12_stats(docs: DataFrame) -> DataFrame:
                         "decode must not silently degrade"
                     )
                 vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_color12_stats(docs: DataFrame) -> DataFrame:
+    """12-bit COLOR gate (r17), closing the "12-bit color" frontier item:
+    every document synthesizes a :func:`synth_jpeg_color12` image (SOF1
+    precision 12, 3 components 4:4:4, per-component 12-bit Huffman and
+    dequant tables, the AC class in every block), decodes it back
+    through :func:`decode_media` in strict mode, and emits exact integer
+    stats over the flattened 12-bit RGB values.  The hash proves the
+    SOF1 color frame parse, category-15 DC decode, the 2048 level
+    shift / 0..4095 clamp, AND the 12-bit fixed-point YCbCr->RGB
+    (libjpeg constants, center 2048) byte-for-byte -- the oracle replays
+    every channel arithmetically.  Dimensions ``(doc_id % 17 + 4) x
+    ((7*doc_id) % 13 + 4)`` cross partial-MCU crops.  Scale posture
+    identical to the other decode gates: narrow Arrow-batched
+    mapInPandas, O(1)-width stats cross to the JVM, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 17 + 4, (7 * did) % 13 + 4
+                d = decode_media(
+                    synth_jpeg_color12(w, h, did),
+                    "application/octet-stream",
+                    strict=True,
+                )
+                if d["fmt"] != "jpeg_rgb12" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_color12_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the 12-bit color decode must not silently degrade"
+                    )
+                vals = [v for px in d["pixels"] for v in px]
                 rows.append(
                     (
                         did,

@@ -929,7 +929,8 @@ FROM documents
     # r16 driver-slot rotation (tools/r16_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="mm_jpeg_color_stats",
+    # r17 sibling re-point: prior anchor sits out this rotation.
+    sibling="mm_jpeg_color12_stats",
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.media_from_documents(_docs(spark, sf_dir))
@@ -976,7 +977,8 @@ FROM documents
     driver=False,
     # r15 sibling re-point: prior anchor demoted this rotation.
     # r16 sibling re-point: prior anchor demoted this rotation.
-    sibling="mm_jpeg_color_stats",
+    # r17 sibling re-point: prior anchor sits out this rotation.
+    sibling="mm_jpeg_color12_stats",
 )
 def mm_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_headers(_docs(spark, sf_dir))
@@ -1205,6 +1207,11 @@ FROM rgb GROUP BY doc_id, width, height
     # New registration (r15): takes a driver slot in its first round per
     # the freshness-era lint rule; msg_monthly_rollup sits out to hold
     # the surface at 50.
+    # r17 sit-out: paired with the new mm_jpeg_color12_stats registration
+    # (its 12-bit superset exercises the same color decode + fixed-point
+    # conversion path); multi-round green (r15, r16).
+    driver=False,
+    sibling="mm_jpeg_color12_stats",
 )
 def mm_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_color_stats(_docs(spark, sf_dir))
@@ -1403,8 +1410,8 @@ FROM px GROUP BY doc_id, width, height
         "diff categories reaching 15 under a length-5 DHT -- and "
         "decodes it back; the hash proves the SOF1 frame parse, the "
         "2048 level shift, the 0..4095 clamp, and the wide-category DC "
-        "decode.  12-bit color stays refused loudly (the fixed-point "
-        "YCbCr constants are 8-bit libjpeg semantics).  Dims cross "
+        "decode.  12-bit COLOR decodes too as of r17 (gated separately "
+        "by mm_jpeg_color12_stats).  Dims cross "
         "partial-MCU crops.  Scale: narrow Arrow-batched mapInPandas; "
         "O(1)-width stats cross to the JVM.",
     # New registration (r16): takes a driver slot in its first round per
@@ -1413,6 +1420,70 @@ FROM px GROUP BY doc_id, width, height
 )
 def mm_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg12_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "mm_jpeg_color12_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 17 + 4 AS INTEGER) AS width,
+         CAST((7 * doc_id) % 13 + 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         CAST(floor(x.x / 8) AS BIGINT) AS bx,
+         CAST(floor(y.y / 8) AS BIGINT) AS by,
+         (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS ss
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), comp AS (
+  SELECT doc_id, width, height,
+         2048 + ((331 * doc_id + 17 * bx + 29 * by) % 3001 - 1500)
+              + ((7 * doc_id + 3 * bx + by) % 27) * ss AS yv,
+         ((431 * doc_id + 23 * bx + 41 * by) % 2001 - 1000)
+              + ((11 * doc_id + bx + 5 * by) % 23) * ss AS cb,
+         ((523 * doc_id + 31 * bx + 37 * by) % 2001 - 1000)
+              + ((5 * doc_id + 9 * bx + by) % 23) * ss AS cr
+  FROM px
+), rgb AS (
+  SELECT doc_id, width, height,
+         GREATEST(0, LEAST(4095, yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+         GREATEST(0, LEAST(4095, yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+         GREATEST(0, LEAST(4095, yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM comp
+)
+SELECT doc_id, 'jpeg_rgb12' AS fmt, width, height,
+       CAST(3 * width * height AS BIGINT) AS n_values,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+       CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+       CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+FROM rgb GROUP BY doc_id, width, height
+""",
+    doc="12-bit COLOR extended-sequential JPEG external gate (r17), "
+        "closing the '12-bit color' frontier item from the r16 review: "
+        "every document synthesizes a REAL SOF1 precision-12 3-component "
+        "4:4:4 JFIF -- per-component 12-bit Huffman tables (chroma DC at "
+        "a different code length, coefficients stored halved against a "
+        "dequant of 2s, so wrong-table picks desync or halve a plane), "
+        "luma DC diffs reaching category 15, the (4,4) AC class in every "
+        "block -- and decodes it back in strict mode.  The oracle "
+        "replays every channel arithmetically: the fixed-point "
+        "YCbCr->RGB constants are precision-independent ratios, with "
+        "only the center (2048) and clamp (4095) moving at 12 bits "
+        "(libjpeg jdcolor.c semantics); floor((c*k + 32768)/65536.0) "
+        "stays exact because the dividend is < 2^28, far inside "
+        "binary64.  Dims cross partial-MCU crops.  Scale: narrow "
+        "Arrow-batched mapInPandas; O(1)-width stats cross to the JVM, "
+        "never pixels.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; mm_jpeg_color_stats (multi-round
+    # green, 8-bit color twin) sits out to hold the surface at 50.
+)
+def mm_jpeg_color12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_color12_stats(_docs(spark, sf_dir))
 
 @register(
     "mm_jpeg_progressive_stats",

@@ -1933,3 +1933,81 @@ def test_jpeg12_with_dri_orthogonal():
     patched = blob[:at] + dri + blob[at:]
     got = mm.decode_jpeg_gray(patched)
     assert got["fmt"] == "jpeg_gray12" and got["pixels"] == base["pixels"]
+
+
+# -- r17: 12-bit extended sequential COLOR (SOF1, 3-component) ------------
+
+
+def _expected_color12_pixels(d, w, h):
+    sgn = lambda x: 1 if x % 4 in (0, 3) else -1  # noqa: E731
+    clamp = lambda v: min(4095, max(0, v))  # noqa: E731
+    out = []
+    for y in range(h):
+        for x in range(w):
+            bx, by = x // 8, y // 8
+            ss = sgn(x % 8) * sgn(y % 8)
+            yv = 2048 + ((331*d + 17*bx + 29*by) % 3001 - 1500) \
+                + ((7*d + 3*bx + by) % 27) * ss
+            cb = ((431*d + 23*bx + 41*by) % 2001 - 1000) \
+                + ((11*d + bx + 5*by) % 23) * ss
+            cr = ((523*d + 31*bx + 37*by) % 2001 - 1000) \
+                + ((5*d + 9*bx + by) % 23) * ss
+            out.append((
+                clamp(yv + ((91881 * cr + 32768) >> 16)),
+                clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+                clamp(yv + ((116130 * cb + 32768) >> 16)),
+            ))
+    return out
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 33), st.integers(1, 29), st.integers(0, 10**12))
+def test_jpeg_color12_decode_identity_fuzz(w, h, doc_id):
+    """12-bit SOF1 color decode(synth(x)) == closed form at arbitrary
+    (partial-MCU) dimensions: interleaved MCUs under per-component
+    12-bit tables (chroma DC categories at length 6 vs luma 5, halved
+    chroma coefficients against a dequant of 2s), luma DC diffs to
+    category 15, the 2048 level shift, and the 12-bit fixed-point
+    YCbCr->RGB -- the local twin of the mm_jpeg_color12_stats gate."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_color12(w, h, doc_id))
+    assert d["fmt"] == "jpeg_rgb12" and d["width"] == w and d["height"] == h
+    assert d["pixels"] == _expected_color12_pixels(doc_id, w, h)
+
+
+def test_jpeg_color12_channels_exceed_8bit_range():
+    """Vacuity guard: decoded channels must actually use the 12-bit
+    range (values above 255) AND the chroma math must move channels
+    apart (some pixel with R != G or G != B)."""
+    d = mm.decode_jpeg_gray(mm.synth_jpeg_color12(32, 32, 7))
+    flat = [v for px in d["pixels"] for v in px]
+    assert max(flat) > 255 and min(flat) >= 0 and max(flat) <= 4095
+    assert any(r != g or g != b for r, g, b in d["pixels"])
+
+
+def test_jpeg_color12_sof0_relabel_refused():
+    """Baseline (SOF0) is 8-bit by definition (T.81 Table B.2): the same
+    12-bit color stream relabeled SOF0 must refuse by name."""
+    import pytest
+
+    blob = bytearray(mm.synth_jpeg_color12(8, 8, 3))
+    at = blob.index(b"\xff\xc1")
+    blob[at + 1] = 0xC0
+    with pytest.raises(ValueError, match="precision=12"):
+        mm.decode_jpeg_gray(bytes(blob))
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_color12_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_jpeg_color12(17, 11, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_color12_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_jpeg_color12(16, 12, 9), "x", strict=True)
+    assert d["fmt"] == "jpeg_rgb12"
+    assert max(v for px in d["pixels"] for v in px) <= 4095
