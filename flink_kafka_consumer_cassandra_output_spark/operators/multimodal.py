@@ -23,7 +23,10 @@ integer fixed-point YCbCr->RGB; hash-gated on DC-exact images by
 ``mm_jpeg_420_stats``); MP4 gets real container-level DEMUX
 (:func:`demux_mp4_samples`: stsz/stsc/stco/co64/stss sample-table
 walk incl. largesize boxes, gated by ``mm_frame_sample``).  PNG decodes
-sequential AND Adam7-interlaced layouts; GIF decodes the four-pass
+sequential AND Adam7-interlaced layouts (r15) across the full supported
+sample-layout matrix -- 8-bit RGB/RGBA, 8/16-bit grayscale, 16-bit RGB,
+and palette at depths 1/2/4/8 with MSB-first sub-byte packing (r17,
+gated by ``mm_png_types_stats``); GIF decodes the four-pass
 interlace (both r15, gated through the unchanged ``mm_pixel_stats``
 oracle since deinterlacing restores the identical raster).  Partial MCUs decode via
 pad-to-ceil-grid + crop, gated by ``mm_jpeg_partial_mcu_stats``;
@@ -481,6 +484,148 @@ def synth_png_rgb_filtered(width: int, height: int, doc_id: int) -> bytes:
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_encode(rows: list[bytes], fbpp: int, doc_id: int) -> bytes:
+    """Apply scanline filter ``(y + doc_id) % 5`` to each raw byte row
+    (filtered byte = raw - predictor, mod 256) at filter-bpp ``fbpp`` --
+    the encode-side twin of ``_png_unfilter_rows``, shared by the r17
+    gray16/rgb16/palette synthesizers.  ``synth_png_rgb_filtered`` keeps
+    its original inline copy (it is a committed gate artifact)."""
+    out = bytearray()
+    prior = bytes(len(rows[0]))
+    for y, cur in enumerate(rows):
+        stride = len(cur)
+        ft = (y + doc_id) % 5
+        out.append(ft)
+        if ft == 0:
+            out += cur
+        elif ft == 1:  # Sub
+            out += bytes(
+                (cur[i] - (cur[i - fbpp] if i >= fbpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            out += bytes((cur[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            out += bytes(
+                (
+                    cur[i]
+                    - (((cur[i - fbpp] if i >= fbpp else 0) + prior[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out += bytes(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - fbpp] if i >= fbpp else 0,
+                        prior[i],
+                        prior[i - fbpp] if i >= fbpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = cur
+    return bytes(out)
+
+
+def _png_assemble(
+    width: int, height: int, bit_depth: int, color_type: int,
+    raster: bytes, plte: bytes | None = None,
+) -> bytes:
+    import zlib
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes((bit_depth, color_type, 0, 0, 0))
+    )
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raster)) + _png_chunk(b"IEND", b"")
+
+
+def synth_png_gray16(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL 16-bit grayscale PNG (r17): sample
+    ``(1009*doc_id + 389*x + 677*y) % 65536`` stored big-endian, row
+    ``y`` encoded with filter ``(y + doc_id) % 5`` at the spec's 2-byte
+    filter bpp -- so a decoder that filters at 1-byte lag, reads
+    little-endian, or mishandles any of the five filters over 16-bit
+    strides decodes WRONG VALUES.  Closed form replayable by SQL."""
+    rows = [
+        b"".join(
+            ((1009 * doc_id + 389 * x + 677 * y) % 65536).to_bytes(2, "big")
+            for x in range(width)
+        )
+        for y in range(height)
+    ]
+    return _png_assemble(
+        width, height, 16, 0, _png_filter_encode(rows, 2, doc_id)
+    )
+
+
+def synth_png_rgb16(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL 16-bit RGB PNG (r17): channels
+    ``r=(257d+513x+769y)%65536, g=(101d+37x+59y)%65536,
+    b=(811d+23x+97y)%65536`` big-endian, filters cycling ``(y+d)%5`` at
+    the 6-byte filter bpp.  Closed form replayable by SQL."""
+    d = doc_id
+
+    def row(y: int) -> bytes:
+        out = bytearray()
+        for x in range(width):
+            out += ((257 * d + 513 * x + 769 * y) % 65536).to_bytes(2, "big")
+            out += ((101 * d + 37 * x + 59 * y) % 65536).to_bytes(2, "big")
+            out += ((811 * d + 23 * x + 97 * y) % 65536).to_bytes(2, "big")
+        return bytes(out)
+
+    rows = [row(y) for y in range(height)]
+    return _png_assemble(
+        width, height, 16, 2, _png_filter_encode(rows, 6, doc_id)
+    )
+
+
+def synth_png_palette(
+    width: int, height: int, doc_id: int, depth: int
+) -> bytes:
+    """A REAL palette PNG (r17) at depth 1/2/4/8: a full ``2**depth``
+    -entry PLTE with colors ``((17d+29i)%256, (13d+7i)%256, (11d+3i)%256)``,
+    index pattern ``(d + 3x + 5y) % 2**depth`` packed MSB-first with
+    zero-padded row tails (sub-byte depths), filters cycling ``(y+d)%5``
+    at filter bpp 1.  A decoder that packs LSB-first, forgets per-row
+    padding restarts, or misapplies filters over packed bytes decodes
+    wrong indices -- and index->color composition is a closed form a SQL
+    oracle replays without a lookup table."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"illegal palette depth {depth}")
+    n = 1 << depth
+    plte = bytes(
+        v
+        for i in range(n)
+        for v in (
+            (17 * doc_id + 29 * i) % 256,
+            (13 * doc_id + 7 * i) % 256,
+            (11 * doc_id + 3 * i) % 256,
+        )
+    )
+    per = 8 // depth
+    rows = []
+    for y in range(height):
+        idxs = [(doc_id + 3 * x + 5 * y) % n for x in range(width)]
+        row = bytearray()
+        for i in range(0, width, per):
+            b = 0
+            for k, v in enumerate(idxs[i : i + per]):
+                b |= v << (8 - depth * (k + 1))
+            row.append(b)
+        rows.append(bytes(row))
+    return _png_assemble(
+        width, height, depth, 3, _png_filter_encode(rows, 1, doc_id), plte
     )
 
 
@@ -2985,29 +3130,33 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> list:
+def _png_unfilter_rows(
+    raw: bytes, stride: int, height: int, bpp: int
+) -> list[bytes]:
     """Reverse the five PNG scanline filters over an exact-size raster
-    ((stride+1)*height bytes); returns rows of pixel tuples.  Shared by
-    the sequential path and each Adam7 pass (a pass is its own
-    independently-filtered sub-image per the spec).
+    ((stride+1)*height bytes); returns the raw BYTE rows.  Shared by the
+    sequential path and each Adam7 pass (a pass is its own
+    independently-filtered sub-image per the spec).  ``bpp`` is the
+    FILTER bpp in bytes -- max(1, bytes per pixel), so 1 for sub-byte
+    palette/gray depths and 2/6 for 16-bit gray/RGB; filters always
+    operate on bytes regardless of sample packing (PNG spec 4.5.2).
 
     Hybrid vectorization (r16, VERDICT r15 task 7, measured): None/Sub/Up
-    and the row->tuples conversion go through numpy (Sub is a per-lane
-    cumsum -- mod 256 commutes with addition -- and Up a vector add);
-    Average and Paeth KEEP the scalar byte loops because their output
-    feedback is nonlinear (floor-average / predictor select), and a
-    per-pixel numpy step on a bpp-wide vector measured 5-11x SLOWER than
-    pure-Python ints (256x256x3: Paeth 94->1079 ms full-numpy).  Measured
-    hybrid vs scalar, 256x256x3: filter 0 1.28x, Sub 2.10x, Up 2.18x,
-    Average 1.06x, Paeth 1.00x; at gate sizes (8x8..16x16) 0.93-1.54x,
-    filter 0 (the synthetic-gate path) >=1.28x everywhere."""
+    go through numpy (Sub is a per-lane cumsum -- mod 256 commutes with
+    addition -- and Up a vector add); Average and Paeth KEEP the scalar
+    byte loops because their output feedback is nonlinear (floor-average
+    / predictor select), and a per-pixel numpy step on a bpp-wide vector
+    measured 5-11x SLOWER than pure-Python ints (256x256x3: Paeth
+    94->1079 ms full-numpy).  Measured hybrid vs scalar, 256x256x3:
+    filter 0 1.28x, Sub 2.10x, Up 2.18x, Average 1.06x, Paeth 1.00x; at
+    gate sizes (8x8..16x16) 0.93-1.54x, filter 0 (the synthetic-gate
+    path) >=1.28x everywhere."""
     import numpy as np
 
-    stride = width * bpp
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"PNG raster size mismatch: {len(raw)} bytes for "
-            f"{width}x{height}x{bpp}"
+            f"{height} rows of stride {stride}"
         )
     prior = bytes(stride)
     rows = []
@@ -3018,11 +3167,12 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> list:
         if ft == 0:
             line = seg
         elif ft == 1:  # Sub: per-lane cumsum (mod 256 distributes over +)
-            a = np.frombuffer(seg, np.uint8).reshape(-1, bpp)
+            pad = (-len(seg)) % bpp  # stride need not be a bpp multiple
+            a = np.frombuffer(seg + bytes(pad), np.uint8).reshape(-1, bpp)
             line = (
                 (a.astype(np.int64).cumsum(axis=0) & 0xFF)
                 .astype(np.uint8)
-                .tobytes()
+                .tobytes()[: len(seg)]
             )
         elif ft == 2:  # Up: vector add against the prior row
             line = (
@@ -3034,13 +3184,13 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> list:
             ).astype(np.uint8).tobytes()
         elif ft == 3:  # Average: nonlinear feedback, scalar loop kept
             buf = bytearray(seg)
-            for i in range(stride):
+            for i in range(len(seg)):
                 a = buf[i - bpp] if i >= bpp else 0
                 buf[i] = (buf[i] + ((a + prior[i]) >> 1)) & 0xFF
             line = bytes(buf)
         elif ft == 4:  # Paeth: predictor select, scalar loop kept
             buf = bytearray(seg)
-            for i in range(stride):
+            for i in range(len(seg)):
                 a = buf[i - bpp] if i >= bpp else 0
                 c = prior[i - bpp] if i >= bpp else 0
                 buf[i] = (buf[i] + _paeth(a, prior[i], c)) & 0xFF
@@ -3048,17 +3198,26 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> list:
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         prior = line
-        rows.append(
-            list(
-                map(
-                    tuple,
-                    np.frombuffer(line, np.uint8)
-                    .reshape(width, bpp)
-                    .tolist(),
-                )
+        rows.append(line)
+    return rows
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> list:
+    """Byte-aligned-pixel wrapper over :func:`_png_unfilter_rows`:
+    returns rows of ``bpp``-wide pixel tuples (the original 8-bit
+    RGB/RGBA path)."""
+    import numpy as np
+
+    rows = _png_unfilter_rows(raw, width * bpp, height, bpp)
+    return [
+        list(
+            map(
+                tuple,
+                np.frombuffer(line, np.uint8).reshape(width, bpp).tolist(),
             )
         )
-    return rows
+        for line in rows
+    ]
 
 
 #: Adam7 pass geometry: (x origin, y origin, x step, y step), spec order.
@@ -3067,21 +3226,91 @@ _ADAM7 = [
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]
 
+#: samples per pixel by PNG color type (0 gray, 2 RGB, 3 palette index,
+#: 6 RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+
+#: supported (bit_depth, color_type) combinations (r17 extends the r15
+#: 8-bit RGB/RGBA decoder with grayscale 8/16, RGB 16, and palette at
+#: every legal palette depth incl. sub-byte bit packing).
+_PNG_SUPPORTED = frozenset(
+    [(8, 2), (8, 6), (8, 0), (16, 0), (16, 2), (8, 3), (4, 3), (2, 3), (1, 3)]
+)
+
+
+def _png_row_samples(line: bytes, width: int, depth: int, channels: int):
+    """Decode one unfiltered byte row into per-pixel sample values:
+    ints for 1-channel rows, tuples otherwise.  16-bit samples are
+    big-endian per the spec; sub-byte depths pack MSB-first with the
+    row's final byte zero-padded (padding bits discarded here)."""
+    if depth == 8:
+        if channels == 1:
+            return list(line)
+        return [
+            tuple(line[i : i + channels])
+            for i in range(0, width * channels, channels)
+        ]
+    if depth == 16:
+        vals = [
+            int.from_bytes(line[i : i + 2], "big")
+            for i in range(0, 2 * width * channels, 2)
+        ]
+        if channels == 1:
+            return vals
+        return [
+            tuple(vals[i : i + channels])
+            for i in range(0, width * channels, channels)
+        ]
+    # sub-byte (1/2/4): MSB-first packing, single channel only (palette
+    # indices or grayscale per the spec; only palette reaches here)
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    out = []
+    for x in range(width):
+        b = line[x // per_byte]
+        shift = 8 - depth * (x % per_byte + 1)
+        out.append((b >> shift) & mask)
+    return out
+
+
+def _png_apply_palette(indices: list, palette: bytes) -> list:
+    n_colors = len(palette) // 3
+    out = []
+    for idx in indices:
+        if idx >= n_colors:
+            raise ValueError(
+                f"corrupt PNG: pixel index {idx} outside the "
+                f"{n_colors}-color palette"
+            )
+        out.append(
+            (palette[3 * idx], palette[3 * idx + 1], palette[3 * idx + 2])
+        )
+    return out
+
 
 def decode_png(content: bytes) -> dict:
-    """Pure-Python pixel decode of an 8-bit RGB/RGBA PNG, sequential OR
-    Adam7-interlaced (r15: each of the 7 passes is an independently
-    filtered sub-image; unfilter per pass, scatter by the pass geometry).
+    """Pure-Python pixel decode of a PNG, sequential OR Adam7-interlaced
+    (r15: each of the 7 passes is an independently filtered sub-image;
+    unfilter per pass, scatter by the pass geometry).  Supported sample
+    layouts (r17 extended the original 8-bit RGB/RGBA): grayscale at 8
+    and 16 bits, RGB at 8 and 16 bits (16-bit samples big-endian, with
+    the byte-wise filters running at the 2-bytes-per-sample stride the
+    spec prescribes), RGBA at 8 bits, and palette (PLTE) at depths
+    1/2/4/8 incl. MSB-first sub-byte bit packing with zero-padded row
+    tails.
 
     No external codec library: the PNG "codec" is DEFLATE (stdlib
     ``zlib``) plus the five spec filters (None/Sub/Up/Average/Paeth),
     which are pure integer math.  Strict by the house contract: every
     chunk CRC is verified, a truncated chunk/CRC raises, trailing bytes
     after IEND raise, the inflated length must equal the raster size
-    exactly (summed over passes when interlaced), and unsupported
-    features (bit depth != 8, palette/gray) raise rather than guess.
-    Output ``pixels`` is row-major top-down tuples -- (r, g, b) for
-    color type 2, (r, g, b, a) for color type 6."""
+    exactly (summed over passes when interlaced), a palette image whose
+    PLTE is missing or whose indices overrun it raises, and unsupported
+    layouts raise rather than guess.  Output ``pixels`` is row-major
+    top-down: ints for grayscale, (r, g, b) tuples for RGB/palette,
+    (r, g, b, a) for RGBA.  ``fmt`` is ``png`` for the original 8-bit
+    RGB/RGBA layouts (oracle-pinned) and ``png_gray`` / ``png_gray16`` /
+    ``png_rgb16`` / ``png_palette`` for the r17 additions."""
     import zlib
 
     if not content.startswith(_PNG_MAGIC):
@@ -3089,6 +3318,7 @@ def decode_png(content: bytes) -> dict:
     pos = len(_PNG_MAGIC)
     ihdr: bytes | None = None
     idat = bytearray()
+    plte: bytes | None = None
     ended = False
     while not ended:
         if pos + 8 > len(content):
@@ -3110,6 +3340,10 @@ def decode_png(content: bytes) -> dict:
             ihdr = body
         elif ctype == b"IDAT":
             idat += body
+        elif ctype == b"PLTE":
+            if ln == 0 or ln % 3:
+                raise ValueError(f"malformed PNG PLTE length {ln}")
+            plte = body
         elif ctype == b"IEND":
             ended = True
         pos += 12 + ln
@@ -3124,33 +3358,49 @@ def decode_png(content: bytes) -> dict:
     bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate PNG dimensions ({width}x{height})")
-    if bit_depth != 8 or color_type not in (2, 6):
+    if (bit_depth, color_type) not in _PNG_SUPPORTED:
         raise ValueError(
             f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}); "
-            "only 8-bit RGB/RGBA decode here"
+            "supported: gray 8/16, RGB 8/16, RGBA 8, palette 1/2/4/8"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if compression != 0 or filter_method != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    bpp = 3 if color_type == 2 else 4
+    channels = _PNG_CHANNELS[color_type]
+    # filters operate on BYTES at max(1, bytes-per-pixel) lag (spec 4.5.2)
+    fbpp = max(1, (bit_depth // 8) * channels)
+    fmt = {
+        (8, 2): "png", (8, 6): "png", (8, 0): "png_gray",
+        (16, 0): "png_gray16", (16, 2): "png_rgb16",
+    }.get((bit_depth, color_type), "png_palette")
+
+    def to_pixels(line: bytes, w: int) -> list:
+        vals = _png_row_samples(line, w, bit_depth, channels)
+        if color_type == 3:
+            return _png_apply_palette(vals, plte)
+        return vals
+
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if interlace == 0:
-        stride = width * bpp
+        stride = (width * bit_depth * channels + 7) // 8
         if len(raw) != (stride + 1) * height:
             raise ValueError(
                 f"PNG raster size mismatch: inflated {len(raw)} bytes, "
                 f"IHDR implies {(stride + 1) * height}"
             )
-        rows = _png_unfilter(raw, width, height, bpp)
-        pixels = [px for row in rows for px in row]
-        return {"fmt": "png", "width": width, "height": height, "pixels": pixels}
+        rows = _png_unfilter_rows(raw, stride, height, fbpp)
+        pixels = [px for line in rows for px in to_pixels(line, width)]
+        return {"fmt": fmt, "width": width, "height": height, "pixels": pixels}
     # Adam7: seven independently-filtered sub-images, concatenated in the
     # one zlib stream; empty passes (zero width or height) contribute no
-    # bytes, not even filter bytes, per the spec.
+    # bytes, not even filter bytes, per the spec.  Each pass packs its
+    # OWN rows (sub-byte padding restarts per pass row).
     img: list[list] = [[None] * width for _ in range(height)]
     off = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -3158,7 +3408,8 @@ def decode_png(content: bytes) -> dict:
         phh = (height - y0 + dy - 1) // dy
         if pw <= 0 or phh <= 0:
             continue
-        need = (pw * bpp + 1) * phh
+        pstride = (pw * bit_depth * channels + 7) // 8
+        need = (pstride + 1) * phh
         sub = raw[off : off + need]
         if len(sub) < need:
             raise ValueError(
@@ -3166,9 +3417,9 @@ def decode_png(content: bytes) -> dict:
                 f"mid-pass ({len(raw) - off} bytes left, pass needs {need})"
             )
         off += need
-        for j, row in enumerate(_png_unfilter(sub, pw, phh, bpp)):
+        for j, line in enumerate(_png_unfilter_rows(sub, pstride, phh, fbpp)):
             orow = img[y0 + j * dy]
-            for i, px in enumerate(row):
+            for i, px in enumerate(to_pixels(line, pw)):
                 orow[x0 + i * dx] = px
     if off != len(raw):
         raise ValueError(
@@ -3176,7 +3427,7 @@ def decode_png(content: bytes) -> dict:
             "final Adam7 pass"
         )
     pixels = [px for row in img for px in row]
-    return {"fmt": "png", "width": width, "height": height, "pixels": pixels}
+    return {"fmt": fmt, "width": width, "height": height, "pixels": pixels}
 
 
 def decode_media(content: bytes, media_type: str, strict: bool = False):
@@ -3978,6 +4229,67 @@ def jpeg12_stats(docs: DataFrame) -> DataFrame:
                         "decode must not silently degrade"
                     )
                 vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def png_types_stats(docs: DataFrame) -> DataFrame:
+    """PNG sample-layout gate (r17): three arms by ``doc_id % 3`` --
+    16-bit grayscale (:func:`synth_png_gray16`), 16-bit RGB
+    (:func:`synth_png_rgb16`), and palette at depth
+    ``[1,2,4,8][doc_id % 4]`` (:func:`synth_png_palette`, MSB-first
+    sub-byte packing with per-row zero padding) -- each decoded back
+    through :func:`decode_media` in strict mode with all five filters
+    cycling per row at the layout's filter bpp (2/6/1).  Exact integer
+    stats over the flattened samples; the oracle replays every arm's
+    closed form arithmetically, so the hash proves big-endian 16-bit
+    reads, byte-lag filtering at the right bpp, bit unpacking, padding
+    restarts, and the PLTE composition.  Dimensions
+    ``(doc_id % 11 + 3) x ((5*doc_id) % 9 + 3)`` keep sub-byte rows
+    unaligned.  Scale posture identical to the other decode gates:
+    narrow Arrow-batched mapInPandas, O(1)-width stats cross to the
+    JVM, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 11 + 3, (5 * did) % 9 + 3
+                arm = did % 3
+                if arm == 0:
+                    blob, want = synth_png_gray16(w, h, did), "png_gray16"
+                elif arm == 1:
+                    blob, want = synth_png_rgb16(w, h, did), "png_rgb16"
+                else:
+                    depth = (1, 2, 4, 8)[did % 4]
+                    blob, want = synth_png_palette(w, h, did, depth), "png_palette"
+                d = decode_media(blob, "application/octet-stream", strict=True)
+                if d["fmt"] != want or "pixels" not in d:
+                    raise ValueError(
+                        f"png_types_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}, "
+                        f"want {want}) -- the decode must not silently "
+                        "degrade"
+                    )
+                if arm == 0:
+                    vals = d["pixels"]
+                else:
+                    vals = [v for px in d["pixels"] for v in px]
                 rows.append(
                     (
                         did,

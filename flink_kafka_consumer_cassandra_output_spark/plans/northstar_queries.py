@@ -1485,6 +1485,73 @@ FROM rgb GROUP BY doc_id, width, height
 def mm_jpeg_color12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_color12_stats(_docs(spark, sf_dir))
 
+
+@register(
+    "mm_png_types_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 11 + 3 AS INTEGER) AS width,
+         CAST((5 * doc_id) % 9 + 3 AS INTEGER) AS height,
+         doc_id % 3 AS arm,
+         CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16
+              ELSE 256 END AS ncol
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height, j.arm, j.ncol, x.x AS x, y.y AS y
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), v AS (
+  SELECT doc_id, width, height, arm,
+         CASE arm
+           WHEN 0 THEN (1009 * doc_id + 389 * x + 677 * y) % 65536
+           WHEN 1 THEN (257 * doc_id + 513 * x + 769 * y) % 65536
+           ELSE (17 * doc_id + 29 * ((doc_id + 3 * x + 5 * y) % ncol)) % 256
+         END AS c1,
+         CASE arm
+           WHEN 0 THEN NULL
+           WHEN 1 THEN (101 * doc_id + 37 * x + 59 * y) % 65536
+           ELSE (13 * doc_id + 7 * ((doc_id + 3 * x + 5 * y) % ncol)) % 256
+         END AS c2,
+         CASE arm
+           WHEN 0 THEN NULL
+           WHEN 1 THEN (811 * doc_id + 23 * x + 97 * y) % 65536
+           ELSE (11 * doc_id + 3 * ((doc_id + 3 * x + 5 * y) % ncol)) % 256
+         END AS c3
+  FROM px
+)
+SELECT doc_id,
+       CASE arm WHEN 0 THEN 'png_gray16' WHEN 1 THEN 'png_rgb16'
+            ELSE 'png_palette' END AS fmt,
+       width, height,
+       CAST(CASE arm WHEN 0 THEN width * height
+            ELSE 3 * width * height END AS BIGINT) AS n_values,
+       CAST(SUM(c1 + COALESCE(c2, 0) + COALESCE(c3, 0)) AS BIGINT) AS sum_values,
+       CAST(MIN(LEAST(c1, COALESCE(c2, c1), COALESCE(c3, c1))) AS INTEGER) AS min_value,
+       CAST(MAX(GREATEST(c1, COALESCE(c2, c1), COALESCE(c3, c1))) AS INTEGER) AS max_value
+FROM v GROUP BY doc_id, arm, width, height
+""",
+    doc="PNG sample-layout external gate (r17), three arms by doc_id%3: "
+        "16-bit grayscale, 16-bit RGB (big-endian samples, the five "
+        "filters cycling per row at the spec's 2-/6-byte filter bpp), "
+        "and palette at depth [1,2,4,8][doc_id%4] with a full 2^depth "
+        "PLTE, MSB-first sub-byte packing, and per-row zero padding.  "
+        "Every arm's pixel AND palette composition is a closed form the "
+        "oracle replays arithmetically, so the hash proves endianness, "
+        "filter byte-lag, bit unpacking, padding restarts, and the "
+        "index->color lookup.  Widths (doc_id%11+3) keep sub-byte rows "
+        "unaligned.  Scale: narrow Arrow-batched mapInPandas; "
+        "O(1)-width stats cross to the JVM, never pixels.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; mm_jpeg_partial_mcu_stats (multi-round
+    # green; pad-to-grid + crop is equally exercised by the staying
+    # 12-bit gates' non-multiple-of-8 dims) sits out to hold the
+    # surface at 50.
+)
+def mm_png_types_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.png_types_stats(_docs(spark, sf_dir))
+
 @register(
     "mm_jpeg_progressive_stats",
     oracle="""
@@ -1637,6 +1704,12 @@ SELECT * FROM gray UNION ALL SELECT * FROM color
     # New registration (r15): takes a driver slot in its first round per
     # the freshness-era lint rule; emb_outlier_centroid_dist sits out to
     # hold the surface at 50.
+    # r17 sit-out: paired with the new mm_png_types_stats registration;
+    # the pad-to-grid + crop path stays driver-proven by the 12-bit
+    # gates' non-multiple-of-8 dims (mm_jpeg_color12_stats crosses
+    # partial-MCU crops at 3 components).  Multi-round green (r15, r16).
+    driver=False,
+    sibling="mm_jpeg_color12_stats",
 )
 def mm_jpeg_partial_mcu_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_partial_mcu_stats(_docs(spark, sf_dir))

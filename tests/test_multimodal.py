@@ -674,10 +674,15 @@ def test_png_strictness_rejections():
     rows = [bytearray([0]) + bytes(12)]
     with pytest.raises(ValueError, match="interlace"):
         mm.decode_png(_png_from_rows(rows, interlace=1))
-    # unsupported bit depth / color type
+    # unsupported color type / depth combos (r17 narrowed this set:
+    # 16-bit and palette decode now, so the rejection cases are
+    # gray+alpha and 16-bit RGBA)
     with pytest.raises(ValueError, match="unsupported"):
-        mm.decode_png(_png_from_rows(rows, bit_depth=16))
+        mm.decode_png(_png_from_rows(rows, color_type=4))
     with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_png(_png_from_rows(rows, bit_depth=16, color_type=6))
+    # palette PNG without a PLTE chunk must refuse by name
+    with pytest.raises(ValueError, match="PLTE"):
         mm.decode_png(_png_from_rows([bytearray([0]) + bytes(4)], color_type=3))
     # inflated size vs IHDR mismatch
     import zlib as _z
@@ -2011,3 +2016,170 @@ def test_jpeg_color12_strict_decode_media_accepts():
     d = mm.decode_media(mm.synth_jpeg_color12(16, 12, 9), "x", strict=True)
     assert d["fmt"] == "jpeg_rgb12"
     assert max(v for px in d["pixels"] for v in px) <= 4095
+
+
+# -- r17: PNG sample layouts (gray16, rgb16, palette incl. sub-byte) ------
+
+
+def _png_gray16_exp(d, w, h):
+    return [(1009*d + 389*x + 677*y) % 65536 for y in range(h) for x in range(w)]
+
+
+def _png_rgb16_exp(d, w, h):
+    return [
+        ((257*d + 513*x + 769*y) % 65536,
+         (101*d + 37*x + 59*y) % 65536,
+         (811*d + 23*x + 97*y) % 65536)
+        for y in range(h) for x in range(w)
+    ]
+
+
+def _png_palette_exp(d, w, h, depth):
+    n = 1 << depth
+    out = []
+    for y in range(h):
+        for x in range(w):
+            i = (d + 3*x + 5*y) % n
+            out.append(((17*d + 29*i) % 256, (13*d + 7*i) % 256, (11*d + 3*i) % 256))
+    return out
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 13), st.integers(1, 11), st.integers(0, 10**9))
+def test_png_gray16_decode_identity_fuzz(w, h, doc_id):
+    """16-bit grayscale: big-endian sample reads and the five filters at
+    the 2-byte filter bpp must reconstruct the closed form exactly."""
+    d = mm.decode_png(mm.synth_png_gray16(w, h, doc_id))
+    assert d["fmt"] == "png_gray16" and (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == _png_gray16_exp(doc_id, w, h)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 13), st.integers(1, 11), st.integers(0, 10**9))
+def test_png_rgb16_decode_identity_fuzz(w, h, doc_id):
+    d = mm.decode_png(mm.synth_png_rgb16(w, h, doc_id))
+    assert d["fmt"] == "png_rgb16" and (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == _png_rgb16_exp(doc_id, w, h)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(1, 13), st.integers(1, 11), st.integers(0, 10**9),
+       st.sampled_from([1, 2, 4, 8]))
+def test_png_palette_decode_identity_fuzz(w, h, doc_id, depth):
+    """Palette at every legal depth: MSB-first unpacking, per-row
+    padding restarts (widths not multiples of 8/depth), filters over
+    PACKED bytes at bpp 1, and the PLTE composition."""
+    d = mm.decode_png(mm.synth_png_palette(w, h, doc_id, depth))
+    assert d["fmt"] == "png_palette" and (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == _png_palette_exp(doc_id, w, h, depth)
+
+
+def test_png_gray16_values_exceed_8bit_range():
+    vals = mm.decode_png(mm.synth_png_gray16(16, 16, 3))["pixels"]
+    assert max(vals) > 255 and max(vals) <= 65535 and min(vals) >= 0
+
+
+def test_png_palette_index_overrun_raises():
+    """A palette image whose PLTE is SHORTER than the indices it uses
+    must refuse loudly (same pin as the GIF palette)."""
+    import zlib as _z
+
+    import pytest
+
+    blob = mm.synth_png_palette(4, 4, 3, 8)
+    plte_at = blob.index(b"PLTE")
+    ln = int.from_bytes(blob[plte_at - 4 : plte_at], "big")
+    body = blob[plte_at + 4 : plte_at + 4 + ln][:6]  # keep only 2 colors
+    rebuilt = (
+        blob[: plte_at - 4]
+        + mm._png_chunk(b"PLTE", body)
+        + blob[plte_at + 8 + ln :]
+    )
+    with pytest.raises(ValueError, match="palette"):
+        mm.decode_png(rebuilt)
+    assert _z  # silence unused import on the happy path
+
+
+def test_png_new_layouts_adam7_scatter():
+    """The generalized Adam7 path (per-pass strides at each layout's
+    filter bpp; sub-byte padding restarting per PASS row) must scatter
+    to the same raster the sequential layout decodes to.  Built by hand:
+    filter-0 rows per pass, pass geometry per the spec."""
+    import zlib as _z
+
+    for depth, color_type, seq_synth in [
+        (16, 0, lambda w, h, d: mm.synth_png_gray16(w, h, d)),
+        (4, 3, lambda w, h, d: mm.synth_png_palette(w, h, d, 4)),
+    ]:
+        w, h, did = 9, 6, 11
+        seq = mm.decode_png(seq_synth(w, h, did))
+        channels = {0: 1, 3: 1}[color_type]
+        # image sample grid from the sequential decode is the truth; we
+        # re-encode it interlaced and expect the identical raster back
+        raw = bytearray()
+        for x0, y0, dx, dy in mm._ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j in range(ph):
+                y = y0 + j * dy
+                raw.append(0)  # filter None
+                if depth == 16:
+                    for i in range(pw):
+                        v = seq["pixels"][y * w + (x0 + i * dx)]
+                        raw += v.to_bytes(2, "big")
+                else:  # depth-4 palette: repack indices MSB-first per pass row
+                    n = 1 << depth
+                    idxs = [
+                        (did + 3 * (x0 + i * dx) + 5 * y) % n for i in range(pw)
+                    ]
+                    per = 8 // depth
+                    for i in range(0, pw, per):
+                        b = 0
+                        for k, v in enumerate(idxs[i : i + per]):
+                            b |= v << (8 - depth * (k + 1))
+                        raw.append(b)
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes((depth, color_type, 0, 0, 1))
+        )
+        blob = mm._PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+        if color_type == 3:
+            n = 1 << depth
+            plte = bytes(
+                v for i in range(n)
+                for v in ((17*did + 29*i) % 256, (13*did + 7*i) % 256, (11*did + 3*i) % 256)
+            )
+            blob += mm._png_chunk(b"PLTE", plte)
+        blob += mm._png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        blob += mm._png_chunk(b"IEND", b"")
+        got = mm.decode_png(blob)
+        assert got["pixels"] == seq["pixels"], (depth, color_type)
+        assert channels == 1
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9), st.sampled_from(["gray16", "rgb16", "pal1", "pal8"]))
+def test_png_new_layouts_truncation_always_raises_fuzz(cutseed, kind):
+    import pytest
+
+    blob = {
+        "gray16": lambda: mm.synth_png_gray16(9, 6, 7),
+        "rgb16": lambda: mm.synth_png_rgb16(9, 6, 7),
+        "pal1": lambda: mm.synth_png_palette(9, 6, 7, 1),
+        "pal8": lambda: mm.synth_png_palette(9, 6, 7, 8),
+    }[kind]()
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_png(blob[:cut])
+
+
+def test_png_new_layouts_strict_decode_media_accepts():
+    for blob, want in [
+        (mm.synth_png_gray16(8, 5, 2), "png_gray16"),
+        (mm.synth_png_rgb16(8, 5, 2), "png_rgb16"),
+        (mm.synth_png_palette(8, 5, 2, 2), "png_palette"),
+    ]:
+        d = mm.decode_media(blob, "x", strict=True)
+        assert d["fmt"] == want

@@ -25,7 +25,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 #: r17 surface entries whose green gates this rotation: the 15 stale
-#: promotes and the one new first-round registration.
+#: promotes and the two new first-round registrations.
 R17_PROMOTES = [
     "doc_curation_funnel", "emb_cosine_topk", "doc_decontamination",
     "doc_sequence_packing", "ev_funnel_conversion", "ev_event_transitions",
@@ -33,7 +33,7 @@ R17_PROMOTES = [
     "q15_top_supplier", "q17_small_quantity_revenue",
     "doc_minhash_estimate_certificate", "doc_gopher_quality_rules",
     "doc_sentiment_lexicon", "ev_unpivot_roundtrip",
-    "mm_jpeg_color12_stats",
+    "mm_jpeg_color12_stats", "mm_png_types_stats",
 ]
 
 # oldest-green-first: the REMAINING 10 of the r8 cohort (age 10 at r18 --

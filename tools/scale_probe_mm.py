@@ -50,7 +50,9 @@ QUERIES = ("mm_pixel_stats", "mm_media_headers", "mm_media_features",
            # r16 12-bit SOF1 gate: dims bounded by doc_id % {21,19}
            "mm_jpeg12_stats",
            # r17 12-bit color gate: dims bounded by doc_id % {17,13}
-           "mm_jpeg_color12_stats")
+           "mm_jpeg_color12_stats",
+           # r17 PNG layout gate: dims bounded by doc_id % {11,9}
+           "mm_png_types_stats")
 
 #: comma-separated subset override (e.g. re-probing one new gate without
 #: re-timing the whole family)
