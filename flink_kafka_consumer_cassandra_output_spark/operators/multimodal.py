@@ -3119,6 +3119,256 @@ def decode_gif(content: bytes) -> dict:
     return {"fmt": "gif", "width": width, "height": height, "pixels": pixels}
 
 
+def synth_gif_animated(
+    width: int,
+    height: int,
+    doc_id: int,
+    n_frames: int,
+    disposal: int = 2,
+) -> bytes:
+    """A REAL animated GIF89a (r17): ``n_frames`` frames, each a
+    SUB-RECTANGLE of the logical screen preceded by a Graphic Control
+    Extension declaring ``disposal`` and a per-frame TRANSPARENT index.
+    Global 16-color palette ``k -> ((23d+29k)%256, (19d+7k)%256,
+    (5d+3k)%256)``, background index ``d % 16``; frame ``f`` draws at
+    ``((d+2f) % (w-2), (3d+f) % (h-2))`` with size
+    ``(min(w-fx, f%3+2), min(h-fy, (f+d)%3+2))``, canvas-absolute index
+    pattern ``(d + 7f + 3x + 5y) % 16`` and transparent index
+    ``(d+f) % 16`` -- so with the default restore-to-background
+    disposal every COMPOSED frame is a closed form: background
+    everywhere except the frame's rect where the index is opaque.  A
+    decoder that ignores GCE transparency, mis-draws the rect offset,
+    or skips the disposal step composes WRONG frames, not merely an
+    error.  ``disposal`` 1 (leave) and 3 (restore previous) are encoded
+    identically and exercised by unit tests (their composition carries
+    history, so the external gate pins the closed-form disposal-2
+    path)."""
+    if not 0 <= disposal <= 3:
+        raise ValueError(f"illegal GIF disposal method {disposal}")
+    if n_frames < 1:
+        raise ValueError("animated GIF needs at least one frame")
+    if width < 3 or height < 3:
+        raise ValueError("animated synth needs a >=3x3 logical screen")
+    d = doc_id
+    gct = bytearray()
+    for k in range(16):
+        gct += bytes(
+            ((23 * d + 29 * k) % 256, (19 * d + 7 * k) % 256,
+             (5 * d + 3 * k) % 256)
+        )
+    out = bytearray()
+    out += b"GIF89a"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes((0x80 | 0x03, d % 16, 0))  # GCT 16 entries, bg index
+    out += bytes(gct)
+    for f in range(n_frames):
+        fx = (d + 2 * f) % (width - 2)
+        fy = (3 * d + f) % (height - 2)
+        fw = min(width - fx, f % 3 + 2)
+        fh = min(height - fy, (f + d) % 3 + 2)
+        t = (d + f) % 16
+        # GCE: disposal + transparency on, delay = f centiseconds
+        out += bytes((0x21, 0xF9, 0x04, (disposal << 2) | 0x01))
+        out += f.to_bytes(2, "little") + bytes((t, 0x00))
+        out += b"\x2c"
+        out += fx.to_bytes(2, "little") + fy.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += b"\x00"  # no local table, not interlaced
+        idxs = [
+            (d + 7 * f + 3 * (fx + i) + 5 * (fy + j)) % 16
+            for j in range(fh)
+            for i in range(fw)
+        ]
+        lzw = _lzw_encode(4, idxs)
+        out += bytes((4,))
+        for i in range(0, len(lzw), 255):
+            part = lzw[i : i + 255]
+            out += bytes((len(part),)) + part
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(content: bytes) -> dict:
+    """Pure-Python ANIMATED GIF decode with full frame composition
+    (r17): iterates every image block, honoring per-frame Graphic
+    Control Extensions -- transparency (transparent-index pixels leave
+    the canvas untouched) and disposal methods 0/1 (leave), 2 (restore
+    the frame rect to the background color) and 3 (restore the canvas
+    as it was before the frame drew).  Frames may be sub-rectangles
+    with local palettes and per-frame interlacing.  Returns the list of
+    COMPOSED full-canvas rasters -- what a video pipeline's
+    frame-sampling stage consumes -- as
+    ``{"fmt": "gif_anim", "width", "height", "n_frames", "frames"}``
+    with each frame a row-major list of (r, g, b).
+
+    Strict by the house contract: truncations, corrupt LZW, rects
+    overrunning the logical screen, palette overruns, a missing global
+    palette (needed for the initial background canvas), and trailing
+    bytes after the trailer all raise ``ValueError``.  Disposal
+    restore-to-background fills with the LSD background COLOR per the
+    spec text (real browsers substitute transparent black; with no
+    alpha in this output the spec-literal fill is the deterministic
+    choice, and the synthesizer/oracle pin it)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated GIF: no logical screen descriptor")
+    width = int.from_bytes(content[6:8], "little")
+    height = int.from_bytes(content[8:10], "little")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate GIF dimensions ({width}x{height})")
+    packed = content[10]
+    bg_index = content[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = content[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF: global color table cut short")
+        pos += 3 * n
+    if gct is None:
+        raise ValueError(
+            "animated GIF decode requires a global color table (the "
+            "initial canvas is the background color)"
+        )
+    if bg_index >= len(gct) // 3:
+        raise ValueError(
+            f"corrupt GIF: background index {bg_index} outside the "
+            f"{len(gct) // 3}-color global table"
+        )
+    bg = (gct[3 * bg_index], gct[3 * bg_index + 1], gct[3 * bg_index + 2])
+    canvas = [bg] * (width * height)
+    frames: list[list] = []
+    # pending GCE state (applies to the NEXT image block only, per spec)
+    disposal, transparent = 0, None
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated GIF: no trailer")
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= len(content):
+                raise ValueError("truncated GIF: extension cut at label")
+            label = content[pos]
+            pos += 1
+            subs = bytearray()
+            while True:
+                if pos >= len(content):
+                    raise ValueError("truncated GIF: extension sub-blocks cut")
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                if pos + ln > len(content):
+                    raise ValueError("truncated GIF: extension sub-block cut")
+                subs += content[pos : pos + ln]
+                pos += ln
+            if label == 0xF9:
+                if len(subs) < 4:
+                    raise ValueError("truncated GIF: GCE body short")
+                disposal = (subs[0] >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"corrupt GIF: reserved disposal method {disposal}"
+                    )
+                transparent = subs[3] if subs[0] & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+        if pos + 9 > len(content):
+            raise ValueError("truncated GIF: image descriptor cut short")
+        fx = int.from_bytes(content[pos : pos + 2], "little")
+        fy = int.from_bytes(content[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(content[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(content[pos + 6 : pos + 8], "little")
+        ipacked = content[pos + 8]
+        pos += 9
+        if fw <= 0 or fh <= 0:
+            raise ValueError(f"degenerate GIF frame ({fw}x{fh})")
+        if fx + fw > width or fy + fh > height:
+            raise ValueError(
+                f"corrupt GIF: frame rect {fw}x{fh}@({fx},{fy}) overruns "
+                f"the {width}x{height} logical screen"
+            )
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = content[pos : pos + 3 * n]
+            if len(palette) < 3 * n:
+                raise ValueError("truncated GIF: local color table cut short")
+            pos += 3 * n
+        if pos >= len(content):
+            raise ValueError("truncated GIF: missing LZW minimum code size")
+        min_code_size = content[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(
+                f"corrupt GIF: LZW minimum code size {min_code_size}"
+            )
+        data = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("truncated GIF: image sub-blocks cut short")
+            ln = content[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunk = content[pos : pos + ln]
+            if len(chunk) < ln:
+                raise ValueError("truncated GIF: image sub-block cut short")
+            data += chunk
+            pos += ln
+        indices = _lzw_decode(min_code_size, bytes(data), fw * fh)
+        if ipacked & 0x40:
+            order = _gif_interlace_order(fh)
+            rows: list = [None] * fh
+            for k, y in enumerate(order):
+                rows[y] = indices[k * fw : (k + 1) * fw]
+            indices = [v for row in rows for v in row]
+        n_colors = len(palette) // 3
+        saved = canvas[:] if disposal == 3 else None
+        for j in range(fh):
+            base = (fy + j) * width + fx
+            for i in range(fw):
+                idx = indices[j * fw + i]
+                if idx >= n_colors:
+                    raise ValueError(
+                        f"corrupt GIF: pixel index {idx} outside the "
+                        f"{n_colors}-color palette"
+                    )
+                if transparent is not None and idx == transparent:
+                    continue
+                canvas[base + i] = (
+                    palette[3 * idx], palette[3 * idx + 1], palette[3 * idx + 2]
+                )
+        frames.append(canvas[:])
+        if disposal == 2:
+            for j in range(fh):
+                base = (fy + j) * width + fx
+                for i in range(fw):
+                    canvas[base + i] = bg
+        elif disposal == 3:
+            canvas = saved
+        disposal, transparent = 0, None  # GCE scope is one image block
+    if pos != len(content):
+        raise ValueError(
+            f"trailing bytes after GIF trailer ({len(content) - pos})"
+        )
+    if not frames:
+        raise ValueError("GIF trailer before any image data")
+    return {
+        "fmt": "gif_anim",
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PaethPredictor per the PNG spec (pure integer, deterministic)."""
     p = a + b - c
@@ -4229,6 +4479,54 @@ def jpeg12_stats(docs: DataFrame) -> DataFrame:
                         "decode must not silently degrade"
                     )
                 vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def gif_anim_stats(docs: DataFrame) -> DataFrame:
+    """Animated-GIF composition gate (r17): every document synthesizes a
+    :func:`synth_gif_animated` stream (``doc_id % 3 + 2`` sub-rectangle
+    frames, per-frame GCE transparency, restore-to-background disposal)
+    and decodes it back through :func:`decode_gif_frames` in a strict
+    path, emitting exact integer stats over ALL composed full-canvas
+    frames.  With disposal 2 every composed frame is a closed form
+    (background everywhere except the frame rect's opaque pixels), so
+    the DuckDB oracle replays frame iteration, GCE parsing, rect
+    offsets, transparency holes, and the background fill
+    arithmetically; disposal 1/3 composition (history-carrying) is
+    pinned by unit tests.  Dimensions ``(doc_id % 9 + 4) x
+    ((3*doc_id) % 7 + 4)``.  Scale posture identical to the other
+    decode gates: narrow Arrow-batched mapInPandas, O(1)-width stats
+    cross to the JVM, never pixels (frames stay inside the batch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 9 + 4, (3 * did) % 7 + 4
+                nf = did % 3 + 2
+                d = decode_gif_frames(synth_gif_animated(w, h, did, nf))
+                if d["fmt"] != "gif_anim" or d["n_frames"] != nf:
+                    raise ValueError(
+                        f"gif_anim_stats: bad decode for doc {did} "
+                        f"(fmt={d.get('fmt')!r}, n_frames={d.get('n_frames')})"
+                    )
+                vals = [v for fr in d["frames"] for px in fr for v in px]
                 rows.append(
                     (
                         did,

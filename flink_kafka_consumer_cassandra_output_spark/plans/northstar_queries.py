@@ -1552,6 +1552,76 @@ FROM v GROUP BY doc_id, arm, width, height
 def mm_png_types_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.png_types_stats(_docs(spark, sf_dir))
 
+
+@register(
+    "mm_gif_anim_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 4 AS INTEGER) AS width,
+         CAST((3 * doc_id) % 7 + 4 AS INTEGER) AS height,
+         doc_id % 3 + 2 AS nf,
+         doc_id % 16 AS bg_i
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height, j.nf, j.bg_i,
+         f.f AS f, x.x AS x, y.y AS y,
+         (j.doc_id + 2 * f.f) % (j.width - 2) AS fx,
+         (3 * j.doc_id + f.f) % (j.height - 2) AS fy,
+         LEAST(CAST(j.width AS BIGINT) - (j.doc_id + 2 * f.f) % (j.width - 2),
+               f.f % 3 + 2) AS fw,
+         LEAST(CAST(j.height AS BIGINT) - (3 * j.doc_id + f.f) % (j.height - 2),
+               (f.f + j.doc_id) % 3 + 2) AS fh,
+         (j.doc_id + f.f) % 16 AS t
+  FROM j,
+       UNNEST(range(0, CAST(j.nf AS BIGINT))) AS f(f),
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), eff AS (
+  SELECT doc_id, width, height, nf,
+         CASE WHEN x >= fx AND x < fx + fw AND y >= fy AND y < fy + fh
+                   AND (doc_id + 7 * f + 3 * x + 5 * y) % 16 <> t
+              THEN (doc_id + 7 * f + 3 * x + 5 * y) % 16
+              ELSE bg_i END AS i
+  FROM px
+), rgb AS (
+  SELECT doc_id, width, height, nf,
+         (23 * doc_id + 29 * i) % 256 AS r,
+         (19 * doc_id + 7 * i) % 256 AS g,
+         (5 * doc_id + 3 * i) % 256 AS b
+  FROM eff
+)
+SELECT doc_id, 'gif_anim' AS fmt, width, height,
+       CAST(3 * width * height * nf AS BIGINT) AS n_values,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_values,
+       CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS min_value,
+       CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS max_value
+FROM rgb GROUP BY doc_id, width, height, nf
+""",
+    doc="Animated-GIF composition external gate (r17): every document "
+        "synthesizes a REAL multi-frame GIF89a -- doc_id%3+2 "
+        "sub-rectangle frames, each preceded by a Graphic Control "
+        "Extension carrying a per-frame TRANSPARENT index and "
+        "restore-to-background disposal -- and decodes it back through "
+        "the full compositor (decode_gif_frames: transparency holes "
+        "leave the canvas, disposal restores the rect to the background "
+        "color per the spec text).  With disposal 2 every composed "
+        "frame is a closed form, so the oracle replays frame iteration, "
+        "GCE parsing, rect offsets, transparency, and the background "
+        "fill arithmetically over all frames' pixels; the "
+        "history-carrying disposal methods (1 leave, 3 restore-previous) "
+        "and per-frame local palettes/interlacing are pinned by unit "
+        "tests.  Scale: narrow Arrow-batched mapInPandas; O(1)-width "
+        "stats cross to the JVM, never pixels.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; mm_jpeg_progressive_stats (multi-round
+    # green; the progressive decoder stays driver-proven by
+    # mm_jpeg_restart_stats' odd arm, which decodes progressive scripts
+    # with restarts in every scan) sits out to hold the surface at 50.
+)
+def mm_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.gif_anim_stats(_docs(spark, sf_dir))
+
 @register(
     "mm_jpeg_progressive_stats",
     oracle="""
@@ -1618,12 +1688,19 @@ SELECT * FROM color UNION ALL SELECT * FROM refined
         "placements, and EOB runs that frame their covered blocks' "
         "correction bits) where EVERY refinement bit is worth a full "
         "pixel step -- a decoder that skips, mis-orders, or mis-applies "
-        "one bit cannot hash-match.  Refused loudly: restart intervals "
-        "and arithmetic-coded/hierarchical JPEG.  Scale: narrow "
+        "one bit cannot hash-match.  Restart intervals decode too as of "
+        "r16 (gated by mm_jpeg_restart_stats); refused loudly: "
+        "arithmetic-coded/hierarchical JPEG.  Scale: narrow "
         "Arrow-batched mapInPandas; O(1)-width stats.",
     # New registration (r15): takes a driver slot in its first round per
     # the freshness-era lint rule; orderby_limit_top20_orders sits out to
     # hold the surface at 50.
+    # r17 sit-out: paired with the new mm_gif_anim_stats registration;
+    # the progressive decoder stays driver-proven by
+    # mm_jpeg_restart_stats' odd arm (progressive scripts with restarts
+    # in every scan).  Multi-round green (r15, r16).
+    driver=False,
+    sibling="mm_jpeg_restart_stats",
 )
 def mm_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_progressive_stats(_docs(spark, sf_dir))

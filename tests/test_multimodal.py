@@ -2183,3 +2183,108 @@ def test_png_new_layouts_strict_decode_media_accepts():
     ]:
         d = mm.decode_media(blob, "x", strict=True)
         assert d["fmt"] == want
+
+
+# -- r17: animated GIF composition -----------------------------------------
+
+
+def _gif_anim_sim(w, h, d, nf, disposal):
+    """Reference composition simulator (independent of the decoder):
+    canvas starts at the background color; each frame draws its rect's
+    opaque pixels; disposal 2 restores the rect to background, 3
+    restores the pre-draw canvas, 0/1 leave it."""
+    def color(i):
+        return ((23*d + 29*i) % 256, (19*d + 7*i) % 256, (5*d + 3*i) % 256)
+
+    canvas = [color(d % 16)] * (w * h)
+    out = []
+    for f in range(nf):
+        fx = (d + 2*f) % (w - 2); fy = (3*d + f) % (h - 2)
+        fw = min(w - fx, f % 3 + 2); fh = min(h - fy, (f + d) % 3 + 2)
+        t = (d + f) % 16
+        saved = canvas[:]
+        for j in range(fh):
+            for i in range(fw):
+                x, y = fx + i, fy + j
+                idx = (d + 7*f + 3*x + 5*y) % 16
+                if idx != t:
+                    canvas[y * w + x] = color(idx)
+        out.append(canvas[:])
+        if disposal == 2:
+            for j in range(fh):
+                for i in range(fw):
+                    canvas[(fy + j) * w + fx + i] = color(d % 16)
+        elif disposal == 3:
+            canvas = saved
+    return out
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(4, 13), st.integers(4, 11), st.integers(0, 10**9),
+       st.integers(1, 5), st.sampled_from([0, 1, 2, 3]))
+def test_gif_anim_decode_identity_fuzz(w, h, doc_id, nf, disposal):
+    """Composed frames must match the reference simulator for EVERY
+    disposal method: transparency holes leave the canvas, disposal 2
+    restores the rect to the background color, disposal 3 restores the
+    pre-draw canvas (history-carrying)."""
+    d = mm.decode_gif_frames(mm.synth_gif_animated(w, h, doc_id, nf, disposal))
+    assert d["fmt"] == "gif_anim" and d["n_frames"] == nf
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["frames"] == _gif_anim_sim(w, h, doc_id, nf, disposal)
+
+
+def test_gif_anim_single_image_agrees_with_decode_gif():
+    """A whole-canvas single frame with no transparency must compose to
+    exactly what the single-image decoder sees -- pin by building a
+    plain synth_gif_indexed stream and running BOTH decoders."""
+    blob = mm.synth_gif_indexed(7, 5, 11)
+    one = mm.decode_gif(blob)
+    anim = mm.decode_gif_frames(blob)
+    assert anim["n_frames"] == 1
+    assert anim["frames"][0] == one["pixels"]
+
+
+def test_gif_anim_transparency_actually_exercised():
+    """Vacuity guard: some frame must contain a transparent pixel whose
+    canvas show-through differs from what an opaque draw would give."""
+    w, h, d, nf = 10, 8, 3, 4
+    got = mm.decode_gif_frames(mm.synth_gif_animated(w, h, d, nf))
+    def color(i):
+        return ((23*d + 29*i) % 256, (19*d + 7*i) % 256, (5*d + 3*i) % 256)
+    bg = color(d % 16)
+    hole_seen = False
+    for f in range(nf):
+        fx = (d + 2*f) % (w - 2); fy = (3*d + f) % (h - 2)
+        fw = min(w - fx, f % 3 + 2); fh = min(h - fy, (f + d) % 3 + 2)
+        t = (d + f) % 16
+        for j in range(fh):
+            for i in range(fw):
+                x, y = fx + i, fy + j
+                if (d + 7*f + 3*x + 5*y) % 16 == t:
+                    assert got["frames"][f][y * w + x] == bg
+                    if color(t) != bg:
+                        hole_seen = True
+    assert hole_seen, "no frame carried a visible transparency hole"
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_gif_anim_truncation_always_raises_fuzz(cutseed):
+    import pytest
+
+    blob = mm.synth_gif_animated(9, 7, 5, 3)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_gif_frames(blob[:cut])
+
+
+def test_gif_anim_rect_overrun_raises():
+    """A frame rect overrunning the logical screen must refuse loudly
+    (doctor the first image descriptor's width)."""
+    import pytest
+
+    blob = bytearray(mm.synth_gif_animated(9, 7, 5, 2))
+    at = blob.index(b"\x2c")  # first image descriptor
+    blob[at + 5 : at + 7] = (200).to_bytes(2, "little")  # fw = 200 >> 9
+    with pytest.raises(ValueError, match="overruns"):
+        mm.decode_gif_frames(bytes(blob))
