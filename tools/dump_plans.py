@@ -82,6 +82,9 @@ QUERIES = [
     ("mm_pixel_stats", "real BMP/PPM/WAV-PCM decode: narrow Arrow-batched mapInPandas, O(1)-width stats, zero shuffle"),
     ("mm_jpeg_restart_stats", "r16 restart-interval decode gate (baseline + progressive arms): same narrow no-shuffle shape"),
     ("mm_png_filtered_stats", "r16 all-five-PNG-filters decode gate: same narrow no-shuffle shape"),
+    ("mm_jpeg_color12_stats", "r17 12-bit color SOF1 decode gate: same narrow no-shuffle shape"),
+    ("mm_png_types_stats", "r17 PNG sample-layout gate (gray16/rgb16/palette arms): same narrow no-shuffle shape"),
+    ("mm_gif_anim_stats", "r17 animated-GIF composition gate: same narrow no-shuffle shape"),
     ("doc_dsir_importance", "r16 DSIR importance weights: bigram explode, map-side-combined histograms, literal-coefficient score chain"),
     ("doc_dedup_keep_best", "keep-best over the session-memoized CC label stage: checkpoint scan + one quality window"),
     ("orders_abc_classification", "ABC classification: distributed range prefix sum (operators/ordered.py), per-slice windows + broadcast offsets"),
