@@ -1275,6 +1275,10 @@ FROM rgb GROUP BY doc_id, width, height
     # New registration (r15): takes a driver slot in its first round per
     # the freshness-era lint rule; cust_interpurchase_gaps sits out to
     # hold the surface at 50.
+    # r17 interim sit-out: paired with the new mm_jpeg_arith_stats
+    # first-round registration; re-enters the queue at age 1.
+    driver=False,
+    sibling="mm_jpeg_arith_stats",
 )
 def mm_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_420_stats(_docs(spark, sf_dir))
@@ -1484,6 +1488,60 @@ FROM rgb GROUP BY doc_id, width, height
 )
 def mm_jpeg_color12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_color12_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "mm_jpeg_arith_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 21 + 4 AS INTEGER) AS width,
+         CAST((5 * doc_id) % 17 + 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         (17 * j.doc_id + 5 * CAST(floor(x.x / 8) AS BIGINT)
+          + 11 * CAST(floor(y.y / 8) AS BIGINT)) % 129 - 64 AS m,
+         (7 * j.doc_id + 3 * CAST(floor(x.x / 8) AS BIGINT)
+          + CAST(floor(y.y / 8) AS BIGINT)) % 27 AS n,
+         (CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END
+          * CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS ss
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+)
+SELECT doc_id, 'jpeg_gray' AS fmt, width, height,
+       CAST(width * height AS BIGINT) AS n_values,
+       CAST(SUM(128 + m + n * ss) AS BIGINT) AS sum_values,
+       CAST(MIN(128 + m + n * ss) AS INTEGER) AS min_value,
+       CAST(MAX(128 + m + n * ss) AS INTEGER) AS max_value
+FROM px GROUP BY doc_id, width, height
+""",
+    doc="Arithmetic-coded JPEG external gate (r17), closing the "
+        "'arithmetic-coded' frontier item from the r16 review: every "
+        "document synthesizes a REAL SOF9 grayscale JFIF -- the T.81 "
+        "Annex D QM-coder (16-bit interval register, CT=11 byte "
+        "emission, carry resolution, CLEARBITS flush, 0xFF stuffing) "
+        "driving the Annex F DC/AC statistical models (conditioning "
+        "categories from a DAC segment, EOB/zero-run/sign/magnitude "
+        "decision trees, adaptive Table D.3 estimation) -- and decodes "
+        "it back in strict mode.  Image class is synth_jpeg_gray_ac's "
+        "integer-certifiable F(0,0)=8m / F(4,4)=8n, so the oracle "
+        "replays 128+m+n*s(x)*s(y) per pixel; odd doc_ids add restart "
+        "segmentation (independent codewords, full coder/statistics/"
+        "predictor reset at each RSTn), all behind the same hash.  "
+        "Cross-codec interop rests on the Table D.3 transcription "
+        "(caveat recorded at the coder; no codec library exists in "
+        "this container to diff against) -- everything else the gate "
+        "proves end-to-end.  Dims cross partial-MCU crops.  Scale: "
+        "narrow Arrow-batched mapInPandas; O(1)-width stats cross to "
+        "the JVM, never pixels.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; mm_jpeg_420_stats (multi-round green,
+    # zero dependents) sits out to hold the surface at 50.
+)
+def mm_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_arith_stats(_docs(spark, sf_dir))
 
 
 @register(

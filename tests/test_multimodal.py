@@ -2288,3 +2288,187 @@ def test_gif_anim_rect_overrun_raises():
     blob[at + 5 : at + 7] = (200).to_bytes(2, "little")  # fw = 200 >> 9
     with pytest.raises(ValueError, match="overruns"):
         mm.decode_gif_frames(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9, r17): QM-coder + Annex F models
+# --------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_qm_coder_roundtrip_fuzz(seed):
+    """The Annex D coder pair must be exactly inverse over random
+    decision streams: random context counts, random source bias
+    (including heavy skew, which drives the estimation state machine
+    deep into the Table D.3 chains and exercises renormalization,
+    carry resolution, and byte stuffing)."""
+    import random
+
+    rng = random.Random(seed)
+    nctx = rng.randint(1, 8)
+    p = rng.choice([0.5, 0.1, 0.9, 0.02, 0.98])
+    bits = [1 if rng.random() < p else 0 for _ in range(rng.randint(1, 2500))]
+    ctxs = [rng.randrange(nctx) for _ in bits]
+    enc = mm._QMEncoder()
+    bins = mm._qm_fresh_bins(nctx)
+    for b, cx in zip(bits, ctxs):
+        enc.encode(bins, cx, b)
+    data = enc.flush()
+    dec = mm._QMDecoder(data)
+    bins2 = mm._qm_fresh_bins(nctx)
+    assert [dec.decode(bins2, cx) for cx in ctxs] == bits
+
+
+def test_qm_coder_stuffing_and_carry_paths_exercised():
+    """A long adversarial stream must actually produce stuffed 0xFF 0x00
+    pairs (otherwise the carry/stuffing branches are dead code in every
+    other test) and still round-trip."""
+    import random
+
+    rng = random.Random(12345)
+    streams_with_ff = 0
+    for trial in range(30):
+        bits = [1 if rng.random() < 0.5 else 0 for _ in range(4000)]
+        enc = mm._QMEncoder()
+        bins = mm._qm_fresh_bins(1)
+        for b in bits:
+            enc.encode(bins, 0, b)
+        data = enc.flush()
+        if b"\xff\x00" in data:
+            streams_with_ff += 1
+        dec = mm._QMDecoder(data)
+        bins2 = mm._qm_fresh_bins(1)
+        assert [dec.decode(bins2, 0) for _ in bits] == bits
+    assert streams_with_ff > 0
+
+
+def test_qm_table_adapts_near_entropy():
+    """Behavioural pin on the Table D.3 transcription: coding a heavily
+    biased source must land within 15% of the source entropy.  A
+    corrupted Qe/next-state row set cannot adapt and blows far past
+    this bound, so the transcription caveat recorded at the coder is
+    bounded by this test."""
+    import math
+    import random
+
+    rng = random.Random(1)
+    p, n = 0.05, 20000
+    bits = [1 if rng.random() < p else 0 for _ in range(n)]
+    enc = mm._QMEncoder()
+    bins = mm._qm_fresh_bins(1)
+    for b in bits:
+        enc.encode(bins, 0, b)
+    coded_bits = len(enc.flush()) * 8
+    entropy = n * (-p * math.log2(p) - (1 - p) * math.log2(1 - p))
+    assert coded_bits < entropy * 1.15
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(st.integers(4, 24), st.integers(4, 20), st.integers(0, 10**6))
+def test_jpeg_arith_decode_identity_fuzz(w, h, doc_id):
+    """An SOF9 stream must decode back to the synth_jpeg_gray_ac image
+    class exactly -- QM DC conditioning chain, AC EOB/zero-run/sign/
+    magnitude trees, and (odd doc_ids) restart segmentation with full
+    coder reset."""
+    d = mm._decode_jpeg_arith(mm.synth_jpeg_gray_arith(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray" and d["width"] == w and d["height"] == h
+
+    def s(v):
+        return 1 if v % 4 in (0, 3) else -1
+
+    exp = [
+        128
+        + ((17 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 129 - 64)
+        + ((7 * doc_id + 3 * (x // 8) + (y // 8)) % 27)
+        * s(x % 8) * s(y % 8)
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert d["pixels"] == exp
+
+
+def test_jpeg_arith_routes_through_decode_jpeg_gray():
+    """The shared marker walk must dispatch SOF9 to the arithmetic
+    decoder (not refuse it as non-baseline)."""
+    blob = mm.synth_jpeg_gray_arith(16, 16, 8)
+    assert mm.decode_jpeg_gray(blob)["pixels"] == \
+        mm._decode_jpeg_arith(blob)["pixels"]
+
+
+def test_jpeg_arith_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_jpeg_gray_arith(20, 13, 42), "x", strict=True)
+    assert d["fmt"] == "jpeg_gray" and len(d["pixels"]) == 20 * 13
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_arith_truncation_always_raises_fuzz(cutseed):
+    blob = mm.synth_jpeg_gray_arith(24, 16, 7)  # odd: restart arm
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_arith_wrong_restart_sequence_raises():
+    """Swapping an RSTn for the wrong index must raise by name (the
+    decoder verifies the 0..7 cycle, T.81 E.2.4)."""
+    blob = bytearray(mm.synth_jpeg_gray_arith(24, 16, 7))
+    at = blob.index(b"\xff\xd0")
+    blob[at + 1] = 0xD5
+    with pytest.raises(ValueError, match="expected RST0"):
+        mm._decode_jpeg_arith(bytes(blob))
+
+
+def test_jpeg_arith_restart_and_plain_agree():
+    """The restart arm is pure framing: forcing the no-DRI path (even
+    doc_id) and the restart path (odd doc_id) onto the same pixels via
+    the closed form is already covered by the identity fuzz; here pin
+    that a restart stream really contains RST markers (the arm is not
+    vacuous)."""
+    blob = mm.synth_jpeg_gray_arith(32, 24, 7)
+    assert b"\xff\xd0" in blob
+    assert b"\xff\xdd" in blob  # DRI present
+    plain = mm.synth_jpeg_gray_arith(32, 24, 8)
+    assert b"\xff\xdd" not in plain
+
+
+def test_jpeg_arith_dac_conditioning_comes_from_file():
+    """Patching the DAC's DC conditioning (U=1 -> U=3) must still decode
+    exactly: encoder and decoder must both read conditioning from the
+    stream, so re-synthesizing with a coder that uses the patched bound
+    keeps them in lockstep.  (A decoder with a HARD-CODED default would
+    desynchronize on this stream.)"""
+    # encode with U=3 by driving the model functions directly
+    doc_id, w, h = 4, 16, 16
+    enc = mm._QMEncoder()
+    dc_bins = mm._qm_fresh_bins(mm._QM_DC_BINS)
+    ac_bins = mm._qm_fresh_bins(mm._QM_AC_BINS)
+    dc_ctx = 0
+    prev = 0
+    for by in range(2):
+        for bx in range(2):
+            m = (17 * doc_id + 5 * bx + 11 * by) % 129 - 64
+            n = (7 * doc_id + 3 * bx + by) % 27
+            dc = 8 * m
+            dc_ctx = mm._qm_enc_dc(enc, dc_bins, dc - prev, dc_ctx, (0, 3))
+            prev = dc
+            ac = [0] * 63
+            ac[38] = 8 * n
+            mm._qm_enc_ac(enc, ac_bins, ac, 5)
+    scan = enc.flush()
+
+    def seg_hdr(marker, body):
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    blob = (
+        b"\xff\xd8"
+        + seg_hdr(0xDB, bytes((0x00,)) + bytes([1] * 64))
+        + seg_hdr(0xCC, bytes((0x00, 0x30, 0x10, 0x05)))  # DC U=3
+        + seg_hdr(0xC9, bytes((8,)) + h.to_bytes(2, "big")
+                  + w.to_bytes(2, "big") + bytes((1, 1, 0x11, 0)))
+        + seg_hdr(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+        + scan + b"\xff\xd9"
+    )
+    d = mm._decode_jpeg_arith(blob)
+    ref = mm._decode_jpeg_arith(mm.synth_jpeg_gray_arith(w, h, doc_id))
+    assert d["pixels"] == ref["pixels"]
