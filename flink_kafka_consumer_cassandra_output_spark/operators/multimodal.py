@@ -2372,6 +2372,102 @@ def synth_jpeg_gray_arith(width: int, height: int, doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + dac + sof9 + dri + sos + scan + b"\xff\xd9"
 
 
+def synth_jpeg_color_arith(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL arithmetic-coded 3-component 4:4:4 SOF9 JFIF: the exact
+    image class of :func:`synth_jpeg_color` (per-component F(0,0)/F(4,4)
+    AC class, chroma coefficients stored HALVED against a dequant of 2s)
+    QM-coded under per-TABLE statistics areas -- luma on DC/AC
+    conditioning tables 0, Cb and Cr SHARING tables 1 while carrying
+    independent DC predictors and conditioning categories, exactly the
+    Annex F ownership split (statistics per table, PRED/category per
+    component).  The DAC declares DIFFERENT DC bounds per table (luma
+    U=1, chroma U=2), so a decoder that picks the wrong conditioning
+    table desynchronizes the category chain loudly.  Because the image
+    class matches the Huffman twin's, the decoded pixels must equal
+    ``decode_jpeg_gray(synth_jpeg_color(...))`` bit-for-bit -- pinned in
+    tests as a cross-entropy-coding invariant."""
+    enc = _QMEncoder()
+    dc_bins = {0: _qm_fresh_bins(_QM_DC_BINS), 1: _qm_fresh_bins(_QM_DC_BINS)}
+    ac_bins = {0: _qm_fresh_bins(_QM_AC_BINS), 1: _qm_fresh_bins(_QM_AC_BINS)}
+    cond = {0: (0, 1), 1: (0, 2)}
+    kx = {0: 5, 1: 3}
+
+    def mn(ci: int, bx: int, by: int) -> tuple[int, int]:
+        d = doc_id
+        if ci == 0:
+            return (17 * d + 5 * bx + 11 * by) % 129 - 64, (7 * d + 3 * bx + by) % 27
+        if ci == 1:
+            return (13 * d + 7 * bx + 3 * by) % 101 - 50, (11 * d + bx + 5 * by) % 23
+        return (19 * d + 3 * bx + 7 * by) % 101 - 50, (5 * d + 9 * bx + by) % 23
+
+    prev = [0, 0, 0]
+    ctx = [0, 0, 0]
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            for ci in range(3):
+                tb = 0 if ci == 0 else 1
+                scale = 8 if ci == 0 else 4  # chroma halved, q=2
+                m, n = mn(ci, bx, by)
+                dc = scale * m
+                ctx[ci] = _qm_enc_dc(
+                    enc, dc_bins[tb], dc - prev[ci], ctx[ci], cond[tb])
+                prev[ci] = dc
+                ac = [0] * 63
+                ac[38] = scale * n
+                _qm_enc_ac(enc, ac_bins[tb], ac, kx[tb])
+    scan = enc.flush()
+
+    def seg_hdr(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg_hdr(0xDB, bytes((0x00,)) + bytes([1] * 64)) + seg_hdr(
+        0xDB, bytes((0x01,)) + bytes([2] * 64)
+    )
+    dac = seg_hdr(0xCC, bytes((0x00, 0x10, 0x01, 0x20, 0x10, 0x05, 0x11, 0x03)))
+    sof9 = seg_hdr(
+        0xC9,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)),
+    )
+    sos = seg_hdr(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dac + sof9 + sos + scan + b"\xff\xd9"
+
+
+def synth_jpeg_gray12_arith(width: int, height: int, doc_id: int) -> bytes:
+    """A 12-bit arithmetic-coded SOF9 grayscale JFIF: the exact constant
+    -block class of :func:`synth_jpeg_gray12` (``(997d + 131bx + 241by)
+    % 4096``, level shift 2048) QM-coded -- DC-only blocks drive the
+    EOB-at-k=1 AC path and DC magnitude categories up to 15 through the
+    Annex F tree, where the Huffman twin needed a custom length-5 DHT.
+    Pixels must equal ``decode_jpeg_gray(synth_jpeg_gray12(...))``."""
+    enc = _QMEncoder()
+    dc_bins = _qm_fresh_bins(_QM_DC_BINS)
+    ac_bins = _qm_fresh_bins(_QM_AC_BINS)
+    ctx = 0
+    prev = 0
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            v = (997 * doc_id + 131 * bx + 241 * by) % 4096
+            dc = 8 * (v - 2048)
+            ctx = _qm_enc_dc(enc, dc_bins, dc - prev, ctx, (0, 1))
+            prev = dc
+            _qm_enc_ac(enc, ac_bins, [0] * 63, 5)
+    scan = enc.flush()
+
+    def seg_hdr(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg_hdr(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    dac = seg_hdr(0xCC, bytes((0x00, 0x10, 0x10, 0x05)))
+    sof9 = seg_hdr(
+        0xC9,
+        bytes((12,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    sos = seg_hdr(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return b"\xff\xd8" + dqt + dac + sof9 + sos + scan + b"\xff\xd9"
+
+
 def _decode_jpeg_arith(content: bytes) -> dict:
     """Arithmetic-coded sequential JPEG decode (SOF9, r17): marker walk
     with DAC conditioning parse (the conditioning COMES FROM THE FILE;

@@ -2472,3 +2472,35 @@ def test_jpeg_arith_dac_conditioning_comes_from_file():
     d = mm._decode_jpeg_arith(blob)
     ref = mm._decode_jpeg_arith(mm.synth_jpeg_gray_arith(w, h, doc_id))
     assert d["pixels"] == ref["pixels"]
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(st.integers(4, 20), st.integers(4, 18), st.integers(0, 10**6))
+def test_jpeg_color_arith_agrees_with_huffman_twin(w, h, doc_id):
+    """Cross-entropy-coding invariant: the arithmetic color synth codes
+    the SAME image class as the Huffman color synth, so both files must
+    decode to identical RGB rasters -- pinning the 3-component MCU
+    interleave, per-TABLE statistics areas (Cb/Cr share conditioning
+    tables while keeping independent predictors/categories), and the
+    chroma dequant-of-2s path under the QM coder."""
+    a = mm._decode_jpeg_arith(mm.synth_jpeg_color_arith(w, h, doc_id))
+    b = mm.decode_jpeg_gray(mm.synth_jpeg_color(w, h, doc_id))
+    assert a["fmt"] == b["fmt"] == "jpeg_rgb"
+    assert a["pixels"] == b["pixels"]
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(st.integers(4, 24), st.integers(4, 20), st.integers(0, 10**6))
+def test_jpeg_gray12_arith_agrees_with_huffman_twin(w, h, doc_id):
+    """12-bit precision under arithmetic coding: same constant-block
+    class as the SOF1 Huffman twin, so decoded samples (level shift
+    2048, clamp 0..4095, DC categories to 15) must match exactly."""
+    a = mm._decode_jpeg_arith(mm.synth_jpeg_gray12_arith(w, h, doc_id))
+    b = mm.decode_jpeg_gray(mm.synth_jpeg_gray12(w, h, doc_id))
+    assert a["fmt"] == b["fmt"] == "jpeg_gray12"
+    assert a["pixels"] == b["pixels"]
+
+
+def test_jpeg_gray12_arith_samples_exceed_8bit_range():
+    vals = mm._decode_jpeg_arith(mm.synth_jpeg_gray12_arith(80, 80, 1))["pixels"]
+    assert max(vals) > 255 and 0 <= min(vals) and max(vals) <= 4095
