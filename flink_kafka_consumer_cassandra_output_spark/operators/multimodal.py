@@ -43,8 +43,9 @@ sequential SOF9 (r17: the full T.81 Annex D QM-coder -- register
 discipline, carry/stuffing, flush -- plus the Annex F DC/AC
 statistical models and restart segmentation, gated by
 ``mm_jpeg_arith_stats``; the Table D.3 transcription caveat is
-recorded at the coder); the remaining stub is hierarchical JPEG
-(exotic), and codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
+recorded at the coder) and hierarchical Annex J pyramids (r17: DHP
+walk, EXP reference expansion, differential frames, gated by
+``mm_jpeg_hier_stats``); the remaining stub is codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
@@ -2468,6 +2469,354 @@ def synth_jpeg_gray12_arith(width: int, height: int, doc_id: int) -> bytes:
     return b"\xff\xd8" + dqt + dac + sof9 + sos + scan + b"\xff\xd9"
 
 
+# --------------------------------------------------------------------------
+# Hierarchical JPEG (Annex J, r17): DHP frame pyramid with EXP reference
+# expansion and differential sequential frames.
+# --------------------------------------------------------------------------
+
+def synth_jpeg_gray_hier(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL hierarchical grayscale JPEG (T.81 Annex J, r17): a DHP
+    segment declares the full output dimensions, a non-differential
+    SOF1 frame codes a HALF-WIDTH reference of constant 8x8 blocks
+    ``r = 64 + (31*doc_id + 17*bx + 7*by) % 128``, an EXP segment
+    orders horizontal expansion (J.1.1.2: even output = reference
+    sample, odd output = the rounded mean of the two neighbours, right
+    edge by replication), and a differential SOF5 frame adds constant
+    per-block corrections ``d = (23*doc_id + 13*bx + 3*by) % 65 - 32``
+    at full resolution -- DC-only blocks coded with ZERO prediction
+    (F.1.5: PRED is 0 in differential frames) and no level shift.  The
+    final image is the integer closed form ``expand(r) + d`` (range
+    [32, 223]: no clamp engages), which the external oracle replays
+    arithmetically, so the hash proves the DHP walk, the expansion
+    filter, the differential entropy/IDCT path, and the frame
+    accumulation exactly."""
+    w1 = (width + 1) // 2
+    dc_codes = _canonical_codes(_DC_LENGTHS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_LENGTHS, _AC_SYMBOLS)
+
+    def frame_scan(dcs: list, predict: bool) -> bytes:
+        bw = _BitWriter()
+        prev = 0
+        for dc in dcs:
+            diff = dc - prev if predict else dc
+            if predict:
+                prev = dc
+            t = _jpeg_category(diff)
+            code, nbits = dc_codes[t]
+            bw.write(code, nbits)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, nbits = ac_codes[0x00]  # EOB
+            bw.write(code, nbits)
+        return bw.flush()
+
+    ref_dcs = [
+        8 * (64 + (31 * doc_id + 17 * bx + 7 * by) % 128 - 128)
+        for by in range((height + 7) // 8)
+        for bx in range((w1 + 7) // 8)
+    ]
+    dif_dcs = [
+        8 * ((23 * doc_id + 13 * bx + 3 * by) % 65 - 32)
+        for by in range((height + 7) // 8)
+        for bx in range((width + 7) // 8)
+    ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sof(marker: int, w: int) -> bytes:
+        return seg(
+            marker,
+            bytes((8,)) + height.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes((1, 1, 0x11, 0)),
+        )
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    dht = (
+        seg(0xC4, bytes((0x00,)) + bytes(_DC_LENGTHS) + bytes(_DC_SYMBOLS))
+        + seg(0xC4, bytes((0x10,)) + bytes(_AC_LENGTHS) + bytes(_AC_SYMBOLS))
+    )
+    dhp = seg(
+        0xDE,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return (
+        b"\xff\xd8" + dqt + dht + dhp
+        + sof(0xC1, w1) + sos + frame_scan(ref_dcs, True)
+        + seg(0xDF, bytes((0x10,)))  # EXP: Eh=1, Ev=0
+        + sof(0xC5, width) + sos + frame_scan(dif_dcs, False)
+        + b"\xff\xd9"
+    )
+
+
+def _hier_expand(plane, eh: int, ev: int):
+    """J.1.1.2 reference expansion: double along the flagged axes; even
+    outputs copy the reference sample, odd outputs are the rounded mean
+    ``(a + b + 1) >> 1`` of the two neighbours, with the trailing
+    sample's right/bottom neighbour replicated at the edge."""
+    import numpy as np
+
+    if eh:
+        h, w = plane.shape
+        out = np.zeros((h, 2 * w), dtype=plane.dtype)
+        out[:, 0::2] = plane
+        right = np.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+        out[:, 1::2] = (plane + right + 1) >> 1
+        plane = out
+    if ev:
+        h, w = plane.shape
+        out = np.zeros((2 * h, w), dtype=plane.dtype)
+        out[0::2, :] = plane
+        below = np.concatenate([plane[1:, :], plane[-1:, :]], axis=0)
+        out[1::2, :] = (plane + below + 1) >> 1
+        plane = out
+    return plane
+
+
+def _hier_frame_scan(content: bytes, scan_at: int, sof: bytes,
+                     differential: bool, sos: bytes, qt: dict,
+                     huff: dict):
+    """Decode one hierarchical frame's single interleaved scan into an
+    int64 plane of the frame's declared dimensions: Huffman DC/AC per
+    block, dequant, batched IDCT, level shift for non-differential
+    frames only (differential frames code signed corrections, F.1.5),
+    MCU-grid padding cropped at emission.  Returns ``(plane, position
+    of the marker after the entropy data)``."""
+    import math
+
+    import numpy as np
+
+    if len(sof) < 9:
+        raise ValueError(f"short hierarchical SOF body ({len(sof)} bytes)")
+    precision = sof[0]
+    fh = int.from_bytes(sof[1:3], "big")
+    fw = int.from_bytes(sof[3:5], "big")
+    if precision != 8:
+        raise ValueError(
+            f"hierarchical frames decode at precision 8 only (got "
+            f"{precision})"
+        )
+    if sof[5] != 1 or sof[7] != 0x11:
+        raise ValueError(
+            "hierarchical decode is 1-component, unsampled only here")
+    if fw <= 0 or fh <= 0:
+        raise ValueError(f"degenerate hierarchical frame {fw}x{fh}")
+    qid = sof[8]
+    if qid not in qt:
+        raise ValueError(f"JPEG references missing quant table {qid}")
+    q = qt[qid]
+    if len(sos) < 6 or sos[0] != 1:
+        raise ValueError("hierarchical SOS must carry one component")
+    dc_id, ac_id = sos[2] >> 4, sos[2] & 0x0F
+    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("JPEG scan references missing Huffman tables")
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+
+    # entropy data runs to the next non-stuffing marker (EXP / SOF / EOI;
+    # restart intervals are not part of the hierarchical envelope here)
+    end = scan_at
+    while True:
+        if end + 1 >= len(content):
+            raise ValueError("truncated JPEG: hierarchical scan ran out")
+        if content[end] == 0xFF and content[end + 1] not in (0x00,):
+            break
+        end += 1
+    br = _BitReader(content[scan_at:end])
+    mcus_x, mcus_y = (fw + 7) // 8, (fh + 7) // 8
+    coeff_blocks = []
+    prev_dc = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            coeffs = [0] * 64
+            t = _huff_decode(br, dc_tab)
+            diff = _extend(br.bits(t), t) if t else 0
+            if differential:
+                coeffs[0] = diff * q[0]  # PRED = 0 (F.1.5)
+            else:
+                prev_dc += diff
+                coeffs[0] = prev_dc * q[0]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_tab)
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"corrupt JPEG: AC symbol {sym:02x}")
+                    k += 16
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("corrupt JPEG: AC run past block end")
+                coeffs[k] = _extend(br.bits(size), size) * q[k]
+                k += 1
+            block = np.zeros((8, 8))
+            for k2, (r, c) in enumerate(_ZIGZAG):
+                if coeffs[k2]:
+                    block[r][c] = float(coeffs[k2])
+            coeff_blocks.append((8 * my, 8 * mx, block))
+    c_norm = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    cos_tab = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    m_basis = np.array(
+        [[c_norm[v] * cos_tab[y][v] for v in range(8)] for y in range(8)]
+    )
+    plane = np.zeros((mcus_y * 8, mcus_x * 8), dtype=np.int64)
+    b = np.stack([t[2] for t in coeff_blocks])
+    spat = np.einsum("yv,nvu,xu->nyx", m_basis, b, m_basis)
+    shift = 0 if differential else 128
+    vals = np.round(spat / 4.0).astype(np.int64) + shift
+    for (oy, ox, _), sp in zip(coeff_blocks, vals):
+        plane[oy : oy + 8, ox : ox + 8] = sp
+    return plane[:fh, :fw], end
+
+
+def _decode_jpeg_hierarchical(content: bytes) -> dict:
+    """Hierarchical JPEG decode (T.81 Annex J, r17): DHP-declared output
+    frame, a non-differential first frame, then EXP reference
+    expansions and differential frames accumulated onto the reference.
+    Non-differential reconstructions clamp to [0, 255] as any
+    sequential output does; differential corrections add SIGNED values
+    and the running reference clamps after each accumulation (per-stage
+    reconstruction clamping).  Grayscale Huffman frames only --
+    matching the synthesizer's envelope; anything else raises.
+    Strictness contract identical to the other decoders."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dhp = None
+    ref = None
+    pending_exp: tuple[int, int] | None = None
+    cur_sof = None
+    cur_diff = False
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: marker walk ran out")
+        if content[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: lost marker sync at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: segment length cut")
+        ln = int.from_bytes(content[pos : pos + 2], "big")
+        body = content[pos + 2 : pos + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise ValueError("truncated JPEG: segment body cut")
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                if at + 65 > len(body):
+                    raise ValueError("truncated JPEG: DQT cut")
+                qt[tq] = list(body[at + 1 : at + 65])
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0x0F
+                lengths = list(body[at + 1 : at + 17])
+                nsym = sum(lengths)
+                symbols = list(body[at + 17 : at + 17 + nsym])
+                if len(symbols) < nsym:
+                    raise ValueError("truncated JPEG: DHT cut")
+                codes = _canonical_codes(lengths, symbols)
+                huff[(tc, th)] = {(c, n): s for s, (c, n) in codes.items()}
+                at += 17 + nsym
+        elif marker == 0xDE:
+            if dhp is not None:
+                raise ValueError("duplicate DHP segment")
+            dhp = body
+        elif marker == 0xDF:
+            if len(body) < 1:
+                raise ValueError("truncated JPEG: EXP cut")
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            if (eh, ev) not in ((1, 0), (0, 1), (1, 1)):
+                raise ValueError(f"bad EXP expansion flags 0x{body[0]:02x}")
+            if ref is None:
+                raise ValueError("EXP before any reference frame")
+            pending_exp = (eh, ev)
+        elif marker in (0xC0, 0xC1, 0xC5):
+            cur_sof = body
+            cur_diff = marker == 0xC5
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported hierarchical frame SOF 0x{marker:02x} "
+                "(sequential Huffman frames only here)"
+            )
+        elif marker == 0xDA:
+            if dhp is None:
+                raise ValueError("hierarchical scan before DHP")
+            if cur_sof is None:
+                raise ValueError("hierarchical scan before a frame header")
+            plane, pos = _hier_frame_scan(
+                content, pos + ln, cur_sof, cur_diff, body, qt, huff)
+            if pending_exp is not None:
+                ref = _hier_expand(ref, *pending_exp)
+                pending_exp = None
+            fh, fw = plane.shape
+            if cur_diff:
+                if ref is None:
+                    raise ValueError("differential frame without reference")
+                if ref.shape[0] < fh or ref.shape[1] < fw:
+                    raise ValueError(
+                        "differential frame exceeds the (expanded) "
+                        f"reference: {fw}x{fh} vs "
+                        f"{ref.shape[1]}x{ref.shape[0]}"
+                    )
+                ref = np.clip(ref[:fh, :fw] + plane, 0, 255)
+            else:
+                if ref is not None:
+                    raise ValueError(
+                        "second non-differential frame in a hierarchical "
+                        "sequence"
+                    )
+                ref = np.clip(plane, 0, 255)
+            cur_sof = None
+            continue  # pos already sits at the next marker
+        pos += ln
+    if pos != len(content):
+        raise ValueError(
+            f"trailing bytes after JPEG EOI ({len(content) - pos})")
+    if dhp is None or ref is None:
+        raise ValueError("hierarchical JPEG without DHP or frames")
+    if len(dhp) < 9:
+        raise ValueError(f"short DHP body ({len(dhp)} bytes)")
+    if dhp[0] != 8 or dhp[5] != 1:
+        raise ValueError(
+            f"unsupported DHP (precision={dhp[0]}, components={dhp[5]}); "
+            "8-bit grayscale only"
+        )
+    oh = int.from_bytes(dhp[1:3], "big")
+    ow = int.from_bytes(dhp[3:5], "big")
+    if ow <= 0 or oh <= 0:
+        raise ValueError(f"degenerate DHP dimensions {ow}x{oh}")
+    if ref.shape[0] < oh or ref.shape[1] < ow:
+        raise ValueError(
+            f"hierarchical pyramid ended below the DHP dimensions: "
+            f"{ref.shape[1]}x{ref.shape[0]} vs {ow}x{oh}"
+        )
+    return {
+        "fmt": "jpeg_gray_hier",
+        "width": ow,
+        "height": oh,
+        "pixels": ref[:oh, :ow].ravel().tolist(),
+    }
+
+
 def _decode_jpeg_arith(content: bytes) -> dict:
     """Arithmetic-coded sequential JPEG decode (SOF9, r17): marker walk
     with DAC conditioning parse (the conditioning COMES FROM THE FILE;
@@ -2747,6 +3096,11 @@ def decode_jpeg_gray(content: bytes) -> dict:
             # extended sequential, arithmetic coding (r17): dedicated
             # QM-coder decoder
             return _decode_jpeg_arith(content)
+        elif marker == 0xDE:
+            # hierarchical (Annex J, r17): DHP before any frame header;
+            # without this route the walk would skip the DHP and decode
+            # the half-resolution first frame as the whole image
+            return _decode_jpeg_hierarchical(content)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x}) not supported")
@@ -5507,6 +5861,57 @@ def jpeg_arith_stats(docs: DataFrame) -> DataFrame:
                         f"jpeg_arith_stats: decode fell back to header "
                         f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
                         "the arithmetic decode must not silently degrade"
+                    )
+                vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_hier_stats(docs: DataFrame) -> DataFrame:
+    """Hierarchical-JPEG gate (r17): every document synthesizes a
+    :func:`synth_jpeg_gray_hier` pyramid -- DHP, half-width
+    non-differential SOF1 reference, EXP horizontal expansion,
+    differential SOF5 correction frame -- decodes it back through
+    :func:`decode_media` in strict mode, and emits exact integer stats.
+    The closed form ``expand(r) + d`` is replayed arithmetically by the
+    oracle, so the hash proves the DHP walk, the J.1.1.2 expansion
+    filter (rounded-mean odd samples, edge replication), the
+    zero-prediction differential decode, and the frame accumulation
+    byte-for-byte.  Dimensions ``(doc_id % 19 + 4) x ((7*doc_id) % 15
+    + 4)`` cross partial-MCU crops at BOTH pyramid levels.  Scale
+    posture identical to the other decode gates: narrow Arrow-batched
+    mapInPandas, O(1)-width stats cross to the JVM, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 19 + 4, (7 * did) % 15 + 4
+                d = decode_media(
+                    synth_jpeg_gray_hier(w, h, did),
+                    "application/octet-stream",
+                    strict=True,
+                )
+                if d["fmt"] != "jpeg_gray_hier" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_hier_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the hierarchical decode must not silently degrade"
                     )
                 vals = d["pixels"]
                 rows.append(

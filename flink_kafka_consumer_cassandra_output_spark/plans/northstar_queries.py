@@ -1545,6 +1545,64 @@ def mm_jpeg_arith_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_hier_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 19 + 4 AS INTEGER) AS width,
+         CAST((7 * doc_id) % 15 + 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height, x.x AS x, y.y AS y,
+         (j.width + 1) // 2 AS w1
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), ref AS (
+  SELECT doc_id, width, height, x, y,
+         64 + (31 * doc_id + 17 * ((x // 2) // 8) + 7 * (y // 8)) % 128 AS r0,
+         64 + (31 * doc_id
+               + 17 * (LEAST(x // 2 + 1, w1 - 1) // 8) + 7 * (y // 8)) % 128 AS r1
+  FROM px
+), fin AS (
+  SELECT doc_id, width, height,
+         (CASE WHEN x % 2 = 0 THEN r0 ELSE (r0 + r1 + 1) // 2 END)
+         + ((23 * doc_id + 13 * (x // 8) + 3 * (y // 8)) % 65 - 32) AS v
+  FROM ref
+)
+SELECT doc_id, 'jpeg_gray_hier' AS fmt, width, height,
+       CAST(width * height AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_values,
+       CAST(MIN(v) AS INTEGER) AS min_value,
+       CAST(MAX(v) AS INTEGER) AS max_value
+FROM fin GROUP BY doc_id, width, height
+""",
+    doc="Hierarchical-JPEG external gate (r17), closing the "
+        "'hierarchical' frontier item from the r16 review: every "
+        "document synthesizes a REAL Annex J pyramid -- DHP declaring "
+        "the full dimensions, a half-width non-differential SOF1 "
+        "reference of constant blocks, an EXP segment ordering "
+        "horizontal expansion (even outputs copy, odd outputs are the "
+        "rounded neighbour mean with edge replication, J.1.1.2), and a "
+        "differential SOF5 frame adding per-block corrections with "
+        "ZERO DC prediction and no level shift (F.1.5) -- then decodes "
+        "it back in strict mode.  The oracle replays expand(r)+d per "
+        "pixel, so the hash proves the multi-frame walk, the expansion "
+        "filter, the differential entropy/IDCT path, and the "
+        "accumulation exactly; dims cross partial-MCU crops at both "
+        "pyramid levels.  Scale: narrow Arrow-batched mapInPandas; "
+        "O(1)-width stats cross to the JVM, never pixels.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; msg_type_taxonomy (multi-round green)
+    # sits out to hold the surface at 50, its dependents re-pointed to
+    # msg_detail_encrypted_verified (which runs the same taxonomy
+    # classify inside the full detail pipeline).
+)
+def mm_jpeg_hier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_hier_stats(_docs(spark, sf_dir))
+
+
+@register(
     "mm_png_types_stats",
     oracle="""
 WITH j AS (

@@ -179,6 +179,10 @@ GROUP BY 1
     # names by msg_taxonomy_all_codes, and the stanza regexp + grouped count
     # by msg_taxonomy_lookup_join; this CASE-over-stanza form stays local.
     # r14 rotation: promoted for stale re-verification (tools/r14_rotation_plan.md).
+    # r17 interim sit-out: paired with the new mm_jpeg_hier_stats
+    # first-round registration; re-enters the queue at age 1.
+    driver=False,
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_type_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -305,7 +309,9 @@ GROUP BY t.type_name
     # r17 driver-slot rotation (tools/r17_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="msg_type_taxonomy",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_hier_stats registration.
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_taxonomy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _msgs(spark, sf_dir)
@@ -448,7 +454,9 @@ FROM names n LEFT JOIN dim d USING (type_name)
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="msg_type_taxonomy",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_hier_stats registration.
+    sibling="msg_detail_encrypted_verified",
 )
 def msg_taxonomy_all_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = ", ".join(f"('{n}')" for n in _ALL_TYPE_NAMES)

@@ -2504,3 +2504,90 @@ def test_jpeg_gray12_arith_agrees_with_huffman_twin(w, h, doc_id):
 def test_jpeg_gray12_arith_samples_exceed_8bit_range():
     vals = mm._decode_jpeg_arith(mm.synth_jpeg_gray12_arith(80, 80, 1))["pixels"]
     assert max(vals) > 255 and 0 <= min(vals) and max(vals) <= 4095
+
+
+# --------------------------------------------------------------------------
+# Hierarchical JPEG (Annex J, r17)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(st.integers(4, 22), st.integers(4, 18), st.integers(0, 10**6))
+def test_jpeg_hier_decode_identity_fuzz(w, h, doc_id):
+    """A DHP pyramid must decode to the exact closed form expand(r)+d:
+    half-width reference, J.1.1.2 horizontal expansion (rounded
+    neighbour mean, edge replication), zero-prediction differential
+    frame accumulation."""
+    d = mm._decode_jpeg_hierarchical(mm.synth_jpeg_gray_hier(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray_hier"
+    assert d["width"] == w and d["height"] == h
+    w1 = (w + 1) // 2
+    exp = []
+    for y in range(h):
+        for x in range(w):
+            u0, u1 = x // 2, min(x // 2 + 1, w1 - 1)
+            r0 = 64 + (31 * doc_id + 17 * (u0 // 8) + 7 * (y // 8)) % 128
+            r1 = 64 + (31 * doc_id + 17 * (u1 // 8) + 7 * (y // 8)) % 128
+            e = r0 if x % 2 == 0 else (r0 + r1 + 1) // 2
+            exp.append(
+                e + ((23 * doc_id + 13 * (x // 8) + 3 * (y // 8)) % 65 - 32))
+    assert d["pixels"] == exp
+
+
+def test_jpeg_hier_routes_through_decode_jpeg_gray():
+    """The shared marker walk must dispatch on DHP BEFORE the frame
+    header -- otherwise the half-resolution reference frame would
+    silently decode as the whole image."""
+    blob = mm.synth_jpeg_gray_hier(16, 12, 9)
+    d = mm.decode_jpeg_gray(blob)
+    assert d["fmt"] == "jpeg_gray_hier" and d["width"] == 16
+
+
+def test_jpeg_hier_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_jpeg_gray_hier(18, 10, 3), "x", strict=True)
+    assert d["fmt"] == "jpeg_gray_hier" and len(d["pixels"]) == 180
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_hier_truncation_always_raises_fuzz(cutseed):
+    blob = mm.synth_jpeg_gray_hier(20, 12, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_hier_exp_before_frame_raises():
+    """An EXP segment with no reference to expand must refuse."""
+    blob = mm.synth_jpeg_gray_hier(16, 12, 9)
+    at = blob.index(b"\xff\xdf")
+    exp_seg = blob[at:at + 5]
+    dhp_end = blob.index(b"\xff\xc1")
+    patched = blob[:dhp_end] + exp_seg + blob[dhp_end:at] + blob[at + 5:]
+    with pytest.raises(ValueError, match="EXP before any reference"):
+        mm._decode_jpeg_hierarchical(patched)
+
+
+def test_jpeg_hier_expand_vertical_and_both_axes():
+    """The EXP filter must expand on either axis independently (the
+    synthesizer only drives Eh=1, so pin Ev and Eh+Ev directly against
+    a hand computation)."""
+    import numpy as np
+
+    p = np.array([[10, 20], [30, 41]], dtype=np.int64)
+    hv = mm._hier_expand(p, 0, 1)
+    assert hv.tolist() == [[10, 20], [20, 31], [30, 41], [30, 41]]
+    hb = mm._hier_expand(p, 1, 1)
+    assert hb.shape == (4, 4)
+    assert hb[0].tolist() == [10, 15, 20, 20]
+    assert hb[1].tolist() == [20, 26, 31, 31]
+
+
+def test_jpeg_hier_second_nondifferential_frame_raises():
+    """Two non-differential frames in one pyramid must refuse (the
+    second would silently replace the reference)."""
+    blob = mm.synth_jpeg_gray_hier(16, 12, 9)
+    at = blob.index(b"\xff\xc5")
+    patched = bytearray(blob)
+    patched[at + 1] = 0xC1
+    with pytest.raises(ValueError, match="second non-differential"):
+        mm._decode_jpeg_hierarchical(bytes(patched))
