@@ -43,9 +43,13 @@ sequential SOF9 (r17: the full T.81 Annex D QM-coder -- register
 discipline, carry/stuffing, flush -- plus the Annex F DC/AC
 statistical models and restart segmentation, gated by
 ``mm_jpeg_arith_stats``; the Table D.3 transcription caveat is
-recorded at the coder) and hierarchical Annex J pyramids (r17: DHP
-walk, EXP reference expansion, differential frames, gated by
-``mm_jpeg_hier_stats``); the remaining stub is codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
+recorded at the coder), arithmetic-coded PROGRESSIVE SOF10 (r17:
+banded first scans, bit-plane refinements with the G.2.2
+correction-bit model, gated by ``mm_jpeg_arith_prog_stats``) and
+hierarchical Annex J pyramids (r17: DHP walk, EXP reference
+expansion, differential frames, gated by ``mm_jpeg_hier_stats``) --
+every JPEG coding process in T.81 Table B.1 except the lossless family
+now decodes; the remaining stub is codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
@@ -2817,6 +2821,495 @@ def _decode_jpeg_hierarchical(content: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# Arithmetic-coded progressive JPEG (SOF10, r17): the Annex G scan
+# scripts (spectral selection + successive approximation) driven by the
+# same QM-coder.  The banded first-scan model generalizes the
+# sequential Figure F.5 coder to G.2.2's Ss..Se bounds and Al point
+# transform; refinement scans use the G.2.2 correction-bit model (EOB
+# decision only beyond the previous stage's end-of-block, correction
+# bits on the st+2 bin for known coefficients, newly-significant
+# +-(1<<Al) placements with the sign on the fixed state).  Statistics
+# areas reset at every scan start and at every restart marker.
+# --------------------------------------------------------------------------
+
+def _qm_enc_ac_band(enc: "_QMEncoder", bins: list, ac: list, kx: int,
+                    ss: int, se: int, al: int) -> None:
+    """Encode one block's AC band ``ss..se`` at point transform ``al``
+    (first scan, Ah=0).  ``ac`` is the 63-length zigzag AC list; the
+    sequential coder is the ``(1, 63, 0)`` special case."""
+    ke = se
+    while ke >= ss and abs(ac[ke - 1]) >> al == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(bins, st, 0)  # not EOB here
+        v = ac[k - 1]
+        t = abs(v) >> al
+        while t == 0:
+            enc.encode(bins, st + 1, 0)
+            st += 3
+            k += 1
+            v = ac[k - 1]
+            t = abs(v) >> al
+        enc.encode(bins, st + 1, 1)
+        enc.encode_fixed(1 if v < 0 else 0)
+        st += 2
+        m = 0
+        t -= 1
+        if t:
+            enc.encode(bins, st, 1)
+            m = 1
+            v2 = t
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(bins, st, 1)
+                m = 2
+                st = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(bins, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(bins, st, 0)
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(bins, st, 1 if (mm & t) else 0)
+        k += 1
+    if k <= se:
+        enc.encode(bins, 3 * (k - 1), 1)  # EOB
+
+
+def _qm_dec_ac_band(dec: "_QMDecoder", bins: list, ac: list, kx: int,
+                    ss: int, se: int, al: int) -> None:
+    """Decode one block's AC band ``ss..se`` at point transform ``al``
+    into the 63-length zigzag list (first scan, Ah=0)."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(bins, st):
+            break  # EOB
+        while dec.decode(bins, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG: AC run overflow")
+        sign = dec.decode_fixed()
+        st += 2
+        m = dec.decode(bins, st)
+        if m:
+            if dec.decode(bins, st):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(bins, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "corrupt arithmetic JPEG: AC magnitude")
+                    st += 1
+        t = m
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            if dec.decode(bins, st):
+                t |= mm
+        t += 1
+        ac[k - 1] = (-t if sign else t) << al
+        k += 1
+
+
+def _qm_enc_ac_refine(enc: "_QMEncoder", bins: list, ac: list,
+                      ss: int, se: int, al: int, ah: int) -> None:
+    """Encode one block's successive-approximation AC refinement
+    (G.2.2): ``ac`` holds FINAL coefficient values; this scan carries
+    bit ``al`` given the previous stage coded down to bit ``ah``."""
+    ke = se
+    while ke >= ss and abs(ac[ke - 1]) >> al == 0:
+        ke -= 1
+    kex = ke
+    while kex >= 1 and abs(ac[kex - 1]) >> ah == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(bins, st, 0)  # not EOB yet
+        while True:
+            v = ac[k - 1]
+            if abs(v) >> ah:  # known-nonzero from the previous stage
+                enc.encode(bins, st + 2, (abs(v) >> al) & 1)
+                break
+            if abs(v) >> al:  # newly significant at this stage
+                enc.encode(bins, st + 1, 1)
+                enc.encode_fixed(1 if v < 0 else 0)
+                break
+            enc.encode(bins, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    # terminating EOB decision at the post-loop position k = max(ss,
+    # ke+1); always k > kex (kex <= ke because a history-nonzero
+    # coefficient is nonzero at the finer bit too), so the decoder is
+    # guaranteed to read it
+    if k <= se:
+        enc.encode(bins, 3 * (k - 1), 1)
+
+
+def _qm_dec_ac_refine(dec: "_QMDecoder", bins: list, ac: list,
+                      ss: int, se: int, al: int) -> None:
+    """Decode one block's AC refinement scan in place: ``ac`` holds the
+    previous stage's reconstructions; correction bits add ``+-(1<<al)``
+    toward zero-history/known-history per G.2.2."""
+    p1, m1 = 1 << al, -(1 << al)
+    kex = se
+    while kex >= 1 and ac[kex - 1] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(bins, st):
+                break  # EOB
+        while True:
+            if ac[k - 1]:
+                if dec.decode(bins, st + 2):
+                    ac[k - 1] += m1 if ac[k - 1] < 0 else p1
+                break
+            if dec.decode(bins, st + 1):
+                ac[k - 1] = m1 if dec.decode_fixed() else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError(
+                    "corrupt arithmetic JPEG: AC refinement overflow")
+        k += 1
+
+
+def synth_jpeg_gray_arith_prog(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL arithmetic-coded progressive (SOF10) grayscale JFIF: per
+    8x8 block ``F(0,0) = 8*m`` (``m = (17d+5bx+11by)%129-64``),
+    ``F(zz14 = (0,4)) = 8*o`` (``o = (13d+bx+7by)%21``) and ``F(zz39 =
+    (4,4)) = 8*n`` (``n = (7d+3bx+by)%27``) -- all three basis
+    functions exactly ``+-1/(8/F)`` per sample, so the true
+    reconstruction is the integer ``128 + m + o*s(x) + n*s(x)*s(y)``.
+    Nine-scan script: DC first at Al=5 then two DC refinements (bits 4
+    and 3), AC first per band (1..31, 32..63) at Al=5, then per-band
+    refinements at bits 4 and 3.  Stopping at Al=3 is lossless for
+    this class (coefficients are multiples of 8), and because the
+    block constants are NOT generally multiples of 32, the refinement
+    scans carry real bits -- including newly-significant placements
+    (e.g. ``o in (2,3)`` first appears at bit 4).  Odd doc_ids add
+    restart segmentation in EVERY scan (fresh coder, statistics and DC
+    predictor per segment).  Statistics areas reset at every scan
+    start per G.2.2/F.1.4.4.1.4."""
+    mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+    order = [(bx, by) for by in range(mcus_y) for bx in range(mcus_x)]
+    restart = doc_id % 3 + 1 if doc_id % 2 else 0
+
+    def coefs(bx: int, by: int) -> tuple[int, list]:
+        m = (17 * doc_id + 5 * bx + 11 * by) % 129 - 64
+        o = (13 * doc_id + bx + 7 * by) % 21
+        n = (7 * doc_id + 3 * bx + by) % 27
+        ac = [0] * 63
+        ac[13] = 8 * o  # zigzag 14 = (0,4)
+        ac[38] = 8 * n  # zigzag 39 = (4,4)
+        return 8 * m, ac
+
+    def segments() -> list:
+        if not restart:
+            return [order]
+        return [order[i:i + restart] for i in range(0, len(order), restart)]
+
+    def join(parts: list) -> bytes:
+        return parts[0] + b"".join(
+            bytes((0xFF, 0xD0 + (i % 8))) + p for i, p in enumerate(parts[1:])
+        )
+
+    def scan_dc_first(al: int) -> bytes:
+        parts = []
+        for seg in segments():
+            enc = _QMEncoder()
+            bins = _qm_fresh_bins(_QM_DC_BINS)
+            ctx = 0
+            prev = 0
+            for bx, by in seg:
+                dc, _ = coefs(bx, by)
+                sv = dc >> al
+                ctx = _qm_enc_dc(enc, bins, sv - prev, ctx, (0, 1))
+                prev = sv
+            parts.append(enc.flush())
+        return join(parts)
+
+    def scan_dc_refine(al: int) -> bytes:
+        parts = []
+        for seg in segments():
+            enc = _QMEncoder()
+            for bx, by in seg:
+                dc, _ = coefs(bx, by)
+                enc.encode_fixed((dc >> al) & 1)
+            parts.append(enc.flush())
+        return join(parts)
+
+    def scan_ac_first(ss: int, se: int, al: int) -> bytes:
+        parts = []
+        for seg in segments():
+            enc = _QMEncoder()
+            bins = _qm_fresh_bins(_QM_AC_BINS)
+            for bx, by in seg:
+                _, ac = coefs(bx, by)
+                _qm_enc_ac_band(enc, bins, ac, 5, ss, se, al)
+            parts.append(enc.flush())
+        return join(parts)
+
+    def scan_ac_refine(ss: int, se: int, al: int) -> bytes:
+        parts = []
+        for seg in segments():
+            enc = _QMEncoder()
+            bins = _qm_fresh_bins(_QM_AC_BINS)
+            for bx, by in seg:
+                _, ac = coefs(bx, by)
+                _qm_enc_ac_refine(enc, bins, ac, ss, se, al, al + 1)
+            parts.append(enc.flush())
+        return join(parts)
+
+    def seg_hdr(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(ss: int, se: int, ah: int, al: int, scan: bytes) -> bytes:
+        return seg_hdr(
+            0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al))) + scan
+
+    dqt = seg_hdr(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    dac = seg_hdr(0xCC, bytes((0x00, 0x10, 0x10, 0x05)))
+    sof10 = seg_hdr(
+        0xCA,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    dri = seg_hdr(0xDD, restart.to_bytes(2, "big")) if restart else b""
+    return (
+        b"\xff\xd8" + dqt + dac + sof10 + dri
+        + sos(0, 0, 0, 5, scan_dc_first(5))
+        + sos(0, 0, 5, 4, scan_dc_refine(4))
+        + sos(0, 0, 4, 3, scan_dc_refine(3))
+        + sos(1, 31, 0, 5, scan_ac_first(1, 31, 5))
+        + sos(32, 63, 0, 5, scan_ac_first(32, 63, 5))
+        + sos(1, 31, 5, 4, scan_ac_refine(1, 31, 4))
+        + sos(32, 63, 5, 4, scan_ac_refine(32, 63, 4))
+        + sos(1, 31, 4, 3, scan_ac_refine(1, 31, 3))
+        + sos(32, 63, 4, 3, scan_ac_refine(32, 63, 3))
+        + b"\xff\xd9"
+    )
+
+
+def _decode_jpeg_arith_progressive(content: bytes) -> dict:
+    """Arithmetic-coded progressive JPEG decode (SOF10, r17): the scan
+    script accumulates per-block coefficient arrays -- DC first scans
+    under the Annex F conditioning model at the scan's point transform,
+    DC refinements as fixed-state bits ORed into position Al, AC first
+    scans under the banded Figure F.5 model, AC refinements under the
+    G.2.2 correction-bit model -- with statistics areas reset at every
+    scan start and at every restart marker (fresh coder registers, DC
+    predictor and conditioning category per entropy segment), then one
+    dequantization + batched IDCT + emission through the shared
+    :func:`_jpeg_emit` tail.  Grayscale (1-component) 8-bit frames
+    only, matching the synthesizer's envelope.  Refused loudly:
+    multi-component SOF10, non-decrementing approximation (Ah != Al+1
+    on refinements), band/approximation violations.  Strictness
+    contract identical to the other decoders."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    sof = None
+    restart_interval = 0
+    width = height = 0
+    qid = 0
+    td = ta = 0
+    nblocks_x = nblocks_y = 0
+    blocks: list = []  # per block index: [dc] + 63 AC zigzag values
+    saw_scan = False
+    dc_al_seen: int | None = None
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: marker walk ran out")
+        if content[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: lost marker sync at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: segment length cut")
+        ln = int.from_bytes(content[pos : pos + 2], "big")
+        body = content[pos + 2 : pos + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise ValueError("truncated JPEG: segment body cut")
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                if at + 65 > len(body):
+                    raise ValueError("truncated JPEG: DQT cut")
+                qt[tq] = list(body[at + 1 : at + 65])
+                at += 65
+        elif marker == 0xCC:
+            at = 0
+            while at + 1 < len(body):
+                tc, tb = body[at] >> 4, body[at] & 0x0F
+                cs = body[at + 1]
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up or up > 15:
+                        raise ValueError(
+                            f"bad DC arithmetic conditioning 0x{cs:02x}")
+                    dc_cond[tb] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(
+                            f"bad AC arithmetic conditioning {cs}")
+                    ac_cond[tb] = cs
+                else:
+                    raise ValueError(f"bad DAC table class {tc}")
+                at += 2
+        elif marker == 0xCA:
+            if sof is not None:
+                raise ValueError("corrupt JPEG: multiple SOF markers")
+            sof = body
+            if len(sof) < 9:
+                raise ValueError(f"short JPEG SOF10 body ({len(sof)} bytes)")
+            if sof[0] != 8 or sof[5] != 1 or sof[7] != 0x11:
+                raise ValueError(
+                    "arithmetic progressive decode is 8-bit grayscale, "
+                    "unsampled only here"
+                )
+            height = int.from_bytes(sof[1:3], "big")
+            width = int.from_bytes(sof[3:5], "big")
+            if width <= 0 or height <= 0:
+                raise ValueError(
+                    f"degenerate JPEG dimensions {width}x{height}")
+            qid = sof[8]
+            nblocks_x = (width + 7) // 8
+            nblocks_y = (height + 7) // 8
+            blocks = [[0] * 64 for _ in range(nblocks_x * nblocks_y)]
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG: DRI cut")
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("arithmetic progressive scan before SOF10")
+            if len(body) < 6 or body[0] != 1:
+                raise ValueError(
+                    "arithmetic progressive SOS must carry one component")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            ss_, se_ = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0x0F
+            if ss_ == 0:
+                if se_ != 0:
+                    raise ValueError(
+                        "DC scan must have Se=0 (spectral selection)")
+            else:
+                if not 1 <= ss_ <= se_ <= 63:
+                    raise ValueError(
+                        f"bad AC band {ss_}..{se_} in progressive scan")
+            if ah != 0 and ah != al + 1:
+                raise ValueError(
+                    f"non-decrementing successive approximation "
+                    f"(Ah={ah}, Al={al})"
+                )
+            if ss_ == 0:
+                if ah == 0:
+                    dc_al_seen = al
+                elif dc_al_seen is None:
+                    raise ValueError("DC refinement before DC first scan")
+            scan_at = pos + ln
+            end = scan_at
+            while True:
+                if end + 1 >= len(content):
+                    raise ValueError("truncated JPEG: no scan terminator")
+                if content[end] == 0xFF and content[end + 1] not in (0x00,):
+                    if content[end + 1] in range(0xD0, 0xD8):
+                        end += 2  # restart marker: inside the scan
+                        continue
+                    break
+                end += 1
+            scan = content[scan_at:end]
+            dec = _QMDecoder(scan)
+            dc_bins = _qm_fresh_bins(_QM_DC_BINS)
+            ac_bins = _qm_fresh_bins(_QM_AC_BINS)
+            prev = 0
+            ctx = 0
+            for bi in range(len(blocks)):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    mk, nxt = dec.seek_marker()
+                    want = 0xD0 + (bi // restart_interval - 1) % 8
+                    if mk != want:
+                        raise ValueError(
+                            f"arithmetic JPEG: expected RST{want - 0xD0}, "
+                            f"got marker 0x{mk:02x}"
+                        )
+                    dec = _QMDecoder(scan, nxt)
+                    dc_bins = _qm_fresh_bins(_QM_DC_BINS)
+                    ac_bins = _qm_fresh_bins(_QM_AC_BINS)
+                    prev = 0
+                    ctx = 0
+                b = blocks[bi]
+                if ss_ == 0:
+                    if ah == 0:
+                        diff, ctx = _qm_dec_dc(
+                            dec, dc_bins, ctx, dc_cond.get(td, (0, 1)))
+                        prev += diff
+                        b[0] = prev << al
+                    else:
+                        if dec.decode_fixed():
+                            b[0] |= 1 << al
+                else:
+                    ac = b[1:]  # 63-length zigzag AC view
+                    if ah == 0:
+                        _qm_dec_ac_band(
+                            dec, ac_bins, ac, ac_cond.get(ta, 5),
+                            ss_, se_, al)
+                    else:
+                        _qm_dec_ac_refine(dec, ac_bins, ac, ss_, se_, al)
+                    b[1:] = ac
+            saw_scan = True
+            pos = end
+            continue
+        pos += ln
+    if pos != len(content):
+        raise ValueError(
+            f"trailing bytes after JPEG EOI ({len(content) - pos})")
+    if sof is None or not saw_scan:
+        raise ValueError("arithmetic progressive JPEG without SOF10/scan")
+    if qid not in qt:
+        raise ValueError(f"JPEG references missing quant table {qid}")
+    q = qt[qid]
+    out_blocks = []
+    for bi, b in enumerate(blocks):
+        by, bx = divmod(bi, nblocks_x)
+        block = np.zeros((8, 8))
+        for k2, (r, c) in enumerate(_ZIGZAG):
+            if b[k2]:
+                block[r][c] = float(b[k2] * q[k2])
+        out_blocks.append((8 * by, 8 * bx, block))
+    comps = [(1, q, 1, 1)]
+    return _jpeg_emit([out_blocks], comps, 1, 1,
+                      [nblocks_x * 8], [nblocks_y * 8], width, height,
+                      precision=8)
+
+
 def _decode_jpeg_arith(content: bytes) -> dict:
     """Arithmetic-coded sequential JPEG decode (SOF9, r17): marker walk
     with DAC conditioning parse (the conditioning COMES FROM THE FILE;
@@ -3101,7 +3594,10 @@ def decode_jpeg_gray(content: bytes) -> dict:
             # without this route the walk would skip the DHP and decode
             # the half-resolution first frame as the whole image
             return _decode_jpeg_hierarchical(content)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker == 0xCA:
+            # progressive, arithmetic coding (r17): dedicated QM decoder
+            return _decode_jpeg_arith_progressive(content)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x}) not supported")
         elif marker == 0xDD:
@@ -5912,6 +6408,61 @@ def jpeg_hier_stats(docs: DataFrame) -> DataFrame:
                         f"jpeg_hier_stats: decode fell back to header "
                         f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
                         "the hierarchical decode must not silently degrade"
+                    )
+                vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_arith_prog_stats(docs: DataFrame) -> DataFrame:
+    """Arithmetic-coded progressive JPEG gate (r17): every document
+    synthesizes a :func:`synth_jpeg_gray_arith_prog` image -- a
+    nine-scan SOF10 script (DC first + two DC refinements, per-band AC
+    first + two per-band refinements, stopping losslessly at Al=3 for
+    the multiple-of-8 coefficient class) with restart segmentation on
+    odd doc_ids -- decodes it back through :func:`decode_media` in
+    strict mode, and emits exact integer stats.  The closed form
+    ``128 + m + o*s(x) + n*s(x)*s(y)`` is replayed arithmetically by
+    the oracle, so the hash proves the banded first-scan model, the
+    correction-bit refinement model (including newly-significant
+    placements), the DC bit-plane accumulation, and the per-scan/
+    per-segment statistics resets byte-for-byte.  Dimensions
+    ``(doc_id % 21 + 4) x ((3*doc_id) % 17 + 4)`` cross partial-MCU
+    crops.  Scale posture identical to the other decode gates: narrow
+    Arrow-batched mapInPandas, O(1)-width stats cross to the JVM,
+    never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 21 + 4, (3 * did) % 17 + 4
+                d = decode_media(
+                    synth_jpeg_gray_arith_prog(w, h, did),
+                    "application/octet-stream",
+                    strict=True,
+                )
+                if d["fmt"] != "jpeg_gray" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_arith_prog_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the progressive arithmetic decode must not "
+                        "silently degrade"
                     )
                 vals = d["pixels"]
                 rows.append(

@@ -230,7 +230,9 @@ FROM ranked
     # r10 driver-slot rotation: token-frequency scoring family keeps BM25.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_token_lift",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_arith_prog_stats registration.
+    sibling="doc_zipf_fit",
 )
 def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -380,7 +382,9 @@ FROM ranked WHERE rank <= {_TOPK}
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_token_lift",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_arith_prog_stats registration.
+    sibling="doc_zipf_fit",
 )
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -774,6 +778,11 @@ LIMIT 20
         "aggregate joined back, N rides along as a broadcast scalar -- "
         "the same shape doc_tfidf_top_terms uses.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r17 interim sit-out: paired with the new
+    # mm_jpeg_arith_prog_stats first-round registration; re-enters
+    # the queue at age 1.
+    driver=False,
+    sibling="doc_zipf_fit",
 )
 def doc_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1547,7 +1556,9 @@ LIMIT 100
     # r14 driver-slot rotation (tools/r14_rotation_plan.md): freshness
     # cycle -- multi-round veteran sits out for a stale re-verification.
     driver=False,
-    sibling="doc_token_lift",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_arith_prog_stats registration.
+    sibling="doc_zipf_fit",
 )
 def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())

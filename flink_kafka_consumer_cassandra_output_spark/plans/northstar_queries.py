@@ -1603,6 +1603,66 @@ def mm_jpeg_hier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_arith_prog_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 21 + 4 AS INTEGER) AS width,
+         CAST((3 * doc_id) % 17 + 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         (17 * j.doc_id + 5 * CAST(floor(x.x / 8) AS BIGINT)
+          + 11 * CAST(floor(y.y / 8) AS BIGINT)) % 129 - 64 AS m,
+         (13 * j.doc_id + CAST(floor(x.x / 8) AS BIGINT)
+          + 7 * CAST(floor(y.y / 8) AS BIGINT)) % 21 AS o,
+         (7 * j.doc_id + 3 * CAST(floor(x.x / 8) AS BIGINT)
+          + CAST(floor(y.y / 8) AS BIGINT)) % 27 AS n,
+         CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END AS sx,
+         CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END AS sy
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+), v AS (
+  SELECT doc_id, width, height,
+         128 + m + o * sx + n * sx * sy AS val
+  FROM px
+)
+SELECT doc_id, 'jpeg_gray' AS fmt, width, height,
+       CAST(width * height AS BIGINT) AS n_values,
+       CAST(SUM(val) AS BIGINT) AS sum_values,
+       CAST(MIN(val) AS INTEGER) AS min_value,
+       CAST(MAX(val) AS INTEGER) AS max_value
+FROM v GROUP BY doc_id, width, height
+""",
+    doc="Arithmetic-coded PROGRESSIVE JPEG external gate (r17), "
+        "completing the JPEG coding-process matrix: every document "
+        "synthesizes a REAL SOF10 grayscale JFIF -- a nine-scan "
+        "spectral-selection + successive-approximation script (DC "
+        "first at Al=5 with the Annex F conditioning model, DC "
+        "bit-plane refinements on the fixed state, per-band AC first "
+        "scans under the banded Figure F.5 model, per-band "
+        "correction-bit refinements per G.2.2 including "
+        "newly-significant +-(1<<Al) placements, stopping losslessly "
+        "at Al=3 for the multiple-of-8 coefficient class) -- and "
+        "decodes it back in strict mode.  Three exact DCT bases per "
+        "block (F(0,0)=8m, F(0,4)=8o, F(4,4)=8n) give the integer "
+        "closed form 128+m+o*s(x)+n*s(x)*s(y) the oracle replays; odd "
+        "doc_ids add restart segmentation in EVERY scan (fresh coder/"
+        "statistics/predictor per segment).  Statistics areas reset at "
+        "every scan start.  Dims cross partial-MCU crops.  Scale: "
+        "narrow Arrow-batched mapInPandas; O(1)-width stats cross to "
+        "the JVM, never pixels.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; doc_token_lift (multi-round green)
+    # sits out to hold the surface at 50, its dependents re-pointed to
+    # doc_zipf_fit (the token-frequency family's kept driver anchor).
+)
+def mm_jpeg_arith_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_arith_prog_stats(_docs(spark, sf_dir))
+
+
+@register(
     "mm_png_types_stats",
     oracle="""
 WITH j AS (

@@ -2591,3 +2591,92 @@ def test_jpeg_hier_second_nondifferential_frame_raises():
     patched[at + 1] = 0xC1
     with pytest.raises(ValueError, match="second non-differential"):
         mm._decode_jpeg_hierarchical(bytes(patched))
+
+
+# --------------------------------------------------------------------------
+# Arithmetic-coded progressive JPEG (SOF10, r17)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(st.integers(4, 24), st.integers(4, 20), st.integers(0, 10**6))
+def test_jpeg_arith_prog_decode_identity_fuzz(w, h, doc_id):
+    """The nine-scan SOF10 script must decode back to the three-basis
+    closed form exactly -- banded first scans, DC/AC bit-plane
+    refinements (with real bits: the coefficient class is multiples of
+    8 but not 32), newly-significant placements, and (odd doc_ids)
+    per-scan restart segmentation."""
+    d = mm._decode_jpeg_arith_progressive(
+        mm.synth_jpeg_gray_arith_prog(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray" and d["width"] == w and d["height"] == h
+
+    def s(v):
+        return 1 if v % 4 in (0, 3) else -1
+
+    exp = []
+    for y in range(h):
+        for x in range(w):
+            bx, by = x // 8, y // 8
+            m = (17 * doc_id + 5 * bx + 11 * by) % 129 - 64
+            o = (13 * doc_id + bx + 7 * by) % 21
+            n = (7 * doc_id + 3 * bx + by) % 27
+            exp.append(128 + m + o * s(x % 8) + n * s(x % 8) * s(y % 8))
+    assert d["pixels"] == exp
+
+
+def test_jpeg_arith_prog_routes_through_decode_jpeg_gray():
+    blob = mm.synth_jpeg_gray_arith_prog(16, 12, 8)
+    assert mm.decode_jpeg_gray(blob)["pixels"] == \
+        mm._decode_jpeg_arith_progressive(blob)["pixels"]
+
+
+def test_jpeg_arith_prog_strict_decode_media_accepts():
+    d = mm.decode_media(
+        mm.synth_jpeg_gray_arith_prog(20, 13, 42), "x", strict=True)
+    assert d["fmt"] == "jpeg_gray" and len(d["pixels"]) == 20 * 13
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_arith_prog_truncation_always_raises_fuzz(cutseed):
+    blob = mm.synth_jpeg_gray_arith_prog(24, 16, 7)  # odd: restart arm
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_arith_prog_nondecrementing_approximation_raises():
+    """A refinement scan whose Ah is not Al+1 must refuse by name."""
+    blob = bytearray(mm.synth_jpeg_gray_arith_prog(16, 12, 8))
+    # the second scan is the DC refinement with AhAl = 0x54: corrupt it
+    at = blob.index(bytes((0x00, 0x00, 0x54)))
+    blob[at + 2] = 0x53  # Ah=5, Al=3: skips a bit plane
+    with pytest.raises(ValueError, match="non-decrementing"):
+        mm._decode_jpeg_arith_progressive(bytes(blob))
+
+
+def test_jpeg_arith_prog_refinement_carries_real_bits():
+    """The gate is vacuous if the refinement scans carry no information:
+    pin that truncating the script after the first-scan stages (decode
+    with only Al=5 planes) yields DIFFERENT pixels than the full
+    script, i.e. the refinement bits matter for this class."""
+    did, w, h = 9, 17, 13
+    full = mm._decode_jpeg_arith_progressive(
+        mm.synth_jpeg_gray_arith_prog(w, h, did))["pixels"]
+    # rebuild a 5-scan variant: DC first + AC first bands only
+    blob = mm.synth_jpeg_gray_arith_prog(w, h, did)
+    # find all SOS offsets
+    offs = []
+    i = 2
+    while i + 1 < len(blob):
+        if blob[i] == 0xFF and blob[i + 1] == 0xDA:
+            offs.append(i)
+        i += 1
+    assert len(offs) == 9
+    # scans 1 (DC first), 4, 5 (AC first) -- drop refinements 2,3,6..9
+    keep = [blob[:offs[0]]]
+    bounds = offs + [len(blob) - 2]
+    for idx in (0, 3, 4):
+        keep.append(blob[bounds[idx]:bounds[idx + 1]])
+    partial = b"".join(keep) + b"\xff\xd9"
+    got = mm._decode_jpeg_arith_progressive(partial)["pixels"]
+    assert got != full
