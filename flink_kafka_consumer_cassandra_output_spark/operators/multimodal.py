@@ -47,9 +47,13 @@ recorded at the coder), arithmetic-coded PROGRESSIVE SOF10 (r17:
 banded first scans, bit-plane refinements with the G.2.2
 correction-bit model, gated by ``mm_jpeg_arith_prog_stats``) and
 hierarchical Annex J pyramids (r17: DHP walk, EXP reference
-expansion, differential frames, gated by ``mm_jpeg_hier_stats``) --
-every JPEG coding process in T.81 Table B.1 except the lossless family
-now decodes; the remaining stub is codec video payloads (:func:`decode_media` raises ``NotImplementedError`` for
+expansion, differential frames, gated by ``mm_jpeg_hier_stats``) and
+predictive LOSSLESS SOF3 (r17: all seven Table H.1 predictors,
+modulo-2^16 accumulation, gated by ``mm_jpeg_lossless_stats``) --
+every Huffman process and every non-lossless arithmetic process in
+T.81 Table B.1 now decodes (remaining: SOF11 arithmetic lossless and
+differential-hierarchical variants); the remaining stub is codec
+video payloads (:func:`decode_media` raises ``NotImplementedError`` for
 unrecognized bytes: no PIL/ffmpeg in this container); container HEADERS
 are parsed for real.  Everything
 around the stub is real and tested: the binary column synthesis, the Arrow
@@ -3310,6 +3314,242 @@ def _decode_jpeg_arith_progressive(content: bytes) -> dict:
                       precision=8)
 
 
+# --------------------------------------------------------------------------
+# Lossless JPEG (SOF3, Annex H, r17): predictive coding, no DCT.
+# --------------------------------------------------------------------------
+
+#: lossless DHT: difference categories 0..16 all at code length 5
+#: (canonical-valid: 17 of 32 slots).  Category 16 is the spec's
+#: no-extra-bits "difference = 32768" escape.
+_DC_LOSSLESS_LENGTHS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_LOSSLESS_SYMBOLS = list(range(17))
+
+
+def _lossless_predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    """T.81 Table H.1 predictors 1..7 (full-precision arithmetic, no
+    clamping of the predictor value)."""
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"bad lossless predictor selector {sel}")
+
+
+def synth_jpeg_gray_lossless(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL lossless (SOF3) grayscale JPEG: pixel class ``v(x, y) =
+    (7*doc_id + 3*x + 5*y) % 256`` (ANY class is exact -- there is no
+    DCT), predictor selector ``doc_id % 7 + 1`` in the scan header so
+    all seven Table H.1 predictors rotate through the gate, point
+    transform 0.  Differences are coded with DC-style Huffman
+    categories (modulo-2^16 arithmetic per H.1.2.1); the first sample
+    predicts ``2^(P-1)``, the rest of the first line predicts from Ra,
+    later line starts from Rb, interior samples from the selected
+    predictor.  Odd doc_ids add a DRI segment (``(doc_id % 5 + 2) * 8``
+    samples per restart interval): at each RSTn the entropy coder
+    byte-aligns and the prediction resets to the scan-start state
+    (H.2.2 -- the next sample predicts as a first sample again)."""
+    sel = doc_id % 7 + 1
+    restart = (doc_id % 5 + 2) * 8 if doc_id % 2 else 0
+    dc_codes = _canonical_codes(_DC_LOSSLESS_LENGTHS, _DC_LOSSLESS_SYMBOLS)
+
+    def px(x: int, y: int) -> int:
+        return (7 * doc_id + 3 * x + 5 * y) % 256
+
+    parts = []
+    bw = _BitWriter()
+    n_in_segment = 0
+    seg_start = 0  # raster index where the current segment begins
+    for i in range(width * height):
+        if restart and n_in_segment == restart:
+            parts.append(bw.flush())
+            bw = _BitWriter()
+            n_in_segment = 0
+            seg_start = i
+        y, x = divmod(i, width)
+        sy = seg_start // width
+        if i == seg_start:
+            pred = 128  # 2^(P-1-Pt)
+        elif y == sy:
+            # still on the segment's first line: predict from Ra
+            pred = px(x - 1, y)
+        elif x == 0:
+            pred = px(x, y - 1)  # line start: Rb
+        else:
+            pred = _lossless_predict(
+                px(x - 1, y), px(x, y - 1), px(x - 1, y - 1), sel)
+        diff = (px(x, y) - pred) & 0xFFFF
+        if diff >= 0x8000:
+            diff -= 0x10000
+        t = _jpeg_category(diff)
+        code, nbits = dc_codes[t]
+        bw.write(code, nbits)
+        if t and t < 16:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        n_in_segment += 1
+    parts.append(bw.flush())
+    scan = parts[0] + b"".join(
+        bytes((0xFF, 0xD0 + (i % 8))) + p for i, p in enumerate(parts[1:])
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dht = seg(
+        0xC4,
+        bytes((0x00,)) + bytes(_DC_LOSSLESS_LENGTHS)
+        + bytes(_DC_LOSSLESS_SYMBOLS),
+    )
+    sof3 = seg(
+        0xC3,
+        bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes((1, 1, 0x11, 0)),
+    )
+    dri = seg(0xDD, restart.to_bytes(2, "big")) if restart else b""
+    sos = seg(0xDA, bytes((1, 1, 0x00, sel, 0, 0)))
+    return b"\xff\xd8" + dht + sof3 + dri + sos + scan + b"\xff\xd9"
+
+
+def _decode_jpeg_lossless(content: bytes) -> dict:
+    """Lossless JPEG decode (SOF3, Annex H, r17): marker walk (DHT from
+    the file, no DQT needed), then sample-serial predictive decode --
+    the scan header's Ss field selects the Table H.1 predictor, the
+    first sample of a scan (or restart segment) predicts
+    ``2^(P-1-Pt)``, the remainder of that first line predicts from Ra,
+    later line starts from Rb, interior samples from the selected
+    predictor -- with DC-category Huffman differences accumulated in
+    modulo-2^16 arithmetic (H.1.2.1; category 16 is +32768 with no
+    extra bits).  Restart markers byte-align and reset the prediction
+    to the scan-start state.  Grayscale 8-bit, point transform 0 only,
+    matching the synthesizer's envelope.  Strictness contract identical
+    to the other decoders."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: marker walk ran out")
+        if content[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: lost marker sync at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before any scan")
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG: segment length cut")
+        ln = int.from_bytes(content[pos : pos + 2], "big")
+        body = content[pos + 2 : pos + ln]
+        if ln < 2 or len(body) < ln - 2:
+            raise ValueError("truncated JPEG: segment body cut")
+        if marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0x0F
+                lengths = list(body[at + 1 : at + 17])
+                nsym = sum(lengths)
+                symbols = list(body[at + 17 : at + 17 + nsym])
+                if len(symbols) < nsym:
+                    raise ValueError("truncated JPEG: DHT cut")
+                codes = _canonical_codes(lengths, symbols)
+                huff[(tc, th)] = {(c, n): s for s, (c, n) in codes.items()}
+                at += 17 + nsym
+        elif marker == 0xC3:
+            sof = body
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG: DRI cut")
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            scan_at = pos + ln
+            sos = body
+            break
+        pos += ln
+    if sof is None:
+        raise ValueError("lossless JPEG missing SOF3")
+    if len(sof) < 9:
+        raise ValueError(f"short JPEG SOF3 body ({len(sof)} bytes)")
+    precision = sof[0]
+    height = int.from_bytes(sof[1:3], "big")
+    width = int.from_bytes(sof[3:5], "big")
+    if precision != 8 or sof[5] != 1 or sof[7] != 0x11:
+        raise ValueError(
+            "lossless decode is 8-bit grayscale, unsampled only here")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
+    if len(sos) < 6 or sos[0] != 1:
+        raise ValueError("lossless SOS must carry one component")
+    dc_id = sos[2] >> 4
+    if (0, dc_id) not in huff:
+        raise ValueError("JPEG scan references missing Huffman table")
+    table = huff[(0, dc_id)]
+    sel = sos[3]  # Ss = predictor selector
+    pt = sos[5] & 0x0F  # Al = point transform
+    if not 1 <= sel <= 7:
+        raise ValueError(f"bad lossless predictor selector {sel}")
+    if pt != 0:
+        raise ValueError("lossless point transform != 0 not decoded here")
+
+    end = scan_at
+    while True:
+        if end + 1 >= len(content):
+            raise ValueError("truncated JPEG: no EOI")
+        if content[end] == 0xFF and content[end + 1] == 0xD9:
+            break
+        end += 1
+    if end + 2 != len(content):
+        raise ValueError(
+            f"trailing bytes after JPEG EOI ({len(content) - end - 2})")
+    br = _BitReader(content[scan_at:end])
+    out = [0] * (width * height)
+    n_in_segment = 0
+    seg_start = 0
+    seg_n = 0
+    for i in range(width * height):
+        if restart_interval and n_in_segment == restart_interval:
+            br.consume_restart(seg_n % 8)
+            seg_n += 1
+            n_in_segment = 0
+            seg_start = i
+        y, x = divmod(i, width)
+        sy = seg_start // width
+        if i == seg_start:
+            pred = 1 << (precision - 1 - pt)
+        elif y == sy:
+            pred = out[i - 1]  # segment's first line: Ra
+        elif x == 0:
+            pred = out[i - width]  # line start: Rb
+        else:
+            pred = _lossless_predict(
+                out[i - 1], out[i - width], out[i - width - 1], sel)
+        t = _huff_decode(br, table)
+        if t == 16:
+            diff = 32768  # H.1.2.2: no appended bits
+        elif t:
+            diff = _extend(br.bits(t), t)
+        else:
+            diff = 0
+        out[i] = (pred + diff) & 0xFFFF
+        n_in_segment += 1
+    return {
+        "fmt": "jpeg_gray_lossless",
+        "width": width,
+        "height": height,
+        "pixels": out,
+    }
+
+
 def _decode_jpeg_arith(content: bytes) -> dict:
     """Arithmetic-coded sequential JPEG decode (SOF9, r17): marker walk
     with DAC conditioning parse (the conditioning COMES FROM THE FILE;
@@ -3597,7 +3837,10 @@ def decode_jpeg_gray(content: bytes) -> dict:
         elif marker == 0xCA:
             # progressive, arithmetic coding (r17): dedicated QM decoder
             return _decode_jpeg_arith_progressive(content)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:
+            # lossless, Huffman (Annex H, r17): predictive decoder
+            return _decode_jpeg_lossless(content)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x}) not supported")
         elif marker == 0xDD:
@@ -6463,6 +6706,58 @@ def jpeg_arith_prog_stats(docs: DataFrame) -> DataFrame:
                         f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
                         "the progressive arithmetic decode must not "
                         "silently degrade"
+                    )
+                vals = d["pixels"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        d["width"],
+                        d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def jpeg_lossless_stats(docs: DataFrame) -> DataFrame:
+    """Lossless-JPEG gate (r17): every document synthesizes a
+    :func:`synth_jpeg_gray_lossless` image -- SOF3 predictive coding
+    with the predictor selector rotating ``doc_id % 7 + 1`` through
+    all seven Table H.1 predictors, restart segmentation on odd
+    doc_ids -- decodes it back through :func:`decode_media` in strict
+    mode, and emits exact integer stats.  The pixel class
+    ``(7*doc_id + 3*x + 5*y) % 256`` is replayed arithmetically by the
+    oracle (lossless coding has no DCT, so ANY class is exact), and
+    because the class varies per pixel in BOTH axes, a wrong predictor,
+    a wrong first-line/line-start rule, or a missed prediction reset at
+    a restart marker decodes wrong values immediately.  Dimensions
+    ``(doc_id % 23 + 3) x ((5*doc_id) % 19 + 3)``.  Scale posture
+    identical to the other decode gates: narrow Arrow-batched
+    mapInPandas, O(1)-width stats cross to the JVM, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = did % 23 + 3, (5 * did) % 19 + 3
+                d = decode_media(
+                    synth_jpeg_gray_lossless(w, h, did),
+                    "application/octet-stream",
+                    strict=True,
+                )
+                if d["fmt"] != "jpeg_gray_lossless" or "pixels" not in d:
+                    raise ValueError(
+                        f"jpeg_lossless_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the lossless decode must not silently degrade"
                     )
                 vals = d["pixels"]
                 rows.append(

@@ -491,7 +491,9 @@ LIMIT {_PASSAGE_TOPK}
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r14 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_phrase_search",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_lossless_stats registration.
+    sibling="doc_char_kl_gibberish",
 )
 def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -581,7 +583,9 @@ WHERE CAST(n_shared_grams AS DOUBLE) / CAST(n_needle_grams AS DOUBLE)
     # r10 driver-slot rotation: decontamination family anchor moves to the promoted Bloom variant.
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_phrase_search",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_lossless_stats registration.
+    sibling="doc_char_kl_gibberish",
 )
 def doc_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -669,7 +673,9 @@ GROUP BY h.doc_id"""
     # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for the final backlog tranche.
     driver=False,
-    sibling="doc_phrase_search",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_jpeg_lossless_stats registration.
+    sibling="doc_char_kl_gibberish",
 )
 def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import materialize
@@ -1062,6 +1068,11 @@ FROM m GROUP BY ph
         "each join touches only the matched terms' postings, shuffled on "
         "(doc, pos).",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r17 interim sit-out: paired with the new
+    # mm_jpeg_lossless_stats first-round registration; re-enters
+    # the queue at age 1.
+    driver=False,
+    sibling="doc_char_kl_gibberish",
 )
 def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

@@ -1663,6 +1663,52 @@ def mm_jpeg_arith_prog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_lossless_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 23 + 3 AS INTEGER) AS width,
+         CAST((5 * doc_id) % 19 + 3 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT j.doc_id, j.width, j.height,
+         (7 * j.doc_id + 3 * x.x + 5 * y.y) % 256 AS v
+  FROM j,
+       UNNEST(range(0, CAST(j.width AS BIGINT))) AS x(x),
+       UNNEST(range(0, CAST(j.height AS BIGINT))) AS y(y)
+)
+SELECT doc_id, 'jpeg_gray_lossless' AS fmt, width, height,
+       CAST(width * height AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_values,
+       CAST(MIN(v) AS INTEGER) AS min_value,
+       CAST(MAX(v) AS INTEGER) AS max_value
+FROM px GROUP BY doc_id, width, height
+""",
+    doc="Lossless-JPEG external gate (r17): every document synthesizes "
+        "a REAL SOF3 predictive (Annex H) grayscale JPEG -- no DCT; "
+        "the scan header's Ss field selects the Table H.1 predictor, "
+        "rotating all seven via doc_id % 7 + 1 -- and decodes it back "
+        "in strict mode.  Differences are DC-category Huffman codes "
+        "accumulated in modulo-2^16 arithmetic; the first sample (of "
+        "the scan and of every restart segment) predicts 2^(P-1), the "
+        "rest of that line predicts from Ra, later line starts from "
+        "Rb.  The per-pixel class (7d+3x+5y)%256 varies in both axes, "
+        "so a wrong predictor or a missed restart prediction reset "
+        "decodes wrong values immediately -- the hash proves the "
+        "predictor algebra, the boundary rules, and the modular "
+        "accumulation exactly.  Odd doc_ids add restart segmentation.  "
+        "Scale: narrow Arrow-batched mapInPandas; O(1)-width stats "
+        "cross to the JVM, never pixels.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; doc_phrase_search (multi-round green)
+    # sits out to hold the surface at 50, its dependents re-pointed to
+    # doc_char_kl_gibberish (kept n-gram-statistics driver anchor).
+)
+def mm_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.jpeg_lossless_stats(_docs(spark, sf_dir))
+
+
+@register(
     "mm_png_types_stats",
     oracle="""
 WITH j AS (

@@ -2680,3 +2680,80 @@ def test_jpeg_arith_prog_refinement_carries_real_bits():
     partial = b"".join(keep) + b"\xff\xd9"
     got = mm._decode_jpeg_arith_progressive(partial)["pixels"]
     assert got != full
+
+
+# --------------------------------------------------------------------------
+# Lossless JPEG (SOF3, Annex H, r17)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=35, deadline=None, derandomize=True)
+@given(st.integers(3, 25), st.integers(3, 21), st.integers(0, 10**6))
+def test_jpeg_lossless_decode_identity_fuzz(w, h, doc_id):
+    """An SOF3 stream must decode back to the per-pixel class exactly
+    for whichever of the seven Table H.1 predictors doc_id selects,
+    including restart-segment prediction resets on odd doc_ids."""
+    d = mm._decode_jpeg_lossless(mm.synth_jpeg_gray_lossless(w, h, doc_id))
+    assert d["fmt"] == "jpeg_gray_lossless"
+    assert d["width"] == w and d["height"] == h
+    assert d["pixels"] == [
+        (7 * doc_id + 3 * x + 5 * y) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def test_jpeg_lossless_all_seven_predictors_round_trip():
+    """Explicitly pin one doc per predictor selector (the fuzz covers
+    them statistically; this makes the rotation visible)."""
+    for sel_minus_1 in range(7):
+        did = 7 * 3 + sel_minus_1  # arbitrary base, doc_id % 7 cycles
+        w, h = 17, 11
+        d = mm._decode_jpeg_lossless(mm.synth_jpeg_gray_lossless(w, h, did))
+        assert d["pixels"][0] == (7 * did) % 256
+
+
+def test_jpeg_lossless_routes_through_decode_jpeg_gray():
+    blob = mm.synth_jpeg_gray_lossless(14, 9, 4)
+    d = mm.decode_jpeg_gray(blob)
+    assert d["fmt"] == "jpeg_gray_lossless" and d["width"] == 14
+
+
+def test_jpeg_lossless_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_jpeg_gray_lossless(12, 7, 5), "x", strict=True)
+    assert d["fmt"] == "jpeg_gray_lossless" and len(d["pixels"]) == 84
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_jpeg_lossless_truncation_always_raises_fuzz(cutseed):
+    blob = mm.synth_jpeg_gray_lossless(20, 11, 7)  # odd: restart arm
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(blob[:cut])
+
+
+def test_jpeg_lossless_wrong_predictor_decodes_wrong():
+    """The gate is vacuous if the predictor selector doesn't matter:
+    patching Ss in the scan header must change the decoded pixels (and
+    still decode without error, since lossless streams are
+    self-consistent under any predictor)."""
+    blob = bytearray(mm.synth_jpeg_gray_lossless(16, 10, 8))  # sel = 2
+    at = len(blob) - 2
+    while not (blob[at] == 0xFF and blob[at + 1] == 0xDA):
+        at -= 1
+    sel_at = at + 2 + 2 + 1 + 2  # len(2) + Ns(1) + comp(2) -> Ss
+    assert blob[sel_at] == 8 % 7 + 1
+    blob[sel_at] = 7
+    good = mm._decode_jpeg_lossless(mm.synth_jpeg_gray_lossless(16, 10, 8))
+    patched = mm._decode_jpeg_lossless(bytes(blob))
+    assert patched["pixels"] != good["pixels"]
+
+
+def test_jpeg_lossless_bad_selector_raises():
+    blob = bytearray(mm.synth_jpeg_gray_lossless(16, 10, 8))
+    at = len(blob) - 2
+    while not (blob[at] == 0xFF and blob[at + 1] == 0xDA):
+        at -= 1
+    blob[at + 7] = 0  # Ss = 0 invalid for lossless
+    with pytest.raises(ValueError, match="predictor selector"):
+        mm._decode_jpeg_lossless(bytes(blob))

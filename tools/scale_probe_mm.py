@@ -60,7 +60,9 @@ QUERIES = ("mm_pixel_stats", "mm_media_headers", "mm_media_features",
            # r17 hierarchical pyramid gate: dims doc_id % {19,15}
            "mm_jpeg_hier_stats",
            # r17 arithmetic progressive gate: dims doc_id % {21,17}
-           "mm_jpeg_arith_prog_stats")
+           "mm_jpeg_arith_prog_stats",
+           # r17 lossless predictive gate: dims doc_id % {23,19}
+           "mm_jpeg_lossless_stats")
 
 #: comma-separated subset override (e.g. re-probing one new gate without
 #: re-timing the whole family)
