@@ -581,6 +581,46 @@ def read_jpeg_ac_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(PIXEL_STATS_SCHEMA).parquet(out_dir)
 
 
+def run_jpeg_lossless_stats_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Streaming twin of the batch ``mm_jpeg_lossless_stats`` gate (r17,
+    the newest decode-family member): identical shape to
+    :func:`run_jpeg_ac_stats_stream` -- the SAME Arrow-batched
+    ``mapInPandas`` predictive-decode stage runs on the streaming
+    DataFrame unchanged, stateless and shuffle-free, so the
+    checkpointed parquet sink alone gives exactly-once.  One twin per
+    decode family: every r17 gate (arithmetic, hierarchical,
+    progressive-arithmetic, lossless) shares this exact stage shape,
+    so the restart/no-dupe proof carries across them."""
+    from ..operators.multimodal import jpeg_lossless_stats
+
+    docs = stream_documents(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    stats = jpeg_lossless_stats(docs)
+    return (
+        stats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("jpeg_lossless_stats_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_jpeg_lossless_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Batch read-back of the lossless streaming decode sink."""
+    from ..operators.multimodal import PIXEL_STATS_SCHEMA
+
+    return spark.read.schema(PIXEL_STATS_SCHEMA).parquet(out_dir)
+
+
 #: doc_dsir_importance's output schema, pinned for the streaming sink
 #: read-back (matches the batch builder column-for-column).
 DSIR_SCORE_SCHEMA = (

@@ -1321,3 +1321,39 @@ def test_dsir_score_stream_matches_batch_with_restart(
     assert streamed.select("doc_id").distinct().count() == len(batch)  # no dupes
     got = {tuple(r) for r in streamed.collect()}
     assert got == batch, f"{len(got ^ batch)} score rows differ"
+
+
+def test_jpeg_lossless_stats_stream_matches_batch_with_restart(
+    spark, sf_dir, doc_chunks, tmp_path
+):
+    """Streaming twin of the r17 mm_jpeg_lossless_stats decode gate
+    (one twin per decode family round): same exactly-once contract as
+    the AC-stats twin -- restart from checkpoint with no loss/no dupes,
+    and row-for-row equality with the batch operator's decoded stats."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.multimodal import (
+        jpeg_lossless_stats,
+    )
+
+    input_dir = tmp_path / "in"
+    out, cp = tmp_path / "lossless_stats", tmp_path / "cp_lossless"
+    input_dir.mkdir()
+
+    _drop(doc_chunks, input_dir, 0, 2)
+    _run(sp.run_jpeg_lossless_stats_stream(spark, str(input_dir), str(out), str(cp)))
+    n1 = sp.read_jpeg_lossless_stats(spark, str(out)).count()
+    assert n1 == sum(c.num_rows for c in doc_chunks[:2])
+
+    _run(sp.run_jpeg_lossless_stats_stream(spark, str(input_dir), str(out), str(cp)))
+    assert sp.read_jpeg_lossless_stats(spark, str(out)).count() == n1
+
+    _drop(doc_chunks, input_dir, 2, N_CHUNKS)
+    _run(sp.run_jpeg_lossless_stats_stream(spark, str(input_dir), str(out), str(cp)))
+    streamed = sp.read_jpeg_lossless_stats(spark, str(out))
+    total = sum(c.num_rows for c in doc_chunks)
+    assert streamed.count() == total
+    assert streamed.select("doc_id").distinct().count() == total
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {tuple(r) for r in jpeg_lossless_stats(docs).collect()}
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch, f"{len(got ^ batch)} decoded stat rows differ"

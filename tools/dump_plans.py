@@ -85,6 +85,10 @@ QUERIES = [
     ("mm_jpeg_color12_stats", "r17 12-bit color SOF1 decode gate: same narrow no-shuffle shape"),
     ("mm_png_types_stats", "r17 PNG sample-layout gate (gray16/rgb16/palette arms): same narrow no-shuffle shape"),
     ("mm_gif_anim_stats", "r17 animated-GIF composition gate: same narrow no-shuffle shape"),
+    ("mm_jpeg_arith_stats", "r17 arithmetic-coded SOF9 gate (QM coder): same narrow no-shuffle shape"),
+    ("mm_jpeg_hier_stats", "r17 hierarchical pyramid gate (DHP/EXP/differential): same narrow no-shuffle shape"),
+    ("mm_jpeg_arith_prog_stats", "r17 arithmetic progressive gate (nine-scan SOF10): same narrow no-shuffle shape"),
+    ("mm_jpeg_lossless_stats", "r17 lossless predictive gate (all seven H.1 predictors): same narrow no-shuffle shape"),
     ("doc_dsir_importance", "r16 DSIR importance weights: bigram explode, map-side-combined histograms, literal-coefficient score chain"),
     ("doc_dedup_keep_best", "keep-best over the session-memoized CC label stage: checkpoint scan + one quality window"),
     ("orders_abc_classification", "ABC classification: distributed range prefix sum (operators/ordered.py), per-slice windows + broadcast offsets"),
