@@ -822,6 +822,69 @@ def decode_wav_pcm(content: bytes) -> dict:
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 6 or audio_format == 7:
+        # G.711 A-law / mu-law (r17): 8 bits per sample, the exact
+        # segment/quantization expansion of the spec's reference decoder
+        # (the classic public-domain g711.c tables expressed as the
+        # closed formula, SQL-replayable)
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV must be 8-bit (format={audio_format}, "
+                f"bits={bits})"
+            )
+        dec = _alaw_to_linear if audio_format == 6 else _ulaw_to_linear
+        samples = [dec(b) for b in data]
+        return {
+            "fmt": "wav_alaw" if audio_format == 6 else "wav_ulaw",
+            "channels": channels,
+            "sample_rate": sample_rate,
+            "bits": bits,
+            "samples": samples,
+        }
+    if audio_format == 0x11:
+        # IMA/DVI ADPCM (r17): 4-bit differential blocks
+        if bits != 4:
+            raise ValueError(
+                f"IMA ADPCM WAV must be 4-bit (bits={bits})")
+        if channels != 1:
+            raise ValueError("IMA ADPCM decode is mono-only here")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if len(fmt) >= 20:
+            spb = int.from_bytes(fmt[18:20], "little")
+        else:
+            spb = (block_align - 4) * 2 + 1
+        if block_align < 4 or spb != (block_align - 4) * 2 + 1:
+            raise ValueError(
+                f"inconsistent IMA ADPCM framing (block_align="
+                f"{block_align}, samples_per_block={spb})"
+            )
+        if len(data) % block_align:
+            raise ValueError(
+                f"truncated WAV: {len(data) % block_align} bytes form a "
+                "partial ADPCM block"
+            )
+        samples = []
+        for at in range(0, len(data), block_align):
+            pred = int.from_bytes(data[at : at + 2], "little", signed=True)
+            index = data[at + 2]
+            if index > 88:
+                raise ValueError(f"IMA ADPCM step index {index} > 88")
+            samples.append(pred)
+            produced = 1
+            for byte in data[at + 4 : at + block_align]:
+                for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                    if produced >= spb:
+                        break
+                    pred, index = _ima_adpcm_step(pred, index, nib)
+                    samples.append(pred)
+                    produced += 1
+        return {
+            "fmt": "wav_ima_adpcm",
+            "channels": channels,
+            "sample_rate": sample_rate,
+            "bits": bits,
+            "samples": samples,
+        }
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
     n = len(data) // 2
@@ -836,6 +899,118 @@ def decode_wav_pcm(content: bytes) -> dict:
         "bits": bits,
         "samples": samples,
     }
+
+
+def _ulaw_to_linear(b: int) -> int:
+    """G.711 mu-law expansion (the public reference decoder's segment
+    formula: bias 0x84, 3-bit quantization shift per segment)."""
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u >> 4) & 7
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _alaw_to_linear(b: int) -> int:
+    """G.711 A-law expansion (0x55 toggle, segmented linear)."""
+    a = b ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+#: IMA/DVI ADPCM step-size table (89 entries) and index adjustments --
+#: the standard public tables (IMA ADPCM reference / multimedia spec).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: difference from the 3 magnitude
+    bits against the current step, sign from bit 3, predictor clamped
+    to int16, index adjusted and clamped to the table."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, index
+
+
+def synth_wav_g711(n: int, doc_id: int, law: str) -> bytes:
+    """A REAL G.711 WAV (r17): mono 8-bit, format code 6 (A-law) or 7
+    (mu-law), data bytes the closed form ``(doc_id + 11*i) % 256`` --
+    every compressed BYTE value cycles through the full code space, so
+    the decode gate exercises all 256 expansion entries of each law."""
+    code = 6 if law == "alaw" else 7
+    data = bytes((doc_id + 11 * i) % 256 for i in range(n))
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+    return blob + (b"\x00" if len(data) % 2 else b"")
+
+
+def synth_wav_ima(nblocks: int, spb: int, doc_id: int) -> bytes:
+    """A REAL IMA ADPCM WAV (r17): mono, format code 0x11, ``nblocks``
+    blocks of ``spb`` samples (spb odd).  Block b's header carries
+    predictor ``(doc_id * 97 + 311 * b) % 4001 - 2000`` and step index
+    ``(doc_id * 13 + 7 * b) % 89``; the nibble stream is the closed
+    form ``(doc_id + 7*i + b) % 16`` -- every nibble value (both signs,
+    all magnitudes) occurs, driving the step table up and down through
+    its clamps."""
+    if spb % 2 == 0:
+        raise ValueError("samples_per_block must be odd for mono IMA")
+    block_align = 4 + (spb - 1) // 2
+    blocks = []
+    for b in range(nblocks):
+        pred = (doc_id * 97 + 311 * b) % 4001 - 2000
+        index = (doc_id * 13 + 7 * b) % 89
+        nibs = [(doc_id + 7 * i + b) % 16 for i in range(spb - 1)]
+        payload = bytearray()
+        for i in range(0, len(nibs), 2):
+            lo = nibs[i]
+            hi = nibs[i + 1] if i + 1 < len(nibs) else 0
+            payload.append(lo | (hi << 4))
+        blocks.append(
+            pred.to_bytes(2, "little", signed=True)
+            + bytes((index, 0)) + bytes(payload)
+        )
+    data = b"".join(blocks)
+    fmt = (
+        b"fmt " + (20).to_bytes(4, "little")
+        + (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (4000).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+    return blob + (b"\x00" if len(data) % 2 else b"")
 
 
 def _zigzag() -> list[tuple[int, int]]:
@@ -6766,6 +6941,57 @@ def jpeg_lossless_stats(docs: DataFrame) -> DataFrame:
                         d["fmt"],
                         d["width"],
                         d["height"],
+                        len(vals),
+                        sum(vals),
+                        min(vals),
+                        max(vals),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def wav_codec_stats(docs: DataFrame) -> DataFrame:
+    """G.711 audio-codec gate (r17): every document synthesizes a REAL
+    compressed WAV -- even doc_ids mu-law (format code 7), odd A-law
+    (format code 6), data bytes cycling the FULL 256-entry code space
+    via ``(doc_id + 11*i) % 256`` -- decodes it back through
+    :func:`decode_media` in strict mode, and emits exact integer stats
+    over the expanded int16 samples.  The G.711 segment expansion is a
+    closed formula over the byte value, so the DuckDB oracle replays
+    every sample arithmetically and the hash proves both laws'
+    expansion tables end-to-end (all segments, both signs).  Sample
+    counts ``doc_id % 97 + 16``.  Scale posture identical to the image
+    decode gates: narrow Arrow-batched mapInPandas, O(1)-width stats
+    cross to the JVM, never samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = did % 97 + 16
+                law = "alaw" if did % 2 else "ulaw"
+                d = decode_media(
+                    synth_wav_g711(n, did, law),
+                    "application/octet-stream",
+                    strict=True,
+                )
+                if d["fmt"] != f"wav_{law}" or "samples" not in d:
+                    raise ValueError(
+                        f"wav_codec_stats: decode fell back to header "
+                        f"metadata for doc {did} (fmt={d.get('fmt')!r}) -- "
+                        "the G.711 decode must not silently degrade"
+                    )
+                vals = d["samples"]
+                rows.append(
+                    (
+                        did,
+                        d["fmt"],
+                        n,
+                        1,
                         len(vals),
                         sum(vals),
                         min(vals),

@@ -993,7 +993,9 @@ FROM summed
     # to drain the never-checked backlog; family anchor stays driver-side.
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_split_assignment",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_wav_codec_stats registration.
+    sibling="doc_k_anonymity",
 )
 def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -1314,6 +1316,10 @@ GROUP BY split, source
         "one narrow map + one combinable groupBy on a "
         "|splits| x |sources| key space.",
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
+    # r17 interim sit-out: paired with the new mm_wav_codec_stats
+    # first-round registration; re-enters the queue at age 1.
+    driver=False,
+    sibling="doc_k_anonymity",
 )
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -1485,7 +1491,9 @@ SELECT lang, doc_id, weight, n_copies FROM sel WHERE n_copies >= 1
     # r13 driver-slot rotation (tools/r13_rotation_plan.md): multi-round
     # driver-green veteran; slot freed for the final backlog tranche.
     driver=False,
-    sibling="doc_split_assignment",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_wav_codec_stats registration.
+    sibling="doc_k_anonymity",
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

@@ -1237,7 +1237,9 @@ FROM z GROUP BY 1
     # driver-green veteran; slot freed for a never-checked promotion.
     driver=False,
     # r13 sibling re-point: prior anchor demoted this rotation.
-    sibling="doc_split_assignment",
+    # r17 sibling re-point: prior anchor sits out for the new
+    # mm_wav_codec_stats registration.
+    sibling="doc_k_anonymity",
 )
 def ev_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_z = _zorder_dims(_ev(spark, sf_dir))

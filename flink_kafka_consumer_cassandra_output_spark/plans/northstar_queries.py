@@ -1709,6 +1709,75 @@ def mm_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_codec_stats",
+    oracle="""
+WITH j AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 + 16 AS INTEGER) AS n,
+         doc_id % 2 AS law
+  FROM documents
+), b AS (
+  SELECT j.doc_id, j.n, j.law,
+         (j.doc_id + 11 * i.i) % 256 AS byte
+  FROM j, UNNEST(range(0, CAST(j.n AS BIGINT))) AS i(i)
+), ulaw AS (
+  SELECT doc_id, n, law, 255 - byte AS u FROM b WHERE law = 0
+), uval AS (
+  SELECT doc_id, n, law,
+         CASE WHEN (u & 128) > 0
+              THEN 132 - ((((u & 15) << 3) + 132) << ((u >> 4) & 7))
+              ELSE ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132
+         END AS v
+  FROM ulaw
+), alaw AS (
+  SELECT doc_id, n, law, xor(byte, 85) AS a FROM b WHERE law = 1
+), aseg AS (
+  SELECT doc_id, n, law, a, (a >> 4) & 7 AS seg, (a & 15) << 4 AS base
+  FROM alaw
+), aval AS (
+  SELECT doc_id, n, law,
+         (CASE WHEN (a & 128) > 0 THEN 1 ELSE -1 END)
+         * CASE WHEN seg = 0 THEN base + 8
+                WHEN seg = 1 THEN base + 264
+                ELSE (base + 264) << (seg - 1) END AS v
+  FROM aseg
+), allv AS (
+  SELECT * FROM uval UNION ALL SELECT * FROM aval
+)
+SELECT doc_id,
+       CASE WHEN law = 0 THEN 'wav_ulaw' ELSE 'wav_alaw' END AS fmt,
+       CAST(n AS INTEGER) AS width,
+       1 AS height,
+       CAST(n AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS sum_values,
+       CAST(MIN(v) AS INTEGER) AS min_value,
+       CAST(MAX(v) AS INTEGER) AS max_value
+FROM allv GROUP BY doc_id, law, n
+""",
+    doc="G.711 audio-codec external gate (r17), opening the compressed-"
+        "audio family beyond PCM: every document synthesizes a REAL "
+        "mu-law (even doc_ids) or A-law (odd) WAV whose data bytes "
+        "cycle the FULL 256-entry code space, then decodes it back in "
+        "strict mode.  The segment expansion is a closed formula over "
+        "the byte (bias-132 shift chain for mu-law; 0x55-toggled "
+        "segmented linear for A-law), which the oracle replays with "
+        "integer bit operators -- the hash proves all 256 expansion "
+        "entries of BOTH laws, every segment and both signs.  IMA "
+        "ADPCM decodes too (sequential state machine, pinned by a "
+        "reference-simulator fuzz in tests -- its per-sample recurrence "
+        "is not SQL-replayable).  Scale: narrow Arrow-batched "
+        "mapInPandas; O(1)-width stats cross to the JVM, never "
+        "samples.",
+    # New registration (r17): takes a driver slot in its first round per
+    # the freshness-era lint rule; doc_split_assignment (multi-round
+    # green) sits out to hold the surface at 50, its dependents
+    # re-pointed to doc_k_anonymity (kept sampling/privacy anchor).
+)
+def mm_wav_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.wav_codec_stats(_docs(spark, sf_dir))
+
+
+@register(
     "mm_png_types_stats",
     oracle="""
 WITH j AS (

@@ -2757,3 +2757,117 @@ def test_jpeg_lossless_bad_selector_raises():
     blob[at + 7] = 0  # Ss = 0 invalid for lossless
     with pytest.raises(ValueError, match="predictor selector"):
         mm._decode_jpeg_lossless(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# Compressed audio: G.711 mu-law / A-law + IMA ADPCM (r17)
+# --------------------------------------------------------------------------
+
+def test_g711_known_answer_values():
+    """Spec-pinned expansions: positive/negative zero codes decode to 0,
+    the extreme codes to the laws' known extremes."""
+    assert mm._ulaw_to_linear(0xFF) == 0
+    assert mm._ulaw_to_linear(0x7F) == 0
+    assert mm._ulaw_to_linear(0x00) == -32124
+    assert mm._ulaw_to_linear(0x80) == 32124
+    assert mm._alaw_to_linear(0x55) == -8
+    assert mm._alaw_to_linear(0xD5) == 8
+    assert mm._alaw_to_linear(0x2A) == -32256
+    assert mm._alaw_to_linear(0xAA) == 32256
+
+
+def test_g711_expansion_is_sign_symmetric():
+    """Both laws are sign-symmetric in the code's sign bit: flipping it
+    must negate the output exactly (mu-law zero maps to zero)."""
+    for b in range(128):
+        u_pos, u_neg = mm._ulaw_to_linear(b | 0x80), mm._ulaw_to_linear(b)
+        assert u_pos == -u_neg
+        a0, a1 = mm._alaw_to_linear(b), mm._alaw_to_linear(b | 0x80)
+        assert a0 == -a1
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.integers(1, 400), st.integers(0, 10**6), st.booleans())
+def test_g711_wav_decode_identity_fuzz(n, doc_id, alaw):
+    law = "alaw" if alaw else "ulaw"
+    d = mm.decode_wav_pcm(mm.synth_wav_g711(n, doc_id, law))
+    assert d["fmt"] == f"wav_{law}" and len(d["samples"]) == n
+    dec = mm._alaw_to_linear if alaw else mm._ulaw_to_linear
+    assert d["samples"] == [dec((doc_id + 11 * i) % 256) for i in range(n)]
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.integers(1, 8), st.integers(1, 12), st.integers(0, 10**6))
+def test_ima_adpcm_decode_matches_reference_simulator(nb, half, doc_id):
+    """An independent in-test replay of the IMA state machine (step
+    table walk, clamps, nibble order) must agree with the decoder for
+    arbitrary block counts / sizes / header states."""
+    spb = 2 * half + 1
+    d = mm.decode_wav_pcm(mm.synth_wav_ima(nb, spb, doc_id))
+    assert d["fmt"] == "wav_ima_adpcm"
+    exp = []
+    for b in range(nb):
+        pred = (doc_id * 97 + 311 * b) % 4001 - 2000
+        index = (doc_id * 13 + 7 * b) % 89
+        exp.append(pred)
+        for i in range(spb - 1):
+            nib = (doc_id + 7 * i + b) % 16
+            step = mm._IMA_STEPS[index]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + (-1, -1, -1, -1, 2, 4, 6, 8)[nib & 7]))
+            exp.append(pred)
+    assert d["samples"] == exp
+
+
+def test_ima_adpcm_clamps_are_exercised():
+    """The fuzz is vacuous if neither clamp ever fires: pin that some
+    synthesized stream drives the predictor to an int16 rail and the
+    index to a table edge."""
+    hit_pred = hit_idx = False
+    for did in range(40):
+        d = mm.decode_wav_pcm(mm.synth_wav_ima(6, 21, did))
+        if -32768 in d["samples"] or 32767 in d["samples"]:
+            hit_pred = True
+    # index clamp: all-magnitude-7 nibbles push index to 88 fast; the
+    # cycling nibble class includes long high-magnitude runs, so walk
+    # the state machine directly for the edge check
+    index = 0
+    for _ in range(30):
+        _, index = mm._ima_adpcm_step(0, index, 7)
+    hit_idx = index == 88
+    assert hit_pred and hit_idx
+
+
+def test_ima_adpcm_bad_index_raises():
+    blob = bytearray(mm.synth_wav_ima(2, 9, 3))
+    at = blob.index(b"data") + 8 + 2  # first block's index byte
+    blob[at] = 89
+    with pytest.raises(ValueError, match="step index"):
+        mm.decode_wav_pcm(bytes(blob))
+
+
+def test_ima_adpcm_partial_block_raises():
+    blob = mm.synth_wav_ima(2, 9, 3)
+    # resize the data chunk down by one byte: partial block
+    at = blob.index(b"data")
+    size = int.from_bytes(blob[at + 4 : at + 8], "little")
+    cut = bytearray(blob[: at + 8 + size - 1])
+    cut[at + 4 : at + 8] = (size - 1).to_bytes(4, "little")
+    cut[4:8] = (len(cut) - 8).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="partial ADPCM block"):
+        mm.decode_wav_pcm(bytes(cut))
+
+
+def test_wav_codec_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_wav_g711(50, 9, "alaw"), "x", strict=True)
+    assert d["fmt"] == "wav_alaw" and len(d["samples"]) == 50
+    d = mm.decode_media(mm.synth_wav_ima(3, 9, 9), "x", strict=True)
+    assert d["fmt"] == "wav_ima_adpcm"

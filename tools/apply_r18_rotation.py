@@ -4,10 +4,10 @@ budget edge.
 
 Refuses to run until CORRECTNESS_r18's precondition file
 (CORRECTNESS_r17.json) exists and is fully green including the 15 r17
-stale promotes and the seven r17 first-round registrations
+stale promotes and the eight r17 first-round registrations
 (mm_jpeg_color12_stats, mm_png_types_stats, mm_gif_anim_stats,
 mm_jpeg_arith_stats, mm_jpeg_hier_stats, mm_jpeg_arith_prog_stats,
-mm_jpeg_lossless_stats).  After applying, run:
+mm_jpeg_lossless_stats, mm_wav_codec_stats).  After applying, run:
 
     python -m pytest tests/test_registry_lint.py -q
     python -m pytest tests/test_oracle_parity.py -q
@@ -27,7 +27,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 #: r17 surface entries whose green gates this rotation: the 15 stale
-#: promotes and the seven new first-round registrations.
+#: promotes and the eight new first-round registrations.
 R17_PROMOTES = [
     "doc_curation_funnel", "emb_cosine_topk", "doc_decontamination",
     "doc_sequence_packing", "ev_funnel_conversion", "ev_event_transitions",
@@ -37,7 +37,7 @@ R17_PROMOTES = [
     "doc_sentiment_lexicon", "ev_unpivot_roundtrip",
     "mm_jpeg_color12_stats", "mm_png_types_stats", "mm_gif_anim_stats",
     "mm_jpeg_arith_stats", "mm_jpeg_hier_stats", "mm_jpeg_arith_prog_stats",
-    "mm_jpeg_lossless_stats",
+    "mm_jpeg_lossless_stats", "mm_wav_codec_stats",
 ]
 
 # oldest-green-first: the REMAINING 10 of the r8 cohort (age 10 at r18 --

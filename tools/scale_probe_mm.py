@@ -62,7 +62,9 @@ QUERIES = ("mm_pixel_stats", "mm_media_headers", "mm_media_features",
            # r17 arithmetic progressive gate: dims doc_id % {21,17}
            "mm_jpeg_arith_prog_stats",
            # r17 lossless predictive gate: dims doc_id % {23,19}
-           "mm_jpeg_lossless_stats")
+           "mm_jpeg_lossless_stats",
+           # r17 G.711 audio gate: sample counts doc_id % 97 + 16
+           "mm_wav_codec_stats")
 
 #: comma-separated subset override (e.g. re-probing one new gate without
 #: re-timing the whole family)
