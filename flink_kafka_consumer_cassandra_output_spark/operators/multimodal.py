@@ -600,6 +600,53 @@ def synth_png_rgb16(width: int, height: int, doc_id: int) -> bytes:
     )
 
 
+def synth_png_graya(
+    width: int, height: int, doc_id: int, depth: int
+) -> bytes:
+    """A REAL gray+alpha PNG (color type 4, r17) at depth 8 or 16:
+    gray ``(409*doc_id + 31*x + 61*y)`` and alpha
+    ``(611*doc_id + 43*x + 29*y)`` modulo the sample range, filters
+    cycling ``(y + doc_id) % 5`` at the spec's 2- or 4-byte filter
+    bpp.  Closed form replayable in tests/SQL."""
+    if depth not in (8, 16):
+        raise ValueError("gray+alpha PNG depth must be 8 or 16")
+    mod = 1 << depth
+    nb = depth // 8
+
+    def row(y: int) -> bytes:
+        out = bytearray()
+        for x in range(width):
+            out += ((409 * doc_id + 31 * x + 61 * y) % mod).to_bytes(nb, "big")
+            out += ((611 * doc_id + 43 * x + 29 * y) % mod).to_bytes(nb, "big")
+        return bytes(out)
+
+    rows = [row(y) for y in range(height)]
+    return _png_assemble(
+        width, height, depth, 4, _png_filter_encode(rows, 2 * nb, doc_id)
+    )
+
+
+def synth_png_rgba16(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL 16-bit RGBA PNG (r17): the rgb16 channel classes plus
+    alpha ``(577*doc_id + 71*x + 83*y) % 65536``, filters cycling
+    ``(y + doc_id) % 5`` at the 8-byte filter bpp."""
+    d = doc_id
+
+    def row(y: int) -> bytes:
+        out = bytearray()
+        for x in range(width):
+            out += ((257 * d + 513 * x + 769 * y) % 65536).to_bytes(2, "big")
+            out += ((101 * d + 37 * x + 59 * y) % 65536).to_bytes(2, "big")
+            out += ((811 * d + 23 * x + 97 * y) % 65536).to_bytes(2, "big")
+            out += ((577 * d + 71 * x + 83 * y) % 65536).to_bytes(2, "big")
+        return bytes(out)
+
+    rows = [row(y) for y in range(height)]
+    return _png_assemble(
+        width, height, 16, 6, _png_filter_encode(rows, 8, doc_id)
+    )
+
+
 def synth_png_palette(
     width: int, height: int, doc_id: int, depth: int
 ) -> bytes:
@@ -5564,13 +5611,14 @@ _ADAM7 = [
 
 #: samples per pixel by PNG color type (0 gray, 2 RGB, 3 palette index,
 #: 6 RGBA).
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 #: supported (bit_depth, color_type) combinations (r17 extends the r15
 #: 8-bit RGB/RGBA decoder with grayscale 8/16, RGB 16, and palette at
 #: every legal palette depth incl. sub-byte bit packing).
 _PNG_SUPPORTED = frozenset(
-    [(8, 2), (8, 6), (8, 0), (16, 0), (16, 2), (8, 3), (4, 3), (2, 3), (1, 3)]
+    [(8, 2), (8, 6), (8, 0), (16, 0), (16, 2), (8, 3), (4, 3), (2, 3), (1, 3),
+     (8, 4), (16, 4), (16, 6)]
 )
 
 
@@ -5631,9 +5679,10 @@ def decode_png(content: bytes) -> dict:
     layouts (r17 extended the original 8-bit RGB/RGBA): grayscale at 8
     and 16 bits, RGB at 8 and 16 bits (16-bit samples big-endian, with
     the byte-wise filters running at the 2-bytes-per-sample stride the
-    spec prescribes), RGBA at 8 bits, and palette (PLTE) at depths
-    1/2/4/8 incl. MSB-first sub-byte bit packing with zero-padded row
-    tails.
+    spec prescribes), gray+alpha at 8 and 16 bits, RGBA at 8 and 16
+    bits, and palette (PLTE) at depths 1/2/4/8 incl. MSB-first
+    sub-byte bit packing with zero-padded row tails -- the FULL
+    PNG sample-layout matrix.
 
     No external codec library: the PNG "codec" is DEFLATE (stdlib
     ``zlib``) plus the five spec filters (None/Sub/Up/Average/Paeth),
@@ -5644,9 +5693,11 @@ def decode_png(content: bytes) -> dict:
     PLTE is missing or whose indices overrun it raises, and unsupported
     layouts raise rather than guess.  Output ``pixels`` is row-major
     top-down: ints for grayscale, (r, g, b) tuples for RGB/palette,
-    (r, g, b, a) for RGBA.  ``fmt`` is ``png`` for the original 8-bit
-    RGB/RGBA layouts (oracle-pinned) and ``png_gray`` / ``png_gray16`` /
-    ``png_rgb16`` / ``png_palette`` for the r17 additions."""
+    (r, g, b, a) for RGBA, (g, a) for gray+alpha.  ``fmt`` is ``png``
+    for the original 8-bit RGB/RGBA layouts (oracle-pinned) and
+    ``png_gray`` / ``png_gray16`` / ``png_rgb16`` / ``png_palette`` /
+    ``png_graya`` / ``png_graya16`` / ``png_rgba16`` for the r17
+    additions."""
     import zlib
 
     if not content.startswith(_PNG_MAGIC):
@@ -5697,7 +5748,8 @@ def decode_png(content: bytes) -> dict:
     if (bit_depth, color_type) not in _PNG_SUPPORTED:
         raise ValueError(
             f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}); "
-            "supported: gray 8/16, RGB 8/16, RGBA 8, palette 1/2/4/8"
+            "supported: gray 8/16, gray+alpha 8/16, RGB 8/16, RGBA 8/16, "
+            "palette 1/2/4/8"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
@@ -5711,6 +5763,8 @@ def decode_png(content: bytes) -> dict:
     fmt = {
         (8, 2): "png", (8, 6): "png", (8, 0): "png_gray",
         (16, 0): "png_gray16", (16, 2): "png_rgb16",
+        (8, 4): "png_graya", (16, 4): "png_graya16",
+        (16, 6): "png_rgba16",
     }.get((bit_depth, color_type), "png_palette")
 
     def to_pixels(line: bytes, w: int) -> list:

@@ -2871,3 +2871,66 @@ def test_wav_codec_strict_decode_media_accepts():
     assert d["fmt"] == "wav_alaw" and len(d["samples"]) == 50
     d = mm.decode_media(mm.synth_wav_ima(3, 9, 9), "x", strict=True)
     assert d["fmt"] == "wav_ima_adpcm"
+
+
+# --------------------------------------------------------------------------
+# PNG alpha layouts: gray+alpha 8/16, RGBA 16 (r17, test-pinned; the
+# oracle gate slot is budgeted to the r18 rotation)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(st.integers(2, 14), st.integers(2, 12), st.integers(0, 10**6),
+       st.sampled_from([8, 16]))
+def test_png_graya_decode_identity_fuzz(w, h, doc_id, depth):
+    """Gray+alpha rows filter at the 2- or 4-byte bpp the spec
+    prescribes; the (y+d)%5 filter cycle makes a wrong lag or a
+    dropped alpha byte decode wrong values."""
+    mod = 1 << depth
+    d = mm.decode_png(mm.synth_png_graya(w, h, doc_id, depth))
+    assert d["fmt"] == ("png_graya" if depth == 8 else "png_graya16")
+    assert d["pixels"] == [
+        ((409 * doc_id + 31 * x + 61 * y) % mod,
+         (611 * doc_id + 43 * x + 29 * y) % mod)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(st.integers(2, 12), st.integers(2, 10), st.integers(0, 10**6))
+def test_png_rgba16_decode_identity_fuzz(w, h, doc_id):
+    d = mm.decode_png(mm.synth_png_rgba16(w, h, doc_id))
+    assert d["fmt"] == "png_rgba16"
+    assert d["pixels"] == [
+        ((257 * doc_id + 513 * x + 769 * y) % 65536,
+         (101 * doc_id + 37 * x + 59 * y) % 65536,
+         (811 * doc_id + 23 * x + 97 * y) % 65536,
+         (577 * doc_id + 71 * x + 83 * y) % 65536)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def test_png_graya16_values_exceed_8bit_range():
+    d = mm.decode_png(mm.synth_png_graya(20, 20, 1, 16))
+    assert max(v for px in d["pixels"] for v in px) > 255
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9), st.sampled_from(["graya8", "graya16", "rgba16"]))
+def test_png_alpha_truncation_always_raises_fuzz(cutseed, kind):
+    blob = {
+        "graya8": lambda: mm.synth_png_graya(9, 7, 5, 8),
+        "graya16": lambda: mm.synth_png_graya(9, 7, 5, 16),
+        "rgba16": lambda: mm.synth_png_rgba16(9, 7, 5),
+    }[kind]()
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_png(blob[:cut])
+
+
+def test_png_alpha_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_png_graya(8, 6, 2, 16), "x", strict=True)
+    assert d["fmt"] == "png_graya16" and len(d["pixels"]) == 48
+    d = mm.decode_media(mm.synth_png_rgba16(8, 6, 2), "x", strict=True)
+    assert d["fmt"] == "png_rgba16"
