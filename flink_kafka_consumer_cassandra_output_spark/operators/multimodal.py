@@ -701,6 +701,8 @@ def decode_bmp(content: bytes) -> dict:
     height = int.from_bytes(content[22:26], "little", signed=True)
     bpp = int.from_bytes(content[28:30], "little")
     compression = int.from_bytes(content[30:34], "little")
+    if bpp == 8 and compression == 1:
+        return _decode_bmp_rle8(content)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     # width is signed in the spec but never legitimately <= 0; height == 0 is
@@ -731,6 +733,149 @@ def decode_bmp(content: bytes) -> dict:
         "height": height,
         "pixels": [p for row in rows for p in row],
     }
+
+
+def _decode_bmp_rle8(content: bytes) -> dict:
+    """RLE8-compressed 8-bit palette BMP decode (BI_RLE8, r17): encoded
+    run pairs ``(count, index)``, absolute-mode literals (count >= 3,
+    word-aligned), end-of-line (00 00), delta (00 02 dx dy -- skipped
+    pixels take index 0, the common deterministic convention), and
+    end-of-bitmap (00 01).  RLE bitmaps are bottom-up by spec; output
+    is row-major top-down (r, g, b) through the BGRx palette.  Strict:
+    cursor overruns, truncated escapes, a stream without EOB, and
+    palette overreads raise ``ValueError``."""
+    data_off = int.from_bytes(content[10:14], "little")
+    hdr_size = int.from_bytes(content[14:18], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    if width <= 0 or height <= 0:
+        raise ValueError(
+            f"degenerate RLE8 BMP dimensions (width={width}, "
+            f"height={height}; top-down is illegal with RLE)"
+        )
+    n_colors = int.from_bytes(content[46:50], "little") or 256
+    pal_at = 14 + hdr_size
+    if pal_at + 4 * n_colors > len(content):
+        raise ValueError("truncated BMP palette")
+    palette = [
+        (content[pal_at + 4 * i + 2], content[pal_at + 4 * i + 1],
+         content[pal_at + 4 * i])
+        for i in range(n_colors)
+    ]
+    grid = [[0] * width for _ in range(height)]  # storage order: bottom-up
+    x = y = 0
+    pos = data_off
+    ended = False
+    while not ended:
+        if pos + 2 > len(content):
+            raise ValueError("truncated BMP: RLE stream cut")
+        c0, c1 = content[pos], content[pos + 1]
+        pos += 2
+        if c0:  # encoded run
+            if y >= height or x + c0 > width:
+                raise ValueError("BMP RLE run overflows the row")
+            for _ in range(c0):
+                grid[y][x] = c1
+                x += 1
+        elif c1 == 0x00:  # end of line
+            x, y = 0, y + 1
+        elif c1 == 0x01:  # end of bitmap
+            ended = True
+        elif c1 == 0x02:  # delta
+            if pos + 2 > len(content):
+                raise ValueError("truncated BMP: RLE delta cut")
+            dx, dy = content[pos], content[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > width or y > height:
+                raise ValueError("BMP RLE delta moves outside the bitmap")
+        else:  # absolute mode: c1 literal indices, word-aligned
+            if y >= height or x + c1 > width:
+                raise ValueError("BMP RLE absolute run overflows the row")
+            span = (c1 + 1) & ~1
+            if pos + span > len(content):
+                raise ValueError("truncated BMP: RLE absolute run cut")
+            for i in range(c1):
+                grid[y][x] = content[pos + i]
+                x += 1
+            pos += span
+    for row in grid:
+        for v in row:
+            if v >= n_colors:
+                raise ValueError(
+                    f"BMP RLE index {v} overruns the {n_colors}-entry "
+                    "palette"
+                )
+    rows = [[palette[v] for v in row] for row in reversed(grid)]
+    return {
+        "fmt": "bmp_rle8",
+        "width": width,
+        "height": height,
+        "pixels": [p for row in rows for p in row],
+    }
+
+
+def synth_bmp_rle8(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL RLE8 BMP (r17): full 256-entry BGRx palette with colors
+    ``((17d+29i)%256, (13d+7i)%256, (11d+3i)%256)`` and index pattern
+    ``(doc_id + 7*(x//L) + 5*y) % 256`` with ``L = doc_id % 3 + 2`` --
+    constant runs of length L, so even image rows encode in RUN mode
+    and odd rows in ABSOLUTE mode (word-aligned literals), exercising
+    both RLE paths against one closed form.  Rows are stored bottom-up
+    with EOL escapes and a final EOB, per the spec."""
+    run_len = doc_id % 3 + 2
+
+    def idx(x: int, y: int) -> int:
+        return (doc_id + 7 * (x // run_len) + 5 * y) % 256
+
+    out = bytearray()
+    for sy in range(height):  # storage order: bottom-up
+        y = height - 1 - sy
+        if sy % 2 == 0:
+            x = 0
+            while x < width:
+                n = min(run_len - x % run_len, width - x)
+                out += bytes((n, idx(x, y)))
+                x += n
+        else:
+            x = 0
+            while x < width:
+                n = min(254, width - x)
+                if n >= 3:
+                    out += bytes((0x00, n))
+                    out += bytes(idx(x + i, y) for i in range(n))
+                    if n % 2:
+                        out.append(0x00)  # word alignment pad
+                else:
+                    for i in range(n):
+                        out += bytes((1, idx(x + i, y)))
+                x += n
+        out += bytes((0x00, 0x01) if sy == height - 1 else (0x00, 0x00))
+    palette = bytes(
+        v
+        for i in range(256)
+        for v in (
+            (11 * doc_id + 3 * i) % 256,  # blue
+            (13 * doc_id + 7 * i) % 256,  # green
+            (17 * doc_id + 29 * i) % 256,  # red
+            0,
+        )
+    )
+    data_off = 14 + 40 + len(palette)
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little")  # BI_RLE8
+        + len(out).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + (256).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    )
+    total = data_off + len(out)
+    hdr = b"BM" + total.to_bytes(4, "little") + bytes(4) + data_off.to_bytes(
+        4, "little")
+    return hdr + info + palette + bytes(out)
 
 
 def decode_ppm(content: bytes) -> dict:
@@ -932,15 +1077,29 @@ def decode_wav_pcm(content: bytes) -> dict:
             "bits": bits,
             "samples": samples,
         }
-    if audio_format != 1 or bits != 16:
+    if audio_format != 1 or bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
-    n = len(data) // 2
-    samples = [
-        int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
-        for i in range(n)
-    ]
+    nb = bits // 8
+    # 16-bit keeps its long-pinned lenience (an odd data chunk's trailing
+    # half-sample byte is ignored -- common in the wild, see the
+    # chunk-alignment test); the r17 24/32-bit additions raise on partial
+    # samples, matching the rest of the strict contract.
+    if bits in (24, 32) and len(data) % nb:
+        raise ValueError(
+            f"truncated WAV: {len(data) % nb} bytes form a partial "
+            f"{bits}-bit sample"
+        )
+    n = len(data) // nb
+    if bits == 8:
+        # 8-bit PCM is UNSIGNED by WAV convention (centered at 128)
+        samples = list(data)
+    else:
+        samples = [
+            int.from_bytes(data[nb * i : nb * i + nb], "little", signed=True)
+            for i in range(n)
+        ]
     return {
-        "fmt": "wav_pcm",
+        "fmt": "wav_pcm" if bits == 16 else f"wav_pcm{bits}",
         "channels": channels,
         "sample_rate": sample_rate,
         "bits": bits,
@@ -1015,6 +1174,41 @@ def synth_wav_g711(n: int, doc_id: int, law: str) -> bytes:
         + code.to_bytes(2, "little") + (1).to_bytes(2, "little")
         + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
         + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+    return blob + (b"\x00" if len(data) % 2 else b"")
+
+
+def synth_wav_pcm_bits(n: int, doc_id: int, bits: int) -> bytes:
+    """A REAL PCM WAV (r17) at 8 (unsigned), 24 or 32 bits: sample
+    closed forms spanning the full signed range, little-endian.  The
+    16-bit path keeps its original synthesizer; this one exercises the
+    width generalization (sub-byte-free but multi-byte strides plus the
+    unsigned-8 convention)."""
+    if bits == 8:
+        data = bytes((doc_id + 13 * i) % 256 for i in range(n))
+    elif bits == 24:
+        data = b"".join(
+            (((doc_id * 1009 + 9973 * i) % (1 << 24)) - (1 << 23))
+            .to_bytes(3, "little", signed=True)
+            for i in range(n)
+        )
+    elif bits == 32:
+        data = b"".join(
+            (((doc_id * 2003 + 65521 * i) % (1 << 32)) - (1 << 31))
+            .to_bytes(4, "little", signed=True)
+            for i in range(n)
+        )
+    else:
+        raise ValueError(f"unsupported synth bit depth {bits}")
+    block = bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000 * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
     )
     body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
     blob = b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -674,13 +674,14 @@ def test_png_strictness_rejections():
     rows = [bytearray([0]) + bytes(12)]
     with pytest.raises(ValueError, match="interlace"):
         mm.decode_png(_png_from_rows(rows, interlace=1))
-    # unsupported color type / depth combos (r17 narrowed this set:
-    # 16-bit and palette decode now, so the rejection cases are
-    # gray+alpha and 16-bit RGBA)
+    # unsupported color type / depth combos (r17 closed the layout
+    # matrix -- gray+alpha and RGBA16 decode now -- so the rejection
+    # cases are a spec-legal-but-undecoded depth (gray at 2) and a
+    # spec-ILLEGAL combination (16-bit palette))
     with pytest.raises(ValueError, match="unsupported"):
-        mm.decode_png(_png_from_rows(rows, color_type=4))
+        mm.decode_png(_png_from_rows(rows, bit_depth=2, color_type=0))
     with pytest.raises(ValueError, match="unsupported"):
-        mm.decode_png(_png_from_rows(rows, bit_depth=16, color_type=6))
+        mm.decode_png(_png_from_rows(rows, bit_depth=16, color_type=3))
     # palette PNG without a PLTE chunk must refuse by name
     with pytest.raises(ValueError, match="PLTE"):
         mm.decode_png(_png_from_rows([bytearray([0]) + bytes(4)], color_type=3))
@@ -2934,3 +2935,100 @@ def test_png_alpha_strict_decode_media_accepts():
     assert d["fmt"] == "png_graya16" and len(d["pixels"]) == 48
     d = mm.decode_media(mm.synth_png_rgba16(8, 6, 2), "x", strict=True)
     assert d["fmt"] == "png_rgba16"
+
+
+# --------------------------------------------------------------------------
+# BMP RLE8 + WAV PCM bit-depth variants (r17, test-pinned)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.integers(2, 16), st.integers(2, 12), st.integers(0, 10**6))
+def test_bmp_rle8_decode_identity_fuzz(w, h, doc_id):
+    """RLE8 BMPs alternate RUN-mode and ABSOLUTE-mode rows against one
+    closed form: both escape paths, word alignment, bottom-up order,
+    and the palette composition must all hold for the pixels to
+    match."""
+    d = mm.decode_bmp(mm.synth_bmp_rle8(w, h, doc_id))
+    assert d["fmt"] == "bmp_rle8" and d["width"] == w and d["height"] == h
+    L = doc_id % 3 + 2
+    exp = []
+    for y in range(h):
+        for x in range(w):
+            i = (doc_id + 7 * (x // L) + 5 * y) % 256
+            exp.append(((17 * doc_id + 29 * i) % 256,
+                        (13 * doc_id + 7 * i) % 256,
+                        (11 * doc_id + 3 * i) % 256))
+    assert d["pixels"] == exp
+
+
+def test_bmp_rle8_delta_skips_to_index_zero():
+    """A hand-built stream with a delta escape: skipped pixels take
+    palette entry 0 (the deterministic convention documented in the
+    decoder)."""
+    # 4x2 bitmap: bottom row = run(4, idx 1); top row: run(1, idx 2),
+    # delta(+2, 0), run(1, idx 3), EOB
+    rle = bytes((4, 1, 0x00, 0x00,
+                 1, 2, 0x00, 0x02, 2, 0, 1, 3, 0x00, 0x01))
+    palette = bytearray(1024)
+    for i in range(256):
+        palette[4 * i] = i      # blue = i
+        palette[4 * i + 2] = i  # red = i
+    data_off = 14 + 40 + 1024
+    info = ((40).to_bytes(4, "little")
+            + (4).to_bytes(4, "little", signed=True)
+            + (2).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + len(rle).to_bytes(4, "little")
+            + bytes(8) + (256).to_bytes(4, "little") + bytes(4))
+    blob = (b"BM" + (data_off + len(rle)).to_bytes(4, "little") + bytes(4)
+            + data_off.to_bytes(4, "little") + info + palette + rle)
+    d = mm.decode_bmp(blob)
+    # top-down: top row (storage row 1) = [2, 0, 0, 3]; bottom = [1]*4
+    reds = [p[0] for p in d["pixels"]]
+    assert reds == [2, 0, 0, 3, 1, 1, 1, 1]
+
+
+def test_bmp_rle8_overrun_raises():
+    blob = bytearray(mm.synth_bmp_rle8(5, 3, 4))
+    at = int.from_bytes(blob[10:14], "little")
+    blob[at] = 255  # first run now overflows the 5-pixel row
+    with pytest.raises(ValueError, match="overflows the row"):
+        mm.decode_bmp(bytes(blob))
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_bmp_rle8_truncation_always_raises_fuzz(cutseed):
+    blob = mm.synth_bmp_rle8(9, 5, 7)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    with pytest.raises(ValueError):
+        mm.decode_bmp(blob[:cut])
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(st.integers(1, 300), st.integers(0, 10**6),
+       st.sampled_from([8, 24, 32]))
+def test_wav_pcm_bit_depths_identity_fuzz(n, doc_id, bits):
+    d = mm.decode_wav_pcm(mm.synth_wav_pcm_bits(n, doc_id, bits))
+    assert d["fmt"] == f"wav_pcm{bits}" and d["bits"] == bits
+    if bits == 8:
+        exp = [(doc_id + 13 * i) % 256 for i in range(n)]
+    elif bits == 24:
+        exp = [((doc_id * 1009 + 9973 * i) % (1 << 24)) - (1 << 23)
+               for i in range(n)]
+    else:
+        exp = [((doc_id * 2003 + 65521 * i) % (1 << 32)) - (1 << 31)
+               for i in range(n)]
+    assert d["samples"] == exp
+
+
+def test_wav_pcm_partial_sample_raises():
+    blob = bytearray(mm.synth_wav_pcm_bits(10, 3, 24))
+    at = blob.index(b"data")
+    size = int.from_bytes(blob[at + 4 : at + 8], "little")
+    cut = bytearray(blob[: at + 8 + size - 1])
+    cut[at + 4 : at + 8] = (size - 1).to_bytes(4, "little")
+    cut[4:8] = (len(cut) - 8).to_bytes(4, "little")
+    cut += b"\x00"  # keep RIFF word alignment
+    with pytest.raises(ValueError, match="partial"):
+        mm.decode_wav_pcm(bytes(cut))
