@@ -878,6 +878,260 @@ def synth_bmp_rle8(width: int, height: int, doc_id: int) -> bytes:
     return hdr + info + palette + bytes(out)
 
 
+# --------------------------------------------------------------------------
+# TIFF baseline (r17): IFD walk, strips, PackBits, both byte orders.
+# --------------------------------------------------------------------------
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits decompression (the TIFF spec's RLE): control byte n in
+    0..127 copies n+1 literals, 129..255 repeats the next byte 257-n
+    times, 128 is a no-op.  Strict: output must land exactly on
+    ``expected`` bytes; over- or under-runs raise."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated TIFF: PackBits literal cut")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF: PackBits repeat cut")
+            out += bytes((data[pos],)) * (257 - n)
+            pos += 1
+        if len(out) > expected:
+            raise ValueError(
+                f"TIFF PackBits overrun: {len(out)} > {expected} bytes")
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF PackBits underrun: {len(out)} of {expected} bytes")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal valid PackBits encoder: runs of >= 2 identical bytes as
+    repeat packets (max 128), everything else as literal packets (max
+    128)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes((257 - run, data[i]))
+            i += run
+            continue
+        lit = i
+        while (
+            i < n and (i + 1 >= n or data[i + 1] != data[i] or True)
+            and i - lit < 128
+        ):
+            # literal run: stop when a >=2 repeat starts or 128 reached
+            if i + 1 < n and data[i + 1] == data[i]:
+                break
+            i += 1
+        if i == lit:  # single byte followed by a repeat
+            i += 1
+        out += bytes((i - lit - 1,)) + data[lit:i]
+    return bytes(out)
+
+
+def decode_tiff(content: bytes) -> dict:
+    """Pure-Python baseline TIFF decode (r17): both byte orders
+    (``II``/``MM``), the first IFD's tag walk (SHORT/LONG entry types,
+    inline-or-offset values), strip assembly via StripOffsets/
+    StripByteCounts/RowsPerStrip, Compression 1 (none) or 32773
+    (PackBits, per-strip), PhotometricInterpretation 1 (grayscale,
+    BlackIsZero) or 2 (RGB), 8 bits per sample.  Output matches the
+    BMP/PPM convention: row-major top-down ints (gray) or (r, g, b)
+    tuples.  Strict: truncated headers/IFDs/strips, unsupported
+    tag values, strip-size mismatches, and PackBits over/underruns
+    raise ``ValueError``."""
+    if len(content) < 8:
+        raise ValueError("not a TIFF (short header)")
+    if content[:2] == b"II" and content[2:4] == b"\x2a\x00":
+        bo = "little"
+    elif content[:2] == b"MM" and content[2:4] == b"\x00\x2a":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF")
+
+    def u(at: int, n: int) -> int:
+        if at + n > len(content):
+            raise ValueError("truncated TIFF: read past end")
+        return int.from_bytes(content[at : at + n], bo)
+
+    ifd = u(4, 4)
+    nent = u(ifd, 2)
+    if nent == 0:
+        raise ValueError("TIFF IFD carries no entries")
+    tags: dict[int, list[int]] = {}
+    for i in range(nent):
+        at = ifd + 2 + 12 * i
+        tag, typ = u(at, 2), u(at + 2, 2)
+        count = u(at + 4, 4)
+        if typ == 3:  # SHORT
+            sz = 2
+        elif typ == 4:  # LONG
+            sz = 4
+        else:
+            continue  # other types are ignorable for the baseline set
+        total = sz * count
+        base = at + 8 if total <= 4 else u(at + 8, 4)
+        tags[tag] = [u(base + sz * k, sz) for k in range(count)]
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return tags[tag][0]
+
+    width = one(256)
+    height = one(257)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate TIFF dimensions {width}x{height}")
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    rows_per_strip = one(278, height)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits) or compression not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF (bits={bits}, compression={compression}); "
+            "8-bit, uncompressed or PackBits only"
+        )
+    if (photometric, spp) not in ((1, 1), (2, 3)):
+        raise ValueError(
+            f"unsupported TIFF (photometric={photometric}, samples={spp}); "
+            "8-bit grayscale or RGB only"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing or mismatched strip tables")
+    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    if len(offsets) != n_strips:
+        raise ValueError(
+            f"TIFF strip count {len(offsets)} != expected {n_strips}")
+    raster = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(content):
+            raise ValueError(f"truncated TIFF: strip {si} cut")
+        strip = content[off : off + cnt]
+        rows_here = min(rows_per_strip, height - si * rows_per_strip)
+        expected = rows_here * width * spp
+        if compression == 32773:
+            strip = _packbits_decode(strip, expected)
+        elif len(strip) != expected:
+            raise ValueError(
+                f"TIFF strip {si} carries {len(strip)} bytes, expected "
+                f"{expected}"
+            )
+        raster += strip
+    if photometric == 1:
+        pixels: list = list(raster)
+    else:
+        pixels = [
+            (raster[i], raster[i + 1], raster[i + 2])
+            for i in range(0, len(raster), 3)
+        ]
+    return {
+        "fmt": "tiff_gray" if photometric == 1 else "tiff_rgb",
+        "width": width,
+        "height": height,
+        "pixels": pixels,
+    }
+
+
+def synth_tiff(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL baseline TIFF (r17), four arms by doc_id: byte order II
+    (even) / MM (odd), compression none (doc_id % 4 < 2) / PackBits
+    (else), photometric gray (doc_id % 8 < 4) / RGB (else).  Strips of
+    3 rows.  Pixel classes: gray ``(19*doc_id + 3*x + 7*y) % 256``;
+    RGB channels ``(23d+5x+3y, 29d+x+11y, 31d+9x+y) % 256``.  The gray
+    class varies per pixel, and the strip table (offsets, byte counts,
+    rows-per-strip tail) plus the per-strip PackBits framing must all
+    hold for the closed form to decode."""
+    bo = "little" if doc_id % 2 == 0 else "big"
+    packed = doc_id % 4 >= 2
+    rgb = doc_id % 8 >= 4
+    spp = 3 if rgb else 1
+    rows_per_strip = 3
+
+    def px(x: int, y: int) -> bytes:
+        if not rgb:
+            return bytes(((19 * doc_id + 3 * x + 7 * y) % 256,))
+        return bytes((
+            (23 * doc_id + 5 * x + 3 * y) % 256,
+            (29 * doc_id + x + 11 * y) % 256,
+            (31 * doc_id + 9 * x + y) % 256,
+        ))
+
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        raw = b"".join(
+            px(x, y)
+            for y in range(y0, min(y0 + rows_per_strip, height))
+            for x in range(width)
+        )
+        strips.append(_packbits_encode(raw) if packed else raw)
+
+    def b(v: int, n: int) -> bytes:
+        return v.to_bytes(n, bo)
+
+    n_strips = len(strips)
+    # layout: header(8) | strip data | strip offset array | strip count
+    # array | IFD
+    data_at = 8
+    offsets = []
+    at = data_at
+    for s in strips:
+        offsets.append(at)
+        at += len(s)
+    off_array_at = at
+    arrays = b""
+    if n_strips > 1:
+        arrays += b"".join(b(o, 4) for o in offsets)
+        cnt_array_at = off_array_at + 4 * n_strips
+        arrays += b"".join(b(len(s), 4) for s in strips)
+        ifd_at = cnt_array_at + 4 * n_strips
+    else:
+        cnt_array_at = off_array_at
+        ifd_at = off_array_at
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        sz = 2 if typ == 3 else 4
+        body = b(value, sz)
+        return b(tag, 2) + b(typ, 2) + b(count, 4) + body + bytes(4 - len(body))
+
+    entries = [
+        entry(256, 4, 1, width),
+        entry(257, 4, 1, height),
+        entry(258, 3, 1, 8) if not rgb else None,
+        entry(259, 3, 1, 32773 if packed else 1),
+        entry(262, 3, 1, 2 if rgb else 1),
+        entry(273, 4, n_strips,
+              offsets[0] if n_strips == 1 else off_array_at),
+        entry(277, 3, 1, spp),
+        entry(278, 3, 1, rows_per_strip),
+        entry(279, 4, n_strips,
+              len(strips[0]) if n_strips == 1 else cnt_array_at),
+    ]
+    entries = [e for e in entries if e is not None]
+    entries.sort(key=lambda e: int.from_bytes(e[:2], bo))
+    ifd = b(len(entries), 2) + b"".join(entries) + b(0, 4)
+    magic = b"II\x2a\x00" if bo == "little" else b"MM\x00\x2a"
+    return magic + b(ifd_at, 4) + b"".join(strips) + arrays + ifd
+
+
 def decode_ppm(content: bytes) -> dict:
     """Pure-Python pixel decode of a binary PPM (P6, maxval <= 255).
 
@@ -6028,10 +6282,12 @@ def decode_media(content: bytes, media_type: str, strict: bool = False):
     successive-approximation refinement; restart intervals (DRI/RST)
     decode for real in BOTH baseline and progressive streams, and
     12-bit grayscale SOF1 decodes for real (r16).
-    The remaining payload classes
-    (arithmetic-coded/hierarchical JPEG,
-    codec video) return header
-    metadata only --
+    r17 closed the JPEG matrix (arithmetic sequential + progressive,
+    hierarchical, lossless), the PNG layout matrix (gray+alpha,
+    RGBA16), compressed audio (G.711 both laws, IMA ADPCM, 8/24/32-bit
+    PCM), RLE8 BMP, and baseline TIFF (both byte orders, strips,
+    PackBits).  The remaining payload class (codec video) returns
+    header metadata only --
     faking pixel output would be worse than refusing, so anything
     unrecognized still raises loudly.  A PNG/GIF/JPEG the real decoder
     rejects (unsupported variant or a header-only synthetic container)
@@ -6047,6 +6303,8 @@ def decode_media(content: bytes, media_type: str, strict: bool = False):
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff(content)
     if content.startswith(_PNG_MAGIC):
         try:
             return decode_png(content)

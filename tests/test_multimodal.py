@@ -3032,3 +3032,93 @@ def test_wav_pcm_partial_sample_raises():
     cut += b"\x00"  # keep RIFF word alignment
     with pytest.raises(ValueError, match="partial"):
         mm.decode_wav_pcm(bytes(cut))
+
+
+# --------------------------------------------------------------------------
+# Baseline TIFF (r17, test-pinned)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(2, 18), st.integers(2, 14), st.integers(0, 10**6))
+def test_tiff_decode_identity_fuzz(w, h, doc_id):
+    """Four synth arms (II/MM byte order x none/PackBits compression,
+    gray/RGB photometric) against closed-form pixel classes: the IFD
+    walk, strip tables, rows-per-strip tails, and per-strip PackBits
+    framing must all hold."""
+    d = mm.decode_tiff(mm.synth_tiff(w, h, doc_id))
+    rgb = doc_id % 8 >= 4
+    assert d["fmt"] == ("tiff_rgb" if rgb else "tiff_gray")
+    assert d["width"] == w and d["height"] == h
+    exp = []
+    for y in range(h):
+        for x in range(w):
+            if rgb:
+                exp.append(((23 * doc_id + 5 * x + 3 * y) % 256,
+                            (29 * doc_id + x + 11 * y) % 256,
+                            (31 * doc_id + 9 * x + y) % 256))
+            else:
+                exp.append((19 * doc_id + 3 * x + 7 * y) % 256)
+    assert d["pixels"] == exp
+
+
+def test_tiff_both_byte_orders_same_image():
+    """doc_ids 2k and 2k+1 differ only in byte order within an arm
+    quadrant; pin explicitly that II and MM streams carrying the same
+    pixel class decode to the same-shaped output (values differ by
+    doc_id, so just structure + a spot value)."""
+    a = mm.decode_tiff(mm.synth_tiff(7, 5, 4))   # II, RGB arm
+    b = mm.decode_tiff(mm.synth_tiff(7, 5, 5))   # MM, RGB arm
+    assert a["width"] == b["width"] and a["fmt"] == b["fmt"] == "tiff_rgb"
+    assert a["pixels"][0] == ((23 * 4) % 256, (29 * 4) % 256, (31 * 4) % 256)
+    assert b["pixels"][0] == ((23 * 5) % 256, (29 * 5) % 256, (31 * 5) % 256)
+
+
+def test_tiff_packbits_roundtrip_fuzz():
+    import random
+
+    rng = random.Random(5)
+    for _ in range(60):
+        n = rng.randint(1, 400)
+        data = bytes(
+            rng.choice([rng.randrange(256), 7]) for _ in range(n)
+        )  # mix of runs and literals
+        enc = mm._packbits_encode(data)
+        assert mm._packbits_decode(enc, n) == data
+
+
+def test_tiff_packbits_underrun_and_overrun_raise():
+    with pytest.raises(ValueError, match="underrun"):
+        mm._packbits_decode(bytes((0x00, 0x41)), 5)
+    with pytest.raises(ValueError, match="overrun"):
+        mm._packbits_decode(bytes((0xFE, 0x41)), 2)  # 3 repeats into 2
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9))
+def test_tiff_truncation_always_raises_fuzz(cutseed):
+    blob = mm.synth_tiff(11, 7, 6)  # PackBits RGB arm
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    try:
+        d = mm.decode_tiff(blob[:cut])
+    except ValueError:
+        return
+    # a prefix that still parses must at least not fabricate the full
+    # image (the IFD lives at the END of the stream, so any cut before
+    # it must raise on the IFD read)
+    raise AssertionError(f"prefix of {cut} bytes decoded silently: {d['fmt']}")
+
+
+def test_tiff_strip_count_mismatch_raises():
+    blob = bytearray(mm.synth_tiff(9, 7, 0))  # II, uncompressed, gray
+    # RowsPerStrip=3, height=7 -> 3 strips; patch height to 8 -> wants 3
+    at = blob.index((257).to_bytes(2, "little"))
+    blob[at + 8 : at + 12] = (20).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="strip count"):
+        mm.decode_tiff(bytes(blob))
+
+
+def test_tiff_strict_decode_media_accepts():
+    d = mm.decode_media(mm.synth_tiff(8, 6, 3), "x", strict=True)  # gray arm
+    assert d["fmt"] == "tiff_gray" and len(d["pixels"]) == 48
+    d = mm.decode_media(mm.synth_tiff(8, 6, 5), "x", strict=True)  # RGB arm
+    assert d["fmt"] == "tiff_rgb"
