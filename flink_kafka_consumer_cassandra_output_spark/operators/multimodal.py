@@ -1227,6 +1227,160 @@ def decode_ppm(content: bytes) -> dict:
     }
 
 
+def decode_pnm(content: bytes) -> dict:
+    """Netpbm family decode beyond P6 (r17): binary PGM (P5, maxval <=
+    255), binary PBM (P4, 1 bit/pixel MSB-first with byte-padded rows,
+    1 = black per the spec -- emitted raw), and the ASCII formats P1/
+    P2/P3 (whitespace/comment tokenization; P1 digits may be packed
+    without separators).  Output conventions match the P6 decoder:
+    row-major top-down ints (P1/P2/P4/P5) or (r, g, b) tuples (P3).
+    Strict: short rasters, out-of-range samples, trailing bytes
+    (binary forms), and malformed headers raise ``ValueError``."""
+    magic = content[:2]
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+        raise ValueError("not a P1-P5 PNM")
+    kind = magic[1] - 0x30
+    n_fields = 2 if kind in (1, 4) else 3
+    pos, fields = 2, []
+    while len(fields) < n_fields:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PNM header: ran out of tokens")
+        fields.append(int(content[start:pos]))
+    width, height = fields[0], fields[1]
+    maxval = fields[2] if n_fields == 3 else 1
+    if width <= 0 or height <= 0:
+        raise ValueError(
+            f"degenerate PNM dimensions (width={width}, height={height})")
+    if not 1 <= maxval <= 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if kind in (4, 5):
+        sep = content[pos : pos + 1]
+        if not sep.isspace():
+            raise ValueError("malformed PNM: header not followed by whitespace")
+        pos += 1
+        if kind == 5:
+            need = width * height
+            if len(content) != pos + need:
+                raise ValueError(
+                    f"P5 raster size mismatch: {len(content) - pos} bytes, "
+                    f"need {need}"
+                )
+            pixels = list(content[pos:])
+            if max(pixels, default=0) > maxval:
+                raise ValueError("P5 sample exceeds maxval")
+            return {"fmt": "pgm", "width": width, "height": height,
+                    "pixels": pixels}
+        stride = (width + 7) // 8
+        need = stride * height
+        if len(content) != pos + need:
+            raise ValueError(
+                f"P4 raster size mismatch: {len(content) - pos} bytes, "
+                f"need {need}"
+            )
+        pixels = []
+        for y in range(height):
+            row = content[pos + y * stride : pos + (y + 1) * stride]
+            for x in range(width):
+                pixels.append((row[x // 8] >> (7 - x % 8)) & 1)
+        return {"fmt": "pbm", "width": width, "height": height,
+                "pixels": pixels}
+    # ASCII forms: tokenize the raster
+    spp = 3 if kind == 3 else 1
+    need = width * height * spp
+    vals: list[int] = []
+    while len(vals) < need and pos < len(content):
+        c = content[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+            continue
+        if c == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        if kind == 1:
+            if c not in (b"0", b"1"):
+                raise ValueError(f"P1 raster carries non-bit byte {c!r}")
+            vals.append(content[pos] - 0x30)  # digits may be packed
+            pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    if len(vals) < need:
+        raise ValueError(
+            f"PNM raster ran out: {len(vals)} of {need} samples")
+    while pos < len(content) and content[pos : pos + 1].isspace():
+        pos += 1
+    if pos < len(content):
+        raise ValueError(
+            f"trailing bytes after PNM raster ({len(content) - pos})")
+    if any(v > maxval or v < 0 for v in vals):
+        raise ValueError("PNM sample exceeds maxval")
+    if kind == 3:
+        return {"fmt": "ppm_ascii", "width": width, "height": height,
+                "pixels": [tuple(vals[i : i + 3])
+                           for i in range(0, need, 3)]}
+    return {"fmt": "pbm_ascii" if kind == 1 else "pgm_ascii",
+            "width": width, "height": height, "pixels": vals}
+
+
+def synth_pnm(width: int, height: int, doc_id: int, kind: int) -> bytes:
+    """A REAL PNM of any of the five non-P6 kinds (r17): P1/P4 bitmap
+    ``(doc_id + x + y) % 2`` (P1 packed without separators on
+    odd doc_ids), P2/P5 graymap ``(19*doc_id + 3*x + 7*y) % 256``,
+    P3 pixmap with the TIFF RGB channel classes.  A ``# comment`` line
+    sits inside every header."""
+    hdr_comment = b"# synth doc %d\n" % doc_id
+    if kind in (1, 4):
+        bits = [[(doc_id + x + y) % 2 for x in range(width)]
+                for y in range(height)]
+        if kind == 1:
+            joiner = b"" if doc_id % 2 else b" "
+            body = b"\n".join(
+                joiner.join(b"%d" % v for v in row) for row in bits)
+            return b"P1\n" + hdr_comment + b"%d %d\n" % (width, height) + body + b"\n"
+        stride = (width + 7) // 8
+        raster = bytearray()
+        for row in bits:
+            acc = bytearray(stride)
+            for x, v in enumerate(row):
+                if v:
+                    acc[x // 8] |= 1 << (7 - x % 8)
+            raster += acc
+        return (b"P4\n" + hdr_comment + b"%d %d\n" % (width, height)
+                + bytes(raster))
+    if kind in (2, 5):
+        vals = [(19 * doc_id + 3 * x + 7 * y) % 256
+                for y in range(height) for x in range(width)]
+        if kind == 2:
+            body = b" ".join(b"%d" % v for v in vals)
+            return (b"P2\n" + hdr_comment + b"%d %d\n255\n" % (width, height)
+                    + body + b"\n")
+        return (b"P5\n" + hdr_comment + b"%d %d\n255\n" % (width, height)
+                + bytes(vals))
+    if kind == 3:
+        vals = []
+        for y in range(height):
+            for x in range(width):
+                vals += [(23 * doc_id + 5 * x + 3 * y) % 256,
+                         (29 * doc_id + x + 11 * y) % 256,
+                         (31 * doc_id + 9 * x + y) % 256]
+        body = b" ".join(b"%d" % v for v in vals)
+        return (b"P3\n" + hdr_comment + b"%d %d\n255\n" % (width, height)
+                + body + b"\n")
+    raise ValueError(f"unknown PNM kind {kind}")
+
+
 def decode_wav_pcm(content: bytes) -> dict:
     """Pure-Python sample decode of 16-bit PCM WAV: RIFF chunk walk to
     ``fmt `` (must be PCM, 16-bit) and ``data``, samples as signed
@@ -6303,6 +6457,8 @@ def decode_media(content: bytes, media_type: str, strict: bool = False):
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+        return decode_pnm(content)
     if content[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return decode_tiff(content)
     if content.startswith(_PNG_MAGIC):

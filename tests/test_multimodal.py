@@ -3122,3 +3122,73 @@ def test_tiff_strict_decode_media_accepts():
     assert d["fmt"] == "tiff_gray" and len(d["pixels"]) == 48
     d = mm.decode_media(mm.synth_tiff(8, 6, 5), "x", strict=True)  # RGB arm
     assert d["fmt"] == "tiff_rgb"
+
+
+# --------------------------------------------------------------------------
+# Netpbm family P1-P5 (r17, test-pinned; P6 keeps its original decoder)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(st.integers(1, 16), st.integers(1, 12), st.integers(0, 10**6),
+       st.sampled_from([1, 2, 3, 4, 5]))
+def test_pnm_decode_identity_fuzz(w, h, doc_id, kind):
+    """All five non-P6 Netpbm kinds against closed forms: ASCII
+    tokenization with header comments (P1 packed digits on odd
+    doc_ids), P4's MSB-first bit packing with byte-padded rows, P5's
+    exact-size binary raster."""
+    d = mm.decode_pnm(mm.synth_pnm(w, h, doc_id, kind))
+    assert d["width"] == w and d["height"] == h
+    if kind in (1, 4):
+        assert d["pixels"] == [(doc_id + x + y) % 2
+                               for y in range(h) for x in range(w)]
+    elif kind in (2, 5):
+        assert d["pixels"] == [(19 * doc_id + 3 * x + 7 * y) % 256
+                               for y in range(h) for x in range(w)]
+    else:
+        assert d["pixels"] == [
+            ((23 * doc_id + 5 * x + 3 * y) % 256,
+             (29 * doc_id + x + 11 * y) % 256,
+             (31 * doc_id + 9 * x + y) % 256)
+            for y in range(h) for x in range(w)
+        ]
+
+
+def test_pnm_p4_padding_bits_ignored():
+    """A width-9 P4 row spans two bytes; the 7 pad bits must not leak
+    into the next row's pixels."""
+    d = mm.decode_pnm(mm.synth_pnm(9, 3, 1, 4))
+    assert len(d["pixels"]) == 27
+    assert d["pixels"][:9] == [(1 + x) % 2 for x in range(9)]
+    assert d["pixels"][9:18] == [(2 + x) % 2 for x in range(9)]
+
+
+def test_pnm_sample_above_maxval_raises():
+    blob = b"P2\n2 1\n100\n50 101\n"
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_pnm(blob)
+
+
+def test_pnm_trailing_garbage_raises():
+    blob = mm.synth_pnm(4, 3, 2, 5) + b"x"
+    with pytest.raises(ValueError, match="mismatch"):
+        mm.decode_pnm(blob)
+    blob2 = mm.synth_pnm(4, 3, 2, 2) + b"7\n"
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_pnm(blob2)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.integers(0, 10**9), st.sampled_from([1, 2, 3, 4, 5]))
+def test_pnm_truncation_raises_or_never_fabricates(cutseed, kind):
+    """Binary kinds raise on any cut.  An ASCII prefix may still carry
+    the complete raster (e.g. only the final newline cut) -- then it
+    must decode IDENTICALLY to the full blob; any other prefix must
+    raise.  Either way a truncated stream never fabricates pixels."""
+    blob = mm.synth_pnm(7, 5, 9, kind)
+    full = mm.decode_pnm(blob)
+    cut = cutseed % (len(blob) - 1) if len(blob) > 1 else 0
+    try:
+        d = mm.decode_pnm(blob[:cut])
+    except ValueError:
+        return
+    assert d == full, f"prefix of {cut} bytes decoded DIFFERENT pixels"
