@@ -35,6 +35,58 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != F.lit(0.0), dot(a, b) / denom)
 
 
+# ---- Spark-SQL string twins (same expression, one parse) ------------------
+#
+# Column-by-Column construction of these folds costs ~40-60 py4j round-trips
+# each (every F.lit / lambda / operator is a socket round-trip to the JVM,
+# ~0.2-0.3 ms apiece -- profiled r17: plan CONSTRUCTION was ~40% of the bench
+# sweep).  The string forms below parse to the IDENTICAL Catalyst tree
+# (ArrayAggregate over ZipWith with the same lambda variable names, casts and
+# literals) in a single F.expr round-trip.  Oracle hashes are unaffected:
+# same expression, same bits.  tests/test_vectors_expr_twins.py pins the
+# Column/string forms equal on real data.
+
+def dot_expr(a: str, b: str) -> str:
+    """Spark-SQL string form of :func:`dot` over two array-typed SQL
+    expressions (column names or sub-expressions)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))), 0.0D, "
+        f"(acc, x) -> (acc + x))"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """String form of :func:`cosine` (same zero-norm NULL guard)."""
+    denom = f"({norm_expr(a)} * {norm_expr(b)})"
+    return f"(CASE WHEN {denom} != 0.0D THEN ({dot_expr(a, b)} / {denom}) END)"
+
+
+def dot_s(a: str, b: str) -> Column:
+    return F.expr(dot_expr(a, b))
+
+
+def norm_s(a: str) -> Column:
+    return F.expr(norm_expr(a))
+
+
+def cosine_s(a: str, b: str) -> Column:
+    return F.expr(cosine_expr(a, b))
+
+
+def array_lit(values) -> str:
+    """A Spark-SQL double-array literal with exact round-trip: repr() of a
+    Python float is the shortest digit string that parses back to the same
+    IEEE double, and Spark's SQL parser reads the D-suffixed literal with
+    Double.parseDouble -- so the planned literal is bit-identical to the
+    F.lit() it replaces."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in values) + ")"
+
+
 # ---- DuckDB oracle twins (same fold order => same bits) -------------------
 
 def dot_sql(a: str, b: str) -> str:

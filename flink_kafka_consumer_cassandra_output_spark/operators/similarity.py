@@ -422,12 +422,25 @@ def connected_components(
                 .groupBy("v")
                 .agg(F.min("lbl").alias("lbl"))
             )
-            stepped = materialize(stepped)
-            # Pointer jump: re-resolve each label through the label table.
-            # Every label IS a vertex id (the invariant above), so the
-            # lookup hits; left-join + coalesce keeps partial node sets
+            # Pointer jump fused into the SAME materialization (r17): the
+            # jump re-resolves each stepped label through the START-OF-ROUND
+            # label table instead of through stepped itself, so one round is
+            # ONE materialized plan (neighbor min + jump join) instead of
+            # two -- one checkpoint/stage write of the V-row label table
+            # saved per round at every scale, and one fewer fixed-overhead
+            # job locally.  Correctness is unchanged: every label IS a
+            # vertex id with labels(x) <= x (init labels(v)=v, labels only
+            # decrease), so the looked-up old label can only tighten the
+            # result, the reachability invariant is preserved (labels(S(v))
+            # is reachable from S(v), which is reachable from v), and the
+            # fixed point is still the component minimum.  Jumping through
+            # the round-start table keeps the O(log d) doubling argument:
+            # if v's label sits d hops up its component's pointer tree, the
+            # neighbor step moves it >= 1 and the jump adds the target's
+            # own d hops (the 1024-chain test still converges well inside
+            # max_iters).  Left-join + coalesce keeps partial node sets
             # (edge endpoints missing from ``nodes``) from dropping rows.
-            jump = stepped.select(
+            jump = labels.select(
                 F.col("v").alias("lbl"), F.col("lbl").alias("jumped")
             )
             jumped = materialize(
@@ -435,11 +448,10 @@ def connected_components(
                 .select("v", F.coalesce("jumped", "lbl").alias("lbl"))
             )
             # Staging-mode reclamation: once the jumped labels are
-            # eagerly materialized, the prior round's label table and
-            # this round's stepped table are dead -- drop them NOW so an
-            # iterative run holds ~2 rounds of stage files, not
-            # max_iters' worth (no-op under localCheckpoint).
-            drop_stage(stepped)
+            # eagerly materialized, the prior round's label table is
+            # dead -- drop it NOW so an iterative run holds ~2 rounds of
+            # stage files, not max_iters' worth (no-op under
+            # localCheckpoint).
             drop_stage(labels)
             labels = jumped
             new_sum = labels.agg(F.sum("lbl")).first()[0]
@@ -588,10 +600,10 @@ def bfs_hops(
     against the (persisted, symmetrized) edge table, anti-joins the
     visited set, and tags survivors hop=i.  A vertex is reached first at
     its true BFS level, so no min-fold over competing hop values is ever
-    needed -- the anti-join IS the min.  Rounds materialize via
-    :func:`materialize` with mid-loop :func:`drop_stage` reclamation and
-    exit early on an empty frontier, exactly the
-    :func:`connected_components` discipline.
+    needed -- the anti-join IS the min.  Each frontier materializes ONCE
+    via :func:`materialize` and the visited set is the lazy union of
+    those flat scans (O(V) rows written across the whole traversal); the
+    loop exits early on an empty frontier.
 
     Scale: per round one equi-join frontier-to-edges (shuffle keyed on
     vertex id, frontier side shrinks as the wave passes) plus one
@@ -617,6 +629,16 @@ def bfs_hops(
         ).alias("e")
     ).select("e.a", "e.b").persist()
     try:
+        # ``visited`` is a LAZY union of materialized per-level frontiers
+        # (r17): every frontier is checkpointed/staged exactly once and the
+        # union just concatenates those flat scans, so the loop writes
+        # O(V) rows TOTAL instead of re-materializing the whole visited
+        # set every round (O(V * depth) writes), and each level costs one
+        # job instead of two.  The union tree stays bounded by max_hops
+        # unions of zero-lineage scans -- no lineage blow-up -- and every
+        # level's stage table must outlive the loop anyway (it IS part of
+        # the result), so nothing is reclaimable mid-loop; staged tables
+        # fall to cleanup_staging with the rest of the app's stages.
         visited = materialize(init)
         frontier = visited.select("v")
         for i in range(1, max_hops + 1):
@@ -630,11 +652,7 @@ def bfs_hops(
             if nxt.count() == 0:
                 drop_stage(nxt)
                 break
-            merged = materialize(visited.unionByName(nxt))
-            # the old visited set and the old frontier are dead once the
-            # merge is eagerly materialized (nxt was built from them)
-            drop_stage(visited)
-            visited = merged
+            visited = visited.unionByName(nxt)
             frontier = nxt
         return nodes.join(visited, "v", "left").select(
             "v", F.coalesce("hop", F.lit(-1).cast("long")).alias("hop")

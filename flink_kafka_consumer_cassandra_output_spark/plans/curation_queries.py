@@ -2194,7 +2194,19 @@ def doc_char_kl_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _ln_libm(s: pd.Series) -> pd.Series:
         return s.map(lambda v: None if pd.isna(v) else math.log(v))
 
-    lns = ints.select("v", _ln_libm(F.col("v").cast("double")).alias("lv"))
+    # Materialized (r17): the four _ln_of broadcasts below are four
+    # SEPARATE exchanges (each projects different column aliases, so
+    # exchange reuse never fires), and an unmaterialized lns re-executed
+    # the whole distinct-int chain -- explode + two unions + two
+    # distincts + the Arrow ln pass -- once per broadcast (measured: the
+    # query's run dropped ~0.5 s at sf0.1 from this one call).  The frame
+    # is bounded by distinct integer values (doc-length cap + charset),
+    # never corpus-proportional, but can exceed the 4096-row
+    # rebroadcast_small guard, so the checkpoint/staging form is the
+    # right one.
+    lns = materialize(
+        ints.select("v", _ln_libm(F.col("v").cast("double")).alias("lv"))
+    )
 
     def _ln_of(col):
         return F.broadcast(lns.select(

@@ -1322,10 +1322,14 @@ def _hll_lc_sql() -> str:
 
 
 def _hll_lc_col():
-    out = F.lit(None).cast("double")
-    for v in range(1, SK.HLL_M + 1):
-        out = F.when(F.col("v_zero") == v, F.lit(SK.HLL_LC_TABLE[v])).otherwise(out)
-    return out
+    # One F.expr parse instead of 64 nested F.when py4j round-trips (r17
+    # plan-construction optimization); the simple-CASE form returns NULL
+    # when no branch matches, exactly like the old chain's seed literal.
+    # repr() double literals round-trip bit-exact (see vectors.array_lit).
+    branches = " ".join(
+        f"WHEN {v} THEN {SK.HLL_LC_TABLE[v]!r}D" for v in range(1, SK.HLL_M + 1)
+    )
+    return F.expr(f"(CASE v_zero {branches} END)")
 
 
 @register(
@@ -1414,19 +1418,19 @@ def ev_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = allr.join(maxes, ["event_type", "reg"], "left").select(
         "event_type", "reg", F.coalesce(F.col("m"), F.lit(0)).alias("m")
     )
-    pows = F.transform(
-        F.array_sort(F.collect_list(F.struct("reg", "m"))),
-        lambda s: F.pow(F.lit(2.0), -s["m"]),
+    # expr-string forms of the register fold (r17 plan-construction
+    # optimization): same expression trees, a handful of py4j calls.
+    pows = F.expr(
+        "transform(array_sort(collect_list(struct(reg, m))), "
+        "s -> power(2.0D, -s.m))"
     )
     folded = filled.groupBy("event_type").agg(
         pows.alias("pows"),
-        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_zero"),
+        F.expr("sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)").alias("v_zero"),
     )
-    n = F.size(F.col("pows"))
-    hsum = F.aggregate(
-        F.slice(F.col("pows"), 2, n - 1),
-        F.element_at(F.col("pows"), 1),
-        lambda acc, x: acc + x,
+    hsum = F.expr(
+        "aggregate(slice(pows, 2, size(pows) - 1), element_at(pows, 1), "
+        "(acc, x) -> acc + x)"
     )
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")

@@ -3439,18 +3439,17 @@ FROM proj"""
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     signs = _jl_signs()
+    # Plan-construction cost (r17): the 16x64 sign matrix as F.lit columns
+    # was ~7,000 py4j round-trips (~2.5 s of builder time per bench repeat,
+    # profiled); the string form parses the same literals/folds in 17
+    # F.expr calls.  Same expression tree, same bits -- see
+    # vectors.dot_expr/array_lit.
     projs = [
-        V.dot(
-            F.col("embedding"),
-            F.array(*[F.lit(float(s)) for s in signs[d]]),
-        ).alias(f"p{d}")
+        V.dot_s("embedding", V.array_lit(signs[d])).alias(f"p{d}")
         for d in range(JL_DIMS)
     ]
-    proj = e.select("vec_id", V.norm(F.col("embedding")).alias("orig_norm"), *projs)
-    sq_sum = None
-    for d in range(JL_DIMS):
-        term = F.col(f"p{d}") * F.col(f"p{d}")
-        sq_sum = term if sq_sum is None else (sq_sum + term)
+    proj = e.select("vec_id", V.norm_s("embedding").alias("orig_norm"), *projs)
+    sq_sum = F.expr(" + ".join(f"(p{d} * p{d})" for d in range(JL_DIMS)))
     proj_norm = F.sqrt(sq_sum)
     return proj.select(
         "vec_id",
