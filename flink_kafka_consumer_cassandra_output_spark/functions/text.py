@@ -225,27 +225,34 @@ def with_simhash(df, text_col: str, out_col: str, bits: int = SIMHASH_BITS):
     naive per-bit ``list_sum`` form -- the values are identical integers
     either way.
     """
-    from functools import reduce
-
     assert bits % 4 == 0 and bits <= 60
     n_longs = (bits + 3) // 4
-    hs = token_hashes(F.col(text_col), bits)
 
-    def spread(h: Column, k: int) -> Column:
+    # The whole packed fold as ONE expr string (r17 plan-construction
+    # optimization): the Column form cost several hundred py4j round-trips
+    # per sketch (struct accumulator x n_longs fields x 4 bit-spreads);
+    # the string parses the identical ArrayAggregate tree in one call.
+    def spread_sql(k: int) -> str:
         terms = [
-            F.shiftleft(F.shiftright(h, 4 * k + b).bitwiseAND(F.lit(1)), 16 * b)
+            f"shiftleft((shiftright(h, {4 * k + b}) & 1), {16 * b})"
             for b in range(min(4, bits - 4 * k))
         ]
-        return reduce(lambda a, b2: a + b2, terms)
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
 
-    zero = F.struct(*[F.lit(0).cast("long").alias(f"c{k}") for k in range(n_longs)])
-    packed = F.aggregate(
-        hs,
-        zero,
-        lambda acc, h: F.struct(
-            *[(acc[f"c{k}"] + spread(h, k)).alias(f"c{k}") for k in range(n_longs)]
-        ),
+    hs_sql = (
+        f"transform(split({text_col}, ' '), "
+        f"t -> CAST(conv(substring(md5(t), 1, {bits // 4}), 16, 10) AS BIGINT))"
     )
+    zero_sql = "named_struct(" + ", ".join(
+        f"'c{k}', CAST(0 AS BIGINT)" for k in range(n_longs)
+    ) + ")"
+    step_sql = "named_struct(" + ", ".join(
+        f"'c{k}', (acc.c{k} + {spread_sql(k)})" for k in range(n_longs)
+    ) + ")"
+    packed = F.expr(f"aggregate({hs_sql}, {zero_sql}, (acc, h) -> {step_sql})")
     tmp_packed, tmp_n = f"__{out_col}_packed", f"__{out_col}_n"
     # The guard must run BEFORE the fold (the overflow happens inside the
     # fold's accumulator, not at unpack time), so the fold is the lazy
@@ -268,19 +275,22 @@ def with_simhash(df, text_col: str, out_col: str, bits: int = SIMHASH_BITS):
     df = df.withColumn(
         tmp_n, F.size(tokens(F.col(text_col))).cast("long")
     ).withColumn(tmp_packed, F.when(guard.isNull(), packed))
+    # Per-bit unpack as one expr string too (same values as the old
+    # F.when chain: CASE ... ELSE 0 END summed left-associatively).
     terms = []
     for j in range(bits):
         k, b = divmod(j, 4)
-        cnt = F.shiftright(F.col(tmp_packed)[f"c{k}"], 16 * b).bitwiseAND(F.lit(0xFFFF))
+        cnt = f"(shiftright({tmp_packed}.c{k}, {16 * b}) & 65535)"
         terms.append(
-            F.when(cnt * 2 > F.col(tmp_n), F.lit(1 << j)).otherwise(F.lit(0))
+            f"(CASE WHEN ({cnt} * 2) > {tmp_n} THEN {1 << j} ELSE 0 END)"
         )
+    summed = terms[0]
+    for t in terms[1:]:
+        summed = f"({summed} + {t})"
     # NULL text => NULL sketch: without the isNotNull gate every per-bit
     # term's NULL comparison falls into otherwise(0) and a null document
     # would silently sketch as 0 (a legal sketch value).
-    sketch = F.when(
-        F.col(tmp_n).isNotNull(), reduce(lambda a, b2: a + b2, terms)
-    ).cast("long")
+    sketch = F.when(F.col(tmp_n).isNotNull(), F.expr(summed)).cast("long")
     return df.withColumn(out_col, sketch).drop(tmp_packed, tmp_n)
 
 

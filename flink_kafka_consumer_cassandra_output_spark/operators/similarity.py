@@ -46,31 +46,42 @@ NUM_HASHES = 8
 BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
 
 
-def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+def minhash_signature(shingles: str, num_hashes: int = NUM_HASHES) -> Column:
     """MinHash signature: per seed, the min md5 hex digest over shingles.
 
-    ``shingles`` must be a deduplicated array<string> column.  Returns
+    ``shingles`` names a deduplicated array<string> column.  Returns
     array<string> of length ``num_hashes``.
 
-    The seed is bound via a closure FACTORY, never a second lambda
-    parameter: PySpark treats a two-parameter ``transform`` lambda as
-    ``(element, index)`` and silently overrides a ``i=i`` default with the
-    index Column, whose repr then lands in the f-string prefix -- turning
-    the hash into a per-plan random salt (consistent within one query, so
-    single-plan banding and even the cross-engine pair oracle still
-    passed; any MATERIALIZED signature compared across plans broke).
-    Found when the streaming funnel's stored band index missed every
-    cross-batch candidate; pinned by the known-answer test in
+    Historical trap this construction must never reintroduce: the seed
+    belongs INSIDE the hashed prefix as a literal.  The old Column-based
+    form bound it via a closure factory because PySpark treats a
+    two-parameter ``transform`` lambda as ``(element, index)`` and
+    silently overrides an ``i=i`` default with the index Column, whose
+    repr then lands in the f-string prefix -- turning the hash into a
+    per-plan random salt (consistent within one query, so single-plan
+    banding and even the cross-engine pair oracle still passed; any
+    MATERIALIZED signature compared across plans broke).  Found when the
+    streaming funnel's stored band index missed every cross-batch
+    candidate; pinned by the known-answer test in
     tests/test_similarity.py.
     """
 
-    def h(i: int) -> Column:
-        prefix = f"{i}|"
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    # One F.expr parse instead of ~6 py4j round-trips per hash function
+    # (r17 plan-construction optimization; with NUM_HASHES=64 this was
+    # ~400 round-trips per call site).  String-name input only: every
+    # caller passes a materialized shingle column.  The literal prefix is
+    # embedded directly in the SQL string, which sidesteps the
+    # lambda-index trap documented above by construction.
+    if isinstance(shingles, Column):
+        raise TypeError(
+            "minhash_signature takes the shingle COLUMN NAME (str); "
+            "project computed shingles to a column first"
         )
-
-    return F.array(*[h(i) for i in range(num_hashes)])
+    parts = ", ".join(
+        f"array_min(transform({shingles}, s -> md5(concat('{i}|', s))))"
+        for i in range(num_hashes)
+    )
+    return F.expr(f"array({parts})")
 
 
 def band_value(sig: Column, band_id: int, rows_per_band: int) -> Column:
@@ -95,11 +106,17 @@ def lsh_bands(
     arrivals against it instead of re-deriving signatures for the whole
     corpus (see streaming.pipeline.run_curation_funnel_stream)."""
     r = num_hashes // bands
+    # expr-string band array (r17): one parse instead of bands*r getItem
+    # round-trips; sig[k] is 0-based in both the Column and SQL forms.
+    band_arr = ", ".join(
+        "concat_ws('#', "
+        + ", ".join(f"{sig_col}[{b * r + j}]" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
     return sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(*[band_value(F.col(sig_col), b, r) for b in range(bands)])
-        ).alias("band_id", "band_val"),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band_id", "band_val"),
     )
 
 
@@ -678,7 +695,7 @@ def brute_force_topk(
     the per-query top-k (shuffle on query_id, bounded by |queries| * k).
     """
     j = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
-    cos = vectors.cosine(F.col("query_emb"), F.col("embedding"))
+    cos = vectors.cosine_s("query_emb", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         j.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
@@ -783,10 +800,11 @@ def brute_force_topk_arrow(
     )
 
 
-def lsh_sign_bucket(emb: Column, planes: Column, n_planes: int) -> Column:
+def lsh_sign_bucket(emb: str, planes: str, n_planes: int) -> Column:
     """Random-hyperplane (SimHash) bucket code: bit j = sign(<v, plane_j>).
 
-    ``planes`` is a COLUMN holding the plane vectors (array of
+    ``emb`` and ``planes`` are SQL strings (column names); ``planes``
+    names a COLUMN holding the plane vectors (array of
     array<float>, one element per plane) — in practice a one-row
     aggregated frame broadcast onto the corpus, so the plane set never
     leaves the cluster (no driver ``.collect()`` bootstrap).  ``n_planes``
@@ -796,11 +814,18 @@ def lsh_sign_bucket(emb: Column, planes: Column, n_planes: int) -> Column:
     literal-plane formulation (float -> double widening is exact either
     way), so swapping the plane source does not move a single bucket.
     """
-    code = F.lit(0)
-    for j in range(n_planes):
-        p = F.element_at(planes, j + 1)
-        code = code + F.when(vectors.dot(emb, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return code
+    # expr-string per-bit chain (r17): one parse instead of n_planes full
+    # dot-product constructions (~60 py4j round-trips each).  The leading
+    # 0 literal of the old chain is dropped (0 + x == x for int sums);
+    # every CASE arm is the exact F.when/dot tree the Column form built.
+    if isinstance(emb, Column) or isinstance(planes, Column):
+        raise TypeError("lsh_sign_bucket takes SQL strings (column names)")
+    terms = " + ".join(
+        f"(CASE WHEN {vectors.dot_expr(emb, f'element_at({planes}, {j + 1})')} "
+        f"> 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return F.expr(f"({terms})")
 
 
 def lsh_multiprobe_codes(code: Column, n_planes: int) -> Column:
@@ -824,13 +849,20 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     side is corpus-sized, so a broadcast hint would be the 100 TB
     driver-OOM mistake the TPC-H modules already corrected)."""
     j = corpus.select("vec_id", "embedding").crossJoin(F.broadcast(centroids))
-    cos = vectors.cosine(F.col("embedding"), F.col("cent_emb"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    cos = vectors.cosine_s("embedding", "cent_emb")
+    # Argmax as a map-side-combinable MAX aggregate (r17, guide section
+    # 2.3): max(struct(cos_c, -cent_id)) is the lexicographic maximum --
+    # the exact row the old row_number()-over-(cos DESC, cent_id ASC)
+    # window picked, including the NULL-cosine corpus (a null struct
+    # field orders below every value, exactly like DESC NULLS LAST; the
+    # degenerate-embeddings sweep pins this) -- but partial-aggregates
+    # the N x |codebook| candidate rows before the shuffle instead of
+    # shipping them all to a sort + window.
     best = (
         j.select("vec_id", "cent_id", cos.alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("bucket"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("nc"))).alias("b"))
+        .select("vec_id", (-F.col("b.nc")).alias("bucket"))
     )
     return corpus.join(best, "vec_id").select("vec_id", "embedding", "bucket")
 
@@ -899,7 +931,7 @@ def ivf_topk(
     outside the probed buckets, which is the entire point at 100 TB.
     """
     jq = queries.crossJoin(F.broadcast(centroids))
-    qcos = vectors.cosine(F.col("query_emb"), F.col("cent_emb"))
+    qcos = vectors.cosine_s("query_emb", "cent_emb")
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     probes = (
         jq.select("query_id", "query_emb", "cent_id", qcos.alias("cos_c"))
@@ -910,7 +942,7 @@ def ivf_topk(
     cands = probes.join(assigned, "bucket").filter(
         F.col("query_id") != F.col("vec_id")
     )
-    cos = vectors.cosine(F.col("query_emb"), F.col("embedding"))
+    cos = vectors.cosine_s("query_emb", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))

@@ -1739,16 +1739,25 @@ LIMIT 50
     sibling="doc_zipf_fit",
 )
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import materialize
+
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     w = F.split(F.col("text"), " ")
     uni = d.select(F.explode(w).alias("tok"))
-    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # Materialized count tables (r17): ucnt used to be evaluated TWICE (one
+    # broadcast exchange per x/y join, each re-running the corpus explode +
+    # aggregate), and the totals ran two MORE corpus explode passes.  Now
+    # each explode pass runs once into a vocabulary-sized checkpoint, and
+    # the totals are exact integer sums over those counts (nu = sum of
+    # unigram counts, nb = sum of bigram counts -- the same BIGINTs the
+    # direct count() passes produced).  4 corpus passes -> 2 at every scale.
+    ucnt = materialize(uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
     big = d.where(F.size(w) >= 2).select(
         F.explode(TX.word_shingles(F.col("text"), 2)).alias("gram")
     )
-    bcnt = big.groupBy("gram").agg(F.count(F.lit(1)).alias("cxy"))
-    totals = uni.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
-        big.agg(F.count(F.lit(1)).alias("nb"))
+    bcnt = materialize(big.groupBy("gram").agg(F.count(F.lit(1)).alias("cxy")))
+    totals = ucnt.agg(F.sum("c").alias("nu")).crossJoin(
+        bcnt.agg(F.sum("cxy").alias("nb"))
     )
     parts = F.split(F.col("gram"), " ")
     b = (

@@ -409,7 +409,7 @@ def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
     )
-    sigs = docs.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+    sigs = docs.withColumn("sig", SIM.minhash_signature("sh"))
     cand = SIM.lsh_candidate_pairs(sigs)
     x = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     y = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -833,7 +833,7 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = materialize(d.join(exact_kept, "doc_id").select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
     ))
-    sigs = shingled.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+    sigs = shingled.withColumn("sig", SIM.minhash_signature("sh"))
     cand = SIM.lsh_candidate_pairs(sigs)
     x = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     y = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -2433,7 +2433,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("label") != F.col("query_label")),
     )
-    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    cos = V.cosine_s("query_emb", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.select(
@@ -2511,7 +2511,7 @@ def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("label") != F.col("query_label")),
     )
-    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    cos = V.cosine_s("query_emb", "embedding")
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     ranked = cands.select(
         "query_id",
@@ -2614,7 +2614,7 @@ def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (a.cast("double") - b.cast("double")),
     )
     l2sq = F.aggregate(diff, F.lit(0.0), lambda x, y: x + y)
-    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    cos = V.cosine_s("query_emb", "embedding")
     w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     w_l2 = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("neighbor_id"))
     scored = (
@@ -2886,7 +2886,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(y),
             (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
         )
-        .filter(V.cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(SEMDEDUP_TAU))
+        .filter(V.cosine_s("emb_a", "emb_b") >= F.lit(SEMDEDUP_TAU))
         .select("id_a", "id_b")
     )
     # directed rep adjacency: (center rep, similar partner rep)
@@ -3013,7 +3013,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = e.crossJoin(F.broadcast(planes_row)).select(
         "vec_id",
         "embedding",
-        SIM.lsh_sign_bucket(F.col("embedding"), F.col("planes"), n_planes).alias("bucket"),
+        SIM.lsh_sign_bucket("embedding", "planes", n_planes).alias("bucket"),
     )
     q = coded.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -3029,7 +3029,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("query_emb"), F.col("embedding")).alias("cosine"),
+            V.cosine_s("query_emb", "embedding").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
@@ -3071,7 +3071,7 @@ def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("anchor_id") != F.col("other_id")))
         .select(
             "anchor_id", "other_id", "label",
-            V.cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+            V.cosine_s("emb_a", "emb_b").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "anchor_id", "other_id")
         .limit(100)
@@ -3626,7 +3626,7 @@ FROM (
 )
 def doc_minhash_estimate_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_shingled(spark, sf_dir)
-    sigs = docs.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+    sigs = docs.withColumn("sig", SIM.minhash_signature("sh"))
     cand = SIM.lsh_candidate_pairs(sigs)
     x = sigs.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
@@ -3796,18 +3796,20 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.aggregate(diff, F.lit(0.0), lambda x, y: x + y)
 
-    wc = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("d2"), F.asc("cent_id")
-    )
+    # Argmin as a map-side-combinable MIN aggregate (r17, guide section
+    # 2.3): min(struct(d2, cent_id)) is the lexicographic minimum -- the
+    # exact row the old row_number()-over-(d2 ASC, cent_id ASC) window
+    # picked -- but partial-aggregates before the shuffle instead of
+    # shipping all |corpus| x M x K candidate rows to a sort+window.
     codes = (
         sub.join(F.broadcast(cb), "m")
         .select(
             "vec_id", "m", "cent_id",
             _l2sq(F.col("sv"), F.col("cent_sv")).alias("d2"),
         )
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cent_id").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cent_id")).alias("best"))
+        .select("vec_id", "m", F.col("best.cent_id").alias("code"))
     )
     q = sub.filter(F.col("vec_id") < PQ_NQUERIES).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("q_sv")
@@ -4027,11 +4029,11 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
         part = inc.groupBy("v", "b").agg(
             F.array_sort(F.collect_list("sc")).alias("cs")
         )
-        ncs = F.size(F.col("cs"))
-        sb = F.aggregate(
-            F.slice(F.col("cs"), 2, ncs - 1),
-            F.element_at(F.col("cs"), 1)["c"],
-            lambda acc, x: acc + x["c"],
+        # expr-string folds (r17 plan-construction optimization): same
+        # sequential trees, one parse each instead of ~50 py4j calls.
+        sb = F.expr(
+            "aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1).c, "
+            "(acc, x) -> acc + x.c)"
         )
         summed = (
             part.select(
@@ -4040,11 +4042,9 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
             .groupBy("v")
             .agg(F.array_sort(F.collect_list("bs")).alias("bss"))
         )
-        nbs = F.size(F.col("bss"))
-        s = F.aggregate(
-            F.slice(F.col("bss"), 2, nbs - 1),
-            F.element_at(F.col("bss"), 1)["s"],
-            lambda acc, x: acc + x["s"],
+        s = F.expr(
+            "aggregate(slice(bss, 2, size(bss) - 1), element_at(bss, 1).s, "
+            "(acc, x) -> acc + x.s)"
         )
         r = summed.crossJoin(F.broadcast(nv)).select(
             "v",
@@ -4326,7 +4326,7 @@ def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
     )
     c = e.filter(F.col("vec_id") >= 50).select("vec_id", "embedding", "label")
-    cos = V.cosine(F.col("query_emb"), F.col("embedding"))
+    cos = V.cosine_s("query_emb", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     nn = (
         c.crossJoin(F.broadcast(q))
@@ -4795,72 +4795,73 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id",
         (F.col("vec_id") % 8).alias("bucket"),
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("v"),
     )
 
-    def fold_add(arr):
-        return F.aggregate(
-            F.slice(arr, 2, F.size(arr) - 1),
-            F.element_at(arr, 1),
-            lambda a, b: a + b,
+    # expr-string fold builders (r17 plan-construction optimization): the
+    # Column-lambda forms cost ~50-100 py4j round-trips per fold and the
+    # triple-unrolled loop built each one three times; each string parses
+    # the identical tree (same first-element seed, same lambda shapes,
+    # same argument-duplication) in one call.
+    def fa(arr: str) -> str:
+        return (
+            f"aggregate(slice({arr}, 2, size({arr}) - 1), "
+            f"element_at({arr}, 1), (a, b) -> a + b)"
         )
 
-    def fold_vec(arr):
-        return F.aggregate(
-            F.slice(arr, 2, F.size(arr) - 1),
-            F.element_at(arr, 1),
-            lambda a, b: F.zip_with(a, b, lambda p, q: p + q),
+    def fv(arr: str) -> str:
+        return (
+            f"aggregate(slice({arr}, 2, size({arr}) - 1), "
+            f"element_at({arr}, 1), (a, b) -> zip_with(a, b, (p, q) -> p + q))"
         )
 
-    def dot(a, b):
-        return fold_add(F.zip_with(a, b, lambda p, q: p * q))
+    def dt(a: str, b: str) -> str:
+        return fa(f"zip_with({a}, {b}, (p, q) -> p * q)")
 
     xdf = spark.range(1).select(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
+        F.expr(
+            "transform(sequence(1, 64), "
+            "i -> CASE WHEN i = 1 THEN 1.0D ELSE 0.0D END)"
         ).alias("x")
     )
     for _ in range(3):
         s = e.crossJoin(F.broadcast(xdf)).select(
-            "vec_id", "bucket", "v", dot(F.col("v"), F.col("x")).alias("s")
+            "vec_id", "bucket", "v", F.expr(dt("v", "x")).alias("s")
         )
         w = s.select(
             "vec_id", "bucket",
-            F.transform(F.col("v"), lambda c: c * F.col("s")).alias("wv"),
+            F.expr("transform(v, c -> c * s)").alias("wv"),
         )
         l1 = (
             w.groupBy("bucket")
             .agg(F.array_sort(F.collect_list(F.struct("vec_id", "wv"))).alias("arr"))
             .select(
                 "bucket",
-                fold_vec(F.transform(F.col("arr"), lambda t: t["wv"])).alias("sv"),
+                F.expr(fv("transform(arr, t -> t.wv)")).alias("sv"),
             )
         )
         y = l1.agg(
             F.array_sort(F.collect_list(F.struct("bucket", "sv"))).alias("arr2")
-        ).select(fold_vec(F.transform(F.col("arr2"), lambda t: t["sv"])).alias("y"))
-        norm = F.sqrt(fold_add(F.transform(F.col("y"), lambda c: c * c)))
+        ).select(F.expr(fv("transform(arr2, t -> t.sv)")).alias("y"))
+        norm = f"sqrt({fa('transform(y, c -> c * c)')})"
         xdf = y.select(
-            F.transform(F.col("y"), lambda c: c / norm).alias("x")
+            F.expr(f"transform(y, c -> c / {norm})").alias("x")
         )
     sf = e.crossJoin(F.broadcast(xdf.withColumnRenamed("x", "xf"))).select(
-        "vec_id", "bucket", dot(F.col("v"), F.col("xf")).alias("s")
+        "vec_id", "bucket", F.expr(dt("v", "xf")).alias("s")
     )
     r1 = (
         sf.groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "s"))).alias("arr"))
         .select(
             "bucket",
-            fold_add(
-                F.transform(F.col("arr"), lambda t: t["s"] * t["s"])
-            ).alias("q1"),
+            F.expr(fa("transform(arr, t -> t.s * t.s)")).alias("q1"),
         )
     )
     r2 = r1.agg(
         F.array_sort(F.collect_list(F.struct("bucket", "q1"))).alias("arr2")
     ).select(
-        fold_add(F.transform(F.col("arr2"), lambda t: t["q1"])).alias("lam")
+        F.expr(fa("transform(arr2, t -> t.q1)")).alias("lam")
     )
     return r2.crossJoin(F.broadcast(xdf)).select(
         F.col("lam").alias("eigenvalue_estimate"),
@@ -4868,7 +4869,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("x", 2).alias("x2"),
         F.element_at("x", 3).alias("x3"),
         F.element_at("x", 4).alias("x4"),
-        fold_add(F.transform(F.col("x"), lambda c: c * c)).alias("x_norm_sq"),
+        F.expr(fa("transform(x, c -> c * c)")).alias("x_norm_sq"),
     )
 
 
@@ -4999,7 +5000,7 @@ WITH q AS (
 def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    rel = V.cosine(F.col("qe"), F.col("embedding"))
+    rel = V.cosine_s("qe", "embedding")
 
     # Candidate GENERATION is distributed (one corpus scan, TakeOrdered);
     # the greedy SELECTION runs on the 12-row candidate set in a single

@@ -488,26 +488,30 @@ def quantile_rank_certificate(o: DataFrame, agg: DataFrame) -> DataFrame:
     booleans flip (the certificate must be falsifiable, or the oracle's
     TRUE columns prove nothing)."""
     j = o.join(F.broadcast(agg), "o_orderstatus")
+    # expr-string forms (r17 plan-construction optimization): one parse
+    # per aggregate/flag instead of ~15 py4j round-trips each; repr()
+    # double literals round-trip bit-exact.
     cnt_cols = []
     for i in range(len(_QUANTILES)):
-        v = F.element_at("q", i + 1)
-        cnt_cols.append(
-            F.sum(F.when(F.col("o_totalprice") < v, 1).otherwise(0)).alias(f"lt{i}")
-        )
-        cnt_cols.append(
-            F.sum(F.when(F.col("o_totalprice") <= v, 1).otherwise(0)).alias(f"le{i}")
-        )
+        for op, tag in (("<", "lt"), ("<=", "le")):
+            cnt_cols.append(
+                F.expr(
+                    f"sum(CASE WHEN o_totalprice {op} element_at(q, {i + 1}) "
+                    "THEN 1 ELSE 0 END)"
+                ).alias(f"{tag}{i}")
+            )
     chk = j.groupBy("o_orderstatus", "n_orders").agg(*cnt_cols)
     eps = 1.0 / _QUANTILE_ACCURACY
-    n = F.col("n_orders").cast("double")
+    n = "CAST(n_orders AS DOUBLE)"
     oks = []
     for i, (q, name) in enumerate(zip(_QUANTILES, ("p25", "p50", "p75", "p90"))):
-        slack = eps * n + F.lit(1.0)  # +1 absorbs rank-rounding conventions
-        lo, hi = F.lit(q) * n - slack, F.lit(q) * n + slack
+        slack = f"(({eps!r}D * {n}) + 1.0D)"  # +1 absorbs rank-rounding conventions
+        lo = f"(({q!r}D * {n}) - {slack})"
+        hi = f"(({q!r}D * {n}) + {slack})"
         oks.append(
-            (
-                (F.col(f"lt{i}").cast("double") + F.lit(1.0) <= hi)
-                & (F.col(f"le{i}").cast("double") >= lo)
+            F.expr(
+                f"((CAST(lt{i} AS DOUBLE) + 1.0D) <= {hi}) "
+                f"AND (CAST(le{i} AS DOUBLE) >= {lo})"
             ).alias(f"{name}_ok")
         )
     return chk.select("o_orderstatus", "n_orders", *oks)

@@ -807,7 +807,7 @@ def run_curation_funnel_stream(
             # only the new docs are signed/banded; stored docs contribute
             # their band rows as written on their own arrival.
             new_banded = SIM.lsh_bands(
-                new.withColumn("sig", SIM.minhash_signature(F.col("sh")))
+                new.withColumn("sig", SIM.minhash_signature("sh"))
             ).persist()
             stored_bands = read_committed(
                 bands_path, bands_schema, ["doc_id", "band_id", "band_val"]

@@ -174,8 +174,8 @@ def test_minhash_signature_known_answer(spark):
         "SELECT array('alpha beta gamma', 'beta gamma delta', "
         "'gamma delta epsilon') AS sh"
     )
-    got1 = df.select(minhash_signature(F.col("sh")).alias("sig")).first().sig
-    got2 = df.select(minhash_signature(F.col("sh")).alias("sig")).first().sig
+    got1 = df.select(minhash_signature("sh").alias("sig")).first().sig
+    got2 = df.select(minhash_signature("sh").alias("sig")).first().sig
     assert list(got1) == expect, f"signature != md5 spec: {got1[:2]} vs {expect[:2]}"
     assert list(got2) == expect  # cross-plan determinism
 

@@ -445,7 +445,7 @@ def test_curation_funnel_stream_converges_to_batch_truth(
     assert len(stream_pairs) == len(stream_pair_rows), "duplicate pair rows"
 
     sigs = st.select("doc_id", "sh").withColumn(
-        "sig", SIM.minhash_signature(F.col("sh"))
+        "sig", SIM.minhash_signature("sh")
     )
     cand = SIM.lsh_candidate_pairs(sigs)
     xa = st.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
