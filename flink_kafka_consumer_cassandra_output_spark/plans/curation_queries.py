@@ -588,10 +588,19 @@ WHERE CAST(n_shared_grams AS DOUBLE) / CAST(n_needle_grams AS DOUBLE)
     sibling="doc_char_kl_gibberish",
 )
 def doc_decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import materialize
+
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    sh = d.select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    ).select("doc_id", _shingle6_col().alias("sh"))
+    # Materialized (r17): the shingle table feeds BOTH join sides (needle
+    # explode + corpus explode) and Spark shares no common subplans, so
+    # the 6-gram fold -- the expensive per-row work here -- ran over the
+    # whole corpus twice.  One checkpoint/stage write of (doc_id, sh)
+    # halves the corpus shingling at every scale.
+    sh = materialize(
+        d.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        ).select("doc_id", _shingle6_col().alias("sh"))
+    )
     needles = sh.filter(F.col("doc_id") % 100 == 7).select(
         F.col("doc_id").alias("needle_src"),
         F.explode("sh").alias("gram"),
