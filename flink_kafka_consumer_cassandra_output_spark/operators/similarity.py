@@ -34,7 +34,7 @@ worker searches only its pruned shard; see /root/repo/PAPERS.md).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..config import schema_only_builds
@@ -460,9 +460,17 @@ def connected_components(
             jump = labels.select(
                 F.col("v").alias("lbl"), F.col("lbl").alias("jumped")
             )
+            # Convergence sum fused into the materialization job via
+            # observe() (r17, guide section 1.2 "fewer passes"): the
+            # CollectMetrics node aggregates sum(lbl) WHILE the round's
+            # rows are checkpointed/staged, so one job per round replaces
+            # the former checkpoint + separate agg pair -- one fewer full
+            # pass over the V-row label table per round at every scale.
+            obs = Observation()
             jumped = materialize(
                 stepped.join(jump, "lbl", "left")
                 .select("v", F.coalesce("jumped", "lbl").alias("lbl"))
+                .observe(obs, F.sum("lbl").alias("s"))
             )
             # Staging-mode reclamation: once the jumped labels are
             # eagerly materialized, the prior round's label table is
@@ -471,7 +479,7 @@ def connected_components(
             # localCheckpoint).
             drop_stage(labels)
             labels = jumped
-            new_sum = labels.agg(F.sum("lbl")).first()[0]
+            new_sum = obs.get["s"]
             # sum over an EMPTY label table is NULL: an empty graph is
             # already converged (its answer is the empty frame), and
             # None == None must not have to survive 25 no-op rounds into
@@ -544,8 +552,14 @@ def kcore_membership(
         )
     und = und.persist()
     try:
-        alive = materialize(deg.filter(F.col("degree") >= k).select("v"))
-        n = alive.count()
+        # Alive-count fused into each round's materialization job via
+        # observe() (r17): one job per round, not materialize + count.
+        obs0 = Observation()
+        alive = materialize(
+            deg.filter(F.col("degree") >= k).select("v")
+            .observe(obs0, F.count(F.lit(1)).alias("n"))
+        )
+        n = obs0.get["n"]
         converged = n == 0
         for _ in range(max_rounds):
             if converged:
@@ -558,8 +572,9 @@ def kcore_membership(
                 .filter(F.col("d") >= k)
                 .select(F.col("a").alias("v"))
             )
-            nxt = materialize(nxt)
-            m = nxt.count()
+            obs = Observation()
+            nxt = materialize(nxt.observe(obs, F.count(F.lit(1)).alias("n")))
+            m = obs.get["n"]
             drop_stage(alive)
             alive = nxt
             converged = m == n or m == 0
@@ -659,14 +674,18 @@ def bfs_hops(
         visited = materialize(init)
         frontier = visited.select("v")
         for i in range(1, max_hops + 1):
+            # Frontier-size check fused into the materialization job via
+            # observe() (r17): one job per level, not materialize + count.
+            obs = Observation()
             nxt = materialize(
                 und.join(frontier.select(F.col("v").alias("a")), "a")
                 .select(F.col("b").alias("v"))
                 .distinct()
                 .join(visited.select("v"), "v", "left_anti")
                 .select("v", F.lit(i).cast("long").alias("hop"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
             )
-            if nxt.count() == 0:
+            if obs.get["n"] == 0:
                 drop_stage(nxt)
                 break
             visited = visited.unionByName(nxt)

@@ -4844,6 +4844,13 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("bucket", "sv"))).alias("arr2")
         ).select(F.expr(fv("transform(arr2, t -> t.sv)")).alias("y"))
         norm = f"sqrt({fa('transform(y, c -> c * c)')})"
+        # r17 optimization note: cutting this chain at the 1-row x vector
+        # per step (rebroadcast_small, 4 small jobs instead of one nested
+        # broadcast-chain plan) was MEASURED WORSE at sf0.1 -- 3.17s vs
+        # 1.94s rebuild+run -- because per-job overhead plus three driver
+        # round-trips exceed the mega-plan's planning cost, and Spark
+        # already reuses the identical nested broadcast exchanges.  The
+        # one-plan unroll stays (see OPTIMIZATION_r17.md).
         xdf = y.select(
             F.expr(f"transform(y, c -> c / {norm})").alias("x")
         )

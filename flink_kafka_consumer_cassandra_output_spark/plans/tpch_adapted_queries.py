@@ -43,7 +43,7 @@ from ..functions import numeric as N
 from ..materialize import session_memo
 from ..operators.ordered import range_ordered_parts
 from .registry import register
-from .tpch_queries import _DEC8, _t, _ts
+from .tpch_queries import _t, _ts
 
 
 def _supplier_nations(
@@ -215,9 +215,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(N.dec2("l_extendedprice") * F.col("l_discount").cast(_DEC8))
-        .cast("double")
-        .alias("revenue")
+        # price*discount as exact 1e-4-unit longs (split-summed; the decimal
+        # product's bit-identical fast form, functions/numeric.py)
+        N.csum_double(N.cents("l_extendedprice") * N.cents("l_discount"), 4, "revenue")
     )
 
 
@@ -371,13 +371,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
     )
-    rev = N.revenue_col()
-    national = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
-        F.lit(0).cast(N.DEC)
-    )
+    rev4 = N.revenue_cents4()
+    national4 = F.when(F.col("supp_nation") == "NATION_5", rev4).otherwise(F.lit(0))
     agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
-        F.sum(national).cast("double").alias("nat_rev"),
-        F.sum(rev).cast("double").alias("all_rev"),
+        N.csum_double(national4, 4, "nat_rev"),
+        N.csum_double(rev4, 4, "all_rev"),
     )
     return agg.select(
         "o_year", (F.col("nat_rev") / F.col("all_rev")).alias("mkt_share")
@@ -436,17 +434,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
     )
-    cost = (
-        N.dec2("p_retailprice")
-        * N.dec2("l_quantity")
-        * F.lit(0.10).cast(_DEC8)
-    )
+    # retail*qty*0.10 as exact 1e-6-unit longs: cents*cents gives 1e-4
+    # units, x10 appends the 0.10 factor's single significant cent digit
+    cost6 = N.cents("p_retailprice") * N.cents("l_quantity") * F.lit(10)
     agg = j.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("long").alias("o_year"),
     ).agg(
-        F.sum(N.revenue_col()).cast("double").alias("rev"),
-        F.sum(cost).cast("double").alias("cost"),
+        N.csum_double(N.revenue_cents4(), 4, "rev"),
+        N.csum_double(cost6, 6, "cost"),
     )
     return agg.select(
         "nation", "o_year", (F.col("rev") - F.col("cost")).alias("profit")
@@ -804,7 +800,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li5.withColumn("qty_threshold", thresh)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            (F.sum(N.dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            (N.csum_double(N.cents("l_extendedprice"), 2) / F.lit(7.0)).alias(
                 "avg_yearly"
             )
         )
@@ -846,11 +842,13 @@ LIMIT 20
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # split-cents sum; the >200 HAVING boundary is exact either way (sums
+    # land on the 0.01 grid, exactly representable as double at this range)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(N.dec2("l_quantity")).alias("qty_dec"))
-        .filter(F.col("qty_dec") > 200)
-        .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty_sum"))
+        .agg(N.csum_double(N.cents("l_quantity"), 2, "qty_sum"))
+        .filter(F.col("qty_sum") > 200)
+        .select("l_orderkey", "qty_sum")
     )
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -968,8 +966,10 @@ def q20_excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     movers = (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(N.dec2("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 100)
+        # filter-only aggregate: plain long cents sum, boundary exact on
+        # the integer-cent grid (dec > 100 <=> cents > 10000)
+        .agg(F.sum(N.cents("l_quantity")).alias("qty_c"))
+        .filter(F.col("qty_c") > 10000)
         .select("l_suppkey")
         .distinct()
     )

@@ -71,16 +71,15 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2001-09-02"))
-    charge = (
-        N.dec2("l_extendedprice")
-        * (F.lit(1).cast(_DEC8) - F.col("l_discount").cast(_DEC8))
-        * (F.lit(1).cast(_DEC8) + F.col("l_tax").cast(_DEC8))
-    )
+    # price*(1-disc)*(1+tax) as exact 1e-6-unit longs (split-summed; the
+    # decimal chain's bit-identical fast form -- see functions/numeric.py
+    # and tests/test_numeric_cents.py::test_charge_scale6_bitequal)
+    charge_cents6 = N.revenue_cents4() * (F.lit(100) + N.cents("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         N.dsum("l_quantity", "sum_qty"),
         N.dsum("l_extendedprice", "sum_base_price"),
         N.drevenue("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        N.csum_double(charge_cents6, 6, "sum_charge"),
         N.davg("l_quantity", "avg_qty"),
         N.davg("l_extendedprice", "avg_price"),
         F.count(F.lit(1)).alias("count_order"),
@@ -677,14 +676,12 @@ GROUP BY ship_month
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = N.revenue_col()
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
-        F.lit(0).cast(N.DEC)
-    )
+    rev4 = N.revenue_cents4()
+    promo4 = F.when(F.col("p_type").startswith("PROMO"), rev4).otherwise(F.lit(0))
     j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     agg = j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")).agg(
-        F.sum(promo).cast("double").alias("promo_revenue"),
-        F.sum(rev).cast("double").alias("total_revenue"),
+        N.csum_double(promo4, 4, "promo_revenue"),
+        N.csum_double(rev4, 4, "total_revenue"),
     )
     return agg.select(
         "ship_month",
@@ -850,7 +847,7 @@ def window_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.row_number().over(w).alias("order_seq"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.sum(N.dec2("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
+        N.dsum_over("o_totalprice", wsum).alias("running_spend"),
     )
 
 
@@ -926,7 +923,7 @@ def window_trailing_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(N.dec2("o_totalprice")).over(w).cast("double").alias("trailing_90d_revenue"),
+        N.dsum_over("o_totalprice", w).alias("trailing_90d_revenue"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_90d_orders"),
     )
 
@@ -971,7 +968,7 @@ def window_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("next_order_date"),
         F.first("o_totalprice").over(w).alias("cheapest_price"),
         F.percent_rank().over(w).alias("price_pct_rank"),
-        (F.sum(N.dec2("o_totalprice")).over(w3).cast("double") / F.count(F.lit(1)).over(w3))
+        (N.dsum_over("o_totalprice", w3) / F.count(F.lit(1)).over(w3))
         .alias("trailing3_avg_price"),
     )
 
