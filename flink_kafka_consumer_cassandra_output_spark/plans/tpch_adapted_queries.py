@@ -103,9 +103,6 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = _t(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -120,10 +117,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
         .select("p_partkey", "p_brand")
     )
+    # r17 (guide section 2.3 "shuffle fewer bytes" / 3.2 "reduce the big
+    # side before shuffling"): the part predicate keeps ~3.5% of parts, so
+    # joining the pruned part side BEFORE the (partkey, suppkey) aggregate
+    # shrinks the agg's shuffle 28x -- the min per surviving group is
+    # computed over exactly the same rows (grouping is per partkey, and
+    # the old plan dropped non-LARGE partkeys right after the agg anyway).
+    # p_brand rides the grouping key (functionally dependent on partkey).
     # s and p are SF-proportional (supplier/part x SF): no broadcast hint --
-    # AQE picks BHJ when their pruned size fits, SMJ at 100 TB.
-    j = cost.join(s, F.col("l_suppkey") == F.col("s_suppkey")).join(
-        p, F.col("l_partkey") == F.col("p_partkey")
+    # AQE picks BHJ when their pruned size fits, SMJ at 100 TB, and the
+    # runtime Bloom filter can prune the lineitem side of the part join
+    # before its exchange.
+    cost = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_brand", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+    )
+    j = cost.join(s, F.col("l_suppkey") == F.col("s_suppkey")).withColumn(
+        "p_partkey", F.col("l_partkey")
     )
     w = Window.partitionBy("p_partkey").orderBy(
         F.col("unit_cost").asc(), F.col("s_suppkey").asc()
@@ -1037,6 +1050,12 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The scale posture is two PRUNED orderkey shuffles + merge passes,
     # each linear; pinned by
     # tests/test_plan_invariants.py::test_q21_smj_regime_executed_plan.
+    # r17 optimization note: the "decide with small rows" rewrite (one
+    # per-(order, supplier) ship-max aggregate + two o2 window passes +
+    # equi-join back) was MEASURED WORSE in a same-session A/B at sf0.1
+    # (1.56-1.89s vs 1.17-1.38s, identical 46-row result): the o2 window
+    # sort over the proxy costs more than the second probe shuffle saves.
+    # The semi/anti chain stays (see OPTIMIZATION_r17.md).
     others = li.select(
         F.col("l_orderkey").alias("o2"),
         F.col("l_suppkey").alias("s2"),
@@ -2243,8 +2262,22 @@ FROM c GROUP BY abc_class
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # r17: the fact-table collapse carries the exact sum as split long
+    # cents (functions/numeric.py) and reassembles to the SAME
+    # DECIMAL(18,2) the old form produced (values are 2-dp-clean and fit
+    # (18,2)), so the decimal prefix-sum machinery downstream -- whose
+    # exactness/associativity argument the doc relies on -- is unchanged.
+    v = N.cents("l_extendedprice")
     p = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast(N.DEC)).alias("rev")
+        (
+            (
+                F.sum(F.shiftright(v, 20)).cast("decimal(38,0)") * F.lit(1 << 20)
+                + F.sum(F.pmod(v, F.lit(1 << 20)))
+            )
+            / F.lit(100)
+        )
+        .cast(N.DEC)
+        .alias("rev")
     )
     parts = range_ordered_parts(p, F.desc("rev"), F.asc("l_partkey"))
     psums = parts.groupBy("pid").agg(F.sum("rev").alias("psum"))
