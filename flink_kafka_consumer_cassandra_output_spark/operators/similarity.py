@@ -970,6 +970,50 @@ def ivf_topk(
     )
 
 
+def ivf_scored_candidates(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    max_nprobe: int,
+) -> DataFrame:
+    """Scored IVF candidates at ``max_nprobe``, with each candidate's
+    ``probe_rank`` (the rank of its bucket for that query) kept.
+
+    Factored out of :func:`ivf_topk` for recall-CURVE consumers (r17,
+    guide section 2.4): the nprobe arms of a curve have NESTED candidate
+    sets (every nprobe<=m candidate appears in the max_nprobe=m set with
+    probe_rank <= nprobe), and each vector lives in exactly ONE bucket, so
+    ``filter(probe_rank <= nprobe)`` over THIS frame is row-for-row the
+    candidate set ivf_topk scores at that nprobe -- same rows, same cosine
+    expression, hence bit-identical scores and identical downstream top-k.
+    Scoring once at the widest arm replaces one probe join + one cosine
+    pass PER ARM with a single join + pass shared by every arm."""
+    jq = queries.crossJoin(F.broadcast(centroids))
+    qcos = vectors.cosine_s("query_emb", "cent_emb")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    probes = (
+        jq.select("query_id", "query_emb", "cent_id", qcos.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max_nprobe)
+        .select(
+            "query_id",
+            "query_emb",
+            F.col("cent_id").alias("bucket"),
+            F.col("rn").alias("probe_rank"),
+        )
+    )
+    cands = probes.join(assigned, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = vectors.cosine_s("query_emb", "embedding")
+    return cands.select(
+        "query_id",
+        "probe_rank",
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+
+
 LPA_ROUNDS = 3
 
 

@@ -265,13 +265,15 @@ def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange is noise.
     survivors = survivors.repartition(spark.sparkContext.defaultParallelism)
     # The expensive exact-Jaccard verify (array intersect over ~60-shingle
-    # sets) touches hamming survivors only; the shingle projection is
-    # evaluated twice but each join streams survivors against it (Catalyst
-    # broadcasts the 5k-row shingle side here; at corpus scale it would
-    # shuffle-join -- no hardcoded hint).
-    sh = d.select(
-        "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
-    )
+    # sets) touches hamming survivors only.  The shingle projection is the
+    # session-memoized _docs_shingled table (r17, guide section 1.2 "don't
+    # compute things twice"): the identical array_distinct(word_shingles)
+    # expression was previously folded inline TWICE per run here; now both
+    # verify lookups scan the one shared materialized table (each join
+    # still streams survivors against it -- Catalyst broadcasts the 5k-row
+    # shingle side here; at corpus scale it would shuffle-join, no
+    # hardcoded hint).
+    sh = _docs_shingled(spark, sf_dir)
     sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -830,9 +832,18 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    shingled = materialize(d.join(exact_kept, "doc_id").select(
-        "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
-    ))
+    # r17: the shingle column comes from the session-memoized
+    # _docs_shingled table (identical array_distinct(word_shingles)
+    # expression per doc_id) restricted to the exact-dedup survivors --
+    # the per-run shingle fold disappears.  NOT re-materialized: the fold
+    # is already checkpointed in the memo, so the three consumers
+    # (signatures + both verify lookups) each re-run only a cheap join of
+    # the checkpointed table against the checkpointed survivor ids --
+    # a second checkpoint would re-write the wide shingle arrays per run
+    # for no saved compute.
+    shingled = _docs_shingled(spark, sf_dir).join(exact_kept, "doc_id").select(
+        "doc_id", "sh"
+    )
     sigs = shingled.withColumn("sig", SIM.minhash_signature("sh"))
     cand = SIM.lsh_candidate_pairs(sigs)
     x = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -3984,17 +3995,25 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
     its graph's key (doc_id for the dup graph, part_key for
     co-purchase), mirrored by its oracle's vertex_col (r10 ADVICE: a
     lineitem/parts graph must not ship a doc_id column)."""
-    edges = pairs.select(
+    edges0 = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    edges = materialize(edges)
+    # deg is needed by every iteration AND by the final projection:
+    # materialize ONCE instead of re-deriving the groupBy per round
+    deg = materialize(edges0.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    # r17 (guide section 2.4, remove shuffles outright): deg is STATIC
+    # across rounds, so pre-join it into the materialized edge table once
+    # -- each unrolled round then joins edges with only the previous
+    # rank table instead of re-running the same edges|x|deg join three
+    # times (3 deg joins -> 1; at cluster scale that is one O(E) shuffle
+    # or broadcast-probe pass per round removed).  Values are unchanged:
+    # the join only ATTACHES deg, and rank/deg division per edge is the
+    # same expression on the same rows.
+    edges = materialize(edges0.join(deg, "src"))
     verts = edges.select(F.col("src").alias("v")).distinct()
     nv = verts.agg(F.count(F.lit(1)).alias("n"))
-    # deg is joined in every iteration: materialize ONCE instead of
-    # re-deriving the groupBy per round
-    deg = materialize(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     n_d = F.col("n").cast("double")
     # Unlike connected_components' data-dependent loop, the rank lineage
     # grows LINEARLY over a fixed PR_ITERS=3 unroll (each round reads the
@@ -4015,7 +4034,7 @@ def pagerank_from_pairs(pairs: DataFrame) -> DataFrame:
         # fixed engine-independent total order mirrored by the oracle's
         # two-level ORDER BY list_reduce.
         inc = (
-            edges.join(deg, "src")
+            edges
             .join(r.select(F.col("v").alias("src"), "rank"), "src")
             .select(
                 F.col("dst").alias("v"),
@@ -4673,15 +4692,36 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = materialize(
         SIM.brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
     )
+    # r17 (guide sections 2.4/3): the three nprobe arms have NESTED probe
+    # sets, so the probe join + cosine pass runs ONCE at the widest arm
+    # (nprobe=4) with probe_rank kept, materialized, and each arm re-ranks
+    # the probe_rank-filtered slice of that one narrow scored table --
+    # bit-identical per arm (ivf_scored_candidates docstring; pinned by
+    # tests/test_similarity.py) instead of three probe joins + three
+    # cosine passes over 1+2+4 buckets' worth of candidates.  The scored
+    # frame is (4/16 of the corpus) x 10 queries of 4 narrow columns --
+    # no embedding arrays cross the checkpoint.
+    scored = materialize(
+        SIM.ivf_scored_candidates(q, assigned, cent, max_nprobe=4)
+    )
+    # nq is consumed by all three arms: one bounded 1-row materialization
+    # instead of three corpus-filter aggregations in the final plan.
+    nq = F.broadcast(materialize(q.agg(F.count(F.lit(1)).alias("nq"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     arms = None
     for np in (1, 2, 4):
-        ivf = SIM.ivf_topk(q, assigned, cent, k=5, nprobe=np).select(
-            "query_id", "neighbor_id"
+        ivf = (
+            scored.filter(F.col("probe_rank") <= np)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
         )
         hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).alias("hits")
         )
-        arm = hits.crossJoin(q.agg(F.count(F.lit(1)).alias("nq"))).select(
+        arm = hits.crossJoin(nq).select(
             F.lit(np).cast("long").alias("nprobe"),
             F.col("nq").alias("n_queries"),
             F.col("hits").alias("n_hits"),

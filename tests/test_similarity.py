@@ -1011,3 +1011,47 @@ def test_mmr_diversifies_versus_plain_topk(spark):
         .filter("query_id = 0").toPandas()["neighbor_id"]
     )
     assert set(mmr["vec_id"]) != top5, "MMR degenerated to plain top-k"
+
+
+def test_ivf_scored_candidates_matches_ivf_topk_per_arm(spark, sf_dir):
+    """The recall-curve fast path (score once at the widest nprobe, filter
+    probe_rank per arm, re-rank) must reproduce ivf_topk's top-5 EXACTLY --
+    (query_id, neighbor_id, cosine, rank) row sets -- at every arm.  This
+    is the equivalence emb_ann_recall_curve's one-pass rewrite rests on."""
+    from pyspark.sql import Window
+
+    from flink_kafka_consumer_cassandra_output_spark.operators import (
+        similarity as S,
+    )
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cent = S.ivf_train(c, k=16)
+    assigned = S.ivf_assign(c, cent)
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    scored = S.ivf_scored_candidates(q, assigned, cent, max_nprobe=4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    for np in (1, 2, 4):
+        slow = {
+            (r.query_id, r.neighbor_id, r.cosine, r["rank"])
+            for r in S.ivf_topk(q, assigned, cent, k=5, nprobe=np).collect()
+        }
+        fast = {
+            (r.query_id, r.neighbor_id, r.cosine, r["rank"])
+            for r in scored.filter(F.col("probe_rank") <= np)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .collect()
+        }
+        assert fast == slow, f"nprobe={np}: curve fast path diverged"
