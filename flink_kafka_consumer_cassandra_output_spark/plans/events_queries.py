@@ -525,10 +525,17 @@ FROM grid
     # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import materialize
+
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
-    obs = ev.groupBy(
+    # Materialized (r17, guide section 1.2): obs feeds TWO subtrees (the
+    # span explode and the grid left join) and Spark shares no common
+    # subplans, so the events scan + max_by aggregate ran twice per run;
+    # the checkpointed frame is users x observed-hours -- tiny next to
+    # the fact table at every scale.
+    obs = materialize(ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.max_by("value", "ts").alias("last_value"))
+    ).agg(F.max_by("value", "ts").alias("last_value")))
     span = (
         obs.groupBy("user_id")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
@@ -1761,19 +1768,28 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
     hours count 0 and the densify join never shuffles the fact -- shared
     by ev_acf_lags and ev_ols_trend (both engines' oracles embed the
     identical CTE text)."""
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    from ..materialize import materialize
+
+    # r17 (guide section 1.2): bounds and the type list are DERIVABLE from
+    # the (event_type, hour) count aggregate -- min/max of the truncated
+    # hour equals the truncated min/max ts, and every event lands in a
+    # count row so the distinct type sets are identical.  Deriving them
+    # from the materialized counts turns THREE events scans per run
+    # (bounds agg + types distinct + counts agg) into ONE, at every scale;
+    # the checkpoint is types x hours, metadata-sized.
+    counts = materialize(ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt")))
+    bounds = counts.agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     spine = bounds.select(
         F.explode(
             F.sequence("h0", "h1", F.expr("interval 1 hour"))
         ).alias("hour")
     )
-    types = ev.select("event_type").distinct()
-    counts = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    types = counts.select("event_type").distinct()
     return (
         types.crossJoin(F.broadcast(spine))
         .join(counts, ["event_type", "hour"], "left")

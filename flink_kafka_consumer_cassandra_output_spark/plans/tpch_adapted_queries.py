@@ -1486,7 +1486,13 @@ def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
         "c_nationkey", "c_mktsegment", "c_acctbal",
     )
-    records = originals.unionByName(probes)
+    # Materialized (r17, guide section 1.2): records feeds the block
+    # self-join's two sides, the CC node list, and the golden-record
+    # join -- without the checkpoint the customer scan + probe union
+    # re-evaluated per consumer (3-4 scans per run at every scale).
+    from ..materialize import materialize
+
+    records = materialize(originals.unionByName(probes))
     x = records.select(
         F.col("record_id").alias("a"), F.col("name").alias("name_a"),
         F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"),
@@ -1752,7 +1758,12 @@ def cust_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("c_mktsegment"),
         (bal + F.lit(SURV_DRIFT).cast("decimal(18,2)")).alias("bal"),
     )
-    records = originals.unionByName(probes)
+    # Materialized (r17): same multi-consumer shape as
+    # cust_entity_resolution's records -- banded self-join (x explodes 3
+    # bucket probes), CC node list, member join, golden-name join.
+    from ..materialize import materialize
+
+    records = materialize(originals.unionByName(probes))
     # banded range-join bucketing: the |bal diff| <= 0.10 tolerance is a
     # range predicate, so bucket balances at the tolerance width (exact
     # decimal*10 -> floor) and probe each record against buckets

@@ -152,9 +152,28 @@ def _ntz_to_ltz(df: DataFrame) -> DataFrame:
     return df
 
 
+#: (applicationId, sf_dir, name) -> the loaded DataFrame HANDLE (a lazy
+#: plan, no data).  ``spark.read.parquet`` resolves the file index and
+#: schema on the DRIVER at plan-construction time -- a measured
+#: ~40-100 ms py4j/footers round-trip paid at EVERY builder invocation of
+#: every table before memoization (r17, guide section 1.2: this is pure
+#: per-query plan-construction overhead, ~10 table references per bench
+#: repeat).  Reusing the handle is safe because DataFrames are immutable
+#: lazy plans; the one behavior change is that a caller REWRITING the
+#: parquet files under an already-loaded (sf_dir, name) in the SAME
+#: session would read the stale file listing -- no production or test
+#: path does that (fixture dirs are immutable; test writers use fresh
+#: tmp dirs), and the driver/bench contract reads a fixed SF dir.
+_LOAD_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _LOAD_MEMO.get(key)
+    if got is not None:
+        return got
     _pin_timestamp_reads(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
@@ -165,6 +184,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _ntz_to_ltz(df)
     if name in _SPREAD_TABLES:
         df = _spread(spark, df, sf_dir, name)
+    # Same eviction hygiene as the session memo: entries from dead
+    # applications are inert handles a long-lived multi-session process
+    # (the pytest suite) must not accumulate without bound.
+    stale = [k for k in _LOAD_MEMO if k[0] != key[0]]
+    for k in stale:
+        del _LOAD_MEMO[k]
+    _LOAD_MEMO[key] = df
     return df
 
 
@@ -172,7 +198,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+#: (applicationId, sf_dir) pairs whose views are already registered --
+#: ``register_views`` re-ran 10 loads + 10 catalog calls per spark.sql
+#: query repeat before memoization (r17; ~1.2-1.6 s of measured build
+#: time per repeat on the SQL-surface queries).  Keyed by sf_dir so a
+#: session that switches fixture dirs (the pytest suite) re-registers.
+_VIEWS_REGISTERED: set[tuple] = set()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    """Register every fixture table as a temp view for ``spark.sql`` use.
+
+    Idempotent per (session, sf_dir): repeat calls with the SAME dir are
+    no-ops; a call with a DIFFERENT dir re-registers every view (temp
+    views are session-global, so the last dir wins -- exactly the prior
+    behavior, minus the redundant re-registration)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key in _VIEWS_REGISTERED:
+        return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    # A different sf_dir's registration for the same app is now stale
+    # (its views were just overwritten), as is any dead application's.
+    stale = [k for k in _VIEWS_REGISTERED if k[0] != app_id or k[1] != sf_dir]
+    for k in stale:
+        _VIEWS_REGISTERED.discard(k)
+    _VIEWS_REGISTERED.add(key)
