@@ -839,21 +839,34 @@ LIMIT 50
     # r13 rotation: promoted to the driver surface (tools/r13_rotation_plan.md).
 )
 def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir)
+    # r17 (guide section 2.4): the per-user stats were a groupBy(user_id)
+    # aggregate joined back onto the hourly counts -- the hourly lineage
+    # (events scan + hour aggregate) replayed in the stats branch, two
+    # fact scans per run.  Whole-partition windows over user_id attach
+    # the identical values (same long sums, same double expression tree)
+    # in ONE pass; the isNotNull guard keeps join-identical semantics
+    # (the fixture has no null user_ids, so the pushed filter is a no-op).
+    ev = _ev(spark, sf_dir).where(F.col("user_id").isNotNull())
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    sum_ev = F.sum("n_events").cast("double")
-    sum_sq = F.sum(F.col("n_events") * F.col("n_events")).cast("double")
-    n = F.count(F.lit(1))
+    part = Window.partitionBy("user_id")
+    sum_ev = F.sum("n_events").over(part).cast("double")
+    sum_sq = (
+        F.sum(F.col("n_events") * F.col("n_events")).over(part).cast("double")
+    )
+    n = F.count(F.lit(1)).over(part)
     mean = sum_ev / n
-    stats = hourly.groupBy("user_id").agg(
+    stats = hourly.select(
+        "user_id",
+        "hour_ts",
+        "n_events",
         n.alias("n_hours"),
         mean.alias("mean_ev"),
         F.sqrt(F.greatest(sum_sq / n - mean * mean, F.lit(0.0))).alias("std_ev"),
     )
     return (
-        hourly.join(stats, "user_id")
+        stats
         .filter((F.col("std_ev") > 0.0) & (F.col("n_hours") >= 3))
         .select(
             "user_id",
@@ -2128,13 +2141,24 @@ def ev_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("INTERVAL 1 MICROSECOND"),
         ).alias("seg_end"),
     )
+    # Both sweep boundaries via ONE explode, not a self-union (r17, the
+    # connected_components edge-expansion trick): Spark shares no common
+    # subplans, so the union form evaluated the whole segments lineage
+    # (events scan + two sessionization windows + aggregate + explode)
+    # TWICE per run.  Same rows, same types, one evaluation.
     sweep = segments.select(
-        "day", F.col("seg_start").alias("pt"), F.lit(1).alias("delta")
-    ).unionByName(
-        segments.select(
-            "day", F.col("seg_end").alias("pt"), F.lit(-1).alias("delta")
-        )
-    )
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("seg_start").alias("pt"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("seg_end").alias("pt"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("bd"),
+    ).select("day", "bd.pt", "bd.delta")
     wd = (
         Window.partitionBy("day")
         .orderBy(F.col("pt"), F.col("delta").desc())
@@ -2363,20 +2387,29 @@ GROUP BY d.event_type
     sibling="ev_anomaly_zscore",
 )
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir)
-    med = ev.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("med_value")
-    )
-    dev = ev.join(med, "event_type").select(
+    # r17 (guide section 2.4): the median and the MAD were each a
+    # groupBy(event_type) percentile JOINED back -- and because Spark
+    # shares no common subplans, the dev lineage (scan + median branch)
+    # replayed inside the MAD branch and again in the final aggregate:
+    # ~5 events scans per run.  Both percentiles now ride stacked
+    # whole-partition windows on ONE event_type exchange (exact
+    # percentile buffers per-group values in either form, so the memory
+    # posture is unchanged); one scan total.  The isNotNull guard keeps
+    # join-identical semantics (no null event_types in the fixture).
+    ev = _ev(spark, sf_dir).where(F.col("event_type").isNotNull())
+    part = Window.partitionBy("event_type")
+    med_value = F.percentile(F.col("value"), F.lit(0.5)).over(part)
+    dev = ev.select(
         "event_type",
-        "med_value",
-        F.abs(F.col("value") - F.col("med_value")).alias("dev"),
+        med_value.alias("med_value"),
+        F.abs(F.col("value") - med_value).alias("dev"),
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad_value")
+    mad_value = F.percentile(F.col("dev"), F.lit(0.5)).over(part)
+    scored = dev.select(
+        "event_type", "med_value", "dev", mad_value.alias("mad_value")
     )
     return (
-        dev.join(mad, "event_type")
+        scored
         .groupBy("event_type")
         .agg(
             F.min("med_value").alias("med_value"),
@@ -2930,19 +2963,25 @@ FROM g
     # r12 rotation: promoted to the driver surface (tools/r12_rotation_plan.md).
 )
 def ev_cohort_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _ev(spark, sf_dir)
-    f = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    # r17 (guide section 2.4): the cohort map was a groupBy(user_id)
+    # aggregate JOINED back onto events -- two events scans and two
+    # exchanges.  min(ts) over (PARTITION BY user_id) attaches the same
+    # per-user minimum in ONE scan and ONE user_id exchange.  The
+    # isNotNull guard makes the window form join-identical by
+    # construction (an inner join drops null keys; the fixture has none,
+    # so the pushed filter is a no-op).
+    ev = _ev(spark, sf_dir).where(F.col("user_id").isNotNull())
+    wu = Window.partitionBy("user_id")
+    cohort_week = F.date_trunc("week", F.min("ts").over(wu))
     cents = F.when(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
         (F.col("value").cast(N.DEC) * 100).cast("long"),
     ).otherwise(F.lit(0))
-    j = ev.join(f, "user_id").select(
+    j = ev.select(
         "user_id",
-        "cohort_week",
+        cohort_week.alias("cohort_week"),
         (
-            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            F.datediff(F.date_trunc("week", F.col("ts")), cohort_week)
             / 7
         ).cast("long").alias("age_week"),
         cents.alias("cents"),
@@ -2974,20 +3013,30 @@ def cusum_alarm_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     as two sequential window passes over the same (ts, event_id) total
     order.  Alarm when S > 10*tot (calibrated to the ~1-2%% tail on the
     fixture)."""
-    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    ev = _ev(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     cents = (F.col("value").cast(N.DEC) * 100).cast("long")
     e = ev.select("event_type", "ts", "event_id", cents.alias("cents"))
-    t = e.groupBy("event_type").agg(
-        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n")
-    )
+    # r17 (guide section 2.4): tot/n were a groupBy(event_type) aggregate
+    # broadcast-joined back onto the rows -- a second events scan.  A
+    # whole-partition window over the SAME event_type partitioning
+    # attaches the identical exact integer sums in the one scan the
+    # running windows already pay; Catalyst stacks all three window
+    # functions on one exchange+sort.  The isNotNull(event_type) guard
+    # makes the window form join-identical by construction (the inner
+    # join dropped null keys; the fixture has none, so the pushed filter
+    # is a no-op).
     part = Window.partitionBy("event_type")
     order = part.orderBy("ts", "event_id")
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w = e.join(F.broadcast(t), "event_type").select(
-        "event_type", "ts", "event_id", "tot", "n",
+    w = e.select(
+        "event_type", "ts", "event_id",
+        F.sum("cents").over(part).alias("tot"),
+        F.count(F.lit(1)).over(part).alias("n"),
         (
-            2 * F.col("n") * F.sum("cents").over(run)
-            - 3 * F.row_number().over(order) * F.col("tot")
+            2 * F.count(F.lit(1)).over(part) * F.sum("cents").over(run)
+            - 3 * F.row_number().over(order) * F.sum("cents").over(part)
         ).alias("p"),
     )
     s = F.col("p") - F.least(F.min("p").over(run), F.lit(0))
@@ -3074,7 +3123,9 @@ def cusum_minute_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters as :func:`cusum_alarm_rows`; the alarm statistic is
     evaluated at minute granularity (a coarser, deliberately different
     operator than the per-event monitor -- both are registered)."""
-    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    ev = _ev(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     cents = (F.col("value").cast(N.DEC) * 100).cast("long")
     e = ev.select(
         "event_type",
@@ -3085,20 +3136,24 @@ def cusum_minute_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("c")
     )
     # Frozen (n, tot) derive FROM the minute partials (sum of per-minute
-    # sums == sum over rows, exactly, in scaled integers), so the whole
-    # query reads events ONCE -- the r15 plan audit showed a second full
-    # scan feeding the totals branch.
-    t = g.groupBy("event_type").agg(
-        F.sum("sc").alias("tot"), F.sum("c").alias("n")
-    )
+    # sums == sum over rows, exactly, in scaled integers).  r17: they now
+    # ride a whole-partition window over the SAME event_type exchange the
+    # running windows establish -- the prior groupBy-plus-broadcast-join
+    # replayed g's lineage (scan + minute agg) in the totals branch, so
+    # events really scanned twice despite the r15 fix's intent.  The
+    # isNotNull(event_type) guard keeps join-identical semantics (the
+    # fixture has no null types; the pushed filter is a no-op).
     part = Window.partitionBy("event_type")
     order = part.orderBy("minute_ts")
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w = g.join(F.broadcast(t), "event_type").select(
-        "event_type", "minute_ts", "tot", "n", "sc", "c",
+    w = g.select(
+        "event_type", "minute_ts",
+        F.sum("sc").over(part).alias("tot"),
+        F.sum("c").over(part).alias("n"),
+        "sc", "c",
         (
-            2 * F.col("n") * F.sum("sc").over(run)
-            - 3 * F.col("tot") * F.sum("c").over(run)
+            2 * F.sum("c").over(part) * F.sum("sc").over(run)
+            - 3 * F.sum("sc").over(part) * F.sum("c").over(run)
         ).alias("p"),
     )
     s = F.col("p") - F.least(F.min("p").over(run), F.lit(0))

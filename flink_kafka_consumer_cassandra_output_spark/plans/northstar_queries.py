@@ -3795,6 +3795,13 @@ def emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     sub = e.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    # NOT collect-rebroadcast (r17 A/B): cb is constant-bounded (M x K =
+    # 128 subvector rows) and consumed by two broadcast sites, so the
+    # ivf_train collect-and-rebroadcast pattern looked applicable -- but
+    # it measured WORSE (1.37 -> 2.16 s min-of-3 at sf0.1): the eager
+    # collect job per run costs more than the two in-plan re-derivations,
+    # which are pushdown-pruned (vec_id < K) scans running in parallel
+    # inside the one final job.
     cb = sub.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cent_sv")
     )

@@ -270,15 +270,24 @@ SELECT
     sibling="msg_summary_first",
 )
 def msg_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import materialize
+
     msgs = _msgs(spark, sf_dir)
     dp = datetime_fns.date_partition_from_epoch_ms(F.col("sent_time_ms"))
     keys = ["username", "jid", "date_partition"]
-    detail_counts = (
+    # Materialized (r17, guide section 1.2): the detail-count side and the
+    # summary-distinct side both start from the SAME key projection of the
+    # message pipeline, and Spark shares no common subplans -- the
+    # events->messages mapping ran twice per run.  Projecting the three
+    # key columns first keeps the checkpoint narrow (no stanza bytes);
+    # summary_distinct(msgs) is definitionally distinct() of exactly this
+    # projection (operators/message_pipeline.py:143), so the derivation
+    # is unchanged.
+    keyed = materialize(
         msgs.select("username", "jid", dp.alias("date_partition"))
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_detail"))
     )
-    summary = mp.summary_distinct(msgs).withColumn("in_summary", F.lit(1))
+    detail_counts = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_detail"))
+    summary = keyed.dropDuplicates().withColumn("in_summary", F.lit(1))
     j = detail_counts.join(summary, keys, "full_outer")
     return j.agg(
         F.coalesce(F.sum(F.when(F.col("in_summary").isNull(), F.col("n_detail"))), F.lit(0))

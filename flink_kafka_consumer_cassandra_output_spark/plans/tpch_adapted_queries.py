@@ -1328,6 +1328,15 @@ def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("o_totalprice").isNotNull())
         .select(F.col("o_totalprice").alias("x"), F.col("o_orderkey").alias("k"))
     )
+    # NOT de-diamonded (r17 A/B): the sketch DAG re-scans orders ~5x in
+    # one job (st feeds three subtrees, ob two, the final join replays
+    # pick), so rebroadcast_small(st/cumhist) + materialize(ob) looked
+    # right -- but it measured WORSE (1.25 -> 2.84 s min-of-3 at sf0.1):
+    # the replays are narrow pushdown scans that run IN PARALLEL inside
+    # the one job, while the fix serialized the query into four
+    # driver-round-trip jobs.  At cluster scale the same de-diamonding is
+    # the staging-table mode's job (stage ob once, derive the bounded
+    # frames from it), not an eager local collect chain.
     st = o.agg(
         F.count(F.lit(1)).alias("n"), F.min("x").alias("lo"),
         F.max("x").alias("hi"),

@@ -10,6 +10,7 @@ column pruning -- the scan posture every query in ``plans/`` relies on.
 from __future__ import annotations
 
 import warnings
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,29 +153,40 @@ def _ntz_to_ltz(df: DataFrame) -> DataFrame:
     return df
 
 
-#: (applicationId, sf_dir, name) -> the loaded DataFrame HANDLE (a lazy
-#: plan, no data).  ``spark.read.parquet`` resolves the file index and
-#: schema on the DRIVER at plan-construction time -- a measured
-#: ~40-100 ms py4j/footers round-trip paid at EVERY builder invocation of
-#: every table before memoization (r17, guide section 1.2: this is pure
-#: per-query plan-construction overhead, ~10 table references per bench
-#: repeat).  Reusing the handle is safe because DataFrames are immutable
-#: lazy plans; the one behavior change is that a caller REWRITING the
-#: parquet files under an already-loaded (sf_dir, name) in the SAME
-#: session would read the stale file listing -- no production or test
-#: path does that (fixture dirs are immutable; test writers use fresh
-#: tmp dirs), and the driver/bench contract reads a fixed SF dir.
-_LOAD_MEMO: dict[tuple, DataFrame] = {}
+#: Per-SESSION memo of loaded DataFrame HANDLES (lazy plans, no data),
+#: keyed weakly by the SparkSession object so sibling sessions of one
+#: application never share handles (a DataFrame is bound to its session
+#: -- e.g. createOrReplaceTempView registers in the DF's own session)
+#: and dead sessions evict themselves.  ``spark.read.parquet`` resolves
+#: the file index and schema on the DRIVER at plan-construction time --
+#: a measured ~40-100 ms py4j/footers round-trip paid at EVERY builder
+#: invocation of every table before memoization (r17, guide section 1.2:
+#: pure per-query plan-construction overhead, ~10 table references per
+#: bench repeat).  Reusing the handle is safe because DataFrames are
+#: immutable lazy plans; the one behavior change is that a caller
+#: REWRITING the parquet files under an already-loaded (sf_dir, name) in
+#: the SAME session would read the stale file listing -- no production
+#: or test path does that (fixture dirs are immutable; test writers use
+#: fresh tmp dirs), and the driver/bench contract reads a fixed SF dir.
+_LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    got = _LOAD_MEMO.get(key)
+    # The conf pin runs on EVERY call, memo hit or miss: load()'s contract
+    # is that one call restores the engine's timestamp posture on any
+    # session it is handed (tests/test_tables_timestamps.py), and the
+    # memoized plan was captured under the pinned confs.  Three conf reads
+    # cost a few ms; the footer/file-index round-trip was the expense.
+    _pin_timestamp_reads(spark)
+    per_session = _LOAD_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    got = per_session.get(key)
     if got is not None:
         return got
-    _pin_timestamp_reads(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer ns -> us floor division (no double round-trip: ns epochs
@@ -184,13 +196,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _ntz_to_ltz(df)
     if name in _SPREAD_TABLES:
         df = _spread(spark, df, sf_dir, name)
-    # Same eviction hygiene as the session memo: entries from dead
-    # applications are inert handles a long-lived multi-session process
-    # (the pytest suite) must not accumulate without bound.
-    stale = [k for k in _LOAD_MEMO if k[0] != key[0]]
-    for k in stale:
-        del _LOAD_MEMO[k]
-    _LOAD_MEMO[key] = df
+    per_session[key] = df
     return df
 
 
@@ -198,12 +204,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
-#: (applicationId, sf_dir) pairs whose views are already registered --
+#: Per-session "views currently registered for this sf_dir" marker --
 #: ``register_views`` re-ran 10 loads + 10 catalog calls per spark.sql
 #: query repeat before memoization (r17; ~1.2-1.6 s of measured build
-#: time per repeat on the SQL-surface queries).  Keyed by sf_dir so a
-#: session that switches fixture dirs (the pytest suite) re-registers.
-_VIEWS_REGISTERED: set[tuple] = set()
+#: time per repeat on the SQL-surface queries).  Weakly keyed like
+#: _LOAD_MEMO; the value is the LAST registered sf_dir, because temp
+#: views are session-global and the last dir wins.
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -213,15 +222,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     no-ops; a call with a DIFFERENT dir re-registers every view (temp
     views are session-global, so the last dir wins -- exactly the prior
     behavior, minus the redundant re-registration)."""
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    if key in _VIEWS_REGISTERED:
+    if _VIEWS_REGISTERED.get(spark) == sf_dir:
         return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
-    # A different sf_dir's registration for the same app is now stale
-    # (its views were just overwritten), as is any dead application's.
-    stale = [k for k in _VIEWS_REGISTERED if k[0] != app_id or k[1] != sf_dir]
-    for k in stale:
-        _VIEWS_REGISTERED.discard(k)
-    _VIEWS_REGISTERED.add(key)
+    _VIEWS_REGISTERED[spark] = sf_dir
