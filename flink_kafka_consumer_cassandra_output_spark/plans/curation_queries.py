@@ -237,9 +237,14 @@ FROM ranked
 def doc_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # r17 (guide section 2.4): the vocabulary counts were a
+    # groupBy(token) aggregate joined back onto the token stream -- the
+    # corpus explode ran twice (once per branch).  A whole-partition
+    # window over the same token key attaches the identical integer count
+    # in ONE explode + one token exchange.
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("token"))
     scores = (
-        tok.join(vocab, "token")
+        tok.select("doc_id", cnt.alias("cnt"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -801,6 +806,12 @@ LIMIT 20
 )
 def doc_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    # NOT materialized (r17 A/B): t feeds three subtrees (both pair-join
+    # sides + the document-frequency aggregate), but checkpointing the
+    # exploded token table measured WORSE (0.81 -> 1.22 s min-of-3 at
+    # sf0.1) -- the checkpoint write of the token-level frame costs more
+    # than the two extra in-plan explodes it saves, and the self-join
+    # needs two evaluations regardless.
     t = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
@@ -878,9 +889,17 @@ def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         TX.fingerprint(F.col("text")).alias("fp"),
     )
-    dupes = sized.groupBy("fp").agg(F.count(F.lit(1)).alias("n_with_fp"))
+    # r17 (guide section 2.4): the duplicate-fingerprint counts were a
+    # groupBy(fp) aggregate joined back -- the scan (including the md5
+    # fingerprint expression) ran twice.  A whole-partition window over
+    # the same fp key attaches the identical count in one pass; fp is
+    # never null (md5 of non-null text), so the forms are join-identical.
+    counted = sized.select(
+        "source", "lang", "n_tokens",
+        F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("n_with_fp"),
+    )
     return (
-        sized.join(dupes, "fp")
+        counted
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1009,9 +1028,15 @@ FROM summed
 def doc_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = src.agg(F.sum("n_docs").alias("n_total"))
-    frac = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
-    scored = src.crossJoin(F.broadcast(tot)).select(
+    # r17 (guide section 2.4): the total was a second aggregate whose
+    # branch replayed the documents scan; it is exactly the sum of the
+    # per-source counts, so it rides the same bounded whole-table window
+    # the weight normalization below already uses -- one scan per run.
+    wt = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frac = F.col("n_docs").cast("double") / F.sum("n_docs").over(wt).cast("double")
+    scored = src.select(
         "source", "n_docs", frac.alias("frac"), F.sqrt(frac).alias("raw_w")
     )
     w = Window.orderBy("source").rowsBetween(

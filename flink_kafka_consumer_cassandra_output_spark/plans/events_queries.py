@@ -2906,13 +2906,21 @@ def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("sc"),
     )
-    tot = e.agg(
-        F.count(F.lit(1)).alias("tn"), F.sum("cents").alias("tc")
-    )
+    # r17 (guide section 2.4): the totals were a second aggregate over e
+    # -- replaying the events scan -- but they are EXACTLY the sums of
+    # the <=168-row slot table (sum of per-slot counts == row count; sum
+    # of per-slot cent sums == total cents, exact integers), so they ride
+    # a whole-table window over slot instead: one events scan per run.
+    # Constant partition key = the repo's bounded-window convention (the
+    # 64-row cumhist precedent): single partition by construction over a
+    # calendar-bounded 168-row frame, never data-bound.
+    wall = Window.partitionBy(F.lit(0))
+    tn = F.sum("n_events").over(wall)
+    tc = F.sum("sc").over(wall)
     idx = (F.col("sc").cast("double") / F.col("n_events")) / (
-        F.col("tc").cast("double") / F.col("tn")
+        tc.cast("double") / tn
     )
-    return slot.crossJoin(F.broadcast(tot)).select(
+    return slot.select(
         "dow", "hour_of_day", "n_events",
         F.col("sc").alias("revenue_cents"),
         idx.alias("seasonality_index"),

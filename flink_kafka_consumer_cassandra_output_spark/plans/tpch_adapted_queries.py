@@ -561,7 +561,14 @@ WHERE pv * (SELECT COUNT(*) FROM v) > (SELECT SUM(pv) FROM v) * 2
 def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _supplier_nations(spark, sf_dir, "NATION_3").select("s_suppkey")
-    v = (
+    from ..materialize import materialize
+
+    # Materialized (r17, guide section 1.2): v feeds the totals aggregate
+    # AND the final threshold filter -- the lineitem|x|supplier join plus
+    # per-part aggregate replayed per consumer.  (A whole-table window
+    # over v instead would be a data-bound single-partition window, which
+    # the plan gate forbids.)
+    v = materialize(
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(N.dec2("l_extendedprice")).alias("pv"))
