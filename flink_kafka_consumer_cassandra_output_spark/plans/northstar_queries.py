@@ -4847,6 +4847,12 @@ FROM r2, x{iters} x"""
     sibling="emb_cosine_topk",
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT materialized (r17 A/B): the 3-step unroll re-scans and re-casts
+    # the embedding table once per step, but checkpointing the cast frame
+    # measured WORSE (1.89 -> 2.74 s min-of-3 at sf0.1) -- the eager
+    # checkpoint job serializes what the one-plan unroll runs as three
+    # parallel in-plan scans (the same verdict as the per-step
+    # rebroadcast note below).
     e = _emb(spark, sf_dir).select(
         "vec_id",
         (F.col("vec_id") % 8).alias("bucket"),
