@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions import vectors as V
 from ..operators import multimodal as MM
-from ..materialize import materialize, rebroadcast_small, session_memo
+from ..materialize import (
+    materialize,
+    materialize_many,
+    rebroadcast_small,
+    session_memo,
+)
 from ..operators import similarity as SIM
 from ..sources import tables
 from .registry import register
@@ -4704,9 +4709,6 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
     )
-    exact = materialize(
-        SIM.brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
-    )
     # r17 (guide sections 2.4/3): the three nprobe arms have NESTED probe
     # sets, so the probe join + cosine pass runs ONCE at the widest arm
     # (nprobe=4) with probe_rank kept, materialized, and each arm re-ranks
@@ -4715,13 +4717,18 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_similarity.py) instead of three probe joins + three
     # cosine passes over 1+2+4 buckets' worth of candidates.  The scored
     # frame is (4/16 of the corpus) x 10 queries of 4 narrow columns --
-    # no embedding arrays cross the checkpoint.
-    scored = materialize(
-        SIM.ivf_scored_candidates(q, assigned, cent, max_nprobe=4)
-    )
-    # nq is consumed by all three arms: one bounded 1-row materialization
-    # instead of three corpus-filter aggregations in the final plan.
-    nq = F.broadcast(materialize(q.agg(F.count(F.lit(1)).alias("nq"))))
+    # no embedding arrays cross the checkpoint.  nq is consumed by all
+    # three arms: one bounded 1-row materialization instead of three
+    # corpus-filter aggregations in the final plan.  All three
+    # intermediates depend only on the memoized (codebook, assignment)
+    # pair, so their checkpoint jobs run as ONE concurrent wave (guide
+    # section 2.6) instead of three serial actions.
+    exact, scored, nq0 = materialize_many([
+        SIM.brute_force_topk(q, c, k=5).select("query_id", "neighbor_id"),
+        SIM.ivf_scored_candidates(q, assigned, cent, max_nprobe=4),
+        q.agg(F.count(F.lit(1)).alias("nq")),
+    ])
+    nq = F.broadcast(nq0)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

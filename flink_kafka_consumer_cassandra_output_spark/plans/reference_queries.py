@@ -566,14 +566,15 @@ def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     detail, detail_n = _counted(mp.detail_table(msgs, encrypt=False).drop("stanza"))
     # summary feeds two subtrees (its erasure cascade AND its rows_before
-    # count): one distinct job instead of two (r17).
-    summary, summary_n = _counted(
-        detail.select("username", "jid", "date_partition").distinct()
-    )
-    # The erasure set is consumed by FOUR joins (two cascades at build
-    # time, two audits in the final plan); unmaterialized, the md5-filter
-    # + distinct over detail re-executed per join (r17: one job).
-    erase_names = materialize(
+    # count): one distinct job instead of two (r17).  The erasure set is
+    # consumed by FOUR joins (two cascades at build time, two audits in
+    # the final plan); unmaterialized, the md5-filter + distinct over
+    # detail re-executed per join (r17: one job).  summary and the
+    # erasure set depend only on the checkpointed detail, so their two
+    # jobs run CONCURRENTLY (guide section 2.6), as do the two cascade
+    # checkpoints below -- five serial materialization waves become three.
+    summary_df = detail.select("username", "jid", "date_partition").distinct()
+    erase_df = (
         detail.filter(
             F.conv(F.substring(F.md5(F.col("message_id")), 1, 8), 16, 10).cast("long")
             % 101
@@ -582,10 +583,28 @@ def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("username")
         .distinct()
     )
+    if schema_only:
+        (summary, summary_n), erase_names = _counted(summary_df), erase_df
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-    def report(df: DataFrame, name: str, before_n) -> DataFrame:
-        # the cascade itself: materialize the post-erasure table, then
-        # AUDIT it by re-joining the survivors against the erasure set --
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_summary = pool.submit(_counted, summary_df)
+            f_erase = pool.submit(materialize, erase_df)
+            summary, summary_n = f_summary.result()
+            erase_names = f_erase.result()
+
+    # the cascade itself: materialize both post-erasure tables (their two
+    # anti-join checkpoints are independent -> one concurrent wave), then
+    # AUDIT each by re-joining the survivors against the erasure set.
+    from ..materialize import materialize_many
+
+    after_detail, after_summary = materialize_many([
+        detail.join(F.broadcast(erase_names), "username", "left_anti"),
+        summary.join(F.broadcast(erase_names), "username", "left_anti"),
+    ])
+
+    def report(df: DataFrame, after: DataFrame, name: str, before_n) -> DataFrame:
         # remaining_for_erased counts matches in the materialized output,
         # so a broken anti-join would surface as a nonzero column, not be
         # assumed away.  The audit is ONE conditional aggregate over the
@@ -593,7 +612,6 @@ def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count(*) and count(flag) in the same agg) -- two passes total
         # over `after` (the materializing write + this read), not the
         # three the r8 form paid (VERDICT r8 item 4).
-        after = materialize(df.join(F.broadcast(erase_names), "username", "left_anti"))
         before_cnt = (
             df.agg(F.count(F.lit(1)).alias("rows_before"))
             if before_n is None
@@ -623,6 +641,6 @@ def msg_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return report(detail, "detail", detail_n).unionAll(
-        report(summary, "summary", summary_n)
+    return report(detail, after_detail, "detail", detail_n).unionAll(
+        report(summary, after_summary, "summary", summary_n)
     )

@@ -181,3 +181,37 @@ def test_session_memo_nested_builds_bill_self_time_only():
         M.materialize = orig_mat
         M.SESSION_MEMO_BUILD_SECONDS.clear()
         M.SESSION_MEMO_BUILD_SECONDS.update(before)
+
+
+def test_materialize_many_positional_and_mode_equivalence(spark, sf_dir, tmp_path, monkeypatch):
+    """materialize_many must (a) return frames positionally aligned with
+    its input, (b) produce the same rows as serial materialize in both
+    the localCheckpoint and staging modes, and (c) stay a lazy no-op in
+    schema-only mode (no jobs, plan untouched)."""
+    from flink_kafka_consumer_cassandra_output_spark.materialize import (
+        STAGING_ENV,
+        materialize_many,
+    )
+    from flink_kafka_consumer_cassandra_output_spark.sources import tables
+
+    o = tables.load(spark, sf_dir, "orders")
+    a = o.groupBy("o_orderstatus").count()
+    b = o.selectExpr("max(o_totalprice) as mx")
+    want_a = {(r[0], r[1]) for r in a.collect()}
+    want_b = b.collect()[0][0]
+
+    got_a, got_b = materialize_many([a, b])
+    assert {(r[0], r[1]) for r in got_a.collect()} == want_a
+    assert got_b.collect()[0][0] == want_b
+
+    monkeypatch.setenv(STAGING_ENV, str(tmp_path / "stage"))
+    st_a, st_b = materialize_many([a, b])
+    assert {(r[0], r[1]) for r in st_a.collect()} == want_a
+    assert st_b.collect()[0][0] == want_b
+    monkeypatch.delenv(STAGING_ENV)
+
+    monkeypatch.setenv("SPARK_GRAFT_SCHEMA_ONLY", "1")
+    lazy_a, lazy_b = materialize_many([a, b])
+    # schema-only returns the SAME lazy frames untouched
+    assert lazy_a is a and lazy_b is b
+    monkeypatch.delenv("SPARK_GRAFT_SCHEMA_ONLY")
