@@ -1773,7 +1773,7 @@ LIMIT 50
     sibling="doc_zipf_fit",
 )
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..materialize import materialize
+    from ..materialize import materialize_many
 
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     w = F.split(F.col("text"), " ")
@@ -1785,11 +1785,15 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the totals are exact integer sums over those counts (nu = sum of
     # unigram counts, nb = sum of bigram counts -- the same BIGINTs the
     # direct count() passes produced).  4 corpus passes -> 2 at every scale.
-    ucnt = materialize(uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
     big = d.where(F.size(w) >= 2).select(
         F.explode(TX.word_shingles(F.col("text"), 2)).alias("gram")
     )
-    bcnt = materialize(big.groupBy("gram").agg(F.count(F.lit(1)).alias("cxy")))
+    # The two count checkpoints are independent (r17, guide section 2.6):
+    # one concurrent wave instead of two serial jobs.
+    ucnt, bcnt = materialize_many([
+        uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+        big.groupBy("gram").agg(F.count(F.lit(1)).alias("cxy")),
+    ])
     totals = ucnt.agg(F.sum("c").alias("nu")).crossJoin(
         bcnt.agg(F.sum("cxy").alias("nb"))
     )
