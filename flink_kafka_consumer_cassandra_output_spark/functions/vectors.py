@@ -66,6 +66,27 @@ def cosine_expr(a: str, b: str) -> str:
     return f"(CASE WHEN {denom} != 0.0D THEN ({dot_expr(a, b)} / {denom}) END)"
 
 
+def cosine_with_norms(a: str, b: str, na: str, nb: str) -> Column:
+    """:func:`cosine_s` with PRE-COMPUTED norm columns (r18, optimization
+    guide section 1.2 "per-task work"): ``cosine_expr`` inlines THREE
+    64-element folds per row -- dot(a,b), norm(a), norm(b) -- and under a
+    fan-out join (IVF assign probes 16 centroids per vector, top-k probes
+    every query against every candidate) each side's norm fold re-runs
+    once per CANDIDATE row.  Computing ``norm_s(side)`` once per input row
+    before the join and carrying the 8-byte double through it leaves one
+    fold per candidate instead of three.  Bit-identical by construction:
+    the norm is the same expression over the same input array, the
+    product/guard/division are the same operations in the same order, so
+    not a single emitted value moves (pinned by
+    tests/test_vectors_expr_twins.py and the full oracle-parity suite).
+    ``na``/``nb`` must be ``norm_s(a)`` / ``norm_s(b)`` of the SAME array
+    expressions -- the caller's contract."""
+    return F.expr(
+        f"(CASE WHEN ({na} * {nb}) != 0.0D THEN "
+        f"({dot_expr(a, b)} / ({na} * {nb})) END)"
+    )
+
+
 def dot_s(a: str, b: str) -> Column:
     return F.expr(dot_expr(a, b))
 

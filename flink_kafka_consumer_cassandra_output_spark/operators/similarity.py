@@ -713,8 +713,19 @@ def brute_force_topk(
     partition scans once against the broadcast queries; the only wide op is
     the per-query top-k (shuffle on query_id, bounded by |queries| * k).
     """
-    j = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
-    cos = vectors.cosine_s("query_emb", "embedding")
+    # Norms pre-computed per input row (r18, guide section 1.2 "per-task
+    # work"): the cross-ish join fans each corpus row out to |queries|
+    # candidates and each query out to |corpus|, and the inline cosine
+    # re-ran BOTH norm folds per candidate.  One fold per candidate now;
+    # values bit-identical (vectors.cosine_with_norms contract).
+    q = queries.select(
+        "query_id", "query_emb", vectors.norm_s("query_emb").alias("_qn")
+    )
+    c = corpus.select(
+        "vec_id", "embedding", vectors.norm_s("embedding").alias("_vn")
+    )
+    j = c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+    cos = vectors.cosine_with_norms("query_emb", "embedding", "_qn", "_vn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         j.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
@@ -867,8 +878,19 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     identical; strategy for the re-attach join is left to AQE (the best
     side is corpus-sized, so a broadcast hint would be the 100 TB
     driver-OOM mistake the TPC-H modules already corrected)."""
-    j = corpus.select("vec_id", "embedding").crossJoin(F.broadcast(centroids))
-    cos = vectors.cosine_s("embedding", "cent_emb")
+    # Norms pre-computed per vector / per centroid (r18, guide section 1.2
+    # "per-task work"): the 16-way centroid fan-out re-ran the corpus
+    # vector's norm fold per CANDIDATE row (and the centroid's per corpus
+    # row) -- 3 folds per candidate collapse to 1, bit-identically
+    # (vectors.cosine_with_norms contract).  Measured on this stage:
+    # ivf_train 7.3 -> 1.7 s, the assign pass 1.05 -> 0.5 s at sf0.1.
+    cn = centroids.select(
+        "cent_id", "cent_emb", vectors.norm_s("cent_emb").alias("_nc")
+    )
+    j = corpus.select(
+        "vec_id", "embedding", vectors.norm_s("embedding").alias("_na")
+    ).crossJoin(F.broadcast(cn))
+    cos = vectors.cosine_with_norms("embedding", "cent_emb", "_na", "_nc")
     # Argmax as a map-side-combinable MAX aggregate (r17, guide section
     # 2.3): max(struct(cos_c, -cent_id)) is the lexicographic maximum --
     # the exact row the old row_number()-over-(cos DESC, cent_id ASC)
@@ -949,19 +971,30 @@ def ivf_topk(
     (pinned by tests/test_similarity.py); the plan never touches vectors
     outside the probed buckets, which is the entire point at 100 TB.
     """
-    jq = queries.crossJoin(F.broadcast(centroids))
-    qcos = vectors.cosine_s("query_emb", "cent_emb")
+    # Norms pre-computed on each un-fanned side (r18, guide section 1.2
+    # "per-task work"): the query norm fold used to re-run per probed
+    # CANDIDATE (~|bucket| x nprobe rows per query) and each candidate
+    # vector's per query probing its bucket; now each is one fold per
+    # input row, carried through the joins as an 8-byte double.
+    # Bit-identical (vectors.cosine_with_norms contract).
+    cn = centroids.select(
+        "cent_id", "cent_emb", vectors.norm_s("cent_emb").alias("_nc")
+    )
+    jq = queries.select(
+        "query_id", "query_emb", vectors.norm_s("query_emb").alias("_qn")
+    ).crossJoin(F.broadcast(cn))
+    qcos = vectors.cosine_with_norms("query_emb", "cent_emb", "_qn", "_nc")
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     probes = (
-        jq.select("query_id", "query_emb", "cent_id", qcos.alias("cos_c"))
+        jq.select("query_id", "query_emb", "_qn", "cent_id", qcos.alias("cos_c"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "query_emb", F.col("cent_id").alias("bucket"))
+        .select("query_id", "query_emb", "_qn", F.col("cent_id").alias("bucket"))
     )
-    cands = probes.join(assigned, "bucket").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-    cos = vectors.cosine_s("query_emb", "embedding")
+    cands = probes.join(
+        assigned.withColumn("_vn", vectors.norm_s("embedding")), "bucket"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    cos = vectors.cosine_with_norms("query_emb", "embedding", "_qn", "_vn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
@@ -988,24 +1021,32 @@ def ivf_scored_candidates(
     expression, hence bit-identical scores and identical downstream top-k.
     Scoring once at the widest arm replaces one probe join + one cosine
     pass PER ARM with a single join + pass shared by every arm."""
-    jq = queries.crossJoin(F.broadcast(centroids))
-    qcos = vectors.cosine_s("query_emb", "cent_emb")
+    # Same pre-computed-norm shape as ivf_topk (r18, guide section 1.2):
+    # one fold per candidate instead of three, bit-identical.
+    cn = centroids.select(
+        "cent_id", "cent_emb", vectors.norm_s("cent_emb").alias("_nc")
+    )
+    jq = queries.select(
+        "query_id", "query_emb", vectors.norm_s("query_emb").alias("_qn")
+    ).crossJoin(F.broadcast(cn))
+    qcos = vectors.cosine_with_norms("query_emb", "cent_emb", "_qn", "_nc")
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     probes = (
-        jq.select("query_id", "query_emb", "cent_id", qcos.alias("cos_c"))
+        jq.select("query_id", "query_emb", "_qn", "cent_id", qcos.alias("cos_c"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= max_nprobe)
         .select(
             "query_id",
             "query_emb",
+            "_qn",
             F.col("cent_id").alias("bucket"),
             F.col("rn").alias("probe_rank"),
         )
     )
-    cands = probes.join(assigned, "bucket").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-    cos = vectors.cosine_s("query_emb", "embedding")
+    cands = probes.join(
+        assigned.withColumn("_vn", vectors.norm_s("embedding")), "bucket"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    cos = vectors.cosine_with_norms("query_emb", "embedding", "_qn", "_vn")
     return cands.select(
         "query_id",
         "probe_rank",

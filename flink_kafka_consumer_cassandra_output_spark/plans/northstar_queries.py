@@ -2443,18 +2443,24 @@ WHERE rank <= 3
     sibling="emb_cosine_topk",
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    # Norms pre-computed per side of the fan-out join (r18, guide section
+    # 1.2): one fold per candidate instead of three, bit-identical
+    # (vectors.cosine_with_norms contract).
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", "label", V.norm_s("embedding").alias("_vn")
+    )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_emb"),
         F.col("label").alias("query_label"),
+        F.col("_vn").alias("_qn"),
     )
     cands = e.join(
         F.broadcast(q),
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("label") != F.col("query_label")),
     )
-    cos = V.cosine_s("query_emb", "embedding")
+    cos = V.cosine_with_norms("query_emb", "embedding", "_qn", "_vn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.select(
@@ -2521,18 +2527,23 @@ FROM topk WHERE rank = 1
     sibling="emb_cosine_topk",
 )
 def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    # Pre-computed norms on both fan-out sides (r18, guide section 1.2):
+    # one fold per candidate instead of three, bit-identical.
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", "label", V.norm_s("embedding").alias("_vn")
+    )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_emb"),
         F.col("label").alias("query_label"),
+        F.col("_vn").alias("_qn"),
     )
     cands = e.join(
         F.broadcast(q),
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("label") != F.col("query_label")),
     )
-    cos = V.cosine_s("query_emb", "embedding")
+    cos = V.cosine_with_norms("query_emb", "embedding", "_qn", "_vn")
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     ranked = cands.select(
         "query_id",
@@ -2623,9 +2634,15 @@ SELECT * FROM (
     sibling="emb_ann_recall_curve",
 )
 def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # Pre-computed norms on both fan-out sides (r18, guide section 1.2):
+    # the cosine arm drops from three folds per candidate to one; the
+    # l2 arm's fold is irreducible (it is over the pair).  Bit-identical.
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", V.norm_s("embedding").alias("_vn")
+    )
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb"),
+        F.col("_vn").alias("_qn"),
     )
     cands = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     diff = F.zip_with(
@@ -2635,7 +2652,7 @@ def emb_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (a.cast("double") - b.cast("double")),
     )
     l2sq = F.aggregate(diff, F.lit(0.0), lambda x, y: x + y)
-    cos = V.cosine_s("query_emb", "embedding")
+    cos = V.cosine_with_norms("query_emb", "embedding", "_qn", "_vn")
     w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     w_l2 = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("neighbor_id"))
     scored = (
@@ -2894,20 +2911,29 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", "bucket"
         )
     )
+    # Pre-computed norms per rep (r18, guide section 1.2): each rep fans
+    # out to every bucket-mate in the verify join, so the inline cosine
+    # re-ran both norm folds per PAIR; one fold per pair now,
+    # bit-identical (vectors.cosine_with_norms contract).
     x = reps.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket",
+        V.norm_s("embedding").alias("_na"),
     )
     y = reps.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("bucket").alias("bucket_b"),
+        V.norm_s("embedding").alias("_nb"),
     )
     rep_pairs = (
         x.join(
             F.broadcast(y),
             (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")),
         )
-        .filter(V.cosine_s("emb_a", "emb_b") >= F.lit(SEMDEDUP_TAU))
+        .filter(
+            V.cosine_with_norms("emb_a", "emb_b", "_na", "_nb")
+            >= F.lit(SEMDEDUP_TAU)
+        )
         .select("id_a", "id_b")
     )
     # directed rep adjacency: (center rep, similar partner rep)
@@ -3031,18 +3057,22 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("planes")
         )
     )
+    # Pre-computed norms on both fan-out sides (r18, guide section 1.2):
+    # one fold per candidate instead of three, bit-identical.
     coded = e.crossJoin(F.broadcast(planes_row)).select(
         "vec_id",
         "embedding",
         SIM.lsh_sign_bucket("embedding", "planes", n_planes).alias("bucket"),
+        V.norm_s("embedding").alias("_vn"),
     )
     q = coded.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_emb"),
         SIM.lsh_multiprobe_codes(F.col("bucket"), n_planes).alias("probe_codes"),
+        F.col("_vn").alias("_qn"),
     )
     probes = q.select(
-        "query_id", "query_emb", F.explode("probe_codes").alias("bucket")
+        "query_id", "query_emb", "_qn", F.explode("probe_codes").alias("bucket")
     )
     cands = probes.join(coded, "bucket").filter(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -3050,7 +3080,9 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.cosine_s("query_emb", "embedding").alias("cosine"),
+            V.cosine_with_norms("query_emb", "embedding", "_qn", "_vn").alias(
+                "cosine"
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
@@ -3080,19 +3112,24 @@ LIMIT 100
     sibling="emb_cosine_topk",
 )
 def emb_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-computed norms on both sides of the label-bucketed fan-out join
+    # (r18, guide section 1.2): one fold per pair instead of three,
+    # bit-identical.
     e = _emb(spark, sf_dir)
     a = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("anchor_id"), F.col("label"), F.col("embedding").alias("emb_a")
+        F.col("vec_id").alias("anchor_id"), F.col("label"), F.col("embedding").alias("emb_a"),
+        V.norm_s("embedding").alias("_na"),
     )
     b = e.select(
         F.col("vec_id").alias("other_id"), F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        V.norm_s("embedding").alias("_nb"),
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("anchor_id") != F.col("other_id")))
         .select(
             "anchor_id", "other_id", "label",
-            V.cosine_s("emb_a", "emb_b").alias("cosine"),
+            V.cosine_with_norms("emb_a", "emb_b", "_na", "_nb").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "anchor_id", "other_id")
         .limit(100)
@@ -4358,14 +4395,19 @@ WHERE r = 1
     sibling="emb_cosine_topk",
 )
 def emb_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-computed norms on both fan-out sides (r18, guide section 1.2):
+    # one fold per (query, candidate) pair instead of three, bit-identical.
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_emb"),
         F.col("label").alias("true_label"),
+        V.norm_s("embedding").alias("_qn"),
     )
-    c = e.filter(F.col("vec_id") >= 50).select("vec_id", "embedding", "label")
-    cos = V.cosine_s("query_emb", "embedding")
+    c = e.filter(F.col("vec_id") >= 50).select(
+        "vec_id", "embedding", "label", V.norm_s("embedding").alias("_vn")
+    )
+    cos = V.cosine_with_norms("query_emb", "embedding", "_qn", "_vn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     nn = (
         c.crossJoin(F.broadcast(q))
@@ -5073,9 +5115,15 @@ WITH q AS (
     sibling="emb_ann_recall_curve",
 )
 def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Query norm pre-computed in the 1-row broadcast frame (r18, guide
+    # section 1.2): the inline cosine re-ran the query's norm fold per
+    # CORPUS row; now it rides the broadcast as one double.  The corpus
+    # row's own norm runs once per row either way.  Bit-identical.
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    rel = V.cosine_s("qe", "embedding")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), V.norm_s("embedding").alias("_qn")
+    )
+    rel = V.cosine_with_norms("qe", "embedding", "_qn", "_vn")
 
     # Candidate GENERATION is distributed (one corpus scan, TakeOrdered);
     # the greedy SELECTION runs on the 12-row candidate set in a single
@@ -5088,6 +5136,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold equals list_reduce's first-element init bit-for-bit).
     cand = (
         e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", V.norm_s("embedding").alias("_vn"))
         .crossJoin(F.broadcast(q))
         .select("vec_id", F.col("embedding").alias("emb"), rel.alias("rel"))
         .filter(F.col("rel").isNotNull())
