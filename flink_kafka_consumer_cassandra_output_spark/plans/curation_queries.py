@@ -46,7 +46,6 @@ Determinism notes (same contract as northstar_queries):
 from __future__ import annotations
 
 import math
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2548,62 +2547,35 @@ FROM alld CROSS JOIN lrow
     # surface at 50 (ANN family anchor moves to emb_ann_recall_curve).
 )
 def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _DSIR_B
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    g = _dsir_bucket_frame(d)
     # The importance MODEL is constant-bounded (32 buckets), so train it
     # long-shape and fold it into the plan as LITERALS: one narrow
-    # groupBy("bucket") pass (map-side combined), a hard-guarded
-    # collect_small of the <=32-row stats, driver-side CPython libm ln
-    # (the same libm DuckDB's ln is -- the doc_bm25_topk divergence is
-    # JVM Math.log, which never touches this path), and literal l_i
-    # coefficients in the fixed-order score chain.  MEASURED: the
-    # previous shape (wide 1-row aggregates + crossJoin + a 32-column
-    # Arrow-eval pandas_udf node) cost 2.8-3.8 s at sf0.1 with codegen
-    # of the 64-wide expressions dominating; materialize(g) made it
-    # WORSE (3.61 s).  Each ln argument mirrors the oracle's double
-    # expression step for step (exact BIGINTs < 2^53 cast to binary64,
-    # two products, one division), so the folded literals are
-    # bit-identical to what DuckDB computes.
-    from ..materialize import STAGING_ENV, materialize
+    # groupBy("bucket") pass (map-side combined) over the bigram explode,
+    # a hard-guarded collect_small of the <=32-row stats, driver-side
+    # CPython libm ln (the same libm DuckDB's ln is -- the doc_bm25_topk
+    # divergence is JVM Math.log, which never touches this path), and
+    # literal l_i coefficients in the fixed-order score chain.  MEASURED
+    # (r16): the wide-aggregate + crossJoin + Arrow-eval shape cost
+    # 2.8-3.8 s at sf0.1; the literal fold 2.35 s.  Each ln argument
+    # mirrors the oracle's double expression step for step (exact
+    # BIGINTs < 2^53 cast to binary64, two products, one division), so
+    # the folded literals are bit-identical to what DuckDB computes.
+    lvals = _dsir_lvals(_dsir_bucket_frame(d))
 
-    # g feeds BOTH the model pass and the per-doc histogram; Spark shares
-    # no common subplans, so unmaterialized it scans + explodes the
-    # corpus twice.  Locally that is the RIGHT call (materialize(g) via
-    # localCheckpoint measured WORSE, 3.61 s vs 2.35 s at sf0.1 -- the
-    # checkpoint write costs more than the second narrow scan saves).
-    # At 100 TB the trade inverts: two full corpus scans dominate one
-    # staged-parquet write of the compact (doc_id, lang, bucket) frame,
-    # so in cluster/staging mode (SPARK_GRAFT_STAGING_DIR set) the
-    # explode is staged once and both passes read it back
-    # (tests/test_staging_mode.py pins result equality across modes).
-    if os.environ.get(STAGING_ENV, ""):
-        g = materialize(g)
-
-    lvals = _dsir_lvals(g)
-
-    perdoc = g.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"m_{i}")
-            for i in range(b)
-        ],
-        F.count(F.lit(1)).alias("n_features"),
-    )
-    alld = (
-        d.select("doc_id")
-        .join(perdoc, "doc_id", "left")
-        .select(
-            "doc_id",
-            *[F.coalesce(F.col(f"m_{i}"), F.lit(0)).alias(f"m_{i}") for i in range(b)],
-            F.coalesce(F.col("n_features"), F.lit(0)).cast("long").alias("n_features"),
-        )
-    )
-    score = F.col("m_0").cast("double") * F.lit(lvals[0])
-    for i in range(1, b):
-        score = score + F.col(f"m_{i}").cast("double") * F.lit(lvals[i])
-    return alld.select(
-        "doc_id",
-        "n_features",
-        score.alias("log_weight"),
-        (score > F.lit(0.0)).alias("selected"),
-    )
+    # Scoring via the ROW-WISE form (r18, guide sections 2.4 "remove
+    # shuffles outright" and 1.2): the old batch shape exploded the
+    # corpus a second time, shuffled the exploded frame on doc_id for a
+    # 33-column histogram aggregate, and LEFT-JOINED it back onto the
+    # document table -- but with frozen literal coefficients the per-doc
+    # m_i are computable as narrow array expressions (filter/size over
+    # the zipped bigram array), which is exactly what the streaming twin
+    # does.  dsir_score_rowwise is the SAME fixed-order score chain over
+    # the SAME exact integer counts, already pinned row-for-row equal to
+    # the old batch route by tests/test_streaming.py's stream==batch
+    # gate; A/B at sf0.1: 2.17 -> 1.42 s, and at any scale the doc_id
+    # shuffle + join disappear (the scoring pass becomes a pure narrow
+    # map -- two corpus scans total, no exchange).  The r17 staging-mode
+    # materialize of the shared explode is gone WITH the sharing: the
+    # explode now has exactly one consumer (the model pass), so there is
+    # nothing to stage in cluster mode either.
+    return dsir_score_rowwise(d, lvals)

@@ -29,11 +29,12 @@ from flink_kafka_consumer_cassandra_output_spark.plans import all_specs
         # parquet write+readback instead of a checkpoint
         "orders_abc_classification",
         "doc_lm_rarity",
-        # r17: DSIR stages its shared bigram explode ONLY in staging mode
-        # (the 100 TB single-corpus-scan shape); the staged run must fold
-        # the exact same literal coefficients and scores as the local
-        # double-scan shape
-        "doc_dsir_importance",
+        # r18: doc_dsir_importance left this list -- the rowwise scorer
+        # removed the shared bigram explode (one consumer now, the model
+        # pass), so the builder materializes nothing in ANY mode and a
+        # staged run would write no stage table; cross-mode equality for
+        # it is vacuous.  tests/test_curation_truth.py and the
+        # stream==batch gate in tests/test_streaming.py pin its values.
     ],
 )
 def test_staging_tables_match_local_checkpoint(spark, sf_dir, tmp_path, name):
