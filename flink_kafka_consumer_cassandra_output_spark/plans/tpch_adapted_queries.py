@@ -1527,10 +1527,23 @@ def cust_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (x["bal"] == y["bal"]) & (x["a"] < y["b"]),
         )
         .filter(F.levenshtein("name_a", "name_b") <= 2)
-        .select("a", "b")
+        .select(
+            "a", "b",
+            F.substring("name_a", 1, 15).alias("blk_p"), x["nk"].alias("blk_n"),
+        )
     )
-    labels = SIM.connected_components(
-        records.select(F.col("record_id").alias("v")), pairs
+    # Block-confined CC (r18): every edge requires equal (15-char prefix,
+    # nationkey), so components never cross those blocks and the O(log d)
+    # iterative label loop -- 3-4 eager materialized rounds per build --
+    # collapses to one grouped union-find crossing over the pair relation
+    # (see blockwise_connected_components' docstring for the equality and
+    # scale argument).  Isolated records re-enter via left-join+coalesce,
+    # exactly the generic loop's init labels.
+    noniso = SIM.blockwise_connected_components(pairs, ["blk_p", "blk_n"])
+    labels = (
+        records.select(F.col("record_id").alias("v"))
+        .join(noniso, "v", "left")
+        .select("v", F.coalesce("lbl", F.col("v")).alias("lbl"))
     )
     sized = labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_records")
@@ -1816,11 +1829,32 @@ def cust_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.lit(SURV_BAL_TOL).cast("decimal(18,2)")
             )
         )
-        .select("a", "b")
+        .select(
+            "a", "b",
+            F.substring("name_a", 1, 15).alias("blk_p"), x["nk"].alias("blk_n"),
+        )
     )
-    labels = SIM.connected_components(
-        records.select(F.col("record_id").alias("v")), pairs
-    ).select(F.col("v").alias("record_id"), F.col("lbl").alias("cluster_id"))
+    # Block-confined CC (r18): every edge requires equal (15-char prefix,
+    # nationkey) -- the bal BAND is a filter inside those blocks, not a
+    # partition, so (prefix, nationkey) still confines every component --
+    # and the iterative label loop collapses to one grouped union-find
+    # crossing (blockwise_connected_components docstring has the equality
+    # and scale argument).  Isolated records re-enter via
+    # left-join+coalesce, exactly the generic loop's init labels.
+    noniso = SIM.blockwise_connected_components(pairs, ["blk_p", "blk_n"])
+    # Materialized: labels feed TWO aggregate branches (seg_votes and the
+    # max/count agg), and the replayed subtree -- banded self-join +
+    # levenshtein + the union-find crossing -- is exactly the
+    # shuffle/Python-crossing shape the r17 A/B rule says to checkpoint
+    # (one job here still beats the 3-4 the old CC loop paid).
+    labels = materialize(
+        records.select(F.col("record_id").alias("v"))
+        .join(noniso, "v", "left")
+        .select(
+            F.col("v").alias("record_id"),
+            F.coalesce("lbl", F.col("v")).alias("cluster_id"),
+        )
+    )
     member = labels.join(records, "record_id")
     seg_votes = (
         member.filter(F.col("c_mktsegment").isNotNull())

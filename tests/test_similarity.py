@@ -294,6 +294,42 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_blockwise_cc_matches_generic_loop(spark):
+    """blockwise_connected_components must equal connected_components'
+    labels (restricted to non-isolated vertices) on a block-confined
+    graph: multi-edge chains inside one block (union-find transitivity),
+    several blocks, components that do NOT include the block minimum's
+    neighbors, and duplicate edges."""
+    from flink_kafka_consumer_cassandra_output_spark.operators.similarity import (
+        blockwise_connected_components,
+        connected_components,
+    )
+
+    # (a, b, blk): two blocks; blk "x" holds a 4-chain 10-11-12-13 plus an
+    # isolated pair 15-14 (reversed orientation), blk "y" a triangle with a
+    # duplicate edge.
+    rows = [
+        (10, 11, "x"), (11, 12, "x"), (12, 13, "x"), (15, 14, "x"),
+        (20, 21, "y"), (21, 22, "y"), (20, 22, "y"), (20, 21, "y"),
+    ]
+    pairs = spark.createDataFrame(rows, "a long, b long, blk string")
+    got = {
+        r.v: r.lbl
+        for r in blockwise_connected_components(pairs, ["blk"]).collect()
+    }
+    verts = sorted({v for a, b, _ in rows for v in (a, b)})
+    nodes = spark.createDataFrame([(v,) for v in verts], "v long")
+    want = {
+        r.v: r.lbl
+        for r in connected_components(
+            nodes, pairs.select("a", "b")
+        ).collect()
+    }
+    assert got == want
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 14, 15: 14,
+                   20: 20, 21: 20, 22: 20}
+
+
 def test_connected_components_iteration_cap_is_loud(spark):
     """A graph needing more rounds than max_iters must raise, never return
     a half-converged labeling."""
