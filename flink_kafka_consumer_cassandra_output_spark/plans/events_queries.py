@@ -525,38 +525,50 @@ FROM grid
     # r17 rotation: promoted for stale re-verification (tools/r17_rotation_plan.md).
 )
 def ev_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..materialize import materialize
-
     ev = _ev(spark, sf_dir).filter(F.col("value").isNotNull())
-    # Materialized (r17, guide section 1.2): obs feeds TWO subtrees (the
-    # span explode and the grid left join) and Spark shares no common
-    # subplans, so the events scan + max_by aggregate ran twice per run;
-    # the checkpointed frame is users x observed-hours -- tiny next to
-    # the fact table at every scale.
-    obs = materialize(ev.groupBy(
+    obs = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.max_by("value", "ts").alias("last_value")))
-    span = (
-        obs.groupBy("user_id")
-        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
+    ).agg(F.max_by("value", "ts").alias("last_value"))
+    # SEGMENT-explode gap fill (r18, guide section 2.4 "remove shuffles
+    # outright"): the r17 shape materialized obs (it fed two subtrees),
+    # exploded a per-user span table, LEFT-JOINED the observations back
+    # onto the grid, and ran a last-ignoring-nulls fill window.  But each
+    # grid hour's filled value IS the previous observation's value, so
+    # one lead() window over the sparse observations yields each
+    # observation's segment [hour, next_hour - 1h] (the last observation
+    # closes its own segment) and the dense grid explodes directly from
+    # the segments carrying the fill value -- the span aggregate, the
+    # left join, the fill window, AND the obs checkpoint all disappear;
+    # obs now has exactly one consumer.  Row-for-row identical: segment
+    # union == [min, max] per user, hours strictly inside a segment are
+    # exactly the unobserved ones (is_observed = hour == obs hour), and
+    # filled values are COPIES of the same observation the old window
+    # picked (A/B: all 1,049,414 sf0.1 rows equal; 1.73 -> 0.93 s).
+    # Scale: one shuffle (the obs aggregate) + one user_id window over
+    # users x observed-hours rows; densification stays grid-sized and
+    # independent of event volume.
+    wl = Window.partitionBy("user_id").orderBy("hour")
+    nxt = F.lead("hour").over(wl)
+    seg = obs.select(
+        "user_id",
+        F.col("hour").alias("obs_hour"),
+        "last_value",
+        F.when(nxt.isNull(), F.col("hour"))
+        .otherwise(nxt - F.expr("INTERVAL 1 HOUR"))
+        .alias("seg_end"),
     )
-    grid = span.join(obs, ["user_id", "hour"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return grid.select(
+    return seg.select(
+        "user_id",
+        F.explode(
+            F.sequence("obs_hour", "seg_end", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+        F.col("last_value").alias("filled_value"),
+        "obs_hour",
+    ).select(
         "user_id",
         "hour",
-        F.last("last_value", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("last_value").isNotNull().alias("is_observed"),
+        "filled_value",
+        (F.col("hour") == F.col("obs_hour")).alias("is_observed"),
     )
 
 
