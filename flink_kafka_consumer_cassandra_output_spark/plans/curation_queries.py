@@ -2422,22 +2422,25 @@ def dsir_score_rowwise(docs: DataFrame, lvals: list[float]) -> DataFrame:
     d = docs.where(F.col("text").isNotNull()).select(
         "doc_id", buckets.alias("_bk")
     )
-    # single-arg lambdas ONLY: pyspark's higher-order filter() inspects
-    # the lambda's arity and passes (element, index) to two-parameter
-    # lambdas, so `lambda x, i=i:` would silently bind the array INDEX
-    # over the default
-    def _eq(i: int):
-        return lambda x: x == F.lit(i)
-
-    ms = [F.size(F.filter(F.col("_bk"), _eq(i))) for i in range(b)]
-    score = ms[0].cast("double") * F.lit(lvals[0])
-    for i in range(1, b):
-        score = score + ms[i].cast("double") * F.lit(lvals[i])
+    # expr-string m_i counts and score chain (r18; the r17 fold-twin
+    # precedent): the Column form cost ~300 py4j round-trips per build
+    # (32 x size(filter(...)) plus the 32-term chain), each a socket
+    # round-trip to the JVM; the strings parse to the IDENTICAL Catalyst
+    # trees -- size(filter(_bk, x -> x = i)) per bucket, the
+    # left-associative CAST-multiply chain with exact repr()-round-trip
+    # double literals (vectors.array_lit precedent) -- in three parses.
+    # Values are pinned by the stream==batch gate and the DSIR truth
+    # tests; integer counts and the same-order binary64 chain are
+    # bit-identical by construction.
+    ms_sql = [f"size(filter(_bk, x -> x = {i}))" for i in range(b)]
+    score_sql = " + ".join(
+        f"(CAST({ms_sql[i]} AS DOUBLE) * {float(lvals[i])!r}D)" for i in range(b)
+    )
     return d.select(
         "doc_id",
-        F.size(F.col("_bk")).cast("long").alias("n_features"),
-        score.alias("log_weight"),
-        (score > F.lit(0.0)).alias("selected"),
+        F.expr("CAST(size(_bk) AS BIGINT)").alias("n_features"),
+        F.expr(score_sql).alias("log_weight"),
+        F.expr(f"({score_sql}) > 0.0D").alias("selected"),
     )
 
 
