@@ -257,9 +257,16 @@ def doc_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # millions of band candidates a low-entropy corpus produces -- pay the
     # distinct shuffle, and the old candidate->sketch lookup joins (two
     # full re-evaluations of the sketch fold) disappear entirely.
-    sketches = TX.with_simhash(
+    # Materialized (r18, the r17 checkpoint-pays rule): the sketch frame
+    # feeds BOTH sides of the band self-join and Spark shares no common
+    # subplans, so the simhash fold -- per-token md5 + the packed
+    # bit-counter fold, the query's heaviest per-row work -- ran TWICE
+    # per run.  The checkpoint is (doc_id, long), two narrow columns;
+    # measured 1.92 -> 1.45 s at sf0.1, and at scale one corpus fold
+    # pass replaces two.
+    sketches = materialize(TX.with_simhash(
         d.select("doc_id", "text"), "text", "sketch", SIM.SIMHASH_NEARDUP_BITS
-    ).select("doc_id", "sketch")
+    ).select("doc_id", "sketch"))
     survivors = SIM.simhash_band_pairs(sketches, radius=SIM.SIMHASH_RADIUS)
     # Survivor rows are narrow (two ids + a long) so AQE's byte-based
     # coalescing collapses the post-distinct stage to ~1 partition -- and
@@ -416,8 +423,15 @@ def doc_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id", F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh")
     )
+    # Banded frame materialized (r18, the r17 checkpoint-pays rule): it
+    # feeds BOTH sides of the band self-join, so the MinHash signature
+    # fold -- 8 md5 digests per shingle, the heaviest per-row work here
+    # -- ran twice per run.  The checkpoint is (doc_id, band_id,
+    # band_val), three narrow columns; measured 1.13 -> 0.94 s at sf0.1,
+    # and at scale one signature fold pass replaces two.
     sigs = docs.withColumn("sig", SIM.minhash_signature("sh"))
-    cand = SIM.lsh_candidate_pairs(sigs)
+    banded = materialize(SIM.lsh_bands(sigs))
+    cand = SIM.banded_pairs(banded, banded)
     x = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     y = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
