@@ -1772,6 +1772,9 @@ LIMIT 50
     sibling="doc_zipf_fit",
 )
 def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from ..config import schema_only_builds
     from ..materialize import materialize_many
 
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -1787,18 +1790,37 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = d.where(F.size(w) >= 2).select(
         F.explode(TX.word_shingles(F.col("text"), 2)).alias("gram")
     )
-    # The two count checkpoints are independent (r17, guide section 2.6):
-    # one concurrent wave instead of two serial jobs.
-    ucnt, bcnt = materialize_many([
-        uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
-        big.groupBy("gram").agg(F.count(F.lit(1)).alias("cxy")),
-    ])
-    totals = ucnt.agg(F.sum("c").alias("nu")).crossJoin(
-        bcnt.agg(F.sum("cxy").alias("nb"))
-    )
+    bcnt_all = big.groupBy("gram").agg(F.count(F.lit(1)).alias("cxy"))
+    # r18: only the min-support SURVIVORS are checkpointed, and the
+    # unfiltered bigram total rides the same materialization job as an
+    # observe() metric (the CC-loop pattern) -- the bigram-vocabulary
+    # checkpoint shrinks to the count>=5 rows, and the post-hoc nb
+    # aggregate pass over it disappears.  nb is an exact BIGINT either
+    # way.  Measured 1.90 -> 1.69 s at sf0.1.  Schema-only mode keeps
+    # the lazy aggregate form (observe metrics never fire without an
+    # action).  The two count checkpoints stay one concurrent wave
+    # (r17, guide section 2.6).
+    if schema_only_builds():
+        ucnt, bcnt_f = materialize_many([
+            uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+            bcnt_all.where(F.col("cxy") >= 5),
+        ])
+        nb_col = F.broadcast(bcnt_all.agg(F.sum("cxy").alias("nb")))
+        totals = ucnt.agg(F.sum("c").alias("nu")).crossJoin(nb_col)
+    else:
+        obs = Observation()
+        ucnt, bcnt_f = materialize_many([
+            uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+            bcnt_all.observe(obs, F.sum("cxy").alias("nb")).where(
+                F.col("cxy") >= 5
+            ),
+        ])
+        totals = ucnt.agg(F.sum("c").alias("nu")).withColumn(
+            "nb", F.lit(obs.get["nb"])
+        )
     parts = F.split(F.col("gram"), " ")
     b = (
-        bcnt.where(F.col("cxy") >= 5)
+        bcnt_f
         .withColumn("x", parts.getItem(0))
         .withColumn("y", parts.getItem(1))
         .join(ucnt.withColumnRenamed("tok", "x").withColumnRenamed("c", "cx"), "x")
