@@ -82,6 +82,34 @@ def csum_double(v: Column, scale: int, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def csum3_double(v: Column, scale: int, alias: str | None = None) -> Column:
+    """Three-long split-sum for PRODUCTS of money cents (r18): a 2-dp x
+    2-dp product in 1e-4 units reaches ~1.3e14 per row (price^2), whose
+    ``v >> 20`` component (~1.2e8/row) would overflow a single long hi
+    sum near 8e10 rows per group -- BELOW a 100 TB lineitem's rows per
+    return flag.  Splitting into ``top = v >> 40``,
+    ``mid = pmod(v >> 20, 2^20)``, ``lo = pmod(v, 2^20)`` keeps every
+    per-row component <= ~2^20 (top <= ~110 for price^2), restoring the
+    ~9e12-rows-per-group budget of :func:`csum_double`.  The
+    decomposition is exact for negatives too (arithmetic shift = floor
+    division, pmod non-negative, applied twice), the DECIMAL(38,0)
+    reassembly holds ~7e25 with 12 digits to spare, and the final
+    division/cast is the same correctly-rounded conversion of the same
+    rational the decimal-sum path produces: bit-identical output
+    (pinned by tests/test_numeric_cents.py).
+    """
+    if scale > 6:
+        raise ValueError("csum3_double reassembly is exact only for scale <= 6")
+    lo = F.sum(F.pmod(v, F.lit(_SPLIT)))
+    mid = F.sum(F.pmod(F.shiftright(v, _SHIFT), F.lit(_SPLIT)))
+    top = F.sum(F.shiftright(v, 2 * _SHIFT))
+    total = (
+        top.cast("decimal(38,0)") * F.lit(_SPLIT) + mid
+    ) * F.lit(_SPLIT) + lo
+    out = (total / F.lit(10 ** scale)).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-insensitive exact sum of a 2-dp money column, as double."""
     return csum_double(cents(col), 2, alias)

@@ -364,14 +364,24 @@ FROM s
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    qx, px = N.dec2("l_quantity"), N.dec2("l_extendedprice")
+    # Split-long cents sums for the power sums (r18, completing the r17
+    # cents rewrite): sum(DECIMAL) runs through the non-codegen-friendly
+    # Decimal128 path (~4x slower on this shape, the q1 lesson).  The
+    # linear sums use the 2-long split; the PRODUCT sums (1e-4 units,
+    # up to ~1.3e14 per row for price^2) need numeric.csum3_double's
+    # 3-long split to keep the 100 TB per-group overflow budget.  Each
+    # reassembled value is the same exact rational the decimal sums
+    # produced, so every output double is bit-identical (pinned per
+    # value by tests/test_numeric_cents.py; the oracle's decimal text
+    # is untouched).
+    cq, cp = N.cents("l_quantity"), N.cents("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(qx).cast("double").alias("sx"),
-        F.sum(px).cast("double").alias("sy"),
-        F.sum(qx * qx).cast("double").alias("sxx"),
-        F.sum(px * px).cast("double").alias("syy"),
-        F.sum(qx * px).cast("double").alias("sxy"),
+        N.csum_double(cq, 2, "sx"),
+        N.csum_double(cp, 2, "sy"),
+        N.csum3_double(cq * cq, 4, "sxx"),
+        N.csum3_double(cp * cp, 4, "syy"),
+        N.csum3_double(cq * cp, 4, "sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

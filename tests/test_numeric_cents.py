@@ -131,6 +131,47 @@ def test_charge_scale6_bitequal(spark, sf_dir):
     _assert_frames_bitequal(new, old, ["l_returnflag"])
 
 
+def test_csum3_product_sums_bitequal(spark, sf_dir):
+    """r18: the 3-long split sum for PRODUCTS of cents (power sums of
+    agg_stats_moments) must reassemble bit-identically to the decimal
+    product sums it replaced, on real grouped data -- including the
+    price^2 values whose v >> 20 component motivated the third limb."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    qx, px = N.dec2("l_quantity"), N.dec2("l_extendedprice")
+    cq, cp = N.cents("l_quantity"), N.cents("l_extendedprice")
+    new = li.groupBy("l_returnflag").agg(
+        N.csum3_double(cq * cq, 4, "sxx"),
+        N.csum3_double(cp * cp, 4, "syy"),
+        N.csum3_double(cq * cp, 4, "sxy"),
+    )
+    old = li.groupBy("l_returnflag").agg(
+        F.sum(qx * qx).cast("double").alias("sxx"),
+        F.sum(px * px).cast("double").alias("syy"),
+        F.sum(qx * px).cast("double").alias("sxy"),
+    )
+    _assert_frames_bitequal(new, old, ["l_returnflag"])
+
+
+def test_csum3_negative_and_null_values_bitequal(spark):
+    rows = [
+        ("a", -999.99), ("a", 0.01), ("a", None),
+        ("b", None), ("b", None),
+        ("c", -0.07), ("c", 4999999.99), ("c", -4999999.99),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    c = N.cents("v")
+    new = df.groupBy("k").agg(N.csum3_double(c * c, 4, "svv"),
+                              N.csum3_double(c * F.lit(-1), 2, "sneg"))
+    d = N.dec2("v")
+    old = df.groupBy("k").agg(
+        F.sum(d * d).cast("double").alias("svv"),
+        F.sum(d * F.lit(-1).cast("decimal(18,2)")).cast("double").alias("sneg"),
+    )
+    _assert_frames_bitequal(new, old, ["k"])
+
+
 def test_csum_double_rejects_inexact_scale():
     with pytest.raises(ValueError):
         N.csum_double(F.lit(1), 7, "x")
+    with pytest.raises(ValueError):
+        N.csum3_double(F.lit(1), 7, "x")
