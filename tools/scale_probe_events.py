@@ -67,6 +67,10 @@ QUERIES = (
     "ev_seasonality_profile",
     "ev_cohort_revenue_curve",
     "ev_cusum_alarm",
+    # r18 addition: the segment-explode gap fill (OPTIMIZATION_r18.md §5)
+    # partitions by user_id; replicated users carry the fixture's exact
+    # observed-hour spans, so grid rows and wall time must grow ~k.
+    "ev_hourly_gapfill",
 )
 
 # Optional subset, e.g. SPARK_GRAFT_PROBE_QUERIES=ev_debounce_exact,ev_acf_lags
